@@ -1,0 +1,582 @@
+"""Driver-gate query registry: every entry pairs a Spark DataFrame builder
+with an equivalent DuckDB-runnable SQL oracle over the same parquet tables.
+
+The diff queries derive a deterministic (source, target) pair from a single
+testdata table — whole-partition deletes, new-key inserts, in-partition row
+deletes, and value corruptions — so the full 9-counter diff semantics
+(SURVEY.md §2.4-2.5) are exercised and independently checkable in ANSI SQL.
+
+Numeric discipline: gate outputs contain only BIGINT/strings/timestamps —
+money/quantity sums are integer cents via ROUND(x*100) — so cross-engine
+float summation order can never flip a comparison bit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.diff import build_diff
+from cassandra_diff_spark.functions.keys import (
+    _KNUTH,
+    _MERSENNE,
+    arithmetic_token,
+    arithmetic_token_sql,
+)
+from cassandra_diff_spark.plans.splits import split_assignment, split_assignment_sql
+
+# --------------------------------------------------------------------------
+# table metadata
+
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+LINEITEM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+ORDERS_SPEC = TableSpec(name="orders", partition_key=("o_orderkey",))
+LINEITEM_SPEC = TableSpec(
+    name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+)
+
+TOK = arithmetic_token_sql("pk")  # token over the coalesced pk in oracle CTEs
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long and convert to a
+    microsecond timestamp (integer ``div`` — double division would lose
+    precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# --------------------------------------------------------------------------
+# deterministic source/target pair derivations (Spark + SQL twins)
+
+def orders_pair(spark: SparkSession, sf_dir: str):
+    """source = orders; target = drop keys %97 (only_in_source), corrupt
+    o_totalprice on keys %53 (value mismatch), add keys %89 remapped
+    +10_000_000 (only_in_target)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = o.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 53 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    b = o.filter(k % 89 == 0).withColumn("o_orderkey", k + F.lit(10_000_000))
+    return o, a.unionByName(b)
+
+
+_ORDERS_TGT_SQL = f"""
+tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 = 0
+)"""
+
+
+def lineitem_pair(spark: SparkSession, sf_dir: str):
+    """source = lineitem; target = drop partitions %97, drop rows
+    (partition %113, linenumber 1) (fail-fast), corrupt l_quantity on
+    (partition %37, linenumber 2), add partitions %127 remapped
+    +20_000_000."""
+    li = load(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    a = (
+        li.filter(k % 97 != 0)
+        .filter(~((k % 113 == 0) & (ln == 1)))
+        .withColumn(
+            "l_quantity",
+            F.when((k % 37 == 0) & (ln == 2), F.col("l_quantity") + F.lit(5.0))
+            .otherwise(F.col("l_quantity")),
+        )
+    )
+    b = li.filter(k % 127 == 0).withColumn("l_orderkey", k + F.lit(20_000_000))
+    return li, a.unionByName(b)
+
+
+_LINEITEM_TGT_SQL = """
+tgt AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         CASE WHEN l_orderkey % 37 = 0 AND l_linenumber = 2
+              THEN l_quantity + 5.0 ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate
+  FROM lineitem
+  WHERE l_orderkey % 97 <> 0
+    AND NOT (l_orderkey % 113 = 0 AND l_linenumber = 1)
+  UNION ALL
+  SELECT l_orderkey + 20000000, l_partkey, l_suppkey, l_linenumber,
+         l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+         l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 127 = 0
+)"""
+
+
+def _nsd_sum(cols, left="s", right="t") -> str:
+    """SQL sum of null-safe column equality flags (engine: <=> per regular
+    column, PartitionComparator.java:116-133)."""
+    terms = [
+        f"CASE WHEN {left}.{c} IS NOT DISTINCT FROM {right}.{c} THEN 1 ELSE 0 END"
+        for c in cols
+    ]
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def _stats_select(table: str, nreg: int, extra_cat_sql: str = "") -> str:
+    """Final 9-counter SELECT over a CTE ``c(category, mr, mv_m, mv_x)``."""
+    return f"""
+SELECT '{table}' AS "table",
+  CAST(SUM(CASE WHEN category = 'matched' THEN 1 ELSE 0 END) AS BIGINT) AS matched_partitions,
+  CAST(SUM(CASE WHEN category = 'mismatched' THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_partitions,
+  CAST(0 AS BIGINT) AS error_partitions,
+  CAST(SUM(CASE WHEN category = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_partitions,
+  CAST(SUM(CASE WHEN category = 'only_in_source' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_source,
+  CAST(SUM(CASE WHEN category = 'only_in_target' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_target,
+  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mr ELSE 0 END) AS BIGINT) AS matched_rows,
+  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_m ELSE 0 END) AS BIGINT) AS matched_values,
+  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_x ELSE 0 END) AS BIGINT) AS mismatched_values
+FROM c{extra_cat_sql}
+"""
+
+
+def _orders_partition_cte(skip_sql: str = "NULL") -> str:
+    """CTEs src->tgt->join->per-partition classification for the orders
+    (no-clustering) pair. ``skip_sql`` is a boolean SQL expr over token
+    ``tok`` marking skipped partitions (SpecificTokens REJECT semantics)."""
+    nreg = len(ORDERS_COLS)
+    return f"""
+WITH {_ORDERS_TGT_SQL.strip()},
+j AS (
+  SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+         COALESCE(s.o_orderkey, t.o_orderkey) AS pk,
+         {_nsd_sum(ORDERS_COLS)} AS mv
+  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+),
+c AS (
+  SELECT pk, ({TOK}) AS tok,
+         CASE WHEN tk IS NULL THEN 'only_in_source'
+              WHEN sk IS NULL THEN 'only_in_target'
+              WHEN ({skip_sql.replace('tok', f'({TOK})')}) THEN 'skipped'
+              WHEN mv = {nreg} THEN 'matched'
+              ELSE 'mismatched' END AS category,
+         CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0 END AS mr,
+         CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN mv ELSE 0 END AS mv_m,
+         CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN {nreg} - mv ELSE 0 END AS mv_x
+  FROM j
+)"""
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+
+def _q_diff_stats_orders(spark, sf_dir):
+    src, tgt = orders_pair(spark, sf_dir)
+    return build_diff(src, tgt, ORDERS_SPEC, align="set").stats
+
+
+_O_DIFF_STATS_ORDERS = _orders_partition_cte("FALSE") + _stats_select("orders", 6)
+
+
+def _q_diff_stats_orders_skiptok(spark, sf_dir):
+    src, tgt = orders_pair(spark, sf_dir)
+    return build_diff(
+        src,
+        tgt,
+        ORDERS_SPEC,
+        token=lambda pk_cols: arithmetic_token(pk_cols[0]),
+        token_filter=lambda t: ~((t % 7) == 0),
+    ).stats
+
+
+_O_DIFF_STATS_ORDERS_SKIPTOK = _orders_partition_cte("tok % 7 = 0") + _stats_select(
+    "orders", 6
+)
+
+
+def _q_diff_stats_orders_sampled(spark, sf_dir):
+    src, tgt = orders_pair(spark, sf_dir)
+    return build_diff(
+        src,
+        tgt,
+        ORDERS_SPEC,
+        token=lambda pk_cols: arithmetic_token(pk_cols[0]),
+        sampler=lambda t: (t % 10) < 5,
+    ).stats
+
+
+# sampler: silently exclude unsampled in-both partitions
+# (RangeComparator.java:137-143)
+_O_DIFF_STATS_ORDERS_SAMPLED = (
+    _orders_partition_cte("FALSE")
+    + _stats_select(
+        "orders",
+        6,
+        extra_cat_sql=(
+            " WHERE category IN ('only_in_source','only_in_target') OR tok % 10 < 5"
+        ),
+    )
+)
+
+
+def _q_diff_mismatch_orders(spark, sf_dir):
+    src, tgt = orders_pair(spark, sf_dir)
+    res = build_diff(src, tgt, ORDERS_SPEC, align="set")
+    return res.mismatches.select("o_orderkey", "mismatch_type")
+
+
+_O_DIFF_MISMATCH_ORDERS = _orders_partition_cte("FALSE") + """
+SELECT pk AS o_orderkey,
+       CASE category WHEN 'mismatched' THEN 'PARTITION_MISMATCH'
+                     WHEN 'only_in_source' THEN 'ONLY_IN_SOURCE'
+                     ELSE 'ONLY_IN_TARGET' END AS mismatch_type
+FROM c WHERE category IN ('mismatched','only_in_source','only_in_target')
+"""
+
+# ---- wide/positional lineitem diff -----------------------------------------
+
+_LI_REG = [c for c in LINEITEM_COLS if c != "l_linenumber"]  # 10 regular cols
+_LI_ORDER_COLS = ["l_linenumber"] + [
+    c for c in LINEITEM_COLS if c not in ("l_orderkey", "l_linenumber")
+]
+_LI_ORDER_SQL = ", ".join(f"{c} ASC NULLS FIRST" for c in _LI_ORDER_COLS)
+
+
+def _q_diff_stats_lineitem(spark, sf_dir):
+    src, tgt = lineitem_pair(spark, sf_dir)
+    return build_diff(src, tgt, LINEITEM_SPEC, align="positional").stats
+
+
+_O_DIFF_STATS_LINEITEM = f"""
+WITH {_LINEITEM_TGT_SQL.strip()},
+s2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_LI_ORDER_SQL}) AS rn
+  FROM lineitem
+),
+t2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY {_LI_ORDER_SQL}) AS rn
+  FROM tgt
+),
+j AS (
+  SELECT COALESCE(s.l_orderkey, t.l_orderkey) AS pk,
+         COALESCE(s.rn, t.rn) AS rn,
+         s.rn IS NOT NULL AS sp, t.rn IS NOT NULL AS tp,
+         (s.rn IS NOT NULL AND t.rn IS NOT NULL
+          AND s.l_linenumber IS NOT DISTINCT FROM t.l_linenumber) AS ck_eq,
+         {_nsd_sum(_LI_REG)} AS mv
+  FROM s2 s FULL OUTER JOIN t2 t
+    ON s.l_orderkey = t.l_orderkey AND s.rn = t.rn
+),
+w AS (
+  SELECT *,
+         MIN(CASE WHEN NOT ck_eq THEN rn END) OVER (PARTITION BY pk) AS fail_rn
+  FROM j
+),
+p AS (
+  SELECT pk,
+         MAX(CASE WHEN sp THEN 1 ELSE 0 END) AS has_src,
+         MAX(CASE WHEN tp THEN 1 ELSE 0 END) AS has_tgt,
+         MIN(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS all_ck,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN 1 ELSE 0 END) AS mr,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN mv ELSE 0 END) AS mv_m,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN {len(_LI_REG)} - mv ELSE 0 END) AS mv_x
+  FROM w GROUP BY pk
+),
+c AS (
+  SELECT CASE WHEN has_tgt = 0 THEN 'only_in_source'
+              WHEN has_src = 0 THEN 'only_in_target'
+              WHEN all_ck = 1 AND mv_x = 0 THEN 'matched'
+              ELSE 'mismatched' END AS category,
+         mr, mv_m, mv_x
+  FROM p
+)""" + _stats_select("lineitem", len(_LI_REG))
+
+# ---- scans / splits --------------------------------------------------------
+
+
+def _q_key_scan_orders(spark, sf_dir):
+    # S1: SELECT DISTINCT token(pk), pk (DiffCluster.java:110-148)
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey")
+        .distinct()
+        .select("o_orderkey", arithmetic_token("o_orderkey").alias("token"))
+    )
+
+
+_O_KEY_SCAN_ORDERS = f"""
+SELECT DISTINCT o_orderkey, {arithmetic_token_sql('o_orderkey')} AS token
+FROM orders
+"""
+
+_N_SPLITS = 32
+#: small prime ring so multiplicative tokens of small keys wrap and spread
+#: across all splits at every scale factor
+_SPLIT_RING = 1_000_000_007
+
+
+def _q_split_assignment(spark, sf_dir):
+    # split planning (DiffJob.calculateSplits) as a distributed bucketing
+    # expression: keys per equal-width token split
+    o = load(spark, sf_dir, "orders")
+    tok = (F.col("o_orderkey").cast("bigint") * F.lit(_KNUTH)) % F.lit(_SPLIT_RING)
+    return (
+        o.select("o_orderkey")
+        .distinct()
+        .select(split_assignment(tok, _N_SPLITS, 0, _SPLIT_RING).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
+
+
+_SPLIT_TOK_SQL = f"(CAST(o_orderkey AS BIGINT) * {_KNUTH}) % {_SPLIT_RING}"
+_O_SPLIT_ASSIGNMENT = f"""
+SELECT {split_assignment_sql(_SPLIT_TOK_SQL, _N_SPLITS, 0, _SPLIT_RING)} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM (SELECT DISTINCT o_orderkey FROM orders)
+GROUP BY 1
+"""
+
+# ---- analytics: aggregation / join / sort-limit / window -------------------
+
+
+def _q_q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape; money sums as integer cents (exact cross-engine)
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(disc)).alias("sum_disc_price_c"),
+            F.sum(cents(disc * (1 + F.col("l_tax")))).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_O_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_q3_top_unshipped(spark, sf_dir):
+    # TPC-H Q3 shape: 3-way join + agg + deterministic top-10
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_O_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: pure filter+agg — exercises predicate pushdown
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.coalesce(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("revenue_c")
+    )
+
+
+_O_Q6 = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_top_orders_per_customer(spark, sf_dir):
+    # window/top-k-per-group (beyond-reference analytic surface)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+_O_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+# ---- events: the metadata-journal query DSL analog (§2.9) ------------------
+
+
+def _q_events_by_hour(spark, sf_dir):
+    # F6/F7 time functions + A7 count aggregation
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_O_EVENTS_BY_HOUR = """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def _q_events_type_counts(spark, sf_dir):
+    # A7: error-count-style aggregation (DBService.java:122-128)
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+_O_EVENTS_TYPE_COUNTS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+"""
+
+
+def _q_events_recent(spark, sf_dir):
+    # O3/O4: sorted recent-items with deterministic tiebreak
+    # (DiffJobsResource.java:77-92 "recent jobs")
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+_O_EVENTS_RECENT = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "diff_stats_orders": _q_diff_stats_orders,
+    "diff_stats_orders_skiptok": _q_diff_stats_orders_skiptok,
+    "diff_stats_orders_sampled": _q_diff_stats_orders_sampled,
+    "diff_mismatch_orders": _q_diff_mismatch_orders,
+    "diff_stats_lineitem": _q_diff_stats_lineitem,
+    "key_scan_orders": _q_key_scan_orders,
+    "split_assignment": _q_split_assignment,
+    "q1_pricing_summary": _q_q1_pricing_summary,
+    "q3_top_unshipped": _q_q3_top_unshipped,
+    "q6_forecast_revenue": _q_q6_forecast_revenue,
+    "top_orders_per_customer": _q_top_orders_per_customer,
+    "events_by_hour": _q_events_by_hour,
+    "events_type_counts": _q_events_type_counts,
+    "events_recent": _q_events_recent,
+}
+
+ORACLES: Dict[str, str] = {
+    "diff_stats_orders": _O_DIFF_STATS_ORDERS,
+    "diff_stats_orders_skiptok": _O_DIFF_STATS_ORDERS_SKIPTOK,
+    "diff_stats_orders_sampled": _O_DIFF_STATS_ORDERS_SAMPLED,
+    "diff_mismatch_orders": _O_DIFF_MISMATCH_ORDERS,
+    "diff_stats_lineitem": _O_DIFF_STATS_LINEITEM,
+    "key_scan_orders": _O_KEY_SCAN_ORDERS,
+    "split_assignment": _O_SPLIT_ASSIGNMENT,
+    "q1_pricing_summary": _O_Q1,
+    "q3_top_unshipped": _O_Q3,
+    "q6_forecast_revenue": _O_Q6,
+    "top_orders_per_customer": _O_TOP_ORDERS_PER_CUSTOMER,
+    "events_by_hour": _O_EVENTS_BY_HOUR,
+    "events_type_counts": _O_EVENTS_TYPE_COUNTS,
+    "events_recent": _O_EVENTS_RECENT,
+}

@@ -179,8 +179,12 @@ def _join_positional(src, tgt, pk, ck, reg) -> DataFrame:
     order, full-outer join on (pk, rn), prefix cutoff at the first
     clustering divergence (PartitionComparator.java:60-83 fail-fast)."""
     cols = list(dict.fromkeys(pk + ck + list(reg)))
-    order = [F.col(c).asc() for c in ck] if ck else [F.lit(1).asc()]
-    w = Window.partitionBy(*pk).orderBy(*order)
+    # clustering order with a full-row tiebreak: file sources (unlike the
+    # Cassandra data model) may hold duplicate clustering keys; ordering by
+    # every column keeps row numbering deterministic (identical rows are
+    # interchangeable). asc_nulls_first matches CQL/DuckDB NULLS FIRST.
+    order_cols = ck + [c for c in cols if c not in ck and c not in pk]
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
 
     def side(df: DataFrame, p: str) -> DataFrame:
         return df.select(
