@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from cassandra_diff_spark import gate  # noqa: E402
+from cassandra_diff_spark import gate, gate_pipeline  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(gate.QUERIES)
+    return {**gate.QUERIES, **gate_pipeline.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(gate.ORACLES)
+    return {**gate.ORACLES, **gate_pipeline.ORACLES}

@@ -1,0 +1,157 @@
+"""Text-analysis expressions for the training-data pipeline surface:
+tokenization, shingling, cross-engine hashing, fingerprinting, quality
+metrics, language-ID scoring.
+
+All hot-path expressions are built-in Catalyst functions (JVM-side,
+codegen'd) — no Python UDFs. Every function has an ANSI-SQL twin
+(``*_sql``) so external oracles (DuckDB) can reproduce values bit-for-bit.
+
+Cross-engine hash: ``md5_hash64`` takes the first 15 hex digits of MD5 as a
+60-bit non-negative integer — identical in any engine with md5() and hex
+parsing; used as the base hash for minhash/simhash so those sketches are
+oracle-checkable (unlike xxhash64, which is Spark-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- hashing
+
+def md5_hash64(col: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit BIGINT (cross-engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash64_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ------------------------------------------------------------ tokenization
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def words_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def n_words(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(words(col))
+    ).cast("long")
+
+
+def n_words_sql(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE len({words_sql(expr)}) END AS BIGINT)"
+    )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Array of n-word shingles (space-joined); fewer than n words -> the
+    whole text as one shingle (so short docs still fingerprint)."""
+    w = words(col)
+    return F.when(F.size(w) < n, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, n: int) -> str:
+    w = words_sql(expr)
+    return (
+        f"CASE WHEN len({w}) < {n} THEN [array_to_string({w}, ' ')] "
+        f"ELSE [array_to_string(({w})[i:i+{n - 1}], ' ') "
+        f"      for i in range(1, len({w}) - {n - 2})] END"
+    )
+
+
+# ------------------------------------------------------------- fingerprint
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------- quality
+
+_PUNCT = r"[.,!?;:]"
+
+def n_punct(col: Column) -> Column:
+    return (F.length(col) - F.length(F.regexp_replace(col, _PUNCT, ""))).cast("long")
+
+
+def n_punct_sql(expr: str) -> str:
+    return (
+        f"CAST(length({expr}) - length(regexp_replace({expr}, '{_PUNCT}', '', 'g')) "
+        f"AS BIGINT)"
+    )
+
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (deterministic scoring, not a trained model)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Count of tokens that are in the stopword list."""
+    w = words(F.lower(col))
+    return F.size(F.filter(w, lambda t: t.isin(*stopwords))).cast("long")
+
+
+def stopword_hits_sql(expr: str, stopwords: list[str]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stopwords)
+    return (
+        f"CAST(len(list_filter({words_sql(f'lower({expr})')}, "
+        f"t -> list_contains([{lst}], t))) AS BIGINT)"
+    )
+
+
+def langid(col: Column) -> Column:
+    """Pick the language whose stopword list scores highest; ties broken by
+    fixed language order (earlier in STOPWORDS wins); zero hits -> 'und'.
+
+    Explicit argmax-as-CASE so the SQL twin evaluates identically.
+    """
+    langs = list(STOPWORDS)
+    scores = {lg: stopword_hits(col, sw) for lg, sw in STOPWORDS.items()}
+    e = F.lit("und")
+    for lg in reversed(langs):
+        others_before = langs[: langs.index(lg)]
+        cond = (scores[lg] > F.lit(0))
+        for o in others_before:
+            cond = cond & (scores[lg] > scores[o])
+        for o in langs[langs.index(lg) + 1 :]:
+            cond = cond & (scores[lg] >= scores[o])
+        e = F.when(cond, F.lit(lg)).otherwise(e)
+    return e
+
+
+def langid_sql(expr: str) -> str:
+    langs = list(STOPWORDS)
+    s = {lg: stopword_hits_sql(expr, sw) for lg, sw in STOPWORDS.items()}
+    clauses = []
+    for lg in langs:
+        others_before = langs[: langs.index(lg)]
+        conds = [f"{s[lg]} > 0"]
+        conds += [f"{s[lg]} > {s[o]}" for o in others_before]
+        conds += [f"{s[lg]} >= {s[o]}" for o in langs[langs.index(lg) + 1 :]]
+        clauses.append("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
+    # evaluated top-down: first matching lang wins, same as the Spark fold
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"

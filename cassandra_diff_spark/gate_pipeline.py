@@ -1,0 +1,397 @@
+"""Gate registry #2: the training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) with DuckDB
+oracles. Merged with :mod:`cassandra_diff_spark.gate` by __spark_entry__.
+
+Even the sketch/LSH operators are hash-matched: the md5-based 60-bit hash
+and small-prime permutations (operators/dedup.py) are reproducible in
+plain SQL, and the banded Spark plans are provably lossless vs the
+brute-force SQL twins (pigeonhole), so the pair sets agree exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    langid,
+    langid_sql,
+    md5_hash64_sql,
+    n_punct,
+    n_punct_sql,
+    n_words,
+    n_words_sql,
+    stopword_hits,
+    stopword_hits_sql,
+    word_shingles_sql,
+    words,
+    words_sql,
+    STOPWORDS,
+)
+from cassandra_diff_spark.functions.vectors import quantize_sql
+from cassandra_diff_spark.operators import dedup, multimodal, similarity
+from cassandra_diff_spark.operators.dedup import (
+    A,
+    B,
+    BANDS,
+    NUM_PERM,
+    P,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    XMOD,
+)
+from cassandra_diff_spark.gate import load
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- exact dedup
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_O_DEDUP_EXACT = f"""
+SELECT {fingerprint_sql('text')} AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+# ------------------------------------------------------ shingle CTE (SQL)
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM documents)
+)"""
+
+# -------------------------------------------------------- n-gram Jaccard
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold_num=4, threshold_den=5
+    )
+
+
+_O_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLE_CTE.strip()},
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, intersect_n,
+       CAST(s1.sz + s2.sz - intersect_n AS BIGINT) AS union_n
+FROM inter
+JOIN sz s1 ON s1.doc_id = id_1
+JOIN sz s2 ON s2.doc_id = id_2
+WHERE intersect_n * 5 >= 4 * (s1.sz + s2.sz - intersect_n)
+"""
+
+# ----------------------------------------------------------------- MinHash
+
+_SIG_COLS = ", ".join(
+    f"CAST(MIN(({A[i]} * x + {B[i]}) % {P}) AS BIGINT) AS sig_{i}"
+    for i in range(NUM_PERM)
+)
+_SIG_CTE = f"""
+hx AS (SELECT doc_id, h % {XMOD} AS x FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hx GROUP BY doc_id)"""
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), *[f"sig_{i}" for i in range(NUM_PERM)]
+    )
+
+
+_O_MINHASH_SIGNATURES = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT * FROM sig
+"""
+
+_BAND_CONDS = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.sig_{band * ROWS_PER_BAND + r} = b.sig_{band * ROWS_PER_BAND + r}"
+        for r in range(ROWS_PER_BAND)
+    )
+    + ")"
+    for band in range(BANDS)
+)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_O_DEDUP_MINHASH_LSH = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {_BAND_CONDS}
+"""
+
+# ----------------------------------------------------------------- SimHash
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, {md5_hash64_sql('t')} AS h
+  FROM (SELECT doc_id, unnest({words_sql('text')}) AS t FROM documents)
+)"""
+_VOTE_COLS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_BIT_SUM = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+v AS (SELECT doc_id, {_VOTE_COLS} FROM tok GROUP BY doc_id),
+sh2 AS (SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM v)"""
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_O_DEDUP_SIMHASH = f"""
+WITH {_TOK_CTE.strip()},
+{_SIMHASH_CTE.strip()}
+SELECT * FROM sh2
+"""
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+_O_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_TOK_CTE.strip()},
+{_SIMHASH_CTE.strip()}
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+# ----------------------------------------------- embedding cosine near-dup
+
+_QVEC_CTE = f"""
+q0 AS (SELECT vec_id, {quantize_sql('embedding')} AS qq FROM embeddings),
+n0 AS (
+  SELECT vec_id, qq,
+         CAST(list_sum([qq[i] * qq[i] for i in range(1, len(qq) + 1)]) AS BIGINT) AS nn
+  FROM q0
+)"""
+_DOT_AB = (
+    "CAST(list_sum([a.qq[i] * b.qq[i] for i in range(1, len(a.qq) + 1)]) AS BIGINT)"
+)
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_near_pairs(
+        _embs(spark, sf_dir), "vec_id", "embedding", min_cos=0.4
+    )
+
+
+_O_DEDUP_EMBEDDING_COSINE = f"""
+WITH {_QVEC_CTE.strip()}
+SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_DOT_AB} AS dot
+FROM n0 a JOIN n0 b ON a.vec_id < b.vec_id
+WHERE CAST({_DOT_AB} AS DOUBLE) / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= 0.4
+"""
+
+# -------------------------------------------------------------- ANN top-k
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(
+        embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+_DOT_QC = (
+    "CAST(list_sum([q.qq[i] * c.qq[i] for i in range(1, len(q.qq) + 1)]) AS BIGINT)"
+)
+_O_ANN_COSINE_TOPK = f"""
+WITH {_QVEC_CTE.strip()},
+qs AS (SELECT * FROM n0 WHERE vec_id < 10),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE) / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM qs q JOIN n0 c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM sc
+)
+WHERE rnk <= 5
+"""
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    # approximate ANN — recall vs brute force asserted in tests; the
+    # driver records a rows-only check (no oracle entry)
+    embs = _embs(spark, sf_dir)
+    return similarity.hyperplane_lsh_topk(
+        embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+def _q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_words(F.col("text")).alias("n_words"),
+        n_punct(F.col("text")).alias("n_punct"),
+        stopword_hits(F.col("text"), STOPWORDS["en"]).alias("en_stopword_hits"),
+    )
+
+
+_O_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       {n_words_sql('text')} AS n_words,
+       {n_punct_sql('text')} AS n_punct,
+       {stopword_hits_sql('text', STOPWORDS['en'])} AS en_stopword_hits
+FROM documents
+"""
+
+
+def _q_text_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+_O_TEXT_LANGID = f"""
+SELECT doc_id, {langid_sql('text')} AS lang_pred FROM documents
+"""
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_O_TEXT_FINGERPRINT = f"""
+SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+"""
+
+
+def _q_token_freq_topk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_O_TOKEN_FREQ_TOPK = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({words_sql('text')}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+# -------------------------------------------------------------- multimodal
+
+def _q_multimodal_meta(spark, sf_dir):
+    return multimodal.attach_payload(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id", "n_bytes", "payload_md5"
+    )
+
+
+_O_MULTIMODAL_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    payload = multimodal.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.frame_sample_stub(payload, every_n_bytes=100)
+
+
+_O_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 100 AS BIGINT) AS frame_offset
+FROM (
+  SELECT doc_id,
+         unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS frame_no
+  FROM documents
+)
+"""
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    # mapInPandas STUB decoder — Arrow plumbing is real, decode is fake;
+    # rows-only check (python-side kernel, not SQL-expressible)
+    payload = multimodal.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_stub(payload)
+
+
+# --------------------------------------------------------------- registry
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "minhash_signatures": _q_minhash_signatures,
+    "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "text_stats": _q_text_stats,
+    "text_langid": _q_text_langid,
+    "text_fingerprint": _q_text_fingerprint,
+    "token_freq_topk": _q_token_freq_topk,
+    "multimodal_meta": _q_multimodal_meta,
+    "multimodal_frames": _q_multimodal_frames,
+    "multimodal_decode": _q_multimodal_decode,
+}
+
+ORACLES: Dict[str, str] = {
+    "dedup_exact": _O_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _O_DEDUP_NGRAM_JACCARD,
+    "minhash_signatures": _O_MINHASH_SIGNATURES,
+    "dedup_minhash_lsh": _O_DEDUP_MINHASH_LSH,
+    "dedup_simhash": _O_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": _O_DEDUP_SIMHASH_PAIRS,
+    "dedup_embedding_cosine": _O_DEDUP_EMBEDDING_COSINE,
+    "ann_cosine_topk": _O_ANN_COSINE_TOPK,
+    "text_stats": _O_TEXT_STATS,
+    "text_langid": _O_TEXT_LANGID,
+    "text_fingerprint": _O_TEXT_FINGERPRINT,
+    "token_freq_topk": _O_TOKEN_FREQ_TOPK,
+    "multimodal_meta": _O_MULTIMODAL_META,
+    "multimodal_frames": _O_MULTIMODAL_FRAMES,
+    # ann_lsh_topk, multimodal_decode: intentionally no oracle (rows-only)
+}

@@ -1,0 +1,259 @@
+"""Deduplication operators for the training-data pipeline surface:
+
+  * exact dedup        — fingerprint hash-groupBy
+  * n-gram Jaccard     — inverted-index shingle join (exact similarity)
+  * MinHash + LSH      — signature sketch, banded bucket join
+  * SimHash            — 32-bit sketch, banded Hamming-neighbor join
+  * embedding cosine   — exact-integer near-duplicate pairs
+
+Design rules:
+  * Everything is declarative DataFrame ops (explode/groupBy/join) — the
+    shuffles are on shingle-hash / band keys, which Catalyst + AQE
+    physicalize with partial aggregation and skew handling.
+  * Deterministic, engine-portable arithmetic: the md5-based 60-bit hash
+    (functions/text.md5_hash64) + small-prime modular permutations keep
+    every sketch reproducible in plain SQL, so even the LSH operators are
+    oracle-checkable (the banded Spark plan and a brute-force SQL twin
+    provably return the same pair set).
+  * Scale levers: shingle document-frequency cap (drop stop-shingles that
+    would quadratic-blow the inverted index), banding instead of all-pairs,
+    integer-only comparisons.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.functions.text import (
+    fingerprint,
+    md5_hash64,
+    word_shingles,
+    words,
+)
+from cassandra_diff_spark.functions.vectors import (
+    cosine_from_int,
+    int_dot,
+    quantize,
+    sq_norm,
+)
+
+# ---------------------------------------------------------------- constants
+# MinHash permutation family h_i(x) = (A[i] * (x mod XMOD) + B[i]) mod P —
+# all values stay below 2^61, so plain BIGINT arithmetic is exact in every
+# engine (no 128-bit or wrap-around behavior involved).
+P = 1_000_000_007
+XMOD = 1_073_741_789
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+A = [(1103515245 * (i + 1) + 12345) % 2147483647 for i in range(NUM_PERM)]
+B = [(69069 * (i + 1) + 362437) % 2147483647 for i in range(NUM_PERM)]
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one survivor (min id)
+    per fingerprint group, with the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_hash) — distinct md5-based hashes of n-word shingles."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
+        )
+        .select("id", md5_hash64(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    df_limit: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted shingle index.
+
+    Emits (id_1, id_2, intersect_n, union_n) for pairs with
+    jaccard >= threshold_num/threshold_den, compared by exact integer
+    cross-multiplication (no floats).
+
+    ``df_limit``: optional document-frequency cap — shingles occurring in
+    more than this many docs are dropped before the self-join (standard
+    stop-shingle guard: a shingle shared by f docs contributes f^2 join
+    rows; at 100 TB this cap is what keeps the plan subquadratic).
+    """
+    sh = shingle_set(df, id_col, text_col, n)
+    if df_limit is not None:
+        hot = sh.groupBy("h").count().filter(F.col("count") > df_limit).select("h")
+        sh = sh.join(hot, "h", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_1"), "h")
+    b = sh.select(F.col("id").alias("id_2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").cast("long").alias("intersect_n"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_1"), F.col("sz").alias("sz_1")), "id_1")
+        .join(sizes.select(F.col("id").alias("id_2"), F.col("sz").alias("sz_2")), "id_2")
+        .withColumn("union_n", (F.col("sz_1") + F.col("sz_2") - F.col("intersect_n")).cast("long"))
+        .filter(
+            F.col("intersect_n") * threshold_den >= F.lit(threshold_num) * F.col("union_n")
+        )
+        .select("id_1", "id_2", "intersect_n", "union_n")
+    )
+
+
+# ----------------------------------------------------------------- MinHash
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{NUM_PERM-1}) MinHash signature — one shuffle
+    (groupBy id with map-side partial min)."""
+    sh = shingle_set(df, id_col, text_col, n).select(
+        "id", (F.col("h") % XMOD).alias("x")
+    )
+    mins = [
+        F.min((F.lit(A[i]) * F.col("x") + F.lit(B[i])) % P).alias(f"sig_{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on ALL rows of at
+    least one signature band (classic banding; BANDS equi-joins unioned —
+    never an all-pairs comparison, so the plan scales with bucket sizes,
+    not n^2)."""
+    sig = minhash_signatures(df, id_col, text_col, n).cache()
+    pair_frames = []
+    for band in range(BANDS):
+        cols = [f"sig_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        a = sig.select(F.col("id").alias("id_1"), *cols)
+        b = sig.select(F.col("id").alias("id_2"), *cols)
+        pair_frames.append(
+            a.join(b, on=cols).filter(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
+        )
+    return reduce(DataFrame.unionByName, pair_frames).distinct()
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over whitespace tokens (counted with
+    multiplicity): bit b is 1 iff the sum of ±1 votes of token-hash bit b
+    is positive. Single shuffle (groupBy id, partial sums map-side)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("t"),
+    ).select("id", md5_hash64(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return agg.select("id", reduce(lambda x, y: x + y, bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via banded join: with
+    SIMHASH_BANDS=4 bands, any pair within Hamming distance 3 agrees
+    exactly on >=1 band (pigeonhole), so the banded plan is lossless vs
+    brute force while joining only on 8-bit band keys."""
+    assert max_hamming < SIMHASH_BANDS, "banding lossless only for h < bands"
+    sh = simhash(df, id_col, text_col).cache()
+    frames = []
+    for band in range(SIMHASH_BANDS):
+        key = (
+            F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("band_key")
+        )
+        a = sh.select(F.col("id").alias("id_1"), F.col("simhash").alias("sh_1"), key)
+        b = sh.select(F.col("id").alias("id_2"), F.col("simhash").alias("sh_2"), key)
+        frames.append(
+            a.join(b, "band_key")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2", "sh_1", "sh_2")
+        )
+    cand = reduce(DataFrame.unionByName, frames).distinct()
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup pairs
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs by cosine >= min_cos, on quantized
+    integer vectors (exact dot/norms; deterministic double cosine).
+
+    ``block_col``: optional blocking key (e.g. a cluster/label id) so the
+    self-join is per-block instead of all-pairs — the scale path; None
+    does the exact O(n^2) comparison.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("q"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    ).withColumn("nrm", sq_norm(F.col("q")))
+    on = ["blk"] if block_col else []
+    a = base.select(F.col("id").alias("id_1"), F.col("q").alias("q_1"), F.col("nrm").alias("n_1"), *on)
+    b = base.select(F.col("id").alias("id_2"), F.col("q").alias("q_2"), F.col("nrm").alias("n_2"), *on)
+    j = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        j.filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("dot", int_dot(F.col("q_1"), F.col("q_2")))
+        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("n_1"), F.col("n_2")))
+        .filter(F.col("cos") >= F.lit(min_cos))
+        .select("id_1", "id_2", "dot")
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+  * brute_force_topk — exact cosine top-k: the correctness baseline.
+    Quantized-integer arithmetic keeps ranking deterministic and
+    oracle-checkable; the query side is broadcast (queries << corpus).
+  * hyperplane_lsh_topk — the scale path: random-hyperplane signature
+    buckets shrink the candidate set from |corpus| to bucket-mates
+    (multi-probe over signature bands), then exact rerank. Hyperplane
+    weights are derived from the md5 hash of (plane, dim) — deterministic,
+    no RNG state to ship to executors.
+
+At 100 TB the corpus side stays partitioned; only the k-row-per-query
+top-k window and the tiny query set move. An IVF variant would replace the
+hash buckets with learned centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.functions.text import md5_hash64
+from cassandra_diff_spark.functions.vectors import (
+    cosine_from_int,
+    int_dot,
+    quantize,
+    sq_norm,
+)
+
+N_PLANES = 16
+PLANE_BANDS = 4
+PLANE_BAND_BITS = N_PLANES // PLANE_BANDS
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        quantize(F.col(vec_col)).alias(f"{prefix}q"),
+    ).withColumn(f"{prefix}n", sq_norm(F.col(f"{prefix}q")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    (query_id, neighbor_id, rank) with rank 1..k by cosine desc,
+    neighbor_id asc tiebreak. Self-matches (same id) excluded.
+    """
+    c = _prep(corpus, id_col, vec_col, "c_")
+    q = _prep(queries, id_col, vec_col, "q_")
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    scored = j.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
+        "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def hyperplane_signature(vec_q, dim: int):
+    """Deterministic random-hyperplane signature of a quantized vector:
+    plane p weight for dim d = (md5_hash64(concat(p,'_',d)) % 2001) - 1000;
+    bit p = 1 iff the integer projection is positive."""
+    bits = []
+    for p in range(N_PLANES):
+        terms = [
+            (
+                F.element_at(vec_q, d + 1)
+                * F.lit(
+                    _plane_weight(p, d)
+                )
+            )
+            for d in range(dim)
+        ]
+        proj = reduce(lambda a, b: a + b, terms)
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(lambda a, b: a + b, bits)
+
+
+_weight_cache: dict[tuple[int, int], int] = {}
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic pseudo-random weight in [-1000, 1000] from md5 —
+    computed driver-side once (closure constant), not per row."""
+    key = (p, d)
+    if key not in _weight_cache:
+        import hashlib
+
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        _weight_cache[key] = (h % 2001) - 1000
+    return _weight_cache[key]
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors sharing at least
+    one signature band (PLANE_BANDS bands of PLANE_BAND_BITS planes) with
+    the query, reranked by exact cosine. Trades recall for joining on
+    4-bit band keys instead of the full corpus."""
+    c = _prep(corpus, id_col, vec_col, "c_").withColumn(
+        "c_sig", hyperplane_signature(F.col("c_q"), dim)
+    )
+    q = _prep(queries, id_col, vec_col, "q_").withColumn(
+        "q_sig", hyperplane_signature(F.col("q_q"), dim)
+    )
+    mask = (1 << PLANE_BAND_BITS) - 1
+    frames = []
+    for band in range(PLANE_BANDS):
+        ckey = F.shiftright(F.col("c_sig"), band * PLANE_BAND_BITS).bitwiseAND(F.lit(mask))
+        qkey = F.shiftright(F.col("q_sig"), band * PLANE_BAND_BITS).bitwiseAND(F.lit(mask))
+        frames.append(
+            c.withColumn("band_key", ckey).join(
+                F.broadcast(q.withColumn("band_key", qkey)), "band_key"
+            )
+        )
+    cand = (
+        reduce(DataFrame.unionByName, frames)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "q_q", "q_n", "c_id", "c_q", "c_n")
+        .distinct()
+    )
+    scored = cand.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
+        "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+        )
+    )

@@ -1,0 +1,104 @@
+"""Training-data pipeline operators: property tests that the gate's
+hash-match can't express — LSH recall vs exact baselines, sketch
+behavior on known near-duplicates, multimodal plumbing shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_finds_injected_dups(self, spark, docs):
+        # duplicate three docs verbatim -> their fingerprints collapse
+        dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100_000)
+        res = dedup.exact_dedup(docs.unionByName(dup), "doc_id", "text")
+        assert res.filter(F.col("n_dups") == 2).count() == 3
+        # survivors keep the min id
+        assert res.filter((F.col("n_dups") == 2) & (F.col("keep_id") >= 100_000)).count() == 0
+
+    def test_minhash_lsh_recall_vs_exact_jaccard(self, docs):
+        # every truly near-duplicate pair (jaccard >= 0.8) must be caught
+        # by the banded MinHash join (16 perms / 4 bands -> ~99.9% at 0.9)
+        exact = {
+            (r.id_1, r.id_2)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold_num=9, threshold_den=10
+            ).collect()
+        }
+        lsh = {
+            (r.id_1, r.id_2)
+            for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        assert exact, "testdata should contain near-duplicate pairs"
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.95, f"minhash LSH recall too low: {recall}"
+
+    def test_simhash_identical_docs_distance_zero(self, spark):
+        rows = [(1, "spark shuffles the join keys"), (2, "spark shuffles the join keys")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+        assert len(pairs) == 1 and pairs[0].hamming == 0
+
+    def test_ngram_df_limit_prunes_hot_shingles(self, docs):
+        # with a df cap the pair set can only shrink, never grow
+        full = dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count()
+        capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", df_limit=50).count()
+        assert capped <= full
+
+
+class TestSimilarity:
+    def test_lsh_topk_recall_vs_brute_force(self, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.hyperplane_lsh_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        # hyperplane LSH with 4-bit bands is a coarse filter; it must beat
+        # random (50/500 = 10%) by a wide margin to prove bucketing works
+        assert recall >= 0.4, f"ANN recall suspiciously low: {recall}"
+
+    def test_topk_is_k_rows_per_query(self, embs):
+        q = embs.filter(F.col("vec_id") < 4)
+        res = similarity.brute_force_topk(embs, q, "vec_id", "embedding", k=5)
+        counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+        assert counts == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+class TestMultimodal:
+    def test_payload_roundtrip_bytes(self, docs):
+        p = multimodal.attach_payload(docs, "doc_id", "text")
+        row = p.join(docs, "doc_id").select("n_bytes", F.length("text").alias("n_chars")).first()
+        assert row.n_bytes >= row.n_chars  # utf-8 >= char count
+
+    def test_decode_stub_schema_and_determinism(self, docs):
+        p = multimodal.attach_payload(docs.limit(20), "doc_id", "text")
+        d1 = {r.doc_id: (r.width, r.height, r.checksum) for r in multimodal.decode_stub(p).collect()}
+        d2 = {r.doc_id: (r.width, r.height, r.checksum) for r in multimodal.decode_stub(p).collect()}
+        assert d1 == d2 and len(d1) == 20
+        assert all(1 <= w <= 640 and 1 <= h <= 480 for w, h, _ in d1.values())
+
+    def test_frame_sample_counts(self, spark):
+        df = spark.createDataFrame([(1, 250), (2, 99), (3, 100)], "doc_id long, n_bytes long")
+        res = multimodal.frame_sample_stub(df, every_n_bytes=100)
+        counts = {r.doc_id: r.n for r in res.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        # 250 bytes -> frames at 0,100,200; 99 -> just 0; 100 -> 0
+        assert counts == {1: 3, 2: 1, 3: 1}
