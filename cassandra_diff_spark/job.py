@@ -1,0 +1,165 @@
+"""Job orchestration — the engine's DiffJob (reference:
+DiffJob.java:60-211 + Differ.java:150-236, re-expressed as a driver-side
+loop over declarative per-table diff plans).
+
+Lifecycle (mirrors SURVEY.md §3.1):
+  ANALYZE  resolve providers + table list (explicit or auto-discovered)
+  PLAN     token-range splits (equal-width over the xxhash64 ring)
+  EXECUTE  per (table, split): build_diff -> stats + mismatch journal
+           — Spark's scheduler replaces the executor/comparison-pool
+           machinery (ST7/ST8 deleted by design)
+  COMMIT   per-table accumulate (A4) -> job_results; mutex released
+
+Resume (ST2/P7): completed (table, split) units are anti-joined away from
+the work list; units are idempotent so a killed job re-runs only pending
+work. Split prefiltering by token range is parity-exact: the reference's
+split scan is the same half-open token-range predicate on both sides
+(DiffCluster.java:226-227).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.config import JobConfig, TableConfig
+from cassandra_diff_spark.functions.keys import (
+    sample_predicate,
+    specific_tokens_predicate,
+    token_expr,
+    token_range_predicate,
+)
+from cassandra_diff_spark.journal import Journal
+from cassandra_diff_spark.model import STAT_FIELDS, DiffStats, TableSpec
+from cassandra_diff_spark.operators.diff import build_diff
+from cassandra_diff_spark.plans.splits import MURMUR3_MAX, MURMUR3_MIN, calculate_splits
+from cassandra_diff_spark.sources.catalog import resolve_tables, table_config_for
+
+
+@dataclass
+class JobResult:
+    job_id: str
+    stats: dict[str, DiffStats] = field(default_factory=dict)
+
+    @property
+    def all_matches(self) -> bool:
+        return all(s.all_matches for s in self.stats.values())
+
+
+def run_job(
+    spark: SparkSession,
+    cfg: JobConfig,
+    *,
+    splits_per_table: int = 1,
+    rerun: bool = False,
+    post_job_hook=None,
+) -> JobResult:
+    job_id = cfg.resolved_job_id()
+    journal = Journal(spark, cfg.metadata_options.path, cfg.retry_options)
+
+    if not journal.try_acquire_running(job_id):
+        # exactly-one-running mutex (ST3, JobMetadataDb.java:366-376)
+        raise RuntimeError("another job holds the running_jobs mutex")
+
+    try:
+        tables, src_provider, tgt_provider = resolve_tables(spark, cfg)
+        journal.init_job(cfg, job_id, tables)
+
+        # PLAN: equal-width token splits over the xxhash64 ring
+        splits = calculate_splits(splits_per_table, cfg.buckets, MURMUR3_MIN, MURMUR3_MAX)
+        units = spark.createDataFrame(
+            [(t, s.split_number, s.bucket, s.start, s.end) for t in tables for s in splits],
+            "qualified_table_name string, split int, bucket int, start bigint, end bigint",
+        )
+        pending = journal.filter_pending(units, job_id, rerun=rerun).collect()
+
+        # filters shared by every table (P5 / SA1)
+        token_filter = None
+        if cfg.specific_tokens:
+            token_filter = lambda t: specific_tokens_predicate(  # noqa: E731
+                t, cfg.specific_tokens, cfg.specific_tokens_mode
+            )
+        sampler = None
+        if cfg.partition_sampling_probability < 1.0:
+            seed = hash(job_id) & 0x7FFFFFFF  # deterministic per job (SA1)
+            sampler = lambda t: sample_predicate(  # noqa: E731
+                t, cfg.partition_sampling_probability, seed
+            )
+
+        # EXECUTE
+        per_table: dict[str, DiffStats] = {}
+        for unit in pending:
+            table = unit.qualified_table_name
+            tcfg = table_config_for(cfg, table)
+            if tcfg is None:
+                raise ValueError(f"no key roles configured for table {table}")
+            spec = TableSpec(
+                name=table,
+                partition_key=tcfg.partition_key,
+                clustering=tcfg.clustering,
+            )
+            src = src_provider.read_table(spark, table)
+            tgt = tgt_provider.read_table(spark, table)
+            spec.validate_against(src.columns, tgt.columns)  # P9
+
+            if splits_per_table > 1:
+                # split prefilter — same half-open range on both sides
+                pk = list(spec.partition_key)
+                rng = lambda df: df.filter(  # noqa: E731
+                    token_range_predicate(token_expr(pk), unit.start, unit.end)
+                )
+                src, tgt = rng(src), rng(tgt)
+
+            try:
+                res = build_diff(
+                    src, tgt, spec,
+                    align=cfg.align, token_filter=token_filter, sampler=sampler,
+                )
+                stats_row = res.stats.collect()[0]
+                stats = DiffStats.from_row(stats_row)
+                journal.record_mismatches(job_id, unit.bucket, table, res.mismatches)
+                journal.update_task_status(
+                    job_id, unit.bucket, table, unit.split,
+                    {f: getattr(stats, f) for f in STAT_FIELDS}, unit.end,
+                )
+            except Exception as e:  # noqa: BLE001 — S10 error sink, then fail
+                journal.record_error(
+                    job_id, unit.bucket, table, unit.split, None, str(e),
+                    error_source=_attribute_error(e),
+                )
+                raise
+            per_table.setdefault(table, DiffStats()).accumulate(stats)
+
+        # COMMIT: final per-table stats (A4 global accumulate)
+        if per_table:
+            rows = [
+                {"table": t, **{f: getattr(s, f) for f in STAT_FIELDS}}
+                for t, s in sorted(per_table.items())
+            ]
+            stats_df = spark.createDataFrame(rows).select(
+                "table", *[F.col(f).cast("long") for f in STAT_FIELDS]
+            )
+            journal.finalize_job(job_id, stats_df)
+        else:
+            journal.mark_not_running(job_id)
+
+        result = JobResult(job_id=job_id, stats=per_table)
+        if post_job_hook is not None:
+            post_job_hook(result)  # DiffJob.java:73-84
+        return result
+    except Exception:
+        journal.mark_not_running(job_id)  # DiffJob.java:190-196
+        raise
+
+
+def _attribute_error(e: Exception) -> str:
+    """ST6: source/target attribution from the error message chain
+    (ClusterSourcedException unwrap, JobMetadataDb.java:249-257)."""
+    msg = str(e).lower()
+    if "target" in msg:
+        return "TARGET"
+    if "source" in msg:
+        return "SOURCE"
+    return "UNKNOWN"

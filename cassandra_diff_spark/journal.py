@@ -1,0 +1,211 @@
+"""Parquet-backed job journal — the engine's metadata store.
+
+Replaces the reference's 12-table Cassandra metadata keyspace
+(JobMetadataDb.java:493-652) with parquet tables under one journal path:
+
+  job_summary       — one row per job (params, start time)           (S11)
+  running_jobs      — mutex marker files (LWT analog)                (ST3)
+  task_status       — per (job, bucket, table, split) progress row   (S8/ST1)
+  mismatches        — (job, bucket, table, token, mismatch_type)     (S9)
+  task_errors       — split-level error summary                      (S10)
+  partition_errors  — per-token error detail w/ source attribution   (S10/ST6)
+  job_results       — final 9-counter stats per table                (S11)
+
+The reference's four index tables (job_id by source cluster / target
+cluster / keyspace / start-hour, JobMetadataDb.java:566-617) are replaced
+by predicate queries over job_summary — Spark needs no manual secondary
+indexes (SURVEY.md §2.4 J5). The C* ``counter`` completed-count
+(JobMetadataDb.java:543-549) is derived as a count(*) view (A6).
+
+Progress writes are best-effort (ST9): failures are swallowed after
+retries, correctness never depends on the journal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.config import JobConfig
+from cassandra_diff_spark.model import STAT_FIELDS
+from cassandra_diff_spark.retry import strategy_for
+
+TASK_STATUS_SCHEMA = (
+    "job_id string, bucket int, qualified_table_name string, split int, "
+    "last_token bigint, ts timestamp, "
+    + ", ".join(f"{f} bigint" for f in STAT_FIELDS)
+)
+
+
+@dataclass
+class Journal:
+    spark: SparkSession
+    path: str
+    retry_opts: object = None
+
+    def _table(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def _append(self, name: str, df: DataFrame) -> None:
+        retry = strategy_for(self.retry_opts) if self.retry_opts else None
+        write = lambda: df.write.mode("append").parquet(self._table(name))  # noqa: E731
+        try:
+            (retry.retry(write) if retry else write())
+        except Exception as e:  # noqa: BLE001 — best-effort (ST9)
+            print(f"journal write to {name} failed (ignored): {e}")
+
+    def _read(self, name: str) -> DataFrame | None:
+        p = self._table(name)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    # ------------------------------------------------------------ lifecycle
+
+    def try_acquire_running(self, job_id: str) -> bool:
+        """Job mutex (ST3): the LWT ``INSERT INTO running_jobs IF NOT
+        EXISTS`` (JobMetadataDb.java:366-376) becomes an O_EXCL marker —
+        atomic on any POSIX filesystem; a object-store deployment would
+        use a conditional put."""
+        d = self._table("running_jobs")
+        os.makedirs(d, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(d, "RUNNING"), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.write(fd, job_id.encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def mark_not_running(self, job_id: str) -> None:
+        """Release on finish/fail (JobMetadataDb.java:471-490; failure path
+        DiffJob.java:190-196)."""
+        try:
+            os.remove(os.path.join(self._table("running_jobs"), "RUNNING"))
+        except FileNotFoundError:
+            pass
+
+    def init_job(self, cfg: JobConfig, job_id: str, tables: list[str]) -> None:
+        """Job summary + params (JobMetadataDb.java:359-430)."""
+        row = Row(
+            job_id=job_id,
+            keyspace_tables=json.dumps(tables),
+            buckets=cfg.buckets,
+            splits=cfg.splits,
+            source_cluster_name=cfg.source.provider,
+            source_cluster_desc=json.dumps(cfg.source.options),
+            target_cluster_name=cfg.target.provider,
+            target_cluster_desc=json.dumps(cfg.target.options),
+            start=time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+            start_date=time.strftime("%Y-%m-%d", time.gmtime()),
+            start_hour=int(time.strftime("%H", time.gmtime())),
+        )
+        self._append("job_summary", self.spark.createDataFrame([row]))
+
+    # ------------------------------------------------------------- progress
+
+    def update_task_status(
+        self,
+        job_id: str,
+        bucket: int,
+        table: str,
+        split: int,
+        stats: dict,
+        last_token: int,
+    ) -> None:
+        """S8/ST1: journal a completed work unit. Spark's unit of resume is
+        the split/table (idempotent re-run), so one atomic row per finished
+        unit replaces the reference's checkpoint-every-10-partitions CAS
+        loop (RangeComparator.java:215-243)."""
+        row = {
+            "job_id": job_id,
+            "bucket": bucket,
+            "qualified_table_name": table,
+            "split": split,
+            "last_token": last_token,
+            "ts": None,
+            **{f: int(stats.get(f, 0)) for f in STAT_FIELDS},
+        }
+        df = self.spark.createDataFrame([row], TASK_STATUS_SCHEMA).withColumn(
+            "ts", F.current_timestamp()
+        )
+        self._append("task_status", df)
+
+    def record_mismatches(self, job_id: str, bucket: int, table: str, mismatches: DataFrame) -> None:
+        """S9: bulk mismatch sink — the join output filtered to mismatch
+        rows, written distributed (no driver loop)."""
+        out = mismatches.select(
+            F.lit(job_id).alias("job_id"),
+            F.lit(bucket).alias("bucket"),
+            F.lit(table).alias("qualified_table_name"),
+            F.col("token").cast("long").alias("token"),
+            F.col("mismatch_type"),
+        )
+        self._append("mismatches", out)
+
+    def record_error(
+        self, job_id: str, bucket: int, table: str, split: int, token: int | None,
+        error: str, error_source: str = "UNKNOWN",
+    ) -> None:
+        """S10 + ST6: error range summary + per-token detail with
+        source-cluster attribution (ClusterSourcedException.java:11-31)."""
+        self._append(
+            "task_errors",
+            self.spark.createDataFrame(
+                [(job_id, bucket, table, split)],
+                "job_id string, bucket int, qualified_table_name string, split int",
+            ),
+        )
+        if token is not None:
+            self._append(
+                "partition_errors",
+                self.spark.createDataFrame(
+                    [(job_id, bucket, table, int(token), error_source, error[:1000])],
+                    "job_id string, bucket int, qualified_table_name string, "
+                    "token bigint, error_source string, error string",
+                ),
+            )
+
+    def finalize_job(self, job_id: str, stats_df: DataFrame) -> None:
+        """S11: final per-table results (JobMetadataDb.java:432-469)."""
+        self._append(
+            "job_results", stats_df.withColumn("job_id", F.lit(job_id))
+        )
+        self.mark_not_running(job_id)
+
+    # --------------------------------------------------------------- resume
+
+    def completed_units(self, job_id: str) -> DataFrame | None:
+        return self._read("task_status")
+
+    def filter_pending(self, units: DataFrame, job_id: str, rerun: bool = False) -> DataFrame:
+        """P7/ST2: anti-join pending work against journaled completions
+        (Differ.filterTables, Differ.java:263-285). ``rerun`` reprocesses
+        completed units (rerun-for-errors mode, Differ.java:166-169)."""
+        done = self.completed_units(job_id)
+        if done is None or rerun:
+            return units
+        done = done.filter(F.col("job_id") == job_id).select(
+            "qualified_table_name", "split"
+        )
+        return units.join(done, ["qualified_table_name", "split"], "left_anti")
+
+    # ---------------------------------------------------------------- views
+
+    def completed_count(self, job_id: str) -> DataFrame:
+        """A6: derived completed-counter view replacing the C* counter
+        column (JobMetadataDb.java:134-142)."""
+        ts = self._read("task_status")
+        assert ts is not None, "no task_status yet"
+        return (
+            ts.filter(F.col("job_id") == job_id)
+            .groupBy("job_id", "qualified_table_name")
+            .agg(F.count("*").cast("long").alias("completed"))
+        )

@@ -1,0 +1,105 @@
+"""Pluggable source providers — the engine's analog of the reference's
+reflective ClusterProvider factory (common/.../ClusterProvider.java:27-45,
+ContactPointsClusterProvider.java:26-79).
+
+A provider maps (table name -> DataFrame) for one side of the diff.
+Selected by name from JobConfig.source/target; third parties register via
+:func:`register_provider` (same extension-point shape as the reference's
+``impl:`` class-name config).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SourceProvider(Protocol):
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame: ...
+
+    def list_tables(self, spark: SparkSession) -> list[str]: ...
+
+
+_REGISTRY: Dict[str, Callable[[dict], "SourceProvider"]] = {}
+
+
+def register_provider(name: str, factory: Callable[[dict], "SourceProvider"]) -> None:
+    _REGISTRY[name] = factory
+
+
+def get_provider(name: str, options: dict) -> "SourceProvider":
+    """Reference: ClusterProvider.getProvider(conf, identifier)."""
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown source provider {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](options)
+
+
+class ParquetSourceProvider:
+    """Reads ``{path}/{table}.parquet``; the default file-based side."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/{table}.parquet")
+
+    def list_tables(self, spark: SparkSession) -> list[str]:
+        import os
+
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet")
+        )
+
+
+class CatalogSourceProvider:
+    """Reads from the Spark catalog (``database`` option); auto-discovery
+    via spark.catalog.listTables (reference Schema.java:27-38)."""
+
+    def __init__(self, options: dict):
+        self.database = options.get("database", "default")
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(f"{self.database}.{table}")
+
+    def list_tables(self, spark: SparkSession) -> list[str]:
+        return sorted(t.name for t in spark.catalog.listTables(self.database))
+
+
+class CassandraSourceProvider:
+    """Cassandra connector source — requires the spark-cassandra-connector
+    jar on the classpath (not present in this container; import-gated).
+
+    With the connector, reads use its native token-range scans and filter
+    pushdown (the connector subsumes the reference's hand-rolled
+    token-window CQL, DiffCluster.java:214-251).
+    """
+
+    def __init__(self, options: dict):
+        self.keyspace = options["keyspace"]
+        self.options = options
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        try:
+            return (
+                spark.read.format("org.apache.spark.sql.cassandra")
+                .options(keyspace=self.keyspace, table=table)
+                .load()
+            )
+        except Exception as e:  # pragma: no cover - connector not in image
+            raise RuntimeError(
+                "cassandra source requires the spark-cassandra-connector jar "
+                "on the classpath"
+            ) from e
+
+    def list_tables(self, spark: SparkSession) -> list[str]:  # pragma: no cover
+        raise NotImplementedError(
+            "table discovery for cassandra requires connector system-table access"
+        )
+
+
+register_provider("parquet", ParquetSourceProvider)
+register_provider("catalog", CatalogSourceProvider)
+register_provider("cassandra", CassandraSourceProvider)

@@ -1,0 +1,169 @@
+"""End-to-end job layer: config -> run_job -> journal -> API queries,
+resume anti-join, mutex, retry math.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.api import JournalQueries
+from cassandra_diff_spark.config import RetryOptions, load_config
+from cassandra_diff_spark.job import run_job
+from cassandra_diff_spark.journal import Journal
+from cassandra_diff_spark.retry import ExponentialRetry, strategy_for
+from cassandra_diff_spark.sources.catalog import (
+    difference_tables,
+    filter_disallowed,
+    intersect_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_dirs(spark, sf_dir, tmp_path_factory):
+    """source/target dirs: target drops orders %97 and corrupts %53."""
+    base = tmp_path_factory.mktemp("pair")
+    src_dir, tgt_dir = str(base / "src"), str(base / "tgt")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").parquet(f"{src_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    (
+        orders.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 53 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tgt_dir}/orders.parquet")
+    )
+    return src_dir, tgt_dir
+
+
+def make_cfg(src_dir, tgt_dir, journal_dir, job_id="job-1", extra=""):
+    return load_config_text(
+        f"""
+        job_id: {job_id}
+        source: {{provider: parquet, options: {{path: {src_dir}}}}}
+        target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+        keyspace_tables:
+          - {{name: orders, partition_key: [o_orderkey]}}
+        metadata_options: {{path: {journal_dir}}}
+        retry_options: {{impl: none}}
+        {extra}
+        """
+    )
+
+
+def load_config_text(text):
+    import io
+
+    return load_config(io.StringIO(textwrap.dedent(text)))
+
+
+class TestRunJob:
+    def test_end_to_end_with_journal_and_api(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "journal")
+        cfg = make_cfg(src_dir, tgt_dir, jdir)
+
+        result = run_job(spark, cfg)
+        st = result.stats["orders"]
+        assert st.only_in_source > 0 and st.mismatched_partitions > 0
+        assert not result.all_matches
+
+        q = JournalQueries(spark, jdir)
+        assert q.running_jobs() == []  # mutex released
+        res = q.job_results("job-1").collect()
+        assert len(res) == 1 and res[0].only_in_source == st.only_in_source
+        assert q.job_summary("job-1").count() == 1
+        mm = q.mismatches("job-1")
+        assert mm.count() == (
+            st.mismatched_partitions + st.only_in_source + st.only_in_target
+        )
+        status = q.job_status("job-1").collect()[0]
+        assert status.completed == 1
+        assert q.health() == {"status": "healthy"}
+        assert q.jobs_by_source_cluster("parquet").count() == 1
+        assert q.recent_jobs().count() == 1
+
+    def test_resume_skips_completed_units(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "journal2")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="job-r")
+        r1 = run_job(spark, cfg)
+        assert "orders" in r1.stats
+        # second run: unit journaled complete -> nothing pending
+        r2 = run_job(spark, cfg)
+        assert r2.stats == {}
+        # rerun flag forces reprocessing (Differ.java:166-169)
+        r3 = run_job(spark, cfg, rerun=True)
+        assert r3.stats["orders"] == r1.stats["orders"]
+
+    def test_split_mode_equals_single_run(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        cfg1 = make_cfg(src_dir, tgt_dir, str(tmp_path / "j1"), job_id="a")
+        cfg4 = make_cfg(src_dir, tgt_dir, str(tmp_path / "j4"), job_id="b")
+        whole = run_job(spark, cfg1).stats["orders"]
+        split = run_job(spark, cfg4, splits_per_table=4).stats["orders"]
+        assert whole == split  # token-range splits partition the work exactly
+
+    def test_mutex_blocks_second_job(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "j5")
+        j = Journal(spark, jdir)
+        assert j.try_acquire_running("other-job")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="blocked")
+        with pytest.raises(RuntimeError, match="mutex"):
+            run_job(spark, cfg)
+        j.mark_not_running("other-job")
+        assert run_job(spark, cfg).stats  # released -> proceeds
+
+    def test_sampling_config(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        cfg = make_cfg(
+            src_dir, tgt_dir, str(tmp_path / "j6"), job_id="s1",
+            extra="partition_sampling_probability: 0.5",
+        )
+        full_cfg = make_cfg(src_dir, tgt_dir, str(tmp_path / "j7"), job_id="s2")
+        sampled = run_job(spark, cfg).stats["orders"]
+        full = run_job(spark, full_cfg).stats["orders"]
+        assert 0 < sampled.matched_partitions < full.matched_partitions
+        # only-in counts unaffected by sampling (RangeComparator.java:93-114)
+        assert sampled.only_in_source == full.only_in_source
+
+
+class TestCatalogOps:
+    def test_intersect_difference_commutative(self):
+        a, b = ["ks.t1", "ks.t2", "ks.t3"], ["ks.t2", "ks.t3", "ks.t4"]
+        assert intersect_tables(a, b) == intersect_tables(b, a) == ["ks.t2", "ks.t3"]
+        assert difference_tables(a, b) == ["ks.t1", "ks.t4"]
+
+    def test_system_and_disallowed_filter(self):
+        tables = ["system.local", "app.data", "bad.t", "system_auth.roles"]
+        assert filter_disallowed(tables, ("bad",)) == ["app.data"]
+
+
+class TestRetry:
+    def test_exponential_pause_sequence_capped(self):
+        # ExponentialRetryStrategyTest parity: 1s base doubling, <= total
+        r = ExponentialRetry(base_delay_ms=1000, total_delay_ms=10_000)
+        assert r.pauses_ms() == [1000, 2000, 4000]  # 8000 total; +8000 > 10000
+
+    def test_retry_succeeds_after_failures(self):
+        r = ExponentialRetry(base_delay_ms=1, total_delay_ms=10)
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise IOError("transient")
+            return "ok"
+
+        assert r.retry(flaky) == "ok" and len(calls) == 3
+
+    def test_strategy_factory(self):
+        assert strategy_for(RetryOptions(impl="none")).__class__.__name__ == "NoRetry"
+        with pytest.raises(ValueError):
+            strategy_for(RetryOptions(impl="bogus"))
