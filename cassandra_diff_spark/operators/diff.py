@@ -119,16 +119,15 @@ def build_diff(
     else:
         raise ValueError(f"align must be 'set' or 'positional', got {align!r}")
 
+    # Fast path: with no clustering columns the Cassandra data model
+    # guarantees one row per partition, so partition == row and the
+    # per-pk groupBy (a second full shuffle of the keyset) is unnecessary —
+    # the diff is one join followed by pure projections.
+    flat = align == "set" and not ck
+
     return _classify_and_aggregate(
         joined, spec, pk, reg_count=len(reg), tok_fn=tok_fn,
-        token_filter=token_filter, sampler=sampler,
-    )
-
-
-def _prefixed(df: DataFrame, cols: Sequence[str], prefix: str) -> DataFrame:
-    return df.select(
-        *[F.col(c).alias(f"{prefix}{c}") for c in cols],
-        F.lit(True).alias(f"{prefix}present__"),
+        token_filter=token_filter, sampler=sampler, flat=flat,
     )
 
 
@@ -143,41 +142,86 @@ def _row_value_counts(reg: Sequence[str]) -> Column:
     )
 
 
-def _join_set(src, tgt, pk, ck, reg) -> DataFrame:
-    """Full-outer join on pk+clustering — ONE shuffle per side.
+def _pair_sides(src, tgt, pk, cols, align_keys) -> DataFrame:
+    """SINGLE-SHUFFLE row pairing — the engine's core physical trick.
 
-    Reproduces J1 (key-level merge join, RangeComparator.java:106-166) and
-    J2/J3 (row/value compare) in a single sort-merge join; Catalyst handles
-    the token-ordered streaming the reference hand-codes.
+    Instead of a full-outer join (which shuffles each side on the full
+    alignment key and again for the per-partition aggregation), both sides
+    are unioned with a side tag and hash-repartitioned ONCE on the
+    partition-key columns. Every downstream step — per-side row_number
+    windows, the (pk + align-key) pairing aggregation, the fail-fast
+    window, and the final per-partition rollup — clusters on a SUPERSET of
+    pk, which Spark's subset-partitioning rule (HashPartitioning(pk)
+    satisfies ClusteredDistribution(pk, ...)) fulfils without further
+    exchanges. Net: one wide shuffle for the whole diff vs 3-5 for the
+    join formulation; at 100 TB the shuffle is the cost, so this is the
+    difference between reading the data once and reading it three times.
+
+    Pairing itself is a hash aggregation: max(struct(cols)) per side per
+    (pk + align_keys) group — at most one struct per side per group under
+    the Cassandra data model (primary keys unique; positional mode makes
+    the key unique by construction via row_number).
+
+    Returns one row per aligned position with s_/t_ column pairs and
+    presence flags; group keys (incl. nulls, which group together — the
+    same semantics as an eqNullSafe join) become the output pk columns.
+    """
+    s = src.select(*cols).withColumn("side__", F.lit(0))
+    t = tgt.select(*cols).withColumn("side__", F.lit(1))
+    u = s.unionByName(t).repartition(*pk)
+
+    non_key = [c for c in cols if c not in pk and c not in align_keys]
+    payload = F.struct(*[F.col(c) for c in non_key]) if non_key else F.struct(F.lit(1))
+    paired = u.groupBy(*pk, *align_keys).agg(
+        F.max(F.when(F.col("side__") == 0, payload)).alias("s__"),
+        F.max(F.when(F.col("side__") == 1, payload)).alias("t__"),
+    )
+    return paired.select(
+        *pk,
+        *align_keys,
+        F.col("s__").isNotNull().alias("s_present"),
+        F.col("t__").isNotNull().alias("t_present"),
+        *[F.col("s__").getField(c).alias(f"s_{c}") for c in non_key],
+        *[F.col("t__").getField(c).alias(f"t_{c}") for c in non_key],
+    )
+
+
+def _join_set(src, tgt, pk, ck, reg) -> DataFrame:
+    """Set-alignment mode: pair rows by pk+clustering (J1 key merge +
+    J2/J3 row/value compare, RangeComparator.java:106-166) — one shuffle.
+
+    A row present on both sides is an aligned pair (clusterings equal by
+    group key); a one-sided row inside an in-both partition is a
+    clustering divergence. Assumes unique primary keys (the Cassandra
+    data model); duplicate full keys collapse to one row.
     """
     keys = pk + ck
-    cols = keys + [c for c in reg if c not in keys]
-    s = _prefixed(src, cols, "s_")
-    t = _prefixed(tgt, cols, "t_")
-    cond = _and_all([F.col(f"s_{k}").eqNullSafe(F.col(f"t_{k}")) for k in keys])
-    j = s.join(t, cond, "full_outer")
-
-    s_present = F.coalesce(F.col("s_present__"), F.lit(False))
-    t_present = F.coalesce(F.col("t_present__"), F.lit(False))
-    # a row present on both sides is an aligned pair (clusterings equal by
-    # join key); a one-sided row inside an in-both partition is a
-    # clustering divergence
+    cols = list(dict.fromkeys(keys + list(reg)))
+    j = _pair_sides(src, tgt, pk, cols, align_keys=ck)
+    both = F.col("s_present") & F.col("t_present")
+    non_key = [c for c in cols if c not in pk and c not in ck]
+    # clustering + pk columns are group keys, hence trivially equal on an
+    # aligned pair; their value-match contribution is |pk|+|ck|-counted
+    key_regs = [c for c in reg if c in pk or c in ck]
+    row_vals = _row_value_counts([c for c in reg if c in non_key]) + F.lit(
+        len(key_regs)
+    ).cast("long")
     return j.select(
-        *[F.coalesce(F.col(f"s_{k}"), F.col(f"t_{k}")).alias(k) for k in pk],
-        s_present.alias("s_present"),
-        t_present.alias("t_present"),
-        (s_present & t_present).alias("ck_eq"),
-        (s_present & t_present).alias("in_prefix"),  # set mode: no fail-fast cutoff
-        F.when(s_present & t_present, _row_value_counts(reg))
-        .otherwise(F.lit(0))
-        .alias("row_matched_values"),
+        *pk,
+        F.col("s_present"),
+        F.col("t_present"),
+        both.alias("ck_eq"),
+        both.alias("in_prefix"),  # set mode: no fail-fast cutoff
+        F.when(both, row_vals).otherwise(F.lit(0)).alias("row_matched_values"),
     )
 
 
 def _join_positional(src, tgt, pk, ck, reg) -> DataFrame:
     """Positional zip-join parity mode: row_number per side in clustering
-    order, full-outer join on (pk, rn), prefix cutoff at the first
-    clustering divergence (PartitionComparator.java:60-83 fail-fast)."""
+    order, aligned on (pk, rn), prefix cutoff at the first clustering
+    divergence (PartitionComparator.java:60-83 fail-fast). Same
+    single-shuffle structure — the row_number window runs per (pk, side)
+    after the one repartition, adding no exchange."""
     cols = list(dict.fromkeys(pk + ck + list(reg)))
     # clustering order with a full-row tiebreak: file sources (unlike the
     # Cassandra data model) may hold duplicate clustering keys; ordering by
@@ -186,37 +230,49 @@ def _join_positional(src, tgt, pk, ck, reg) -> DataFrame:
     order_cols = ck + [c for c in cols if c not in ck and c not in pk]
     order = [F.col(c).asc_nulls_first() for c in order_cols]
 
-    def side(df: DataFrame, p: str) -> DataFrame:
-        return df.select(
-            *[F.col(c).alias(f"{p}{c}") for c in cols],
-            F.lit(True).alias(f"{p}present__"),
-            F.row_number().over(
-                Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order)
-            ).alias(f"{p}rn__"),
+    s = src.select(*cols).withColumn("side__", F.lit(0))
+    t = tgt.select(*cols).withColumn("side__", F.lit(1))
+    u = s.unionByName(t).repartition(*pk)
+    u = u.withColumn(
+        "rn__",
+        F.row_number().over(Window.partitionBy(*pk, "side__").orderBy(*order)),
+    )
+
+    non_key = [c for c in cols if c not in pk]
+    payload = F.struct(*[F.col(c) for c in non_key]) if non_key else F.struct(F.lit(1))
+    j = (
+        u.groupBy(*pk, "rn__")
+        .agg(
+            F.max(F.when(F.col("side__") == 0, payload)).alias("s__"),
+            F.max(F.when(F.col("side__") == 1, payload)).alias("t__"),
         )
-
-    s = side(src, "s_")
-    t = side(tgt, "t_")
-    cond = _and_all(
-        [F.col(f"s_{k}").eqNullSafe(F.col(f"t_{k}")) for k in pk]
-        + [F.col("s_rn__") == F.col("t_rn__")]
+        .select(
+            *pk,
+            "rn__",
+            F.col("s__").isNotNull().alias("s_present"),
+            F.col("t__").isNotNull().alias("t_present"),
+            *[F.col("s__").getField(c).alias(f"s_{c}") for c in non_key],
+            *[F.col("t__").getField(c).alias(f"t_{c}") for c in non_key],
+        )
     )
-    j = s.join(t, cond, "full_outer")
 
-    s_present = F.coalesce(F.col("s_present__"), F.lit(False))
-    t_present = F.coalesce(F.col("t_present__"), F.lit(False))
-    ck_eq = s_present & t_present & _and_all(
-        [F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")) for c in ck]
+    ck_eq = (
+        F.col("s_present")
+        & F.col("t_present")
+        & _and_all([F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")) for c in ck])
     )
+    # pk columns are group keys — trivially equal on an aligned pair, but
+    # still value-counted ("regular includes PK", TableSpec.java:84-87)
+    row_vals = _row_value_counts([c for c in reg if c not in pk]) + F.lit(
+        len([c for c in reg if c in pk])
+    ).cast("long")
     j = j.select(
-        *[F.coalesce(F.col(f"s_{k}"), F.col(f"t_{k}")).alias(k) for k in pk],
-        F.coalesce(F.col("s_rn__"), F.col("t_rn__")).alias("rn__"),
-        s_present.alias("s_present"),
-        t_present.alias("t_present"),
+        *pk,
+        "rn__",
+        "s_present",
+        "t_present",
         ck_eq.alias("ck_eq"),
-        F.when(ck_eq, _row_value_counts(reg)).otherwise(F.lit(0)).alias(
-            "row_matched_values"
-        ),
+        F.when(ck_eq, row_vals).otherwise(F.lit(0)).alias("row_matched_values"),
     )
     # fail-fast prefix: positions strictly before the first non-matching
     # position are the only ones counted (PartitionComparator.java:67-70)
@@ -235,22 +291,41 @@ def _classify_and_aggregate(
     tok_fn,
     token_filter,
     sampler,
+    flat: bool = False,
 ) -> DiffResult:
     nreg = F.lit(reg_count).cast("long")
     counted = F.col("ck_eq") & F.col("in_prefix")
 
-    per_part = joined.groupBy(*pk).agg(
-        F.max(F.col("s_present").cast("int")).alias("has_src"),
-        F.max(F.col("t_present").cast("int")).alias("has_tgt"),
-        F.min(F.col("ck_eq").cast("int")).alias("all_ck_eq"),
-        F.sum(F.when(counted, 1).otherwise(0)).cast("long").alias("matched_rows"),
-        F.sum(F.when(counted, F.col("row_matched_values")).otherwise(0))
-        .cast("long")
-        .alias("matched_values"),
-        F.sum(F.when(counted, nreg - F.col("row_matched_values")).otherwise(0))
-        .cast("long")
-        .alias("mismatched_values"),
-    )
+    if flat:
+        # partition == row: pure projection, no shuffle
+        per_part = joined.select(
+            *pk,
+            F.col("s_present").cast("int").alias("has_src"),
+            F.col("t_present").cast("int").alias("has_tgt"),
+            F.col("ck_eq").cast("int").alias("all_ck_eq"),
+            F.when(counted, 1).otherwise(0).cast("long").alias("matched_rows"),
+            F.when(counted, F.col("row_matched_values"))
+            .otherwise(0)
+            .cast("long")
+            .alias("matched_values"),
+            F.when(counted, nreg - F.col("row_matched_values"))
+            .otherwise(0)
+            .cast("long")
+            .alias("mismatched_values"),
+        )
+    else:
+        per_part = joined.groupBy(*pk).agg(
+            F.max(F.col("s_present").cast("int")).alias("has_src"),
+            F.max(F.col("t_present").cast("int")).alias("has_tgt"),
+            F.min(F.col("ck_eq").cast("int")).alias("all_ck_eq"),
+            F.sum(F.when(counted, 1).otherwise(0)).cast("long").alias("matched_rows"),
+            F.sum(F.when(counted, F.col("row_matched_values")).otherwise(0))
+            .cast("long")
+            .alias("matched_values"),
+            F.sum(F.when(counted, nreg - F.col("row_matched_values")).otherwise(0))
+            .cast("long")
+            .alias("mismatched_values"),
+        )
 
     token_col = tok_fn(pk).alias("token")
     per_part = per_part.withColumn("token", token_col)
