@@ -1,0 +1,127 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.8) — this module is the
+beyond-reference streaming mode: continuous diffing of an incoming change
+stream against a reference snapshot, plus the standard event-time
+operators (windowed aggregation with watermarks, session windows, custom
+stateful processing) a training-data ingest pipeline needs.
+
+Patterns:
+  * windowed_event_counts — watermark + tumbling/sliding window agg;
+    late data beyond the watermark is dropped by Spark's state store.
+  * stream_diff — foreachBatch incremental diff: each micro-batch of
+    source-side changes is diffed (set alignment) against the target
+    snapshot; mismatch rows append to the journal. Exactly-once per batch
+    via foreachBatch's epoch id is left to the sink (parquet append is
+    at-least-once; a Delta sink would make it exactly-once).
+  * sessionize — session_window gap-based grouping.
+  * running_user_totals — applyInPandasWithState custom stateful operator
+    (running per-user aggregates with processing-time timeout).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.diff import build_diff
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed counts with late-data watermark."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: activity bursts separated by >= gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_diff(
+    stream: DataFrame,
+    target: DataFrame,
+    spec: TableSpec,
+    on_batch: Callable[[DataFrame, int], None],
+):
+    """Continuous diff: per micro-batch, compare the batch's rows (keyed by
+    the spec's partition key) against the target snapshot and hand the
+    mismatch DataFrame to ``on_batch``.
+
+    Semantics per batch: the batch is the source side RESTRICTED to the
+    keys it contains — target rows whose keys aren't in the batch are not
+    "missing", so only_in_target rows are filtered out (a change stream
+    only asserts the keys it carries).
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        keys = batch_df.select(*spec.partition_key).distinct()
+        tgt_slice = target.join(F.broadcast(keys), list(spec.partition_key), "left_semi")
+        res = build_diff(batch_df, tgt_slice, spec, align="set")
+        mm = res.mismatches.filter(F.col("mismatch_type") != "ONLY_IN_TARGET")
+        on_batch(mm, epoch_id)
+
+    return stream.writeStream.foreachBatch(process)
+
+
+#: output schema of running_user_totals
+_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value sum across micro-batches."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

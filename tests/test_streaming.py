@@ -1,0 +1,141 @@
+"""Streaming surface: file-source micro-batches driven synchronously to
+completion with memory sinks (processAllAvailable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.streaming.diff_stream import (
+    running_user_totals,
+    sessionize,
+    stream_diff,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events with proper micro timestamps, written for streaming reads."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    df.write.mode("overwrite").parquet(d)
+    return d
+
+
+def drain(stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT sum(n) AS total FROM win_counts").first().total
+    batch = spark.read.parquet(events_dir)
+    # append mode emits only windows the watermark has closed; the final
+    # (open) window is withheld, so emitted <= batch total and > 0
+    assert got is not None and 0 < got <= batch.count()
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    )
+    emitted = spark.sql("SELECT count(*) AS n FROM win_counts").first().n
+    assert emitted <= exp
+
+
+def test_sessionize_runs_and_groups(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    q = (
+        sessionize(stream, gap="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, count(*) n FROM sessions GROUP BY user_id"
+    ).collect()
+    assert rows, "expected closed sessions"
+    assert all(r.n >= 1 for r in rows)
+
+
+def test_stream_diff_flags_corrupted_keys(spark, events_dir, tmp_path):
+    # target snapshot: corrupt value for event_id %31==0, drop %97==0
+    batch = spark.read.parquet(events_dir)
+    k = F.col("event_id")
+    target = (
+        batch.filter(k % 97 != 0)
+        .withColumn("value", F.when(k % 31 == 0, F.col("value") + 1).otherwise(F.col("value")))
+    )
+    spec = TableSpec(name="events", partition_key=("event_id",))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+    collected = []
+    writer = stream_diff(
+        stream, target, spec, on_batch=lambda mm, epoch: collected.extend(mm.collect())
+    )
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+    types = {}
+    for r in collected:
+        types[r.mismatch_type] = types.get(r.mismatch_type, 0) + 1
+    n = batch.count()
+    exp_only_src = batch.filter(k % 97 == 0).count()
+    exp_mismatch = batch.filter((k % 97 != 0) & (k % 31 == 0)).count()
+    assert types.get("ONLY_IN_SOURCE", 0) == exp_only_src
+    assert types.get("PARTITION_MISMATCH", 0) == exp_mismatch
+    assert "ONLY_IN_TARGET" not in types  # change streams assert only their keys
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events FROM user_totals GROUP BY user_id"
+        ).collect()
+    }
+    exp = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
