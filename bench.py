@@ -17,8 +17,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from cassandra_diff_spark import gate  # noqa: E402
+from cassandra_diff_spark import gate, gate_pipeline  # noqa: E402
 from cassandra_diff_spark.session import get_spark  # noqa: E402
+
+ALL_QUERIES = {**gate.QUERIES, **gate_pipeline.QUERIES}
 
 HEADLINE = [
     "diff_stats_orders",
@@ -29,8 +31,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q6_forecast_revenue",
+    "q12_shipmode",
     "top_orders_per_customer",
     "events_by_hour",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "text_stats",
 ]
 
 
@@ -45,7 +53,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = gate.QUERIES[name]
+        fn = ALL_QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -160,15 +160,15 @@ def _stats_select(table: str, nreg: int, extra_cat_sql: str = "") -> str:
     """Final 9-counter SELECT over a CTE ``c(category, mr, mv_m, mv_x)``."""
     return f"""
 SELECT '{table}' AS "table",
-  CAST(SUM(CASE WHEN category = 'matched' THEN 1 ELSE 0 END) AS BIGINT) AS matched_partitions,
-  CAST(SUM(CASE WHEN category = 'mismatched' THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_partitions,
+  CAST(COALESCE(SUM(CASE WHEN category = 'matched' THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_partitions,
+  CAST(COALESCE(SUM(CASE WHEN category = 'mismatched' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatched_partitions,
   CAST(0 AS BIGINT) AS error_partitions,
-  CAST(SUM(CASE WHEN category = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_partitions,
-  CAST(SUM(CASE WHEN category = 'only_in_source' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_source,
-  CAST(SUM(CASE WHEN category = 'only_in_target' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_target,
-  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mr ELSE 0 END) AS BIGINT) AS matched_rows,
-  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_m ELSE 0 END) AS BIGINT) AS matched_values,
-  CAST(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_x ELSE 0 END) AS BIGINT) AS mismatched_values
+  CAST(COALESCE(SUM(CASE WHEN category = 'skipped' THEN 1 ELSE 0 END), 0) AS BIGINT) AS skipped_partitions,
+  CAST(COALESCE(SUM(CASE WHEN category = 'only_in_source' THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_in_source,
+  CAST(COALESCE(SUM(CASE WHEN category = 'only_in_target' THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_in_target,
+  CAST(COALESCE(SUM(CASE WHEN category IN ('matched','mismatched') THEN mr ELSE 0 END), 0) AS BIGINT) AS matched_rows,
+  CAST(COALESCE(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_m ELSE 0 END), 0) AS BIGINT) AS matched_values,
+  CAST(COALESCE(SUM(CASE WHEN category IN ('matched','mismatched') THEN mv_x ELSE 0 END), 0) AS BIGINT) AS mismatched_values
 FROM c{extra_cat_sql}
 """
 
@@ -447,8 +447,8 @@ def _q_q6_forecast_revenue(spark, sf_dir):
     # TPC-H Q6 shape: pure filter+agg — exercises predicate pushdown
     li = load(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -465,8 +465,8 @@ def _q_q6_forecast_revenue(spark, sf_dir):
 _O_Q6 = """
 SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_c
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
@@ -580,3 +580,114 @@ ORACLES: Dict[str, str] = {
     "events_type_counts": _O_EVENTS_TYPE_COUNTS,
     "events_recent": _O_EVENTS_RECENT,
 }
+
+
+def _q_diff_stats_orders_token_range(spark, sf_dir):
+    # P3: half-open token-range restriction applied as an identical
+    # prefilter on both sides (exactly the reference's split scan,
+    # DiffCluster.java:226-227)
+    src_df, tgt_df = orders_pair(spark, sf_dir)
+    lo, hi = 200_000_000, 700_000_000
+    spread = lambda pk_cols: (  # noqa: E731 — small-prime ring spreads small keys
+        F.col(pk_cols[0]).cast("bigint") * F.lit(_KNUTH)
+    ) % F.lit(_SPLIT_RING)
+    return build_diff(
+        src_df, tgt_df, ORDERS_SPEC,
+        token=spread,
+        token_filter=lambda t: (t > lo) & (t <= hi),
+        prefilter=True,
+    ).stats
+
+
+_O_DIFF_STATS_ORDERS_TOKEN_RANGE = _orders_partition_cte("FALSE") + _stats_select(
+    "orders", 6,
+    extra_cat_sql=(
+        f" WHERE (CAST(pk AS BIGINT) * {_KNUTH}) % {_SPLIT_RING} > 200000000"
+        f" AND (CAST(pk AS BIGINT) * {_KNUTH}) % {_SPLIT_RING} <= 700000000"
+    ),
+)
+
+
+def _q_point_lookup_orders(spark, sf_dir):
+    # P4/S2: composite-PK equality lookup (DiffCluster.java:247-248)
+    from cassandra_diff_spark.functions.keys import pk_equality_predicate
+
+    o = load(spark, sf_dir, "orders")
+    pred = pk_equality_predicate({"o_orderkey": o.o_orderkey}, {"o_orderkey": 42})
+    return o.filter(pred).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+_O_POINT_LOOKUP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey = 42
+"""
+
+
+def _q_q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: EXISTS semi-join + count by priority
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-01")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_O_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1995-06-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def _q_q12_shipmode(spark, sf_dir):
+    # TPC-H Q12 shape: join + conditional aggregation
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_O_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+QUERIES.update({
+    "diff_stats_orders_token_range": _q_diff_stats_orders_token_range,
+    "point_lookup_orders": _q_point_lookup_orders,
+    "q4_order_priority": _q_q4_order_priority,
+    "q12_shipmode": _q_q12_shipmode,
+})
+ORACLES.update({
+    "diff_stats_orders_token_range": _O_DIFF_STATS_ORDERS_TOKEN_RANGE,
+    "point_lookup_orders": _O_POINT_LOOKUP_ORDERS,
+    "q4_order_priority": _O_Q4,
+    "q12_shipmode": _O_Q12,
+})

@@ -84,6 +84,7 @@ def build_diff(
     token_filter: Optional[Callable[[Column], Column]] = None,
     sampler: Optional[Callable[[Column], Column]] = None,
     prefilter: bool = False,
+    reverse: bool = False,
 ) -> DiffResult:
     """Build the diff plan for one (source, target) table pair.
 
@@ -115,7 +116,7 @@ def build_diff(
     if align == "set":
         joined = _join_set(src, tgt, pk, ck, reg)
     elif align == "positional":
-        joined = _join_positional(src, tgt, pk, ck, reg)
+        joined = _join_positional(src, tgt, pk, ck, reg, reverse=reverse)
     else:
         raise ValueError(f"align must be 'set' or 'positional', got {align!r}")
 
@@ -216,7 +217,7 @@ def _join_set(src, tgt, pk, ck, reg) -> DataFrame:
     )
 
 
-def _join_positional(src, tgt, pk, ck, reg) -> DataFrame:
+def _join_positional(src, tgt, pk, ck, reg, reverse: bool = False) -> DataFrame:
     """Positional zip-join parity mode: row_number per side in clustering
     order, aligned on (pk, rn), prefix cutoff at the first clustering
     divergence (PartitionComparator.java:60-83 fail-fast). Same
@@ -228,7 +229,12 @@ def _join_positional(src, tgt, pk, ck, reg) -> DataFrame:
     # every column keeps row numbering deterministic (identical rows are
     # interchangeable). asc_nulls_first matches CQL/DuckDB NULLS FIRST.
     order_cols = ck + [c for c in cols if c not in ck and c not in pk]
-    order = [F.col(c).asc_nulls_first() for c in order_cols]
+    # reverse = every direction flipped, both sides — the reference's
+    # reverse-read mode (DiffCluster.java:259-274, trigger Differ.java:219-225)
+    order = [
+        F.col(c).desc_nulls_last() if reverse else F.col(c).asc_nulls_first()
+        for c in order_cols
+    ]
 
     s = src.select(*cols).withColumn("side__", F.lit(0))
     t = tgt.select(*cols).withColumn("side__", F.lit(1))
@@ -403,3 +409,21 @@ def _classify_and_aggregate(
     return DiffResult(
         partition_detail=partition_detail, mismatches=mismatches, stats=stats
     )
+
+
+def order_invariance_check(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    sampler: Optional[Callable[[Column], Column]] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Reverse-read order-invariance check (the reference reads a random
+    fraction of partitions in reverse clustering order and expects the same
+    comparison outcome — localconfig.yaml:24 reverse_read_probability,
+    Differ.java:219-225). Returns (forward_stats, reverse_stats); they must
+    be equal for order-invariant data. ``sampler`` restricts the checked
+    partitions exactly like SA1 sampling."""
+    fwd = build_diff(src, tgt, spec, align="positional", sampler=sampler)
+    rev = build_diff(src, tgt, spec, align="positional", sampler=sampler, reverse=True)
+    return fwd.stats, rev.stats

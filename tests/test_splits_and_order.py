@@ -1,0 +1,100 @@
+"""Split math (DiffJobTest parity) and reverse-read order invariance (O2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.diff import order_invariance_check
+from cassandra_diff_spark.plans.splits import (
+    MURMUR3_MAX,
+    MURMUR3_MIN,
+    RANDOM_MAX,
+    RANDOM_MIN,
+    calculate_splits,
+    validate_range,
+)
+
+
+class TestSplitMath:
+    """DiffJobTest.java:39-94: equal-width coverage, contiguity, both rings."""
+
+    @pytest.mark.parametrize(
+        "lo,hi", [(MURMUR3_MIN, MURMUR3_MAX), (RANDOM_MIN, RANDOM_MAX)]
+    )
+    @pytest.mark.parametrize("n", [1, 7, 100])
+    def test_splits_cover_ring_contiguously(self, lo, hi, n):
+        splits = calculate_splits(n, 10, lo, hi)
+        assert len(splits) == n
+        assert splits[0].start == lo and splits[-1].end == hi
+        for a, b in zip(splits, splits[1:]):
+            assert a.end == b.start  # contiguous, no gaps/overlap
+        # bucket assignment round-robins (DiffJob.java:252)
+        assert [s.bucket for s in splits[:3]] == [0, 1, 2][: min(3, n)]
+
+    def test_equal_width_within_one(self):
+        splits = calculate_splits(7, 10, 0, 700)
+        widths = {s.end - s.start for s in splits}
+        assert len(widths) <= 2  # last split absorbs the remainder
+
+    def test_validate_range(self):
+        # DifferTest.java:84-111: null/wrapping/out-of-bounds rejected
+        validate_range(0, 10, 0, 100)
+        with pytest.raises(ValueError):
+            validate_range(10, 10, 0, 100)  # empty
+        with pytest.raises(ValueError):
+            validate_range(50, 10, 0, 100)  # wrapping
+        with pytest.raises(ValueError):
+            validate_range(-1, 10, 0, 100)  # out of bounds
+
+    def test_invalid_split_count(self):
+        with pytest.raises(ValueError):
+            calculate_splits(0, 10)
+
+
+class TestOrderInvariance:
+    """O2/S3: forward and reverse clustering reads must yield identical
+    stats (reverse_read_probability check, Differ.java:219-225)."""
+
+    def test_identical_stats_forward_and_reverse_on_matching_data(self, spark, sf_dir):
+        # invariance holds for MATCHING data (the reference's check reads
+        # the same partitions both ways expecting the same outcome);
+        # fail-fast COUNTS on diverged partitions are direction-dependent
+        # by design (see test below)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        spec = TableSpec(
+            name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+        )
+        fwd, rev = order_invariance_check(li, li, spec)
+        assert fwd.collect() == rev.collect()
+
+    def test_classification_invariant_counts_direction_dependent(self, spark, sf_dir):
+        # a diverged partition is mismatched in BOTH directions, but the
+        # fail-fast prefix (and thus matched_rows) legitimately differs
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        k = F.col("l_orderkey")
+        tgt = li.filter(~((k % 113 == 0) & (F.col("l_linenumber") == 1)))
+        spec = TableSpec(
+            name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+        )
+        fwd_df, rev_df = order_invariance_check(li, tgt, spec)
+        fwd, rev = fwd_df.collect()[0], rev_df.collect()[0]
+        assert fwd.mismatched_partitions == rev.mismatched_partitions
+        assert fwd.only_in_source == rev.only_in_source
+        assert fwd.matched_partitions == rev.matched_partitions
+
+    def test_reverse_detects_tail_deletion_as_head(self, spark):
+        # deleting the LAST row: forward = counted-then-mismatch;
+        # reverse read sees it at position 0 = fail-fast zero counts.
+        spec = TableSpec(name="w", partition_key=("pk",), clustering=("c1",))
+        src = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, "b"), (1, 3, "c")], "pk int, c1 int, v string"
+        )
+        tgt = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], "pk int, c1 int, v string")
+        from cassandra_diff_spark.operators.diff import build_diff
+
+        fwd = build_diff(src, tgt, spec, align="positional").stats.collect()[0]
+        rev = build_diff(src, tgt, spec, align="positional", reverse=True).stats.collect()[0]
+        assert fwd.matched_rows == 2 and rev.matched_rows == 0
+        assert fwd.mismatched_partitions == rev.mismatched_partitions == 1
