@@ -691,3 +691,104 @@ ORACLES.update({
     "q4_order_priority": _O_Q4,
     "q12_shipmode": _O_Q12,
 })
+
+
+def _q_diff_mismatch_by_column(spark, sf_dir):
+    # J3 drill-down: which columns carry the mismatches
+    from cassandra_diff_spark.operators.diff import value_mismatch_by_column
+
+    src_df, tgt_df = orders_pair(spark, sf_dir)
+    return value_mismatch_by_column(src_df, tgt_df, ORDERS_SPEC)
+
+
+_O_DIFF_MISMATCH_BY_COLUMN = f"""
+WITH {_ORDERS_TGT_SQL.strip()},
+j AS (
+  SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+         s.o_custkey AS s_custkey, t.o_custkey AS t_custkey,
+         s.o_orderstatus AS s_status, t.o_orderstatus AS t_status,
+         s.o_totalprice AS s_price, t.o_totalprice AS t_price,
+         s.o_orderdate AS s_date, t.o_orderdate AS t_date,
+         s.o_orderpriority AS s_prio, t.o_orderpriority AS t_prio
+  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+  WHERE s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+)
+SELECT 'o_custkey' AS column_name, CAST(COALESCE(SUM(CASE WHEN s_custkey IS DISTINCT FROM t_custkey THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatches FROM j
+UNION ALL SELECT 'o_orderstatus', CAST(COALESCE(SUM(CASE WHEN s_status IS DISTINCT FROM t_status THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL SELECT 'o_totalprice', CAST(COALESCE(SUM(CASE WHEN s_price IS DISTINCT FROM t_price THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL SELECT 'o_orderdate', CAST(COALESCE(SUM(CASE WHEN s_date IS DISTINCT FROM t_date THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL SELECT 'o_orderpriority', CAST(COALESCE(SUM(CASE WHEN s_prio IS DISTINCT FROM t_prio THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL SELECT 'o_orderkey', CAST(0 AS BIGINT) FROM j LIMIT 6
+"""
+
+
+def _q_rollup_lineitem(spark, sf_dir):
+    # grouping-sets surface (free in Spark; absent in the reference)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+        )
+    )
+
+
+_O_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_pivot_linestatus(spark, sf_dir):
+    # pivot surface: counts per returnflag pivoted on linestatus
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_filled"),
+    )
+
+
+_O_PIVOT_LINESTATUS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_distinct_customers_by_priority(spark, sf_dir):
+    # exact distinct aggregation (dropDuplicates/countDistinct surface)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_O_DISTINCT_CUSTOMERS_BY_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({
+    "diff_mismatch_by_column": _q_diff_mismatch_by_column,
+    "rollup_lineitem": _q_rollup_lineitem,
+    "pivot_linestatus": _q_pivot_linestatus,
+    "distinct_customers_by_priority": _q_distinct_customers_by_priority,
+})
+ORACLES.update({
+    "diff_mismatch_by_column": _O_DIFF_MISMATCH_BY_COLUMN,
+    "rollup_lineitem": _O_ROLLUP_LINEITEM,
+    "pivot_linestatus": _O_PIVOT_LINESTATUS,
+    "distinct_customers_by_priority": _O_DISTINCT_CUSTOMERS_BY_PRIORITY,
+})

@@ -54,8 +54,13 @@ def run_job(
     *,
     splits_per_table: int = 1,
     rerun: bool = False,
+    continue_on_error: bool = False,
     post_job_hook=None,
 ) -> JobResult:
+    """``continue_on_error``: journal the failed unit (S10) and keep
+    processing the rest — the reference's error-partition pattern
+    (RangeComparator onError + rerun-for-errors resume); failed units stay
+    un-journaled as completed, so a rerun picks exactly them up."""
     job_id = cfg.resolved_job_id()
     journal = Journal(spark, cfg.metadata_options.path, cfg.retry_options)
 
@@ -92,44 +97,45 @@ def run_job(
         per_table: dict[str, DiffStats] = {}
         for unit in pending:
             table = unit.qualified_table_name
-            tcfg = table_config_for(cfg, table)
-            if tcfg is None:
-                raise ValueError(f"no key roles configured for table {table}")
-            spec = TableSpec(
-                name=table,
-                partition_key=tcfg.partition_key,
-                clustering=tcfg.clustering,
-            )
-            src = src_provider.read_table(spark, table)
-            tgt = tgt_provider.read_table(spark, table)
-            spec.validate_against(src.columns, tgt.columns)  # P9
-
-            if splits_per_table > 1:
-                # split prefilter — same half-open range on both sides
-                pk = list(spec.partition_key)
-                rng = lambda df: df.filter(  # noqa: E731
-                    token_range_predicate(token_expr(pk), unit.start, unit.end)
-                )
-                src, tgt = rng(src), rng(tgt)
-
             try:
+                tcfg = table_config_for(cfg, table)
+                if tcfg is None:
+                    raise ValueError(f"no key roles configured for table {table}")
+                spec = TableSpec(
+                    name=table,
+                    partition_key=tcfg.partition_key,
+                    clustering=tcfg.clustering,
+                )
+                src = src_provider.read_table(spark, table)
+                tgt = tgt_provider.read_table(spark, table)
+                spec.validate_against(src.columns, tgt.columns)  # P9
+
+                if splits_per_table > 1:
+                    # split prefilter — same half-open range on both sides
+                    pk = list(spec.partition_key)
+                    rng = lambda df: df.filter(  # noqa: E731
+                        token_range_predicate(token_expr(pk), unit.start, unit.end)
+                    )
+                    src, tgt = rng(src), rng(tgt)
+
                 res = build_diff(
                     src, tgt, spec,
                     align=cfg.align, token_filter=token_filter, sampler=sampler,
                 )
-                stats_row = res.stats.collect()[0]
-                stats = DiffStats.from_row(stats_row)
+                stats = DiffStats.from_row(res.stats.collect()[0])
                 journal.record_mismatches(job_id, unit.bucket, table, res.mismatches)
                 journal.update_task_status(
                     job_id, unit.bucket, table, unit.split,
                     {f: getattr(stats, f) for f in STAT_FIELDS}, unit.end,
                 )
-            except Exception as e:  # noqa: BLE001 — S10 error sink, then fail
+            except Exception as e:  # noqa: BLE001 — S10 error sink
                 journal.record_error(
                     job_id, unit.bucket, table, unit.split, None, str(e),
                     error_source=_attribute_error(e),
                 )
-                raise
+                if not continue_on_error:
+                    raise
+                continue  # unit stays un-journaled => a rerun retries it
             per_table.setdefault(table, DiffStats()).accumulate(stats)
 
         # COMMIT: final per-table stats (A4 global accumulate)

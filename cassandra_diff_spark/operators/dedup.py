@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from cassandra_diff_spark.functions.text import (
     fingerprint,
     md5_hash64,
-    word_shingles,
+    shingles_from_words,
     words,
 )
 from cassandra_diff_spark.functions.vectors import (
@@ -74,16 +74,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # --------------------------------------------------------- n-gram Jaccard
 
-def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle_hash) — distinct md5-based hashes of n-word shingles."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"),
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle_hash) — md5-based hashes of n-word shingles.
+
+    ``distinct=True`` dedupes (id, hash) pairs — required where set sizes
+    matter (Jaccard). MIN-based consumers (MinHash) pass False and save
+    the dedup shuffle: array_distinct already dedupes within a document,
+    and MIN is insensitive to any residual hash-collision duplicates.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("w__"))
+        .select(
+            "id",
+            F.explode(F.array_distinct(shingles_from_words(F.col("w__"), n))).alias("s"),
         )
         .select("id", md5_hash64(F.col("s")).alias("h"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -138,7 +147,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{NUM_PERM-1}) MinHash signature — one shuffle
     (groupBy id with map-side partial min)."""
-    sh = shingle_set(df, id_col, text_col, n).select(
+    sh = shingle_set(df, id_col, text_col, n, distinct=False).select(
         "id", (F.col("h") % XMOD).alias("x")
     )
     mins = [

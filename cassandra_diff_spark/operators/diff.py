@@ -427,3 +427,43 @@ def order_invariance_check(
     fwd = build_diff(src, tgt, spec, align="positional", sampler=sampler)
     rev = build_diff(src, tgt, spec, align="positional", sampler=sampler, reverse=True)
     return fwd.stats, rev.stats
+
+
+def value_mismatch_by_column(
+    src: DataFrame, tgt: DataFrame, spec: TableSpec
+) -> DiffResult | DataFrame:
+    """J3 drill-down: per-regular-column mismatch counts over aligned rows
+    (the per-column residual of checkRegularColumnEquality,
+    PartitionComparator.java:116-133). Key columns are part of the
+    "regular" set (TableSpec.java:84-87) but can never mismatch on an
+    aligned pair, so they report 0.
+
+    Returns (column_name, n_mismatches), one row per regular column.
+    Same single-shuffle pairing as the main diff.
+    """
+    spec.validate_against(src.columns, tgt.columns)
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    reg = list(spec.regular_columns(src.columns))
+    cols = list(dict.fromkeys(pk + ck + reg))
+
+    j = _pair_sides(src, tgt, pk, cols, align_keys=ck)
+    both = F.col("s_present") & F.col("t_present")
+    value_cols = [c for c in reg if c not in pk and c not in ck]
+    sums = [
+        F.sum(
+            F.when(both & ~F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(c)
+        for c in value_cols
+    ]
+    agg = j.agg(*sums)
+    key_cols = [c for c in reg if c in pk or c in ck]
+    stack_expr = ", ".join(
+        [f"'{c}', {c}" for c in value_cols] + [f"'{c}', 0L" for c in key_cols]
+    )
+    n = len(value_cols) + len(key_cols)
+    return agg.selectExpr(
+        f"stack({n}, {stack_expr}) as (column_name, n_mismatches)"
+    )

@@ -167,3 +167,52 @@ class TestRetry:
         assert strategy_for(RetryOptions(impl="none")).__class__.__name__ == "NoRetry"
         with pytest.raises(ValueError):
             strategy_for(RetryOptions(impl="bogus"))
+
+
+class TestContinueOnError:
+    def test_failed_unit_journaled_and_job_continues(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jerr")
+        cfg = load_config_text(
+            f"""
+            job_id: err-job
+            source: {{provider: parquet, options: {{path: {src_dir}}}}}
+            target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+            keyspace_tables:
+              - {{name: nonexistent, partition_key: [x]}}
+              - {{name: orders, partition_key: [o_orderkey]}}
+            metadata_options: {{path: {jdir}}}
+            retry_options: {{impl: none}}
+            """
+        )
+        res = run_job(spark, cfg, continue_on_error=True)
+        assert "orders" in res.stats and "nonexistent" not in res.stats
+        q = JournalQueries(spark, jdir)
+        errs = q.error_summary("err-job").collect()
+        assert len(errs) == 1 and errs[0].qualified_table_name == "nonexistent"
+        assert q.error_ranges("err-job").count() == 1
+        # failed unit not journaled complete -> still pending on resume
+        pending = Journal(spark, jdir).filter_pending(
+            spark.createDataFrame(
+                [("nonexistent", 0), ("orders", 0)],
+                "qualified_table_name string, split int",
+            ),
+            "err-job",
+        ).collect()
+        assert [r.qualified_table_name for r in pending] == ["nonexistent"]
+
+    def test_default_still_raises(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        cfg = load_config_text(
+            f"""
+            job_id: err-job2
+            source: {{provider: parquet, options: {{path: {pair_dirs[0]}}}}}
+            target: {{provider: parquet, options: {{path: {pair_dirs[1]}}}}}
+            keyspace_tables:
+              - {{name: nonexistent, partition_key: [x]}}
+            metadata_options: {{path: {tmp_path / 'jerr2'}}}
+            retry_options: {{impl: none}}
+            """
+        )
+        with pytest.raises(Exception):
+            run_job(spark, cfg)
