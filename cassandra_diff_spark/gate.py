@@ -792,3 +792,85 @@ ORACLES.update({
     "pivot_linestatus": _O_PIVOT_LINESTATUS,
     "distinct_customers_by_priority": _O_DISTINCT_CUSTOMERS_BY_PRIORITY,
 })
+
+
+def _q_suppliers_per_region(spark, sf_dir):
+    # broadcast join chain over the dimension tables (region/nation/supplier)
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_c"),
+        )
+    )
+
+
+_O_SUPPLIERS_PER_REGION = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_customer_orders_by_nation(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_c"),
+        )
+    )
+
+
+_O_CUSTOMER_ORDERS_BY_NATION = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_parts_by_brand(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("retail_c"),
+    )
+
+
+_O_PARTS_BY_BRAND = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_c
+FROM part GROUP BY p_brand
+"""
+
+
+QUERIES.update({
+    "suppliers_per_region": _q_suppliers_per_region,
+    "customer_orders_by_nation": _q_customer_orders_by_nation,
+    "parts_by_brand": _q_parts_by_brand,
+})
+ORACLES.update({
+    "suppliers_per_region": _O_SUPPLIERS_PER_REGION,
+    "customer_orders_by_nation": _O_CUSTOMER_ORDERS_BY_NATION,
+    "parts_by_brand": _O_PARTS_BY_BRAND,
+})

@@ -209,3 +209,38 @@ class Journal:
             .groupBy("job_id", "qualified_table_name")
             .agg(F.count("*").cast("long").alias("completed"))
         )
+
+
+def vacuum(
+    journal: "Journal",
+    ttl_seconds: int = 31_536_000,
+    now_epoch: float | None = None,
+) -> dict:
+    """Metadata TTL enforcement (reference: 1-year TTL on every journal
+    table, MetadataKeyspaceOptions.java:27 / localconfig.yaml:29 — C* ages
+    rows server-side; the parquet journal compacts explicitly).
+
+    Rewrites task_status dropping rows whose ``ts`` is older than the TTL;
+    returns {table: rows_dropped}.
+    """
+    import shutil
+    import time as _time
+
+    now = now_epoch if now_epoch is not None else _time.time()
+    # unix_timestamp() truncates to whole seconds — floor the cutoff so a
+    # row written in the same second as the cutoff is retained
+    cutoff = int(now - ttl_seconds)
+    dropped = {}
+    ts_df = journal._read("task_status")
+    if ts_df is not None:
+        keep = ts_df.filter(
+            F.col("ts").isNull() | (F.unix_timestamp("ts") >= F.lit(cutoff))
+        )
+        n_before, n_after = ts_df.count(), keep.count()
+        if n_after < n_before:
+            tmp = journal._table("task_status") + "__compact"
+            keep.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(journal._table("task_status"))
+            shutil.move(tmp, journal._table("task_status"))
+        dropped["task_status"] = n_before - n_after
+    return dropped

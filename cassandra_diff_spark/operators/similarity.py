@@ -153,3 +153,82 @@ def hyperplane_lsh_topk(
             "rank",
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into inverted lists by
+    nearest centroid; a query scans only its ``n_probe`` nearest lists.
+
+    Centroids are a deterministic sample of the corpus itself (every
+    (n/n_centroids)-th vector by id order) — a stand-in for k-means
+    training, which would slot into the same join shape. All arithmetic is
+    exact-integer (quantized dot / squared distance), reranking exact.
+
+    Scale: the corpus-to-centroid assignment is a broadcast cross join of
+    n_centroids rows; queries likewise. Only bucket-mates are scored —
+    |corpus| / n_centroids * n_probe candidates per query.
+    """
+    from pyspark.sql import Window
+
+    c = _prep(corpus, id_col, vec_col, "c_")
+    q = _prep(queries, id_col, vec_col, "q_")
+
+    # deterministic "training": rank corpus by id, take every n-th vector
+    w_all = Window.orderBy(F.col("c_id"))
+    n_total = corpus.count()
+    step = max(n_total // n_centroids, 1)
+    cents = (
+        c.withColumn("rnk__", F.row_number().over(w_all))
+        .filter(((F.col("rnk__") - 1) % step == 0) & (F.col("rnk__") <= step * n_centroids))
+        .select(
+            F.col("c_id").alias("cent_id"),
+            F.col("c_q").alias("cent_q"),
+            F.col("c_n").alias("cent_n"),
+        )
+    )
+
+    def assign(side: DataFrame, pre: str, top: int) -> DataFrame:
+        # nearest centroids by exact integer squared distance:
+        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2
+        j = side.crossJoin(F.broadcast(cents))
+        d2 = (
+            F.col(f"{pre}n")
+            - 2 * int_dot(F.col(f"{pre}q"), F.col("cent_q"))
+            + F.col("cent_n")
+        )
+        w = Window.partitionBy(f"{pre}id").orderBy(d2.asc(), F.col("cent_id").asc())
+        return (
+            j.withColumn("cr__", F.row_number().over(w))
+            .filter(F.col("cr__") <= top)
+            .drop("cent_q", "cent_n", "cr__")
+        )
+
+    c_assigned = assign(c, "c_", 1)  # each corpus vector in ONE list
+    q_assigned = assign(q, "q_", n_probe)  # queries probe several lists
+
+    cand = c_assigned.join(
+        F.broadcast(q_assigned), "cent_id"
+    ).filter(F.col("c_id") != F.col("q_id"))
+    scored = cand.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
+        "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.select("q_id", "c_id", "cos")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+        )
+    )

@@ -102,3 +102,45 @@ class TestMultimodal:
         counts = {r.doc_id: r.n for r in res.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
         # 250 bytes -> frames at 0,100,200; 99 -> just 0; 100 -> 0
         assert counts == {1: 3, 2: 1, 3: 1}
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, embs):
+        from pyspark.sql import functions as F
+
+        q = embs.filter(F.col("vec_id") < 10)
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        recall = len(brute & ivf) / len(brute)
+        # 4-of-16 probed lists on random centroids: must beat chance by far
+        assert recall >= 0.3, f"IVF recall suspiciously low: {recall}"
+
+    def test_ivf_returns_k_per_query(self, embs):
+        from pyspark.sql import functions as F
+
+        q = embs.filter(F.col("vec_id") < 3)
+        res = similarity.ivf_topk(embs, q, "vec_id", "embedding", k=5)
+        counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {0, 1, 2} and all(v == 5 for v in counts.values())
+
+
+class TestVacuum:
+    def test_ttl_drops_old_rows(self, spark, tmp_path):
+        import time
+        from cassandra_diff_spark.journal import Journal, vacuum
+
+        j = Journal(spark, str(tmp_path / "vacjournal"))
+        j.update_task_status("old-job", 0, "t", 0, {}, 0)
+        time.sleep(1.2)
+        cut = time.time()  # rows written before this are "old"
+        j.update_task_status("new-job", 0, "t", 1, {}, 0)
+        dropped = vacuum(j, ttl_seconds=0, now_epoch=cut)
+        assert dropped["task_status"] == 1
+        left = j._read("task_status").collect()
+        assert len(left) == 1 and left[0].job_id == "new-job"
