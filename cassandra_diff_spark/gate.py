@@ -61,7 +61,17 @@ LINEITEM_SPEC = TableSpec(
 TOK = arithmetic_token_sql("pk")  # token over the coalesced pk in oracle CTEs
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the confs our
+    oracle parity depends on (UTC timestamps) at query-build time."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — read-only conf in exotic setups
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -70,6 +80,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader rejects; read nanos as long and convert to a
     microsecond timestamp (integer ``div`` — double division would lose
     precision above 2^53 ns)."""
+    _ensure_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

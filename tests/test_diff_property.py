@@ -96,3 +96,44 @@ def test_positional_matches_reference_semantics(spark, src_rows, tgt_rows):
     )
     exp = reference_diff(src_rows, tgt_rows)
     assert got == exp, f"src={src_rows} tgt={tgt_rows}"
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(src_rows=table_strategy, tgt_rows=table_strategy)
+def test_set_equals_positional_on_unique_keys(spark, src_rows, tgt_rows):
+    """Metamorphic: with unique (pk, ck) per side — the Cassandra data
+    model — set alignment and positional alignment must agree exactly."""
+
+    def dedupe(rows):
+        seen, out = set(), []
+        for r in rows:
+            if (r[0], r[1]) not in seen:
+                seen.add((r[0], r[1]))
+                out.append(r)
+        return out
+
+    src_rows, tgt_rows = dedupe(src_rows), dedupe(tgt_rows)
+    schema = "pk int, ck int, v int"
+    src = spark.createDataFrame(src_rows, schema) if src_rows else spark.createDataFrame([], schema)
+    tgt = spark.createDataFrame(tgt_rows, schema) if tgt_rows else spark.createDataFrame([], schema)
+    pos = DiffStats.from_row(build_diff(src, tgt, SPEC, align="positional").stats.collect()[0])
+    st = DiffStats.from_row(build_diff(src, tgt, SPEC, align="set").stats.collect()[0])
+    # set mode re-aligns after divergence, so counted rows/values can only
+    # be >= positional's fail-fast prefix; classifications agree exactly
+    assert (
+        st.matched_partitions,
+        st.mismatched_partitions,
+        st.only_in_source,
+        st.only_in_target,
+    ) == (
+        pos.matched_partitions,
+        pos.mismatched_partitions,
+        pos.only_in_source,
+        pos.only_in_target,
+    ), f"src={src_rows} tgt={tgt_rows}"
+    assert st.matched_rows >= pos.matched_rows
