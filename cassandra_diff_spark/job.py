@@ -122,8 +122,28 @@ def run_job(
                     src, tgt, spec,
                     align=cfg.align, token_filter=token_filter, sampler=sampler,
                 )
-                stats = DiffStats.from_row(res.stats.collect()[0])
-                journal.record_mismatches(job_id, unit.bucket, table, res.mismatches)
+                # single-action execution: instrument partition_detail with
+                # an Observation so the mismatch write ALSO yields the 9
+                # counters — the diff plan runs once, not twice (the
+                # custom-rule opportunity noted in SURVEY.md §4, realized
+                # with observe() instead of a Catalyst rule)
+                from pyspark.sql import Observation
+
+                from cassandra_diff_spark.operators.diff import (
+                    mismatches_from_detail,
+                    stats_observation_exprs,
+                )
+
+                obs = Observation()
+                detail = res.partition_detail.observe(
+                    obs, *stats_observation_exprs()
+                )
+                mm = mismatches_from_detail(detail, list(spec.partition_key))
+                wrote = journal.record_mismatches(job_id, unit.bucket, table, mm)
+                if wrote:
+                    stats = DiffStats(**obs.get)
+                else:  # journal sink failed — fall back to a direct action
+                    stats = DiffStats.from_row(res.stats.collect()[0])
                 journal.update_task_status(
                     job_id, unit.bucket, table, unit.split,
                     {f: getattr(stats, f) for f in STAT_FIELDS}, unit.end,

@@ -51,13 +51,15 @@ class Journal:
     def _table(self, name: str) -> str:
         return os.path.join(self.path, name)
 
-    def _append(self, name: str, df: DataFrame) -> None:
+    def _append(self, name: str, df: DataFrame) -> bool:
         retry = strategy_for(self.retry_opts) if self.retry_opts else None
         write = lambda: df.write.mode("append").parquet(self._table(name))  # noqa: E731
         try:
             (retry.retry(write) if retry else write())
+            return True
         except Exception as e:  # noqa: BLE001 — best-effort (ST9)
             print(f"journal write to {name} failed (ignored): {e}")
+            return False
 
     def _read(self, name: str) -> DataFrame | None:
         p = self._table(name)
@@ -148,7 +150,7 @@ class Journal:
             F.col("token").cast("long").alias("token"),
             F.col("mismatch_type"),
         )
-        self._append("mismatches", out)
+        return self._append("mismatches", out)
 
     def record_error(
         self, job_id: str, bucket: int, table: str, split: int, token: int | None,

@@ -85,6 +85,7 @@ def build_diff(
     sampler: Optional[Callable[[Column], Column]] = None,
     prefilter: bool = False,
     reverse: bool = False,
+    skew_safe: bool = False,
 ) -> DiffResult:
     """Build the diff plan for one (source, target) table pair.
 
@@ -96,6 +97,12 @@ def build_diff(
     prefilter:    apply sampler/token predicates to both sides BEFORE the
                   join (prunes the shuffle; only-in counting then only sees
                   surviving keys — scale mode, not bit-parity).
+    reverse:      positional mode only — read both sides in reversed
+                  clustering order (reference reverse-read, O2/S3).
+    skew_safe:    set mode only — shuffle on pk+clustering instead of pk,
+                  spreading giant/hot partitions over many tasks at the
+                  cost of a second (tiny, post-collapse) shuffle for the
+                  partition rollup.
     """
     spec.validate_against(src.columns, tgt.columns)
     pk = list(spec.partition_key)
@@ -114,7 +121,7 @@ def build_diff(
         sampler = None
 
     if align == "set":
-        joined = _join_set(src, tgt, pk, ck, reg)
+        joined = _join_set(src, tgt, pk, ck, reg, skew_safe=skew_safe)
     elif align == "positional":
         joined = _join_positional(src, tgt, pk, ck, reg, reverse=reverse)
     else:
@@ -143,7 +150,7 @@ def _row_value_counts(reg: Sequence[str]) -> Column:
     )
 
 
-def _pair_sides(src, tgt, pk, cols, align_keys) -> DataFrame:
+def _pair_sides(src, tgt, pk, cols, align_keys, shuffle_keys=None) -> DataFrame:
     """SINGLE-SHUFFLE row pairing — the engine's core physical trick.
 
     Instead of a full-outer join (which shuffles each side on the full
@@ -169,7 +176,11 @@ def _pair_sides(src, tgt, pk, cols, align_keys) -> DataFrame:
     """
     s = src.select(*cols).withColumn("side__", F.lit(0))
     t = tgt.select(*cols).withColumn("side__", F.lit(1))
-    u = s.unionByName(t).repartition(*pk)
+    # shuffle_keys defaults to pk (one shuffle for everything downstream);
+    # skew-safe mode passes pk+align_keys so a hot partition key spreads
+    # over many tasks — the per-partition rollup then re-shuffles, but on
+    # rows already collapsed to one per aligned position
+    u = s.unionByName(t).repartition(*(shuffle_keys or pk))
 
     non_key = [c for c in cols if c not in pk and c not in align_keys]
     payload = F.struct(*[F.col(c) for c in non_key]) if non_key else F.struct(F.lit(1))
@@ -187,7 +198,7 @@ def _pair_sides(src, tgt, pk, cols, align_keys) -> DataFrame:
     )
 
 
-def _join_set(src, tgt, pk, ck, reg) -> DataFrame:
+def _join_set(src, tgt, pk, ck, reg, skew_safe: bool = False) -> DataFrame:
     """Set-alignment mode: pair rows by pk+clustering (J1 key merge +
     J2/J3 row/value compare, RangeComparator.java:106-166) — one shuffle.
 
@@ -198,7 +209,10 @@ def _join_set(src, tgt, pk, ck, reg) -> DataFrame:
     """
     keys = pk + ck
     cols = list(dict.fromkeys(keys + list(reg)))
-    j = _pair_sides(src, tgt, pk, cols, align_keys=ck)
+    j = _pair_sides(
+        src, tgt, pk, cols, align_keys=ck,
+        shuffle_keys=(keys if skew_safe else None),
+    )
     both = F.col("s_present") & F.col("t_present")
     non_key = [c for c in cols if c not in pk and c not in ck]
     # clustering + pk columns are group keys, hence trivially equal on an
@@ -289,6 +303,22 @@ def _join_positional(src, tgt, pk, ck, reg, reverse: bool = False) -> DataFrame:
     )
 
 
+def mismatches_from_detail(partition_detail: DataFrame, pk: Sequence[str]) -> DataFrame:
+    """Mismatch-journal rows (MismatchType.java:22-28 shapes) from a
+    partition_detail frame; exposed so callers can rebuild the mismatch
+    sink on an Observation-instrumented detail (job.py single-action path)."""
+    return partition_detail.filter(
+        F.col("category").isin(CAT_MISMATCHED, CAT_ONLY_IN_SOURCE, CAT_ONLY_IN_TARGET)
+    ).select(
+        *pk,
+        "token",
+        F.when(F.col("category") == CAT_MISMATCHED, F.lit("PARTITION_MISMATCH"))
+        .when(F.col("category") == CAT_ONLY_IN_SOURCE, F.lit("ONLY_IN_SOURCE"))
+        .otherwise(F.lit("ONLY_IN_TARGET"))
+        .alias("mismatch_type"),
+    )
+
+
 def _classify_and_aggregate(
     joined: DataFrame,
     spec: TableSpec,
@@ -374,16 +404,7 @@ def _classify_and_aggregate(
         (F.col("all_ck_eq") == 1).alias("all_clusterings_match"),
     )
 
-    mismatches = partition_detail.filter(
-        F.col("category").isin(CAT_MISMATCHED, CAT_ONLY_IN_SOURCE, CAT_ONLY_IN_TARGET)
-    ).select(
-        *pk,
-        "token",
-        F.when(F.col("category") == CAT_MISMATCHED, F.lit("PARTITION_MISMATCH"))
-        .when(F.col("category") == CAT_ONLY_IN_SOURCE, F.lit("ONLY_IN_SOURCE"))
-        .otherwise(F.lit("ONLY_IN_TARGET"))
-        .alias("mismatch_type"),
-    )
+    mismatches = mismatches_from_detail(partition_detail, pk)
 
     def n(cat: str) -> Column:
         return F.coalesce(
@@ -467,3 +488,26 @@ def value_mismatch_by_column(
     return agg.selectExpr(
         f"stack({n}, {stack_expr}) as (column_name, n_mismatches)"
     )
+
+
+#: Observation expressions computing the 9 RangeStats counters from a
+#: ``partition_detail`` frame — attach via ``df.observe(Observation(), *...)``
+#: so one action (e.g. the mismatch write) yields the stats as a side
+#: product instead of executing the diff plan twice (job.py uses this).
+def stats_observation_exprs() -> list:
+    def n(cat: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("category") == cat, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    return [
+        n(CAT_MATCHED).alias("matched_partitions"),
+        n(CAT_MISMATCHED).alias("mismatched_partitions"),
+        F.lit(0).cast("long").alias("error_partitions"),
+        n(CAT_SKIPPED).alias("skipped_partitions"),
+        n(CAT_ONLY_IN_SOURCE).alias("only_in_source"),
+        n(CAT_ONLY_IN_TARGET).alias("only_in_target"),
+        F.coalesce(F.sum("matched_rows"), F.lit(0)).cast("long").alias("matched_rows"),
+        F.coalesce(F.sum("matched_values"), F.lit(0)).cast("long").alias("matched_values"),
+        F.coalesce(F.sum("mismatched_values"), F.lit(0)).cast("long").alias("mismatched_values"),
+    ]

@@ -330,3 +330,24 @@ class TestSchemaValidation:
         src = spark.createDataFrame([(1, "a")], "pk int, v1 string")
         with pytest.raises(ValueError, match="missing"):
             build_diff(src, src, TableSpec(name="t", partition_key=("nope",)))
+
+
+class TestSkewSafe:
+    def test_skew_safe_same_results(self, spark):
+        # hot partition: one pk with many clustering rows
+        rows = [(1, c, f"v{c}", c) for c in range(200)] + [(2, 1, "a", 1)]
+        tgt_rows = [r for r in rows if r[1] != 150 and r[0] != 2] + [(2, 1, "CHANGED", 1)]
+        src = spark.createDataFrame(rows, WIDE_1CK_SCHEMA)
+        tgt = spark.createDataFrame(tgt_rows, WIDE_1CK_SCHEMA)
+        spec = TableSpec(name="hot", partition_key=("pk",), clustering=("c1",))
+        normal = DiffStats.from_row(
+            build_diff(src, tgt, spec, align="set").stats.collect()[0]
+        )
+        skew = DiffStats.from_row(
+            build_diff(src, tgt, spec, align="set", skew_safe=True).stats.collect()[0]
+        )
+        assert normal == skew
+        assert normal.mismatched_partitions == 2  # missing row + changed value
+
+
+WIDE_1CK_SCHEMA = "pk int, c1 int, v1 string, v2 int"
