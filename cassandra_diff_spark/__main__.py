@@ -1,0 +1,57 @@
+"""CLI entry point — the engine's `spark-submit DiffJob <config.yaml>`
+(reference: DiffJob.main, DiffJob.java:60-71).
+
+    python -m cassandra_diff_spark <config.yaml> [--rerun]
+                                   [--splits-per-table N]
+                                   [--continue-on-error]
+
+Prints one JSON line per table with the 9 RangeStats counters, then a
+job summary line; exit code 0 iff every table fully matches
+(RangeStats.allMatches semantics, RangeStats.java:180-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from cassandra_diff_spark.config import load_config
+from cassandra_diff_spark.job import run_job
+from cassandra_diff_spark.model import STAT_FIELDS
+from cassandra_diff_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cassandra_diff_spark")
+    ap.add_argument("config", help="YAML job configuration file")
+    ap.add_argument("--rerun", action="store_true", help="reprocess completed units")
+    ap.add_argument("--splits-per-table", type=int, default=1)
+    ap.add_argument("--continue-on-error", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    spark = get_spark("cassandra-diff-spark-job")
+    result = run_job(
+        spark,
+        cfg,
+        splits_per_table=args.splits_per_table,
+        rerun=args.rerun,
+        continue_on_error=args.continue_on_error,
+    )
+    for table, st in sorted(result.stats.items()):
+        print(json.dumps({"table": table, **{f: getattr(st, f) for f in STAT_FIELDS}}))
+    print(
+        json.dumps(
+            {
+                "job_id": result.job_id,
+                "tables": len(result.stats),
+                "all_matches": result.all_matches,
+            }
+        )
+    )
+    return 0 if result.all_matches else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

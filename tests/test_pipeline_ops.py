@@ -72,9 +72,8 @@ class TestSimilarity:
             for r in similarity.hyperplane_lsh_topk(embs, q, "vec_id", "embedding", k=5).collect()
         }
         recall = len(brute & approx) / len(brute)
-        # hyperplane LSH with 4-bit bands is a coarse filter; it must beat
-        # random (50/500 = 10%) by a wide margin to prove bucketing works
-        assert recall >= 0.4, f"ANN recall suspiciously low: {recall}"
+        # multi-probe LSH measured ~0.94 on this corpus; 0.8 is the guard
+        assert recall >= 0.8, f"ANN recall too low: {recall}"
 
     def test_topk_is_k_rows_per_query(self, embs):
         q = embs.filter(F.col("vec_id") < 4)
@@ -144,3 +143,17 @@ class TestVacuum:
         assert dropped["task_status"] == 1
         left = j._read("task_status").collect()
         assert len(left) == 1 and left[0].job_id == "new-job"
+
+
+class TestPandasANN:
+    def test_pandas_matmul_matches_expression_topk(self, embs):
+        q = embs.filter(F.col("vec_id") < 8)
+        expr = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.brute_force_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        blas = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.brute_force_topk_pandas(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        assert expr == blas
