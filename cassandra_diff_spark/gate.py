@@ -885,3 +885,63 @@ ORACLES.update({
     "customer_orders_by_nation": _O_CUSTOMER_ORDERS_BY_NATION,
     "parts_by_brand": _O_PARTS_BY_BRAND,
 })
+
+
+def _q_diff_stats_lineitem_set(spark, sf_dir):
+    # wide pair in SET alignment (the scale path): rows pair by
+    # (pk, clustering) regardless of position
+    src_df, tgt_df = lineitem_pair(spark, sf_dir)
+    return build_diff(src_df, tgt_df, LINEITEM_SPEC, align="set").stats
+
+
+_LI_NONKEY = [c for c in LINEITEM_COLS if c not in ("l_orderkey", "l_linenumber")]
+_O_DIFF_STATS_LINEITEM_SET = f"""
+WITH {_LINEITEM_TGT_SQL.strip()},
+s2 AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC, l_shipdate DESC) AS dup
+  FROM lineitem
+),
+t3 AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC, l_shipdate DESC) AS dup
+  FROM tgt
+),
+-- set alignment groups by the full key; duplicate (pk, ck) rows collapse
+-- to one representative exactly like max(struct) does in the engine: the
+-- max(struct) keeps the lexicographically LARGEST row over the
+-- non-key columns in struct order (dup=1 under DESC ordering)
+s4 AS (SELECT * FROM s2 WHERE dup = 1),
+t4 AS (SELECT * FROM t3 WHERE dup = 1),
+j AS (
+  SELECT COALESCE(s.l_orderkey, t.l_orderkey) AS pk,
+         s.l_orderkey IS NOT NULL AS sp, t.l_orderkey IS NOT NULL AS tp,
+         (s.l_orderkey IS NOT NULL AND t.l_orderkey IS NOT NULL) AS ck_eq,
+         CASE WHEN s.l_orderkey IS NOT NULL AND t.l_orderkey IS NOT NULL THEN
+           1 + {_nsd_sum(_LI_NONKEY)}
+         ELSE 0 END AS mv
+  FROM s4 s FULL OUTER JOIN t4 t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber IS NOT DISTINCT FROM t.l_linenumber
+),
+p AS (
+  SELECT pk,
+         MAX(CASE WHEN sp THEN 1 ELSE 0 END) AS has_src,
+         MAX(CASE WHEN tp THEN 1 ELSE 0 END) AS has_tgt,
+         MIN(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS all_ck,
+         SUM(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS mr,
+         SUM(CASE WHEN ck_eq THEN mv ELSE 0 END) AS mv_m,
+         SUM(CASE WHEN ck_eq THEN {len(_LI_REG)} - mv ELSE 0 END) AS mv_x
+  FROM j GROUP BY pk
+),
+c AS (
+  SELECT CASE WHEN has_tgt = 0 THEN 'only_in_source'
+              WHEN has_src = 0 THEN 'only_in_target'
+              WHEN all_ck = 1 AND mv_x = 0 THEN 'matched'
+              ELSE 'mismatched' END AS category,
+         mr, mv_m, mv_x
+  FROM p
+)""" + _stats_select("lineitem", len(_LI_REG))
+
+
+QUERIES["diff_stats_lineitem_set"] = _q_diff_stats_lineitem_set
+ORACLES["diff_stats_lineitem_set"] = _O_DIFF_STATS_LINEITEM_SET

@@ -216,3 +216,53 @@ class TestContinueOnError:
         )
         with pytest.raises(Exception):
             run_job(spark, cfg)
+
+
+class TestMultiTableAndDiscovery:
+    def test_multi_table_job(self, spark, sf_dir, tmp_path):
+        src_dir, tgt_dir = str(tmp_path / "msrc"), str(tmp_path / "mtgt")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders.write.parquet(f"{src_dir}/orders.parquet")
+        li.write.parquet(f"{src_dir}/lineitem.parquet")
+        orders.filter(F.col("o_orderkey") % 97 != 0).write.parquet(f"{tgt_dir}/orders.parquet")
+        li.write.parquet(f"{tgt_dir}/lineitem.parquet")
+        cfg = load_config_text(
+            f"""
+            job_id: multi
+            source: {{provider: parquet, options: {{path: {src_dir}}}}}
+            target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+            keyspace_tables:
+              - {{name: orders, partition_key: [o_orderkey]}}
+              - {{name: lineitem, partition_key: [l_orderkey], clustering: [l_linenumber]}}
+            metadata_options: {{path: {tmp_path / 'mj'}}}
+            retry_options: {{impl: none}}
+            """
+        )
+        res = run_job(spark, cfg)
+        assert set(res.stats) == {"orders", "lineitem"}
+        assert res.stats["orders"].only_in_source > 0
+        assert res.stats["lineitem"].all_matches
+        q = JournalQueries(spark, str(tmp_path / "mj"))
+        assert q.job_results("multi").count() == 2
+        assert q.job_status("multi").count() == 2
+
+    def test_auto_discovery_intersects_table_lists(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.sources.catalog import resolve_tables
+
+        src_dir, tgt_dir = str(tmp_path / "dsrc"), str(tmp_path / "dtgt")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.write.parquet(f"{src_dir}/orders.parquet")
+        orders.write.parquet(f"{src_dir}/src_only.parquet")
+        orders.write.parquet(f"{tgt_dir}/orders.parquet")
+        orders.write.parquet(f"{tgt_dir}/tgt_only.parquet")
+        cfg = load_config_text(
+            f"""
+            source: {{provider: parquet, options: {{path: {src_dir}}}}}
+            target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+            metadata_options: {{path: {tmp_path / 'dj'}}}
+            """
+        )
+        assert cfg.keyspace_tables is None  # null => discover
+        tables, _, _ = resolve_tables(spark, cfg)
+        assert tables == ["orders"]  # intersection minus nothing
