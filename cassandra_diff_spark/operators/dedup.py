@@ -221,16 +221,19 @@ def simhash_near_pairs(
         frames.append(
             a.join(b, "band_key")
             .filter(F.col("id_1") < F.col("id_2"))
+            # hamming filter INSIDE each band join: hot buckets (similar
+            # corpora concentrate sketch values) otherwise quadratic-bloat
+            # the union+distinct input
+            .filter(
+                F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))) <= max_hamming
+            )
             .select("id_1", "id_2", "sh_1", "sh_2")
         )
     cand = reduce(DataFrame.unionByName, frames).distinct()
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_1", "id_2", "hamming")
+    return cand.select(
+        "id_1",
+        "id_2",
+        F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("long").alias("hamming"),
     )
 
 

@@ -266,3 +266,48 @@ class TestMultiTableAndDiscovery:
         assert cfg.keyspace_tables is None  # null => discover
         tables, _, _ = resolve_tables(spark, cfg)
         assert tables == ["orders"]  # intersection minus nothing
+
+
+class TestApiEndpoints:
+    """Remaining §2.9 endpoints: index-replacement scans + error details."""
+
+    @pytest.fixture(scope="class")
+    def journal_with_job(self, spark, pair_dirs, tmp_path_factory):
+        jdir = str(tmp_path_factory.mktemp("apij"))
+        cfg = make_cfg(*pair_dirs, jdir, job_id="api-job")
+        run_job(spark, cfg)
+        j = Journal(spark, jdir)
+        j.record_error("api-job", 0, "orders", 0, token=12345,
+                       error="timeout reading target replica", error_source="TARGET")
+        return jdir
+
+    def test_started_between_and_cluster_indexes(self, spark, journal_with_job):
+        q = JournalQueries(spark, journal_with_job)
+        import datetime as dt
+
+        today = dt.date.today().isoformat()
+        assert q.jobs_started_between("2000-01-01", "2100-01-01").count() == 1
+        assert q.jobs_started_between("1990-01-01", "1999-12-31").count() == 0
+        assert q.jobs_by_target_cluster("parquet").count() == 1
+        assert q.jobs_by_target_cluster("cassandra").count() == 0
+        assert q.jobs_by_keyspace("orders").count() == 1
+        assert q.jobs_by_keyspace("nope").count() == 0
+        assert q.jobs_started_between(today, today).count() == 1
+
+    def test_error_details_with_attribution(self, spark, journal_with_job):
+        q = JournalQueries(spark, journal_with_job)
+        det = q.error_details("api-job").collect()
+        assert len(det) == 1
+        assert det[0].error_source == "TARGET" and det[0].token == 12345
+        assert q.error_summary("api-job").collect()[0].error_count == 1
+        rngs = q.error_ranges("api-job").collect()
+        assert len(rngs) == 1 and rngs[0].split == 0
+
+    def test_results_json_shape(self, spark, journal_with_job):
+        # F10: JSON serialization of the README results shape
+        import json
+
+        q = JournalQueries(spark, journal_with_job)
+        payload = json.loads(q.job_results("api-job").toJSON().first())
+        assert payload["table"] == "orders"
+        assert set(payload) >= {"matched_partitions", "only_in_source", "matched_values"}
