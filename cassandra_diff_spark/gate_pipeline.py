@@ -395,3 +395,47 @@ ORACLES: Dict[str, str] = {
     "multimodal_frames": _O_MULTIMODAL_FRAMES,
     # ann_lsh_topk, multimodal_decode: intentionally no oracle (rows-only)
 }
+
+
+def _q_events_props_extract(spark, sf_dir):
+    # F10 JSON surface: parse the props JSON column, aggregate extracted field
+    from cassandra_diff_spark.gate import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.coalesce(F.sum(k), F.lit(0)).cast("long").alias("sum_k"),
+    )
+
+
+_O_EVENTS_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q_text_quality_flags(spark, sf_dir):
+    # data-validation op: documents whose stored n_chars disagrees with the
+    # actual text length (expected empty on healthy data)
+    d = _docs(spark, sf_dir)
+    return d.filter(F.length("text") != F.col("n_chars")).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("stored"),
+        F.length("text").cast("long").alias("actual"),
+    )
+
+
+_O_TEXT_QUALITY_FLAGS = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS stored,
+       CAST(length(text) AS BIGINT) AS actual
+FROM documents WHERE length(text) <> n_chars
+"""
+
+
+QUERIES["events_props_extract"] = _q_events_props_extract
+QUERIES["text_quality_flags"] = _q_text_quality_flags
+ORACLES["events_props_extract"] = _O_EVENTS_PROPS_EXTRACT
+ORACLES["text_quality_flags"] = _O_TEXT_QUALITY_FLAGS

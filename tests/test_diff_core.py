@@ -351,3 +351,24 @@ class TestSkewSafe:
 
 
 WIDE_1CK_SCHEMA = "pk int, c1 int, v1 string, v2 int"
+
+
+class TestReadmeDemoParity:
+    def test_readme_demo_numbers(self, spark):
+        """The reference's README demo (README.md:47-61): 1,000 identical
+        partitions of cassandra-stress standard1 (binary key + 5 binary
+        cols) must report exactly 1,000 matched partitions, 1,000 matched
+        rows and 6,000 matched values (6 counted columns/row — the
+        'regular includes PK' rule, TableSpec.java:84-87)."""
+        rows = [
+            tuple([bytes([i % 256, i // 256])] + [f"c{j}-{i}".encode() for j in range(5)])
+            for i in range(1000)
+        ]
+        schema = "key binary, C0 binary, C1 binary, C2 binary, C3 binary, C4 binary"
+        df = spark.createDataFrame(rows, schema)
+        spec = TableSpec(name="keyspace1.standard1", partition_key=("key",))
+        st = DiffStats.from_row(build_diff(df, df, spec).stats.collect()[0])
+        assert st == DiffStats(
+            matched_partitions=1000, matched_rows=1000, matched_values=6000
+        )
+        assert st.all_matches
