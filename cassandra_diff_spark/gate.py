@@ -945,3 +945,101 @@ c AS (
 
 QUERIES["diff_stats_lineitem_set"] = _q_diff_stats_lineitem_set
 ORACLES["diff_stats_lineitem_set"] = _O_DIFF_STATS_LINEITEM_SET
+
+
+# ---- composite-pk diff over events (multi-col pk + multi-col clustering) ---
+
+EVENTS_SPEC = TableSpec(
+    name="events",
+    partition_key=("user_id", "event_type"),
+    clustering=("ts", "event_id"),
+)
+
+
+def events_pair(spark: SparkSession, sf_dir: str):
+    """source = events keyed by (user_id, event_type) with (ts, event_id)
+    clustering; target = drop rows event_id %101 (in-partition deletions ->
+    fail-fast), corrupt value on event_id %73."""
+    ev = load_events(spark, sf_dir)
+    e = F.col("event_id")
+    tgt = (
+        ev.filter(e % 101 != 0)
+        .withColumn(
+            "value",
+            F.when(e % 73 == 0, F.col("value") + F.lit(1.0)).otherwise(F.col("value")),
+        )
+    )
+    return ev, tgt
+
+
+def _q_diff_stats_events_composite(spark, sf_dir):
+    src_df, tgt_df = events_pair(spark, sf_dir)
+    return build_diff(src_df, tgt_df, EVENTS_SPEC, align="positional").stats
+
+
+# regular = all minus clustering = (event? no) [user_id, event_type, value, props]
+_EV_REG_NONKEY = ["value", "props"]
+_EV_ORDER_SQL = (
+    "ts ASC NULLS FIRST, event_id ASC NULLS FIRST, "
+    "value ASC NULLS FIRST, props ASC NULLS FIRST"
+)
+_O_DIFF_STATS_EVENTS_COMPOSITE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM events
+),
+tgt AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 73 = 0 THEN value + 1.0 ELSE value END AS value,
+         props
+  FROM ev WHERE event_id % 101 <> 0
+),
+s2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY {_EV_ORDER_SQL}) AS rn
+  FROM ev
+),
+t2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY {_EV_ORDER_SQL}) AS rn
+  FROM tgt
+),
+j AS (
+  SELECT COALESCE(s.user_id, t.user_id) AS pk1,
+         COALESCE(s.event_type, t.event_type) AS pk2,
+         COALESCE(s.rn, t.rn) AS rn,
+         s.rn IS NOT NULL AS sp, t.rn IS NOT NULL AS tp,
+         (s.rn IS NOT NULL AND t.rn IS NOT NULL
+          AND s.ts IS NOT DISTINCT FROM t.ts
+          AND s.event_id IS NOT DISTINCT FROM t.event_id) AS ck_eq,
+         (2 + {_nsd_sum(_EV_REG_NONKEY)}) AS mv
+  FROM s2 s FULL OUTER JOIN t2 t
+    ON s.user_id = t.user_id AND s.event_type = t.event_type AND s.rn = t.rn
+),
+w AS (
+  SELECT *, MIN(CASE WHEN NOT ck_eq THEN rn END)
+              OVER (PARTITION BY pk1, pk2) AS fail_rn
+  FROM j
+),
+p AS (
+  SELECT pk1, pk2,
+         MAX(CASE WHEN sp THEN 1 ELSE 0 END) AS has_src,
+         MAX(CASE WHEN tp THEN 1 ELSE 0 END) AS has_tgt,
+         MIN(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS all_ck,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN 1 ELSE 0 END) AS mr,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN mv ELSE 0 END) AS mv_m,
+         SUM(CASE WHEN ck_eq AND (fail_rn IS NULL OR rn < fail_rn) THEN 4 - mv ELSE 0 END) AS mv_x
+  FROM w GROUP BY pk1, pk2
+),
+c AS (
+  SELECT CASE WHEN has_tgt = 0 THEN 'only_in_source'
+              WHEN has_src = 0 THEN 'only_in_target'
+              WHEN all_ck = 1 AND mv_x = 0 THEN 'matched'
+              ELSE 'mismatched' END AS category,
+         mr, mv_m, mv_x
+  FROM p
+)""" + _stats_select("events", 4)
+
+
+QUERIES["diff_stats_events_composite"] = _q_diff_stats_events_composite
+ORACLES["diff_stats_events_composite"] = _O_DIFF_STATS_EVENTS_COMPOSITE
