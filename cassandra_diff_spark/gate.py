@@ -1043,3 +1043,38 @@ c AS (
 
 QUERIES["diff_stats_events_composite"] = _q_diff_stats_events_composite
 ORACLES["diff_stats_events_composite"] = _O_DIFF_STATS_EVENTS_COMPOSITE
+
+
+def _q_customer_order_gaps(spark, sf_dir):
+    # window-lag pattern: per-customer ordering gaps in days
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.withColumn("gap", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+_O_CUSTOMER_ORDER_GAPS = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+FROM (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC),
+           o_orderdate) AS gap
+  FROM orders
+)
+GROUP BY o_custkey
+"""
+
+QUERIES["customer_order_gaps"] = _q_customer_order_gaps
+ORACLES["customer_order_gaps"] = _O_CUSTOMER_ORDER_GAPS
