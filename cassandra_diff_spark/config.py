@@ -70,6 +70,7 @@ class JobConfig:
     reverse_read_probability: float = 0.0  # order-invariance check rate
     job_id: str = ""
     align: str = "set"
+    skew_safe: bool = False  # shuffle on pk+clustering for hot partitions
     metadata_options: MetadataOptions = field(default_factory=MetadataOptions)
     retry_options: RetryOptions = field(default_factory=RetryOptions)
 
@@ -115,6 +116,7 @@ def parse_config(raw: dict) -> JobConfig:
         reverse_read_probability=float(raw.get("reverse_read_probability", 0.0)),
         job_id=raw.get("job_id", ""),
         align=raw.get("align", "set"),
+        skew_safe=bool(raw.get("skew_safe", False)),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),
     )

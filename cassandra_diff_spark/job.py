@@ -121,6 +121,7 @@ def run_job(
                 res = build_diff(
                     src, tgt, spec,
                     align=cfg.align, token_filter=token_filter, sampler=sampler,
+                    skew_safe=cfg.skew_safe,
                 )
                 # single-action execution: instrument partition_detail with
                 # an Observation so the mismatch write ALSO yields the 9
