@@ -37,12 +37,9 @@ class JournalQueries:
     # ------------------------------------------------------------- jobs
 
     def running_jobs(self) -> list[str]:
-        """GET /jobs/running (DiffJobsResource.java:60-66)."""
-        marker = os.path.join(self.journal.path, "running_jobs", "RUNNING")
-        if not os.path.exists(marker):
-            return []
-        with open(marker) as f:
-            return [f.read().strip()]
+        """GET /jobs/running (DiffJobsResource.java:60-66): one entry per
+        held per-job mutex marker."""
+        return self.journal.running_job_ids()
 
     def recent_jobs(self, limit: int = 10) -> DataFrame:
         """GET /jobs/recent (DiffJobsResource.java:77-92). The reference's

@@ -63,9 +63,16 @@ TOK = arithmetic_token_sql("pk")  # token over the coalesced pk in oracle CTEs
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """The driver supplies its own SparkSession; pin the confs our
-    oracle parity depends on (UTC timestamps) at query-build time."""
+    oracle parity depends on at query-build time. These are deliberate
+    SESSION-WIDE requirements (also set in session.get_spark), not
+    per-read toggles — nanosAsLong affects execution-time parquet
+    decoding, so a save/restore around a lazy read would corrupt later
+    actions. Consequence: TIMESTAMP(NANOS) parquet columns read through
+    this session surface as bigint nanos (convert explicitly, as
+    load_events does)."""
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — read-only conf in exotic setups
         pass
 
@@ -77,11 +84,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and convert to a
-    microsecond timestamp (integer ``div`` — double division would lose
+    parquet reader rejects; nanosAsLong (a session-wide conf, see
+    _ensure_session_confs) surfaces it as bigint nanos, converted here to
+    a microsecond timestamp (integer ``div`` — double division would lose
     precision above 2^53 ns)."""
     _ensure_session_confs(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

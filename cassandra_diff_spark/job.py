@@ -38,6 +38,16 @@ from cassandra_diff_spark.plans.splits import MURMUR3_MAX, MURMUR3_MIN, calculat
 from cassandra_diff_spark.sources.catalog import resolve_tables, table_config_for
 
 
+def job_seed(job_id: str) -> int:
+    """Deterministic per-job sampling seed (SA1). Stable ACROSS processes
+    — builtin hash() is salted by PYTHONHASHSEED and would re-sample a
+    different partition subset on resume; crc32 is process-independent
+    like the reference's jobId.hashCode() (Differ.java:249)."""
+    import zlib
+
+    return zlib.crc32(job_id.encode()) & 0x7FFFFFFF
+
+
 @dataclass
 class JobResult:
     job_id: str
@@ -70,10 +80,10 @@ def run_job(
 
     try:
         tables, src_provider, tgt_provider = resolve_tables(spark, cfg)
-        journal.init_job(cfg, job_id, tables)
 
         # PLAN: equal-width token splits over the xxhash64 ring
         splits = calculate_splits(splits_per_table, cfg.buckets, MURMUR3_MIN, MURMUR3_MAX)
+        journal.init_job(cfg, job_id, tables, planned_splits=len(splits))
         units = spark.createDataFrame(
             [(t, s.split_number, s.bucket, s.start, s.end) for t in tables for s in splits],
             "qualified_table_name string, split int, bucket int, start bigint, end bigint",
@@ -88,9 +98,8 @@ def run_job(
             )
         sampler = None
         if cfg.partition_sampling_probability < 1.0:
-            seed = hash(job_id) & 0x7FFFFFFF  # deterministic per job (SA1)
             sampler = lambda t: sample_predicate(  # noqa: E731
-                t, cfg.partition_sampling_probability, seed
+                t, cfg.partition_sampling_probability, job_seed(job_id)
             )
 
         # EXECUTE

@@ -69,16 +69,26 @@ class Journal:
 
     # ------------------------------------------------------------ lifecycle
 
+    @staticmethod
+    def _marker_name(job_id: str) -> str:
+        """Filesystem-safe marker filename for a job id."""
+        import urllib.parse
+
+        return urllib.parse.quote(job_id, safe="")
+
     def try_acquire_running(self, job_id: str) -> bool:
-        """Job mutex (ST3): the LWT ``INSERT INTO running_jobs IF NOT
-        EXISTS`` (JobMetadataDb.java:366-376) becomes an O_EXCL marker —
-        atomic on any POSIX filesystem; a object-store deployment would
-        use a conditional put."""
+        """Job mutex (ST3): the LWT ``INSERT INTO running_jobs (job_id)
+        ... IF NOT EXISTS`` (JobMetadataDb.java:366-376) becomes a
+        per-job-id O_EXCL marker — atomic on any POSIX filesystem; an
+        object-store deployment would use a conditional put. Like the
+        reference's LWT, this only prevents the SAME job_id from running
+        twice; distinct jobs sharing a journal path run concurrently."""
         d = self._table("running_jobs")
         os.makedirs(d, exist_ok=True)
         try:
             fd = os.open(
-                os.path.join(d, "RUNNING"), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                os.path.join(d, self._marker_name(job_id)),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
             )
             os.write(fd, job_id.encode())
             os.close(fd)
@@ -88,19 +98,46 @@ class Journal:
 
     def mark_not_running(self, job_id: str) -> None:
         """Release on finish/fail (JobMetadataDb.java:471-490; failure path
-        DiffJob.java:190-196)."""
+        DiffJob.java:190-196). Removes only the caller's own marker —
+        a failing job never releases a mutex another job holds."""
         try:
-            os.remove(os.path.join(self._table("running_jobs"), "RUNNING"))
+            os.remove(
+                os.path.join(self._table("running_jobs"), self._marker_name(job_id))
+            )
         except FileNotFoundError:
             pass
 
-    def init_job(self, cfg: JobConfig, job_id: str, tables: list[str]) -> None:
-        """Job summary + params (JobMetadataDb.java:359-430)."""
+    def running_job_ids(self) -> list[str]:
+        """Currently-held mutex markers (SELECT * FROM running_jobs)."""
+        d = self._table("running_jobs")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.append(f.read().strip())
+            except OSError:
+                continue
+        return out
+
+    def init_job(
+        self,
+        cfg: JobConfig,
+        job_id: str,
+        tables: list[str],
+        planned_splits: int | None = None,
+    ) -> None:
+        """Job summary + params (JobMetadataDb.java:359-430).
+        ``planned_splits`` is the ACTUAL per-table split count the planner
+        produced — journaled so job_status's % -complete denominator
+        matches the real work list (cfg.splits is only the requested
+        default)."""
         row = Row(
             job_id=job_id,
             keyspace_tables=json.dumps(tables),
             buckets=cfg.buckets,
-            splits=cfg.splits,
+            splits=planned_splits if planned_splits is not None else cfg.splits,
             source_cluster_name=cfg.source.provider,
             source_cluster_desc=json.dumps(cfg.source.options),
             target_cluster_name=cfg.target.provider,

@@ -102,10 +102,16 @@ class DiffStats:
 
     @property
     def all_matches(self) -> bool:
-        """Job-success predicate (reference: RangeStats.java:180-198)."""
+        """Job-success predicate (reference: RangeStats.java:181-185):
+        skipped_partitions must be 0 too — a run that skipped partitions
+        via token filters is not a verified full match. Deliberate
+        deviation from the reference: ``mismatched_partitions == 0`` is
+        ALSO required here (the reference omits it, relying on
+        mismatched_values to catch those; we check both for safety)."""
         return (
             self.mismatched_partitions == 0
             and self.error_partitions == 0
+            and self.skipped_partitions == 0
             and self.only_in_source == 0
             and self.only_in_target == 0
             and self.mismatched_values == 0

@@ -84,6 +84,8 @@ class TestRunJob:
         )
         status = q.job_status("job-1").collect()[0]
         assert status.completed == 1
+        # denominator is the ACTUAL planned split count, not cfg.splits
+        assert status.total_planned == 1
         assert q.health() == {"status": "healthy"}
         assert q.jobs_by_source_cluster("parquet").count() == 1
         assert q.recent_jobs().count() == 1
@@ -108,16 +110,25 @@ class TestRunJob:
         whole = run_job(spark, cfg1).stats["orders"]
         split = run_job(spark, cfg4, splits_per_table=4).stats["orders"]
         assert whole == split  # token-range splits partition the work exactly
+        status = JournalQueries(spark, str(tmp_path / "j4")).job_status("b").collect()[0]
+        assert status.completed == 4 and status.total_planned == 4
 
-    def test_mutex_blocks_second_job(self, spark, pair_dirs, tmp_path):
+    def test_mutex_blocks_same_job_id_only(self, spark, pair_dirs, tmp_path):
+        # LWT parity (JobMetadataDb.java:366-376): only the SAME job_id
+        # is blocked; distinct jobs sharing a journal path may run
         src_dir, tgt_dir = pair_dirs
         jdir = str(tmp_path / "j5")
         j = Journal(spark, jdir)
-        assert j.try_acquire_running("other-job")
+        assert j.try_acquire_running("blocked")
         cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="blocked")
         with pytest.raises(RuntimeError, match="mutex"):
             run_job(spark, cfg)
-        j.mark_not_running("other-job")
+        other = make_cfg(src_dir, tgt_dir, jdir, job_id="not-blocked")
+        assert run_job(spark, other).stats  # different job_id -> proceeds
+        # releasing another job's mutex is a no-op on ours
+        j.mark_not_running("not-blocked")
+        assert JournalQueries(spark, jdir).running_jobs() == ["blocked"]
+        j.mark_not_running("blocked")
         assert run_job(spark, cfg).stats  # released -> proceeds
 
     def test_sampling_config(self, spark, pair_dirs, tmp_path):
@@ -132,6 +143,24 @@ class TestRunJob:
         assert 0 < sampled.matched_partitions < full.matched_partitions
         # only-in counts unaffected by sampling (RangeComparator.java:93-114)
         assert sampled.only_in_source == full.only_in_source
+
+
+class TestJobSemantics:
+    def test_all_matches_requires_no_skips(self):
+        from cassandra_diff_spark.model import DiffStats
+
+        assert DiffStats(matched_partitions=5).all_matches
+        # RangeStats.java:181-185: skipped partitions => not a full match
+        assert not DiffStats(matched_partitions=5, skipped_partitions=1).all_matches
+        assert not DiffStats(mismatched_partitions=1).all_matches
+
+    def test_sampling_seed_is_process_stable(self):
+        from cassandra_diff_spark.job import job_seed
+
+        # crc32-derived, NOT builtin hash() (PYTHONHASHSEED-salted):
+        # the literal pins cross-process stability
+        assert job_seed("job-1") == 1_279_408_703
+        assert job_seed("job-1") == job_seed("job-1")
 
 
 class TestCatalogOps:
