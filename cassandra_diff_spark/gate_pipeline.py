@@ -250,6 +250,62 @@ WHERE rnk <= 5
 """
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, centroid_mod=32, n_probe=4,
+    )
+
+
+_CENT_PRED = f"{md5_hash64_sql('CAST(vec_id AS VARCHAR)')} % 32 = 0"
+_DOT_X_CT = (
+    "CAST(list_sum([x.qq[i] * ct.cent_q[i] for i in range(1, len(x.qq) + 1)]) AS BIGINT)"
+)
+_O_ANN_IVF_TOPK = f"""
+WITH {_QVEC_CTE.strip()},
+cents AS (
+  SELECT vec_id AS cent_id, qq AS cent_q, nn AS cent_n
+  FROM n0 WHERE {_CENT_PRED}
+),
+ca AS (
+  SELECT c_id, c_q, c_n, cent_id FROM (
+    SELECT x.vec_id AS c_id, x.qq AS c_q, x.nn AS c_n, ct.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY (x.nn - 2 * {_DOT_X_CT} + ct.cent_n) ASC, ct.cent_id ASC
+           ) AS cr
+    FROM n0 x CROSS JOIN cents ct
+  ) WHERE cr <= 1
+),
+qa AS (
+  SELECT q_id, q_q, q_n, cent_id FROM (
+    SELECT x.vec_id AS q_id, x.qq AS q_q, x.nn AS q_n, ct.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY (x.nn - 2 * {_DOT_X_CT} + ct.cent_n) ASC, ct.cent_id ASC
+           ) AS cr
+    FROM n0 x CROSS JOIN cents ct
+    WHERE x.vec_id < 10
+  ) WHERE cr <= 4
+),
+sc AS (
+  SELECT qa.q_id AS query_id, ca.c_id AS neighbor_id,
+         CAST(list_sum([qa.q_q[i] * ca.c_q[i] for i in range(1, len(qa.q_q) + 1)]) AS DOUBLE)
+           / sqrt(CAST(qa.q_n AS DOUBLE) * CAST(ca.c_n AS DOUBLE)) AS cos
+  FROM qa JOIN ca USING (cent_id)
+  WHERE ca.c_id <> qa.q_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM sc
+)
+WHERE rnk <= 5
+"""
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     # approximate ANN — recall vs brute force asserted in tests; the
     # driver records a rows-only check (no oracle entry)
@@ -368,6 +424,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "text_stats": _q_text_stats,
     "text_langid": _q_text_langid,
@@ -387,6 +444,7 @@ ORACLES: Dict[str, str] = {
     "dedup_simhash_pairs": _O_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": _O_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": _O_ANN_COSINE_TOPK,
+    "ann_ivf_topk": _O_ANN_IVF_TOPK,
     "text_stats": _O_TEXT_STATS,
     "text_langid": _O_TEXT_LANGID,
     "text_fingerprint": _O_TEXT_FINGERPRINT,

@@ -173,38 +173,39 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 16,
+    centroid_mod: int = 32,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: the corpus is partitioned into inverted lists by
     nearest centroid; a query scans only its ``n_probe`` nearest lists.
 
-    Centroids are a deterministic sample of the corpus itself (every
-    (n/n_centroids)-th vector by id order) — a stand-in for k-means
-    training, which would slot into the same join shape. All arithmetic is
-    exact-integer (quantized dot / squared distance), reranking exact.
+    Centroids are a deterministic hash-mod sample of the corpus itself —
+    vectors whose md5-hashed id is ``0 (mod centroid_mod)``, i.e. ~1 in
+    ``centroid_mod`` corpus vectors — a stand-in for k-means training,
+    which would slot into the same join shape (Spark ML KMeans.fit on
+    this same sample is the drop-in upgrade). The predicate is a plain
+    filter: NO corpus count, NO global-window ranking — nothing funnels
+    the corpus through one task, and the whole operator stays
+    SQL-reproducible (md5 arithmetic) for the DuckDB oracle.
 
     Scale: the corpus-to-centroid assignment is a broadcast cross join of
-    n_centroids rows; queries likewise. Only bucket-mates are scored —
-    |corpus| / n_centroids * n_probe candidates per query.
+    the sampled centroid set; queries likewise. Only list-mates are
+    scored — |corpus| / n_lists * n_probe candidates per query. Pick
+    ``centroid_mod`` ~ sqrt(|corpus|) so lists and the centroid set
+    balance.
     """
     from pyspark.sql import Window
 
     c = _prep(corpus, id_col, vec_col, "c_")
     q = _prep(queries, id_col, vec_col, "q_")
 
-    # deterministic "training": rank corpus by id, take every n-th vector
-    w_all = Window.orderBy(F.col("c_id"))
-    n_total = corpus.count()
-    step = max(n_total // n_centroids, 1)
-    cents = (
-        c.withColumn("rnk__", F.row_number().over(w_all))
-        .filter(((F.col("rnk__") - 1) % step == 0) & (F.col("rnk__") <= step * n_centroids))
-        .select(
-            F.col("c_id").alias("cent_id"),
-            F.col("c_q").alias("cent_q"),
-            F.col("c_n").alias("cent_n"),
-        )
+    # deterministic hash-mod "training" sample (no count, no global window)
+    cents = c.filter(
+        md5_hash64(F.col("c_id").cast("string")) % centroid_mod == 0
+    ).select(
+        F.col("c_id").alias("cent_id"),
+        F.col("c_q").alias("cent_q"),
+        F.col("c_n").alias("cent_n"),
     )
 
     def assign(side: DataFrame, pre: str, top: int) -> DataFrame:
@@ -232,10 +233,11 @@ def ivf_topk(
     scored = cand.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
         "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
     )
+    # no distinct needed: each corpus vector lives in exactly one list and
+    # a query probes n_probe DISTINCT lists, so (q, c) pairs are unique
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.select("q_id", "c_id", "cos")
-        .distinct()
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
