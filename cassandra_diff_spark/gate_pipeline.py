@@ -208,16 +208,28 @@ _DOT_AB = (
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
+    # default = hyperplane-band blocked plan (the scale path); the oracle
+    # replicates the same banding, so the pair sets agree exactly
     return dedup.embedding_near_pairs(
         _embs(spark, sf_dir), "vec_id", "embedding", min_cos=0.4
     )
 
 
+# one key column per hyperplane band, same literal weights as Spark
+_EMB_KEY_COLS = ", ".join(
+    f"{similarity.hyperplane_band_key_sql('qq', 64, b)} AS k{b}"
+    for b in range(similarity.PLANE_BANDS)
+)
+_EMB_BAND_CONDS = " OR ".join(
+    f"a.k{b} = b.k{b}" for b in range(similarity.PLANE_BANDS)
+)
 _O_DEDUP_EMBEDDING_COSINE = f"""
-WITH {_QVEC_CTE.strip()}
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0)
 SELECT a.vec_id AS id_1, b.vec_id AS id_2, {_DOT_AB} AS dot
-FROM n0 a JOIN n0 b ON a.vec_id < b.vec_id
-WHERE CAST({_DOT_AB} AS DOUBLE) / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= 0.4
+FROM s0 a JOIN s0 b ON a.vec_id < b.vec_id
+WHERE ({_EMB_BAND_CONDS})
+  AND CAST({_DOT_AB} AS DOUBLE) / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= 0.4
 """
 
 # -------------------------------------------------------------- ANN top-k
@@ -307,12 +319,39 @@ WHERE rnk <= 5
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    # approximate ANN — recall vs brute force asserted in tests; the
-    # driver records a rows-only check (no oracle entry)
+    # approximate ANN — the banding + multi-probe is deterministic md5
+    # arithmetic, so the SQL twin replicates the exact candidate set and
+    # the gate hash-matches (recall vs brute force asserted in tests)
     embs = _embs(spark, sf_dir)
     return similarity.hyperplane_lsh_topk(
         embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
     )
+
+
+# candidate iff some band key matches one of the query's multi-probes:
+# xor(c_key, q_key) in PROBE_MASKS (all masks of popcount <= radius)
+_PROBE_SET = ", ".join(str(v) for v in similarity.PROBE_MASKS)
+_LSH_CAND_CONDS = " OR ".join(
+    f"xor(c.k{b}, q.k{b}) IN ({_PROBE_SET})"
+    for b in range(similarity.PLANE_BANDS)
+)
+_O_ANN_LSH_TOPK = f"""
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE) / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM s0 WHERE vec_id < 10) q
+  JOIN s0 c ON c.vec_id <> q.vec_id AND ({_LSH_CAND_CONDS})
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM sc
+)
+WHERE rnk <= 5
+"""
 
 
 # ------------------------------------------------------------ text analysis
@@ -445,13 +484,14 @@ ORACLES: Dict[str, str] = {
     "dedup_embedding_cosine": _O_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": _O_ANN_COSINE_TOPK,
     "ann_ivf_topk": _O_ANN_IVF_TOPK,
+    "ann_lsh_topk": _O_ANN_LSH_TOPK,
     "text_stats": _O_TEXT_STATS,
     "text_langid": _O_TEXT_LANGID,
     "text_fingerprint": _O_TEXT_FINGERPRINT,
     "token_freq_topk": _O_TOKEN_FREQ_TOPK,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_frames": _O_MULTIMODAL_FRAMES,
-    # ann_lsh_topk, multimodal_decode: intentionally no oracle (rows-only)
+    # multimodal_decode: intentionally no oracle (python-side stub kernel)
 }
 
 

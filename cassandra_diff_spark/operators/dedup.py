@@ -3,8 +3,8 @@
   * exact dedup        — fingerprint hash-groupBy
   * n-gram Jaccard     — inverted-index shingle join (exact similarity)
   * MinHash + LSH      — signature sketch, banded bucket join
-  * SimHash            — 32-bit sketch, banded Hamming-neighbor join
-  * embedding cosine   — exact-integer near-duplicate pairs
+  * SimHash            — 60-bit sketch, banded Hamming-neighbor join
+  * embedding cosine   — near-duplicate pairs, hyperplane-band blocked
 
 Design rules:
   * Everything is declarative DataFrame ops (explode/groupBy/join) — the
@@ -52,7 +52,12 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 A = [(1103515245 * (i + 1) + 12345) % 2147483647 for i in range(NUM_PERM)]
 B = [(69069 * (i + 1) + 362437) % 2147483647 for i in range(NUM_PERM)]
 
-SIMHASH_BITS = 32
+# 60-bit SimHash (the md5-based token hash supplies 60 meaningful bits)
+# in 4 bands of 15 bits: 32,768 buckets per band. At 32 bits / 8-bit
+# bands (the old sizing) only 256 buckets existed per band — bucket
+# occupancy ~n/256 makes the within-bucket compare quadratic at corpus
+# scale. Pigeonhole losslessness (max_hamming < bands) is unchanged.
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
@@ -179,9 +184,10 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash over whitespace tokens (counted with
-    multiplicity): bit b is 1 iff the sum of ±1 votes of token-hash bit b
-    is positive. Single shuffle (groupBy id, partial sums map-side)."""
+    """(id, simhash) — SIMHASH_BITS-bit SimHash over whitespace tokens
+    (counted with multiplicity): bit b is 1 iff the sum of ±1 votes of
+    token-hash bit b is positive. Single shuffle (groupBy id, partial
+    sums map-side)."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("t"),
@@ -206,7 +212,7 @@ def simhash_near_pairs(
     """Pairs with Hamming(simhash) <= max_hamming via banded join: with
     SIMHASH_BANDS=4 bands, any pair within Hamming distance 3 agrees
     exactly on >=1 band (pigeonhole), so the banded plan is lossless vs
-    brute force while joining only on 8-bit band keys."""
+    brute force while joining only on 15-bit band keys."""
     assert max_hamming < SIMHASH_BANDS, "banding lossless only for h < bands"
     sh = simhash(df, id_col, text_col).cache()
     frames = []
@@ -245,27 +251,67 @@ def embedding_near_pairs(
     vec_col: str,
     min_cos: float,
     block_col: str | None = None,
+    exact: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate embedding pairs by cosine >= min_cos, on quantized
     integer vectors (exact dot/norms; deterministic double cosine).
 
-    ``block_col``: optional blocking key (e.g. a cluster/label id) so the
-    self-join is per-block instead of all-pairs — the scale path; None
-    does the exact O(n^2) comparison.
+    Blocking is the DEFAULT: candidate pairs must share at least one
+    random-hyperplane signature band (similarity.hyperplane_band_keys —
+    8 bands of 8 bits), so the self-join runs on band keys instead of
+    all-pairs; true near-duplicates (cos ~1) agree on a full byte of
+    planes with high probability per band. Deterministic md5-derived
+    weights keep the banding SQL-reproducible for the oracle.
+
+    ``block_col``: caller-supplied blocking key (e.g. a cluster/label
+    id) used INSTEAD of the signature bands. ``exact=True`` opts into
+    the O(n^2) cross join — correct but driver-of-last-resort at scale.
     """
+    from cassandra_diff_spark.operators.similarity import (
+        PLANE_BANDS,
+        hyperplane_band_keys,
+    )
+
     base = df.select(
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("q"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("nrm", sq_norm(F.col("q")))
-    on = ["blk"] if block_col else []
-    a = base.select(F.col("id").alias("id_1"), F.col("q").alias("q_1"), F.col("nrm").alias("n_1"), *on)
-    b = base.select(F.col("id").alias("id_2"), F.col("q").alias("q_2"), F.col("nrm").alias("n_2"), *on)
-    j = a.join(b, on=on) if on else a.crossJoin(b)
-    return (
-        j.filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("dot", int_dot(F.col("q_1"), F.col("q_2")))
-        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("n_1"), F.col("n_2")))
-        .filter(F.col("cos") >= F.lit(min_cos))
-        .select("id_1", "id_2", "dot")
-    )
+
+    def pair_frame(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+        j = a.join(b, on=on) if on else a.crossJoin(b)
+        return (
+            j.filter(F.col("id_1") < F.col("id_2"))
+            .withColumn("dot", int_dot(F.col("q_1"), F.col("q_2")))
+            .withColumn("cos", cosine_from_int(F.col("dot"), F.col("n_1"), F.col("n_2")))
+            .filter(F.col("cos") >= F.lit(min_cos))
+            .select("id_1", "id_2", "dot")
+        )
+
+    def side(b_: DataFrame, i: int, extra: list[str]) -> DataFrame:
+        return b_.select(
+            F.col("id").alias(f"id_{i}"),
+            F.col("q").alias(f"q_{i}"),
+            F.col("nrm").alias(f"n_{i}"),
+            *extra,
+        )
+
+    if block_col is not None:
+        return pair_frame(side(base, 1, ["blk"]), side(base, 2, ["blk"]), ["blk"])
+    if exact:
+        return pair_frame(side(base, 1, []), side(base, 2, []), [])
+
+    sig = base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim))
+    frames = []
+    for band in range(PLANE_BANDS):
+        key = F.element_at(F.col("keys"), band + 1).alias("band_key")
+        banded = sig.select("id", "q", "nrm", key)
+        # cosine filter INSIDE each band join: hot buckets never bloat
+        # the union+distinct input with sub-threshold pairs
+        frames.append(
+            pair_frame(side(banded, 1, ["band_key"]), side(banded, 2, ["band_key"]), ["band_key"])
+        )
+    # dot is a function of the pair, so distinct over (id_1, id_2, dot)
+    # dedupes multi-band hits without a vector rejoin
+    return reduce(DataFrame.unionByName, frames).distinct()

@@ -29,9 +29,27 @@ from cassandra_diff_spark.functions.vectors import (
     sq_norm,
 )
 
-N_PLANES = 16
-PLANE_BANDS = 4
+# 64 planes in 8 bands of 8 bits: 256 buckets per band (was 16 planes /
+# 4-bit keys — 16 buckets per band is nearly global at corpus scale: the
+# old multi-probe plan touched ~n*20/16 > n candidate rows per query).
+# Wider keys cost per-band recall; 8 bands + radius-2 multi-probe on the
+# TINY query side buys it back while probing ~14% of the corpus
+# (8 bands x 37 probes / 2048 bucket-fractions).
+N_PLANES = 64
+PLANE_BANDS = 8
 PLANE_BAND_BITS = N_PLANES // PLANE_BANDS
+PROBE_RADIUS = 2
+
+#: XOR masks within Hamming distance PROBE_RADIUS of a band key, in
+#: popcount-then-value order (0 first = the exact bucket).
+PROBE_MASKS: list[int] = sorted(
+    (
+        m
+        for m in range(1 << PLANE_BAND_BITS)
+        if bin(m).count("1") <= PROBE_RADIUS
+    ),
+    key=lambda m: (bin(m).count("1"), m),
+)
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -71,24 +89,56 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_q, dim: int):
-    """Deterministic random-hyperplane signature of a quantized vector:
+def hyperplane_band_keys(vec_q, dim: int):
+    """Deterministic random-hyperplane band keys of a quantized vector:
     plane p weight for dim d = (md5_hash64(concat(p,'_',d)) % 2001) - 1000;
-    bit p = 1 iff the integer projection is positive."""
-    bits = []
-    for p in range(N_PLANES):
-        terms = [
-            (
-                F.element_at(vec_q, d + 1)
-                * F.lit(
-                    _plane_weight(p, d)
-                )
-            )
-            for d in range(dim)
+    bit = 1 iff the integer projection is positive. Returns an
+    ``array<long>`` of PLANE_BANDS keys; band b packs planes
+    b*BITS .. b*BITS+BITS-1, plane b*BITS+r contributing bit 2^r.
+
+    Built with higher-order functions over a LITERAL weight matrix so the
+    expression tree is O(bands), not O(planes*dim) — 64x64 unrolled terms
+    would blow past whole-stage-codegen method limits. Per-band keys also
+    stay < 2^8, so no 64-bit sign games anywhere."""
+    w_matrix = F.array(
+        *[
+            F.array(*[F.lit(_plane_weight(p, d)).cast("long") for d in range(dim)])
+            for p in range(N_PLANES)
         ]
-        proj = reduce(lambda a, b: a + b, terms)
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
-    return reduce(lambda a, b: a + b, bits)
+    )
+
+    def band_key(b):
+        bits_desc = F.sequence(F.lit(PLANE_BAND_BITS - 1), F.lit(0), F.lit(-1))
+        bits = F.transform(
+            bits_desc,
+            lambda r: F.when(
+                int_dot(
+                    vec_q,
+                    F.element_at(
+                        w_matrix, (b * PLANE_BAND_BITS + r + 1).cast("int")
+                    ),
+                )
+                > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PLANE_BANDS - 1)), lambda b: band_key(b)
+    )
+
+
+def hyperplane_band_key_sql(vec_expr: str, dim: int, band: int) -> str:
+    """DuckDB twin of one band key of :func:`hyperplane_band_keys`: same
+    literal weights, same positive-projection bits, one unrolled sum."""
+    terms = []
+    for r in range(PLANE_BAND_BITS):
+        p = band * PLANE_BAND_BITS + r
+        wl = "[" + ", ".join(str(_plane_weight(p, d)) for d in range(dim)) + "]"
+        proj = f"list_sum([({vec_expr})[i] * ({wl})[i] for i in range(1, {dim} + 1)])"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 _weight_cache: dict[tuple[int, int], int] = {}
@@ -117,40 +167,48 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus vectors sharing at least
     one signature band (PLANE_BANDS bands of PLANE_BAND_BITS planes) with
-    the query, reranked by exact cosine. Trades recall for joining on
-    4-bit band keys instead of the full corpus.
+    the query, reranked by exact cosine. Joins on 8-bit band keys — each
+    probed bucket holds ~|corpus|/256, and the probe set covers
+    PLANE_BANDS * |PROBE_MASKS| / (PLANE_BANDS * 256) ~ 14% of the
+    corpus, vs the full corpus for brute force.
 
-    ``multi_probe``: the query side also probes every band key at Hamming
-    distance 1 (each plane bit flipped) — the classic multi-probe LSH
-    trick: (1 + band_bits)x more candidate buckets per band on the TINY
-    query side only, measured ~+20pp recall on uniform random embeddings.
+    ``multi_probe``: the query side also probes every band key within
+    Hamming distance PROBE_RADIUS (classic multi-probe LSH): |PROBE_MASKS|
+    buckets per band on the TINY query side only — this is what buys the
+    recall back after widening the band keys from 4 to 8 bits.
+
+    Scale shape: the band joins carry ONLY (q_id, c_id) into the
+    dedup — the full vectors are re-attached afterwards (queries by
+    broadcast, corpus by one id-equi-join), so the distinct shuffles id
+    pairs, never vectors.
     """
     c = _prep(corpus, id_col, vec_col, "c_").withColumn(
-        "c_sig", hyperplane_signature(F.col("c_q"), dim)
+        "c_keys", hyperplane_band_keys(F.col("c_q"), dim)
     )
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
-        "q_sig", hyperplane_signature(F.col("q_q"), dim)
+        "q_keys", hyperplane_band_keys(F.col("q_q"), dim)
     )
-    mask = (1 << PLANE_BAND_BITS) - 1
     frames = []
     for band in range(PLANE_BANDS):
-        ckey = F.shiftright(F.col("c_sig"), band * PLANE_BAND_BITS).bitwiseAND(F.lit(mask))
-        qkey = F.shiftright(F.col("q_sig"), band * PLANE_BAND_BITS).bitwiseAND(F.lit(mask))
+        ckey = F.element_at(F.col("c_keys"), band + 1)
+        qkey = F.element_at(F.col("q_keys"), band + 1)
         if multi_probe:
-            probes = F.array(
-                qkey, *[qkey.bitwiseXOR(F.lit(1 << b)) for b in range(PLANE_BAND_BITS)]
-            )
+            probes = F.array(*[qkey.bitwiseXOR(F.lit(m)) for m in PROBE_MASKS])
             qb = q.withColumn("band_key", F.explode(probes))
         else:
             qb = q.withColumn("band_key", qkey)
         frames.append(
-            c.withColumn("band_key", ckey).join(F.broadcast(qb), "band_key")
+            c.withColumn("band_key", ckey)
+            .join(F.broadcast(qb.select("q_id", "band_key")), "band_key")
+            .select("q_id", "c_id")
         )
-    cand = (
+    cand_ids = (
         reduce(DataFrame.unionByName, frames)
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "q_q", "q_n", "c_id", "c_q", "c_n")
         .distinct()
+    )
+    cand = cand_ids.join(c.select("c_id", "c_q", "c_n"), "c_id").join(
+        F.broadcast(q.select("q_id", "q_q", "q_n")), "q_id"
     )
     scored = cand.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
         "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
