@@ -84,12 +84,57 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# the default df cap (1000) is part of the operator's semantics now, so
+# the oracle encodes it too (no shingle exceeds it at gate SFs, but the
+# SQL twin must match the plan, not the coincidence)
 _O_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLE_CTE.strip()},
-sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT * FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1000)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS intersect_n
-  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, intersect_n,
+       CAST(s1.sz + s2.sz - intersect_n AS BIGINT) AS union_n
+FROM inter
+JOIN sz s1 ON s1.doc_id = id_1
+JOIN sz s2 ON s2.doc_id = id_2
+WHERE intersect_n * 5 >= 4 * (s1.sz + s2.sz - intersect_n)
+"""
+
+
+def _q_dedup_jaccard_capped(spark, sf_dir):
+    # stop-shingle stress: every doc gets the same boilerplate prefix;
+    # with df_limit=100 << |docs| the boilerplate shingles are dropped,
+    # keeping the inverted-index join subquadratic — the oracle applies
+    # the identical frequency cap in SQL
+    d = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("shared boilerplate header line "), F.col("text"))
+    )
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold_num=4, threshold_den=5, df_limit=100
+    )
+
+
+_CAPPED_TEXT = "'shared boilerplate header line ' || text"
+_O_DEDUP_JACCARD_CAPPED = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql(_CAPPED_TEXT, 3)}) AS s FROM documents)
+),
+shc AS (
+  SELECT * FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 100)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_1, id_2, intersect_n,
@@ -457,6 +502,7 @@ def _q_multimodal_decode(spark, sf_dir):
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "minhash_signatures": _q_minhash_signatures,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     "dedup_simhash": _q_dedup_simhash,
@@ -477,6 +523,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: Dict[str, str] = {
     "dedup_exact": _O_DEDUP_EXACT,
     "dedup_ngram_jaccard": _O_DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_capped": _O_DEDUP_JACCARD_CAPPED,
     "minhash_signatures": _O_MINHASH_SIGNATURES,
     "dedup_minhash_lsh": _O_DEDUP_MINHASH_LSH,
     "dedup_simhash": _O_DEDUP_SIMHASH,

@@ -100,6 +100,14 @@ def shingle_set(
     return sh.distinct() if distinct else sh
 
 
+def cap_hot_shingles(sh: DataFrame, df_limit: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_limit`` (the
+    stop-shingle guard): after this, no join key fans out past
+    df_limit^2 rows, bounding the inverted-index self-join."""
+    hot = sh.groupBy("h").count().filter(F.col("count") > df_limit).select("h")
+    return sh.join(hot, "h", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -107,7 +115,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
-    df_limit: int | None = None,
+    df_limit: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted shingle index.
 
@@ -115,15 +123,17 @@ def ngram_jaccard_pairs(
     jaccard >= threshold_num/threshold_den, compared by exact integer
     cross-multiplication (no floats).
 
-    ``df_limit``: optional document-frequency cap — shingles occurring in
-    more than this many docs are dropped before the self-join (standard
+    ``df_limit``: document-frequency cap — shingles occurring in more
+    than this many docs are dropped before the self-join (standard
     stop-shingle guard: a shingle shared by f docs contributes f^2 join
-    rows; at 100 TB this cap is what keeps the plan subquadratic).
+    rows; at 100 TB this cap is what keeps the plan subquadratic). ON BY
+    DEFAULT (1000) so one hot shingle — a boilerplate header, the empty
+    string — can't quadratic-blow the index; pass ``None`` to opt out
+    for exact set semantics on trusted corpora.
     """
     sh = shingle_set(df, id_col, text_col, n)
     if df_limit is not None:
-        hot = sh.groupBy("h").count().filter(F.col("count") > df_limit).select("h")
-        sh = sh.join(hot, "h", "left_anti")
+        sh = cap_hot_shingles(sh, df_limit)
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
 
     a = sh.select(F.col("id").alias("id_1"), "h")

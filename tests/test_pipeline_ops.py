@@ -54,10 +54,23 @@ class TestDedup:
         assert len(pairs) == 1 and pairs[0].hamming == 0
 
     def test_ngram_df_limit_prunes_hot_shingles(self, docs):
-        # with a df cap the pair set can only shrink, never grow
-        full = dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count()
+        # with a tighter df cap the pair set can only shrink, never grow
+        full = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", df_limit=None).count()
         capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", df_limit=50).count()
         assert capped <= full
+
+    def test_df_cap_bounds_join_input(self, docs):
+        # inject a corpus-wide boilerplate prefix -> hot shingles whose
+        # doc frequency is the whole corpus; the cap provably bounds the
+        # max join-key fan-out to df_limit
+        boiler = docs.withColumn(
+            "text", F.concat(F.lit("shared boilerplate header line "), F.col("text"))
+        )
+        sh = dedup.shingle_set(boiler, "doc_id", "text", 3)
+        max_df = sh.groupBy("h").count().agg(F.max("count")).first()[0]
+        assert max_df > 100, "boilerplate should create hot shingles"
+        capped = dedup.cap_hot_shingles(sh, 100)
+        assert capped.groupBy("h").count().agg(F.max("count")).first()[0] <= 100
 
 
 class TestSimilarity:
