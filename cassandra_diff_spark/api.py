@@ -41,6 +41,13 @@ class JournalQueries:
         held per-job mutex marker."""
         return self.journal.running_job_ids()
 
+    def running_job_summaries(self) -> DataFrame:
+        """GET /jobs/running (DiffJobsResource.java:67-72): full summary
+        rows for currently-running jobs."""
+        ids = self.running_jobs()
+        df = self._read("job_summary")
+        return df.filter(F.col("job_id").isin(ids)) if ids else df.limit(0)
+
     def recent_jobs(self, limit: int = 10) -> DataFrame:
         """GET /jobs/recent (DiffJobsResource.java:77-92). The reference's
         widening 30/60/90-day window loop collapses to orderBy+limit over
@@ -113,9 +120,10 @@ class JournalQueries:
 
     # -------------------------------------------- index-replacement scans
 
-    def jobs_started_between(self, start_date: str, end_date: str) -> DataFrame:
-        """GET /jobs/startedBetween (DiffJobsResource.java:151-163;
-        replaces the day+hour fan-out of DBService.java:287-297)."""
+    def jobs_started_between(self, start_date: str, end_date: str = "9999-12-31") -> DataFrame:
+        """GET /jobs/by-start-date/{after}[/{before}]
+        (DiffJobsResource.java:143-163; replaces the day+hour fan-out of
+        DBService.java:287-297). One-arg form = open upper bound."""
         return self._read("job_summary").filter(
             (F.col("start_date") >= start_date) & (F.col("start_date") <= end_date)
         )
