@@ -115,8 +115,8 @@ def run_job(
                     partition_key=tcfg.partition_key,
                     clustering=tcfg.clustering,
                 )
-                src = src_provider.read_table(spark, table)
-                tgt = tgt_provider.read_table(spark, table)
+                src = _tagged_read(src_provider, spark, table, "SOURCE")
+                tgt = _tagged_read(tgt_provider, spark, table, "TARGET")
                 spec.validate_against(src.columns, tgt.columns)  # P9
 
                 if splits_per_table > 1:
@@ -190,12 +190,27 @@ def run_job(
         raise
 
 
+def _tagged_read(provider, spark: SparkSession, table: str, side: str) -> DataFrame:
+    """Wrap one side's read in a SourceTaggedError so attribution is a
+    typed fact, not a message-text guess (ClusterSourcedException.java)."""
+    from cassandra_diff_spark.errors import SourceTaggedError
+
+    try:
+        return provider.read_table(spark, table)
+    except Exception as e:  # noqa: BLE001
+        raise SourceTaggedError(side, e) from e
+
+
 def _attribute_error(e: Exception) -> str:
-    """ST6: source/target attribution from the error message chain
-    (ClusterSourcedException unwrap, JobMetadataDb.java:249-257)."""
-    msg = str(e).lower()
-    if "target" in msg:
-        return "TARGET"
-    if "source" in msg:
-        return "SOURCE"
+    """ST6: source/target attribution by exception TYPE
+    (ClusterSourcedException unwrap, JobMetadataDb.java:249-257). Errors
+    not raised through a tagged provider read — plan build, journal
+    writes — are honestly UNKNOWN; the old string-match heuristic is
+    gone (any message containing the word 'target' misattributed)."""
+    from cassandra_diff_spark.errors import SourceTaggedError
+
+    while e is not None:
+        if isinstance(e, SourceTaggedError):
+            return e.source
+        e = e.__cause__
     return "UNKNOWN"

@@ -198,8 +198,9 @@ class Journal:
         self._append(
             "task_errors",
             self.spark.createDataFrame(
-                [(job_id, bucket, table, split)],
-                "job_id string, bucket int, qualified_table_name string, split int",
+                [(job_id, bucket, table, split, error_source)],
+                "job_id string, bucket int, qualified_table_name string, "
+                "split int, error_source string",
             ),
         )
         if token is not None:

@@ -247,6 +247,41 @@ class TestContinueOnError:
             run_job(spark, cfg)
 
 
+class TestErrorAttribution:
+    def test_typed_tag_beats_message_text(self, spark, sf_dir, tmp_path):
+        # a SOURCE-side failure whose message contains the word "target"
+        # (the path) — the old string heuristic misattributed this; the
+        # typed SourceTaggedError cannot (ClusterSourcedException parity)
+        from pyspark.sql import functions as F
+
+        tgt_dir = str(tmp_path / "good-target")
+        spark.read.parquet(f"{sf_dir}/orders.parquet").write.parquet(
+            f"{tgt_dir}/orders.parquet"
+        )
+        cfg = make_cfg(
+            str(tmp_path / "target-mirror-missing"),  # nonexistent source
+            tgt_dir,
+            str(tmp_path / "jattr"),
+            job_id="attr-job",
+        )
+        run_job(spark, cfg, continue_on_error=True)
+        q = JournalQueries(spark, str(tmp_path / "jattr"))
+        errs = q._read("task_errors").collect()
+        assert len(errs) == 1 and errs[0].error_source == "SOURCE"
+
+    def test_attribute_unwraps_cause_chain(self):
+        from cassandra_diff_spark.errors import SourceTaggedError
+        from cassandra_diff_spark.job import _attribute_error
+
+        tagged = SourceTaggedError("TARGET", ValueError("source went away"))
+        assert _attribute_error(tagged) == "TARGET"
+        wrapped = RuntimeError("outer")
+        wrapped.__cause__ = tagged
+        assert _attribute_error(wrapped) == "TARGET"
+        # no tag anywhere -> UNKNOWN even if the text says "target"
+        assert _attribute_error(RuntimeError("target timeout")) == "UNKNOWN"
+
+
 class TestMultiTableAndDiscovery:
     def test_multi_table_job(self, spark, sf_dir, tmp_path):
         src_dir, tgt_dir = str(tmp_path / "msrc"), str(tmp_path / "mtgt")
