@@ -33,7 +33,7 @@ from cassandra_diff_spark.functions.keys import (
 )
 from cassandra_diff_spark.journal import Journal
 from cassandra_diff_spark.model import STAT_FIELDS, DiffStats, TableSpec
-from cassandra_diff_spark.operators.diff import build_diff
+from cassandra_diff_spark.operators.diff import build_diff, order_invariance_check
 from cassandra_diff_spark.plans.splits import MURMUR3_MAX, MURMUR3_MIN, calculate_splits
 from cassandra_diff_spark.sources.catalog import resolve_tables, table_config_for
 
@@ -158,6 +158,39 @@ def run_job(
                     job_id, unit.bucket, table, unit.split,
                     {f: getattr(stats, f) for f in STAT_FIELDS}, unit.end,
                 )
+
+                # S3 runtime wiring: with probability p per job config,
+                # re-read (a sample of) partitions in REVERSE clustering
+                # order and require the same comparison outcome — the
+                # reference's reverse-read check (Differ.java:219-225,
+                # localconfig.yaml:24). A divergence (e.g. a fail-fast
+                # prefix that differs end-from-start) is journaled as a
+                # task error; the unit itself stays completed, matching
+                # the reference's record-and-continue behavior.
+                if cfg.reverse_read_probability > 0.0 and spec.clustering:
+                    rev_sampler = None
+                    if cfg.reverse_read_probability < 1.0:
+                        # pair-consistent sample, seed distinct from SA1's
+                        rev_sampler = lambda t: sample_predicate(  # noqa: E731,B023
+                            t,
+                            cfg.reverse_read_probability,
+                            job_seed(job_id) ^ 0x5EED,
+                        )
+                    fwd_s, rev_s = order_invariance_check(
+                        src, tgt, spec, sampler=rev_sampler
+                    )
+                    f_row, r_row = fwd_s.collect()[0], rev_s.collect()[0]
+                    diverged = {
+                        x: (f_row[x], r_row[x])
+                        for x in STAT_FIELDS
+                        if f_row[x] != r_row[x]
+                    }
+                    if diverged:
+                        journal.record_error(
+                            job_id, unit.bucket, table, unit.split, None,
+                            f"order-invariance divergence: {diverged}",
+                            error_source="UNKNOWN",
+                        )
             except Exception as e:  # noqa: BLE001 — S10 error sink
                 journal.record_error(
                     job_id, unit.bucket, table, unit.split, None, str(e),

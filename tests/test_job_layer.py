@@ -247,6 +247,59 @@ class TestContinueOnError:
             run_job(spark, cfg)
 
 
+class TestReverseReadCheck:
+    """S3 wired into the job: reverse_read_probability triggers the
+    order-invariance pass (Differ.java:219-225, localconfig.yaml:24)."""
+
+    def _dirs(self, spark, tmp_path, src_rows, tgt_rows):
+        schema = "pk long, ck long, v string"
+        src_dir, tgt_dir = str(tmp_path / "rsrc"), str(tmp_path / "rtgt")
+        spark.createDataFrame(src_rows, schema).write.parquet(f"{src_dir}/t.parquet")
+        spark.createDataFrame(tgt_rows, schema).write.parquet(f"{tgt_dir}/t.parquet")
+        return src_dir, tgt_dir
+
+    def _cfg(self, src_dir, tgt_dir, jdir, job_id):
+        return load_config_text(
+            f"""
+            job_id: {job_id}
+            source: {{provider: parquet, options: {{path: {src_dir}}}}}
+            target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+            keyspace_tables:
+              - {{name: t, partition_key: [pk], clustering: [ck]}}
+            metadata_options: {{path: {jdir}}}
+            retry_options: {{impl: none}}
+            reverse_read_probability: 1.0
+            """
+        )
+
+    def test_divergence_caught_only_by_reverse_pass(self, spark, tmp_path):
+        # dropping the LAST clustering row: the forward fail-fast prefix
+        # still matches row (1,1) then hits the length mismatch, but the
+        # REVERSE read pairs (1,2) against (1,1) at position 1 — a
+        # different outcome (0 matched rows vs 1), which is exactly the
+        # order-sensitivity the reverse pass exists to expose
+        src_dir, tgt_dir = self._dirs(
+            spark, tmp_path,
+            [(1, 1, "a"), (1, 2, "b"), (2, 1, "x")],
+            [(1, 1, "a"), (2, 1, "x")],
+        )
+        jdir = str(tmp_path / "jrev")
+        run_job(spark, self._cfg(src_dir, tgt_dir, jdir, "rev-job"))
+        errs = Journal(spark, jdir)._read("task_errors").collect()
+        assert len(errs) == 1
+        det = JournalQueries(spark, jdir)
+        # divergence recorded; the unit itself still completed
+        assert det.job_status("rev-job").collect()[0].completed == 1
+
+    def test_clean_data_no_divergence(self, spark, tmp_path):
+        rows = [(1, 1, "a"), (1, 2, "b"), (2, 1, "x")]
+        src_dir, tgt_dir = self._dirs(spark, tmp_path, rows, rows)
+        jdir = str(tmp_path / "jrev2")
+        res = run_job(spark, self._cfg(src_dir, tgt_dir, jdir, "rev-clean"))
+        assert res.stats["t"].all_matches
+        assert Journal(spark, jdir)._read("task_errors") is None
+
+
 class TestErrorAttribution:
     def test_typed_tag_beats_message_text(self, spark, sf_dir, tmp_path):
         # a SOURCE-side failure whose message contains the word "target"
