@@ -63,6 +63,7 @@ def run_job(
     cfg: JobConfig,
     *,
     splits_per_table: int = 1,
+    mid_split_chunks: int = 1,
     rerun: bool = False,
     continue_on_error: bool = False,
     post_job_hook=None,
@@ -70,7 +71,12 @@ def run_job(
     """``continue_on_error``: journal the failed unit (S10) and keep
     processing the rest — the reference's error-partition pattern
     (RangeComparator onError + rerun-for-errors resume); failed units stay
-    un-journaled as completed, so a rerun picks exactly them up."""
+    un-journaled as completed, so a rerun picks exactly them up.
+
+    ``mid_split_chunks``: > 1 executes each (table, split) unit as that
+    many contiguous token sub-ranges with a journaled high-watermark
+    after each — resume then skips work below the watermark INSIDE a
+    split (ST2 mid-split resume). Use when one split is hours of work."""
     job_id = cfg.resolved_job_id()
     journal = Journal(spark, cfg.metadata_options.path, cfg.retry_options)
 
@@ -119,41 +125,76 @@ def run_job(
                 tgt = _tagged_read(tgt_provider, spark, table, "TARGET")
                 spec.validate_against(src.columns, tgt.columns)  # P9
 
+                pk = list(spec.partition_key)
                 if splits_per_table > 1:
                     # split prefilter — same half-open range on both sides
-                    pk = list(spec.partition_key)
-                    rng = lambda df: df.filter(  # noqa: E731
+                    rng = lambda df: df.filter(  # noqa: E731,B023
                         token_range_predicate(token_expr(pk), unit.start, unit.end)
                     )
                     src, tgt = rng(src), rng(tgt)
 
-                res = build_diff(
-                    src, tgt, spec,
-                    align=cfg.align, token_filter=token_filter, sampler=sampler,
-                    skew_safe=cfg.skew_safe,
-                )
-                # single-action execution: instrument partition_detail with
-                # an Observation so the mismatch write ALSO yields the 9
-                # counters — the diff plan runs once, not twice (the
-                # custom-rule opportunity noted in SURVEY.md §4, realized
-                # with observe() instead of a Catalyst rule)
-                from pyspark.sql import Observation
+                def _diff_range(s_df, t_df):
+                    # single-action execution: instrument partition_detail
+                    # with an Observation so the mismatch write ALSO yields
+                    # the 9 counters — the diff plan runs once, not twice
+                    # (the custom-rule opportunity noted in SURVEY.md §4,
+                    # realized with observe() instead of a Catalyst rule)
+                    from pyspark.sql import Observation
 
-                from cassandra_diff_spark.operators.diff import (
-                    mismatches_from_detail,
-                    stats_observation_exprs,
-                )
+                    from cassandra_diff_spark.operators.diff import (
+                        mismatches_from_detail,
+                        stats_observation_exprs,
+                    )
 
-                obs = Observation()
-                detail = res.partition_detail.observe(
-                    obs, *stats_observation_exprs()
-                )
-                mm = mismatches_from_detail(detail, list(spec.partition_key))
-                wrote = journal.record_mismatches(job_id, unit.bucket, table, mm)
-                if wrote:
-                    stats = DiffStats(**obs.get)
-                else:  # journal sink failed — fall back to a direct action
-                    stats = DiffStats.from_row(res.stats.collect()[0])
+                    res = build_diff(
+                        s_df, t_df, spec,
+                        align=cfg.align, token_filter=token_filter,
+                        sampler=sampler, skew_safe=cfg.skew_safe,
+                    )
+                    obs = Observation()
+                    detail = res.partition_detail.observe(
+                        obs, *stats_observation_exprs()
+                    )
+                    mm = mismatches_from_detail(detail, pk)
+                    wrote = journal.record_mismatches(job_id, unit.bucket, table, mm)
+                    if wrote:
+                        return DiffStats(**obs.get)
+                    # journal sink failed — fall back to a direct action
+                    return DiffStats.from_row(res.stats.collect()[0])
+
+                if mid_split_chunks > 1:
+                    # ST2 mid-split resume: the split runs as contiguous
+                    # token sub-ranges; each finished chunk journals a
+                    # high-watermark token + partial stats, and a resumed
+                    # run skips every chunk at-or-below the watermark —
+                    # the Spark-native envelope of the reference's
+                    # checkpoint-every-10-partitions last_token CAS
+                    # (RangeComparator.java:215-243, resume
+                    # Differ.java:161-171 / JobMetadataDb.java:182-217).
+                    # Journaling is at-least-once: a crash between the
+                    # mismatch write and the progress write re-runs that
+                    # one chunk (same envelope as the reference).
+                    chunks = [
+                        (c.start, c.end)
+                        for c in calculate_splits(
+                            mid_split_chunks, 1, unit.start, unit.end
+                        )
+                    ]
+                    watermark = journal.split_watermark(job_id, table, unit.split)
+                    stats = journal.progress_stats(
+                        job_id, table, unit.split
+                    ) or DiffStats()
+                    for cs, ce in chunks:
+                        if watermark is not None and ce <= watermark:
+                            continue  # journaled by a previous run
+                        pred = token_range_predicate(token_expr(pk), cs, ce)
+                        chunk_stats = _diff_range(src.filter(pred), tgt.filter(pred))
+                        stats.accumulate(chunk_stats)
+                        journal.record_progress(
+                            job_id, unit.bucket, table, unit.split, ce, chunk_stats
+                        )
+                else:
+                    stats = _diff_range(src, tgt)
                 journal.update_task_status(
                     job_id, unit.bucket, table, unit.split,
                     {f: getattr(stats, f) for f in STAT_FIELDS}, unit.end,

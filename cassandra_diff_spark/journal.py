@@ -177,6 +177,75 @@ class Journal:
         )
         self._append("task_status", df)
 
+    def record_progress(
+        self,
+        job_id: str,
+        bucket: int,
+        table: str,
+        split: int,
+        last_token: int,
+        stats: object,
+    ) -> None:
+        """ST2 mid-split checkpoint: one row per finished sub-range of a
+        split — high-watermark token + that chunk's partial counters
+        (reference: last_token checkpoint every 10 partitions,
+        RangeComparator.java:215-243 / JobMetadataDb.java:182-217)."""
+        row = {
+            "job_id": job_id,
+            "bucket": bucket,
+            "qualified_table_name": table,
+            "split": split,
+            "last_token": int(last_token),
+            "ts": None,
+            **{f: int(getattr(stats, f, 0)) for f in STAT_FIELDS},
+        }
+        df = self.spark.createDataFrame([row], TASK_STATUS_SCHEMA).withColumn(
+            "ts", F.current_timestamp()
+        )
+        self._append("task_progress", df)
+
+    def split_watermark(self, job_id: str, table: str, split: int) -> int | None:
+        """Highest journaled last_token for an in-flight split, or None
+        (resume prefilter: Differ.java:161-171)."""
+        tp = self._read("task_progress")
+        if tp is None:
+            return None
+        row = (
+            tp.filter(
+                (F.col("job_id") == job_id)
+                & (F.col("qualified_table_name") == table)
+                & (F.col("split") == split)
+            )
+            .agg(F.max("last_token"))
+            .first()
+        )
+        return row[0] if row and row[0] is not None else None
+
+    def progress_stats(self, job_id: str, table: str, split: int):
+        """Sum of journaled per-chunk counters for a split (dedup by
+        last_token first: at-least-once journaling can duplicate a chunk
+        row after a crash between writes), or None if no progress."""
+        from cassandra_diff_spark.model import DiffStats
+
+        tp = self._read("task_progress")
+        if tp is None:
+            return None
+        per_chunk = (
+            tp.filter(
+                (F.col("job_id") == job_id)
+                & (F.col("qualified_table_name") == table)
+                & (F.col("split") == split)
+            )
+            .groupBy("last_token")
+            .agg(*[F.max(f).alias(f) for f in STAT_FIELDS])
+        )
+        row = per_chunk.agg(
+            F.count("*").alias("n__"), *[F.sum(f).alias(f) for f in STAT_FIELDS]
+        ).first()
+        if row is None or row["n__"] == 0:
+            return None
+        return DiffStats(**{f: int(row[f]) for f in STAT_FIELDS})
+
     def record_mismatches(self, job_id: str, bucket: int, table: str, mismatches: DataFrame) -> None:
         """S9: bulk mismatch sink — the join output filtered to mismatch
         rows, written distributed (no driver loop)."""

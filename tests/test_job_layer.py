@@ -247,6 +247,57 @@ class TestContinueOnError:
             run_job(spark, cfg)
 
 
+class TestMidSplitResume:
+    """ST2 mid-split resume: high-watermark chunks inside one split
+    (reference: Differ.java:161-171, RangeComparator.java:215-243)."""
+
+    def test_chunked_equals_whole(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        whole = run_job(
+            spark, make_cfg(src_dir, tgt_dir, str(tmp_path / "jw"), job_id="w")
+        ).stats["orders"]
+        chunked = run_job(
+            spark,
+            make_cfg(src_dir, tgt_dir, str(tmp_path / "jc"), job_id="c"),
+            mid_split_chunks=5,
+        ).stats["orders"]
+        assert whole == chunked  # chunk ranges partition the ring exactly
+
+    def test_kill_and_resume_scans_only_remainder(self, spark, pair_dirs, tmp_path, monkeypatch):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jmid")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="mid-job")
+        baseline = run_job(
+            spark, make_cfg(src_dir, tgt_dir, str(tmp_path / "jmb"), job_id="mb")
+        ).stats["orders"]
+
+        orig = Journal.record_progress
+        calls = {"n": 0}
+
+        def crashing(self, *a, **k):
+            orig(self, *a, **k)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(Journal, "record_progress", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_job(spark, cfg, mid_split_chunks=4)
+
+        # resume with the same job_id: watermark = 2nd chunk end, so the
+        # second run scans ONLY the remaining 2 of 4 chunks
+        calls2 = {"n": 0}
+
+        def counting(self, *a, **k):
+            calls2["n"] += 1
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(Journal, "record_progress", counting)
+        res = run_job(spark, cfg, mid_split_chunks=4)
+        assert calls2["n"] == 2, "resume must skip chunks below the watermark"
+        assert res.stats["orders"] == baseline  # journaled + fresh chunks sum exactly
+
+
 class TestReverseReadCheck:
     """S3 wired into the job: reverse_read_probability triggers the
     order-invariance pass (Differ.java:219-225, localconfig.yaml:24)."""
