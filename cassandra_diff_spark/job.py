@@ -85,6 +85,7 @@ def run_job(
         raise RuntimeError("another job holds the running_jobs mutex")
 
     try:
+        apply_rate_limit(spark, cfg)
         tables, src_provider, tgt_provider = resolve_tables(spark, cfg)
 
         # PLAN: equal-width token splits over the xxhash64 ring
@@ -262,6 +263,19 @@ def run_job(
     except Exception:
         journal.mark_not_running(job_id)  # DiffJob.java:190-196
         raise
+
+
+def apply_rate_limit(spark: SparkSession, cfg: JobConfig) -> None:
+    """ST4: map the job's global read budget onto the Cassandra
+    connector's throttle (``spark.cassandra.input.reads_per_sec``) when
+    either side reads from Cassandra — the reference enforces the same
+    q/s budget with a Guava RateLimiter (DiffJob.java:153,
+    Differ.java:105, DiffCluster.java:172). For file/catalog sources the
+    key is a documented no-op: bulk columnar scans have no per-partition
+    request rate to budget; Spark's scheduler already bounds parallelism
+    via executor slots."""
+    if "cassandra" in (cfg.source.provider, cfg.target.provider):
+        spark.conf.set("spark.cassandra.input.reads_per_sec", str(cfg.rate_limit))
 
 
 def _tagged_read(provider, spark: SparkSession, table: str, side: str) -> DataFrame:

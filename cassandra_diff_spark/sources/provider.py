@@ -94,10 +94,29 @@ class CassandraSourceProvider:
                 "on the classpath"
             ) from e
 
-    def list_tables(self, spark: SparkSession) -> list[str]:  # pragma: no cover
-        raise NotImplementedError(
-            "table discovery for cassandra requires connector system-table access"
-        )
+    def list_tables(self, spark: SparkSession) -> list[str]:
+        """Auto-discovery from cluster metadata: the connector's view of
+        ``system_schema.tables`` filtered to this keyspace (reference:
+        Schema.java:27-38 reads the same system table via the driver).
+        Requires the connector jar; without it the underlying
+        ``format(...).load()`` fails and is re-raised with context."""
+        try:
+            df = (
+                spark.read.format("org.apache.spark.sql.cassandra")
+                .options(keyspace="system_schema", table="tables")
+                .load()
+            )
+            rows = (
+                df.filter(df.keyspace_name == self.keyspace)
+                .select("table_name")
+                .collect()
+            )
+        except Exception as e:
+            raise RuntimeError(
+                "cassandra table discovery requires the "
+                "spark-cassandra-connector jar on the classpath"
+            ) from e
+        return sorted(f"{self.keyspace}.{r.table_name}" for r in rows)
 
 
 register_provider("parquet", ParquetSourceProvider)

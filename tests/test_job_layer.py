@@ -351,6 +351,39 @@ class TestReverseReadCheck:
         assert Journal(spark, jdir)._read("task_errors") is None
 
 
+class TestRateLimitAndProviders:
+    def test_rate_limit_maps_to_connector_conf(self, spark):
+        from cassandra_diff_spark.config import parse_config
+        from cassandra_diff_spark.job import apply_rate_limit
+
+        cfg = parse_config(
+            {
+                "source": {"provider": "cassandra", "options": {"keyspace": "ks"}},
+                "target": {"provider": "parquet", "options": {"path": "/tmp/x"}},
+                "rate_limit": 1234,
+            }
+        )
+        apply_rate_limit(spark, cfg)
+        assert spark.conf.get("spark.cassandra.input.reads_per_sec") == "1234"
+        # file-only jobs leave the throttle untouched (documented no-op)
+        cfg2 = parse_config(
+            {
+                "source": {"provider": "parquet", "options": {"path": "/tmp/a"}},
+                "target": {"provider": "parquet", "options": {"path": "/tmp/b"}},
+                "rate_limit": 99,
+            }
+        )
+        apply_rate_limit(spark, cfg2)
+        assert spark.conf.get("spark.cassandra.input.reads_per_sec") == "1234"
+
+    def test_cassandra_discovery_gated_on_connector(self, spark):
+        from cassandra_diff_spark.sources.provider import CassandraSourceProvider
+
+        p = CassandraSourceProvider({"keyspace": "ks"})
+        with pytest.raises(RuntimeError, match="connector"):
+            p.list_tables(spark)  # jar absent in this container
+
+
 class TestErrorAttribution:
     def test_typed_tag_beats_message_text(self, spark, sf_dir, tmp_path):
         # a SOURCE-side failure whose message contains the word "target"
