@@ -20,6 +20,7 @@ from cassandra_diff_spark.functions.text import (
     fingerprint_sql,
     langid,
     langid_sql,
+    md5_hash64,
     md5_hash64_sql,
     n_punct,
     n_punct_sql,
@@ -578,6 +579,51 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS stored,
        CAST(length(text) AS BIGINT) AS actual
 FROM documents WHERE length(text) <> n_chars
 """
+
+
+def _q_resume_pending(spark, sf_dir):
+    """P7 resume anti-join under the gate: a deterministic synthetic
+    (table x split) grid with a hash-selected completed subset, run
+    through the REAL pending_units function (journal.py) — the one §2
+    semantic previously guarded only by pytest."""
+    from cassandra_diff_spark.journal import pending_units
+
+    tables = spark.createDataFrame(
+        [("orders",), ("lineitem",), ("events",)], "qualified_table_name string"
+    )
+    splits = spark.range(32).select(F.col("id").cast("int").alias("split"))
+    units = tables.crossJoin(splits)
+    key = md5_hash64(
+        F.concat_ws(
+            "_", F.col("qualified_table_name"), F.col("split").cast("string")
+        )
+    )
+    done = units.filter(key % 3 == 0)
+    return pending_units(units, done).select(
+        "qualified_table_name", F.col("split").cast("long").alias("split")
+    )
+
+
+_O_RESUME_PENDING = f"""
+WITH units AS (
+  SELECT t AS qualified_table_name, CAST(s AS INT) AS split
+  FROM (VALUES ('orders'), ('lineitem'), ('events')) AS tb(t)
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS s)
+),
+done AS (
+  SELECT * FROM units
+  WHERE {md5_hash64_sql("qualified_table_name || '_' || CAST(split AS VARCHAR)")} % 3 = 0
+)
+SELECT qualified_table_name, CAST(split AS BIGINT) AS split
+FROM units u
+WHERE NOT EXISTS (
+  SELECT 1 FROM done d
+  WHERE d.qualified_table_name = u.qualified_table_name AND d.split = u.split
+)
+"""
+
+QUERIES["resume_pending"] = _q_resume_pending
+ORACLES["resume_pending"] = _O_RESUME_PENDING
 
 
 QUERIES["events_props_extract"] = _q_events_props_extract

@@ -299,12 +299,9 @@ class Journal:
         (Differ.filterTables, Differ.java:263-285). ``rerun`` reprocesses
         completed units (rerun-for-errors mode, Differ.java:166-169)."""
         done = self.completed_units(job_id)
-        if done is None or rerun:
-            return units
-        done = done.filter(F.col("job_id") == job_id).select(
-            "qualified_table_name", "split"
-        )
-        return units.join(done, ["qualified_table_name", "split"], "left_anti")
+        if done is not None:
+            done = done.filter(F.col("job_id") == job_id)
+        return pending_units(units, done, rerun=rerun)
 
     # ---------------------------------------------------------------- views
 
@@ -318,6 +315,22 @@ class Journal:
             .groupBy("job_id", "qualified_table_name")
             .agg(F.count("*").cast("long").alias("completed"))
         )
+
+
+def pending_units(
+    units: DataFrame, done: DataFrame | None, rerun: bool = False
+) -> DataFrame:
+    """P7 resume anti-join, pure form: drop every (table, split) unit
+    already present in ``done`` (Differ.filterTables, Differ.java:263-285).
+    Exposed standalone so the semantics are oracle-checkable without a
+    journal directory."""
+    if done is None or rerun:
+        return units
+    return units.join(
+        done.select("qualified_table_name", "split"),
+        ["qualified_table_name", "split"],
+        "left_anti",
+    )
 
 
 def vacuum(
