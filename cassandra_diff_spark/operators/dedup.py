@@ -278,10 +278,7 @@ def embedding_near_pairs(
     id) used INSTEAD of the signature bands. ``exact=True`` opts into
     the O(n^2) cross join — correct but driver-of-last-resort at scale.
     """
-    from cassandra_diff_spark.operators.similarity import (
-        PLANE_BANDS,
-        hyperplane_band_keys,
-    )
+    from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
 
     base = df.select(
         F.col(id_col).alias("id"),
@@ -312,16 +309,43 @@ def embedding_near_pairs(
     if exact:
         return pair_frame(side(base, 1, []), side(base, 2, []), [])
 
+    # ONE pass: posexplode the band-key array and self-join ids on the
+    # composite (band, band_key) — the corpus is scanned once, the band
+    # join moves only (id, band, key) triples, and vectors are attached
+    # AFTER the candidate pairs are deduped (so no vector ever rides
+    # through the band shuffle or the distinct)
     sig = base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim))
-    frames = []
-    for band in range(PLANE_BANDS):
-        key = F.element_at(F.col("keys"), band + 1).alias("band_key")
-        banded = sig.select("id", "q", "nrm", key)
-        # cosine filter INSIDE each band join: hot buckets never bloat
-        # the union+distinct input with sub-threshold pairs
-        frames.append(
-            pair_frame(side(banded, 1, ["band_key"]), side(banded, 2, ["band_key"]), ["band_key"])
+    kb = sig.select("id", F.posexplode(F.col("keys")).alias("band", "band_key"))
+    cand = (
+        kb.select(F.col("id").alias("id_1"), "band", "band_key")
+        .join(
+            kb.select(F.col("id").alias("id_2"), "band", "band_key"),
+            ["band", "band_key"],
         )
-    # dot is a function of the pair, so distinct over (id_1, id_2, dot)
-    # dedupes multi-band hits without a vector rejoin
-    return reduce(DataFrame.unionByName, frames).distinct()
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    vecs = base.select("id", "q", "nrm")
+    return (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_1"),
+                F.col("q").alias("q_1"),
+                F.col("nrm").alias("n_1"),
+            ),
+            "id_1",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_2"),
+                F.col("q").alias("q_2"),
+                F.col("nrm").alias("n_2"),
+            ),
+            "id_2",
+        )
+        .withColumn("dot", int_dot(F.col("q_1"), F.col("q_2")))
+        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("n_1"), F.col("n_2")))
+        .filter(F.col("cos") >= F.lit(min_cos))
+        .select("id_1", "id_2", "dot")
+    )
