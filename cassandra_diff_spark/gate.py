@@ -1085,3 +1085,194 @@ GROUP BY o_custkey
 
 QUERIES["customer_order_gaps"] = _q_customer_order_gaps
 ORACLES["customer_order_gaps"] = _O_CUSTOMER_ORDER_GAPS
+
+
+# ---- TPC-H-shaped multi-way joins (round 2 additions) ----------------------
+# Q5/Q10/Q14/Q18/Q19 shapes adapted to the synthetic schema; money sums are
+# integer cents (the engine-wide float discipline), ratios are emitted as
+# numerator/denominator pairs instead of doubles.
+
+def _q_q5_local_supplier(spark, sf_dir):
+    # TPC-H Q5 shape: 6-way join where customer and supplier must share a
+    # nation; region/nation are broadcast dims, the orders–lineitem join
+    # carries the bulk
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+
+
+_O_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _q_q10_returned_items(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    # deterministic tiebreak (revenue desc, custkey asc) keeps the LIMIT
+    # oracle-stable
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_O_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q_q14_promo_effect(spark, sf_dir):
+    # TPC-H Q14 shape: conditional vs total revenue over a part join —
+    # emitted as an exact cents pair, not a floating ratio
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    promo = F.col("p_type") == "PROMO"
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.coalesce(F.sum(F.when(promo, rev)), F.lit(0)).cast("long").alias("promo_revenue_c"),
+        F.coalesce(F.sum(rev), F.lit(0)).cast("long").alias("total_revenue_c"),
+    )
+
+
+_O_Q14 = """
+SELECT
+  CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) END), 0) AS BIGINT)
+    AS promo_revenue_c,
+  CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+    AS total_revenue_c
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+def _q_q18_large_volume(spark, sf_dir):
+    # TPC-H Q18 shape: HAVING over a grouped sub-agg, then joins — the
+    # classic "semi-join on an aggregate" plan
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > 250 * 100)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("total_qty_c").cast("long").alias("total_qty_c"),
+        )
+    )
+
+
+_O_Q18 = """
+SELECT c_custkey, c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(total_qty_c AS BIGINT) AS total_qty_c
+FROM (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty_c > 25000
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _q_q19_discounted_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: disjunctive bracket predicates across the join —
+    # exercises OR-of-ANDs pushdown through a join
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#12") & (q >= 1) & (q <= 11) & (sz <= 5))
+        | ((br == "Brand#23") & (q >= 10) & (q <= 20) & (sz <= 10))
+        | ((br == "Brand#34") & (q >= 20) & (q <= 30) & (sz <= 15))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return j.filter(cond).agg(
+        F.coalesce(F.sum(rev), F.lit(0)).cast("long").alias("revenue_c"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+_O_Q19 = """
+SELECT
+  CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
+QUERIES["q5_local_supplier"] = _q_q5_local_supplier
+ORACLES["q5_local_supplier"] = _O_Q5
+QUERIES["q10_returned_items"] = _q_q10_returned_items
+ORACLES["q10_returned_items"] = _O_Q10
+QUERIES["q14_promo_effect"] = _q_q14_promo_effect
+ORACLES["q14_promo_effect"] = _O_Q14
+QUERIES["q18_large_volume"] = _q_q18_large_volume
+ORACLES["q18_large_volume"] = _O_Q18
+QUERIES["q19_discounted_revenue"] = _q_q19_discounted_revenue
+ORACLES["q19_discounted_revenue"] = _O_Q19
