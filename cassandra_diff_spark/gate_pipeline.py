@@ -581,6 +581,41 @@ FROM documents WHERE length(text) <> n_chars
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # near-dup pairs (MinHash LSH) -> connected components; cluster_id is
+    # the min doc_id of the component = the dedup survivor
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.dedup_clusters(pairs)
+
+
+# transitive closure via recursive CTE: min reachable id per node — the
+# brute-force twin of the iterative min-label propagation
+_O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_BAND_CONDS}
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION ALL
+  SELECT id_2, id_1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+QUERIES["dedup_clusters"] = _q_dedup_clusters
+ORACLES["dedup_clusters"] = _O_DEDUP_CLUSTERS
+
+
 def _q_resume_pending(spark, sf_dir):
     """P7 resume anti-join under the gate: a deterministic synthetic
     (table x split) grid with a hash-selected completed subset, run

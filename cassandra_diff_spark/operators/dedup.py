@@ -253,6 +253,67 @@ def simhash_near_pairs(
     )
 
 
+# ------------------------------------------------------ cluster resolution
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) by iterative min-label propagation: every node's label
+    converges to the minimum id in its component — which doubles as the
+    survivorship rule (keep ``id == cluster_id``).
+
+    One round = one join (edges x labels) + one min-aggregation; the
+    loop exits as soon as a round changes no label, after at most
+    component-diameter rounds. Near-dup components are short chains of
+    duplicates, so convergence is fast; this is a deliberately ITERATIVE
+    operator (driver-side loop with an action per round — the Spark
+    idiom for fixpoint algorithms; a Catalyst plan cannot express
+    recursion). Labels are cached per round and unpersisted after use.
+
+    Input: (id_1, id_2) pair frame (any extra columns ignored).
+    Output: (id, cluster_id) for every id appearing in a pair.
+    """
+    e = pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy("b")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("b", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------- embedding near-dup pairs
 
 def embedding_near_pairs(

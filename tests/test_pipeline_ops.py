@@ -59,6 +59,13 @@ class TestDedup:
         capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", df_limit=50).count()
         assert capped <= full
 
+    def test_clusters_resolve_chains(self, spark):
+        # chain 1-2-3 collapses transitively even though (1,3) was never
+        # a pair; disjoint pair (7,8) stays its own cluster
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_1 long, id_2 long")
+        res = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+        assert res == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
     def test_df_cap_bounds_join_input(self, docs):
         # inject a corpus-wide boilerplate prefix -> hot shingles whose
         # doc frequency is the whole corpus; the cap provably bounds the
