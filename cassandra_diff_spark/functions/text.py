@@ -170,3 +170,29 @@ def langid_sql(expr: str) -> str:
         clauses.append("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
     # evaluated top-down: first matching lang wins, same as the Spark fold
     return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ------------------------------------------------------- BPE-ish tokenizing
+
+#: Pre-tokenization pattern BPE vocabularies are trained over: letter
+#: runs, SINGLE digits (GPT-style digit splitting), single non-space
+#: punctuation. Restricted to constructs Java regex and RE2/DuckDB
+#: interpret identically (no lookahead, no \p classes).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """array<string> of BPE-ish pre-tokens of a text column."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def n_bpe_tokens(col: Column) -> Column:
+    """BPE-ish token count — the cost estimator a training-data pipeline
+    budgets corpus size with (whitespace words undercount punctuated
+    text; this splits punctuation and digits the way BPE pre-tokenizers
+    do)."""
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+def n_bpe_tokens_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_PATTERN}')) AS BIGINT)"

@@ -581,6 +581,32 @@ FROM documents WHERE length(text) <> n_chars
 """
 
 
+def _q_text_bpe_tokens(spark, sf_dir):
+    # BPE-ish token budgeting: subword-pretoken count vs whitespace words
+    from cassandra_diff_spark.functions.text import n_bpe_tokens
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        n_bpe_tokens(F.col("text")).alias("n_bpe"),
+        n_words(F.col("text")).alias("n_words"),
+    )
+
+
+def _make_o_text_bpe() -> str:
+    from cassandra_diff_spark.functions.text import n_bpe_tokens_sql
+
+    return f"""
+SELECT doc_id, {n_bpe_tokens_sql('text')} AS n_bpe,
+       {n_words_sql('text')} AS n_words
+FROM documents
+"""
+
+
+QUERIES["text_bpe_tokens"] = _q_text_bpe_tokens
+ORACLES["text_bpe_tokens"] = _make_o_text_bpe()
+
+
 def _q_dedup_clusters(spark, sf_dir):
     # near-dup pairs (MinHash LSH) -> connected components; cluster_id is
     # the min doc_id of the component = the dedup survivor
