@@ -27,13 +27,33 @@ _KNUTH = 2654435761
 _MERSENNE = 2305843009213693951  # 2^61 - 1
 
 
-def token_expr(pk_cols: Sequence[str]) -> Column:
-    """Default token: xxhash64 over the partition-key columns.
+def token_expr(
+    pk_cols: Sequence[str],
+    partitioner: str = "xxhash64",
+    cql_types: Sequence[str] | None = None,
+) -> Column:
+    """Token over the partition-key columns.
 
-    64-bit, JVM-side, consistent across executors — the engine's analog of
-    the Murmur3 token ring [Long.MIN, Long.MAX].
+    ``partitioner="xxhash64"`` (default): JVM-side, codegen'd, consistent
+    across executors — the engine's analog of the Murmur3 token ring
+    [Long.MIN, Long.MAX]; the right choice for self-consistent diffs.
+
+    ``partitioner="murmur3"``: REAL Cassandra Murmur3Partitioner tokens
+    (functions/murmur3.py, vector-verified against the public driver test
+    suite) — required when ``specific_tokens`` lists or split bounds come
+    from a live cluster. Needs ``cql_types`` (one CQL type per pk column,
+    e.g. ["bigint"]) to serialize keys the way token() does. Arrow-batched
+    Python — the opt-in parity path, not the hot path.
     """
-    return F.xxhash64(*[F.col(c) for c in pk_cols])
+    if partitioner == "xxhash64":
+        return F.xxhash64(*[F.col(c) for c in pk_cols])
+    if partitioner == "murmur3":
+        from cassandra_diff_spark.functions.murmur3 import murmur3_token
+
+        if cql_types is None:
+            raise ValueError("murmur3 partitioner requires cql_types")
+        return murmur3_token(list(pk_cols), list(cql_types))
+    raise ValueError(f"unknown partitioner {partitioner!r}")
 
 
 def arithmetic_token(pk_col: str) -> Column:
