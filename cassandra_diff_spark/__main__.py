@@ -3,7 +3,9 @@
 
     python -m cassandra_diff_spark <config.yaml> [--rerun]
                                    [--splits-per-table N]
+                                   [--mid-split-chunks N]
                                    [--continue-on-error]
+                                   [--serve [PORT]]
 
 Prints one JSON line per table with the 9 RangeStats counters, then a
 job summary line; exit code 0 iff every table fully matches
@@ -27,7 +29,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("config", help="YAML job configuration file")
     ap.add_argument("--rerun", action="store_true", help="reprocess completed units")
     ap.add_argument("--splits-per-table", type=int, default=1)
+    ap.add_argument(
+        "--mid-split-chunks", type=int, default=1,
+        help="journal a resume watermark every 1/N of each split (ST2)",
+    )
     ap.add_argument("--continue-on-error", action="store_true")
+    ap.add_argument(
+        "--serve", type=int, nargs="?", const=8089, default=None, metavar="PORT",
+        help="after the job, serve the journal's REST API on PORT",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -36,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         cfg,
         splits_per_table=args.splits_per_table,
+        mid_split_chunks=args.mid_split_chunks,
         rerun=args.rerun,
         continue_on_error=args.continue_on_error,
     )
@@ -50,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
+    if args.serve is not None:
+        import threading
+
+        from cassandra_diff_spark.http_api import start_server
+
+        _, port = start_server(spark, cfg.metadata_options.path, args.serve)
+        print(f"serving diff API on http://127.0.0.1:{port}", file=sys.stderr)
+        threading.Event().wait()
     return 0 if result.all_matches else 1
 
 
