@@ -581,6 +581,55 @@ FROM documents WHERE length(text) <> n_chars
 """
 
 
+def _q_text_quality_score(spark, sf_dir):
+    """Composite document-quality score (the keep/drop signal a pretrain
+    pipeline filters on), in exact integer milli-units: stopword density
+    + length band + punctuation sanity. All-Catalyst; the SQL twin is the
+    same integer arithmetic."""
+    d = _docs(spark, sf_dir)
+    nw = n_words(F.col("text"))
+    sw = stopword_hits(F.col("text"), STOPWORDS["en"])
+    np_ = n_punct(F.col("text"))
+    # each component in [0, 1000]; divisions FLOORED before any further
+    # arithmetic so Spark matches DuckDB's integer // exactly
+    stop_density = F.when(
+        nw > 0, F.least(F.floor(sw * 5000 / nw), F.lit(1000))
+    ).otherwise(0)
+    length_band = F.when((nw >= 20) & (nw <= 5000), 1000).otherwise(
+        F.when(nw > 0, 300).otherwise(0)
+    )
+    punct_sanity = F.when(
+        nw > 0, F.greatest(F.lit(0), 1000 - F.floor(np_ * 2000 / nw))
+    ).otherwise(0)
+    score = F.floor(
+        (stop_density.cast("long") + length_band.cast("long") + punct_sanity.cast("long"))
+        / 3
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        score.alias("quality_milli"),
+        (score >= 500).alias("keep"),
+    )
+
+
+def _make_o_text_quality_score() -> str:
+    nw = n_words_sql("text")
+    sw = stopword_hits_sql("text", STOPWORDS["en"])
+    np_ = n_punct_sql("text")
+    stop_density = f"CASE WHEN {nw} > 0 THEN LEAST({sw} * 5000 // {nw}, 1000) ELSE 0 END"
+    length_band = f"CASE WHEN {nw} >= 20 AND {nw} <= 5000 THEN 1000 WHEN {nw} > 0 THEN 300 ELSE 0 END"
+    punct_sanity = f"CASE WHEN {nw} > 0 THEN GREATEST(0, 1000 - {np_} * 2000 // {nw}) ELSE 0 END"
+    score = f"CAST((({stop_density}) + ({length_band}) + ({punct_sanity})) // 3 AS BIGINT)"
+    return f"""
+SELECT doc_id, {score} AS quality_milli, ({score}) >= 500 AS keep
+FROM documents
+"""
+
+
+QUERIES["text_quality_score"] = _q_text_quality_score
+ORACLES["text_quality_score"] = _make_o_text_quality_score()
+
+
 def _q_text_bpe_tokens(spark, sf_dir):
     # BPE-ish token budgeting: subword-pretoken count vs whitespace words
     from cassandra_diff_spark.functions.text import n_bpe_tokens

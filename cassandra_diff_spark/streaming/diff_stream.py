@@ -103,6 +103,28 @@ _TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"
 
 
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-seen exact dedup of a document STREAM: fingerprint each
+    record (functions/text.fingerprint — same normalization as the batch
+    ``exact_dedup``) and emit only the first occurrence. State is bounded
+    by the watermark: a duplicate arriving later than ``watermark`` after
+    its original re-emits — the standard streaming-dedup tradeoff
+    (``dropDuplicatesWithinWatermark`` semantics). The batch operator
+    remains the exactness baseline; this is the ingest-time guard."""
+    from cassandra_diff_spark.functions.text import fingerprint
+
+    return (
+        stream.withColumn("fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + value sum across micro-batches."""

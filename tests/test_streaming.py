@@ -139,3 +139,36 @@ def test_running_user_totals_stateful(spark, events_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_exact_dedup_first_seen(spark, tmp_path):
+    from cassandra_diff_spark.streaming.diff_stream import stream_exact_dedup
+
+    d = str(tmp_path / "docstream")
+    # every text value appears twice under different doc_ids
+    rows = [
+        (i, f"2024-01-01 00:{i % 60:02d}:00", f"text number {i // 2}")
+        for i in range(200)
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, ts string, text string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(d)
+    q = (
+        stream_exact_dedup(stream, "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT fp) AS n_fp FROM sdedup"
+    ).first()
+    assert out.n == 100 and out.n_fp == 100  # one survivor per duplicate set
