@@ -199,15 +199,16 @@ tok AS (
   SELECT doc_id, {md5_hash64_sql('t')} AS h
   FROM (SELECT doc_id, unnest({words_sql('text')}) AS t FROM documents)
 )"""
+# same bit-sum formulation as the Spark plan: bit b set iff 2*s_b > n
 _VOTE_COLS = ", ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-    for b in range(SIMHASH_BITS)
+    f"SUM((h >> {b}) & 1) AS s{b}" for b in range(SIMHASH_BITS)
 )
 _BIT_SUM = " + ".join(
-    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    f"(CASE WHEN 2 * s{b} > n__ THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
 )
 _SIMHASH_CTE = f"""
-v AS (SELECT doc_id, {_VOTE_COLS} FROM tok GROUP BY doc_id),
+v AS (SELECT doc_id, COUNT(*) AS n__, {_VOTE_COLS} FROM tok GROUP BY doc_id),
 sh2 AS (SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM v)"""
 
 

@@ -176,19 +176,38 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on ALL rows of at
-    least one signature band (classic banding; BANDS equi-joins unioned —
-    never an all-pairs comparison, so the plan scales with bucket sizes,
-    not n^2)."""
-    sig = minhash_signatures(df, id_col, text_col, n).cache()
-    pair_frames = []
-    for band in range(BANDS):
-        cols = [f"sig_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        a = sig.select(F.col("id").alias("id_1"), *cols)
-        b = sig.select(F.col("id").alias("id_2"), *cols)
-        pair_frames.append(
-            a.join(b, on=cols).filter(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
-        )
-    return reduce(DataFrame.unionByName, pair_frames).distinct()
+    least one signature band (classic banding — never an all-pairs
+    comparison, so the plan scales with bucket sizes, not n^2).
+
+    Physical shape: ONE self-join on posexploded (band, band_key) rows,
+    band_key = struct of the band's signature values (exact struct
+    equality, no hash-collision false candidates) — the signature frame
+    is computed and shuffled once instead of once per band."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    keys = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"sig_{band * ROWS_PER_BAND + r}").alias(f"r{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = keys.select(F.col("id").alias("id_1"), "band", "band_key")
+    b = keys.select(F.col("id").alias("id_2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
 
 
 # ----------------------------------------------------------------- SimHash
@@ -202,15 +221,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("t"),
     ).select("id", md5_hash64(F.col("t")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # ±1 votes computed as plain bit sums: vote_b = 2*sum(bit_b) - n, so
+    # bit_b set iff 2*s_b > n — same semantics, but each per-row term is a
+    # shift+AND instead of a CASE (measurably cheaper across 60 bits)
+    sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = tok.groupBy("id").agg(*votes)
+    agg = tok.groupBy("id").agg(F.count("*").alias("n__"), *sums)
     bits = [
-        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(2 * F.col(f"s{b}") > F.col("n__"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         for b in range(SIMHASH_BITS)
     ]
     return agg.select("id", reduce(lambda x, y: x + y, bits).alias("simhash"))
@@ -224,28 +246,41 @@ def simhash_near_pairs(
     exactly on >=1 band (pigeonhole), so the banded plan is lossless vs
     brute force while joining only on 15-bit band keys."""
     assert max_hamming < SIMHASH_BANDS, "banding lossless only for h < bands"
-    sh = simhash(df, id_col, text_col).cache()
-    frames = []
-    for band in range(SIMHASH_BANDS):
-        key = (
-            F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-            .alias("band_key")
-        )
-        a = sh.select(F.col("id").alias("id_1"), F.col("simhash").alias("sh_1"), key)
-        b = sh.select(F.col("id").alias("id_2"), F.col("simhash").alias("sh_2"), key)
-        frames.append(
-            a.join(b, "band_key")
-            .filter(F.col("id_1") < F.col("id_2"))
-            # hamming filter INSIDE each band join: hot buckets (similar
-            # corpora concentrate sketch values) otherwise quadratic-bloat
-            # the union+distinct input
-            .filter(
-                F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))) <= max_hamming
+    sh = simhash(df, id_col, text_col)
+    # ONE self-join on posexploded (band, band_key) rows instead of
+    # SIMHASH_BANDS separate branch joins — the sketch frame is computed
+    # and shuffled once; the Hamming filter runs INSIDE the join so hot
+    # buckets (similar corpora concentrate sketch values) never bloat the
+    # distinct's input
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    # cached: a self-join evaluates both branches, which would run the
+    # 60-bit vote aggregation twice without materializing it first
+    keys = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for band in range(SIMHASH_BANDS)
+                ]
             )
-            .select("id_1", "id_2", "sh_1", "sh_2")
-        )
-    cand = reduce(DataFrame.unionByName, frames).distinct()
+        ).alias("band", "band_key"),
+    ).cache()
+    a = keys.select(
+        F.col("id").alias("id_1"), F.col("simhash").alias("sh_1"), "band", "band_key"
+    )
+    b = keys.select(
+        F.col("id").alias("id_2"), F.col("simhash").alias("sh_2"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))) <= max_hamming)
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .distinct()
+    )
     return cand.select(
         "id_1",
         "id_2",
