@@ -1276,3 +1276,17 @@ QUERIES["q18_large_volume"] = _q_q18_large_volume
 ORACLES["q18_large_volume"] = _O_Q18
 QUERIES["q19_discounted_revenue"] = _q_q19_discounted_revenue
 ORACLES["q19_discounted_revenue"] = _O_Q19
+
+
+def _q_diff_stats_lineitem_skewsafe(spark, sf_dir):
+    """Set-mode diff with skew_safe=True: the union shuffles on
+    pk+clustering so a hot partition key spreads over many tasks (the
+    salting strategy for skewed rings). Same SEMANTICS as
+    diff_stats_lineitem_set — identical oracle — different physical
+    shuffle, so the gate proves the skew path answers exactly alike."""
+    src_df, tgt_df = lineitem_pair(spark, sf_dir)
+    return build_diff(src_df, tgt_df, LINEITEM_SPEC, align="set", skew_safe=True).stats
+
+
+QUERIES["diff_stats_lineitem_skewsafe"] = _q_diff_stats_lineitem_skewsafe
+ORACLES["diff_stats_lineitem_skewsafe"] = _O_DIFF_STATS_LINEITEM_SET
