@@ -177,8 +177,12 @@ def hyperplane_lsh_topk(
     broadcast, corpus by one id-equi-join), so the distinct shuffles id
     pairs, never vectors.
     """
-    c = _prep(corpus, id_col, vec_col, "c_").withColumn(
-        "c_keys", hyperplane_band_keys(F.col("c_q"), dim)
+    # cached: the corpus branch feeds BOTH the band join and the vector
+    # rejoin; without materialization each branch re-runs quantize+keys
+    c = (
+        _prep(corpus, id_col, vec_col, "c_")
+        .withColumn("c_keys", hyperplane_band_keys(F.col("c_q"), dim))
+        .cache()
     )
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
         "q_keys", hyperplane_band_keys(F.col("q_q"), dim)
@@ -240,44 +244,58 @@ def ivf_topk(
     the corpus through one task, and the whole operator stays
     SQL-reproducible (md5 arithmetic) for the DuckDB oracle.
 
-    Scale: the corpus-to-centroid assignment is a broadcast cross join of
-    the sampled centroid set; queries likewise. Only list-mates are
-    scored — |corpus| / n_lists * n_probe candidates per query. Pick
-    ``centroid_mod`` ~ sqrt(|corpus|) so lists and the centroid set
-    balance.
+    Scale: centroid assignment is ONE int64 matmul per Arrow batch
+    against the driver-collected centroid matrix (IVF centroid sets are
+    small by design — that is the index's whole premise) — NOT a
+    crossJoin+window, which would materialize |corpus| x |centroids|
+    intermediate rows (measured: 1M x 1k = 1B-row plan, unrunnable).
+    Only list-mates are scored — |corpus| / n_lists * n_probe candidates
+    per query. Pick ``centroid_mod`` ~ sqrt(|corpus|) so lists and the
+    centroid set balance.
     """
-    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     c = _prep(corpus, id_col, vec_col, "c_")
     q = _prep(queries, id_col, vec_col, "q_")
 
-    # deterministic hash-mod "training" sample (no count, no global window)
-    cents = c.filter(
-        md5_hash64(F.col("c_id").cast("string")) % centroid_mod == 0
-    ).select(
-        F.col("c_id").alias("cent_id"),
-        F.col("c_q").alias("cent_q"),
-        F.col("c_n").alias("cent_n"),
+    # deterministic hash-mod "training" sample (no count, no global
+    # window); collected because every executor needs the full matrix
+    cents = (
+        c.filter(md5_hash64(F.col("c_id").cast("string")) % centroid_mod == 0)
+        .select("c_id", "c_q", "c_n")
+        .collect()
     )
-
-    def assign(side: DataFrame, pre: str, top: int) -> DataFrame:
-        # nearest centroids by exact integer squared distance:
-        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2
-        j = side.crossJoin(F.broadcast(cents))
-        d2 = (
-            F.col(f"{pre}n")
-            - 2 * int_dot(F.col(f"{pre}q"), F.col("cent_q"))
-            + F.col("cent_n")
+    if not cents:
+        raise ValueError(
+            f"centroid_mod={centroid_mod} sampled no centroids; lower it"
         )
-        w = Window.partitionBy(f"{pre}id").orderBy(d2.asc(), F.col("cent_id").asc())
-        return (
-            j.withColumn("cr__", F.row_number().over(w))
-            .filter(F.col("cr__") <= top)
-            .drop("cent_q", "cent_n", "cr__")
-        )
+    cent_ids = np.array([r.c_id for r in cents], dtype=np.int64)
+    cent_mat = np.array([r.c_q for r in cents], dtype=np.int64)
+    cent_n = np.array([r.c_n for r in cents], dtype=np.int64)
+    # stable centroid order for the (d2 asc, cent_id asc) tiebreak
+    order = np.argsort(cent_ids)
+    cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
 
-    c_assigned = assign(c, "c_", 1)  # each corpus vector in ONE list
-    q_assigned = assign(q, "q_", n_probe)  # queries probe several lists
+    def assign_udf(top: int):
+        @pandas_udf("array<long>")
+        def nearest(qs: pd.Series) -> pd.Series:
+            x = np.array(list(qs), dtype=np.int64)  # batch x dim
+            xn = np.einsum("ij,ij->i", x, x)
+            # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, exact int64
+            d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
+            # argsort is stable; cent arrays are id-sorted, so equal d2
+            # breaks ties by cent_id asc — same as the SQL row_number
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+            return pd.Series(list(cent_ids[idx]))
+
+        return nearest
+
+    c_assigned = c.withColumn(
+        "cent_id", F.element_at(assign_udf(1)(F.col("c_q")), 1)
+    )  # each corpus vector in ONE list
+    q_assigned = q.withColumn(
+        "cent_id", F.explode(assign_udf(n_probe)(F.col("q_q")))
+    )  # queries probe several lists
 
     cand = c_assigned.join(
         F.broadcast(q_assigned), "cent_id"
