@@ -409,8 +409,11 @@ def embedding_near_pairs(
     # composite (band, band_key) — the corpus is scanned once, the band
     # join moves only (id, band, key) triples, and vectors are attached
     # AFTER the candidate pairs are deduped (so no vector ever rides
-    # through the band shuffle or the distinct)
-    sig = base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim))
+    # through the band shuffle or the distinct). Cached: the sketch
+    # branch feeds FOUR consumers (both band-join sides, both vector
+    # rejoins); without materialization each re-runs quantize+matmul.
+    sig = base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim)).cache()
+    base = sig  # vecs below reuse the cached branch
     kb = sig.select("id", F.posexplode(F.col("keys")).alias("band", "band_key"))
     cand = (
         kb.select(F.col("id").alias("id_1"), "band", "band_key")
