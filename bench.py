@@ -50,9 +50,13 @@ def main() -> None:
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
     spark = get_spark("cds-bench")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + parquet footers + Arrow Python workers so per-query
+    # numbers measure the queries, not session/daemon startup (on a real
+    # cluster executors and their python daemons are long-running)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
