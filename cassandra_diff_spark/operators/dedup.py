@@ -218,13 +218,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token-hash bit b is positive.
 
     Tokenize + md5 stay JVM-side (codegen, oracle-identical); the 60
-    per-bit vote sums run as ONE Arrow pass per partition (repartition
-    by id so each doc lands whole, then a vectorized shift-AND matmul
-    per batch). A 60-buffer-wide Catalyst aggregation over the token
-    frame measured ~5x slower — 60 aggregate buffers defeat codegen —
-    while the numpy bit matrix is a single (batch x 60) op. Memory is
-    bounded per batch: partial (id -> bit-sum) frames are combined at
-    iterator end, never the raw bit matrix."""
+    per-bit vote sums run as a vectorized shift-AND matrix per Arrow
+    batch, reduced to per-partition PARTIAL (id, n, s0..s59) rows —
+    Spark then merge-sums the partials with an ordinary groupBy. A
+    60-buffer-wide Catalyst aggregation over the raw token frame
+    measured ~5x slower (60 aggregate buffers defeat codegen); doing
+    the whole vote in Python after ``repartition(id)`` would instead
+    shuffle the full token stream. This shape shuffles only the tiny
+    partial frame (docs are contiguous in scan partitions, so partials
+    ~= one row per doc) — the map-side-combine story of the original
+    groupBy with the Arrow matmul's CPU profile. Memory is bounded per
+    batch: the raw bit matrix is never held across batches."""
     import numpy as np
     import pandas as pd
 
@@ -234,26 +238,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("id", md5_hash64(F.col("t")).alias("h"))
     id_type = df.schema[id_col].dataType.simpleString()
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    scols = [f"s{b}" for b in range(SIMHASH_BITS)]
 
-    def vote(batches):
+    def vote_partial(batches):
         partials = []
         for pdf in batches:
             h = pdf["h"].to_numpy(np.int64)
-            bits = pd.DataFrame((h[:, None] >> shifts[None, :]) & 1)
+            bits = pd.DataFrame(
+                (h[:, None] >> shifts[None, :]) & 1, columns=scols
+            )
             bits["n__"] = 1
             bits["id"] = pdf["id"].to_numpy()
             partials.append(bits.groupby("id", sort=False).sum())
-        if not partials:
+        if partials:
+            yield pd.concat(partials).groupby(level=0).sum().reset_index()
+
+    def merge(batches):
+        frames = list(batches)
+        if not frames:
             return
-        agg = pd.concat(partials).groupby(level=0).sum()
+        agg = pd.concat(frames, ignore_index=True).groupby("id", sort=False).sum()
         n = agg["n__"].to_numpy()
-        sums = agg[list(range(SIMHASH_BITS))].to_numpy()
+        sums = agg[scols].to_numpy()
         # bit_b set iff 2*s_b > n (±1 votes as plain bit sums) — exact
         # int64, same arithmetic as the SQL oracle twin
         sh = ((2 * sums > n[:, None]).astype(np.int64) << shifts[None, :]).sum(axis=1)
         yield pd.DataFrame({"id": agg.index.to_numpy(), "simhash": sh})
 
-    return tok.repartition("id").mapInPandas(vote, f"id {id_type}, simhash long")
+    partial_schema = f"id {id_type}, " + ", ".join(f"{c} long" for c in scols) + ", n__ long"
+    # the merge is Arrow-side as well: a 61-column Catalyst agg + 60-term
+    # bit projection costs ~2s of DRIVER expression analysis per query
+    # (measured; execution itself is trivial) — two narrow mapInPandas
+    # stages keep every Catalyst expression thin
+    return (
+        tok.mapInPandas(vote_partial, partial_schema)
+        .repartition("id")
+        .mapInPandas(merge, f"id {id_type}, simhash long")
+    )
 
 
 def simhash_near_pairs(
