@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "text_stats",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -196,3 +196,43 @@ def n_bpe_tokens(col: Column) -> Column:
 
 def n_bpe_tokens_sql(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '{BPE_PATTERN}')) AS BIGINT)"
+
+
+# --------------------------------------------------------- quality scoring
+
+def quality_milli(col: Column) -> Column:
+    """Composite document-quality score (the keep/drop signal a pretrain
+    pipeline filters on), in exact integer milli-units: stopword density
+    + length band + punctuation sanity, averaged. All-Catalyst; the SQL
+    twin (quality_milli_sql) is the same integer arithmetic. Divisions
+    are FLOORED before any further arithmetic so Spark matches DuckDB's
+    integer ``//`` exactly."""
+    nw = n_words(col)
+    sw = stopword_hits(col, STOPWORDS["en"])
+    np_ = n_punct(col)
+    stop_density = F.when(
+        nw > 0, F.least(F.floor(sw * 5000 / nw), F.lit(1000))
+    ).otherwise(0)
+    length_band = F.when((nw >= 20) & (nw <= 5000), 1000).otherwise(
+        F.when(nw > 0, 300).otherwise(0)
+    )
+    punct_sanity = F.when(
+        nw > 0, F.greatest(F.lit(0), 1000 - F.floor(np_ * 2000 / nw))
+    ).otherwise(0)
+    return F.floor(
+        (stop_density.cast("long") + length_band.cast("long") + punct_sanity.cast("long"))
+        / 3
+    ).cast("long")
+
+
+def quality_milli_sql(expr: str) -> str:
+    nw = n_words_sql(expr)
+    sw = stopword_hits_sql(expr, STOPWORDS["en"])
+    np_ = n_punct_sql(expr)
+    stop_density = f"CASE WHEN {nw} > 0 THEN LEAST({sw} * 5000 // {nw}, 1000) ELSE 0 END"
+    length_band = (
+        f"CASE WHEN {nw} >= 20 AND {nw} <= 5000 THEN 1000 "
+        f"WHEN {nw} > 0 THEN 300 ELSE 0 END"
+    )
+    punct_sanity = f"CASE WHEN {nw} > 0 THEN GREATEST(0, 1000 - {np_} * 2000 // {nw}) ELSE 0 END"
+    return f"CAST((({stop_density}) + ({length_band}) + ({punct_sanity})) // 3 AS BIGINT)"

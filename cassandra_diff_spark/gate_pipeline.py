@@ -317,6 +317,16 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_kmeans_topk(spark, sf_dir):
+    # learned-centroid IVF: KMeans training is iterative, hence not
+    # SQL-expressible — registered rows-only (recall asserted in pytest)
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_topk_kmeans(
+        embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_lists=16, n_probe=4,
+    )
+
+
 _CENT_PRED = f"{md5_hash64_sql('CAST(vec_id AS VARCHAR)')} % 32 = 0"
 _DOT_X_CT = (
     "CAST(list_sum([x.qq[i] * ct.cent_q[i] for i in range(1, len(x.qq) + 1)]) AS BIGINT)"
@@ -512,6 +522,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
+    "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "text_stats": _q_text_stats,
     "text_langid": _q_text_langid,
@@ -583,29 +594,12 @@ FROM documents WHERE length(text) <> n_chars
 
 
 def _q_text_quality_score(spark, sf_dir):
-    """Composite document-quality score (the keep/drop signal a pretrain
-    pipeline filters on), in exact integer milli-units: stopword density
-    + length band + punctuation sanity. All-Catalyst; the SQL twin is the
-    same integer arithmetic."""
+    # composite keep/drop quality signal — shared expression with the
+    # clean_corpus curation operator (functions/text.quality_milli)
+    from cassandra_diff_spark.functions.text import quality_milli
+
     d = _docs(spark, sf_dir)
-    nw = n_words(F.col("text"))
-    sw = stopword_hits(F.col("text"), STOPWORDS["en"])
-    np_ = n_punct(F.col("text"))
-    # each component in [0, 1000]; divisions FLOORED before any further
-    # arithmetic so Spark matches DuckDB's integer // exactly
-    stop_density = F.when(
-        nw > 0, F.least(F.floor(sw * 5000 / nw), F.lit(1000))
-    ).otherwise(0)
-    length_band = F.when((nw >= 20) & (nw <= 5000), 1000).otherwise(
-        F.when(nw > 0, 300).otherwise(0)
-    )
-    punct_sanity = F.when(
-        nw > 0, F.greatest(F.lit(0), 1000 - F.floor(np_ * 2000 / nw))
-    ).otherwise(0)
-    score = F.floor(
-        (stop_density.cast("long") + length_band.cast("long") + punct_sanity.cast("long"))
-        / 3
-    ).cast("long")
+    score = quality_milli(F.col("text"))
     return d.select(
         "doc_id",
         score.alias("quality_milli"),
@@ -614,13 +608,9 @@ def _q_text_quality_score(spark, sf_dir):
 
 
 def _make_o_text_quality_score() -> str:
-    nw = n_words_sql("text")
-    sw = stopword_hits_sql("text", STOPWORDS["en"])
-    np_ = n_punct_sql("text")
-    stop_density = f"CASE WHEN {nw} > 0 THEN LEAST({sw} * 5000 // {nw}, 1000) ELSE 0 END"
-    length_band = f"CASE WHEN {nw} >= 20 AND {nw} <= 5000 THEN 1000 WHEN {nw} > 0 THEN 300 ELSE 0 END"
-    punct_sanity = f"CASE WHEN {nw} > 0 THEN GREATEST(0, 1000 - {np_} * 2000 // {nw}) ELSE 0 END"
-    score = f"CAST((({stop_density}) + ({length_band}) + ({punct_sanity})) // 3 AS BIGINT)"
+    from cassandra_diff_spark.functions.text import quality_milli_sql
+
+    score = quality_milli_sql("text")
     return f"""
 SELECT doc_id, {score} AS quality_milli, ({score}) >= 500 AS keep
 FROM documents
@@ -741,3 +731,44 @@ QUERIES["events_props_extract"] = _q_events_props_extract
 QUERIES["text_quality_flags"] = _q_text_quality_flags
 ORACLES["events_props_extract"] = _O_EVENTS_PROPS_EXTRACT
 ORACLES["text_quality_flags"] = _O_TEXT_QUALITY_FLAGS
+
+
+# ---------------------------------------------- end-to-end corpus curation
+
+def _q_pipeline_clean_corpus(spark, sf_dir):
+    # the composite training-data curation pipeline (operators/curate):
+    # exact-dedup survivorship -> quality gate -> langid -> per-language
+    # token budget, as ONE declarative plan
+    from cassandra_diff_spark.operators.curate import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _make_o_pipeline_clean_corpus() -> str:
+    from cassandra_diff_spark.functions.text import n_bpe_tokens_sql, quality_milli_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id,
+         {fingerprint_sql('text')} AS fp,
+         {quality_milli_sql('text')} AS quality_milli,
+         {langid_sql('text')} AS lang,
+         {n_bpe_tokens_sql('text')} AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT s.* FROM scored s
+  JOIN (SELECT fp, MIN(id) AS keep_id FROM scored GROUP BY fp) k
+    ON s.fp = k.fp AND s.id = k.keep_id
+  WHERE s.quality_milli >= 500
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(quality_milli) AS BIGINT) AS quality_sum
+FROM kept GROUP BY lang
+"""
+
+
+QUERIES["pipeline_clean_corpus"] = _q_pipeline_clean_corpus
+ORACLES["pipeline_clean_corpus"] = _make_o_pipeline_clean_corpus()

@@ -297,14 +297,20 @@ def ivf_topk(
         "cent_id", F.explode(assign_udf(n_probe)(F.col("q_q")))
     )  # queries probe several lists
 
+    return _ivf_rerank(c_assigned, q_assigned, k)
+
+
+def _ivf_rerank(c_assigned: DataFrame, q_assigned: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: join list-mates (tiny query side broadcast),
+    score by exact integer cosine, per-query top-k window. No distinct
+    needed: each corpus vector lives in exactly one list and a query
+    probes n_probe DISTINCT lists, so (q, c) pairs are unique."""
     cand = c_assigned.join(
         F.broadcast(q_assigned), "cent_id"
     ).filter(F.col("c_id") != F.col("q_id"))
     scored = cand.withColumn("dot", int_dot(F.col("q_q"), F.col("c_q"))).withColumn(
         "cos", cosine_from_int(F.col("dot"), F.col("q_n"), F.col("c_n"))
     )
-    # no distinct needed: each corpus vector lives in exactly one list and
-    # a query probes n_probe DISTINCT lists, so (q, c) pairs are unique
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.select("q_id", "c_id", "cos")
@@ -316,6 +322,65 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF ANN with Spark ML KMeans-trained centroids — the learned
+    upgrade of ``ivf_topk``'s hash-mod sample, same join shape.
+
+    Training runs distributed (KMeans.fit on a deterministic hash-mod
+    sample of the quantized corpus — no full-corpus pass, no driver
+    materialization beyond the k centroid vectors); assignment is the
+    same one-matmul-per-Arrow-batch kernel, in float64 against the
+    learned centers. Scoring stays exact integer cosine, so only the
+    LIST PLACEMENT is learned — recall improves because KMeans balances
+    list occupancy where a hash-mod sample can leave lists empty.
+
+    Iterative training is not SQL-expressible, so this path is
+    pytest-gated (recall vs brute force) and registered rows-only;
+    ``ivf_topk`` remains the oracle-matched default.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    c = _prep(corpus, id_col, vec_col, "c_")
+    q = _prep(queries, id_col, vec_col, "q_")
+
+    train = c.filter(
+        md5_hash64(F.col("c_id").cast("string")) % sample_mod == 0
+    ).select(array_to_vector(F.col("c_q").cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    cent_mat = np.asarray(model.clusterCenters(), dtype=np.float64)
+    cent_n = np.einsum("ij,ij->i", cent_mat, cent_mat)
+    n_cents = cent_mat.shape[0]
+
+    def assign_udf(top: int):
+        @pandas_udf("array<long>")
+        def nearest(qs: pd.Series) -> pd.Series:
+            x = np.array(list(qs), dtype=np.float64)  # batch x dim
+            xn = np.einsum("ij,ij->i", x, x)
+            d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+            return pd.Series(list(idx.astype(np.int64)))
+
+        return nearest
+
+    top = min(n_probe, n_cents)
+    c_assigned = c.withColumn("cent_id", F.element_at(assign_udf(1)(F.col("c_q")), 1))
+    q_assigned = q.withColumn("cent_id", F.explode(assign_udf(top)(F.col("q_q"))))
+    return _ivf_rerank(c_assigned, q_assigned, k)
 
 
 def brute_force_topk_pandas(

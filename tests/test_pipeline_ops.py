@@ -148,6 +148,32 @@ class TestIVF:
         counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
         assert set(counts) == {0, 1, 2} and all(v == 5 for v in counts.values())
 
+    def test_ivf_kmeans_recall_vs_brute_force(self, embs):
+        from pyspark.sql import functions as F
+
+        q = embs.filter(F.col("vec_id") < 10)
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.brute_force_topk(embs, q, "vec_id", "embedding", k=5).collect()
+        }
+        km = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk_kmeans(
+                embs, q, "vec_id", "embedding", k=5, n_lists=16, n_probe=4
+            ).collect()
+        }
+        recall = len(brute & km) / len(brute)
+        # learned centroids should at least match the hash-mod floor
+        assert recall >= 0.3, f"KMeans IVF recall suspiciously low: {recall}"
+        # deterministic given the fixed seed
+        km2 = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk_kmeans(
+                embs, q, "vec_id", "embedding", k=5, n_lists=16, n_probe=4
+            ).collect()
+        }
+        assert km == km2
+
 
 class TestVacuum:
     def test_ttl_drops_old_rows(self, spark, tmp_path):
@@ -177,3 +203,36 @@ class TestPandasANN:
             for r in similarity.brute_force_topk_pandas(embs, q, "vec_id", "embedding", k=5).collect()
         }
         assert expr == blas
+
+
+class TestCurate:
+    def test_clean_corpus_dedup_before_quality(self, spark):
+        from cassandra_diff_spark.operators.curate import clean_corpus, corpus_stats
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "the dog sleeps in the warm sun for a while with a friend"
+        )
+        rows = [
+            (1, good),            # kept: survivor of fp group {1, 2}
+            (2, good),            # dropped: duplicate of 1
+            (3, "x" * 10),        # dropped: junk (no stopwords, short)
+            (4, good + " again"), # kept: unique, good quality
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {r.id for r in clean_corpus(df, "doc_id", "text").collect()}
+        assert kept == {1, 4}
+
+        stats = corpus_stats(df, "doc_id", "text").collect()
+        assert len(stats) == 1 and stats[0].lang == "en" and stats[0].n_docs == 2
+
+    def test_clean_corpus_low_quality_survivor_blocks_group(self, spark):
+        # dedup-before-quality: if the min-id copy fails the gate, the
+        # whole fingerprint group is dropped (the survivor IS the group)
+        from cassandra_diff_spark.operators.curate import clean_corpus
+
+        junk = "!!! ??? " * 30  # punctuation-only: quality 333 < 500
+        df = spark.createDataFrame(
+            [(1, junk), (2, junk)], "doc_id long, text string"
+        )
+        assert clean_corpus(df, "doc_id", "text").count() == 0
