@@ -99,24 +99,30 @@ def hyperplane_band_keys(vec_q, dim: int):
     b*BITS .. b*BITS+BITS-1, plane b*BITS+r contributing bit 2^r.
 
     Implemented as an Arrow-batched pandas_udf: all 64 projections of a
-    whole batch are ONE int64 matmul (quantized values < 2^21 and
-    |weights| <= 1000 keep every product exact in int64, bit-identical to
-    the SQL twin). The expression-DSL alternative — 64 dots per row over
-    a 4096-element literal matrix — re-materializes the literal per
-    element_at and measured ~25x slower; BLAS is the scale path for a
-    dense integer projection. At real corpus scale, persist the keyed
-    frame once instead of recomputing it per band join."""
+    whole batch are ONE float64 matmul. The float64 cast is EXACT, not
+    approximate: quantized values < 2^21 and |weights| <= 1000 bound
+    every projection below 2^37 << 2^53, so each product and partial sum
+    is an integer float64 represents exactly — the sign bits are
+    bit-identical to the SQL twin's integer arithmetic. numpy has no
+    BLAS kernel for int64 (@ falls back to naive loops, measured ~30x
+    slower at a 1M-row corpus); the float64 path is the difference
+    between the sketch being cheaper or MORE expensive than brute-force
+    scoring. The expression-DSL alternative — 64 dots per row over a
+    4096-element literal matrix — re-materializes the literal per
+    element_at and measured ~25x slower still. At real corpus scale,
+    persist the keyed frame once instead of recomputing it per band
+    join."""
     from pyspark.sql.functions import pandas_udf
 
     w = np.array(
         [[_plane_weight(p, d) for d in range(dim)] for p in range(N_PLANES)],
-        dtype=np.int64,
+        dtype=np.float64,
     )
     powers = (1 << np.arange(PLANE_BAND_BITS, dtype=np.int64))
 
     @pandas_udf("array<long>")
     def keys_udf(qs: pd.Series) -> pd.Series:
-        q = np.array(list(qs), dtype=np.int64)  # batch x dim
+        q = np.array(list(qs), dtype=np.float64)  # batch x dim
         bits = (q @ w.T > 0).astype(np.int64)  # batch x N_PLANES
         keys = bits.reshape(len(q), PLANE_BANDS, PLANE_BAND_BITS) @ powers
         return pd.Series(list(keys))
@@ -270,8 +276,12 @@ def ivf_topk(
             f"centroid_mod={centroid_mod} sampled no centroids; lower it"
         )
     cent_ids = np.array([r.c_id for r in cents], dtype=np.int64)
-    cent_mat = np.array([r.c_q for r in cents], dtype=np.int64)
-    cent_n = np.array([r.c_n for r in cents], dtype=np.int64)
+    # float64 matmul is EXACT here (not approximate): quantized values
+    # < 2^21 bound every product at 2^42 and every 64-dim sum at 2^48,
+    # below float64's 2^53 integer-exact range — while int64 @ has no
+    # BLAS kernel in numpy (measured ~30x slower at a 1M-row corpus)
+    cent_mat = np.array([r.c_q for r in cents], dtype=np.float64)
+    cent_n = np.array([r.c_n for r in cents], dtype=np.float64)
     # stable centroid order for the (d2 asc, cent_id asc) tiebreak
     order = np.argsort(cent_ids)
     cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
@@ -279,9 +289,9 @@ def ivf_topk(
     def assign_udf(top: int):
         @pandas_udf("array<long>")
         def nearest(qs: pd.Series) -> pd.Series:
-            x = np.array(list(qs), dtype=np.int64)  # batch x dim
+            x = np.array(list(qs), dtype=np.float64)  # batch x dim
             xn = np.einsum("ij,ij->i", x, x)
-            # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, exact int64
+            # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, integer-exact in float64
             d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
             # argsort is stable; cent arrays are id-sorted, so equal d2
             # breaks ties by cent_id asc — same as the SQL row_number
