@@ -438,15 +438,28 @@ def order_invariance_check(
     spec: TableSpec,
     *,
     sampler: Optional[Callable[[Column], Column]] = None,
+    prefilter: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Reverse-read order-invariance check (the reference reads a random
     fraction of partitions in reverse clustering order and expects the same
     comparison outcome — localconfig.yaml:24 reverse_read_probability,
     Differ.java:219-225). Returns (forward_stats, reverse_stats); they must
     be equal for order-invariant data. ``sampler`` restricts the checked
-    partitions exactly like SA1 sampling."""
-    fwd = build_diff(src, tgt, spec, align="positional", sampler=sampler)
-    rev = build_diff(src, tgt, spec, align="positional", sampler=sampler, reverse=True)
+    partitions exactly like SA1 sampling.
+
+    ``prefilter`` (default True) applies the sampler to BOTH inputs before
+    the positional diffs, so a p=0.01 check shuffles ~1 % of the rows
+    instead of paying two extra full-table wide shuffles — the Spark
+    analogue of the reference reading only the sampled partitions in
+    reverse (Differ.java:219-225). Sound here because both directions see
+    the identical key subset: the check compares fwd vs rev on the SAME
+    sampled keys; it never needs only-in parity for unsampled keys.
+    """
+    pre = prefilter and sampler is not None
+    fwd = build_diff(src, tgt, spec, align="positional", sampler=sampler, prefilter=pre)
+    rev = build_diff(
+        src, tgt, spec, align="positional", sampler=sampler, prefilter=pre, reverse=True
+    )
     return fwd.stats, rev.stats
 
 

@@ -237,6 +237,7 @@ def ivf_topk(
     k: int = 5,
     centroid_mod: int = 32,
     n_probe: int = 4,
+    max_centroids: int = 65536,
 ) -> DataFrame:
     """IVF-style ANN: the corpus is partitioned into inverted lists by
     nearest centroid; a query scans only its ``n_probe`` nearest lists.
@@ -257,7 +258,10 @@ def ivf_topk(
     intermediate rows (measured: 1M x 1k = 1B-row plan, unrunnable).
     Only list-mates are scored — |corpus| / n_lists * n_probe candidates
     per query. Pick ``centroid_mod`` ~ sqrt(|corpus|) so lists and the
-    centroid set balance.
+    centroid set balance; ``max_centroids`` hard-caps the driver-side
+    collect — the sample is fetched through a LIMIT, so an under-sized
+    ``centroid_mod`` on a billion-row corpus raises with guidance
+    instead of OOMing the driver.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -265,26 +269,38 @@ def ivf_topk(
     q = _prep(queries, id_col, vec_col, "q_")
 
     # deterministic hash-mod "training" sample (no count, no global
-    # window); collected because every executor needs the full matrix
+    # window); collected because every executor needs the full matrix.
+    # The limit bounds the fetch at max_centroids+1 rows no matter how
+    # dense the sample is — the guard fires BEFORE the driver holds
+    # more than the cap.
     cents = (
         c.filter(md5_hash64(F.col("c_id").cast("string")) % centroid_mod == 0)
         .select("c_id", "c_q", "c_n")
+        .limit(max_centroids + 1)
         .collect()
     )
     if not cents:
         raise ValueError(
             f"centroid_mod={centroid_mod} sampled no centroids; lower it"
         )
-    cent_ids = np.array([r.c_id for r in cents], dtype=np.int64)
+    if len(cents) > max_centroids:
+        raise ValueError(
+            f"centroid_mod={centroid_mod} sampled more than "
+            f"max_centroids={max_centroids} centroids; raise centroid_mod "
+            f"(pick ~ sqrt(|corpus|)) or max_centroids if the driver can "
+            f"hold the matrix"
+        )
+    # stable centroid order for the (d2 asc, id asc) tiebreak; sorting
+    # driver-side on the Python values keeps ANY orderable id type
+    # (int, string, ...) working — lists are joined on the ORDINAL index,
+    # so cent_id never has to round-trip through numpy
+    cents.sort(key=lambda r: r.c_id)
     # float64 matmul is EXACT here (not approximate): quantized values
     # < 2^21 bound every product at 2^42 and every 64-dim sum at 2^48,
     # below float64's 2^53 integer-exact range — while int64 @ has no
     # BLAS kernel in numpy (measured ~30x slower at a 1M-row corpus)
     cent_mat = np.array([r.c_q for r in cents], dtype=np.float64)
     cent_n = np.array([r.c_n for r in cents], dtype=np.float64)
-    # stable centroid order for the (d2 asc, cent_id asc) tiebreak
-    order = np.argsort(cent_ids)
-    cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
 
     def assign_udf(top: int):
         @pandas_udf("array<long>")
@@ -294,9 +310,9 @@ def ivf_topk(
             # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, integer-exact in float64
             d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
             # argsort is stable; cent arrays are id-sorted, so equal d2
-            # breaks ties by cent_id asc — same as the SQL row_number
+            # breaks ties by centroid id asc — same as the SQL row_number
             idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
-            return pd.Series(list(cent_ids[idx]))
+            return pd.Series(list(idx.astype(np.int64)))
 
         return nearest
 

@@ -148,6 +148,35 @@ class TestIVF:
         counts = {r.query_id: r.n for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
         assert set(counts) == {0, 1, 2} and all(v == 5 for v in counts.values())
 
+    def test_ivf_max_centroids_guard_raises(self, embs):
+        # VERDICT r2 #3: an under-sized centroid_mod must raise with
+        # guidance, not collect |corpus|/mod rows to the driver — the
+        # limit bounds the fetch itself, the error names both knobs
+        import pytest
+
+        q = embs.filter(F.col("vec_id") < 2)
+        with pytest.raises(ValueError, match="max_centroids"):
+            similarity.ivf_topk(
+                embs, q, "vec_id", "embedding", k=5, centroid_mod=2, max_centroids=10
+            )
+
+    def test_ivf_string_ids(self, embs):
+        # ADVICE r2: non-integer id columns must work (lists join on the
+        # ordinal centroid index, ids never pass through numpy)
+        s = embs.select(
+            F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+            "embedding",
+        )
+        q = s.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+        res = similarity.ivf_topk(s, q, "vec_id", "embedding", k=5)
+        counts = {
+            r.query_id: r.n
+            for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(counts) == {"doc-0", "doc-1"} and all(
+            v == 5 for v in counts.values()
+        )
+
     def test_ivf_kmeans_recall_vs_brute_force(self, embs):
         from pyspark.sql import functions as F
 
