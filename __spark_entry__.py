@@ -29,8 +29,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return narrow.unionByName(wide)
 
 
+#: Names that have not yet landed a row in a driver CORRECTNESS file
+#: (the round-2 run stopped at 50 entries in registration order). These go
+#: FIRST so the driver's next capped run checks them; previously-covered
+#: entries follow, declared rows-only entries last.
+_NEEDS_DRIVER_ROW = [
+    "dedup_minhash_verified",
+    "multimodal_meta",
+    "multimodal_frames",
+    "text_quality_score",
+    "text_bpe_tokens",
+    "dedup_clusters",
+    "resume_pending",
+    "events_props_extract",
+    "text_quality_flags",
+    "pipeline_clean_corpus",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    oracles = {**gate.ORACLES, **gate_pipeline.ORACLES}
+    first = [n for n in _NEEDS_DRIVER_ROW if n in merged]
+    mid = [n for n in merged if n in oracles and n not in first]
+    last = [n for n in merged if n not in oracles and n not in first]
+    return {n: merged[n] for n in first + mid + last}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**gate.QUERIES, **gate_pipeline.QUERIES}
+    return _ordered({**gate.QUERIES, **gate_pipeline.QUERIES})
 
 
 def oracle_sql() -> dict[str, str]:

@@ -43,9 +43,15 @@ class JournalQueries:
 
     def running_job_summaries(self) -> DataFrame:
         """GET /jobs/running (DiffJobsResource.java:67-72): full summary
-        rows for currently-running jobs."""
+        rows for currently-running jobs. A fresh journal with no jobs yet
+        returns an EMPTY frame, not 404 — reference parity
+        (DiffJobsResource returns an empty list)."""
+        from cassandra_diff_spark.journal import JOB_SUMMARY_SCHEMA
+
         ids = self.running_jobs()
-        df = self._read("job_summary")
+        df = self.journal._read("job_summary")
+        if df is None:
+            return self.spark.createDataFrame([], JOB_SUMMARY_SCHEMA)
         return df.filter(F.col("job_id").isin(ids)) if ids else df.limit(0)
 
     def recent_jobs(self, limit: int = 10) -> DataFrame:

@@ -192,6 +192,28 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE {_BAND_CONDS}
 """
 
+_AGREE_SUM = " + ".join(
+    f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+)
+
+
+def _q_dedup_minhash_verified(spark, sf_dir):
+    # the dedup-pipeline default: band candidates verified by signature
+    # agreement (est Jaccard >= 1/2) before cluster resolution
+    return dedup.minhash_lsh_verified_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# n_agree/16 is a power-of-two division — exact double in both engines
+_O_DEDUP_MINHASH_VERIFIED = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST({_AGREE_SUM} AS BIGINT) AS n_agree,
+       CAST({_AGREE_SUM} AS DOUBLE) / {NUM_PERM} AS est_sim
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
+"""
+
 # ----------------------------------------------------------------- SimHash
 
 _TOK_CTE = f"""
@@ -517,6 +539,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "minhash_signatures": _q_minhash_signatures,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+    "dedup_minhash_verified": _q_dedup_minhash_verified,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -539,6 +562,7 @@ ORACLES: Dict[str, str] = {
     "dedup_jaccard_capped": _O_DEDUP_JACCARD_CAPPED,
     "minhash_signatures": _O_MINHASH_SIGNATURES,
     "dedup_minhash_lsh": _O_DEDUP_MINHASH_LSH,
+    "dedup_minhash_verified": _O_DEDUP_MINHASH_VERIFIED,
     "dedup_simhash": _O_DEDUP_SIMHASH,
     "dedup_simhash_pairs": _O_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": _O_DEDUP_EMBEDDING_COSINE,

@@ -35,6 +35,15 @@ from cassandra_diff_spark.config import JobConfig
 from cassandra_diff_spark.model import STAT_FIELDS
 from cassandra_diff_spark.retry import strategy_for
 
+#: Schema of the job_summary table (init_job's Row) — used to build an
+#: empty frame for API reads against a journal with no jobs yet.
+JOB_SUMMARY_SCHEMA = (
+    "job_id string, keyspace_tables string, buckets long, splits long, "
+    "source_cluster_name string, source_cluster_desc string, "
+    "target_cluster_name string, target_cluster_desc string, "
+    "start string, start_date string, start_hour long"
+)
+
 TASK_STATUS_SCHEMA = (
     "job_id string, bucket int, qualified_table_name string, split int, "
     "last_token bigint, ts timestamp, "

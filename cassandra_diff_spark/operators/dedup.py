@@ -210,6 +210,85 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_agree_num: int = 1,
+    min_agree_den: int = 2,
+) -> DataFrame:
+    """Banded MinHash candidates VERIFIED by signature agreement — the
+    dedup-pipeline default (raw band collisions are candidates by
+    contract, but 4-row bands pass plenty of low-Jaccard pairs at corpus
+    scale; feeding those to ``dedup_clusters`` would merge non-duplicates
+    transitively).
+
+    Verification joins the candidate id pairs back to the signature
+    frame and counts agreeing permutations: ``n_agree / NUM_PERM`` is
+    the standard unbiased MinHash estimate of Jaccard similarity. Pairs
+    with ``n_agree * min_agree_den >= min_agree_num * NUM_PERM`` (default
+    est >= 1/2) survive. Emits (id_1, id_2, n_agree, est_sim).
+
+    Scale shape: the band join still moves only (id, band, band_key)
+    rows; the verification joins shuffle the signature frame — one row of
+    NUM_PERM longs per document, corpus-count-sized not corpus-text-sized
+    — by id. The signature frame feeds three consumers (band keys + both
+    verification sides), so it is cached; call
+    ``operators.release_caches()`` after materializing in a long-lived
+    session.
+    """
+    from cassandra_diff_spark.operators import tracked_cache
+
+    sig = tracked_cache(minhash_signatures(df, id_col, text_col, n))
+    keys = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"sig_{band * ROWS_PER_BAND + r}").alias(f"r{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        keys.select(F.col("id").alias("id_1"), "band", "band_key")
+        .join(keys.select(F.col("id").alias("id_2"), "band", "band_key"), ["band", "band_key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col("id").alias("id_1"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(NUM_PERM)]
+    )
+    s2 = sig.select(
+        F.col("id").alias("id_2"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(NUM_PERM)]
+    )
+    n_agree = reduce(
+        lambda x, y: x + y,
+        [
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+            for i in range(NUM_PERM)
+        ],
+    )
+    return (
+        cand.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") * min_agree_den >= F.lit(min_agree_num * NUM_PERM))
+        # /NUM_PERM is a power-of-two division: exact in binary floating
+        # point, so the double hashes identically in DuckDB
+        .withColumn("est_sim", F.col("n_agree") / F.lit(NUM_PERM))
+        .select("id_1", "id_2", "n_agree", "est_sim")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -291,10 +370,13 @@ def simhash_near_pairs(
     # and shuffled once; the Hamming filter runs INSIDE the join so hot
     # buckets (similar corpora concentrate sketch values) never bloat the
     # distinct's input
+    from cassandra_diff_spark.operators import tracked_cache
+
     mask = (1 << SIMHASH_BAND_BITS) - 1
     # cached: a self-join evaluates both branches, which would run the
     # 60-bit vote aggregation twice without materializing it first
-    keys = sh.select(
+    # (tracked — long-lived sessions release via operators.release_caches)
+    keys = tracked_cache(sh.select(
         "id",
         "simhash",
         F.posexplode(
@@ -306,7 +388,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("band", "band_key"),
-    ).cache()
+    ))
     a = keys.select(
         F.col("id").alias("id_1"), F.col("simhash").alias("sh_1"), "band", "band_key"
     )
@@ -329,7 +411,9 @@ def simhash_near_pairs(
 
 # ------------------------------------------------------ cluster resolution
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20, strict: bool = False
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     components) by iterative min-label propagation: every node's label
     converges to the minimum id in its component — which doubles as the
@@ -345,6 +429,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Input: (id_1, id_2) pair frame (any extra columns ignored).
     Output: (id, cluster_id) for every id appearing in a pair.
+
+    A component with diameter > ``max_iters`` (a duplicate chain longer
+    than the round budget) has NOT converged when the loop exhausts:
+    ``strict=True`` raises; the default warns and returns the partial
+    labels (every label is still a member of the right component — only
+    the minimum may not have propagated to the far end yet).
     """
     e = pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
     edges = (
@@ -358,6 +448,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "a"), "a")
@@ -385,6 +476,21 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"dedup_clusters did not converge in max_iters={max_iters} rounds "
+            f"({changed} labels still changing — a component with diameter > "
+            f"{max_iters}); raise max_iters"
+        )
+        if strict:
+            labels.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    from cassandra_diff_spark.operators import _LIVE_CACHES
+
+    _LIVE_CACHES.append(labels)  # final labels stay cached for the caller
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -450,8 +556,11 @@ def embedding_near_pairs(
     # AFTER the candidate pairs are deduped (so no vector ever rides
     # through the band shuffle or the distinct). Cached: the sketch
     # branch feeds FOUR consumers (both band-join sides, both vector
-    # rejoins); without materialization each re-runs quantize+matmul.
-    sig = base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim)).cache()
+    # rejoins); without materialization each re-runs quantize+matmul
+    # (tracked — long-lived sessions release via operators.release_caches).
+    from cassandra_diff_spark.operators import tracked_cache
+
+    sig = tracked_cache(base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim)))
     base = sig  # vecs below reuse the cached branch
     kb = sig.select("id", F.posexplode(F.col("keys")).alias("band", "band_key"))
     cand = (

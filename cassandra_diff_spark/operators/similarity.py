@@ -183,12 +183,14 @@ def hyperplane_lsh_topk(
     broadcast, corpus by one id-equi-join), so the distinct shuffles id
     pairs, never vectors.
     """
+    from cassandra_diff_spark.operators import tracked_cache
+
     # cached: the corpus branch feeds BOTH the band join and the vector
     # rejoin; without materialization each branch re-runs quantize+keys
-    c = (
+    # (tracked — long-lived sessions release via operators.release_caches)
+    c = tracked_cache(
         _prep(corpus, id_col, vec_col, "c_")
         .withColumn("c_keys", hyperplane_band_keys(F.col("c_q"), dim))
-        .cache()
     )
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
         "q_keys", hyperplane_band_keys(F.col("q_q"), dim)

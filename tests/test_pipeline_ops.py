@@ -47,6 +47,90 @@ class TestDedup:
         recall = len(exact & lsh) / len(exact)
         assert recall >= 0.95, f"minhash LSH recall too low: {recall}"
 
+    def test_minhash_verified_filters_low_jaccard_band_collision(self, spark):
+        # VERDICT r2 #4: raw band collisions admit low-Jaccard pairs that
+        # dedup_clusters would merge transitively. Hand-construct (by a
+        # deterministic Python-side search over the SAME md5/permutation
+        # arithmetic) a doc pair that collides on band 0 yet agrees on
+        # fewer than half the permutations — the verified operator must
+        # drop it while keeping an exact-duplicate pair.
+        import hashlib
+
+        from cassandra_diff_spark.operators.dedup import A, B, NUM_PERM, P, XMOD
+
+        def sig_of(text: str) -> list[int]:
+            toks = text.split()
+            if len(toks) < 3:
+                shs = [" ".join(toks)]
+            else:
+                shs = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            xs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % XMOD
+                for s in set(shs)
+            ]
+            return [min((A[i] * x + B[i]) % P for x in xs) for i in range(NUM_PERM)]
+
+        base = "alpha beta gamma"
+        s_base = sig_of(base)
+        found = None
+        for seed in range(200_000):
+            cand = f"{base} w{seed}a w{seed}b w{seed}c"
+            s_cand = sig_of(cand)
+            agree = sum(a == b for a, b in zip(s_base, s_cand))
+            if s_cand[:4] == s_base[:4] and agree * 2 < NUM_PERM:
+                found = (cand, agree)
+                break
+        assert found, "search space should contain a low-agreement band collision"
+        cand_text, agree = found
+
+        df = spark.createDataFrame(
+            [(1, base), (2, cand_text), (10, "same exact text"), (11, "same exact text")],
+            "doc_id long, text string",
+        )
+        raw = {(r.id_1, r.id_2) for r in dedup.minhash_lsh_pairs(df, "doc_id", "text").collect()}
+        assert (1, 2) in raw and (10, 11) in raw  # both collide on a band
+        ver = {
+            (r.id_1, r.id_2): (r.n_agree, r.est_sim)
+            for r in dedup.minhash_lsh_verified_pairs(df, "doc_id", "text").collect()
+        }
+        assert (1, 2) not in ver, "low-Jaccard collision must be filtered"
+        assert ver[(10, 11)] == (NUM_PERM, 1.0)  # exact dup: full agreement
+        # the Spark-side agreement count matches the Python reimplementation
+        allp = dedup.minhash_lsh_verified_pairs(
+            df, "doc_id", "text", min_agree_num=0, min_agree_den=1
+        )
+        spark_agree = {(r.id_1, r.id_2): r.n_agree for r in allp.collect()}
+        assert spark_agree[(1, 2)] == agree
+        # downstream: clusters built from VERIFIED pairs keep 1 and 2 apart
+        clusters = {
+            r.id: r.cluster_id
+            for r in dedup.dedup_clusters(
+                spark.createDataFrame(
+                    [k for k in ver], "id_1 long, id_2 long"
+                )
+            ).collect()
+        }
+        assert clusters == {10: 10, 11: 10}
+
+    def test_dedup_clusters_warns_on_nonconvergence(self, spark):
+        # ADVICE r2: a chain longer than max_iters must not silently
+        # return wrong labels
+        import warnings
+
+        chain = [(i, i + 1) for i in range(6)]
+        pairs = spark.createDataFrame(chain, "id_1 long, id_2 long")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dedup.dedup_clusters(pairs, max_iters=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup.dedup_clusters(pairs, max_iters=2, strict=True)
+        # and with budget it converges cleanly: one component, min label
+        res = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+        assert set(res.values()) == {0}
+
     def test_simhash_identical_docs_distance_zero(self, spark):
         rows = [(1, "spark shuffles the join keys"), (2, "spark shuffles the join keys")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
