@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: entries follow, declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
     "dedup_minhash_verified",
+    "multimodal_decode",
     "multimodal_meta",
     "multimodal_frames",
     "text_quality_score",

@@ -525,10 +525,49 @@ FROM (
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    # mapInPandas STUB decoder — Arrow plumbing is real, decode is fake;
-    # rows-only check (python-side kernel, not SQL-expressible)
-    payload = multimodal.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
-    return multimodal.decode_stub(payload)
+    # REAL header decode, oracle-paired as a round trip: render genuine
+    # PNG / JPEG header bytes with dimensions derived from doc_id (hex
+    # string assembly -> unhex, all JVM-side), parse them back with the
+    # pure-Python container parser — the result matches the arithmetic
+    # oracle ONLY if the parser truly reads big-endian dims at the right
+    # offsets out of the binary payload
+    d = _docs(spark, sf_dir)
+    w = F.pmod(F.col("doc_id"), F.lit(640)) + 1
+    h = F.pmod(F.col("doc_id"), F.lit(480)) + 1
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),  # magic + IHDR
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("0806000000"),  # bit depth / color type / etc
+        )
+    )
+    jpg = F.unhex(
+        F.concat(
+            F.lit("FFD8FFC0001108"),  # SOI + SOF0, len 17, precision 8
+            F.lpad(F.hex(h), 4, "0"),
+            F.lpad(F.hex(w), 4, "0"),
+            F.lit("03012200021101031101"),
+        )
+    )
+    payload = d.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, png).otherwise(jpg).alias(
+            "payload"
+        ),
+    )
+    return multimodal.decode_headers(payload).select(
+        "doc_id", "format", "width", "height"
+    )
+
+
+_O_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height
+FROM documents
+"""
 
 
 # --------------------------------------------------------------- registry
@@ -575,7 +614,7 @@ ORACLES: Dict[str, str] = {
     "token_freq_topk": _O_TOKEN_FREQ_TOPK,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_frames": _O_MULTIMODAL_FRAMES,
-    # multimodal_decode: intentionally no oracle (python-side stub kernel)
+    "multimodal_decode": _O_MULTIMODAL_DECODE,
 }
 
 

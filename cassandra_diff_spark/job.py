@@ -86,6 +86,23 @@ def run_job(
 
     try:
         apply_rate_limit(spark, cfg)
+
+        # resume-grid guard: the chunk/split grid must be identical across
+        # runs of one job_id — a chunk straddling a watermark from a
+        # different grid would re-run a sub-range already summed into
+        # progress_stats (double-counted stats, duplicated mismatch rows)
+        prior = journal.plan_params(job_id)
+        if prior is not None and prior != (splits_per_table, mid_split_chunks):
+            raise ValueError(
+                f"job {job_id!r} was planned with (splits_per_table, "
+                f"mid_split_chunks)={prior}; resuming with "
+                f"({splits_per_table}, {mid_split_chunks}) would misalign "
+                f"the journaled watermark grid — pass the original values "
+                f"or use a new job_id"
+            )
+        if prior is None:
+            journal.save_plan_params(job_id, splits_per_table, mid_split_chunks)
+
         tables, src_provider, tgt_provider = resolve_tables(spark, cfg)
 
         # PLAN: equal-width token splits over the xxhash64 ring
@@ -253,6 +270,21 @@ def run_job(
                 "table", *[F.col(f).cast("long") for f in STAT_FIELDS]
             )
             journal.finalize_job(job_id, stats_df)
+        elif not journal.is_finalized(job_id):
+            # resume after a crash BETWEEN the last unit completing and
+            # finalize committing: the work list is empty but job_results
+            # was never written — rebuild the A4 accumulation from the
+            # journaled task_status rows and commit it now (the keyed
+            # finalize write is idempotent, so racing replays are safe)
+            rebuilt = journal.results_from_task_status(job_id)
+            if rebuilt is not None:
+                journal.finalize_job(job_id, rebuilt)
+                per_table = {
+                    r.table: DiffStats(**{f: r[f] for f in STAT_FIELDS})
+                    for r in rebuilt.collect()
+                }
+            else:
+                journal.mark_not_running(job_id)
         else:
             journal.mark_not_running(job_id)
 

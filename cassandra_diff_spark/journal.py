@@ -76,6 +76,43 @@ class Journal:
             return None
         return self.spark.read.parquet(p)
 
+    def _atomic_keyed_write(self, name: str, df: DataFrame, key: str) -> bool:
+        """Exactly-once KEYED write — the parquet journal's answer to the
+        reference's LWT batches (JobMetadataDb.java:359-430): the row set
+        for one logical key is staged to a scratch dir, coalesced to a
+        single part file, and ``os.replace``d to ``<table>/<key>.parquet``.
+
+        The rename is atomic on POSIX (an object-store deployment would
+        use a conditional put, same as the mutex marker): readers see the
+        old content or the new content, never a partial file. Re-writing
+        the same key REPLACES the file — an idempotent upsert, so a crash
+        replay can never duplicate rows the way append-mode could.
+        Best-effort envelope (ST9) preserved: failures are swallowed
+        after retries."""
+        import shutil
+
+        d = self._table(name)
+        os.makedirs(d, exist_ok=True)
+        fname = self._marker_name(key)
+        stage = os.path.join(self.path, f"__stage__{name}__{fname}")
+        target = os.path.join(d, fname + ".parquet")
+
+        def write():
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(stage, part), target)
+            shutil.rmtree(stage, ignore_errors=True)
+
+        retry = strategy_for(self.retry_opts) if self.retry_opts else None
+        try:
+            (retry.retry(write) if retry else write())
+            return True
+        except Exception as e:  # noqa: BLE001 — best-effort (ST9)
+            print(f"journal keyed write to {name}/{fname} failed (ignored): {e}")
+            return False
+
     # ------------------------------------------------------------ lifecycle
 
     @staticmethod
@@ -184,7 +221,11 @@ class Journal:
         df = self.spark.createDataFrame([row], TASK_STATUS_SCHEMA).withColumn(
             "ts", F.current_timestamp()
         )
-        self._append("task_status", df)
+        # keyed upsert: a crash replay of the unit overwrites its own row
+        # instead of appending a duplicate (exactly-once per unit)
+        self._atomic_keyed_write(
+            "task_status", df, f"{job_id}|{table}|{split}"
+        )
 
     def record_progress(
         self,
@@ -211,7 +252,12 @@ class Journal:
         df = self.spark.createDataFrame([row], TASK_STATUS_SCHEMA).withColumn(
             "ts", F.current_timestamp()
         )
-        self._append("task_progress", df)
+        # keyed by chunk watermark: a replayed chunk overwrites its own
+        # checkpoint row (progress_stats' dedup-by-token stays as a
+        # belt-and-braces read guard for journals written by older code)
+        self._atomic_keyed_write(
+            "task_progress", df, f"{job_id}|{table}|{split}|{int(last_token)}"
+        )
 
     def split_watermark(self, job_id: str, table: str, split: int) -> int | None:
         """Highest journaled last_token for an in-flight split, or None
@@ -292,11 +338,67 @@ class Journal:
             )
 
     def finalize_job(self, job_id: str, stats_df: DataFrame) -> None:
-        """S11: final per-table results (JobMetadataDb.java:432-469)."""
-        self._append(
-            "job_results", stats_df.withColumn("job_id", F.lit(job_id))
+        """S11: final per-table results (JobMetadataDb.java:432-469).
+
+        Exactly-once: the whole per-job result set lands as ONE atomic
+        keyed file — a crashed finalize leaves nothing visible, a
+        replayed finalize replaces its own rows (never appends
+        duplicates), matching the reference's LWT-batch commit."""
+        self._atomic_keyed_write(
+            "job_results", stats_df.withColumn("job_id", F.lit(job_id)), job_id
         )
         self.mark_not_running(job_id)
+
+    def is_finalized(self, job_id: str) -> bool:
+        """True iff job_results already holds rows for this job (covers
+        both the keyed layout and journals written by older appends)."""
+        jr = self._read("job_results")
+        return jr is not None and bool(
+            jr.filter(F.col("job_id") == job_id).head(1)
+        )
+
+    def results_from_task_status(self, job_id: str) -> DataFrame | None:
+        """Rebuild the per-table final accumulation (A4) from journaled
+        unit rows — the resume path for a job that crashed BETWEEN its
+        last unit completing and finalize_job committing."""
+        ts = self._read("task_status")
+        if ts is None:
+            return None
+        rows = (
+            ts.filter(F.col("job_id") == job_id)
+            .groupBy(F.col("qualified_table_name").alias("table"))
+            .agg(*[F.sum(f).cast("long").alias(f) for f in STAT_FIELDS])
+            .orderBy("table")
+        )
+        return rows if rows.head(1) else None
+
+    # ------------------------------------------------------ planning params
+
+    def save_plan_params(
+        self, job_id: str, splits_per_table: int, mid_split_chunks: int
+    ) -> None:
+        """Journal the split-grid parameters (keyed, idempotent). Resume
+        correctness DEPENDS on the grid being identical across runs: the
+        mid-split watermark check ``chunk_end <= watermark`` assumes the
+        chunk bounds line up, and filter_pending matches on split
+        numbers — a different grid would double-count sub-ranges already
+        summed into progress_stats."""
+        df = self.spark.createDataFrame(
+            [(job_id, int(splits_per_table), int(mid_split_chunks))],
+            "job_id string, splits_per_table int, mid_split_chunks int",
+        )
+        self._atomic_keyed_write("job_plan", df, job_id)
+
+    def plan_params(self, job_id: str) -> tuple[int, int] | None:
+        """(splits_per_table, mid_split_chunks) journaled for this job,
+        or None if this is its first run."""
+        jp = self._read("job_plan")
+        if jp is None:
+            return None
+        rows = jp.filter(F.col("job_id") == job_id).head(1)
+        return (
+            (rows[0].splits_per_table, rows[0].mid_split_chunks) if rows else None
+        )
 
     # --------------------------------------------------------------- resume
 

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The image/audio codec libraries are not in this container, so the decode
-kernels are STUBS — a deterministic fake feature extractor clearly marked
-as such — but the Spark-side plumbing is real and tested: schema contract,
-Arrow-batched ``mapInPandas`` signature, per-batch iteration shape, and
-partition sizing are exactly what a real decoder (PIL/ffmpeg/torchaudio)
-would drop into.
+``decode_headers`` is a REAL decoder: container-format header parsing
+(PNG / JPEG / GIF / BMP / WAV dimensions, sample rate, channels) is pure
+byte arithmetic — no codec library needed — and it is what a 100 TB
+curation pass actually runs corpus-wide (full pixel decode happens after
+filtering, on the surviving slice). The full-pixel/audio-sample kernels
+would drop into the same ``mapInPandas`` shape with PIL/ffmpeg present;
+``decode_stub`` remains as the clearly-marked stand-in for that stage.
 
 At 100 TB: payloads stay in columnar storage; decode runs as Arrow batches
 with spark.sql.files.maxPartitionBytes sized so one batch of decoded
@@ -69,6 +70,128 @@ def decode_stub(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         _fake_decode_batch, schema=DECODE_SCHEMA
     )
+
+
+#: output schema of the REAL header decoder; image formats fill
+#: width/height, audio fills sample_rate/n_channels, unknown fills neither
+HEADER_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, "
+    "sample_rate int, n_channels int, checksum bigint"
+)
+
+
+def _parse_header(b: bytes):
+    """(format, width, height, sample_rate, n_channels) from container
+    magic + header bytes — pure byte arithmetic, no codec involved."""
+    n = len(b)
+    if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: big-endian u32 dims at 16/20
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            None,
+            None,
+        )
+    if n >= 4 and b[:2] == b"\xff\xd8":
+        # scan segments for a start-of-frame marker (C0-CF minus C4/C8/CC):
+        # height/width are big-endian u16 at +5/+7 inside the segment
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    None,
+                    None,
+                )
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return ("jpeg", None, None, None, None)
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen dims: little-endian u16 at 6/8
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            None,
+            None,
+        )
+    if n >= 26 and b[:2] == b"BM":
+        # BITMAPINFOHEADER: signed little-endian i32 at 18/22 (height may
+        # be negative = top-down; report magnitude)
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+            None,
+            None,
+        )
+    if n >= 28 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # fmt chunk in canonical position: channels u16 at 22, rate u32 at 24
+        return (
+            "wav",
+            None,
+            None,
+            int.from_bytes(b[24:28], "little"),
+            int.from_bytes(b[22:24], "little"),
+        )
+    return ("unknown", None, None, None, None)
+
+
+def decode_headers(df: DataFrame) -> DataFrame:
+    """REAL multimodal decode stage: parse container headers of a binary
+    ``payload`` column into typed metadata — format, image dimensions,
+    audio sample rate/channels — plus a crc32 payload checksum.
+
+    Arrow-batched ``mapInPandas`` over (doc_id, payload): bytes never
+    leave their scan partition, output is a narrow typed frame. This is
+    the corpus-wide pass of a multimodal pipeline (cheap, every row); a
+    full pixel/sample decode (PIL/ffmpeg) runs after filtering and drops
+    into the identical plumbing (see ``decode_stub``)."""
+    import zlib
+    from typing import Iterator as _It
+
+    def parse(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                fmt, w, h, sr, ch = _parse_header(b)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        fmt,
+                        w,
+                        h,
+                        sr,
+                        ch,
+                        zlib.crc32(b),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "format",
+                    "width",
+                    "height",
+                    "sample_rate",
+                    "n_channels",
+                    "checksum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=HEADER_SCHEMA)
 
 
 def frame_sample_stub(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:

@@ -298,6 +298,93 @@ class TestMidSplitResume:
         assert res.stats["orders"] == baseline  # journaled + fresh chunks sum exactly
 
 
+class TestExactlyOnceFinalize:
+    """VERDICT r2 #5: LWT-parity journal commit — a crash between the
+    mismatch write and finalize must leave no duplicate or partial
+    job_results rows after a re-run (keyed atomic writes + rebuild-from-
+    task_status resume path)."""
+
+    def test_crash_before_finalize_then_resume_exactly_once(
+        self, spark, pair_dirs, tmp_path, monkeypatch
+    ):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jfin")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="fin-job")
+        baseline = run_job(
+            spark, make_cfg(src_dir, tgt_dir, str(tmp_path / "jfb"), job_id="fb")
+        ).stats["orders"]
+
+        orig = Journal.finalize_job
+        calls = {"n": 0}
+
+        def crashing(self, job_id, stats_df):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash before finalize commit")
+            return orig(self, job_id, stats_df)
+
+        monkeypatch.setattr(Journal, "finalize_job", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_job(spark, cfg)
+
+        j = Journal(spark, jdir)
+        # the crashed finalize left NOTHING visible (atomic keyed write
+        # never ran) — no partial job_results rows
+        jr = j._read("job_results")
+        assert jr is None or jr.filter(F.col("job_id") == "fin-job").count() == 0
+        # the unit itself is journaled complete, mutex released on the
+        # failure path
+        assert j._read("task_status").filter(F.col("job_id") == "fin-job").count() == 1
+        assert j.running_job_ids() == []
+
+        # re-run: no pending work, but the resume path rebuilds the A4
+        # accumulation from task_status and commits it — exactly once
+        res = run_job(spark, cfg)
+        assert res.stats["orders"] == baseline
+        rows = j._read("job_results").filter(F.col("job_id") == "fin-job").collect()
+        assert len(rows) == 1
+        assert rows[0].only_in_source == baseline.only_in_source
+
+        # third run (and a rerun=True replay): keyed upsert — still
+        # exactly one row set, never appended duplicates
+        run_job(spark, cfg)
+        run_job(spark, cfg, rerun=True)
+        assert (
+            j._read("job_results").filter(F.col("job_id") == "fin-job").count() == 1
+        )
+        # task_status keyed upsert: the rerun replaced its row, no dups
+        assert (
+            j._read("task_status").filter(F.col("job_id") == "fin-job").count() == 1
+        )
+
+    def test_resume_grid_mismatch_raises(self, spark, pair_dirs, tmp_path, monkeypatch):
+        # ADVICE r2: resuming with a different chunk grid would misalign
+        # the journaled watermarks — double-counting sub-ranges
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jgrid")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="grid-job")
+
+        orig = Journal.record_progress
+        calls = {"n": 0}
+
+        def crashing(self, *a, **k):
+            orig(self, *a, **k)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(Journal, "record_progress", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_job(spark, cfg, mid_split_chunks=4)
+        monkeypatch.setattr(Journal, "record_progress", orig)
+
+        with pytest.raises(ValueError, match="misalign"):
+            run_job(spark, cfg, mid_split_chunks=8)
+        # the original grid resumes fine
+        res = run_job(spark, cfg, mid_split_chunks=4)
+        assert "orders" in res.stats
+
+
 class TestReverseReadCheck:
     """S3 wired into the job: reverse_read_probability triggers the
     order-invariance pass (Differ.java:219-225, localconfig.yaml:24)."""

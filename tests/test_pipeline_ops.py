@@ -199,6 +199,56 @@ class TestMultimodal:
         assert d1 == d2 and len(d1) == 20
         assert all(1 <= w <= 640 and 1 <= h <= 480 for w, h, _ in d1.values())
 
+    def test_decode_headers_real_formats(self, spark):
+        # real container headers built byte-for-byte with struct packing;
+        # the parser must recover dims / rate / channels from raw bytes
+        import struct
+        import zlib
+
+        def png(w, h):
+            ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+            return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+
+        def jpeg(w, h):
+            # SOI + COM segment (skipped by the scanner) + SOF0
+            com = b"\xff\xfe" + struct.pack(">H", 6) + b"meta"
+            sof = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            return b"\xff\xd8" + com + sof + b"\x01\x22\x00"
+
+        def gif(w, h):
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+        def bmp(w, h):
+            return (
+                b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 4
+            )  # negative height = top-down; parser reports magnitude
+
+        def wav(rate, ch):
+            return (
+                b"RIFF" + b"\x00" * 4 + b"WAVEfmt " + struct.pack("<IHH", 16, 1, ch)
+                + struct.pack("<I", rate) + b"\x00" * 8
+            )
+
+        rows = [
+            (1, png(640, 480)),
+            (2, jpeg(1920, 1080)),
+            (3, gif(32, 16)),
+            (4, bmp(100, 200)),
+            (5, wav(44100, 2)),
+            (6, b"not a container at all"),
+            (7, b""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r.doc_id: r for r in multimodal.decode_headers(df).collect()}
+        assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+        assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 1920, 1080)
+        assert (out[3].format, out[3].width, out[3].height) == ("gif", 32, 16)
+        assert (out[4].format, out[4].width, out[4].height) == ("bmp", 100, 200)
+        assert (out[5].format, out[5].sample_rate, out[5].n_channels) == ("wav", 44100, 2)
+        assert out[6].format == "unknown" and out[6].width is None
+        assert out[7].format == "unknown" and out[7].n_bytes == 0
+        assert out[1].checksum == zlib.crc32(png(640, 480))
+
     def test_frame_sample_counts(self, spark):
         df = spark.createDataFrame([(1, 250), (2, 99), (3, 100)], "doc_id long, n_bytes long")
         res = multimodal.frame_sample_stub(df, every_n_bytes=100)
