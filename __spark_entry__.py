@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: FIRST so the driver's next capped run checks them; previously-covered
 #: entries follow, declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
+    "random_token_split",
     "dedup_minhash_verified",
     "multimodal_decode",
     "multimodal_meta",

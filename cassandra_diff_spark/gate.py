@@ -388,6 +388,39 @@ FROM (SELECT DISTINCT o_orderkey FROM orders)
 GROUP BY 1
 """
 
+
+def _q_random_token_split(spark, sf_dir):
+    # F1 RANDOM partitioner: REAL RandomPartitioner tokens (abs of the
+    # signed-128 md5 digest, TokenHelper.java:42-58 ring) over a TEXT key
+    # — text serializes as utf-8, so DuckDB's md5(VARCHAR) sees the same
+    # bytes and the full 2^127 token + split math is oracle-paired
+    from cassandra_diff_spark.functions.randompart import (
+        random_split_assignment,
+        random_token,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    t = o.select("k", random_token(["k"], ["text"]).alias("token"))
+    return t.select(
+        "k", "token", random_split_assignment(F.col("token"), 32).alias("split")
+    )
+
+
+def _O_RANDOM_TOKEN_SPLIT():
+    from cassandra_diff_spark.functions.randompart import (
+        random_split_assignment_sql,
+        random_token_sql,
+    )
+
+    tok = random_token_sql("k")
+    return f"""
+SELECT k, {tok} AS token,
+       {random_split_assignment_sql(tok, 32)} AS split
+FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders)
+"""
+
 # ---- analytics: aggregation / join / sort-limit / window -------------------
 
 
@@ -573,6 +606,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diff_stats_lineitem": _q_diff_stats_lineitem,
     "key_scan_orders": _q_key_scan_orders,
     "split_assignment": _q_split_assignment,
+    "random_token_split": _q_random_token_split,
     "q1_pricing_summary": _q_q1_pricing_summary,
     "q3_top_unshipped": _q_q3_top_unshipped,
     "q6_forecast_revenue": _q_q6_forecast_revenue,
@@ -590,6 +624,7 @@ ORACLES: Dict[str, str] = {
     "diff_stats_lineitem": _O_DIFF_STATS_LINEITEM,
     "key_scan_orders": _O_KEY_SCAN_ORDERS,
     "split_assignment": _O_SPLIT_ASSIGNMENT,
+    "random_token_split": _O_RANDOM_TOKEN_SPLIT(),
     "q1_pricing_summary": _O_Q1,
     "q3_top_unshipped": _O_Q3,
     "q6_forecast_revenue": _O_Q6,

@@ -53,6 +53,101 @@ class TestSplitMath:
             calculate_splits(0, 10)
 
 
+class TestRandomPartitioner:
+    """F1 RANDOM ring (TokenHelper.java:42-58): real md5 tokens at 2^127
+    width, split math mirroring DiffJobTest.java:39-94 at RANDOM bounds."""
+
+    def test_known_vector_and_definition(self):
+        import hashlib
+
+        from cassandra_diff_spark.functions.randompart import (
+            RANDOM_MAX,
+            random_token_of_bytes,
+        )
+
+        # the classic RandomPartitioner value for key '123'
+        assert (
+            random_token_of_bytes(b"123")
+            == 42767516990368493138776584305024125808
+        )
+        # definition parity for arbitrary byte keys (incl. a digest whose
+        # sign bit is set -> abs path)
+        for key in [b"", b"abc", b"\x00" * 7, "épée".encode()]:
+            d = hashlib.md5(key).digest()
+            expected = abs(int.from_bytes(d, "big", signed=True))
+            assert random_token_of_bytes(key) == expected
+            assert 0 <= random_token_of_bytes(key) <= RANDOM_MAX + 1
+
+    def test_padded_string_order_equals_numeric(self):
+        from cassandra_diff_spark.functions.randompart import pad_token
+
+        toks = [0, 1, 2**64, 2**126, 2**127 - 1]
+        padded = [pad_token(t) for t in toks]
+        assert padded == sorted(padded)  # lexicographic == numeric
+        assert all(len(p) == 39 for p in padded)
+
+    def test_range_predicate_and_split_assignment(self, spark):
+        from cassandra_diff_spark.functions.randompart import (
+            RANDOM_MAX,
+            RANDOM_MIN,
+            pad_token,
+            random_split_assignment,
+            random_token,
+            random_token_range_predicate,
+        )
+
+        df = spark.range(0, 300).select(F.col("id").cast("string").alias("k"))
+        t = df.select("k", random_token(["k"], ["text"]).alias("token"))
+        rows = {r.k: r.token for r in t.collect()}
+        assert all(len(v) == 39 for v in rows.values())
+
+        # split membership agrees with the planner's (start, end] grid
+        splits = calculate_splits(8, 1, RANDOM_MIN, RANDOM_MAX)
+        assigned = {
+            r.k: r.split
+            for r in t.select(
+                "k", random_split_assignment(F.col("token"), 8).alias("split")
+            ).collect()
+        }
+        for k, tok_str in rows.items():
+            tok = int(tok_str)
+            [expect] = [
+                s.split_number for s in splits if s.start < tok <= s.end
+            ]
+            assert assigned[k] == expect
+
+        # half-open range predicate via padded-string comparison; the -1
+        # ring minimum is below every token (lower bound dropped)
+        mid = sorted(int(v) for v in rows.values())[150]
+        n_above = sum(1 for v in rows.values() if int(v) > mid)
+        got = t.filter(
+            random_token_range_predicate(F.col("token"), mid, RANDOM_MAX)
+        ).count()
+        assert got == n_above
+        assert (
+            t.filter(
+                random_token_range_predicate(F.col("token"), RANDOM_MIN, RANDOM_MAX)
+            ).count()
+            == 300
+        )
+        # splits at RANDOM width cover the whole ring contiguously
+        assert splits[0].start == RANDOM_MIN and splits[-1].end == RANDOM_MAX
+        # and the padded bounds round-trip
+        assert int(pad_token(RANDOM_MAX)) == RANDOM_MAX
+
+    def test_bigint_serialization_matches_definition(self, spark):
+        import hashlib
+        import struct
+
+        from cassandra_diff_spark.functions.randompart import random_token
+
+        df = spark.createDataFrame([(42,), (7,)], "k long")
+        got = {r.k: r.token for r in df.select("k", random_token(["k"], ["bigint"]).alias("token")).collect()}
+        for k in (42, 7):
+            d = hashlib.md5(struct.pack(">q", k)).digest()
+            assert int(got[k]) == abs(int.from_bytes(d, "big", signed=True))
+
+
 class TestOrderInvariance:
     """O2/S3: forward and reverse clustering reads must yield identical
     stats (reverse_read_probability check, Differ.java:219-225)."""
