@@ -75,17 +75,53 @@ class CassandraSourceProvider:
     With the connector, reads use its native token-range scans and filter
     pushdown (the connector subsumes the reference's hand-rolled
     token-window CQL, DiffCluster.java:214-251).
+
+    Two-cluster diffs (the reference's whole point) work from ONE
+    SparkSession because connection settings are passed PER READ, not
+    session-wide: any ``spark.cassandra.*`` key in ``options`` (plus the
+    ``contact_points``/``port`` shortcuts, named as in the reference's
+    ContactPointsClusterProvider config) is forwarded to the reader, so
+    source and target providers can point at different clusters.
+
+    Credentials follow the reference's env-var convention
+    (README.md "Environment variables"):
+    ``diff.cluster.<identifier>.cql_user`` / ``..cql_password``, with
+    ``identifier`` taken from options (default ``source``). Explicit
+    ``username``/``password`` options win over the environment.
     """
 
     def __init__(self, options: dict):
+        import os
+
         self.keyspace = options["keyspace"]
         self.options = options
+        ident = options.get("identifier", "source")
+        conn = {
+            k: str(v)
+            for k, v in options.items()
+            if k.startswith("spark.cassandra.")
+        }
+        if "contact_points" in options:
+            conn["spark.cassandra.connection.host"] = str(options["contact_points"])
+        if "port" in options:
+            conn["spark.cassandra.connection.port"] = str(options["port"])
+        user = options.get("username") or os.environ.get(
+            f"diff.cluster.{ident}.cql_user"
+        )
+        password = options.get("password") or os.environ.get(
+            f"diff.cluster.{ident}.cql_password"
+        )
+        if user:
+            conn["spark.cassandra.auth.username"] = user
+        if password:
+            conn["spark.cassandra.auth.password"] = password
+        self.conn = conn
 
     def read_table(self, spark: SparkSession, table: str) -> DataFrame:
         try:
             return (
                 spark.read.format("org.apache.spark.sql.cassandra")
-                .options(keyspace=self.keyspace, table=table)
+                .options(keyspace=self.keyspace, table=table, **self.conn)
                 .load()
             )
         except Exception as e:  # pragma: no cover - connector not in image
@@ -103,7 +139,7 @@ class CassandraSourceProvider:
         try:
             df = (
                 spark.read.format("org.apache.spark.sql.cassandra")
-                .options(keyspace="system_schema", table="tables")
+                .options(keyspace="system_schema", table="tables", **self.conn)
                 .load()
             )
             rows = (
