@@ -69,17 +69,28 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # 1M-vector scale probe of the ANN / near-dup paths: planted-neighbor
+    # recall + candidate-set fraction at scale-tuned banding (the evidence
+    # that the bucketed paths prune, not just that they are correct at
+    # sf0.1). SPARK_GRAFT_SCALE_N=0 skips; see scale_probe.py.
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1000000"))
+    if scale_n:
+        try:
+            from scale_probe import run_probe
+
+            out["scale_probe"] = run_probe(spark, scale_n)
+        except Exception as e:  # the headline line must survive a probe failure
+            out["scale_probe"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

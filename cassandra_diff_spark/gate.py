@@ -1325,3 +1325,309 @@ def _q_diff_stats_lineitem_skewsafe(spark, sf_dir):
 
 QUERIES["diff_stats_lineitem_skewsafe"] = _q_diff_stats_lineitem_skewsafe
 ORACLES["diff_stats_lineitem_skewsafe"] = _O_DIFF_STATS_LINEITEM_SET
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q7/q8/q13/q15/q17/q22, adapted to the synthetic schema (no
+# partsupp / c_phone / l_commitdate columns, so q2/q9/q11/q16/q20/q21 have
+# no faithful twin). All money/quantity math is integer cents; every
+# float-threshold comparison is cross-multiplied into exact integer form so
+# DuckDB and Spark can never disagree on a boundary row.
+
+
+def _q_q7_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year —
+    # two broadcast nation dims aliased onto supplier and customer sides
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_c"))
+    )
+
+
+_O_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q_q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: one nation's share of regional revenue by order
+    # year — emitted as exact (nation, total) cent pairs, never a float
+    # ratio
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    c_nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    s_nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(c_nat), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(s_nat), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("nation_revenue_c"),
+            F.sum(rev).cast("long").alias("total_revenue_c"),
+        )
+    )
+
+
+_O_Q8 = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT)
+         AS nation_revenue_c,
+       CAST(SUM(rev_c) AS BIGINT) AS total_revenue_c
+FROM (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, ns.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY o_year
+"""
+
+
+def _q_q13_customer_distribution(spark, sf_dir):
+    # TPC-H Q13 shape: distribution of customers by order count — LEFT
+    # join so zero-order customers land in the c_count=0 bucket (the
+    # comment-pattern exclusion maps to dropping 1-URGENT orders)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+_O_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: supplier(s) achieving the max windowed revenue —
+    # the view+MAX correlated pair collapses to one window max over the
+    # per-supplier rollup (no second scan)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).cast("long").alias("total_revenue_c"))
+    # scalar max as a 1-row broadcast crossJoin — NOT a global window,
+    # which would funnel the whole per-supplier rollup into one task
+    max_rev = per_supp.agg(F.max("total_revenue_c").alias("max_rev"))
+    top = per_supp.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue_c") == F.col("max_rev")
+    )
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue_c",
+        )
+    )
+
+
+_O_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_c
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+"""
+
+
+def _q_q17_small_quantity(spark, sf_dir):
+    # TPC-H Q17 shape: revenue from lineitems under 20% of their part's
+    # average quantity. The correlated AVG becomes one per-part rollup +
+    # join; qty < 0.2*avg is cross-multiplied to 5*qty*cnt < sum so the
+    # comparison is exact integer arithmetic in both engines
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count("*").alias("cnt")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(qty_c * F.col("cnt") * 5 < F.col("sum_qty_c"))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(price_c), F.lit(0)).cast("long").alias("total_price_c"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+_O_Q17 = """
+SELECT
+  CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+    AS total_price_c,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS pp_key,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+) ON l_partkey = pp_key
+WHERE p_brand = 'Brand#1'
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) * cnt * 5 < sum_qty_c
+"""
+
+
+def _q_q22_sales_opportunity(spark, sf_dir):
+    # TPC-H Q22 shape: well-funded customers with no URGENT orders,
+    # rolled up by nation (the synthetic schema has no c_phone, so nation
+    # replaces the country-code substring; every synthetic customer has
+    # some order, so the NOT EXISTS targets the urgent subset to keep the
+    # gate non-empty). The scalar AVG subquery becomes a cross-multiplied
+    # integer comparison against the (1-row) broadcast global sum/count;
+    # the NOT EXISTS is a left-anti join
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos"), F.count("*").alias("n_pos")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("totacctbal_c"),
+        )
+    )
+
+
+_O_Q22 = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+) c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_c * (SELECT COUNT(*) FROM customer WHERE ROUND(c_acctbal * 100) > 0)
+      > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer
+         WHERE ROUND(c_acctbal * 100) > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
+QUERIES["q7_volume_shipping"] = _q_q7_volume_shipping
+ORACLES["q7_volume_shipping"] = _O_Q7
+QUERIES["q8_market_share"] = _q_q8_market_share
+ORACLES["q8_market_share"] = _O_Q8
+QUERIES["q13_customer_distribution"] = _q_q13_customer_distribution
+ORACLES["q13_customer_distribution"] = _O_Q13
+QUERIES["q15_top_supplier"] = _q_q15_top_supplier
+ORACLES["q15_top_supplier"] = _O_Q15
+QUERIES["q17_small_quantity"] = _q_q17_small_quantity
+ORACLES["q17_small_quantity"] = _O_Q17
+QUERIES["q22_sales_opportunity"] = _q_q22_sales_opportunity
+ORACLES["q22_sales_opportunity"] = _O_Q22

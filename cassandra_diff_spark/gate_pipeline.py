@@ -835,3 +835,65 @@ FROM kept GROUP BY lang
 
 QUERIES["pipeline_clean_corpus"] = _q_pipeline_clean_corpus
 ORACLES["pipeline_clean_corpus"] = _make_o_pipeline_clean_corpus()
+
+
+# ------------------------------------- domain mixing / decontamination
+
+def _q_curate_stratified_sample(spark, sf_dir):
+    # deterministic domain-mixing subsample: keep ALL of src0, half of
+    # src1, a quarter of src2, 10% of everything else — a map-only
+    # id-hash predicate, no RNG, no shuffle
+    from cassandra_diff_spark.operators.curate import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "source",
+        ppm={"src0": 1_000_000, "src1": 500_000, "src2": 250_000},
+        default_ppm=100_000,
+    ).select("doc_id", "source")
+
+
+_O_CURATE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE ({md5_hash64_sql("CAST(doc_id AS VARCHAR)")}) % 1000000 <
+      CASE source WHEN 'src0' THEN 1000000
+                  WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 250000
+                  ELSE 100000 END
+"""
+
+
+def _q_curate_contamination(spark, sf_dir):
+    # decontamination scan: documents vs a benchmark slice (every 97th
+    # doc), per-document 3-gram overlap as exact integer milli-fractions
+    from cassandra_diff_spark.operators.curate import benchmark_contamination
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return benchmark_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
+_O_CURATE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM documents)
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST((SUM(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS overlap_milli
+FROM sh LEFT JOIN bench USING (h)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY doc_id
+"""
+
+
+QUERIES["curate_stratified_sample"] = _q_curate_stratified_sample
+ORACLES["curate_stratified_sample"] = _O_CURATE_STRATIFIED_SAMPLE
+QUERIES["curate_contamination"] = _q_curate_contamination
+ORACLES["curate_contamination"] = _O_CURATE_CONTAMINATION

@@ -77,3 +77,79 @@ def corpus_stats(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("quality_milli").cast("long").alias("quality_sum"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    ppm: dict,
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample — the domain-mixing primitive
+    of a training-data build ("keep 30% of web, all of books, 5% of
+    logs").
+
+    ``ppm`` maps stratum value -> parts-per-million keep rate (integers,
+    never floats, so the keep decision is bit-identical in any engine);
+    strata absent from the map fall back to ``default_ppm``. A row is
+    kept iff ``md5_hash64(id) % 1_000_000 < rate`` — sampling is a pure
+    per-row predicate on the id hash: deterministic across runs/retries
+    (no RNG state), MAP-ONLY (no shuffle, no per-stratum pass — the
+    CASE picks the rate inline), and composable with any downstream
+    plan. At 100 TB this is a filter pushed into the scan, nothing more.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    rate = F.lit(int(default_ppm))
+    for k in sorted(ppm, reverse=True):
+        rate = F.when(F.col(strata_col) == k, F.lit(int(ppm[k]))).otherwise(rate)
+    h = md5_hash64(F.col(id_col).cast("string")) % 1_000_000
+    return df.filter(h < rate)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram overlap with a benchmark/eval set — the
+    decontamination scan a training corpus needs before release.
+
+    Returns (id, n_grams, n_overlap, overlap_milli): the document's
+    distinct n-shingle count, how many of those shingles appear anywhere
+    in the benchmark, and the integer milli-fraction
+    ``(1000 * n_overlap) div n_grams`` — integer division end to end, so
+    no float ever enters the result. Documents shorter than n words
+    contribute their whole text as one shingle (word_shingles semantics),
+    so every document gets a row.
+
+    Scale: the benchmark shingle set is DISTINCT'd and broadcast —
+    benchmark suites are small by definition (if yours is not, drop the
+    broadcast hint and let AQE pick). The corpus side is one shingle
+    explosion + one hash-join + one groupBy(id): a single data-sized
+    shuffle, same shape as the exact-dedup pass.
+    """
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    doc_sh = shingle_set(docs, id_col, text_col, n)
+    bench_sh = shingle_set(benchmark, id_col, text_col, n).select("h").distinct()
+    hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
+    return (
+        doc_sh.join(
+            F.broadcast(bench_sh.withColumn("bh", F.col("h"))), ["h"], "left"
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_overlap",
+            F.expr("(n_overlap * 1000) div n_grams").alias("overlap_milli"),
+        )
+    )

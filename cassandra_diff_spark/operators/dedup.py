@@ -504,6 +504,8 @@ def embedding_near_pairs(
     block_col: str | None = None,
     exact: bool = False,
     dim: int = 64,
+    n_planes: int = 64,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate embedding pairs by cosine >= min_cos, on quantized
     integer vectors (exact dot/norms; deterministic double cosine).
@@ -518,6 +520,13 @@ def embedding_near_pairs(
     ``block_col``: caller-supplied blocking key (e.g. a cluster/label
     id) used INSTEAD of the signature bands. ``exact=True`` opts into
     the O(n^2) cross join — correct but driver-of-last-resort at scale.
+
+    ``n_planes``/``n_bands``: blocking selectivity. Within-bucket pair
+    count is quadratic in bucket occupancy (~n / 2^(planes/bands)), so
+    at 10^6+ rows pass fewer, WIDER bands (e.g. ``n_bands=4`` -> 16-bit
+    keys, 65536 buckets) — near-duplicates (cos ~0.999) still agree on
+    a full wide band with high probability. scale_probe.py measures the
+    candidate-pair fraction and planted-dup recall at 10^6.
     """
     from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
 
@@ -560,7 +569,11 @@ def embedding_near_pairs(
     # (tracked — long-lived sessions release via operators.release_caches).
     from cassandra_diff_spark.operators import tracked_cache
 
-    sig = tracked_cache(base.withColumn("keys", hyperplane_band_keys(F.col("q"), dim)))
+    sig = tracked_cache(
+        base.withColumn(
+            "keys", hyperplane_band_keys(F.col("q"), dim, n_planes, n_bands)
+        )
+    )
     base = sig  # vecs below reuse the cached branch
     kb = sig.select("id", F.posexplode(F.col("keys")).alias("band", "band_key"))
     cand = (

@@ -91,12 +91,19 @@ def brute_force_topk(
     )
 
 
-def hyperplane_band_keys(vec_q, dim: int):
+def hyperplane_band_keys(
+    vec_q, dim: int, n_planes: int = N_PLANES, n_bands: int = PLANE_BANDS
+):
     """Deterministic random-hyperplane band keys of a quantized vector:
     plane p weight for dim d = (md5_hash64(concat(p,'_',d)) % 2001) - 1000;
     bit = 1 iff the integer projection is positive. Returns an
-    ``array<long>`` of PLANE_BANDS keys; band b packs planes
-    b*BITS .. b*BITS+BITS-1, plane b*BITS+r contributing bit 2^r.
+    ``array<long>`` of ``n_bands`` keys; band b packs planes
+    b*BITS .. b*BITS+BITS-1 (BITS = n_planes // n_bands), plane
+    b*BITS+r contributing bit 2^r. Defaults match the SQL oracle twin
+    (:func:`hyperplane_band_key_sql`, which is generated for the
+    default 8x8 layout); non-default layouts reuse the same plane
+    weights, so band b at BITS=16 packs exactly the planes of oracle
+    bands 2b and 2b+1.
 
     Implemented as an Arrow-batched pandas_udf: all 64 projections of a
     whole batch are ONE float64 matmul. The float64 cast is EXACT, not
@@ -114,17 +121,20 @@ def hyperplane_band_keys(vec_q, dim: int):
     join."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_planes={n_planes}")
+    band_bits = n_planes // n_bands
     w = np.array(
-        [[_plane_weight(p, d) for d in range(dim)] for p in range(N_PLANES)],
+        [[_plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
         dtype=np.float64,
     )
-    powers = (1 << np.arange(PLANE_BAND_BITS, dtype=np.int64))
+    powers = (1 << np.arange(band_bits, dtype=np.int64))
 
     @pandas_udf("array<long>")
     def keys_udf(qs: pd.Series) -> pd.Series:
         q = np.array(list(qs), dtype=np.float64)  # batch x dim
-        bits = (q @ w.T > 0).astype(np.int64)  # batch x N_PLANES
-        keys = bits.reshape(len(q), PLANE_BANDS, PLANE_BAND_BITS) @ powers
+        bits = (q @ w.T > 0).astype(np.int64)  # batch x n_planes
+        keys = bits.reshape(len(q), n_bands, band_bits) @ powers
         return pd.Series(list(keys))
 
     return keys_udf(vec_q)
@@ -165,6 +175,9 @@ def hyperplane_lsh_topk(
     k: int = 5,
     dim: int = 64,
     multi_probe: bool = True,
+    n_planes: int = N_PLANES,
+    n_bands: int = PLANE_BANDS,
+    probe_radius: int = PROBE_RADIUS,
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus vectors sharing at least
     one signature band (PLANE_BANDS bands of PLANE_BAND_BITS planes) with
@@ -182,18 +195,34 @@ def hyperplane_lsh_topk(
     dedup — the full vectors are re-attached afterwards (queries by
     broadcast, corpus by one id-equi-join), so the distinct shuffles id
     pairs, never vectors.
+
+    ``n_planes``/``n_bands``/``probe_radius`` size the probed fraction:
+    the defaults (8x8-bit bands, radius 2 -> 37 probes of 256 buckets
+    per band) probe a large corpus fraction — right for 10^4-10^5 rows
+    where recall matters more than pruning. At 10^6+ use wider bands and
+    a smaller radius (e.g. ``n_bands=4, probe_radius=1``: 17 probes of
+    65536 buckets per band ~ 0.03% per band) so the candidate set stays
+    a sub-percent corpus fraction — scale_probe.py measures exactly this
+    trade at 10^6 vectors.
     """
     from cassandra_diff_spark.operators import tracked_cache
 
+    band_bits = n_planes // n_bands
+    masks = sorted(
+        (m for m in range(1 << band_bits) if bin(m).count("1") <= probe_radius),
+        key=lambda m: (bin(m).count("1"), m),
+    )
     # cached: the corpus branch feeds BOTH the band join and the vector
     # rejoin; without materialization each branch re-runs quantize+keys
     # (tracked — long-lived sessions release via operators.release_caches)
     c = tracked_cache(
         _prep(corpus, id_col, vec_col, "c_")
-        .withColumn("c_keys", hyperplane_band_keys(F.col("c_q"), dim))
+        .withColumn(
+            "c_keys", hyperplane_band_keys(F.col("c_q"), dim, n_planes, n_bands)
+        )
     )
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
-        "q_keys", hyperplane_band_keys(F.col("q_q"), dim)
+        "q_keys", hyperplane_band_keys(F.col("q_q"), dim, n_planes, n_bands)
     )
     # ONE corpus pass: posexplode the key array to (band, band_key) rows
     # and join once on the composite key — not PLANE_BANDS separate
@@ -202,7 +231,7 @@ def hyperplane_lsh_topk(
     q_b = q.select("q_id", F.posexplode(F.col("q_keys")).alias("band", "qkey"))
     if multi_probe:
         probes = F.array(
-            *[F.col("qkey").bitwiseXOR(F.lit(m)) for m in PROBE_MASKS]
+            *[F.col("qkey").bitwiseXOR(F.lit(m)) for m in masks]
         )
         q_b = q_b.select("q_id", "band", F.explode(probes).alias("band_key"))
     else:

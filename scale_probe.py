@@ -1,0 +1,213 @@
+"""1M-vector scale probe of the ANN / near-dup paths (VERDICT r2 #6).
+
+The sf0.1 gates prove CORRECTNESS; this probe is the EVIDENCE for the
+100 TB story: at 10^6 vectors, do the bucketed paths still (a) find the
+true close neighbors (recall) while (b) touching only a sub-percent
+candidate fraction of the corpus / all-pairs?
+
+Design:
+  * corpus: n deterministic synthetic vectors (hash-derived, JVM-side
+    generation — no RNG state, no Python in the generator).
+  * queries: perturbed COPIES of corpus vectors (cos ~ 0.9998) — planted
+    ground truth whose nearest neighbor is known by construction, the
+    regime ANN indexes exist for (close neighbors; far-neighbor ranking
+    on random data is information-free for any LSH).
+  * hyperplane LSH at SCALE parameters (4x16-bit bands, radius-1
+    multi-probe: ~0.03% of buckets probed per band) vs the 8x8-bit
+    default, which at 1M probes ~70% of the corpus — the probe is what
+    exposed that, see the banding notes in operators/similarity.py.
+  * IVF with centroid_mod ~ sqrt(n).
+  * embedding near-dup pairs at 4x16-bit banding on a slice + planted
+    duplicates: planted-pair recall + candidate-pair fraction.
+
+Run directly (`python scale_probe.py [n]`) or via bench.py, which embeds
+the result dict in the per-round BENCH json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIM = 64
+N_QUERIES = 100
+PLANT_OFFSET = 10_000_000
+#: scale-tuned LSH banding: 64 planes, 4 bands x 16 bits, radius-1 probes
+SCALE_BANDS = 4
+SCALE_RADIUS = 1
+
+
+def synth_vectors(spark: SparkSession, n: int, dim: int = DIM) -> DataFrame:
+    """n deterministic vectors, components in [-1, 1) derived from
+    xxhash64(id, dim) — pure Catalyst generation, reproducible anywhere."""
+    vec = F.array(
+        *[
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001)) - 1000).cast(
+                "float"
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def perturb(df: DataFrame, amplitude: float = 0.01) -> DataFrame:
+    """Planted near-duplicates: add hash-derived noise of the given
+    amplitude per component (cos ~ 1 - amplitude^2/0.67) and shift ids."""
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x
+            + (
+                F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(777)), F.lit(2001)) - 1000
+            ).cast("float")
+            / 1000.0
+            * amplitude
+        ).cast("float"),
+    )
+    return df.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), noisy.alias("embedding")
+    )
+
+
+def _lsh_candidate_count(
+    corpus: DataFrame, queries: DataFrame, n_bands: int, radius: int
+) -> int:
+    """Distinct (query, corpus) candidate pairs the scale-banded LSH
+    join produces — measured with the operator's own key kernel."""
+    from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
+    from cassandra_diff_spark.functions.vectors import quantize
+
+    band_bits = 64 // n_bands
+    masks = [m for m in range(1 << band_bits) if bin(m).count("1") <= radius]
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"),
+        hyperplane_band_keys(quantize(F.col("embedding")), DIM, 64, n_bands).alias(
+            "keys"
+        ),
+    ).select("c_id", F.posexplode("keys").alias("band", "band_key"))
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        hyperplane_band_keys(quantize(F.col("embedding")), DIM, 64, n_bands).alias(
+            "keys"
+        ),
+    ).select("q_id", F.posexplode("keys").alias("band", "qkey"))
+    probes = F.array(*[F.col("qkey").bitwiseXOR(F.lit(m)) for m in masks])
+    q = q.select("q_id", "band", F.explode(probes).alias("band_key"))
+    return (
+        c.join(F.broadcast(q), ["band", "band_key"])
+        .select("q_id", "c_id")
+        .distinct()
+        .count()
+    )
+
+
+def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
+    from cassandra_diff_spark.operators import release_caches, similarity
+    from cassandra_diff_spark.operators.dedup import embedding_near_pairs
+
+    out: dict = {"n": n, "dim": DIM, "n_queries": N_QUERIES}
+    work = os.path.join("/tmp", f"scale_probe_{n}")
+
+    t0 = time.time()
+    synth_vectors(spark, n).write.mode("overwrite").parquet(f"{work}/corpus.parquet")
+    corpus = spark.read.parquet(f"{work}/corpus.parquet")
+    queries = perturb(corpus.filter(F.col("vec_id") < N_QUERIES))
+    queries.write.mode("overwrite").parquet(f"{work}/queries.parquet")
+    queries = spark.read.parquet(f"{work}/queries.parquet")
+    out["gen_sec"] = round(time.time() - t0, 2)
+
+    # ground truth by construction: query PLANT_OFFSET+i was perturbed
+    # from corpus vector i, cos ~0.9998 — its true nearest neighbor
+    def recall_at_1(df: DataFrame) -> float:
+        hits = df.filter(
+            (F.col("rank") == 1)
+            & (F.col("neighbor_id") == F.col("query_id") - PLANT_OFFSET)
+        ).count()
+        return hits / N_QUERIES
+
+    t0 = time.time()
+    brute = similarity.brute_force_topk_pandas(
+        corpus, queries, "vec_id", "embedding", k=10
+    )
+    out["brute_recall_at_1"] = recall_at_1(brute)
+    out["brute_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    lsh = similarity.hyperplane_lsh_topk(
+        corpus, queries, "vec_id", "embedding", k=10,
+        n_bands=SCALE_BANDS, probe_radius=SCALE_RADIUS,
+    )
+    out["lsh_recall_at_1"] = recall_at_1(lsh)
+    out["lsh_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_cand = _lsh_candidate_count(corpus, queries, SCALE_BANDS, SCALE_RADIUS)
+    out["lsh_candidate_fraction"] = round(n_cand / (n * N_QUERIES), 6)
+    out["lsh_candidates_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    mod = max(2, int(n**0.5))  # ~sqrt(n) centroids, the canonical IVF nlist
+    ivf = similarity.ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=10, centroid_mod=mod, n_probe=8
+    )
+    out["ivf_recall_at_1"] = recall_at_1(ivf)
+    out["ivf_sec"] = round(time.time() - t0, 2)
+    # a query probes 8 of ~n/mod lists -> candidate fraction ~ 8*mod/n
+    out["ivf_candidate_fraction"] = round(8 * mod / n, 6)
+
+    # near-dup pairs on a slice + planted duplicates, scale banding
+    t0 = time.time()
+    slice_n = min(n, 300_000)
+    base = corpus.filter(F.col("vec_id") < slice_n)
+    planted = perturb(base.filter(F.col("vec_id") < 3_000))
+    both = base.unionByName(planted)
+    pairs = embedding_near_pairs(
+        both, "vec_id", "embedding", min_cos=0.999, n_bands=SCALE_BANDS
+    )
+    found = pairs.filter(
+        F.col("id_2") - F.col("id_1") == PLANT_OFFSET
+    ).count()
+    out["near_pairs_recall"] = found / 3_000
+    out["near_pairs_sec"] = round(time.time() - t0, 2)
+    out["near_pairs_slice_n"] = slice_n + 3_000
+    # candidate-pair fraction of all-pairs on the slice: bucket occupancy
+    # o ~ n/65536 -> sum over bands of n*o/2 collisions
+    t0 = time.time()
+    from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
+    from cassandra_diff_spark.functions.vectors import quantize
+
+    kb = both.select(
+        F.col("vec_id").alias("id"),
+        hyperplane_band_keys(
+            quantize(F.col("embedding")), DIM, 64, SCALE_BANDS
+        ).alias("keys"),
+    ).select("id", F.posexplode("keys").alias("band", "band_key"))
+    n_pair_cand = (
+        kb.groupBy("band", "band_key")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+        .first()[0]
+    )
+    m = slice_n + 3_000
+    out["near_pairs_candidate_fraction"] = round(
+        float(n_pair_cand) / (m * (m - 1) / 2), 8
+    )
+    out["near_pairs_candidates_sec"] = round(time.time() - t0, 2)
+
+    release_caches()
+    return out
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cassandra_diff_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("scale-probe")
+    print(json.dumps(run_probe(spark, n)))

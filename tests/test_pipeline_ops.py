@@ -399,3 +399,84 @@ class TestCurate:
             [(1, junk), (2, junk)], "doc_id long, text string"
         )
         assert clean_corpus(df, "doc_id", "text").count() == 0
+
+
+class TestStratifiedSample:
+    def test_rates_apply_per_stratum(self, spark):
+        from cassandra_diff_spark.operators.curate import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+            "id long, src string",
+        )
+        out = stratified_sample(
+            df, "id", "src", ppm={"a": 1_000_000}, default_ppm=0
+        )
+        rows = out.collect()
+        # keep-all stratum survives in full, default 0 drops stratum b
+        assert {r.src for r in rows} == {"a"}
+        assert len(rows) == 200
+
+    def test_deterministic_and_monotone(self, spark):
+        # a 25% sample is an exact subset of a 50% sample (hash predicate
+        # thresholds nest) and identical across invocations
+        from cassandra_diff_spark.operators.curate import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "w") for i in range(1000)], "id long, src string"
+        )
+        s25 = {r.id for r in stratified_sample(df, "id", "src", {"w": 250_000}).collect()}
+        s50 = {r.id for r in stratified_sample(df, "id", "src", {"w": 500_000}).collect()}
+        s25_again = {
+            r.id for r in stratified_sample(df, "id", "src", {"w": 250_000}).collect()
+        }
+        assert s25 == s25_again
+        assert s25 <= s50
+        # keep rate lands near the requested fraction
+        assert 150 < len(s25) < 350 and 380 < len(s50) < 620
+
+    def test_map_only_plan(self, spark):
+        # the sample must stay a scan+filter: no exchange in the plan
+        from cassandra_diff_spark.operators.curate import stratified_sample
+
+        df = spark.range(100).selectExpr("id", "'w' AS src")
+        plan = stratified_sample(df, "id", "src", {"w": 500_000})._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestBenchmarkContamination:
+    def test_overlap_counts(self, spark):
+        from cassandra_diff_spark.operators.curate import benchmark_contamination
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different words here that never collide at all"),
+                (3, "hi"),  # under 3 words: ONE whole-text shingle
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "the quick brown fox runs far")], "doc_id long, text string"
+        )
+        out = {r.id: r for r in benchmark_contamination(docs, bench, "doc_id", "text").collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[3].n_grams == 1 and out[3].n_overlap == 0
+        # doc 1 shares exactly the shingles 'the quick brown' and
+        # 'quick brown fox' with the benchmark
+        assert out[1].n_overlap == 2
+        assert out[1].n_grams == 7
+        assert out[1].overlap_milli == 2000 // 7
+        assert out[2].n_overlap == 0 and out[2].overlap_milli == 0
+
+    def test_fully_contained_doc_hits_1000(self, spark):
+        from cassandra_diff_spark.operators.curate import benchmark_contamination
+
+        text = "alpha beta gamma delta epsilon"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(2, "prefix words " + text + " suffix words")],
+            "doc_id long, text string",
+        )
+        row = benchmark_contamination(docs, bench, "doc_id", "text").first()
+        assert row.n_overlap == row.n_grams and row.overlap_milli == 1000
