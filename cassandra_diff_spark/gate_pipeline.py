@@ -897,3 +897,75 @@ QUERIES["curate_stratified_sample"] = _q_curate_stratified_sample
 ORACLES["curate_stratified_sample"] = _O_CURATE_STRATIFIED_SAMPLE
 QUERIES["curate_contamination"] = _q_curate_contamination
 ORACLES["curate_contamination"] = _O_CURATE_CONTAMINATION
+
+
+def _q_curate_repetition(spark, sf_dir):
+    # Gopher-style within-document repetition signals: distinct-word,
+    # top-word and top-2-gram milli-fractions, integers end to end
+    from cassandra_diff_spark.operators.curate import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
+_O_CURATE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id AS id, {words_sql('text')} AS w FROM documents
+),
+flat AS (
+  SELECT id,
+         CAST(len(w) AS BIGINT) AS n_words_total,
+         CAST((1000 * len(list_distinct(w))) // len(w) AS BIGINT)
+           AS distinct_word_milli
+  FROM base
+),
+wc AS (
+  SELECT id, t, COUNT(*) AS c
+  FROM (SELECT id, unnest(w) AS t FROM base) GROUP BY id, t
+),
+topw AS (
+  SELECT id, CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS top_word_milli
+  FROM wc GROUP BY id
+),
+nc AS (
+  SELECT id, t, COUNT(*) AS c
+  FROM (SELECT doc_id AS id, unnest({word_shingles_sql('text', 2)}) AS t
+        FROM documents) GROUP BY id, t
+),
+topn AS (
+  SELECT id, CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS top_ngram_milli
+  FROM nc GROUP BY id
+)
+SELECT flat.*, top_word_milli, top_ngram_milli
+FROM flat JOIN topw USING (id) JOIN topn USING (id)
+"""
+
+
+def _q_curate_boilerplate(spark, sf_dir):
+    # cross-document boilerplate n-grams by document frequency: at this
+    # corpus size 3-gram df tops out at ~7, so min_df=4 marks the ~1%
+    # most corpus-frequent shingles as boilerplate
+    from cassandra_diff_spark.operators.curate import boilerplate_flags
+
+    return boilerplate_flags(_docs(spark, sf_dir), "doc_id", "text", n=3, min_df=4)
+
+
+_O_CURATE_BOILERPLATE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM documents)
+),
+dfreq AS (SELECT h, COUNT(*) AS dfc FROM sh GROUP BY h)
+SELECT id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN dfc >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST((SUM(CASE WHEN dfc >= 4 THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS boiler_milli
+FROM sh JOIN dfreq USING (h)
+GROUP BY id
+"""
+
+
+QUERIES["curate_repetition"] = _q_curate_repetition
+ORACLES["curate_repetition"] = _O_CURATE_REPETITION
+QUERIES["curate_boilerplate"] = _q_curate_boilerplate
+ORACLES["curate_boilerplate"] = _O_CURATE_BOILERPLATE

@@ -108,6 +108,106 @@ def stratified_sample(
     return df.filter(h < rate)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals, Gopher-style (Rae et al. 2021,
+    "Scaling Language Models", Table A1: repetition filters) — the
+    quality signals that catch looping/boilerplate generators which
+    length and punctuation ratios miss.
+
+    Returns, per document, integer milli-fractions only:
+      - ``n_words_total``      whitespace token count
+      - ``distinct_word_milli``  1000 * |distinct words| div |words|
+        (low => the document repeats a small vocabulary)
+      - ``top_word_milli``       1000 * count(most frequent word) div |words|
+      - ``top_ngram_milli``      1000 * count(most frequent n-gram) div |n-grams|
+
+    Shape at scale: the distinct-word part is a pure projection
+    (higher-order array expressions, no shuffle). The top-word and
+    top-n-gram modes are each explode -> groupBy(id, term) -> groupBy(id),
+    both hash-partial-aggregated map-side, so the exchanges carry counts,
+    not text. The three branches re-join on id — three id-keyed
+    exchanges total, no Python anywhere.
+    """
+    from cassandra_diff_spark.functions.text import shingles_from_words, words
+
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("w__")
+    )
+    flat = base.select(
+        "id",
+        F.size("w__").cast("long").alias("n_words_total"),
+        F.expr("(1000 * size(array_distinct(w__))) div size(w__)")
+        .cast("long")
+        .alias("distinct_word_milli"),
+    )
+
+    def _top_milli(exploded: DataFrame, out: str) -> DataFrame:
+        counts = exploded.groupBy("id", "t").agg(F.count("*").alias("c"))
+        return counts.groupBy("id").agg(
+            F.expr("(1000 * max(c)) div sum(c)").cast("long").alias(out)
+        )
+
+    top_word = _top_milli(
+        base.select("id", F.explode("w__").alias("t")), "top_word_milli"
+    )
+    top_ngram = _top_milli(
+        base.select(
+            "id", F.explode(shingles_from_words(F.col("w__"), n)).alias("t")
+        ),
+        "top_ngram_milli",
+    )
+    return flat.join(top_word, "id").join(top_ngram, "id")
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_df: int = 100,
+) -> DataFrame:
+    """Cross-document boilerplate detection by n-gram document frequency
+    (the CCNet/RefinedWeb-style signal): a shingle that appears in at
+    least ``min_df`` distinct documents is boilerplate (headers, nav
+    text, license blurbs); per document, how much of it is boilerplate.
+
+    Returns (id, n_shingles, n_boiler, boiler_milli) with
+    ``boiler_milli = (1000 * n_boiler) div n_shingles`` — integers end
+    to end.
+
+    Shape at scale: the same inverted index the capped-Jaccard pass
+    builds — distinct (id, shingle-hash) pairs, one groupBy(h) for
+    document frequency (map-side partial), one join back on h, one
+    groupBy(id). All exchanges carry 64-bit hashes + counts; raw text
+    never shuffles. ``min_df`` defaults high (100) because boilerplate
+    is by definition corpus-frequent; tune per corpus size.
+    """
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    sh = shingle_set(df, id_col, text_col, n, distinct=True)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("dfc"))
+    hit = F.when(F.col("dfc") >= min_df, 1).otherwise(0)
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(hit).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_boiler",
+            F.expr("(n_boiler * 1000) div n_shingles").alias("boiler_milli"),
+        )
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

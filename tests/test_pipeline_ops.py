@@ -480,3 +480,83 @@ class TestBenchmarkContamination:
         )
         row = benchmark_contamination(docs, bench, "doc_id", "text").first()
         assert row.n_overlap == row.n_grams and row.overlap_milli == 1000
+
+
+class TestRepetitionStats:
+    def test_hand_computed_fractions(self, spark):
+        from cassandra_diff_spark.operators.curate import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                # 6 words, 3 distinct; 'spam' x4 -> top word 4/6;
+                # 2-grams: [spam spam, spam spam, spam eggs, eggs ham,
+                # ham spam] -> top 'spam spam' 2/5
+                (1, "spam spam spam eggs ham spam"),
+                # all distinct: distinct=1000, top word 1/4, top 2-gram 1/3
+                (2, "alpha beta gamma delta"),
+                # single word: shingles fall back to whole text (1 shingle)
+                (3, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+        assert out[1].n_words_total == 6
+        assert out[1].distinct_word_milli == 3000 // 6
+        assert out[1].top_word_milli == 4000 // 6
+        assert out[1].top_ngram_milli == 2000 // 5
+        assert out[2].distinct_word_milli == 1000
+        assert out[2].top_word_milli == 250
+        assert out[2].top_ngram_milli == 1000 // 3
+        assert out[3].n_words_total == 1 and out[3].top_ngram_milli == 1000
+
+    def test_pathological_repeater_flagged(self, spark):
+        from cassandra_diff_spark.operators.curate import repetition_stats
+
+        docs = spark.createDataFrame(
+            [(1, "buy now " * 50), (2, "genuinely varied prose with many words")],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+        # the looping doc: 2 distinct words over 100 -> 20 milli
+        assert out[1].distinct_word_milli == 20
+        assert out[1].top_word_milli == 500
+        assert out[2].distinct_word_milli == 1000
+
+
+class TestBoilerplateFlags:
+    def test_corpus_frequent_shingle_marked(self, spark):
+        from cassandra_diff_spark.operators.curate import boilerplate_flags
+
+        footer = "all rights reserved"
+        docs = spark.createDataFrame(
+            [
+                (1, "unique content one " + footer),
+                (2, "other unique body text " + footer),
+                (3, "third distinct document here " + footer),
+                (4, "no shared trailer in this one at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.id: r
+            for r in boilerplate_flags(
+                docs, "doc_id", "text", n=3, min_df=3
+            ).collect()
+        }
+        # 'all rights reserved' appears in 3 docs -> boilerplate for 1-3
+        assert all(out[i].n_boiler >= 1 for i in (1, 2, 3))
+        assert out[4].n_boiler == 0 and out[4].boiler_milli == 0
+        # doc 1: 5 words -> 3 shingles... verify the fraction arithmetic
+        for i in (1, 2, 3):
+            assert out[i].boiler_milli == (out[i].n_boiler * 1000) // out[i].n_shingles
+
+    def test_min_df_threshold_respected(self, spark):
+        from cassandra_diff_spark.operators.curate import boilerplate_flags
+
+        docs = spark.createDataFrame(
+            [(1, "shared phrase here plus own"), (2, "shared phrase here and more")],
+            "doc_id long, text string",
+        )
+        # df of 'shared phrase here' is 2: below min_df=3 nothing flagged
+        out = boilerplate_flags(docs, "doc_id", "text", n=3, min_df=3).collect()
+        assert all(r.n_boiler == 0 for r in out)
