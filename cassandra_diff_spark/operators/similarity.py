@@ -167,6 +167,30 @@ def _plane_weight(p: int, d: int) -> int:
     return _weight_cache[key]
 
 
+def hyperplane_lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = PLANE_BANDS,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (c_id, c_q, c_n, c_keys) —
+    quantized vector, squared norm, and the band-key array.
+
+    Build once, query many: at corpus scale the signature pass is the
+    dominant cost of a single `hyperplane_lsh_topk` call, but it is a
+    pure function of the corpus — write this frame to parquet (or
+    persist it) and pass it back via ``index=`` to amortize it across
+    every subsequent query batch. The layout params (dim/n_planes/
+    n_bands) are baked into the keys; queries against the index must use
+    the same values.
+    """
+    return _prep(corpus, id_col, vec_col, "c_").withColumn(
+        "c_keys", hyperplane_band_keys(F.col("c_q"), dim, n_planes, n_bands)
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,6 +202,7 @@ def hyperplane_lsh_topk(
     n_planes: int = N_PLANES,
     n_bands: int = PLANE_BANDS,
     probe_radius: int = PROBE_RADIUS,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus vectors sharing at least
     one signature band (PLANE_BANDS bands of PLANE_BAND_BITS planes) with
@@ -204,6 +229,12 @@ def hyperplane_lsh_topk(
     65536 buckets per band ~ 0.03% per band) so the candidate set stays
     a sub-percent corpus fraction — scale_probe.py measures exactly this
     trade at 10^6 vectors.
+
+    ``index``: a prebuilt :func:`hyperplane_lsh_index` frame (same
+    layout params). When given, the corpus signature pass is skipped
+    entirely — the caller owns the index's persistence (parquet or
+    .persist()), so repeated query batches pay only the candidate join
+    + rerank.
     """
     from cassandra_diff_spark.operators import tracked_cache
 
@@ -214,11 +245,15 @@ def hyperplane_lsh_topk(
     )
     # cached: the corpus branch feeds BOTH the band join and the vector
     # rejoin; without materialization each branch re-runs quantize+keys
-    # (tracked — long-lived sessions release via operators.release_caches)
-    c = tracked_cache(
-        _prep(corpus, id_col, vec_col, "c_")
-        .withColumn(
-            "c_keys", hyperplane_band_keys(F.col("c_q"), dim, n_planes, n_bands)
+    # (tracked — long-lived sessions release via operators.release_caches).
+    # A caller-supplied index is used as-is: its persistence is the
+    # caller's choice, and re-caching a parquet-backed index would only
+    # duplicate storage.
+    c = (
+        index
+        if index is not None
+        else tracked_cache(
+            hyperplane_lsh_index(corpus, id_col, vec_col, dim, n_planes, n_bands)
         )
     )
     q = _prep(queries, id_col, vec_col, "q_").withColumn(
@@ -260,50 +295,12 @@ def hyperplane_lsh_topk(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 5,
-    centroid_mod: int = 32,
-    n_probe: int = 4,
-    max_centroids: int = 65536,
-) -> DataFrame:
-    """IVF-style ANN: the corpus is partitioned into inverted lists by
-    nearest centroid; a query scans only its ``n_probe`` nearest lists.
-
-    Centroids are a deterministic hash-mod sample of the corpus itself —
-    vectors whose md5-hashed id is ``0 (mod centroid_mod)``, i.e. ~1 in
-    ``centroid_mod`` corpus vectors — a stand-in for k-means training,
-    which would slot into the same join shape (Spark ML KMeans.fit on
-    this same sample is the drop-in upgrade). The predicate is a plain
-    filter: NO corpus count, NO global-window ranking — nothing funnels
-    the corpus through one task, and the whole operator stays
-    SQL-reproducible (md5 arithmetic) for the DuckDB oracle.
-
-    Scale: centroid assignment is ONE int64 matmul per Arrow batch
-    against the driver-collected centroid matrix (IVF centroid sets are
-    small by design — that is the index's whole premise) — NOT a
-    crossJoin+window, which would materialize |corpus| x |centroids|
-    intermediate rows (measured: 1M x 1k = 1B-row plan, unrunnable).
-    Only list-mates are scored — |corpus| / n_lists * n_probe candidates
-    per query. Pick ``centroid_mod`` ~ sqrt(|corpus|) so lists and the
-    centroid set balance; ``max_centroids`` hard-caps the driver-side
-    collect — the sample is fetched through a LIMIT, so an under-sized
-    ``centroid_mod`` on a billion-row corpus raises with guidance
-    instead of OOMing the driver.
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    c = _prep(corpus, id_col, vec_col, "c_")
-    q = _prep(queries, id_col, vec_col, "q_")
-
-    # deterministic hash-mod "training" sample (no count, no global
-    # window); collected because every executor needs the full matrix.
-    # The limit bounds the fetch at max_centroids+1 rows no matter how
-    # dense the sample is — the guard fires BEFORE the driver holds
-    # more than the cap.
+def _sample_centroids(c: DataFrame, centroid_mod: int, max_centroids: int):
+    """Driver-side centroid matrix from the deterministic hash-mod
+    sample of a prepped corpus frame (c_id, c_q, c_n): (cent_mat,
+    cent_n) float64 arrays in c_id-sorted order. The LIMIT bounds the
+    fetch at max_centroids+1 rows no matter how dense the sample is —
+    the guard fires BEFORE the driver holds more than the cap."""
     cents = (
         c.filter(md5_hash64(F.col("c_id").cast("string")) % centroid_mod == 0)
         .select("c_id", "c_q", "c_n")
@@ -332,26 +329,108 @@ def ivf_topk(
     # BLAS kernel in numpy (measured ~30x slower at a 1M-row corpus)
     cent_mat = np.array([r.c_q for r in cents], dtype=np.float64)
     cent_n = np.array([r.c_n for r in cents], dtype=np.float64)
+    return cent_mat, cent_n
 
-    def assign_udf(top: int):
-        @pandas_udf("array<long>")
-        def nearest(qs: pd.Series) -> pd.Series:
-            x = np.array(list(qs), dtype=np.float64)  # batch x dim
-            xn = np.einsum("ij,ij->i", x, x)
-            # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, integer-exact in float64
-            d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
-            # argsort is stable; cent arrays are id-sorted, so equal d2
-            # breaks ties by centroid id asc — same as the SQL row_number
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
-            return pd.Series(list(idx.astype(np.int64)))
 
-        return nearest
+def _nearest_centroid_udf(cent_mat: np.ndarray, cent_n: np.ndarray, top: int):
+    """Arrow-batched assignment kernel: ordinal indices of the ``top``
+    nearest centroids per vector, ONE matmul per batch."""
+    from pyspark.sql.functions import pandas_udf
 
-    c_assigned = c.withColumn(
-        "cent_id", F.element_at(assign_udf(1)(F.col("c_q")), 1)
-    )  # each corpus vector in ONE list
+    @pandas_udf("array<long>")
+    def nearest(qs: pd.Series) -> pd.Series:
+        x = np.array(list(qs), dtype=np.float64)  # batch x dim
+        xn = np.einsum("ij,ij->i", x, x)
+        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, integer-exact in float64
+        d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
+        # argsort is stable; cent arrays are id-sorted, so equal d2
+        # breaks ties by centroid id asc — same as the SQL row_number
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return nearest
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_mod: int = 32,
+    max_centroids: int = 65536,
+) -> DataFrame:
+    """The persistable IVF index of a corpus: (c_id, c_q, c_n, cent_id)
+    — each vector quantized, normed, and assigned to its inverted list.
+
+    Build once, query many: corpus list assignment is one full Arrow
+    matmul pass — the dominant cost of a single `ivf_topk` call, and a
+    pure function of (corpus, centroid_mod). Write this frame to parquet
+    partitioned/sorted however suits the serving layer and pass it back
+    via ``index=``; query batches then recover the (tiny) centroid
+    matrix from the index frame itself with a hash-filtered scan instead
+    of re-assigning the corpus.
+    """
+    c = _prep(corpus, id_col, vec_col, "c_")
+    cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
+    return c.withColumn(
+        "cent_id", F.element_at(_nearest_centroid_udf(cent_mat, cent_n, 1)(F.col("c_q")), 1)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_mod: int = 32,
+    n_probe: int = 4,
+    max_centroids: int = 65536,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into inverted lists by
+    nearest centroid; a query scans only its ``n_probe`` nearest lists.
+
+    Centroids are a deterministic hash-mod sample of the corpus itself —
+    vectors whose md5-hashed id is ``0 (mod centroid_mod)``, i.e. ~1 in
+    ``centroid_mod`` corpus vectors — a stand-in for k-means training,
+    which would slot into the same join shape (Spark ML KMeans.fit on
+    this same sample is the drop-in upgrade). The predicate is a plain
+    filter: NO corpus count, NO global-window ranking — nothing funnels
+    the corpus through one task, and the whole operator stays
+    SQL-reproducible (md5 arithmetic) for the DuckDB oracle.
+
+    Scale: centroid assignment is ONE int64 matmul per Arrow batch
+    against the driver-collected centroid matrix (IVF centroid sets are
+    small by design — that is the index's whole premise) — NOT a
+    crossJoin+window, which would materialize |corpus| x |centroids|
+    intermediate rows (measured: 1M x 1k = 1B-row plan, unrunnable).
+    Only list-mates are scored — |corpus| / n_lists * n_probe candidates
+    per query. Pick ``centroid_mod`` ~ sqrt(|corpus|) so lists and the
+    centroid set balance; ``max_centroids`` hard-caps the driver-side
+    collect — the sample is fetched through a LIMIT, so an under-sized
+    ``centroid_mod`` on a billion-row corpus raises with guidance
+    instead of OOMing the driver.
+
+    ``index``: a prebuilt :func:`ivf_index` frame (same centroid_mod).
+    When given, the corpus assignment pass is skipped; the centroid
+    matrix is re-derived from the index frame's own hash-mod sample (a
+    filtered column scan of the persisted index, not a corpus re-pass).
+    """
+    q = _prep(queries, id_col, vec_col, "q_")
+    if index is not None:
+        c_assigned = index
+        cent_mat, cent_n = _sample_centroids(index, centroid_mod, max_centroids)
+    else:
+        c = _prep(corpus, id_col, vec_col, "c_")
+        # deterministic hash-mod "training" sample (no count, no global
+        # window); collected because every executor needs the full matrix
+        cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
+        c_assigned = c.withColumn(
+            "cent_id",
+            F.element_at(_nearest_centroid_udf(cent_mat, cent_n, 1)(F.col("c_q")), 1),
+        )  # each corpus vector in ONE list
     q_assigned = q.withColumn(
-        "cent_id", F.explode(assign_udf(n_probe)(F.col("q_q")))
+        "cent_id", F.explode(_nearest_centroid_udf(cent_mat, cent_n, n_probe)(F.col("q_q")))
     )  # queries probe several lists
 
     return _ivf_rerank(c_assigned, q_assigned, k)
@@ -410,7 +489,6 @@ def ivf_topk_kmeans(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
 
     c = _prep(corpus, id_col, vec_col, "c_")
     q = _prep(queries, id_col, vec_col, "q_")
@@ -423,20 +501,13 @@ def ivf_topk_kmeans(
     cent_n = np.einsum("ij,ij->i", cent_mat, cent_mat)
     n_cents = cent_mat.shape[0]
 
-    def assign_udf(top: int):
-        @pandas_udf("array<long>")
-        def nearest(qs: pd.Series) -> pd.Series:
-            x = np.array(list(qs), dtype=np.float64)  # batch x dim
-            xn = np.einsum("ij,ij->i", x, x)
-            d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
-            return pd.Series(list(idx.astype(np.int64)))
-
-        return nearest
-
     top = min(n_probe, n_cents)
-    c_assigned = c.withColumn("cent_id", F.element_at(assign_udf(1)(F.col("c_q")), 1))
-    q_assigned = q.withColumn("cent_id", F.explode(assign_udf(top)(F.col("q_q"))))
+    c_assigned = c.withColumn(
+        "cent_id", F.element_at(_nearest_centroid_udf(cent_mat, cent_n, 1)(F.col("c_q")), 1)
+    )
+    q_assigned = q.withColumn(
+        "cent_id", F.explode(_nearest_centroid_udf(cent_mat, cent_n, top)(F.col("q_q")))
+    )
     return _ivf_rerank(c_assigned, q_assigned, k)
 
 

@@ -139,13 +139,23 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["brute_recall_at_1"] = recall_at_1(brute)
     out["brute_sec"] = round(time.time() - t0, 2)
 
+    # build-once/query-many split: the signature pass is a pure function
+    # of the corpus — persist it (parquet round-trip, as a serving layer
+    # would) and measure the per-query-batch cost separately
+    t0 = time.time()
+    similarity.hyperplane_lsh_index(
+        corpus, "vec_id", "embedding", n_bands=SCALE_BANDS
+    ).write.mode("overwrite").parquet(f"{work}/lsh_index.parquet")
+    lsh_idx = spark.read.parquet(f"{work}/lsh_index.parquet")
+    out["lsh_index_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     lsh = similarity.hyperplane_lsh_topk(
         corpus, queries, "vec_id", "embedding", k=10,
-        n_bands=SCALE_BANDS, probe_radius=SCALE_RADIUS,
+        n_bands=SCALE_BANDS, probe_radius=SCALE_RADIUS, index=lsh_idx,
     )
     out["lsh_recall_at_1"] = recall_at_1(lsh)
-    out["lsh_sec"] = round(time.time() - t0, 2)
+    out["lsh_query_sec"] = round(time.time() - t0, 2)
+    out["lsh_sec"] = round(out["lsh_index_sec"] + out["lsh_query_sec"], 2)
     t0 = time.time()
     n_cand = _lsh_candidate_count(corpus, queries, SCALE_BANDS, SCALE_RADIUS)
     out["lsh_candidate_fraction"] = round(n_cand / (n * N_QUERIES), 6)
@@ -153,11 +163,19 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
 
     t0 = time.time()
     mod = max(2, int(n**0.5))  # ~sqrt(n) centroids, the canonical IVF nlist
+    similarity.ivf_index(
+        corpus, "vec_id", "embedding", centroid_mod=mod
+    ).write.mode("overwrite").parquet(f"{work}/ivf_index.parquet")
+    ivf_idx = spark.read.parquet(f"{work}/ivf_index.parquet")
+    out["ivf_index_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
     ivf = similarity.ivf_topk(
-        corpus, queries, "vec_id", "embedding", k=10, centroid_mod=mod, n_probe=8
+        corpus, queries, "vec_id", "embedding", k=10, centroid_mod=mod,
+        n_probe=8, index=ivf_idx,
     )
     out["ivf_recall_at_1"] = recall_at_1(ivf)
-    out["ivf_sec"] = round(time.time() - t0, 2)
+    out["ivf_query_sec"] = round(time.time() - t0, 2)
+    out["ivf_sec"] = round(out["ivf_index_sec"] + out["ivf_query_sec"], 2)
     # a query probes 8 of ~n/mod lists -> candidate fraction ~ 8*mod/n
     out["ivf_candidate_fraction"] = round(8 * mod / n, 6)
 

@@ -560,3 +560,46 @@ class TestBoilerplateFlags:
         # df of 'shared phrase here' is 2: below min_df=3 nothing flagged
         out = boilerplate_flags(docs, "doc_id", "text", n=3, min_df=3).collect()
         assert all(r.n_boiler == 0 for r in out)
+
+
+class TestIndexReuse:
+    """Build-once/query-many: a persisted index must give results
+    identical to the direct (index-free) operator call."""
+
+    def test_lsh_index_roundtrip_identical(self, embs, tmp_path):
+        q = embs.filter(F.col("vec_id") < 8)
+        direct = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.hyperplane_lsh_topk(
+                embs, q, "vec_id", "embedding", k=5
+            ).collect()
+        }
+        p = str(tmp_path / "lsh_index.parquet")
+        similarity.hyperplane_lsh_index(embs, "vec_id", "embedding").write.parquet(p)
+        idx = embs.sparkSession.read.parquet(p)
+        via_index = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.hyperplane_lsh_topk(
+                embs, q, "vec_id", "embedding", k=5, index=idx
+            ).collect()
+        }
+        assert via_index == direct
+
+    def test_ivf_index_roundtrip_identical(self, embs, tmp_path):
+        q = embs.filter(F.col("vec_id") < 8)
+        direct = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_topk(
+                embs, q, "vec_id", "embedding", k=5, centroid_mod=8
+            ).collect()
+        }
+        p = str(tmp_path / "ivf_index.parquet")
+        similarity.ivf_index(embs, "vec_id", "embedding", centroid_mod=8).write.parquet(p)
+        idx = embs.sparkSession.read.parquet(p)
+        via_index = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivf_topk(
+                embs, q, "vec_id", "embedding", k=5, centroid_mod=8, index=idx
+            ).collect()
+        }
+        assert via_index == direct
