@@ -46,6 +46,17 @@ _NEEDS_DRIVER_ROW = [
     "events_props_extract",
     "text_quality_flags",
     "pipeline_clean_corpus",
+    # new in round 3 — no driver row exists yet
+    "curate_stratified_sample",
+    "curate_contamination",
+    "curate_repetition",
+    "curate_boilerplate",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
 ]
 
 
