@@ -60,11 +60,17 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # one broken query must not zero the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -76,6 +82,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # 1M-vector scale probe of the ANN / near-dup paths: planted-neighbor
     # recall + candidate-set fraction at scale-tuned banding (the evidence

@@ -83,14 +83,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; nanosAsLong (a session-wide conf, see
-    _ensure_session_confs) surfaces it as bigint nanos, converted here to
-    a microsecond timestamp (integer ``div`` — double division would lose
-    precision above 2^53 ns)."""
+    """events.parquet has shipped with two physical types for ``ts``:
+    TIMESTAMP(NANOS) (surfaced as bigint nanos under nanosAsLong, see
+    _ensure_session_confs) and plain TIMESTAMP(MICROS) (surfaced as
+    TIMESTAMP_NTZ). Normalize both to a session-timezone timestamp so
+    downstream queries and their DuckDB oracles agree regardless of the
+    generator's parquet writer. Integer ``div`` for the nanos branch —
+    double division would lose precision above 2^53 ns."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -22,13 +22,12 @@ EVENTS_SCHEMA = (
 
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir, tmp_path_factory):
-    """events with proper micro timestamps, written for streaming reads."""
+    """events with proper micro timestamps, written for streaming reads.
+    load_events normalizes whichever physical ts type the generator wrote."""
+    from cassandra_diff_spark.gate import load_events
+
     d = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
-    df.write.mode("overwrite").parquet(d)
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(d)
     return d
 
 
