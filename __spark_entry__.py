@@ -29,34 +29,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return narrow.unionByName(wide)
 
 
-#: Names that have not yet landed a row in a driver CORRECTNESS file
-#: (the round-2 run stopped at 50 entries in registration order). These go
-#: FIRST so the driver's next capped run checks them; previously-covered
+#: Names with no GREEN row in any driver CORRECTNESS file yet (the driver
+#: caps how many entries it checks per round, in registration order).
+#: These go FIRST so the next capped run checks them; previously-covered
 #: entries follow, declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
-    "random_token_split",
-    "dedup_minhash_verified",
-    "multimodal_decode",
-    "multimodal_meta",
-    "multimodal_frames",
-    "text_quality_score",
-    "text_bpe_tokens",
-    "dedup_clusters",
-    "resume_pending",
+    # errored in r03 (events ts type change — fixed this round)
     "events_props_extract",
-    "text_quality_flags",
-    "pipeline_clean_corpus",
-    # new in round 3 — no driver row exists yet
-    "curate_stratified_sample",
-    "curate_contamination",
-    "curate_repetition",
-    "curate_boilerplate",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_sales_opportunity",
+    "events_by_hour",
+    "events_type_counts",
+    "events_recent",
+    "diff_stats_events_composite",
+    # new in round 4 — no driver row exists yet
+    "diff_stats_orders_digest",
+    "digest_buckets_orders",
 ]
 
 

@@ -1638,3 +1638,88 @@ QUERIES["q17_small_quantity"] = _q_q17_small_quantity
 ORACLES["q17_small_quantity"] = _O_Q17
 QUERIES["q22_sales_opportunity"] = _q_q22_sales_opportunity
 ORACLES["q22_sales_opportunity"] = _O_Q22
+
+
+# ---------------------------------------------------------------------------
+# Two-phase digest-pruned diff (operators/digest.py): the 100 TB fast path.
+# Phase 1 collapses each side to per-bucket (count, sum-mod, xor) digests —
+# a kilobyte-scale shuffle; phase 2 runs the full diff over dirty buckets
+# only. The reference walks every split unconditionally
+# (Differ.java:144-186); this is the Spark-native replacement for "diff
+# 100 TB where 0.1 % drifted".
+
+
+def _q_diff_stats_orders_digest(spark, sf_dir):
+    """End-to-end losslessness gate: the digest-pruned diff must produce
+    the IDENTICAL 9 counters as the unpruned diff — same oracle as
+    diff_stats_orders."""
+    from cassandra_diff_spark.operators.digest import digest_prune_diff
+
+    src, tgt = orders_pair(spark, sf_dir)
+    return digest_prune_diff(src, tgt, ORDERS_SPEC, n_buckets=64).stats
+
+
+def _q_digest_buckets_orders(spark, sf_dir):
+    """Digest-math parity gate: per-bucket (count, sum mod 2^61-1, xor)
+    digests of both sides under the cross-engine canonical row hash +
+    arithmetic token, full-outer compared with a dirty flag. DuckDB
+    reproduces every digest bit-for-bit."""
+    from cassandra_diff_spark.operators.digest import (
+        bucket_digests,
+        canonical_row_hash,
+        compare_digests,
+    )
+
+    src, tgt = orders_pair(spark, sf_dir)
+    tok = lambda pk_cols: arithmetic_token(pk_cols[0])  # noqa: E731
+    d_s = bucket_digests(
+        src, ORDERS_SPEC, n_buckets=64, token=tok,
+        row_hash=canonical_row_hash(src, ORDERS_COLS),
+    )
+    d_t = bucket_digests(
+        tgt, ORDERS_SPEC, n_buckets=64, token=tok,
+        row_hash=canonical_row_hash(tgt, ORDERS_COLS),
+    )
+    return compare_digests(d_s, d_t)
+
+
+def _make_o_digest_buckets_orders() -> str:
+    from cassandra_diff_spark.operators.digest import (
+        DIGEST_MOD,
+        canonical_row_hash_sql,
+    )
+
+    types = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    h = canonical_row_hash_sql(types, ORDERS_COLS)
+    tok = arithmetic_token_sql("o_orderkey")
+    digest = f"""
+  SELECT ({tok}) % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({h}) % {DIGEST_MOD} AS BIGINT) AS dsum,
+         CAST(bit_xor({h}) AS BIGINT) AS dxor
+  FROM {{side}} GROUP BY 1"""
+    return f"""
+WITH {_ORDERS_TGT_SQL.strip()},
+sd AS ({digest.format(side='orders')}),
+td AS ({digest.format(side='tgt')})
+SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
+       sd.n AS s_n, sd.dsum AS s_sum, sd.dxor AS s_xor,
+       td.n AS t_n, td.dsum AS t_sum, td.dxor AS t_xor,
+       NOT (sd.n IS NOT DISTINCT FROM td.n
+            AND sd.dsum IS NOT DISTINCT FROM td.dsum
+            AND sd.dxor IS NOT DISTINCT FROM td.dxor) AS dirty
+FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+"""
+
+
+QUERIES["diff_stats_orders_digest"] = _q_diff_stats_orders_digest
+ORACLES["diff_stats_orders_digest"] = _O_DIFF_STATS_ORDERS
+QUERIES["digest_buckets_orders"] = _q_digest_buckets_orders
+ORACLES["digest_buckets_orders"] = _make_o_digest_buckets_orders()

@@ -1,0 +1,259 @@
+"""Two-phase digest-pruned diff: compare tiny per-bucket content digests
+first, then run the full diff over ONLY the buckets whose digests differ.
+
+The reference diffs every partition of every split unconditionally
+(DiffJob.java:275-303 splits the ring; Differ.java:144-186 walks every
+split). At 100 TB with sub-percent drift that reads ~2x100 TB to discover
+that almost everything matches. The digest phase is a map-side-combinable
+aggregation: each side collapses to ``n_buckets`` rows of
+(count, sum-mod, xor) over per-row hashes — a shuffle of kilobytes, not
+terabytes — and the expensive wide diff shuffle then touches only the
+buckets that can possibly contain a difference.
+
+Lossless by construction (unlike SA1 sampling): equal digests on a bucket
+imply, up to hash collision (~2^-60 per bucket triple), identical multiset
+content, so skipping it cannot change the diff result. The full
+:func:`cassandra_diff_spark.operators.diff.build_diff` semantics (9
+counters, mismatch journal) are preserved on the dirty subset.
+
+Scale shape:
+  * Phase 1 is two scans with partial aggregation (map-side combine) into
+    ``n_buckets`` groups — no data-sized shuffle, no driver collect.
+  * The dirty-bucket frame is at most ``n_buckets`` rows and joins back to
+    both inputs as a broadcast left-semi join: the phase-2 scan prunes at
+    the source, and the wide diff shuffle carries dirty buckets only.
+  * With drift fraction f, phase 2 costs ~f of a full diff (bucket
+    granularity): total ~= 2 cheap scans + f * full-diff.
+
+Cross-engine digest: the default per-row hash is ``xxhash64`` over all
+columns (JVM-side, codegen'd — the fast path). Pass ``row_hash`` /
+``canonical=True`` for the md5-over-canonical-strings hash that external
+SQL oracles (DuckDB) reproduce bit-for-bit: doubles are canonicalized via
+DECIMAL(38,6) (digest resolution 1e-6 — two values closer than that in a
+double column hash equal; the phase-2 diff still compares raw values) and
+timestamps via an explicit format, because raw double->string casts
+disagree across engines (Java prints 1e7 as '1.0E7').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.functions.keys import token_expr
+from cassandra_diff_spark.functions.text import md5_hash64, md5_hash64_sql
+from cassandra_diff_spark.operators.diff import DiffResult, build_diff
+
+#: Modulus for the order-independent sum digest: 2^61-1 (Mersenne), well
+#: under bigint range after the mod, summed as DECIMAL(38,0) so ~1e19 rows
+#: per bucket fit before overflow.
+DIGEST_MOD = 2305843009213693951
+
+_NULL_SENTINEL = "\x01NULL\x01"
+_SEP = "\x1f"
+
+
+def canonical_row_hash(df: DataFrame, cols: Sequence[str]) -> Column:
+    """md5-based 60-bit row hash over canonical string forms — identical in
+    any engine with md5(); see module docstring for the canonicalization
+    rules. Use when an external SQL oracle must reproduce digests."""
+    types = dict(df.dtypes)
+    parts = []
+    for c in cols:
+        t = types[c]
+        if t in ("double", "float"):
+            s = F.col(c).cast("decimal(38,6)").cast("string")
+        elif t.startswith("timestamp"):
+            s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        else:
+            s = F.col(c).cast("string")
+        parts.append(F.coalesce(s, F.lit(_NULL_SENTINEL)))
+    return md5_hash64(F.concat_ws(_SEP, *parts))
+
+
+def canonical_row_hash_sql(types: dict[str, str], cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`canonical_row_hash`. ``types`` maps column ->
+    Spark dtype string (``dict(df.dtypes)``)."""
+    parts = []
+    for c in cols:
+        t = types[c]
+        if t in ("double", "float"):
+            s = f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)"
+        elif t.startswith("timestamp"):
+            s = f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            s = f"CAST({c} AS VARCHAR)"
+        parts.append(f"COALESCE({s}, '{_NULL_SENTINEL}')")
+    joined = f" || '{_SEP}' || ".join(parts)
+    return md5_hash64_sql(joined)
+
+
+def bucket_digests(
+    df: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    row_hash: Optional[Column] = None,
+) -> DataFrame:
+    """Per-bucket content digest of a table: one row per non-empty bucket,
+    ``(bucket, n_rows, digest_sum, digest_xor)``.
+
+    bucket = pmod(token(pk), n_buckets); the digest is order-independent
+    (sum mod 2^61-1 and bit_xor of per-row hashes), so it is insensitive to
+    physical row order / partitioning — the property that makes two
+    independently-laid-out 100 TB tables comparable by digest at all.
+    """
+    pk = list(spec.partition_key)
+    cols = list(df.columns)
+    tok = (token or token_expr)(pk)
+    h = row_hash if row_hash is not None else F.xxhash64(*[F.col(c) for c in cols])
+    return (
+        df.select(
+            F.pmod(tok, F.lit(n_buckets)).alias("bucket"),
+            h.alias("h__"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h__").cast("decimal(38,0)")) % F.lit(DIGEST_MOD))
+            .cast("long")
+            .alias("digest_sum"),
+            F.expr("bit_xor(h__)").alias("digest_xor"),
+        )
+    )
+
+
+def compare_digests(src_digest: DataFrame, tgt_digest: DataFrame) -> DataFrame:
+    """Full-outer compare of two digest frames: one row per bucket present
+    on either side with both sides' digests and a ``dirty`` flag (missing
+    on a side counts as dirty). At most ``n_buckets`` rows: driver-safe to
+    inspect, broadcast-safe to join."""
+    s = src_digest.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("s_n"),
+        F.col("digest_sum").alias("s_sum"),
+        F.col("digest_xor").alias("s_xor"),
+    )
+    t = tgt_digest.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("t_n"),
+        F.col("digest_sum").alias("t_sum"),
+        F.col("digest_xor").alias("t_xor"),
+    )
+    j = s.join(t, on="bucket", how="full_outer")
+    clean = (
+        F.col("s_n").eqNullSafe(F.col("t_n"))
+        & F.col("s_sum").eqNullSafe(F.col("t_sum"))
+        & F.col("s_xor").eqNullSafe(F.col("t_xor"))
+    )
+    return j.withColumn("dirty", ~clean)
+
+
+def dirty_buckets(src_digest: DataFrame, tgt_digest: DataFrame) -> DataFrame:
+    """The buckets whose content differs — :func:`compare_digests` filtered
+    to dirty rows, bucket ids only."""
+    return compare_digests(src_digest, tgt_digest).filter(F.col("dirty")).select("bucket")
+
+
+def digest_prune_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    align: str = "set",
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
+    skew_safe: bool = False,
+) -> DiffResult:
+    """The two-phase diff: digest compare, then full diff on dirty buckets.
+
+    Produces the same DiffResult (9 counters + mismatch journal) as
+    ``build_diff(src, tgt, spec)``. Clean buckets are diffed-equal by
+    construction, but their matched_rows/matched_values would be missing if
+    we simply dropped them, so the counters are kept exact by:
+      * running the full diff over dirty buckets only, and
+      * adding the clean buckets' contribution — every partition matched,
+        every aligned position matched, every regular value matched — via a
+        union on the stats aggregation. Digest equality implies identical
+        multisets, so source-side counts suffice.
+
+    ``row_hash_for``: optional fn(df) -> per-row hash Column (e.g.
+    :func:`canonical_row_hash` partial) when oracle-reproducible digests
+    are needed; default xxhash64 over all columns.
+    """
+    tok_fn = token or token_expr
+    pk = list(spec.partition_key)
+    reg = list(spec.regular_columns(src.columns))
+
+    def _hash(df: DataFrame) -> Optional[Column]:
+        return row_hash_for(df) if row_hash_for is not None else None
+
+    d_s = bucket_digests(src, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(src))
+    d_t = bucket_digests(tgt, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(tgt))
+    dirty = dirty_buckets(d_s, d_t)
+
+    bucket_of = lambda df: F.pmod(tok_fn(pk), F.lit(n_buckets))  # noqa: E731
+
+    # broadcast semi-join prune: dirty is <= n_buckets rows by construction
+    src_dirty = src.join(
+        F.broadcast(dirty),
+        on=bucket_of(src).eqNullSafe(F.col("bucket")),
+        how="left_semi",
+    )
+    tgt_dirty = tgt.join(
+        F.broadcast(dirty),
+        on=bucket_of(tgt).eqNullSafe(F.col("bucket")),
+        how="left_semi",
+    )
+
+    res = build_diff(src_dirty, tgt_dirty, spec, align=align, token=tok_fn,
+                     skew_safe=skew_safe)
+
+    # clean buckets: every partition matched; rows matched; all regular
+    # values matched. Counts come from the clean part of the source (equal
+    # to the target's there). Distinct counts go over STRUCTS so null key
+    # values — which the diff groups via eqNullSafe — are counted, not
+    # dropped the way count_distinct(col...) drops null rows. "Matched
+    # rows" parity per align mode: set mode collapses duplicate full keys
+    # to one aligned pair (count distinct pk+ck structs); positional mode
+    # pairs every position (raw count — identical multisets align 1:1).
+    ck = list(spec.clustering)
+    clean_src = src.join(F.broadcast(dirty), on=bucket_of(src).eqNullSafe(F.col("bucket")), how="left_anti")
+    if align == "set":
+        rows_expr = F.count_distinct(F.struct(*[F.col(c) for c in pk + ck]))
+    else:
+        rows_expr = F.count(F.lit(1))
+    clean_counts = clean_src.agg(
+        F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts"),
+        rows_expr.alias("rows"),
+    ).select(
+        F.col("parts").cast("long").alias("matched_partitions"),
+        F.lit(0).cast("long").alias("mismatched_partitions"),
+        F.lit(0).cast("long").alias("error_partitions"),
+        F.lit(0).cast("long").alias("skipped_partitions"),
+        F.lit(0).cast("long").alias("only_in_source"),
+        F.lit(0).cast("long").alias("only_in_target"),
+        F.col("rows").cast("long").alias("matched_rows"),
+        (F.col("rows") * F.lit(len(reg))).cast("long").alias("matched_values"),
+        F.lit(0).cast("long").alias("mismatched_values"),
+    )
+
+    from cassandra_diff_spark.model import STAT_FIELDS
+
+    stats = (
+        res.stats.drop("table")
+        .unionByName(clean_counts)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in STAT_FIELDS])
+        .select(F.lit(spec.name).alias("table"), *STAT_FIELDS)
+    )
+    return DiffResult(
+        partition_detail=res.partition_detail,
+        mismatches=res.mismatches,
+        stats=stats,
+    )

@@ -1,0 +1,106 @@
+"""Two-phase digest-pruned diff (operators/digest.py): losslessness vs the
+full diff, pruning effectiveness, null-key handling, and the
+identical-tables fast path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.gate import lineitem_pair, orders_pair
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.diff import build_diff
+from cassandra_diff_spark.operators.digest import (
+    bucket_digests,
+    compare_digests,
+    digest_prune_diff,
+    dirty_buckets,
+)
+
+ORDERS = TableSpec(name="orders", partition_key=("o_orderkey",))
+LINEITEM = TableSpec(
+    name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+)
+
+
+def _stats(res):
+    return res.stats.collect()[0].asDict()
+
+
+class TestDigestParity:
+    @pytest.mark.parametrize("align", ["set", "positional"])
+    def test_matches_full_diff_lineitem(self, spark, sf_dir, align):
+        src, tgt = lineitem_pair(spark, sf_dir)
+        full = _stats(build_diff(src, tgt, LINEITEM, align=align))
+        pruned = _stats(
+            digest_prune_diff(src, tgt, LINEITEM, n_buckets=64, align=align)
+        )
+        assert full == pruned
+
+    def test_matches_full_diff_orders_and_journal(self, spark, sf_dir):
+        src, tgt = orders_pair(spark, sf_dir)
+        full = build_diff(src, tgt, ORDERS)
+        pruned = digest_prune_diff(src, tgt, ORDERS, n_buckets=64)
+        assert _stats(full) == _stats(pruned)
+        key = lambda df: sorted(  # noqa: E731
+            tuple(sorted(r.asDict().items())) for r in df.mismatches.collect()
+        )
+        assert key(full) == key(pruned)
+
+    def test_null_partition_keys_counted(self, spark):
+        rows = [(None, 1.0), (1, 2.0), (2, 3.0)]
+        src = spark.createDataFrame(rows, "pk int, v double")
+        tgt = spark.createDataFrame([(None, 9.0), (1, 2.0), (2, 3.0)], "pk int, v double")
+        spec = TableSpec(name="t", partition_key=("pk",))
+        full = _stats(build_diff(src, tgt, spec))
+        pruned = _stats(digest_prune_diff(src, tgt, spec, n_buckets=8))
+        assert full == pruned
+        assert pruned["mismatched_partitions"] == 1  # the null-pk row
+
+
+class TestDigestPruning:
+    def test_identical_tables_zero_dirty(self, spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        d = bucket_digests(o, ORDERS, n_buckets=64)
+        assert dirty_buckets(d, d).count() == 0
+        res = digest_prune_diff(o, o, ORDERS, n_buckets=64)
+        s = _stats(res)
+        assert s["mismatched_partitions"] == 0
+        assert s["only_in_source"] == 0 and s["only_in_target"] == 0
+        assert s["matched_partitions"] == o.count()
+
+    def test_prunes_most_buckets_on_sparse_drift(self, spark, sf_dir):
+        """One corrupted partition dirties at most a couple of buckets (its
+        own; count drift can touch the only-in remap bucket too) — the
+        phase-2 shuffle carries a small fraction of the table."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tgt = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        n_dirty = dirty_buckets(
+            bucket_digests(o, ORDERS, n_buckets=256),
+            bucket_digests(tgt, ORDERS, n_buckets=256),
+        ).count()
+        assert n_dirty == 1
+        # and the pruned diff still finds exactly that one mismatch
+        s = _stats(digest_prune_diff(o, tgt, ORDERS, n_buckets=256))
+        assert s["mismatched_partitions"] == 1
+        assert s["matched_partitions"] == o.count() - 1
+
+    def test_compare_digests_shape(self, spark, sf_dir):
+        src, tgt = orders_pair(spark, sf_dir)
+        cmp = compare_digests(
+            bucket_digests(src, ORDERS, n_buckets=16),
+            bucket_digests(tgt, ORDERS, n_buckets=16),
+        )
+        rows = cmp.collect()
+        assert len(rows) == 16
+        assert set(cmp.columns) == {
+            "bucket", "s_n", "s_sum", "s_xor", "t_n", "t_sum", "t_xor", "dirty",
+        }
+        # the orders pair drifts in every 16-bucket stripe at sf0.001+, but
+        # row counts must reflect both sides
+        assert all(r["s_n"] is not None and r["t_n"] is not None for r in rows)
