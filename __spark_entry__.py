@@ -43,6 +43,8 @@ _NEEDS_DRIVER_ROW = [
     # new in round 4 — no driver row exists yet
     "diff_stats_orders_digest",
     "digest_buckets_orders",
+    "text_pii_flags",
+    "text_pii_redact",
 ]
 
 

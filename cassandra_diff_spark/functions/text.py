@@ -236,3 +236,51 @@ def quality_milli_sql(expr: str) -> str:
     )
     punct_sanity = f"CASE WHEN {nw} > 0 THEN GREATEST(0, 1000 - {np_} * 2000 // {nw}) ELSE 0 END"
     return f"CAST((({stop_density}) + ({length_band}) + ({punct_sanity})) // 3 AS BIGINT)"
+
+
+# ----------------------------------------------------------- PII handling
+
+#: Detection patterns shared by the Spark and SQL paths. Kept to syntax
+#: that Java regex and RE2 (DuckDB) interpret identically: character
+#: classes, bounded repetition, \b word boundaries — no lookaround (RE2
+#: has none) and no leftmost-longest ambiguity.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+#: Replacement tokens, applied in a fixed order (email first: an address
+#: can contain digit runs a later pattern would otherwise split).
+PII_REDACTIONS: tuple[tuple[str, str], ...] = (
+    ("email", "[EMAIL]"),
+    ("ipv4", "[IP]"),
+    ("phone", "[PHONE]"),
+)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern — JVM-side regexp_extract_all."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast(
+        "long"
+    )
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every PII match with its placeholder token, in the fixed
+    PII_REDACTIONS order (Spark regexp_replace replaces all matches)."""
+    out = col
+    for kind, token in PII_REDACTIONS:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token.replace("$", r"\$"))
+    return out
+
+
+def pii_redact_sql(expr: str) -> str:
+    out = expr
+    for kind, token in PII_REDACTIONS:
+        out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '{token}', 'g')"
+    return out

@@ -969,3 +969,110 @@ QUERIES["curate_repetition"] = _q_curate_repetition
 ORACLES["curate_repetition"] = _O_CURATE_REPETITION
 QUERIES["curate_boilerplate"] = _q_curate_boilerplate
 ORACLES["curate_boilerplate"] = _O_CURATE_BOILERPLATE
+
+
+# ------------------------------------------------------------ PII handling
+
+def _pii_augmented(spark, sf_dir):
+    """documents.text with deterministic synthetic PII appended (emails on
+    doc_id%7, IPv4 on %11, phone on %13) so the detection/redaction regexes
+    are exercised on nonzero matches — the synthetic corpus itself contains
+    no digits. Identical construction in the SQL oracle."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    email = F.when(
+        i % 7 == 0,
+        F.concat(F.lit(" contact user"), i.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 11 == 0,
+        F.concat(
+            F.lit(" from 192.168."),
+            (i % 256).cast("string"),
+            F.lit("."),
+            (i % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    ph = F.when(
+        i % 13 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((i % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((i % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select("doc_id", F.concat(F.col("text"), email, ip, ph).alias("text"))
+
+
+_PII_AUG_SQL = """
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def _q_text_pii_flags(spark, sf_dir):
+    from cassandra_diff_spark.functions.text import pii_count
+
+    d = _pii_augmented(spark, sf_dir)
+    n_email = pii_count(F.col("text"), "email")
+    n_ip = pii_count(F.col("text"), "ipv4")
+    n_phone = pii_count(F.col("text"), "phone")
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("has_pii"),
+    )
+
+
+def _make_o_text_pii_flags() -> str:
+    from cassandra_diff_spark.functions.text import pii_count_sql
+
+    e, p, i = (
+        pii_count_sql("text", "email"),
+        pii_count_sql("text", "phone"),
+        pii_count_sql("text", "ipv4"),
+    )
+    return f"""
+WITH {_PII_AUG_SQL.strip()}
+SELECT doc_id, {e} AS n_emails, {i} AS n_ipv4, {p} AS n_phones,
+       ({e} + {i} + {p}) > 0 AS has_pii
+FROM aug
+"""
+
+
+def _q_text_pii_redact(spark, sf_dir):
+    from cassandra_diff_spark.functions.text import pii_redact
+
+    d = _pii_augmented(spark, sf_dir)
+    return d.select("doc_id", pii_redact(F.col("text")).alias("redacted"))
+
+
+def _make_o_text_pii_redact() -> str:
+    from cassandra_diff_spark.functions.text import pii_redact_sql
+
+    return f"""
+WITH {_PII_AUG_SQL.strip()}
+SELECT doc_id, {pii_redact_sql('text')} AS redacted FROM aug
+"""
+
+
+QUERIES["text_pii_flags"] = _q_text_pii_flags
+ORACLES["text_pii_flags"] = _make_o_text_pii_flags()
+QUERIES["text_pii_redact"] = _q_text_pii_redact
+ORACLES["text_pii_redact"] = _make_o_text_pii_redact()

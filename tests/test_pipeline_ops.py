@@ -603,3 +603,41 @@ class TestIndexReuse:
             ).collect()
         }
         assert via_index == direct
+
+
+class TestPII:
+    """PII detection/redaction (functions/text.py PII_* surface)."""
+
+    def test_counts_and_redaction(self, spark):
+        from cassandra_diff_spark.functions.text import pii_count, pii_redact
+
+        rows = [
+            (1, "mail jo.doe+x@ex-ample.org and sue@a.io, ip 10.0.0.1"),
+            (2, "call 555-123-4567 or 555-000-1111"),
+            (3, "clean text with no identifiers at all"),
+        ]
+        df = spark.createDataFrame(rows, "id int, t string")
+        out = df.select(
+            "id",
+            pii_count(F.col("t"), "email").alias("e"),
+            pii_count(F.col("t"), "ipv4").alias("i"),
+            pii_count(F.col("t"), "phone").alias("p"),
+            pii_redact(F.col("t")).alias("r"),
+        ).collect()
+        by_id = {r["id"]: r for r in out}
+        assert (by_id[1]["e"], by_id[1]["i"], by_id[1]["p"]) == (2, 1, 0)
+        assert (by_id[2]["e"], by_id[2]["i"], by_id[2]["p"]) == (0, 0, 2)
+        assert (by_id[3]["e"], by_id[3]["i"], by_id[3]["p"]) == (0, 0, 0)
+        assert by_id[1]["r"] == "mail [EMAIL] and [EMAIL], ip [IP]"
+        assert by_id[2]["r"] == "call [PHONE] or [PHONE]"
+        assert by_id[3]["r"] == rows[2][1]
+
+    def test_phone_not_double_counted_as_ip(self, spark):
+        from cassandra_diff_spark.functions.text import pii_count
+
+        df = spark.createDataFrame([(1, "x 555-123-4567 y")], "id int, t string")
+        r = df.select(
+            pii_count(F.col("t"), "ipv4").alias("i"),
+            pii_count(F.col("t"), "phone").alias("p"),
+        ).collect()[0]
+        assert (r["i"], r["p"]) == (0, 1)
