@@ -45,6 +45,7 @@ _NEEDS_DRIVER_ROW = [
     "digest_buckets_orders",
     "text_pii_flags",
     "text_pii_redact",
+    "diff_stats_lineitem_bucketed",
 ]
 
 

@@ -1723,3 +1723,38 @@ QUERIES["diff_stats_orders_digest"] = _q_diff_stats_orders_digest
 ORACLES["diff_stats_orders_digest"] = _O_DIFF_STATS_ORDERS
 QUERIES["digest_buckets_orders"] = _q_digest_buckets_orders
 ORACLES["digest_buckets_orders"] = _make_o_digest_buckets_orders()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located diff (operators/bucketed.py): the recurring-diff
+# fast path — both sides stored bucketBy(pk), the diff plan has ZERO
+# data-sized exchanges (asserted in tests/test_bucketed.py). Same oracle
+# as the set-mode lineitem diff: different physical plan, identical answer.
+
+
+def _q_diff_stats_lineitem_bucketed(spark, sf_dir):
+    import shutil
+
+    from cassandra_diff_spark.operators.bucketed import (
+        diff_bucketed,
+        write_bucketed,
+    )
+
+    src_df, tgt_df = lineitem_pair(spark, sf_dir)
+    base = "/tmp/cds_gate_bucketed"
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed(
+        src_df, "cds_gate_b_src_li", LINEITEM_SPEC, n_buckets=8,
+        path=f"{base}/src_li",
+    )
+    write_bucketed(
+        tgt_df, "cds_gate_b_tgt_li", LINEITEM_SPEC, n_buckets=8,
+        path=f"{base}/tgt_li",
+    )
+    return diff_bucketed(
+        spark, "cds_gate_b_src_li", "cds_gate_b_tgt_li", LINEITEM_SPEC
+    ).stats
+
+
+QUERIES["diff_stats_lineitem_bucketed"] = _q_diff_stats_lineitem_bucketed
+ORACLES["diff_stats_lineitem_bucketed"] = _O_DIFF_STATS_LINEITEM_SET

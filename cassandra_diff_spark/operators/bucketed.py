@@ -1,0 +1,238 @@
+"""Co-located (bucketed) diff: amortize the wide shuffle across runs.
+
+The single-shuffle union pairing (operators/diff.py) is optimal for a
+one-shot diff, but a RECURRING diff job (the reference's primary use:
+nightly source/target verification, DiffJob.java:101-152) pays that wide
+exchange every run. Spark bucketing moves the shuffle to WRITE time: store
+both sides bucketed by the partition-key columns
+(``df.write.bucketBy(n, *pk).sortBy(...)``) and every subsequent diff
+reads two pre-partitioned tables whose scans already satisfy the join's
+required distribution — the diff plan contains NO Exchange over the data.
+
+Physical shape on bucketed inputs (asserted by tests/test_bucketed.py):
+  * each side pre-collapses duplicates with a groupBy(pk+ck) — satisfied
+    by the bucketed scan's HashPartitioning(pk) (subset rule), no exchange;
+  * the full-outer pairing is a sort-merge join on pk+ck — both sides
+    already hash-partitioned on pk, no exchange;
+  * only the final stats rollup (one row per partition key, then one row
+    total) shuffles — kilobytes.
+
+At 100 TB this turns the nightly diff from "re-shuffle 200 TB" into "two
+co-located scans"; the bucket count chosen at write time is the unit of
+read parallelism, so size it like shuffle partitions (~128-512 MB of rows
+per bucket).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.diff import (
+    DiffResult,
+    _classify_and_aggregate,
+    _finalize_from_per_part,
+    _row_value_counts,
+)
+from cassandra_diff_spark.functions.keys import token_expr
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    spec: TableSpec,
+    *,
+    n_buckets: int,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist one diff side bucketed by the partition key and sorted by
+    pk+clustering (so per-bucket scans come back in merge order). The
+    catalog entry is what lets Spark trust the layout on later reads —
+    a plain parquet directory read would re-shuffle."""
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *pk)
+    w = w.sortBy(*(pk + ck)) if ck else w.sortBy(*pk)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def diff_bucketed(
+    spark: SparkSession,
+    src_table: str,
+    tgt_table: str,
+    spec: TableSpec,
+    *,
+    token=None,
+) -> DiffResult:
+    """Set-mode diff of two bucketed tables via an exchange-free full-outer
+    sort-merge join. Identical 9-counter/journal semantics to
+    ``build_diff(align="set")`` — duplicate full keys collapse to one
+    aligned pair, null key values pair null-safely (pk is never null under
+    the Cassandra data model, but file sources get the same guarantee via
+    ``<=>`` join keys, which hash nulls consistently on both sides)."""
+    src = spark.table(src_table)
+    tgt = spark.table(tgt_table)
+    return diff_colocated(src, tgt, spec, token=token)
+
+
+def assert_no_wide_exchange(df: DataFrame, allowed: int = 0) -> int:
+    """Count Exchange nodes in the executed plan, excluding the final
+    single-partition stats rollup (SinglePartition) — the scale assertion
+    tests make about bucketed plans. Returns the count; raises if it
+    exceeds ``allowed``."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    if n > allowed:
+        raise AssertionError(
+            f"expected <= {allowed} hash exchanges, found {n}:\n{plan}"
+        )
+    return n
+
+
+def diff_colocated(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    token=None,
+) -> DiffResult:
+    """Join-based set-mode diff that lets Catalyst exploit whatever
+    co-location the inputs already have (bucketed tables, a previous
+    repartition). On unprepared inputs this is the classic two-exchange
+    full-outer join plan — prefer build_diff; on bucketed inputs every
+    data-sized exchange vanishes.
+
+    Join keys use PLAIN equality, not ``<=>``: Catalyst rewrites null-safe
+    join keys to coalesce/isnull expressions that no longer match the
+    bucketed HashPartitioning(pk), forcing both sides to re-shuffle — the
+    exact cost this operator exists to avoid. Sound because primary-key
+    columns are non-nullable under the Cassandra data model
+    (TableSpec.java:58-66 reads keys from table metadata; CQL forbids null
+    keys); file sources with null keys should use build_diff."""
+    spec.validate_against(src.columns, tgt.columns)
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    keys = pk + ck
+    reg = list(spec.regular_columns(src.columns))
+    tok_fn = token or token_expr
+
+    non_key = [c for c in src.columns if c not in keys]
+    key_regs = [c for c in reg if c in keys]
+    val_cols = [c for c in reg if c in non_key]
+    nreg = len(reg)
+
+    if not ck:
+        # flat case: one aligned pair per pk — full-outer join of the
+        # dup-collapsed sides, then pure projection. 0 exchanges end-to-end
+        # on bucketed inputs (asserted by tests).
+        def collapse(df: DataFrame, tag: str) -> DataFrame:
+            payload = (
+                F.struct(*[F.col(c) for c in non_key])
+                if non_key
+                else F.struct(F.lit(1))
+            )
+            return df.groupBy(*keys).agg(F.max(payload).alias(f"{tag}__"))
+
+        j = collapse(src, "s").join(collapse(tgt, "t"), on=keys, how="full_outer")
+        both = F.col("s__").isNotNull() & F.col("t__").isNotNull()
+        paired = j.select(
+            *pk,
+            F.col("s__").isNotNull().alias("s_present"),
+            F.col("t__").isNotNull().alias("t_present"),
+            both.alias("ck_eq"),
+            both.alias("in_prefix"),
+            *[F.col("s__").getField(c).alias(f"s_{c}") for c in val_cols],
+            *[F.col("t__").getField(c).alias(f"t_{c}") for c in val_cols],
+        )
+        row_vals = _row_value_counts(val_cols) + F.lit(len(key_regs)).cast("long")
+        paired = paired.select(
+            *pk,
+            "s_present",
+            "t_present",
+            "ck_eq",
+            "in_prefix",
+            F.when(F.col("ck_eq"), row_vals).otherwise(F.lit(0)).alias(
+                "row_matched_values"
+            ),
+        )
+        return _classify_and_aggregate(
+            paired, spec, pk, reg_count=nreg, tok_fn=tok_fn,
+            token_filter=None, sampler=None, flat=True,
+        )
+
+    # Clustered case: the whole PartitionComparator (the reference's
+    # per-partition zip compare, PartitionComparator.java:51-133) becomes a
+    # Catalyst higher-order-function expression evaluated INSIDE one row
+    # per partition key:
+    #   1. each side collapses duplicates (groupBy pk+ck, max payload) and
+    #      folds the partition into a ck->values MAP (groupBy pk) — both
+    #      aggregations are satisfied by the bucketed HashPartitioning(pk)
+    #      via the subset rule, no exchange;
+    #   2. the sides full-outer join on pk alone — co-partitioned, no
+    #      exchange (joining on pk+ck would trip Spark's all-keys
+    #      co-partition requirement and re-shuffle both sides);
+    #   3. matched/mismatched counters aggregate over the zipped maps with
+    #      map_zip_with/aggregate — per-row expression, no exchange.
+    # Memory note: one partition's rows live in one map cell; partitions
+    # beyond a few hundred MB should use build_diff instead (the same
+    # boundary where the reference's in-heap partition compare degrades).
+    ck_key = F.struct(*[F.col(c) for c in ck])
+    payload = (
+        F.struct(*[F.col(c) for c in val_cols]) if val_cols else F.struct(F.lit(1))
+    )
+
+    def side_map(df: DataFrame, tag: str) -> DataFrame:
+        collapsed = (
+            df.groupBy(*keys)
+            .agg(F.max(payload).alias("v"))
+            .select(*pk, ck_key.alias("k"), F.col("v"))
+        )
+        return collapsed.groupBy(*pk).agg(
+            F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias(f"{tag}m")
+        )
+
+    j = side_map(src, "s").join(side_map(tgt, "t"), on=pk, how="full_outer")
+
+    # per-pair matched-value count inside the lambda: key columns in `reg`
+    # (pk always; ck only when explicitly listed, TableSpec.java:84-87)
+    # trivially match on an aligned pair — a constant; value columns
+    # compare null-safely
+    pair_mv = " + ".join(
+        [f"{len(key_regs)}L"]
+        + [f"(CASE WHEN x.a.{c} <=> x.b.{c} THEN 1L ELSE 0L END)" for c in val_cols]
+    )
+    merged = (
+        "map_values(map_zip_with(sm, tm, (k, a, b) -> struct(a AS a, b AS b)))"
+    )
+    both_expr = "x -> x.a IS NOT NULL AND x.b IS NOT NULL"
+    per_part = j.select(
+        *pk,
+        F.expr("CAST(sm IS NOT NULL AS INT)").alias("has_src"),
+        F.expr("CAST(tm IS NOT NULL AS INT)").alias("has_tgt"),
+        F.expr(
+            f"CAST(size(filter({merged}, x -> x.a IS NULL OR x.b IS NULL)) = 0 "
+            "AND sm IS NOT NULL AND tm IS NOT NULL AS INT)"
+        ).alias("all_ck_eq"),
+        F.expr(
+            f"CAST(size(filter({merged}, {both_expr})) AS BIGINT)"
+        ).alias("matched_rows"),
+        F.expr(
+            f"aggregate({merged}, 0L, (acc, x) -> acc + "
+            f"CASE WHEN x.a IS NOT NULL AND x.b IS NOT NULL THEN ({pair_mv}) "
+            "ELSE 0L END)"
+        ).alias("matched_values"),
+        F.expr(
+            f"aggregate({merged}, 0L, (acc, x) -> acc + "
+            f"CASE WHEN x.a IS NOT NULL AND x.b IS NOT NULL THEN "
+            f"{nreg}L - ({pair_mv}) ELSE 0L END)"
+        ).alias("mismatched_values"),
+    )
+    return _finalize_from_per_part(per_part, spec, pk, tok_fn=tok_fn)

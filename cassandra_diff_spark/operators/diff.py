@@ -363,6 +363,24 @@ def _classify_and_aggregate(
             .alias("mismatched_values"),
         )
 
+    return _finalize_from_per_part(
+        per_part, spec, pk, tok_fn=tok_fn, token_filter=token_filter, sampler=sampler
+    )
+
+
+def _finalize_from_per_part(
+    per_part: DataFrame,
+    spec: TableSpec,
+    pk: Sequence[str],
+    *,
+    tok_fn,
+    token_filter=None,
+    sampler=None,
+) -> DiffResult:
+    """Classification tail shared by every diff formulation: takes a
+    per-partition frame (pk cols + has_src/has_tgt/all_ck_eq/matched_rows/
+    matched_values/mismatched_values) and produces the DiffResult
+    (category, journal, 9-counter stats)."""
     token_col = tok_fn(pk).alias("token")
     per_part = per_part.withColumn("token", token_col)
 

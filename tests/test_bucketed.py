@@ -1,0 +1,74 @@
+"""Bucketed co-located diff (operators/bucketed.py): parity with
+build_diff and the zero-exchange physical-plan guarantee that justifies
+its existence."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from cassandra_diff_spark.gate import lineitem_pair, orders_pair
+from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.operators.bucketed import (
+    assert_no_wide_exchange,
+    diff_bucketed,
+    write_bucketed,
+)
+from cassandra_diff_spark.operators.diff import build_diff
+
+ORDERS = TableSpec(name="orders", partition_key=("o_orderkey",))
+LINEITEM = TableSpec(
+    name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+)
+
+BASE = "/tmp/cds_test_bucketed"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    shutil.rmtree(BASE, ignore_errors=True)
+    src_o, tgt_o = orders_pair(spark, sf_dir)
+    write_bucketed(src_o, "t_b_src_o", ORDERS, n_buckets=4, path=f"{BASE}/src_o")
+    write_bucketed(tgt_o, "t_b_tgt_o", ORDERS, n_buckets=4, path=f"{BASE}/tgt_o")
+    src_l, tgt_l = lineitem_pair(spark, sf_dir)
+    write_bucketed(src_l, "t_b_src_l", LINEITEM, n_buckets=4, path=f"{BASE}/src_l")
+    write_bucketed(tgt_l, "t_b_tgt_l", LINEITEM, n_buckets=4, path=f"{BASE}/tgt_l")
+    return (src_o, tgt_o, src_l, tgt_l)
+
+
+def _stats(res):
+    return res.stats.collect()[0].asDict()
+
+
+def test_flat_parity_and_zero_exchanges(spark, bucketed_tables):
+    src_o, tgt_o, *_ = bucketed_tables
+    res = diff_bucketed(spark, "t_b_src_o", "t_b_tgt_o", ORDERS)
+    assert _stats(res) == _stats(build_diff(src_o, tgt_o, ORDERS))
+    # the whole per-partition computation runs without any hash exchange
+    assert_no_wide_exchange(res.partition_detail, allowed=0)
+
+
+def test_clustered_parity_and_zero_exchanges(spark, bucketed_tables):
+    *_, src_l, tgt_l = bucketed_tables
+    res = diff_bucketed(spark, "t_b_src_l", "t_b_tgt_l", LINEITEM)
+    full = build_diff(src_l, tgt_l, LINEITEM)
+    assert _stats(res) == _stats(full)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(sorted(r.asDict().items())) for r in df.mismatches.collect()
+    )
+    assert key(res) == key(full)
+    # PartitionComparator-as-HOF: the map fold, the pk join, and the
+    # counter expressions all run on the bucketed layout — no exchange
+    assert_no_wide_exchange(res.partition_detail, allowed=0)
+
+
+def test_unbucketed_inputs_still_correct(spark, sf_dir):
+    """diff_colocated on plain (unbucketed) frames falls back to the
+    classic shuffled plan but must stay answer-identical."""
+    from cassandra_diff_spark.operators.bucketed import diff_colocated
+
+    src, tgt = lineitem_pair(spark, sf_dir)
+    assert _stats(diff_colocated(src, tgt, LINEITEM)) == _stats(
+        build_diff(src, tgt, LINEITEM)
+    )
