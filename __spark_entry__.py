@@ -46,6 +46,7 @@ _NEEDS_DRIVER_ROW = [
     "text_pii_flags",
     "text_pii_redact",
     "diff_stats_lineitem_bucketed",
+    "curate_pack_sequences",
 ]
 
 

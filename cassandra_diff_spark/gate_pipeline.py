@@ -1076,3 +1076,41 @@ QUERIES["text_pii_flags"] = _q_text_pii_flags
 ORACLES["text_pii_flags"] = _make_o_text_pii_flags()
 QUERIES["text_pii_redact"] = _q_text_pii_redact
 ORACLES["text_pii_redact"] = _make_o_text_pii_redact()
+
+
+# ------------------------------------------------------- sequence packing
+
+def _q_curate_pack_sequences(spark, sf_dir):
+    from cassandra_diff_spark.operators.curate import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", n_words(F.col("text")).alias("nw")
+    )
+    return pack_sequences(d, "doc_id", "nw", capacity=256, group_col="source")
+
+
+def _make_o_curate_pack_sequences() -> str:
+    nw = n_words_sql("text")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, CAST({nw} AS BIGINT) AS nw,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT doc_id, source, nw, rn,
+         CAST(0 AS BIGINT) AS bin, nw AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.source, d.nw, d.rn,
+         CASE WHEN p.fill + d.nw <= 256 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.nw <= 256 THEN p.fill + d.nw ELSE d.nw END
+  FROM base d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, nw, bin, CAST(fill - nw AS BIGINT) AS "offset"
+FROM pack
+"""
+
+
+QUERIES["curate_pack_sequences"] = _q_curate_pack_sequences
+ORACLES["curate_pack_sequences"] = _make_o_curate_pack_sequences()

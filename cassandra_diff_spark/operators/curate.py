@@ -253,3 +253,90 @@ def benchmark_contamination(
             F.expr("(n_overlap * 1000) div n_grams").alias("overlap_milli"),
         )
     )
+
+
+# ------------------------------------------------------- sequence packing
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    group_col: str | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-capacity context
+    windows — the training-batch construction step after curation: walk
+    documents in ``id_col`` order, keep appending to the current bin while
+    it fits, open a new bin when it would overflow. A document longer than
+    ``capacity`` gets a bin of its own (callers truncate downstream).
+
+    Deterministic by construction (stable order, no RNG), so source and
+    any re-run produce identical bins — the property that makes packed
+    batches reproducible across training restarts.
+
+    Output: one row per document — group col(s), id, tokens, ``bin``
+    (0-based per group) and ``offset`` (start position inside the bin).
+
+    Scale: packing is inherently sequential WITHIN a scan order, so the
+    unit of parallelism is the group: per ``group_col`` (domain/source) or,
+    when no natural group exists (or groups are huge), ``n_shards``
+    deterministic hash shards (md5(id) % n_shards) — each shard packs
+    independently in one Arrow batch stream. 100 TB rule of thumb: size
+    shards so one shard's (id, tokens) pairs fit an executor's memory —
+    the packer only holds two integers per row, so ~10^8 rows/shard is
+    comfortable; the documents themselves never move, only (id, tokens).
+    """
+    import pandas as pd
+
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    if (group_col is None) == (n_shards is None):
+        raise ValueError("exactly one of group_col / n_shards is required")
+    if group_col is None:
+        df = df.withColumn(
+            "shard", (md5_hash64(F.col(id_col).cast("string")) % n_shards)
+        )
+        group_col = "shard"
+
+    out_schema = (
+        f"{group_col} string, {id_col} bigint, {tokens_col} bigint, "
+        "bin bigint, offset bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins, offsets = [], []
+        cur_bin, fill = 0, 0
+        first = True
+        for t in pdf[tokens_col].astype("int64"):
+            if first:
+                cur_bin, fill, first = 0, int(t), False
+                offsets.append(0)
+            elif fill + t <= capacity:
+                offsets.append(fill)
+                fill += int(t)
+            else:
+                cur_bin += 1
+                offsets.append(0)
+                fill = int(t)
+            bins.append(cur_bin)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].astype(str),
+                id_col: pdf[id_col].astype("int64"),
+                tokens_col: pdf[tokens_col].astype("int64"),
+                "bin": pd.Series(bins, dtype="int64"),
+                "offset": pd.Series(offsets, dtype="int64"),
+            }
+        )
+
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+        )
+        .groupBy(group_col)
+        .applyInPandas(pack, out_schema)
+    )

@@ -641,3 +641,70 @@ class TestPII:
             pii_count(F.col("t"), "phone").alias("p"),
         ).collect()[0]
         assert (r["i"], r["p"]) == (0, 1)
+
+
+class TestPackSequences:
+    """Greedy context-window packing (operators/curate.pack_sequences)."""
+
+    def test_invariants(self, spark, sf_dir):
+        from cassandra_diff_spark.functions.text import n_words
+        from cassandra_diff_spark.operators.curate import pack_sequences
+
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", n_words(F.col("text")).alias("nw"))
+        )
+        out = pack_sequences(d, "doc_id", "nw", capacity=256, group_col="source")
+        rows = out.collect()
+        assert len(rows) == d.count()
+        # bin fill never exceeds capacity unless the bin is a singleton
+        from collections import defaultdict
+
+        fills = defaultdict(list)
+        for r in rows:
+            fills[(r["source"], r["bin"])].append(r["nw"])
+        for (src, b), toks in fills.items():
+            assert sum(toks) <= 256 or len(toks) == 1, (src, b, toks)
+        # offsets are the running prefix sums within each bin
+        by_bin = defaultdict(list)
+        for r in rows:
+            by_bin[(r["source"], r["bin"])].append((r["doc_id"], r["offset"], r["nw"]))
+        for docs in by_bin.values():
+            docs.sort()
+            run = 0
+            for _, off, nw in docs:
+                assert off == run
+                run += nw
+
+    def test_deterministic_and_sharded(self, spark, sf_dir):
+        from cassandra_diff_spark.functions.text import n_words
+        from cassandra_diff_spark.operators.curate import pack_sequences
+
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", n_words(F.col("text")).alias("nw"))
+        )
+        a = pack_sequences(d, "doc_id", "nw", 128, n_shards=4).collect()
+        b = pack_sequences(d, "doc_id", "nw", 128, n_shards=4).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+        assert len({r["shard"] for r in a}) == 4
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        from cassandra_diff_spark.operators.curate import pack_sequences
+
+        d = spark.createDataFrame(
+            [(1, "g", 10), (2, "g", 999), (3, "g", 10)], "doc_id long, g string, nw long"
+        )
+        rows = {r["doc_id"]: r for r in
+                pack_sequences(d, "doc_id", "nw", 100, group_col="g").collect()}
+        assert rows[2]["bin"] not in (rows[1]["bin"], rows[3]["bin"])
+        assert rows[2]["offset"] == 0
+
+    def test_requires_exactly_one_grouping(self, spark):
+        from cassandra_diff_spark.operators.curate import pack_sequences
+
+        d = spark.createDataFrame([(1, "g", 5)], "doc_id long, g string, nw long")
+        with pytest.raises(ValueError):
+            pack_sequences(d, "doc_id", "nw", 100)
+        with pytest.raises(ValueError):
+            pack_sequences(d, "doc_id", "nw", 100, group_col="g", n_shards=2)
