@@ -71,6 +71,11 @@ class JobConfig:
     job_id: str = ""
     align: str = "set"
     skew_safe: bool = False  # shuffle on pk+clustering for hot partitions
+    # digest-pruned two-phase diff (operators/digest.py): 0 disables; >0 =
+    # bucket count for the phase-1 content digests. Ignored (with a
+    # warning) when sampling/token filters are active — those change which
+    # keys are visible, which the digest credit can't reproduce.
+    digest_buckets: int = 0
     metadata_options: MetadataOptions = field(default_factory=MetadataOptions)
     retry_options: RetryOptions = field(default_factory=RetryOptions)
 
@@ -117,6 +122,7 @@ def parse_config(raw: dict) -> JobConfig:
         job_id=raw.get("job_id", ""),
         align=raw.get("align", "set"),
         skew_safe=bool(raw.get("skew_safe", False)),
+        digest_buckets=int(raw.get("digest_buckets", 0)),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),
     )

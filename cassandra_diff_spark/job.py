@@ -164,6 +164,43 @@ def run_job(
                         stats_observation_exprs,
                     )
 
+                    if (
+                        cfg.digest_buckets > 0
+                        and token_filter is None
+                        and sampler is None
+                    ):
+                        # two-phase digest-pruned diff: the wide shuffle
+                        # touches only drifted buckets (lossless — see
+                        # operators/digest.py). Sampling/token filters
+                        # change key visibility post-join, which the
+                        # clean-bucket credit can't reproduce, so they
+                        # force the classic path. Stats MUST come from
+                        # res.stats (which unions the clean buckets'
+                        # matched credit) — partition_detail holds dirty
+                        # buckets only, so the Observation shortcut would
+                        # undercount matched_*.
+                        from cassandra_diff_spark.operators.digest import (
+                            digest_prune_diff,
+                        )
+
+                        res = digest_prune_diff(
+                            s_df, t_df, spec,
+                            n_buckets=cfg.digest_buckets,
+                            align=cfg.align, skew_safe=cfg.skew_safe,
+                        )
+                        journal.record_mismatches(
+                            job_id, unit.bucket, table, res.mismatches
+                        )
+                        return DiffStats.from_row(res.stats.collect()[0])
+                    if cfg.digest_buckets > 0:
+                        import warnings
+
+                        warnings.warn(
+                            "digest_buckets ignored: sampling or "
+                            "specific_tokens filters are active",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                     res = build_diff(
                         s_df, t_df, spec,
                         align=cfg.align, token_filter=token_filter,

@@ -599,3 +599,49 @@ class TestApiEndpoints:
         payload = json.loads(q.job_results("api-job").toJSON().first())
         assert payload["table"] == "orders"
         assert set(payload) >= {"matched_partitions", "only_in_source", "matched_values"}
+
+
+class TestDigestPrunedJob:
+    """digest_buckets > 0 routes run_job through the two-phase diff; the
+    journaled stats and mismatch rows must equal the classic path's."""
+
+    def test_same_results_as_classic(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        j1, j2 = str(tmp_path / "jd1"), str(tmp_path / "jd2")
+        classic = run_job(
+            spark, make_cfg(src_dir, tgt_dir, j1, job_id="job-classic")
+        )
+        pruned = run_job(
+            spark,
+            make_cfg(
+                src_dir, tgt_dir, j2, job_id="job-digest",
+                extra="digest_buckets: 64",
+            ),
+        )
+        cs, ps = classic.stats["orders"], pruned.stats["orders"]
+        from cassandra_diff_spark.model import STAT_FIELDS
+
+        assert {f: getattr(cs, f) for f in STAT_FIELDS} == {
+            f: getattr(ps, f) for f in STAT_FIELDS
+        }
+        qa, qb = JournalQueries(spark, j1), JournalQueries(spark, j2)
+        key = lambda df: sorted(  # noqa: E731
+            (r.token, r.mismatch_type)
+            for r in df.select("token", "mismatch_type").collect()
+        )
+        assert key(qa.mismatches("job-classic")) == key(qb.mismatches("job-digest"))
+
+    def test_sampling_falls_back_with_warning(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jd3")
+        cfg = make_cfg(src_dir, tgt_dir, jdir, job_id="job-digest-sample",
+                       extra="digest_buckets: 64")
+        from dataclasses import replace
+
+        cfg = replace(cfg, partition_sampling_probability=0.5)
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            run_job(spark, cfg)
+        assert any("digest_buckets ignored" in str(x.message) for x in w)
