@@ -257,3 +257,88 @@ def digest_prune_diff(
         mismatches=res.mismatches,
         stats=stats,
     )
+
+
+# ------------------------------------------------------ snapshot monitoring
+
+#: Schema of a persisted digest snapshot (one row per non-empty bucket).
+SNAPSHOT_SCHEMA = (
+    "snapshot_id string, n_buckets int, bucket bigint, n_rows bigint, "
+    "digest_sum bigint, digest_xor bigint"
+)
+
+
+def write_digest_snapshot(
+    df: DataFrame,
+    spec: TableSpec,
+    path: str,
+    *,
+    snapshot_id: str,
+    n_buckets: int = 4096,
+    token=None,
+    row_hash=None,
+    mode: str = "append",
+) -> None:
+    """Persist a table's bucket digests as a tiny parquet snapshot
+    (<= n_buckets rows — kilobytes for any table size). Snapshots are the
+    drift-monitoring primitive: compare tonight's table against last
+    night's DIGESTS without re-reading last night's data, or compare two
+    clusters' snapshots taken independently (the digest is layout- and
+    order-independent)."""
+    d = bucket_digests(
+        df, spec, n_buckets=n_buckets, token=token, row_hash=row_hash
+    ).select(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.lit(n_buckets).alias("n_buckets"),
+        "bucket",
+        "n_rows",
+        "digest_sum",
+        "digest_xor",
+    )
+    d.write.mode(mode).parquet(path)
+
+
+def read_digest_snapshot(
+    spark: SparkSession, path: str, snapshot_id: str
+) -> DataFrame:
+    snap = (
+        spark.read.parquet(path)
+        .filter(F.col("snapshot_id") == snapshot_id)
+    )
+    return snap
+
+
+def compare_snapshot_digests(a: DataFrame, b: DataFrame) -> DataFrame:
+    """:func:`compare_digests` over two persisted snapshots. Raises if the
+    bucket grids differ — digests at different n_buckets are incomparable."""
+    grids_a = [r.n_buckets for r in a.select("n_buckets").distinct().collect()]
+    grids_b = [r.n_buckets for r in b.select("n_buckets").distinct().collect()]
+    if len(set(grids_a + grids_b)) != 1:
+        raise ValueError(
+            f"snapshot bucket grids differ: {sorted(set(grids_a))} vs "
+            f"{sorted(set(grids_b))}"
+        )
+    cols = ["bucket", "n_rows", "digest_sum", "digest_xor"]
+    return compare_digests(a.select(cols), b.select(cols))
+
+
+def snapshot_drift_summary(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row drift report between two snapshots: bucket counts, dirty
+    bucket count, and the dirty row volume (max of the two sides' rows in
+    dirty buckets — the phase-2 work estimate)."""
+    cmp = compare_snapshot_digests(a, b)
+    return cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets"),
+        F.sum(F.col("dirty").cast("long")).cast("long").alias("dirty_buckets"),
+        F.sum(
+            F.when(
+                F.col("dirty"),
+                F.greatest(
+                    F.coalesce(F.col("s_n"), F.lit(0)),
+                    F.coalesce(F.col("t_n"), F.lit(0)),
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dirty_rows_est"),
+    )

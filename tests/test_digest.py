@@ -104,3 +104,58 @@ class TestDigestPruning:
         # the orders pair drifts in every 16-bucket stripe at sf0.001+, but
         # row counts must reflect both sides
         assert all(r["s_n"] is not None and r["t_n"] is not None for r in rows)
+
+
+class TestSnapshots:
+    """Persisted digest snapshots: the drift-monitoring primitive."""
+
+    def test_roundtrip_and_drift(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.digest import (
+            compare_snapshot_digests,
+            read_digest_snapshot,
+            snapshot_drift_summary,
+            write_digest_snapshot,
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "snaps")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_digest_snapshot(o, ORDERS, path, snapshot_id="day1", n_buckets=64)
+        # drifted next-day table: one corrupted partition
+        o2 = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        write_digest_snapshot(o2, ORDERS, path, snapshot_id="day2", n_buckets=64)
+
+        a = read_digest_snapshot(spark, path, "day1")
+        b = read_digest_snapshot(spark, path, "day2")
+        cmp = compare_snapshot_digests(a, b)
+        assert cmp.filter("dirty").count() == 1
+        row = snapshot_drift_summary(a, b).collect()[0]
+        assert row["dirty_buckets"] == 1
+        assert row["buckets"] == 64
+        assert row["dirty_rows_est"] >= 1
+
+        # identical snapshots -> zero drift
+        same = snapshot_drift_summary(a, a).collect()[0]
+        assert same["dirty_buckets"] == 0
+
+    def test_grid_mismatch_raises(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.digest import (
+            compare_snapshot_digests,
+            read_digest_snapshot,
+            write_digest_snapshot,
+        )
+
+        path = str(tmp_path / "snaps2")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_digest_snapshot(o, ORDERS, path, snapshot_id="a", n_buckets=32)
+        write_digest_snapshot(o, ORDERS, path, snapshot_id="b", n_buckets=64)
+        with pytest.raises(ValueError, match="grids differ"):
+            compare_snapshot_digests(
+                read_digest_snapshot(spark, path, "a"),
+                read_digest_snapshot(spark, path, "b"),
+            )
