@@ -76,6 +76,11 @@ class JobConfig:
     # warning) when sampling/token filters are active — those change which
     # keys are visible, which the digest credit can't reproduce.
     digest_buckets: int = 0
+    # persisted per-table digest snapshots (operators/digest.py snapshot
+    # store): None disables; a path + digest_buckets > 0 makes run_job
+    # write both sides' bucket digests there (zero extra scans — reused
+    # from phase 1) keyed by job_id, for cross-run drift_report queries.
+    snapshot_path: Optional[str] = None
     metadata_options: MetadataOptions = field(default_factory=MetadataOptions)
     retry_options: RetryOptions = field(default_factory=RetryOptions)
 
@@ -123,6 +128,7 @@ def parse_config(raw: dict) -> JobConfig:
         align=raw.get("align", "set"),
         skew_safe=bool(raw.get("skew_safe", False)),
         digest_buckets=int(raw.get("digest_buckets", 0)),
+        snapshot_path=raw.get("snapshot_path"),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),
     )

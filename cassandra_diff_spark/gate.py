@@ -1758,3 +1758,36 @@ def _q_diff_stats_lineitem_bucketed(spark, sf_dir):
 
 QUERIES["diff_stats_lineitem_bucketed"] = _q_diff_stats_lineitem_bucketed
 ORACLES["diff_stats_lineitem_bucketed"] = _O_DIFF_STATS_LINEITEM_SET
+
+
+def _q_diff_stats_lineitem_bucketed_digest(spark, sf_dir):
+    """The recurring-diff composition: digest-pruned phase 1 (literal
+    InSet prune, executed once) + colocated phase 2 over bucketed tables
+    (zero data-sized exchanges — the filter preserves the scan's
+    HashPartitioning). Same oracle as the set-mode lineitem diff: a third
+    physical plan, identical answer."""
+    import shutil
+
+    from cassandra_diff_spark.operators.bucketed import write_bucketed
+    from cassandra_diff_spark.operators.digest import digest_prune_diff
+
+    src_df, tgt_df = lineitem_pair(spark, sf_dir)
+    base = "/tmp/cds_gate_bucketed_digest"
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed(
+        src_df, "cds_gate_bd_src_li", LINEITEM_SPEC, n_buckets=8,
+        path=f"{base}/src_li",
+    )
+    write_bucketed(
+        tgt_df, "cds_gate_bd_tgt_li", LINEITEM_SPEC, n_buckets=8,
+        path=f"{base}/tgt_li",
+    )
+    return digest_prune_diff(
+        spark.table("cds_gate_bd_src_li"),
+        spark.table("cds_gate_bd_tgt_li"),
+        LINEITEM_SPEC, n_buckets=64, engine="colocated",
+    ).stats
+
+
+QUERIES["diff_stats_lineitem_bucketed_digest"] = _q_diff_stats_lineitem_bucketed_digest
+ORACLES["diff_stats_lineitem_bucketed_digest"] = _O_DIFF_STATS_LINEITEM_SET

@@ -174,24 +174,57 @@ def run_job(
                         # operators/digest.py). Sampling/token filters
                         # change key visibility post-join, which the
                         # clean-bucket credit can't reproduce, so they
-                        # force the classic path. Stats MUST come from
-                        # res.stats (which unions the clean buckets'
-                        # matched credit) — partition_detail holds dirty
-                        # buckets only, so the Observation shortcut would
-                        # undercount matched_*.
+                        # force the classic path. Single-execution, like
+                        # the classic path: phase 1 ran once inside
+                        # digest_prune_plan (kilobyte action), the pruned
+                        # phase-2 detail is observe()-instrumented so the
+                        # mismatch write also yields the dirty-side
+                        # counters, and the clean buckets' matched credit
+                        # is one keys-only-projection action.
                         from cassandra_diff_spark.operators.digest import (
-                            digest_prune_diff,
+                            digest_prune_plan,
                         )
 
-                        res = digest_prune_diff(
+                        plan = digest_prune_plan(
                             s_df, t_df, spec,
                             n_buckets=cfg.digest_buckets,
                             align=cfg.align, skew_safe=cfg.skew_safe,
                         )
-                        journal.record_mismatches(
-                            job_id, unit.bucket, table, res.mismatches
+                        if cfg.snapshot_path and splits_per_table == 1:
+                            # the compare rows ARE both sides' digest
+                            # vectors — persist tonight's snapshots for
+                            # drift_report, zero extra scans (partial
+                            # split digests would not be table snapshots,
+                            # hence the splits_per_table gate)
+                            from cassandra_diff_spark.operators.digest import (
+                                write_snapshot_from_compare_rows,
+                            )
+
+                            write_snapshot_from_compare_rows(
+                                spark, plan.compare_rows,
+                                snapshot_dir(cfg.snapshot_path, table),
+                                n_buckets=cfg.digest_buckets,
+                                src_snapshot_id=f"{job_id}:source",
+                                tgt_snapshot_id=f"{job_id}:target",
+                            )
+                        obs = Observation()
+                        detail = plan.result.partition_detail.observe(
+                            obs, *stats_observation_exprs()
                         )
-                        return DiffStats.from_row(res.stats.collect()[0])
+                        mm = mismatches_from_detail(detail, pk)
+                        wrote = journal.record_mismatches(
+                            job_id, unit.bucket, table, mm
+                        )
+                        if wrote:
+                            dirty_stats = DiffStats(**obs.get)
+                        else:  # journal sink failed — direct action
+                            dirty_stats = DiffStats.from_row(
+                                plan.result.stats.collect()[0]
+                            )
+                        dirty_stats.accumulate(
+                            DiffStats.from_row(plan.clean_credit.collect()[0])
+                        )
+                        return dirty_stats
                     if cfg.digest_buckets > 0:
                         import warnings
 
@@ -332,6 +365,34 @@ def run_job(
     except Exception:
         journal.mark_not_running(job_id)  # DiffJob.java:190-196
         raise
+
+
+def snapshot_dir(snapshot_path: str, table: str) -> str:
+    """Per-table digest-snapshot directory under the configured root;
+    table names are sanitized (``ks.table`` -> ``ks_table``) so qualified
+    names stay filesystem-safe."""
+    import re
+
+    return f"{snapshot_path}/{re.sub(r'[^A-Za-z0-9_-]', '_', table)}"
+
+
+def table_drift_report(
+    spark: SparkSession, cfg: JobConfig, table: str, job_a: str, job_b: str,
+    side: str = "target",
+):
+    """Drift between two runs' persisted digest snapshots of one table —
+    compares job_a's vs job_b's snapshot of the given side WITHOUT
+    re-reading either run's data (the monitoring entry point the snapshot
+    store exists for). Requires both jobs to have run with
+    ``snapshot_path`` + ``digest_buckets`` set."""
+    from cassandra_diff_spark.operators.digest import drift_report
+
+    if not cfg.snapshot_path:
+        raise ValueError("cfg.snapshot_path is not configured")
+    return drift_report(
+        spark, snapshot_dir(cfg.snapshot_path, table),
+        f"{job_a}:{side}", f"{job_b}:{side}",
+    )
 
 
 def apply_rate_limit(spark: SparkSession, cfg: JobConfig) -> None:

@@ -40,7 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_diff_spark.model import TableSpec
@@ -55,6 +55,19 @@ DIGEST_MOD = 2305843009213693951
 
 _NULL_SENTINEL = "\x01NULL\x01"
 _SEP = "\x1f"
+
+
+def default_row_hash(cols: Sequence[str]) -> Column:
+    """Null-position-safe xxhash64 row hash: Spark's hash functions SKIP
+    null children (a null leaves the running seed unchanged), so
+    ``xxhash64(a, b)`` hashes ('x', NULL) and (NULL, 'x') identically —
+    a drift that moves a value between nullable columns would digest
+    clean. Interleaving each value with its ``isnull`` flag makes the
+    child sequence differ whenever the null POSITIONS differ: ('x',
+    false, <skip>, true) vs (<skip>, true, 'x', false) chain the seed
+    through different sequences. This restores the ~2^-60-collision
+    contract for the default (non-canonical) digest path."""
+    return F.xxhash64(*[x for c in cols for x in (F.col(c), F.isnull(c))])
 
 
 def canonical_row_hash(df: DataFrame, cols: Sequence[str]) -> Column:
@@ -111,7 +124,7 @@ def bucket_digests(
     pk = list(spec.partition_key)
     cols = list(df.columns)
     tok = (token or token_expr)(pk)
-    h = row_hash if row_hash is not None else F.xxhash64(*[F.col(c) for c in cols])
+    h = row_hash if row_hash is not None else default_row_hash(cols)
     return (
         df.select(
             F.pmod(tok, F.lit(n_buckets)).alias("bucket"),
@@ -160,6 +173,144 @@ def dirty_buckets(src_digest: DataFrame, tgt_digest: DataFrame) -> DataFrame:
     return compare_digests(src_digest, tgt_digest).filter(F.col("dirty")).select("bucket")
 
 
+@dataclass
+class DigestPrunePlan:
+    """The materialized two-phase plan: phase 1 has ALREADY executed (its
+    compare frame is driver-collected — <= n_buckets rows, kilobytes) and
+    phase 2 is a lazy pruned diff whose plan is INDEPENDENT of phase 1
+    (the prune is a literal InSet filter, not a join against the digest
+    aggregation), so however many actions a caller runs over ``result``,
+    the digest scans never re-execute.
+
+    ``result``: the dirty-subset diff — observe()/write its
+    partition_detail like any build_diff result (the job runner does).
+    ``clean_credit``: one-row frame (STAT_FIELDS columns) with the clean
+    buckets' matched contribution — a keys-only projected scan of the
+    source's clean subset."""
+
+    compare_rows: list  # collected compare_digests rows
+    dirty_bucket_ids: list
+    n_buckets: int
+    result: DiffResult
+    clean_credit: DataFrame
+
+    @property
+    def dirty_fraction(self) -> float:
+        n = sum(1 for r in self.compare_rows if r.dirty)
+        return n / self.n_buckets if self.n_buckets else 0.0
+
+
+def digest_prune_plan(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    align: str = "set",
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
+    skew_safe: bool = False,
+    engine: str = "union",
+) -> DigestPrunePlan:
+    """Build (and phase-1-execute) the two-phase pruned diff.
+
+    Phase 1 runs EXACTLY ONCE, here, as one kilobyte-scale action: both
+    sides' bucket digests full-outer-compared and collected to the driver
+    (<= n_buckets rows). The CLEAN bucket ids become a literal
+    ``pmod(token, n).isin(...)`` filter — pruning by the proven-clean set
+    rather than the dirty set, so any row whose bucket the digests never
+    saw (defensive: a null token under a custom token fn) lands on the
+    DIRTY side and gets fully diffed rather than silently skipped. The
+    literal InSet evaluates map-side in the scan stage: no join, no
+    broadcast, no ambiguity with user columns named ``bucket``, and —
+    the point — no digest subtree embedded in the phase-2 plan to
+    re-execute on every downstream action.
+
+    ``engine``: ``"union"`` (default) runs phase 2 through
+    :func:`build_diff`'s single-shuffle union pairing; ``"colocated"``
+    routes it through :func:`~cassandra_diff_spark.operators.bucketed.
+    diff_colocated` — on bucketed inputs the literal filter preserves the
+    scan's HashPartitioning(pk), so the recurring-diff path is BOTH
+    drift-pruned and exchange-free (set align only).
+    """
+    tok_fn = token or token_expr
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    reg = list(spec.regular_columns(src.columns))
+    if engine not in ("union", "colocated"):
+        raise ValueError(f"unknown digest engine {engine!r}")
+    if engine == "colocated" and align != "set":
+        raise ValueError("engine='colocated' supports align='set' only")
+
+    def _hash(df: DataFrame) -> Optional[Column]:
+        return row_hash_for(df) if row_hash_for is not None else None
+
+    d_s = bucket_digests(src, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(src))
+    d_t = bucket_digests(tgt, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(tgt))
+    cmp_rows = compare_digests(d_s, d_t).collect()  # phase 1: the ONE digest action
+    clean_ids = [r.bucket for r in cmp_rows if not r.dirty and r.bucket is not None]
+    dirty_ids = [r.bucket for r in cmp_rows if r.dirty]
+
+    def clean_pred(_df: DataFrame) -> Column:
+        if not clean_ids:
+            return F.lit(False)
+        bucket = F.pmod(tok_fn(pk), F.lit(n_buckets))
+        # coalesce: a null bucket (custom token fn over null keys) must
+        # not evaluate to null and vanish from BOTH subsets — route it
+        # dirty, where the full diff handles it
+        return F.coalesce(bucket.isin(clean_ids), F.lit(False))
+
+    src_dirty = src.filter(~clean_pred(src))
+    tgt_dirty = tgt.filter(~clean_pred(tgt))
+
+    if engine == "colocated":
+        from cassandra_diff_spark.operators.bucketed import diff_colocated
+
+        res = diff_colocated(src_dirty, tgt_dirty, spec, token=tok_fn)
+    else:
+        res = build_diff(src_dirty, tgt_dirty, spec, align=align, token=tok_fn,
+                         skew_safe=skew_safe)
+
+    # clean buckets: every partition matched; rows matched; all regular
+    # values matched. Counts come from the clean part of the source (equal
+    # to the target's there — digest equality implies identical multisets).
+    # Distinct counts go over STRUCTS so null key values — which the diff
+    # groups via eqNullSafe — are counted, not dropped the way
+    # count_distinct(col...) drops null rows. "Matched rows" parity per
+    # align mode: set mode collapses duplicate full keys to one aligned
+    # pair (count distinct pk+ck structs); positional mode pairs every
+    # position (raw count — identical multisets align 1:1). The scan
+    # projects ONLY the key columns (Catalyst prunes the rest), so at
+    # 100 TB this reads the key bytes, not the table.
+    if align == "set":
+        rows_expr = F.count_distinct(F.struct(*[F.col(c) for c in pk + ck]))
+    else:
+        rows_expr = F.count(F.lit(1))
+    clean_credit = src.filter(clean_pred(src)).agg(
+        F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts"),
+        rows_expr.alias("rows"),
+    ).select(
+        F.coalesce(F.col("parts"), F.lit(0)).cast("long").alias("matched_partitions"),
+        F.lit(0).cast("long").alias("mismatched_partitions"),
+        F.lit(0).cast("long").alias("error_partitions"),
+        F.lit(0).cast("long").alias("skipped_partitions"),
+        F.lit(0).cast("long").alias("only_in_source"),
+        F.lit(0).cast("long").alias("only_in_target"),
+        F.coalesce(F.col("rows"), F.lit(0)).cast("long").alias("matched_rows"),
+        (F.coalesce(F.col("rows"), F.lit(0)) * F.lit(len(reg)))
+        .cast("long")
+        .alias("matched_values"),
+        F.lit(0).cast("long").alias("mismatched_values"),
+    )
+    return DigestPrunePlan(
+        compare_rows=cmp_rows,
+        dirty_bucket_ids=dirty_ids,
+        n_buckets=n_buckets,
+        result=res,
+        clean_credit=clean_credit,
+    )
+
+
 def digest_prune_diff(
     src: DataFrame,
     tgt: DataFrame,
@@ -170,6 +321,7 @@ def digest_prune_diff(
     token: Optional[Callable[[Sequence[str]], Column]] = None,
     row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
     skew_safe: bool = False,
+    engine: str = "union",
 ) -> DiffResult:
     """The two-phase diff: digest compare, then full diff on dirty buckets.
 
@@ -180,81 +332,30 @@ def digest_prune_diff(
       * running the full diff over dirty buckets only, and
       * adding the clean buckets' contribution — every partition matched,
         every aligned position matched, every regular value matched — via a
-        union on the stats aggregation. Digest equality implies identical
-        multisets, so source-side counts suffice.
+        union on the stats aggregation.
+
+    Phase 1 executes once, NOW (see :func:`digest_prune_plan`); the
+    returned frames are lazy over the pruned phase-2 plan only.
 
     ``row_hash_for``: optional fn(df) -> per-row hash Column (e.g.
     :func:`canonical_row_hash` partial) when oracle-reproducible digests
-    are needed; default xxhash64 over all columns.
+    are needed; default null-position-safe xxhash64 over all columns.
     """
-    tok_fn = token or token_expr
-    pk = list(spec.partition_key)
-    reg = list(spec.regular_columns(src.columns))
-
-    def _hash(df: DataFrame) -> Optional[Column]:
-        return row_hash_for(df) if row_hash_for is not None else None
-
-    d_s = bucket_digests(src, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(src))
-    d_t = bucket_digests(tgt, spec, n_buckets=n_buckets, token=tok_fn, row_hash=_hash(tgt))
-    dirty = dirty_buckets(d_s, d_t)
-
-    bucket_of = lambda df: F.pmod(tok_fn(pk), F.lit(n_buckets))  # noqa: E731
-
-    # broadcast semi-join prune: dirty is <= n_buckets rows by construction
-    src_dirty = src.join(
-        F.broadcast(dirty),
-        on=bucket_of(src).eqNullSafe(F.col("bucket")),
-        how="left_semi",
+    plan = digest_prune_plan(
+        src, tgt, spec, n_buckets=n_buckets, align=align, token=token,
+        row_hash_for=row_hash_for, skew_safe=skew_safe, engine=engine,
     )
-    tgt_dirty = tgt.join(
-        F.broadcast(dirty),
-        on=bucket_of(tgt).eqNullSafe(F.col("bucket")),
-        how="left_semi",
-    )
-
-    res = build_diff(src_dirty, tgt_dirty, spec, align=align, token=tok_fn,
-                     skew_safe=skew_safe)
-
-    # clean buckets: every partition matched; rows matched; all regular
-    # values matched. Counts come from the clean part of the source (equal
-    # to the target's there). Distinct counts go over STRUCTS so null key
-    # values — which the diff groups via eqNullSafe — are counted, not
-    # dropped the way count_distinct(col...) drops null rows. "Matched
-    # rows" parity per align mode: set mode collapses duplicate full keys
-    # to one aligned pair (count distinct pk+ck structs); positional mode
-    # pairs every position (raw count — identical multisets align 1:1).
-    ck = list(spec.clustering)
-    clean_src = src.join(F.broadcast(dirty), on=bucket_of(src).eqNullSafe(F.col("bucket")), how="left_anti")
-    if align == "set":
-        rows_expr = F.count_distinct(F.struct(*[F.col(c) for c in pk + ck]))
-    else:
-        rows_expr = F.count(F.lit(1))
-    clean_counts = clean_src.agg(
-        F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts"),
-        rows_expr.alias("rows"),
-    ).select(
-        F.col("parts").cast("long").alias("matched_partitions"),
-        F.lit(0).cast("long").alias("mismatched_partitions"),
-        F.lit(0).cast("long").alias("error_partitions"),
-        F.lit(0).cast("long").alias("skipped_partitions"),
-        F.lit(0).cast("long").alias("only_in_source"),
-        F.lit(0).cast("long").alias("only_in_target"),
-        F.col("rows").cast("long").alias("matched_rows"),
-        (F.col("rows") * F.lit(len(reg))).cast("long").alias("matched_values"),
-        F.lit(0).cast("long").alias("mismatched_values"),
-    )
-
     from cassandra_diff_spark.model import STAT_FIELDS
 
     stats = (
-        res.stats.drop("table")
-        .unionByName(clean_counts)
+        plan.result.stats.drop("table")
+        .unionByName(plan.clean_credit)
         .agg(*[F.sum(c).cast("long").alias(c) for c in STAT_FIELDS])
         .select(F.lit(spec.name).alias("table"), *STAT_FIELDS)
     )
     return DiffResult(
-        partition_detail=res.partition_detail,
-        mismatches=res.mismatches,
+        partition_detail=plan.result.partition_detail,
+        mismatches=plan.result.mismatches,
         stats=stats,
     )
 
@@ -320,6 +421,44 @@ def compare_snapshot_digests(a: DataFrame, b: DataFrame) -> DataFrame:
         )
     cols = ["bucket", "n_rows", "digest_sum", "digest_xor"]
     return compare_digests(a.select(cols), b.select(cols))
+
+
+def write_snapshot_from_compare_rows(
+    spark: SparkSession,
+    cmp_rows: Sequence[Row],
+    path: str,
+    *,
+    n_buckets: int,
+    src_snapshot_id: str,
+    tgt_snapshot_id: str,
+    mode: str = "append",
+) -> None:
+    """Persist BOTH sides' digest snapshots from an already-collected
+    :func:`compare_digests` frame — zero additional table scans. This is
+    how the job runner gets nightly snapshots for free: the digest-pruned
+    diff already paid for phase 1, and its compare rows contain each
+    side's full digest vector (a side's row is absent — null n — only for
+    buckets empty on that side, which a snapshot omits anyway)."""
+    rows = []
+    for r in cmp_rows:
+        if r.s_n is not None:
+            rows.append((src_snapshot_id, n_buckets, r.bucket, r.s_n, r.s_sum, r.s_xor))
+        if r.t_n is not None:
+            rows.append((tgt_snapshot_id, n_buckets, r.bucket, r.t_n, r.t_sum, r.t_xor))
+    spark.createDataFrame(rows, SNAPSHOT_SCHEMA).coalesce(1).write.mode(mode).parquet(path)
+
+
+def drift_report(
+    spark: SparkSession, path: str, snapshot_a: str, snapshot_b: str
+) -> DataFrame:
+    """One-row drift summary between two persisted snapshot ids at the
+    same path — tonight's table vs last night's DIGESTS, no re-read of
+    last night's data. Columns: buckets, dirty_buckets, dirty_rows_est
+    (the phase-2 work estimate if a pruned diff were run)."""
+    return snapshot_drift_summary(
+        read_digest_snapshot(spark, path, snapshot_a),
+        read_digest_snapshot(spark, path, snapshot_b),
+    )
 
 
 def snapshot_drift_summary(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -106,6 +106,122 @@ class TestDigestPruning:
         assert all(r["s_n"] is not None and r["t_n"] is not None for r in rows)
 
 
+class TestNullPositionSafety:
+    """The default row hash must distinguish rows whose null POSITIONS
+    differ — plain xxhash64 skips null children, so ('x', NULL) and
+    (NULL, 'x') collide and a null-swap drift would digest clean."""
+
+    def test_null_swap_drift_detected(self, spark):
+        src = spark.createDataFrame(
+            [(1, "x", None), (2, "a", "b")], "pk int, a string, b string"
+        )
+        tgt = spark.createDataFrame(
+            [(1, None, "x"), (2, "a", "b")], "pk int, a string, b string"
+        )
+        spec = TableSpec(name="t", partition_key=("pk",))
+        n_dirty = dirty_buckets(
+            bucket_digests(src, spec, n_buckets=8),
+            bucket_digests(tgt, spec, n_buckets=8),
+        ).count()
+        assert n_dirty == 1
+        full = _stats(build_diff(src, tgt, spec))
+        pruned = _stats(digest_prune_diff(src, tgt, spec, n_buckets=8))
+        assert full == pruned
+        assert pruned["mismatched_partitions"] == 1
+        assert pruned["mismatched_values"] == 2  # both a and b differ on pk=1
+
+    def test_plain_xxhash64_would_have_missed_it(self, spark):
+        """Regression documentation: the old default (xxhash64 over bare
+        columns) marks the null-swap bucket clean — proving the fix is
+        load-bearing, not cosmetic."""
+        from pyspark.sql import functions as F
+
+        src = spark.createDataFrame([(1, "x", None)], "pk int, a string, b string")
+        tgt = spark.createDataFrame([(1, None, "x")], "pk int, a string, b string")
+        spec = TableSpec(name="t", partition_key=("pk",))
+        old_hash = lambda df: F.xxhash64(*[F.col(c) for c in df.columns])  # noqa: E731
+        collided = dirty_buckets(
+            bucket_digests(src, spec, n_buckets=8, row_hash=old_hash(src)),
+            bucket_digests(tgt, spec, n_buckets=8, row_hash=old_hash(tgt)),
+        ).count()
+        assert collided == 0  # the deterministic collision class
+
+
+class TestSingleExecution:
+    """The prune is a literal InSet filter, so phase 2's plan must be
+    structurally independent of phase 1 — no digest aggregation subtree
+    that a second action could re-execute (the r4 double-execution)."""
+
+    def test_phase2_plan_has_no_digest_subtree(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import digest_prune_plan
+
+        src, tgt = orders_pair(spark, sf_dir)
+        plan = digest_prune_plan(src, tgt, ORDERS, n_buckets=64)
+        assert isinstance(plan.compare_rows, list)  # phase 1 already ran
+        assert 0 < len(plan.dirty_bucket_ids) <= 64
+        for df in (plan.result.partition_detail, plan.result.mismatches,
+                   plan.clean_credit):
+            p = df._jdf.queryExecution().optimizedPlan().toString()
+            # bit_xor appears ONLY in the digest aggregation; its absence
+            # means no downstream action can re-run the digest scans
+            assert "bit_xor" not in p
+            assert "Join" not in p  # literal filter, not a digest join
+
+    def test_dirty_fraction(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import digest_prune_plan
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tgt = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        plan = digest_prune_plan(o, tgt, ORDERS, n_buckets=256)
+        assert plan.dirty_fraction == 1 / 256
+
+
+class TestDigestColocated:
+    """engine='colocated': phase 2 through diff_colocated — on bucketed
+    inputs the literal prune filter preserves HashPartitioning(pk), so
+    the recurring diff is drift-pruned AND exchange-free."""
+
+    def test_parity_and_zero_exchange(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import (
+            assert_no_wide_exchange,
+            write_bucketed,
+        )
+        from cassandra_diff_spark.operators.digest import digest_prune_plan
+
+        src, tgt = lineitem_pair(spark, sf_dir)
+        for name in ("t_digb_src", "t_digb_tgt"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(
+            src, "t_digb_src", LINEITEM, n_buckets=8, path=str(tmp_path / "s")
+        )
+        write_bucketed(
+            tgt, "t_digb_tgt", LINEITEM, n_buckets=8, path=str(tmp_path / "t")
+        )
+        bs, bt = spark.table("t_digb_src"), spark.table("t_digb_tgt")
+
+        full = _stats(build_diff(src, tgt, LINEITEM, align="set"))
+        res = digest_prune_diff(
+            bs, bt, LINEITEM, n_buckets=64, engine="colocated"
+        )
+        assert _stats(res) == full
+        # the pruned phase-2 detail: no data-sized exchange
+        plan = digest_prune_plan(bs, bt, LINEITEM, n_buckets=64, engine="colocated")
+        assert_no_wide_exchange(plan.result.partition_detail)
+
+    def test_colocated_rejects_positional(self, spark, sf_dir):
+        src, tgt = lineitem_pair(spark, sf_dir)
+        with pytest.raises(ValueError, match="set"):
+            digest_prune_diff(
+                src, tgt, LINEITEM, n_buckets=64, align="positional",
+                engine="colocated",
+            )
+
+
 class TestSnapshots:
     """Persisted digest snapshots: the drift-monitoring primitive."""
 

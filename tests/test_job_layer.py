@@ -601,6 +601,52 @@ class TestApiEndpoints:
         assert set(payload) >= {"matched_partitions", "only_in_source", "matched_values"}
 
 
+class TestSnapshotDrift:
+    """snapshot_path + digest_buckets: run_job persists both sides'
+    bucket digests (reused from phase 1 — zero extra scans) and
+    table_drift_report compares two runs without re-reading data."""
+
+    def test_two_runs_drift_report(self, spark, pair_dirs, tmp_path):
+        from cassandra_diff_spark.job import snapshot_dir, table_drift_report
+
+        src_dir, tgt_dir = pair_dirs
+        snap = str(tmp_path / "snaps")
+        # second line indented to the make_cfg template's level so
+        # textwrap.dedent still finds the common prefix
+        extra = f"digest_buckets: 64\n        snapshot_path: {snap}"
+        cfg_a = make_cfg(src_dir, tgt_dir, str(tmp_path / "ja"),
+                         job_id="snap-a", extra=extra)
+        run_job(spark, cfg_a)
+        # run b diffs src against ITSELF: its source snapshot matches
+        # run a's (same table), its target snapshot differs (tgt drifted)
+        cfg_b = make_cfg(src_dir, src_dir, str(tmp_path / "jb"),
+                         job_id="snap-b", extra=extra)
+        run_job(spark, cfg_b)
+
+        drift = table_drift_report(
+            spark, cfg_a, "orders", "snap-a", "snap-b", side="target"
+        ).collect()[0]
+        assert drift["dirty_buckets"] > 0
+        assert drift["dirty_rows_est"] > 0
+
+        same = table_drift_report(
+            spark, cfg_a, "orders", "snap-a", "snap-b", side="source"
+        ).collect()[0]
+        assert same["dirty_buckets"] == 0
+
+        # snapshots are tiny: <= n_buckets rows per side per run
+        n = spark.read.parquet(snapshot_dir(snap, "orders")).count()
+        assert n <= 4 * 64
+
+    def test_drift_report_requires_config(self, spark, pair_dirs, tmp_path):
+        from cassandra_diff_spark.job import table_drift_report
+
+        src_dir, tgt_dir = pair_dirs
+        cfg = make_cfg(src_dir, tgt_dir, str(tmp_path / "jx"))
+        with pytest.raises(ValueError, match="snapshot_path"):
+            table_drift_report(spark, cfg, "orders", "a", "b")
+
+
 class TestDigestPrunedJob:
     """digest_buckets > 0 routes run_job through the two-phase diff; the
     journaled stats and mismatch rows must equal the classic path's."""
