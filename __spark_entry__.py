@@ -32,28 +32,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Names with no GREEN row in any driver CORRECTNESS file yet (the driver
 #: caps how many entries it checks per round, in registration order).
 #: These go FIRST so the next capped run checks them; previously-covered
-#: entries follow, declared rows-only entries last.
+#: entries follow ROTATED by round so every oracle-paired entry lands a
+#: fresh driver row at least every other round (r4 lesson: a static mid
+#: order left the same 27 tail entries driver-unchecked round after
+#: round); declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
-    # errored in r03 (events ts type change — fixed this round)
-    "events_props_extract",
-    "events_by_hour",
-    "events_type_counts",
-    "events_recent",
-    "diff_stats_events_composite",
-    # new in round 4 — no driver row exists yet
-    "diff_stats_orders_digest",
-    "digest_buckets_orders",
-    "text_pii_flags",
-    "text_pii_redact",
-    "diff_stats_lineitem_bucketed",
-    "curate_pack_sequences",
+    # new in round 5 — no driver row exists yet
+    "diff_stats_lineitem_bucketed_digest",
 ]
+
+
+def _checked_last_round() -> set[str]:
+    """Names that got a driver row in the LATEST CORRECTNESS file."""
+    import json
+
+    here = Path(__file__).resolve().parent
+    files = sorted(here.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return set()
+    try:
+        return set(json.loads(files[-1].read_text()))
+    except Exception:  # a malformed file must not break the gate
+        return set()
 
 
 def _ordered(merged: dict) -> dict:
     oracles = {**gate.ORACLES, **gate_pipeline.ORACLES}
     first = [n for n in _NEEDS_DRIVER_ROW if n in merged]
-    mid = [n for n in merged if n in oracles and n not in first]
+    checked = _checked_last_round()
+    mid = sorted(n for n in merged if n in oracles and n not in first)
+    # self-maintaining round-robin: whatever the capped driver run missed
+    # last round goes to the head this round
+    mid = [n for n in mid if n not in checked] + [n for n in mid if n in checked]
     last = [n for n in merged if n not in oracles and n not in first]
     return {n: merged[n] for n in first + mid + last}
 

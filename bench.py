@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_stats",
     "pipeline_clean_corpus",
+    # round-5 additions: the two flagship scale paths get trend lines
+    "diff_stats_orders_digest",
+    "diff_stats_lineitem_bucketed",
 ]
 
 
@@ -59,6 +62,8 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    from cassandra_diff_spark import operators
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -72,6 +77,13 @@ def main() -> None:
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        # cache hygiene BETWEEN queries (r4 lesson): operator caches
+        # accumulated across all queries, so late queries ran under
+        # maximal memory pressure and the trend was unusable. Release
+        # AFTER the count so each query still benefits from its own
+        # caches, but none inherits its predecessors'.
+        operators.release_caches()
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -72,10 +72,13 @@ def diff_bucketed(
 ) -> DiffResult:
     """Set-mode diff of two bucketed tables via an exchange-free full-outer
     sort-merge join. Identical 9-counter/journal semantics to
-    ``build_diff(align="set")`` — duplicate full keys collapse to one
-    aligned pair, null key values pair null-safely (pk is never null under
-    the Cassandra data model, but file sources get the same guarantee via
-    ``<=>`` join keys, which hash nulls consistently on both sides)."""
+    ``build_diff(align="set")`` for non-null keys — duplicate full keys
+    collapse to one aligned pair. Join keys are PLAIN equality (see
+    :func:`diff_colocated`): null-safe ``<=>`` keys defeat the bucketed
+    co-partitioning this operator exists for, so rows with null key values
+    are dropped by the join. Null keys cannot occur under the Cassandra
+    data model (CQL forbids them); file sources that may contain them
+    should use ``build_diff``, which pairs nulls via ``eqNullSafe``."""
     src = spark.table(src_table)
     tgt = spark.table(tgt_table)
     return diff_colocated(src, tgt, spec, token=token)
@@ -97,12 +100,39 @@ def assert_no_wide_exchange(df: DataFrame, allowed: int = 0) -> int:
     return n
 
 
+def _warn_if_not_colocated(df: DataFrame) -> None:
+    """Runtime misuse guard: diff_colocated on inputs WITHOUT a
+    co-located layout silently degrades to the classic two-exchange join
+    plan — legal, but strictly worse than build_diff (which also handles
+    null keys). Probe the physical plan and warn so the slow path is
+    never paid silently."""
+    import re
+    import warnings
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # plan probe must never break the diff itself
+        return
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    if n:
+        warnings.warn(
+            f"diff_colocated inputs are not co-partitioned: the plan has {n} "
+            "data-sized hash exchange(s), so this run pays the full shuffle "
+            "the operator exists to avoid. Use build_diff for one-shot "
+            "diffs, or persist both sides with write_bucketed (and read "
+            "them via the table catalog) for recurring diffs.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def diff_colocated(
     src: DataFrame,
     tgt: DataFrame,
     spec: TableSpec,
     *,
     token=None,
+    warn_on_shuffle: bool = True,
 ) -> DiffResult:
     """Join-based set-mode diff that lets Catalyst exploit whatever
     co-location the inputs already have (bucketed tables, a previous
@@ -163,10 +193,13 @@ def diff_colocated(
                 "row_matched_values"
             ),
         )
-        return _classify_and_aggregate(
+        res = _classify_and_aggregate(
             paired, spec, pk, reg_count=nreg, tok_fn=tok_fn,
             token_filter=None, sampler=None, flat=True,
         )
+        if warn_on_shuffle:
+            _warn_if_not_colocated(res.partition_detail)
+        return res
 
     # Clustered case: the whole PartitionComparator (the reference's
     # per-partition zip compare, PartitionComparator.java:51-133) becomes a
@@ -235,4 +268,7 @@ def diff_colocated(
             f"{nreg}L - ({pair_mv}) ELSE 0L END)"
         ).alias("mismatched_values"),
     )
-    return _finalize_from_per_part(per_part, spec, pk, tok_fn=tok_fn)
+    res = _finalize_from_per_part(per_part, spec, pk, tok_fn=tok_fn)
+    if warn_on_shuffle:
+        _warn_if_not_colocated(res.partition_detail)
+    return res

@@ -72,3 +72,27 @@ def test_unbucketed_inputs_still_correct(spark, sf_dir):
     assert _stats(diff_colocated(src, tgt, LINEITEM)) == _stats(
         build_diff(src, tgt, LINEITEM)
     )
+
+
+def test_unbucketed_inputs_warn(spark, sf_dir):
+    """Passing plain parquet reads pays the 2-exchange plan diff_colocated
+    exists to avoid — that misuse must warn at runtime, and the warning
+    must NOT fire on genuinely bucketed inputs."""
+    import warnings
+
+    from cassandra_diff_spark.operators.bucketed import diff_colocated
+
+    src, tgt = lineitem_pair(spark, sf_dir)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        diff_colocated(src, tgt, LINEITEM)
+    assert any("not co-partitioned" in str(x.message) for x in w)
+
+
+def test_bucketed_inputs_do_not_warn(spark, bucketed_tables):
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        diff_bucketed(spark, "t_b_src_l", "t_b_tgt_l", LINEITEM)
+    assert not any("not co-partitioned" in str(x.message) for x in w)
