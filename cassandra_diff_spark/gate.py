@@ -1725,6 +1725,71 @@ QUERIES["digest_buckets_orders"] = _q_digest_buckets_orders
 ORACLES["digest_buckets_orders"] = _make_o_digest_buckets_orders()
 
 
+def _q_streaming_digest_buckets_orders(spark, sf_dir):
+    """Streaming-runtime twin of digest_buckets_orders: both sides'
+    bucket digests run as COMPLETE-mode Structured Streaming aggregations
+    over a file stream (availableNow trigger draining the same parquet;
+    the target-side drift transforms are stateless, so they compose with
+    readStream), memory-sunk, then full-outer compared. The final tables
+    are deterministic and equal to the batch digests, so the SAME DuckDB
+    oracle that checks the batch digest math checks the streaming
+    runtime — the module's first oracle-paired gate."""
+    import shutil
+
+    from cassandra_diff_spark.operators.digest import (
+        canonical_row_hash,
+        compare_digests,
+    )
+    from cassandra_diff_spark.streaming.diff_stream import digest_stream
+
+    # FileStreamSource needs a DIRECTORY; the testdata tables are single
+    # files — stage a 4-file copy so maxFilesPerTrigger=1 exercises real
+    # multi-batch incremental aggregation (the digest is order- and
+    # batching-independent, so the final table is deterministic anyway)
+    batch = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stage = "/tmp/cds_gate_stream_orders"
+    shutil.rmtree(stage, ignore_errors=True)
+    batch.repartition(4).write.parquet(stage)
+    sch = batch.schema
+    tok = lambda pk_cols: arithmetic_token(pk_cols[0])  # noqa: E731
+
+    def stream():
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    src = stream()
+    o = stream()
+    k = F.col("o_orderkey")
+    tgt = (
+        o.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 53 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.filter(k % 89 == 0).withColumn("o_orderkey", k + F.lit(10_000_000))
+        )
+    )
+    d_s = digest_stream(
+        src, ORDERS_SPEC, name="cds_stream_dig_src", n_buckets=64, token=tok,
+        row_hash=canonical_row_hash(src, ORDERS_COLS),
+    )
+    d_t = digest_stream(
+        tgt, ORDERS_SPEC, name="cds_stream_dig_tgt", n_buckets=64, token=tok,
+        row_hash=canonical_row_hash(tgt, ORDERS_COLS),
+    )
+    return compare_digests(d_s, d_t)
+
+
+QUERIES["streaming_digest_buckets_orders"] = _q_streaming_digest_buckets_orders
+ORACLES["streaming_digest_buckets_orders"] = _make_o_digest_buckets_orders()
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located diff (operators/bucketed.py): the recurring-diff
 # fast path — both sides stored bucketBy(pk), the diff plan has ZERO

@@ -125,6 +125,48 @@ def stream_exact_dedup(
     )
 
 
+def digest_stream(
+    stream: DataFrame,
+    spec: TableSpec,
+    *,
+    name: str,
+    n_buckets: int = 4096,
+    token=None,
+    row_hash=None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming bucket digests: the drift-monitoring primitive
+    (operators/digest.py) computed as a COMPLETE-mode streaming
+    aggregation — count / sum-mod / bit_xor are all order-independent
+    and map-side-combinable, so the running digest state is exactly
+    ``n_buckets`` rows no matter how much data streams through.
+
+    Runs the query with an availableNow trigger into an in-memory table
+    and returns the drained final frame: deterministic and IDENTICAL to
+    the batch :func:`~cassandra_diff_spark.operators.digest.
+    bucket_digests` over the same data (the oracle-paired gate asserts
+    this through the same DuckDB SQL as the batch digest compare). In
+    production the same plan runs unbounded (processingTime trigger,
+    parquet/Delta sink) to keep a live drift signal against a static
+    snapshot's digests."""
+    from cassandra_diff_spark.operators.digest import bucket_digests
+
+    agg = bucket_digests(
+        stream, spec, n_buckets=n_buckets, token=token, row_hash=row_hash
+    )
+    w = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return stream.sparkSession.table(name)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event count + value sum across micro-batches."""

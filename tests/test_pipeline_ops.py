@@ -605,6 +605,61 @@ class TestIndexReuse:
         assert via_index == direct
 
 
+class TestFusedIndexParity:
+    """The fused mapInArrow index builds must be BIT-identical to the
+    expression-path builds (same quantize HALF_UP rounding, same keys,
+    same centroid tie-breaks) — the throughput rewrite may not move a
+    single value, or the oracle-checked rerank results would drift."""
+
+    def test_lsh_index_bit_parity(self, embs):
+        fused = similarity.hyperplane_lsh_index(
+            embs, "vec_id", "embedding", fused=True
+        )
+        classic = similarity.hyperplane_lsh_index(
+            embs, "vec_id", "embedding", fused=False
+        )
+        assert fused.schema == classic.schema
+        assert fused.exceptAll(classic).count() == 0
+        assert classic.exceptAll(fused).count() == 0
+
+    def test_ivf_index_bit_parity(self, embs):
+        fused = similarity.ivf_index(
+            embs, "vec_id", "embedding", centroid_mod=8, fused=True
+        )
+        classic = similarity.ivf_index(
+            embs, "vec_id", "embedding", centroid_mod=8, fused=False
+        )
+        assert fused.schema == classic.schema
+        assert fused.exceptAll(classic).count() == 0
+        assert classic.exceptAll(fused).count() == 0
+
+    def test_quantize_np_half_up_ties(self, spark):
+        """Exact .5 fractions round AWAY from zero, matching Spark."""
+        import pyarrow as pa
+
+        from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
+
+        vals = [0.0005, -0.0005, 0.0015, -0.0015, 0.0024999, 1.0, -1.0]
+        got = _make_vec_matrix_fn(len(vals))(pa.array([vals]))[0].tolist()
+        df = spark.createDataFrame([(vals,)], "v array<double>")
+        from cassandra_diff_spark.functions.vectors import quantize
+
+        want = df.select(quantize(F.col("v")).alias("q")).collect()[0].q
+        assert got == want
+        assert got[:4] == [1, -1, 2, -2]  # ties away from zero
+
+    def test_fused_rejects_nulls_and_ragged(self, spark):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
+
+        with _pytest.raises(ValueError, match="null embedding"):
+            _make_vec_matrix_fn(2)(pa.array([[1.0, 2.0], None]))
+        with _pytest.raises(ValueError, match="ragged"):
+            _make_vec_matrix_fn(2)(pa.array([[1.0, 2.0], [3.0]]))
+
+
 class TestPII:
     """PII detection/redaction (functions/text.py PII_* surface)."""
 

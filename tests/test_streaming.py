@@ -42,6 +42,31 @@ def drain(stream_df, name):
     q.stop()
 
 
+def test_digest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Complete-mode streaming bucket digests drained over a multi-file
+    stream must equal the batch digests bit-for-bit (the digest agg is
+    order- and batching-independent by construction)."""
+    from cassandra_diff_spark.operators.digest import bucket_digests
+    from cassandra_diff_spark.streaming.diff_stream import digest_stream
+
+    spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+    batch = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stage = str(tmp_path / "orders_stream")
+    batch.repartition(3).write.parquet(stage)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got = digest_stream(
+        stream, spec, name="t_digest_stream", n_buckets=32
+    )
+    want = bucket_digests(batch, spec, n_buckets=32)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_windowed_counts_match_batch(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     agg = windowed_event_counts(stream, window="1 hour")
