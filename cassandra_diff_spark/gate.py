@@ -1790,6 +1790,36 @@ QUERIES["streaming_digest_buckets_orders"] = _q_streaming_digest_buckets_orders
 ORACLES["streaming_digest_buckets_orders"] = _make_o_digest_buckets_orders()
 
 
+def _q_streaming_diff_stats_orders(spark, sf_dir):
+    """Streaming-runtime twin of the flagship diff: the source streams in
+    file-sized micro-batches (availableNow), each batch diffs against the
+    static target slice sharing its keys, and never-seen target keys
+    become only_in_target after the drain. The drained one-row stats
+    equal the batch diff's — gated by the SAME DuckDB oracle. Partition
+    atomicity holds because orders' pk is unique per row, so no key can
+    straddle two files."""
+    import shutil
+
+    from cassandra_diff_spark.streaming.diff_stream import snapshot_stream_diff
+
+    src_b, tgt_b = orders_pair(spark, sf_dir)
+    stage = "/tmp/cds_gate_stream_diff"
+    shutil.rmtree(stage, ignore_errors=True)
+    src_b.repartition(4).write.parquet(f"{stage}/src")
+    stream = (
+        spark.readStream.schema(src_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/src")
+    )
+    return snapshot_stream_diff(
+        stream, tgt_b, ORDERS_SPEC, keys_dir=f"{stage}/keys"
+    )
+
+
+QUERIES["streaming_diff_stats_orders"] = _q_streaming_diff_stats_orders
+ORACLES["streaming_diff_stats_orders"] = _O_DIFF_STATS_ORDERS
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located diff (operators/bucketed.py): the recurring-diff
 # fast path — both sides stored bucketBy(pk), the diff plan has ZERO

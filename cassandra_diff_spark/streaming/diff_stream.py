@@ -125,6 +125,61 @@ def stream_exact_dedup(
     )
 
 
+def snapshot_stream_diff(
+    stream: DataFrame,
+    target: DataFrame,
+    spec: TableSpec,
+    *,
+    keys_dir: str,
+    align: str = "set",
+) -> DataFrame:
+    """Full 9-counter diff of a STREAMED source against a static target
+    snapshot: each micro-batch diffs against the target slice sharing its
+    keys (matched / mismatched / only_in_source accumulate driver-side —
+    the per-batch stats are one-row collects), batch keys journal to
+    ``keys_dir``, and after the availableNow drain the target keys never
+    seen in the stream become only_in_target via one anti-join. The
+    drained result equals ``build_diff(source, target).stats`` exactly,
+    so the batch diff's DuckDB oracle gates the streaming runtime.
+
+    Contract (same shape as the reference's partition-atomic paging): all
+    rows of a source partition must arrive within ONE micro-batch —
+    file-source batches split at file boundaries, so write each partition
+    key's rows to one file (any layout produced by a partition-key
+    shuffle or bucketed write satisfies this). Keys may not straddle
+    batches or their per-partition counters would double-count."""
+    from cassandra_diff_spark.model import STAT_FIELDS, DiffStats
+
+    spark = target.sparkSession
+    pk = list(spec.partition_key)
+    totals = DiffStats()
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        keys = batch_df.select(*pk).distinct()
+        keys.write.mode("append").parquet(keys_dir)
+        tgt_slice = target.join(F.broadcast(keys), pk, "left_semi")
+        res = build_diff(batch_df, tgt_slice, spec, align=align)
+        totals.accumulate(DiffStats.from_row(res.stats.collect()[0]))
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    seen = spark.read.parquet(keys_dir).distinct()
+    totals.only_in_target += (
+        target.join(seen, pk, "left_anti").select(*pk).distinct().count()
+    )
+    row = {"table": spec.name, **{f: getattr(totals, f) for f in STAT_FIELDS}}
+    return spark.createDataFrame([row]).select(
+        "table", *[F.col(f).cast("long").alias(f) for f in STAT_FIELDS]
+    )
+
+
 def digest_stream(
     stream: DataFrame,
     spec: TableSpec,

@@ -67,6 +67,32 @@ def test_digest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_snapshot_stream_diff_matches_batch(spark, sf_dir, tmp_path):
+    """The drained streamed diff must equal the batch diff's 9 counters
+    on a CLUSTERED table — partition atomicity supplied by hash-
+    partitioning the staged files on the partition key."""
+    from cassandra_diff_spark.gate import lineitem_pair
+    from cassandra_diff_spark.streaming.diff_stream import snapshot_stream_diff
+    from cassandra_diff_spark.operators.diff import build_diff
+
+    src, tgt = lineitem_pair(spark, sf_dir)
+    spec = TableSpec(
+        name="lineitem", partition_key=("l_orderkey",), clustering=("l_linenumber",)
+    )
+    stage = str(tmp_path / "sdiff")
+    src.repartition(4, "l_orderkey").write.parquet(f"{stage}/src")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/src")
+    )
+    got = snapshot_stream_diff(
+        stream, tgt, spec, keys_dir=f"{stage}/keys"
+    ).collect()[0].asDict()
+    want = build_diff(src, tgt, spec, align="set").stats.collect()[0].asDict()
+    assert got == want
+
+
 def test_windowed_counts_match_batch(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     agg = windowed_event_counts(stream, window="1 hour")
