@@ -76,6 +76,11 @@ class JobConfig:
     # warning) when sampling/token filters are active — those change which
     # keys are visible, which the digest credit can't reproduce.
     digest_buckets: int = 0
+    # declare pk(+clustering) unique per row (ALWAYS true for data read
+    # from Cassandra — the CQL primary key is the row identity; file
+    # sources opt in knowingly): lets the digest path derive clean-bucket
+    # credit from the collected digests instead of a distinct-count scan
+    digest_unique_keys: bool = False
     # persisted per-table digest snapshots (operators/digest.py snapshot
     # store): None disables; a path + digest_buckets > 0 makes run_job
     # write both sides' bucket digests there (zero extra scans — reused
@@ -128,6 +133,7 @@ def parse_config(raw: dict) -> JobConfig:
         align=raw.get("align", "set"),
         skew_safe=bool(raw.get("skew_safe", False)),
         digest_buckets=int(raw.get("digest_buckets", 0)),
+        digest_unique_keys=bool(raw.get("digest_unique_keys", False)),
         snapshot_path=raw.get("snapshot_path"),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),

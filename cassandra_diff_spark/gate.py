@@ -1721,6 +1721,23 @@ FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
 
 QUERIES["diff_stats_orders_digest"] = _q_diff_stats_orders_digest
 ORACLES["diff_stats_orders_digest"] = _O_DIFF_STATS_ORDERS
+
+
+def _q_diff_stats_orders_digest_unique(spark, sf_dir):
+    """unique_keys declaration on a flat unique-pk table: the clean-bucket
+    credit is pure driver arithmetic over the collected digests — ZERO
+    extra scans, no distinct shuffle anywhere in the clean path. Same
+    oracle as the unpruned diff: the declaration may not move a counter."""
+    from cassandra_diff_spark.operators.digest import digest_prune_diff
+
+    src, tgt = orders_pair(spark, sf_dir)
+    return digest_prune_diff(
+        src, tgt, ORDERS_SPEC, n_buckets=64, unique_keys=True
+    ).stats
+
+
+QUERIES["diff_stats_orders_digest_unique"] = _q_diff_stats_orders_digest_unique
+ORACLES["diff_stats_orders_digest_unique"] = _O_DIFF_STATS_ORDERS
 QUERIES["digest_buckets_orders"] = _q_digest_buckets_orders
 ORACLES["digest_buckets_orders"] = _make_o_digest_buckets_orders()
 

@@ -189,6 +189,7 @@ def run_job(
                             s_df, t_df, spec,
                             n_buckets=cfg.digest_buckets,
                             align=cfg.align, skew_safe=cfg.skew_safe,
+                            unique_keys=cfg.digest_unique_keys,
                         )
                         if cfg.snapshot_path and splits_per_table == 1:
                             # the compare rows ARE both sides' digest

@@ -211,6 +211,7 @@ def digest_prune_plan(
     row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
     skew_safe: bool = False,
     engine: str = "union",
+    unique_keys: bool = False,
 ) -> DigestPrunePlan:
     """Build (and phase-1-execute) the two-phase pruned diff.
 
@@ -232,6 +233,19 @@ def digest_prune_plan(
     diff_colocated` — on bucketed inputs the literal filter preserves the
     scan's HashPartitioning(pk), so the recurring-diff path is BOTH
     drift-pruned and exchange-free (set align only).
+
+    ``unique_keys``: caller declares pk(+clustering) unique per row — the
+    Cassandra data model GUARANTEES this (a CQL primary key is the row
+    identity), file sources must opt in knowingly. What it buys, per
+    align mode: the clean-bucket matched_rows credit becomes the sum of
+    the already-collected per-bucket digest counts (positional mode gets
+    this for free even WITHOUT uniqueness — identical multisets align
+    positionally 1:1, so the raw count is the credit), and for tables
+    with no clustering the partition credit too — so the clean-credit
+    scan, whose count_distinct is the digest path's only data-sized
+    distinct shuffle, reduces to a pk-only distinct (clustered tables)
+    or disappears entirely (flat tables: the whole clean credit is
+    driver arithmetic over kilobytes).
     """
     tok_fn = token or token_expr
     pk = list(spec.partition_key)
@@ -279,17 +293,43 @@ def digest_prune_plan(
     # count_distinct(col...) drops null rows. "Matched rows" parity per
     # align mode: set mode collapses duplicate full keys to one aligned
     # pair (count distinct pk+ck structs); positional mode pairs every
-    # position (raw count — identical multisets align 1:1). The scan
-    # projects ONLY the key columns (Catalyst prunes the rest), so at
-    # 100 TB this reads the key bytes, not the table.
-    if align == "set":
-        rows_expr = F.count_distinct(F.struct(*[F.col(c) for c in pk + ck]))
+    # position (raw count — identical multisets align 1:1). When a scan
+    # is needed it projects ONLY the key columns (Catalyst prunes the
+    # rest), so at 100 TB this reads the key bytes, not the table.
+    clean_row_sum = sum(
+        r.s_n for r in cmp_rows if not r.dirty and r.s_n is not None
+    )
+    # raw row count suffices as rows credit when positional (always) or
+    # when full keys are declared unique (set mode collapses nothing)
+    rows_from_digests = align != "set" or unique_keys
+    # partition credit from digests: flat table (pk IS the full key) AND
+    # declared-unique pk — then counted rows == counted partitions
+    # (positional alone is not enough: duplicate pks would make the raw
+    # count overstate the distinct partition count)
+    parts_from_digests = not ck and unique_keys
+
+    if parts_from_digests:
+        # zero-scan clean credit: pure driver arithmetic over the
+        # already-collected kilobytes
+        spark = src.sparkSession
+        clean_credit = spark.createDataFrame(
+            [(int(clean_row_sum), int(clean_row_sum))], "parts long, rows long"
+        )
     else:
-        rows_expr = F.count(F.lit(1))
-    clean_credit = src.filter(clean_pred(src)).agg(
-        F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts"),
-        rows_expr.alias("rows"),
-    ).select(
+        aggs = [
+            F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts")
+        ]
+        if not rows_from_digests:
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in pk + ck])
+                ).alias("rows")
+            )
+        scanned = src.filter(clean_pred(src)).agg(*aggs)
+        if rows_from_digests:
+            scanned = scanned.withColumn("rows", F.lit(int(clean_row_sum)))
+        clean_credit = scanned
+    clean_credit = clean_credit.select(
         F.coalesce(F.col("parts"), F.lit(0)).cast("long").alias("matched_partitions"),
         F.lit(0).cast("long").alias("mismatched_partitions"),
         F.lit(0).cast("long").alias("error_partitions"),
@@ -322,6 +362,7 @@ def digest_prune_diff(
     row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
     skew_safe: bool = False,
     engine: str = "union",
+    unique_keys: bool = False,
 ) -> DiffResult:
     """The two-phase diff: digest compare, then full diff on dirty buckets.
 
@@ -344,6 +385,7 @@ def digest_prune_diff(
     plan = digest_prune_plan(
         src, tgt, spec, n_buckets=n_buckets, align=align, token=token,
         row_hash_for=row_hash_for, skew_safe=skew_safe, engine=engine,
+        unique_keys=unique_keys,
     )
     from cassandra_diff_spark.model import STAT_FIELDS
 

@@ -167,6 +167,41 @@ class TestSingleExecution:
             assert "bit_xor" not in p
             assert "Join" not in p  # literal filter, not a digest join
 
+    def test_unique_keys_zero_scan_credit(self, spark, sf_dir):
+        """unique_keys on a flat unique-pk table: clean credit comes from
+        the collected digests (a LocalRelation — no file scan in its
+        plan) and the counters still match the full diff exactly."""
+        from cassandra_diff_spark.operators.digest import digest_prune_plan
+
+        src, tgt = orders_pair(spark, sf_dir)
+        full = _stats(build_diff(src, tgt, ORDERS))
+        plan = digest_prune_plan(src, tgt, ORDERS, n_buckets=64, unique_keys=True)
+        p = plan.clean_credit._jdf.queryExecution().optimizedPlan().toString()
+        assert "parquet" not in p  # no file scan — driver-local relation
+        pruned = _stats(
+            digest_prune_diff(src, tgt, ORDERS, n_buckets=64, unique_keys=True)
+        )
+        assert full == pruned
+
+    @pytest.mark.parametrize("unique_keys", [False, True])
+    def test_positional_rows_credit_from_digests(self, spark, sf_dir, unique_keys):
+        """Positional alignment takes the rows credit from the digest
+        counts regardless of uniqueness (identical multisets align 1:1);
+        lineitem has duplicate (pk, ck) rows, so this exercises the
+        non-unique raw-count case too."""
+        src, tgt = lineitem_pair(spark, sf_dir)
+        full = _stats(build_diff(src, tgt, LINEITEM, align="positional"))
+        pruned = _stats(
+            digest_prune_diff(
+                src, tgt, LINEITEM, n_buckets=64, align="positional",
+                unique_keys=unique_keys,
+            )
+        )
+        # NOTE: unique_keys=True on lineitem is only sound in positional
+        # mode (set mode would need full-key uniqueness, which lineitem's
+        # duplicated (pk, ck) rows violate)
+        assert full == pruned
+
     def test_dirty_fraction(self, spark, sf_dir):
         from cassandra_diff_spark.operators.digest import digest_prune_plan
 

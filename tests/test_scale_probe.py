@@ -55,8 +55,13 @@ class TestScaleBandedLsh:
         fraction — the property that makes the plan viable at 10^6+."""
         from scale_probe import _lsh_candidate_count
 
+        from cassandra_diff_spark.operators import similarity
+
         corpus, queries = planted
-        n_cand = _lsh_candidate_count(corpus, queries, n_bands=4, radius=1)
+        idx = similarity.hyperplane_lsh_index(
+            corpus, "vec_id", "embedding", n_bands=4
+        )
+        n_cand = _lsh_candidate_count(idx, queries, n_bands=4, radius=1)
         assert n_cand / (N * N_QUERIES) < 0.01
 
     def test_band_layout_reaches_key_kernel(self, planted, spark):
