@@ -192,17 +192,13 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["near_pairs_sec"] = round(time.time() - t0, 2)
     out["near_pairs_slice_n"] = slice_n + 3_000
     # candidate-pair fraction of all-pairs on the slice: bucket occupancy
-    # o ~ n/65536 -> sum over bands of n*o/2 collisions
+    # o ~ n/65536 -> sum over bands of n*o/2 collisions. Keys via the
+    # fused index kernel (bit-identical to the expression path, ~10x
+    # less measurement overhead)
     t0 = time.time()
-    from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
-    from cassandra_diff_spark.functions.vectors import quantize
-
-    kb = both.select(
-        F.col("vec_id").alias("id"),
-        hyperplane_band_keys(
-            quantize(F.col("embedding")), DIM, 64, SCALE_BANDS
-        ).alias("keys"),
-    ).select("id", F.posexplode("keys").alias("band", "band_key"))
+    kb = similarity.hyperplane_lsh_index(
+        both, "vec_id", "embedding", n_bands=SCALE_BANDS
+    ).select("c_id", F.posexplode("c_keys").alias("band", "band_key"))
     n_pair_cand = (
         kb.groupBy("band", "band_key")
         .agg(F.count("*").alias("c"))
