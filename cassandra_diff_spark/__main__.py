@@ -6,10 +6,17 @@
                                    [--mid-split-chunks N]
                                    [--continue-on-error]
                                    [--serve [PORT]]
+                                   [--drift-report TABLE JOB_A JOB_B]
 
 Prints one JSON line per table with the 9 RangeStats counters, then a
 job summary line; exit code 0 iff every table fully matches
 (RangeStats.allMatches semantics, RangeStats.java:180-198).
+
+``--drift-report`` skips running a job and instead compares two prior
+runs' persisted digest snapshots of TABLE (requires the config's
+``snapshot_path`` + jobs run with ``digest_buckets``): one JSON line
+with buckets / dirty_buckets / dirty_rows_est per side, zero table
+scans.
 """
 
 from __future__ import annotations
@@ -38,10 +45,28 @@ def main(argv: list[str] | None = None) -> int:
         "--serve", type=int, nargs="?", const=8089, default=None, metavar="PORT",
         help="after the job, serve the journal's REST API on PORT",
     )
+    ap.add_argument(
+        "--drift-report", nargs=3, metavar=("TABLE", "JOB_A", "JOB_B"),
+        default=None,
+        help="compare two runs' digest snapshots of TABLE (no job run)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
     spark = get_spark("cassandra-diff-spark-job")
+
+    if args.drift_report is not None:
+        from cassandra_diff_spark.job import table_drift_report
+
+        table, job_a, job_b = args.drift_report
+        out = {}
+        for side in ("source", "target"):
+            row = table_drift_report(
+                spark, cfg, table, job_a, job_b, side=side
+            ).collect()[0]
+            out[side] = row.asDict()
+        print(json.dumps({"table": table, "job_a": job_a, "job_b": job_b, **out}))
+        return 0
     result = run_job(
         spark,
         cfg,

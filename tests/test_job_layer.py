@@ -638,6 +638,34 @@ class TestSnapshotDrift:
         n = spark.read.parquet(snapshot_dir(snap, "orders")).count()
         assert n <= 4 * 64
 
+    def test_cli_drift_report(self, spark, pair_dirs, tmp_path, capsys):
+        """--drift-report end-to-end through the CLI entry point: runs no
+        job, prints one JSON line comparing two runs' snapshots."""
+        import json
+
+        from cassandra_diff_spark.__main__ import main
+
+        src_dir, tgt_dir = pair_dirs
+        snap = str(tmp_path / "snaps_cli")
+        extra = f"digest_buckets: 64\n        snapshot_path: {snap}"
+        for job_id, tgt in (("cli-a", tgt_dir), ("cli-b", src_dir)):
+            run_job(spark, make_cfg(src_dir, tgt, str(tmp_path / job_id),
+                                    job_id=job_id, extra=extra))
+        cfg_file = tmp_path / "cli.yaml"
+        cfg_file.write_text(
+            f"source: {{provider: parquet, options: {{path: {src_dir}}}}}\n"
+            f"target: {{provider: parquet, options: {{path: {tgt_dir}}}}}\n"
+            f"keyspace_tables:\n"
+            f"  - {{name: orders, partition_key: [o_orderkey]}}\n"
+            f"digest_buckets: 64\n"
+            f"snapshot_path: {snap}\n"
+        )
+        rc = main([str(cfg_file), "--drift-report", "orders", "cli-a", "cli-b"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["source"]["dirty_buckets"] == 0  # same source both runs
+        assert out["target"]["dirty_buckets"] > 0  # tgt drifted vs src
+
     def test_drift_report_requires_config(self, spark, pair_dirs, tmp_path):
         from cassandra_diff_spark.job import table_drift_report
 
