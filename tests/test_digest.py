@@ -257,6 +257,60 @@ class TestDigestColocated:
             )
 
 
+class TestDigestRandomized:
+    """Seeded randomized equivalence: digest_prune_diff must equal
+    build_diff on arbitrary tables — nulls, duplicate pks, duplicate
+    full keys, drift of every kind — across both align modes. The
+    deterministic generator keeps failures reproducible."""
+
+    def _random_pair(self, spark, seed: int):
+        import random
+
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+
+        def cell(kind):
+            if rng.random() < 0.15:
+                return None
+            if kind == "i":
+                return rng.randint(0, 8)
+            return rng.choice(["a", "b", "c", "dd"])
+
+        rows = [
+            (
+                rng.choice([None, *range(12)]),  # pk: nullable, collides
+                rng.randint(1, 3),  # ck: duplicates within pk
+                cell("i"),
+                cell("s"),
+            )
+            for _ in range(n)
+        ]
+        schema = "pk int, ck int, v int, w string"
+        src = spark.createDataFrame(rows, schema)
+        # target: drop some rows, corrupt some, add some
+        tgt_rows = [
+            (r[0], r[1], (r[2] or 0) + 1 if rng.random() < 0.2 else r[2], r[3])
+            for r in rows
+            if rng.random() > 0.15
+        ] + [
+            (rng.randint(20, 30), rng.randint(1, 3), cell("i"), cell("s"))
+            for _ in range(rng.randint(0, 5))
+        ]
+        tgt = spark.createDataFrame(tgt_rows, schema)
+        return src, tgt
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    @pytest.mark.parametrize("align", ["set", "positional"])
+    def test_matches_full_diff(self, spark, seed, align):
+        spec = TableSpec(name="r", partition_key=("pk",), clustering=("ck",))
+        src, tgt = self._random_pair(spark, seed)
+        full = _stats(build_diff(src, tgt, spec, align=align))
+        pruned = _stats(
+            digest_prune_diff(src, tgt, spec, n_buckets=7, align=align)
+        )
+        assert full == pruned, f"seed={seed} align={align}"
+
+
 class TestSnapshots:
     """Persisted digest snapshots: the drift-monitoring primitive."""
 
