@@ -1114,3 +1114,73 @@ FROM pack
 
 QUERIES["curate_pack_sequences"] = _q_curate_pack_sequences
 ORACLES["curate_pack_sequences"] = _make_o_curate_pack_sequences()
+
+
+def _q_multimodal_decode_av(spark, sf_dir):
+    """Audio/video header decode, oracle-paired as a round trip in the
+    same style as multimodal_decode: render genuine FLAC STREAMINFO /
+    ISO-BMFF moov+mvhd / WAV fmt bytes with rates, channel counts, and
+    durations derived from doc_id (hex assembly -> unhex, all JVM-side),
+    parse them back with the pure-Python container parser. The arithmetic
+    oracle matches ONLY if the parser truly reads the 20-bit FLAC sample
+    rate, walks mp4 boxes to mvhd's big-endian timescale/duration, and
+    decodes WAV's little-endian fields at the right offsets."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(8)) * 4000 + 8000).cast("bigint").alias("sr"),
+        (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("bigint").alias("ch"),
+        (F.pmod(F.col("doc_id"), F.lit(100000)) + 1).cast("bigint").alias("dur"),
+    )
+    flac = F.unhex(F.concat(
+        F.lit("664C614300000022"),            # fLaC + STREAMINFO hdr (len 34)
+        F.lit("10001000000000000000"),        # blocksizes/framesizes filler
+        F.expr("lpad(hex((sr div 4096) % 256), 2, '0')"),   # rate bits 19-12
+        F.expr("lpad(hex((sr div 16) % 256), 2, '0')"),     # rate bits 11-4
+        F.expr("lpad(hex((sr % 16) * 16 + (ch - 1) * 2), 2, '0')"),  # rate|ch
+        F.lit("00" * 21),
+    ))
+    mp4 = F.unhex(F.concat(
+        F.lit("000000106674797069736F6D00000000"),  # ftyp isom
+        F.lit("000000286D6F6F76"),                  # moov (40)
+        F.lit("000000206D766864"),                  # mvhd (32), v0
+        F.lit("000000000000000000000000"),          # ver/flags, ctime, mtime
+        F.lit("000003E8"),                          # timescale 1000
+        F.expr("lpad(hex(dur), 8, '0')"),           # duration
+        F.lit("00000000"),
+    ))
+    wav = F.unhex(F.concat(
+        F.lit("524946462400000057415645666D7420100000000100"),
+        F.expr("lpad(hex(ch), 2, '0')"), F.lit("00"),           # channels LE
+        F.expr("lpad(hex(sr % 256), 2, '0')"),                  # rate LE
+        F.expr("lpad(hex((sr div 256) % 256), 2, '0')"),
+        F.expr("lpad(hex((sr div 65536) % 256), 2, '0')"),
+        F.lit("00"),
+    ))
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    payload = d.select(
+        "doc_id",
+        F.when(m == 0, flac).when(m == 1, mp4).otherwise(wav).alias("payload"),
+    )
+    return multimodal.decode_headers(payload).select(
+        "doc_id", "format", "sample_rate", "n_channels", "duration_ms"
+    )
+
+
+_O_MULTIMODAL_DECODE_AV = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp4' ELSE 'wav' END
+         AS format,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN CAST((doc_id % 2) + 1 AS INT) END AS n_channels,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST((doc_id % 100000) + 1 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
+QUERIES["multimodal_decode_av"] = _q_multimodal_decode_av
+ORACLES["multimodal_decode_av"] = _O_MULTIMODAL_DECODE_AV

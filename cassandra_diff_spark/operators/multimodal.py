@@ -73,16 +73,18 @@ def decode_stub(df: DataFrame) -> DataFrame:
 
 
 #: output schema of the REAL header decoder; image formats fill
-#: width/height, audio fills sample_rate/n_channels, unknown fills neither
+#: width/height, audio fills sample_rate/n_channels, timed containers
+#: (ISO-BMFF) fill duration_ms, unknown fills none
 HEADER_SCHEMA = (
     "doc_id bigint, n_bytes bigint, format string, width int, height int, "
-    "sample_rate int, n_channels int, checksum bigint"
+    "sample_rate int, n_channels int, duration_ms bigint, checksum bigint"
 )
 
 
 def _parse_header(b: bytes):
-    """(format, width, height, sample_rate, n_channels) from container
-    magic + header bytes — pure byte arithmetic, no codec involved."""
+    """(format, width, height, sample_rate, n_channels, duration_ms) from
+    container magic + header bytes — pure byte arithmetic, no codec
+    involved."""
     n = len(b)
     if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
         # IHDR is always the first chunk: big-endian u32 dims at 16/20
@@ -90,6 +92,7 @@ def _parse_header(b: bytes):
             "png",
             int.from_bytes(b[16:20], "big"),
             int.from_bytes(b[20:24], "big"),
+            None,
             None,
             None,
         )
@@ -111,16 +114,18 @@ def _parse_header(b: bytes):
                     int.from_bytes(b[i + 5 : i + 7], "big"),
                     None,
                     None,
+                    None,
                 )
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             i += 2 + seg_len
-        return ("jpeg", None, None, None, None)
+        return ("jpeg", None, None, None, None, None)
     if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         # logical screen dims: little-endian u16 at 6/8
         return (
             "gif",
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
+            None,
             None,
             None,
         )
@@ -133,6 +138,7 @@ def _parse_header(b: bytes):
             abs(int.from_bytes(b[22:26], "little", signed=True)),
             None,
             None,
+            None,
         )
     if n >= 28 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         # fmt chunk in canonical position: channels u16 at 22, rate u32 at 24
@@ -142,8 +148,59 @@ def _parse_header(b: bytes):
             None,
             int.from_bytes(b[24:28], "little"),
             int.from_bytes(b[22:24], "little"),
+            None,
         )
-    return ("unknown", None, None, None, None)
+    if n >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # VP8X extended header: canvas dims as 24-bit LE minus-one fields
+        if n >= 30 and b[12:16] == b"VP8X":
+            return (
+                "webp",
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+                None,
+                None,
+                None,
+            )
+        return ("webp", None, None, None, None, None)
+    if n >= 21 and b[:4] == b"fLaC":
+        # STREAMINFO is the mandatory first metadata block (starts at
+        # byte 8: 4 magic + 1 type + 3 length): 20-bit sample rate then
+        # 3-bit channels-1 packed at block bytes 10-12
+        si = b[8:]
+        sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        ch = ((si[12] >> 1) & 0x07) + 1
+        return ("flac", None, None, sr, ch, None)
+    if n >= 12 and b[4:8] == b"ftyp":
+        # ISO-BMFF (mp4/mov/m4a): walk top-level boxes to moov, then its
+        # children to mvhd (version 0: u32 timescale at box+20, u32
+        # duration at box+24); duration_ms = duration * 1000 / timescale
+        dur_ms = None
+        i = 0
+        while i + 8 <= n:
+            size = int.from_bytes(b[i : i + 4], "big")
+            if size < 8:
+                break
+            if b[i + 4 : i + 8] == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    csize = int.from_bytes(b[j : j + 4], "big")
+                    if csize < 8:
+                        break
+                    if (
+                        b[j + 4 : j + 8] == b"mvhd"
+                        and j + 28 <= n
+                        and b[j + 8] == 0
+                    ):
+                        ts = int.from_bytes(b[j + 20 : j + 24], "big")
+                        dur = int.from_bytes(b[j + 24 : j + 28], "big")
+                        if ts:
+                            dur_ms = dur * 1000 // ts
+                        break
+                    j += csize
+                break
+            i += size
+        return ("mp4", None, None, None, None, dur_ms)
+    return ("unknown", None, None, None, None, None)
 
 
 def decode_headers(df: DataFrame) -> DataFrame:
@@ -164,7 +221,7 @@ def decode_headers(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(raw) if raw is not None else b""
-                fmt, w, h, sr, ch = _parse_header(b)
+                fmt, w, h, sr, ch, dur = _parse_header(b)
                 rows.append(
                     (
                         int(doc_id),
@@ -174,6 +231,7 @@ def decode_headers(df: DataFrame) -> DataFrame:
                         h,
                         sr,
                         ch,
+                        dur,
                         zlib.crc32(b),
                     )
                 )
@@ -187,6 +245,7 @@ def decode_headers(df: DataFrame) -> DataFrame:
                     "height",
                     "sample_rate",
                     "n_channels",
+                    "duration_ms",
                     "checksum",
                 ],
             )

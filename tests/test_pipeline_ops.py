@@ -187,6 +187,37 @@ class TestSimilarity:
 
 
 class TestMultimodal:
+    def test_parse_header_av_formats(self):
+        """Driverless spec checks of the pure-byte parsers: FLAC 20-bit
+        sample rate + 3-bit channels, ISO-BMFF box walk to mvhd, WebP
+        VP8X 24-bit LE canvas dims."""
+        from cassandra_diff_spark.operators.multimodal import _parse_header
+
+        # FLAC: fLaC + STREAMINFO(34): rate 44100 (0x0AC44 -> bytes
+        # 0A C4 4_), 2 channels -> low nibble 0x.2
+        si = bytes(10) + bytes([0x0A, 0xC4, 0x42]) + bytes(21)
+        flac = b"fLaC" + b"\x00\x00\x00\x22" + si
+        assert _parse_header(flac) == ("flac", None, None, 44100, 2, None)
+
+        # mp4: ftyp then moov>mvhd v0, timescale 600, duration 1234
+        mvhd = (
+            (32).to_bytes(4, "big") + b"mvhd" + bytes(12)
+            + (600).to_bytes(4, "big") + (1234).to_bytes(4, "big") + bytes(4)
+        )
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4)
+        got = _parse_header(ftyp + moov)
+        assert got == ("mp4", None, None, None, None, 1234 * 1000 // 600)
+
+        # WebP VP8X: canvas 1920x1080 as minus-one 24-bit LE fields
+        vp8x = (
+            b"RIFF" + bytes(4) + b"WEBP" + b"VP8X" + (10).to_bytes(4, "little")
+            + bytes(4) + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+        )
+        assert _parse_header(vp8x) == ("webp", 1920, 1080, None, None, None)
+
+        assert _parse_header(b"\x00" * 40)[0] == "unknown"
+
     def test_payload_roundtrip_bytes(self, docs):
         p = multimodal.attach_payload(docs, "doc_id", "text")
         row = p.join(docs, "doc_id").select("n_bytes", F.length("text").alias("n_chars")).first()
