@@ -1184,3 +1184,34 @@ FROM documents
 
 QUERIES["multimodal_decode_av"] = _q_multimodal_decode_av
 ORACLES["multimodal_decode_av"] = _O_MULTIMODAL_DECODE_AV
+
+
+def _q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental dedup: docs with doc_id % 5 == 0 arrive as the new
+    batch; the rest are the already-indexed corpus whose SIGNATURES (not
+    text) are the only thing the operator touches. Verified duplicate
+    relations vs corpus and within-batch (first-seen-wins)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus_sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
+    return dedup.minhash_lsh_incremental(batch, corpus_sigs, "doc_id", "text")
+
+
+_O_DEDUP_MINHASH_INCREMENTAL = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+       CASE WHEN b.doc_id % 5 = 0 THEN 'batch' ELSE 'corpus' END AS dup_in,
+       CAST({_AGREE_SUM} AS BIGINT) AS n_agree,
+       CAST({_AGREE_SUM} AS DOUBLE) / {NUM_PERM} AS est_sim
+FROM sig a JOIN sig b
+  ON a.doc_id % 5 = 0
+ AND ((b.doc_id % 5 <> 0 AND b.doc_id <> a.doc_id)
+      OR (b.doc_id % 5 = 0 AND b.doc_id < a.doc_id))
+WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
+"""
+
+
+QUERIES["dedup_minhash_incremental"] = _q_dedup_minhash_incremental
+ORACLES["dedup_minhash_incremental"] = _O_DEDUP_MINHASH_INCREMENTAL

@@ -289,6 +289,92 @@ def minhash_lsh_verified_pairs(
     )
 
 
+def _band_key_rows(sig: DataFrame, id_alias: str) -> DataFrame:
+    """posexploded (id, band, band_key-struct) rows of a signature frame."""
+    return sig.select(
+        F.col("id").alias(id_alias),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.col(f"sig_{band * ROWS_PER_BAND + r}").alias(f"r{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for band in range(BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_agree_num: int = 1,
+    min_agree_den: int = 2,
+) -> DataFrame:
+    """Incremental dedup — the production corpus-growth mode: dedupe an
+    INCOMING batch against an already-indexed corpus without recomputing
+    the corpus. ``corpus_sigs`` is a persisted
+    :func:`minhash_signatures` frame (build once, write to parquet,
+    reuse every batch — the signature pass over 100 TB of history is the
+    cost this entry point exists to amortize). Only the batch's text is
+    shingled; the corpus contributes its (count-sized, not text-sized)
+    signature rows to the band join and the verification join.
+
+    Emits ``(new_id, dup_id, dup_in, n_agree, est_sim)``: one row per
+    verified duplicate relation, where ``dup_in`` is ``'corpus'`` (the
+    new doc duplicates an indexed doc) or ``'batch'`` (it duplicates an
+    earlier-id doc of the same batch — first-seen-wins within the
+    batch, matching exact_dedup's survivorship). A batch doc with no
+    output rows is novel: append it to the corpus and its signatures to
+    the index. Ids must be globally unique across corpus + batch.
+    """
+    from cassandra_diff_spark.operators import tracked_cache
+
+    new_sig = tracked_cache(minhash_signatures(new_df, id_col, text_col, n))
+    nk = _band_key_rows(new_sig, "new_id")
+    vs_corpus = (
+        nk.join(_band_key_rows(corpus_sigs, "dup_id"), ["band", "band_key"])
+        .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id")
+        .withColumn("dup_in", F.lit("corpus"))
+    )
+    vs_batch = (
+        nk.join(_band_key_rows(new_sig, "dup_id"), ["band", "band_key"])
+        .filter(F.col("dup_id") < F.col("new_id"))
+        .select("new_id", "dup_id")
+        .withColumn("dup_in", F.lit("batch"))
+    )
+    cand = vs_corpus.unionByName(vs_batch).distinct()
+
+    s_new = new_sig.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    s_dup = corpus_sigs.unionByName(new_sig).select(
+        F.col("id").alias("dup_id"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    n_agree = reduce(
+        lambda x, y: x + y,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(NUM_PERM)],
+    )
+    return (
+        cand.join(s_new, "new_id")
+        .join(s_dup, "dup_id")
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") * min_agree_den >= F.lit(min_agree_num * NUM_PERM))
+        .withColumn("est_sim", F.col("n_agree") / F.lit(NUM_PERM))
+        .select("new_id", "dup_id", "dup_in", "n_agree", "est_sim")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -636,6 +636,39 @@ class TestIndexReuse:
         assert via_index == direct
 
 
+class TestIncrementalDedup:
+    """minhash_lsh_incremental: batch-vs-indexed-corpus dedup with
+    planted duplicates in both relations."""
+
+    def test_planted_duplicates_found(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        corpus_rows = [(i, base + f"corpus unique text {i} " * 3) for i in range(10)]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [
+                (100, corpus_rows[3][1]),        # exact dup of corpus doc 3
+                (101, "totally novel content with nothing shared whatsoever " * 4),
+                (102, base + "batch twin payload " * 5),
+                (103, base + "batch twin payload " * 5),  # dup of 102
+            ],
+            "doc_id long, text string",
+        )
+        from cassandra_diff_spark.operators.dedup import (
+            minhash_lsh_incremental,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(corpus, "doc_id", "text")
+        out = minhash_lsh_incremental(batch, sigs, "doc_id", "text").collect()
+        rel = {(r.new_id, r.dup_id): (r.dup_in, r.est_sim) for r in out}
+        assert rel[(100, 3)][0] == "corpus" and rel[(100, 3)][1] == 1.0
+        assert rel[(103, 102)][0] == "batch" and rel[(103, 102)][1] == 1.0
+        assert not any(new_id == 101 for new_id, _ in rel)  # novel doc clean
+        from cassandra_diff_spark.operators import release_caches
+
+        release_caches()
+
+
 class TestFusedIndexParity:
     """The fused mapInArrow index builds must be BIT-identical to the
     expression-path builds (same quantize HALF_UP rounding, same keys,
