@@ -1903,3 +1903,115 @@ def _q_diff_stats_lineitem_bucketed_digest(spark, sf_dir):
 
 QUERIES["diff_stats_lineitem_bucketed_digest"] = _q_diff_stats_lineitem_bucketed_digest
 ORACLES["diff_stats_lineitem_bucketed_digest"] = _O_DIFF_STATS_LINEITEM_SET
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands) + exact quantiles: the batch analytics
+# twins of the streaming session_window / percentile surface, expressed so
+# every value is cross-engine deterministic (integer epoch-micro gaps;
+# nearest-rank quantile selection — an actual data value, no interpolated
+# floats).
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Per-user sessions: a session breaks after a >30 min gap. Classic
+    gaps-and-islands — lag over (user, ts) marks session starts, a
+    running sum numbers them, then per-session rollup. The batch twin of
+    streaming/diff_stream.sessionize (session_window)."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+    )
+
+
+_O_EVENTS_SESSIONS = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM t GROUP BY user_id, session_id
+"""
+
+
+def _q_events_value_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles of value per event_type: the selected
+    value IS a row's value (rank ceil(p*n), deterministic (value,
+    event_id) tiebreak) — bit-exact in any engine, unlike interpolated
+    percentile_cont whose float blend is implementation-defined."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {q} + 99) div 100"), F.col("value")
+            )
+        ).alias(name)
+        for q, name in ((25, "p25"), (50, "p50"), (90, "p90"))
+    ]
+    return r.groupBy("event_type").agg(*aggs)
+
+
+_O_EVENTS_VALUE_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
+FROM r GROUP BY event_type
+"""
+
+
+QUERIES["events_sessions"] = _q_events_sessions
+ORACLES["events_sessions"] = _O_EVENTS_SESSIONS
+QUERIES["events_value_quantiles"] = _q_events_value_quantiles
+ORACLES["events_value_quantiles"] = _O_EVENTS_VALUE_QUANTILES
