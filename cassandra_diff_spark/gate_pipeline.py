@@ -1215,3 +1215,30 @@ WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
 
 QUERIES["dedup_minhash_incremental"] = _q_dedup_minhash_incremental
 ORACLES["dedup_minhash_incremental"] = _O_DEDUP_MINHASH_INCREMENTAL
+
+
+def _q_dedup_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash: batch (doc_id % 5 == 0) vs the persisted
+    8-byte-per-doc corpus sketch index; within-batch first-seen-wins."""
+    d = _docs(spark, sf_dir)
+    corpus_sh = dedup.simhash(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return dedup.simhash_incremental(batch, corpus_sh, "doc_id", "text", max_hamming=3)
+
+
+_O_DEDUP_SIMHASH_INCREMENTAL = f"""
+WITH {_TOK_CTE.strip()},
+{_SIMHASH_CTE.strip()}
+SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+       CASE WHEN b.doc_id % 5 = 0 THEN 'batch' ELSE 'corpus' END AS dup_in,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh2 a JOIN sh2 b
+  ON a.doc_id % 5 = 0
+ AND ((b.doc_id % 5 <> 0 AND b.doc_id <> a.doc_id)
+      OR (b.doc_id % 5 = 0 AND b.doc_id < a.doc_id))
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES["dedup_simhash_incremental"] = _q_dedup_simhash_incremental
+ORACLES["dedup_simhash_incremental"] = _O_DEDUP_SIMHASH_INCREMENTAL

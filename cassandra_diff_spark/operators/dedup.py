@@ -495,6 +495,63 @@ def simhash_near_pairs(
     )
 
 
+def simhash_incremental(
+    new_df: DataFrame,
+    corpus_simhash: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash near-dup — the sketch-index twin of
+    :func:`minhash_lsh_incremental`: dedupe an incoming batch against a
+    PERSISTED corpus ``(id, simhash)`` frame (one 8-byte sketch per
+    indexed document — the cheapest dedup index there is) plus
+    within-batch first-seen-wins. Only the batch's text is tokenized.
+    Lossless for ``max_hamming < SIMHASH_BANDS`` by the same pigeonhole
+    argument as :func:`simhash_near_pairs`. Emits
+    ``(new_id, dup_id, dup_in, hamming)``; ids must be globally unique
+    across corpus + batch."""
+    assert max_hamming < SIMHASH_BANDS, "banding lossless only for h < bands"
+    from cassandra_diff_spark.operators import tracked_cache
+
+    new_sh = tracked_cache(simhash(new_df, id_col, text_col))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+
+    def band_rows(sh: DataFrame, id_alias: str, sh_alias: str) -> DataFrame:
+        return sh.select(
+            F.col("id").alias(id_alias),
+            F.col("simhash").alias(sh_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        for band in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        )
+
+    nk = band_rows(new_sh, "new_id", "sh_n")
+    vs_corpus = (
+        nk.join(band_rows(corpus_simhash, "dup_id", "sh_d"), ["band", "band_key"])
+        .filter(F.col("new_id") != F.col("dup_id"))
+        .withColumn("dup_in", F.lit("corpus"))
+    )
+    vs_batch = (
+        nk.join(band_rows(new_sh, "dup_id", "sh_d"), ["band", "band_key"])
+        .filter(F.col("dup_id") < F.col("new_id"))
+        .withColumn("dup_in", F.lit("batch"))
+    )
+    ham = F.bit_count(F.col("sh_n").bitwiseXOR(F.col("sh_d")))
+    return (
+        vs_corpus.unionByName(vs_batch)
+        .filter(ham <= max_hamming)
+        .select("new_id", "dup_id", "dup_in", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------ cluster resolution
 
 def dedup_clusters(
