@@ -1242,3 +1242,36 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 QUERIES["dedup_simhash_incremental"] = _q_dedup_simhash_incremental
 ORACLES["dedup_simhash_incremental"] = _O_DEDUP_SIMHASH_INCREMENTAL
+
+
+def _q_dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup: batch (vec_id % 5 == 0) against
+    the persisted hyperplane LSH index of the rest of the corpus — the
+    corpus's raw embeddings contribute nothing but their index rows."""
+    e = _embs(spark, sf_dir)
+    idx = similarity.hyperplane_lsh_index(
+        e.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    return dedup.embedding_near_pairs_incremental(
+        batch, idx, "vec_id", "embedding", min_cos=0.4
+    )
+
+
+_O_DEDUP_EMBEDDING_INCREMENTAL = f"""
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0)
+SELECT a.vec_id AS new_id, b.vec_id AS dup_id,
+       CASE WHEN b.vec_id % 5 = 0 THEN 'batch' ELSE 'corpus' END AS dup_in,
+       {_DOT_AB} AS dot
+FROM s0 a JOIN s0 b
+  ON a.vec_id % 5 = 0
+ AND ((b.vec_id % 5 <> 0 AND b.vec_id <> a.vec_id)
+      OR (b.vec_id % 5 = 0 AND b.vec_id < a.vec_id))
+WHERE ({_EMB_BAND_CONDS})
+  AND CAST({_DOT_AB} AS DOUBLE) / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= 0.4
+"""
+
+
+QUERIES["dedup_embedding_incremental"] = _q_dedup_embedding_incremental
+ORACLES["dedup_embedding_incremental"] = _O_DEDUP_EMBEDDING_INCREMENTAL

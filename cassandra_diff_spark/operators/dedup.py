@@ -752,3 +752,72 @@ def embedding_near_pairs(
         .filter(F.col("cos") >= F.lit(min_cos))
         .select("id_1", "id_2", "dot")
     )
+
+
+def embedding_near_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    dim: int = 64,
+    n_planes: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Incremental embedding near-dup — the third incremental dedup
+    family: an incoming batch against a PERSISTED
+    :func:`~cassandra_diff_spark.operators.similarity.
+    hyperplane_lsh_index` frame (c_id, c_q, c_n, c_keys). The corpus's
+    raw embeddings are never re-read or re-hashed: its quantized
+    vectors, norms, and band keys all come from the index. The batch
+    side builds its own (fused, one Arrow pass) index; candidates share
+    a signature band, then exact integer cosine reranks. Emits
+    ``(new_id, dup_id, dup_in, dot)`` with ``dup_in`` in
+    ('corpus', 'batch'), batch-internal pairs first-seen-wins. Ids must
+    be globally unique across corpus + batch; layout params must match
+    the index's."""
+    from cassandra_diff_spark.operators import tracked_cache
+    from cassandra_diff_spark.operators.similarity import hyperplane_lsh_index
+
+    new_idx = tracked_cache(
+        hyperplane_lsh_index(new_df, id_col, vec_col, dim, n_planes, n_bands)
+    )
+
+    def kb(idx: DataFrame, alias: str) -> DataFrame:
+        return idx.select(
+            F.col("c_id").alias(alias),
+            F.posexplode("c_keys").alias("band", "band_key"),
+        )
+
+    nk = kb(new_idx, "new_id")
+    cand = (
+        nk.join(kb(index, "dup_id"), ["band", "band_key"])
+        .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id")
+        .withColumn("dup_in", F.lit("corpus"))
+        .unionByName(
+            nk.join(kb(new_idx, "dup_id"), ["band", "band_key"])
+            .filter(F.col("dup_id") < F.col("new_id"))
+            .select("new_id", "dup_id")
+            .withColumn("dup_in", F.lit("batch"))
+        )
+        .distinct()
+    )
+    new_vecs = new_idx.select(
+        F.col("c_id").alias("new_id"),
+        F.col("c_q").alias("q_1"),
+        F.col("c_n").alias("n_1"),
+    )
+    dup_vecs = index.unionByName(new_idx).select(
+        F.col("c_id").alias("dup_id"),
+        F.col("c_q").alias("q_2"),
+        F.col("c_n").alias("n_2"),
+    )
+    return (
+        cand.join(new_vecs, "new_id")
+        .join(dup_vecs, "dup_id")
+        .withColumn("dot", int_dot(F.col("q_1"), F.col("q_2")))
+        .withColumn("cos", cosine_from_int(F.col("dot"), F.col("n_1"), F.col("n_2")))
+        .filter(F.col("cos") >= F.lit(min_cos))
+        .select("new_id", "dup_id", "dup_in", "dot")
+    )
