@@ -43,9 +43,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_stats",
     "pipeline_clean_corpus",
-    # round-5 additions: the two flagship scale paths get trend lines
+    # round-5 additions: the flagship scale paths get trend lines
     "diff_stats_orders_digest",
     "diff_stats_lineitem_bucketed",
+    "dedup_minhash_incremental",
 ]
 
 
