@@ -2015,3 +2015,102 @@ QUERIES["events_sessions"] = _q_events_sessions
 ORACLES["events_sessions"] = _O_EVENTS_SESSIONS
 QUERIES["events_value_quantiles"] = _q_events_value_quantiles
 ORACLES["events_value_quantiles"] = _O_EVENTS_VALUE_QUANTILES
+
+
+# ---------------------------------------------------------------------------
+# Column-level drift localization: per-(bucket, column) digests answer
+# "WHICH COLUMNS drifted, where, and roughly how many rows" from one scan
+# per side and a kilobyte-scale (n_buckets x n_cols) compare — the
+# monitoring step between "a bucket is dirty" (bucket_digests) and the
+# full per-value diff.
+
+
+def _q_column_drift_orders(spark, sf_dir):
+    """Cross-engine column-digest compare of the orders pair under the
+    canonical md5 per-column hash (salted with the row's canonical key —
+    a value-only hash couldn't tell value swaps across rows apart)."""
+    from cassandra_diff_spark.functions.text import md5_hash64
+    from cassandra_diff_spark.operators.digest import (
+        _SEP,
+        canonical_col_expr,
+        column_digests,
+        compare_column_digests,
+    )
+
+    src, tgt = orders_pair(spark, sf_dir)
+    types = dict(src.dtypes)
+    reg = [c for c in ORDERS_COLS if c != "o_orderkey"]
+    tok = lambda pk_cols: arithmetic_token(pk_cols[0])  # noqa: E731
+
+    def col_hash_for(c):
+        return md5_hash64(
+            F.concat_ws(
+                _SEP,
+                canonical_col_expr(types, "o_orderkey"),
+                F.lit(c),
+                canonical_col_expr(types, c),
+            )
+        )
+
+    d_s = column_digests(
+        src, ORDERS_SPEC, reg, n_buckets=64, token=tok, col_hash_for=col_hash_for
+    )
+    d_t = column_digests(
+        tgt, ORDERS_SPEC, reg, n_buckets=64, token=tok, col_hash_for=col_hash_for
+    )
+    return compare_column_digests(d_s, d_t)
+
+
+def _make_o_column_drift_orders() -> str:
+    from cassandra_diff_spark.functions.text import md5_hash64_sql
+    from cassandra_diff_spark.operators.digest import (
+        DIGEST_MOD,
+        _SEP,
+        canonical_col_sql,
+    )
+
+    types = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+    reg = [c for c in ORDERS_COLS if c != "o_orderkey"]
+    tok = arithmetic_token_sql("o_orderkey")
+    key = canonical_col_sql(types, "o_orderkey")
+
+    def one(side: str, c: str) -> str:
+        h = md5_hash64_sql(
+            f"{key} || '{_SEP}' || '{c}' || '{_SEP}' || {canonical_col_sql(types, c)}"
+        )
+        return (
+            f"SELECT ({tok}) % 64 AS bucket, '{c}' AS col, {h} AS h FROM {side}"
+        )
+
+    def digest(side: str) -> str:
+        u = " UNION ALL ".join(one(side, c) for c in reg)
+        return f"""
+  SELECT bucket, col, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(h) % {DIGEST_MOD} AS BIGINT) AS dsum,
+         CAST(bit_xor(h) AS BIGINT) AS dxor
+  FROM ({u}) GROUP BY 1, 2"""
+
+    return f"""
+WITH {_ORDERS_TGT_SQL.strip()},
+sd AS ({digest('orders')}),
+td AS ({digest('tgt')})
+SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
+       COALESCE(sd.col, td.col) AS "column",
+       sd.n AS s_n, sd.dsum AS s_sum, sd.dxor AS s_xor,
+       td.n AS t_n, td.dsum AS t_sum, td.dxor AS t_xor,
+       NOT (sd.n IS NOT DISTINCT FROM td.n
+            AND sd.dsum IS NOT DISTINCT FROM td.dsum
+            AND sd.dxor IS NOT DISTINCT FROM td.dxor) AS dirty
+FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket AND sd.col = td.col
+"""
+
+
+QUERIES["column_drift_orders"] = _q_column_drift_orders
+ORACLES["column_drift_orders"] = _make_o_column_drift_orders()

@@ -70,37 +70,45 @@ def default_row_hash(cols: Sequence[str]) -> Column:
     return F.xxhash64(*[x for c in cols for x in (F.col(c), F.isnull(c))])
 
 
+def canonical_col_expr(types: dict[str, str], c: str) -> Column:
+    """One column's canonical string form (null-sentineled) — the unit
+    the canonical row/column hashes are built from; see module docstring
+    for the canonicalization rules."""
+    t = types[c]
+    if t in ("double", "float"):
+        s = F.col(c).cast("decimal(38,6)").cast("string")
+    elif t.startswith("timestamp"):
+        s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    else:
+        s = F.col(c).cast("string")
+    return F.coalesce(s, F.lit(_NULL_SENTINEL))
+
+
+def canonical_col_sql(types: dict[str, str], c: str) -> str:
+    """DuckDB twin of :func:`canonical_col_expr`."""
+    t = types[c]
+    if t in ("double", "float"):
+        s = f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)"
+    elif t.startswith("timestamp"):
+        s = f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        s = f"CAST({c} AS VARCHAR)"
+    return f"COALESCE({s}, '{_NULL_SENTINEL}')"
+
+
 def canonical_row_hash(df: DataFrame, cols: Sequence[str]) -> Column:
     """md5-based 60-bit row hash over canonical string forms — identical in
     any engine with md5(); see module docstring for the canonicalization
     rules. Use when an external SQL oracle must reproduce digests."""
     types = dict(df.dtypes)
-    parts = []
-    for c in cols:
-        t = types[c]
-        if t in ("double", "float"):
-            s = F.col(c).cast("decimal(38,6)").cast("string")
-        elif t.startswith("timestamp"):
-            s = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        else:
-            s = F.col(c).cast("string")
-        parts.append(F.coalesce(s, F.lit(_NULL_SENTINEL)))
+    parts = [canonical_col_expr(types, c) for c in cols]
     return md5_hash64(F.concat_ws(_SEP, *parts))
 
 
 def canonical_row_hash_sql(types: dict[str, str], cols: Sequence[str]) -> str:
     """DuckDB twin of :func:`canonical_row_hash`. ``types`` maps column ->
     Spark dtype string (``dict(df.dtypes)``)."""
-    parts = []
-    for c in cols:
-        t = types[c]
-        if t in ("double", "float"):
-            s = f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)"
-        elif t.startswith("timestamp"):
-            s = f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
-        else:
-            s = f"CAST({c} AS VARCHAR)"
-        parts.append(f"COALESCE({s}, '{_NULL_SENTINEL}')")
+    parts = [canonical_col_sql(types, c) for c in cols]
     joined = f" || '{_SEP}' || ".join(parts)
     return md5_hash64_sql(joined)
 
@@ -399,6 +407,115 @@ def digest_prune_diff(
         partition_detail=plan.result.partition_detail,
         mismatches=plan.result.mismatches,
         stats=stats,
+    )
+
+
+def column_digests(
+    df: DataFrame,
+    spec: TableSpec,
+    cols: Sequence[str],
+    *,
+    n_buckets: int = 4096,
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    col_hash_for: Optional[Callable[[str], Column]] = None,
+) -> DataFrame:
+    """Per-(bucket, column) content digests: ``(bucket, column, n_rows,
+    digest_sum, digest_xor)`` — the drift-LOCALIZATION primitive. Where
+    :func:`bucket_digests` tells you WHICH buckets drifted,
+    column-granular digests tell you WHICH COLUMNS did, still at
+    kilobyte scale (n_buckets x n_cols rows) and still one scan: each
+    row stacks into (column, hash) pairs BEFORE the aggregation, and the
+    per-(bucket, column) groups partial-aggregate map-side, so the
+    shuffle carries digest rows, not data. A value's hash is salted
+    with its row's KEY hash — a per-column digest must distinguish
+    (pk=1, v='a'), (pk=2, v='b') from (pk=1, v='b'), (pk=2, v='a'),
+    which value-only hashing would digest identically.
+
+    ``col_hash_for``: optional fn(col_name) -> per-row hash Column for
+    cross-engine-reproducible digests (e.g. a canonical md5 partial);
+    default null-position-safe xxhash64 over (key-hash, value, isnull).
+    """
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    tok = (token or token_expr)(pk)
+    key_hash = default_row_hash(pk + ck)
+
+    def default_col_hash(c: str) -> Column:
+        return F.xxhash64(key_hash, F.col(c), F.isnull(c))
+
+    hash_of = col_hash_for or default_col_hash
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), hash_of(c).alias("h__"))
+            for c in cols
+        ]
+    )
+    return (
+        df.select(
+            F.pmod(tok, F.lit(n_buckets)).alias("bucket"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("bucket", F.col("p.column").alias("column"), F.col("p.h__").alias("h__"))
+        .groupBy("bucket", "column")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h__").cast("decimal(38,0)")) % F.lit(DIGEST_MOD))
+            .cast("long")
+            .alias("digest_sum"),
+            F.expr("bit_xor(h__)").alias("digest_xor"),
+        )
+    )
+
+
+def compare_column_digests(src_digest: DataFrame, tgt_digest: DataFrame) -> DataFrame:
+    """Full-outer compare of two column-digest frames on (bucket,
+    column): both sides' digests plus a ``dirty`` flag. At most
+    n_buckets x n_cols rows — the answer to \"which columns of which
+    buckets drifted\" without reading either table again."""
+    s = src_digest.select(
+        "bucket", "column",
+        F.col("n_rows").alias("s_n"),
+        F.col("digest_sum").alias("s_sum"),
+        F.col("digest_xor").alias("s_xor"),
+    )
+    t = tgt_digest.select(
+        "bucket", "column",
+        F.col("n_rows").alias("t_n"),
+        F.col("digest_sum").alias("t_sum"),
+        F.col("digest_xor").alias("t_xor"),
+    )
+    j = s.join(t, on=["bucket", "column"], how="full_outer")
+    clean = (
+        F.col("s_n").eqNullSafe(F.col("t_n"))
+        & F.col("s_sum").eqNullSafe(F.col("t_sum"))
+        & F.col("s_xor").eqNullSafe(F.col("t_xor"))
+    )
+    return j.withColumn("dirty", ~clean)
+
+
+def column_drift_summary(src_digest: DataFrame, tgt_digest: DataFrame) -> DataFrame:
+    """Per-COLUMN drift rollup of :func:`compare_column_digests`: one row
+    per column with the count of dirty buckets and the affected-row
+    estimate — 'o_totalprice drifted in 12 buckets (~3400 rows);
+    everything else is clean' from two kilobyte-scale digest frames."""
+    return (
+        compare_column_digests(src_digest, tgt_digest)
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buckets"),
+            F.sum(F.col("dirty").cast("long")).cast("long").alias("dirty_buckets"),
+            F.sum(
+                F.when(
+                    F.col("dirty"),
+                    F.greatest(
+                        F.coalesce(F.col("s_n"), F.lit(0)),
+                        F.coalesce(F.col("t_n"), F.lit(0)),
+                    ),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dirty_rows_est"),
+        )
     )
 
 

@@ -257,6 +257,49 @@ class TestDigestColocated:
             )
 
 
+class TestColumnDrift:
+    """Per-(bucket, column) digests localize WHICH column drifted."""
+
+    def test_single_column_corruption_localized(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import (
+            column_digests,
+            column_drift_summary,
+        )
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tgt = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 100 == 7, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        )
+        reg = [c for c in o.columns if c != "o_orderkey"]
+        d_s = column_digests(o, ORDERS, reg, n_buckets=32)
+        d_t = column_digests(tgt, ORDERS, reg, n_buckets=32)
+        rows = {r["column"]: r for r in column_drift_summary(d_s, d_t).collect()}
+        assert set(rows) == set(reg)
+        assert rows["o_totalprice"]["dirty_buckets"] > 0
+        for c in reg:
+            if c != "o_totalprice":
+                assert rows[c]["dirty_buckets"] == 0, c
+
+    def test_value_swap_across_rows_detected(self, spark):
+        """The key-salted column hash must catch two rows swapping their
+        values in one column — a value-only multiset digest would not."""
+        from cassandra_diff_spark.operators.digest import (
+            column_digests,
+            compare_column_digests,
+        )
+
+        spec = TableSpec(name="t", partition_key=("pk",))
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "pk int, v string")
+        tgt = spark.createDataFrame([(1, "b"), (2, "a")], "pk int, v string")
+        cmp = compare_column_digests(
+            column_digests(src, spec, ["v"], n_buckets=4),
+            column_digests(tgt, spec, ["v"], n_buckets=4),
+        )
+        assert cmp.filter("dirty").count() > 0
+
+
 class TestDigestRandomized:
     """Seeded randomized equivalence: digest_prune_diff must equal
     build_diff on arbitrary tables — nulls, duplicate pks, duplicate
