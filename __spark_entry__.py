@@ -39,6 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEEDS_DRIVER_ROW = [
     # new in round 5 — no driver row exists yet
     "diff_stats_lineitem_bucketed_digest",
+    "diff_stats_orders_digest_cols",
+    "diff_stats_events_digest_cols",
 ]
 
 

@@ -1742,6 +1742,90 @@ QUERIES["digest_buckets_orders"] = _q_digest_buckets_orders
 ORACLES["digest_buckets_orders"] = _make_o_digest_buckets_orders()
 
 
+def _q_diff_stats_orders_digest_cols(spark, sf_dir):
+    """Row-AND-column-pruned diff: per-(bucket, column) digests triage
+    buckets into clean / value-dirty / key-dirty, and phase 2 reads ONLY
+    pk + drifted columns of the value-dirty buckets (plus full width of
+    the key-dirty ones). The orders pair exercises all three classes —
+    %53 corrupts only o_totalprice (value drift), %97/%89 add/remove keys
+    (key drift). Same oracle as the unpruned diff: pruning may not move a
+    counter."""
+    from cassandra_diff_spark.operators.digest import column_prune_diff
+
+    src, tgt = orders_pair(spark, sf_dir)
+    return column_prune_diff(src, tgt, ORDERS_SPEC, n_buckets=64).stats
+
+
+QUERIES["diff_stats_orders_digest_cols"] = _q_diff_stats_orders_digest_cols
+ORACLES["diff_stats_orders_digest_cols"] = _O_DIFF_STATS_ORDERS
+
+
+def _q_diff_stats_events_digest_cols(spark, sf_dir):
+    """Column-pruned diff over the CLUSTERED composite-key pair (events:
+    2-col pk + 2-col clustering, full key unique — the uniqueness the
+    column-pruned contract requires; synthetic lineitem has duplicate
+    full keys and is deliberately NOT gated here). Value drift confined
+    to ``value`` (%73) prunes those buckets to keys+value; row deletions
+    (%101) dirty every column (the value hash is key-salted) and route to
+    the full-width diff. Set-mode oracle written fresh below."""
+    from cassandra_diff_spark.operators.digest import column_prune_diff
+
+    src, tgt = events_pair(spark, sf_dir)
+    return column_prune_diff(src, tgt, EVENTS_SPEC, n_buckets=64).stats
+
+
+# set-mode events oracle: join on full key (all null-safe), group to
+# partitions on the composite pk; mv = |pk ∩ reg| (=2) + per-col <=> over
+# the non-key regulars (value, props); unique keys => no dup-collapse CTE
+_O_DIFF_STATS_EVENTS_SET = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM events
+),
+tgt AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 73 = 0 THEN value + 1.0 ELSE value END AS value,
+         props
+  FROM ev WHERE event_id % 101 <> 0
+),
+j AS (
+  SELECT COALESCE(s.user_id, t.user_id) AS pk1,
+         COALESCE(s.event_type, t.event_type) AS pk2,
+         s.event_id IS NOT NULL AS sp, t.event_id IS NOT NULL AS tp,
+         (s.event_id IS NOT NULL AND t.event_id IS NOT NULL) AS ck_eq,
+         CASE WHEN s.event_id IS NOT NULL AND t.event_id IS NOT NULL THEN
+           2 + {_nsd_sum(["value", "props"])}
+         ELSE 0 END AS mv
+  FROM ev s FULL OUTER JOIN tgt t
+    ON s.user_id IS NOT DISTINCT FROM t.user_id
+   AND s.event_type IS NOT DISTINCT FROM t.event_type
+   AND s.ts IS NOT DISTINCT FROM t.ts
+   AND s.event_id IS NOT DISTINCT FROM t.event_id
+),
+p AS (
+  SELECT pk1, pk2,
+         MAX(CASE WHEN sp THEN 1 ELSE 0 END) AS has_src,
+         MAX(CASE WHEN tp THEN 1 ELSE 0 END) AS has_tgt,
+         SUM(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS mr,
+         SUM(CASE WHEN ck_eq THEN mv ELSE 0 END) AS mv_m,
+         SUM(CASE WHEN ck_eq THEN 4 - mv ELSE 0 END) AS mv_x,
+         MIN(CASE WHEN ck_eq THEN 1 ELSE 0 END) AS all_ck
+  FROM j GROUP BY pk1, pk2
+),
+c AS (
+  SELECT CASE WHEN has_tgt = 0 THEN 'only_in_source'
+              WHEN has_src = 0 THEN 'only_in_target'
+              WHEN all_ck = 1 AND mv_x = 0 THEN 'matched'
+              ELSE 'mismatched' END AS category,
+         mr, mv_m, mv_x
+  FROM p
+)""" + _stats_select("events", 4)
+
+
+QUERIES["diff_stats_events_digest_cols"] = _q_diff_stats_events_digest_cols
+ORACLES["diff_stats_events_digest_cols"] = _O_DIFF_STATS_EVENTS_SET
+
+
 def _q_streaming_digest_buckets_orders(spark, sf_dir):
     """Streaming-runtime twin of digest_buckets_orders: both sides'
     bucket digests run as COMPLETE-mode Structured Streaming aggregations

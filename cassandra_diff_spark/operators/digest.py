@@ -38,12 +38,13 @@ disagree across engines (Java prints 1e7 as '1.0E7').
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_diff_spark.model import TableSpec
+from cassandra_diff_spark.model import STAT_FIELDS, TableSpec
 from cassandra_diff_spark.functions.keys import token_expr
 from cassandra_diff_spark.functions.text import md5_hash64, md5_hash64_sql
 from cassandra_diff_spark.operators.diff import DiffResult, build_diff
@@ -208,6 +209,58 @@ class DigestPrunePlan:
         return n / self.n_buckets if self.n_buckets else 0.0
 
 
+def _clean_credit_frame(
+    src: DataFrame,
+    pk: Sequence[str],
+    ck: Sequence[str],
+    clean_pred: Callable[[DataFrame], Column],
+    clean_row_sum: int,
+    *,
+    n_reg: int,
+    rows_from_digests: bool,
+    parts_from_digests: bool,
+) -> DataFrame:
+    """One-row STAT_FIELDS frame crediting the proven-clean buckets: every
+    partition matched, every aligned position matched, every regular value
+    matched. When both counts derive from the already-collected digests the
+    credit is pure driver arithmetic (zero scans); otherwise a keys-only
+    projected scan of the clean subset supplies the distinct counts."""
+    if parts_from_digests:
+        # zero-scan clean credit: pure driver arithmetic over the
+        # already-collected kilobytes
+        spark = src.sparkSession
+        clean_credit = spark.createDataFrame(
+            [(int(clean_row_sum), int(clean_row_sum))], "parts long, rows long"
+        )
+    else:
+        aggs = [
+            F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts")
+        ]
+        if not rows_from_digests:
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in list(pk) + list(ck)])
+                ).alias("rows")
+            )
+        scanned = src.filter(clean_pred(src)).agg(*aggs)
+        if rows_from_digests:
+            scanned = scanned.withColumn("rows", F.lit(int(clean_row_sum)))
+        clean_credit = scanned
+    return clean_credit.select(
+        F.coalesce(F.col("parts"), F.lit(0)).cast("long").alias("matched_partitions"),
+        F.lit(0).cast("long").alias("mismatched_partitions"),
+        F.lit(0).cast("long").alias("error_partitions"),
+        F.lit(0).cast("long").alias("skipped_partitions"),
+        F.lit(0).cast("long").alias("only_in_source"),
+        F.lit(0).cast("long").alias("only_in_target"),
+        F.coalesce(F.col("rows"), F.lit(0)).cast("long").alias("matched_rows"),
+        (F.coalesce(F.col("rows"), F.lit(0)) * F.lit(n_reg))
+        .cast("long")
+        .alias("matched_values"),
+        F.lit(0).cast("long").alias("mismatched_values"),
+    )
+
+
 def digest_prune_plan(
     src: DataFrame,
     tgt: DataFrame,
@@ -316,39 +369,10 @@ def digest_prune_plan(
     # count overstate the distinct partition count)
     parts_from_digests = not ck and unique_keys
 
-    if parts_from_digests:
-        # zero-scan clean credit: pure driver arithmetic over the
-        # already-collected kilobytes
-        spark = src.sparkSession
-        clean_credit = spark.createDataFrame(
-            [(int(clean_row_sum), int(clean_row_sum))], "parts long, rows long"
-        )
-    else:
-        aggs = [
-            F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("parts")
-        ]
-        if not rows_from_digests:
-            aggs.append(
-                F.count_distinct(
-                    F.struct(*[F.col(c) for c in pk + ck])
-                ).alias("rows")
-            )
-        scanned = src.filter(clean_pred(src)).agg(*aggs)
-        if rows_from_digests:
-            scanned = scanned.withColumn("rows", F.lit(int(clean_row_sum)))
-        clean_credit = scanned
-    clean_credit = clean_credit.select(
-        F.coalesce(F.col("parts"), F.lit(0)).cast("long").alias("matched_partitions"),
-        F.lit(0).cast("long").alias("mismatched_partitions"),
-        F.lit(0).cast("long").alias("error_partitions"),
-        F.lit(0).cast("long").alias("skipped_partitions"),
-        F.lit(0).cast("long").alias("only_in_source"),
-        F.lit(0).cast("long").alias("only_in_target"),
-        F.coalesce(F.col("rows"), F.lit(0)).cast("long").alias("matched_rows"),
-        (F.coalesce(F.col("rows"), F.lit(0)) * F.lit(len(reg)))
-        .cast("long")
-        .alias("matched_values"),
-        F.lit(0).cast("long").alias("mismatched_values"),
+    clean_credit = _clean_credit_frame(
+        src, pk, ck, clean_pred, clean_row_sum, n_reg=len(reg),
+        rows_from_digests=rows_from_digests,
+        parts_from_digests=parts_from_digests,
     )
     return DigestPrunePlan(
         compare_rows=cmp_rows,
@@ -618,6 +642,227 @@ def drift_report(
         read_digest_snapshot(spark, path, snapshot_a),
         read_digest_snapshot(spark, path, snapshot_b),
     )
+
+
+# -------------------------------------------- column-pruned two-phase diff
+
+@dataclass
+class ColumnPrunePlan:
+    """Phase-1 output of :func:`column_prune_diff`: the collected
+    per-(bucket, column) compare rows plus the bucket triage and the
+    combined pruned diff. Like :class:`DigestPrunePlan`, phase 1 has
+    ALREADY executed; ``result``'s frames are lazy over literal-InSet
+    pruned phase-2 plans only."""
+
+    compare_rows: list
+    n_buckets: int
+    clean_bucket_ids: list
+    value_bucket_ids: list  # drift confined to non-key value columns
+    key_bucket_ids: list  # key/count drift — full-width diff required
+    dirty_value_columns: list  # union of drifted value columns
+    result: DiffResult
+
+    @property
+    def dirty_fraction(self) -> float:
+        n = len(self.value_bucket_ids) + len(self.key_bucket_ids)
+        return n / self.n_buckets if self.n_buckets else 0.0
+
+
+def column_prune_plan(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    col_hash_for: Optional[Callable[[str], Column]] = None,
+) -> ColumnPrunePlan:
+    """Row-AND-column-pruned two-phase diff: phase 1 computes per-(bucket,
+    column) digests (:func:`column_digests` — still one scan per side,
+    kilobyte shuffle), and phase 2 reads, for each dirty bucket, ONLY the
+    columns that can possibly differ there.
+
+    Buckets triage three ways from the collected compare frame:
+
+    * **clean** — no column drifted: credited arithmetically, never read
+      again (same credit as :func:`digest_prune_plan`).
+    * **value-dirty** — drift confined to non-key value columns (the key
+      columns' digests are clean, so the key multisets are identical):
+      diffed over a projection of ``pk + clustering + drifted columns``.
+      The clean columns' matched-value credit is ``matched_rows x
+      n_clean_cols`` — exact, because a clean per-column digest plus
+      unique keys implies per-key equality of that column.
+    * **key-dirty** — a key column drifted (row added/removed/re-keyed
+      dirties EVERY column's digest, since each value hash is salted with
+      its row's key hash): full-width diff, nothing can be pruned.
+
+    At 100 TB with nightly drift in one hot column this is the difference
+    between re-reading the table and re-reading one column of f of it:
+    phase 2 scans ``key_bytes + drifted_column_bytes`` of the value-dirty
+    buckets (Parquet column pruning reaches the scan) plus full width of
+    the (typically rare) key-dirty buckets.
+
+    REQUIRES unique full primary keys (pk + clustering unique per row) —
+    the Cassandra data model guarantees this (a CQL primary key IS the row
+    identity; reference PartitionComparator.java:102-114 assumes it too);
+    file sources must ensure it. With duplicate full keys the contract is
+    UNSOUND, not just imprecise: per-column digests cannot distinguish a
+    cross-row value permutation that preserves each column's per-key
+    multiset (rows (k,a=1,b=2),(k,a=2,b=1) vs (k,a=1,b=1),(k,a=2,b=2)
+    digest clean column-by-column), and set-mode duplicate collapsing
+    breaks the digest-derived row credit — use :func:`digest_prune_diff`
+    (whole-row hashes) for such data. Set alignment only. Same
+    ~2^-60/bucket hash-collision contract as the row-level digest path.
+    """
+    tok_fn = token or token_expr
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    all_cols = list(src.columns)
+    reg_all = list(spec.regular_columns(all_cols))
+    key_cols = set(pk) | set(ck)
+    # digest exactly what the diff compares: keys (drift detection) plus
+    # regular columns; a column the diff ignores must not trigger phase 2
+    digest_cols = list(dict.fromkeys(pk + ck + reg_all))
+
+    cd_s = column_digests(
+        src, spec, digest_cols, n_buckets=n_buckets, token=tok_fn,
+        col_hash_for=col_hash_for,
+    )
+    cd_t = column_digests(
+        tgt, spec, digest_cols, n_buckets=n_buckets, token=tok_fn,
+        col_hash_for=col_hash_for,
+    )
+    # phase 1: the ONE digest action (<= n_buckets x n_cols rows)
+    cmp_rows = compare_column_digests(cd_s, cd_t).collect()
+
+    dirty_by_bucket: dict = {}
+    seen: set = set()
+    for r in cmp_rows:
+        if r.bucket is None:  # defensive; routed to the full diff below
+            continue
+        seen.add(r.bucket)
+        if r.dirty:
+            dirty_by_bucket.setdefault(r.bucket, set()).add(r.column)
+    value_col_set = set(reg_all) - key_cols
+    clean_ids, value_ids, key_ids = [], [], []
+    for b in sorted(seen):
+        d = dirty_by_bucket.get(b)
+        if not d:
+            clean_ids.append(b)
+        elif d <= value_col_set:
+            value_ids.append(b)
+        else:
+            key_ids.append(b)
+    dirty_value_cols = sorted(
+        set().union(*(dirty_by_bucket[b] for b in value_ids)) if value_ids else set()
+    )
+
+    # a null bucket (custom token fn over null keys) appears in the digest
+    # frame as a bucket-null row; phase 1 therefore PROVES whether any
+    # exist, and when none do the unused branches collapse to literal
+    # False — the optimizer then prunes their scans from the plan entirely
+    has_null_bucket = any(r.bucket is None for r in cmp_rows)
+
+    def in_ids(ids: list, catch_null: bool = False) -> Callable[[DataFrame], Column]:
+        def pred(_df: DataFrame) -> Column:
+            bucket = F.pmod(tok_fn(pk), F.lit(n_buckets))
+            conds = []
+            if ids:
+                conds.append(F.coalesce(bucket.isin(ids), F.lit(False)))
+            if catch_null and has_null_bucket:
+                # null-bucket rows route to the full-width diff
+                conds.append(bucket.isNull())
+            if not conds:
+                return F.lit(False)
+            return reduce(lambda a, b: a | b, conds)
+
+        return pred
+
+    clean_pred, value_pred = in_ids(clean_ids), in_ids(value_ids)
+    key_pred = in_ids(key_ids, catch_null=True)
+
+    # value-dirty buckets: diff the pruned projection; spec restricted to
+    # the projected regular columns so value counting matches the width
+    proj = list(dict.fromkeys(pk + ck + [c for c in dirty_value_cols]))
+    reg_proj = [c for c in reg_all if c in set(proj)]
+    proj_spec = TableSpec(
+        name=spec.name, partition_key=tuple(pk), clustering=tuple(ck),
+        regular=tuple(reg_proj),
+    )
+    v_res = build_diff(
+        src.filter(value_pred(src)).select(*proj),
+        tgt.filter(value_pred(tgt)).select(*proj),
+        proj_spec, align="set", token=tok_fn,
+    )
+    # clean-column credit: every aligned row in a value-dirty bucket
+    # matches every unread column (clean per-column digest + unique keys
+    # => per-key equality), so the unread width credits per matched row
+    n_clean_cols = len(reg_all) - len(reg_proj)
+    v_stats = v_res.stats.drop("table").withColumn(
+        "matched_values",
+        (F.col("matched_values") + F.col("matched_rows") * F.lit(n_clean_cols))
+        .cast("long"),
+    )
+
+    # key-dirty buckets (plus any null-bucket rows): full-width diff
+    k_res = build_diff(
+        src.filter(key_pred(src)), tgt.filter(key_pred(tgt)), spec,
+        align="set", token=tok_fn,
+    )
+
+    # clean buckets: unique keys => rows credit from the digests; a flat
+    # table's partition credit too (else a keys-only projected scan)
+    srows = {}
+    for r in cmp_rows:
+        if r.bucket is not None and r.s_n is not None:
+            srows[r.bucket] = r.s_n  # identical across a bucket's columns
+    clean_row_sum = sum(srows.get(b, 0) for b in clean_ids)
+    credit = _clean_credit_frame(
+        src, pk, ck, clean_pred, clean_row_sum, n_reg=len(reg_all),
+        rows_from_digests=True, parts_from_digests=not ck,
+    )
+
+    stats = (
+        v_stats.unionByName(k_res.stats.drop("table"))
+        .unionByName(credit)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in STAT_FIELDS])
+        .select(F.lit(spec.name).alias("table"), *STAT_FIELDS)
+    )
+    result = DiffResult(
+        partition_detail=v_res.partition_detail.unionByName(
+            k_res.partition_detail
+        ),
+        mismatches=v_res.mismatches.unionByName(k_res.mismatches),
+        stats=stats,
+    )
+    return ColumnPrunePlan(
+        compare_rows=cmp_rows,
+        n_buckets=n_buckets,
+        clean_bucket_ids=clean_ids,
+        value_bucket_ids=value_ids,
+        key_bucket_ids=key_ids,
+        dirty_value_columns=dirty_value_cols,
+        result=result,
+    )
+
+
+def column_prune_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    col_hash_for: Optional[Callable[[str], Column]] = None,
+) -> DiffResult:
+    """The row-and-column-pruned diff — :func:`column_prune_plan`'s
+    combined DiffResult (same 9 counters + mismatch journal as
+    ``build_diff(src, tgt, spec)``; see the plan function for the pruning
+    contract and the unique-keys requirement)."""
+    return column_prune_plan(
+        src, tgt, spec, n_buckets=n_buckets, token=token,
+        col_hash_for=col_hash_for,
+    ).result
 
 
 def snapshot_drift_summary(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -300,6 +300,91 @@ class TestColumnDrift:
         assert cmp.filter("dirty").count() > 0
 
 
+class TestColumnPrune:
+    """Row-AND-column-pruned diff (column_prune_diff): bucket triage from
+    per-(bucket, column) digests; phase 2 reads only the drifted columns
+    of value-dirty buckets; stats identical to the full set diff on
+    unique-keyed data."""
+
+    def test_orders_pair_parity_and_triage(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        src, tgt = orders_pair(spark, sf_dir)
+        plan = column_prune_plan(src, tgt, ORDERS, n_buckets=64)
+        # %53 corrupts only o_totalprice; %97/%89 add/remove keys
+        assert plan.dirty_value_columns == ["o_totalprice"]
+        assert plan.value_bucket_ids and plan.key_bucket_ids
+        full = build_diff(src, tgt, ORDERS).stats.collect()[0].asDict()
+        assert plan.result.stats.collect()[0].asDict() == full
+
+    def test_events_composite_clustered_parity(self, spark, sf_dir):
+        from cassandra_diff_spark.gate import EVENTS_SPEC, events_pair
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        src, tgt = events_pair(spark, sf_dir)
+        plan = column_prune_plan(src, tgt, EVENTS_SPEC, n_buckets=64)
+        assert plan.dirty_value_columns == ["value"]
+        full = build_diff(src, tgt, EVENTS_SPEC, align="set").stats
+        assert (
+            plan.result.stats.collect()[0].asDict()
+            == full.collect()[0].asDict()
+        )
+
+    def test_phase2_reads_only_drifted_columns(self, spark, sf_dir):
+        """The scale claim, structurally: with drift confined to one value
+        column, the phase-2 stats plan scans pk + that column ONLY (clean
+        columns never reach the parquet reader), embeds no digest subtree
+        (bit_xor), and — flat unique-pk table — no clean-credit scan."""
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tgt = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 100 == 7, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        )
+        plan = column_prune_plan(o, tgt, ORDERS, n_buckets=64)
+        assert plan.key_bucket_ids == []
+        assert plan.dirty_value_columns == ["o_totalprice"]
+        p = plan.result.stats._jdf.queryExecution().executedPlan().toString()
+        assert "bit_xor" not in p
+        for clean_col in ("o_orderdate", "o_orderpriority", "o_custkey"):
+            assert clean_col not in p, clean_col
+        full = build_diff(o, tgt, ORDERS).stats.collect()[0].asDict()
+        assert plan.result.stats.collect()[0].asDict() == full
+
+    def test_identical_tables_all_clean(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        plan = column_prune_plan(o, o, ORDERS, n_buckets=64)
+        assert plan.value_bucket_ids == [] and plan.key_bucket_ids == []
+        s = plan.result.stats.collect()[0].asDict()
+        assert s["matched_partitions"] == o.count()
+        assert s["mismatched_partitions"] == 0
+
+    def test_key_drift_routes_full_width(self, spark):
+        """A re-keyed row dirties every column (key-salted hashes), so its
+        bucket takes the full-width diff and only_in counters stay exact."""
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        spec = TableSpec(name="t", partition_key=("pk",))
+        src = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "pk int, s string, v double",
+        )
+        tgt = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 9.0), (4, "c", 3.0)],
+            "pk int, s string, v double",
+        )
+        plan = column_prune_plan(src, tgt, spec, n_buckets=8)
+        full = build_diff(src, tgt, spec).stats.collect()[0].asDict()
+        got = plan.result.stats.collect()[0].asDict()
+        assert got == full
+        assert got["only_in_source"] == 1 and got["only_in_target"] == 1
+        assert got["mismatched_partitions"] == 1
+
+
 class TestDigestRandomized:
     """Seeded randomized equivalence: digest_prune_diff must equal
     build_diff on arbitrary tables — nulls, duplicate pks, duplicate
