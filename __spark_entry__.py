@@ -41,6 +41,7 @@ _NEEDS_DRIVER_ROW = [
     "diff_stats_lineitem_bucketed_digest",
     "diff_stats_orders_digest_cols",
     "diff_stats_events_digest_cols",
+    "dedup_semantic",
 ]
 
 

@@ -47,6 +47,8 @@ HEADLINE = [
     "diff_stats_orders_digest",
     "diff_stats_lineitem_bucketed",
     "dedup_minhash_incremental",
+    "diff_stats_orders_digest_cols",
+    "dedup_semantic",
 ]
 
 

@@ -1275,3 +1275,48 @@ WHERE ({_EMB_BAND_CONDS})
 
 QUERIES["dedup_embedding_incremental"] = _q_dedup_embedding_incremental
 ORACLES["dedup_embedding_incremental"] = _O_DEDUP_EMBEDDING_INCREMENTAL
+
+
+# --------------------------------------------- semantic (SemDeDup) dedup
+
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style cluster-scoped dedup: hash-mod centroids (the same
+    deterministic IVF cell scheme the ann_ivf_topk oracle replicates),
+    all pairs scored WITHIN a cell only, min-id survivorship. One row per
+    document: (vec_id, cent_id, kept)."""
+    return dedup.semantic_dedup(
+        _embs(spark, sf_dir), "vec_id", "embedding", min_cos=0.4,
+        centroid_mod=32,
+    )
+
+
+_O_DEDUP_SEMANTIC = f"""
+WITH {_QVEC_CTE.strip()},
+cents AS (
+  SELECT vec_id AS cent_id, qq AS cent_q, nn AS cent_n
+  FROM n0 WHERE {_CENT_PRED}
+),
+ca AS (
+  SELECT c_id, c_q, c_n, cent_id FROM (
+    SELECT x.vec_id AS c_id, x.qq AS c_q, x.nn AS c_n, ct.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY (x.nn - 2 * {_DOT_X_CT} + ct.cent_n) ASC, ct.cent_id ASC
+           ) AS cr
+    FROM n0 x CROSS JOIN cents ct
+  ) WHERE cr <= 1
+),
+k AS (
+  SELECT DISTINCT a.c_id AS victim
+  FROM ca a JOIN ca b USING (cent_id)
+  WHERE b.c_id < a.c_id
+    AND CAST(list_sum([a.c_q[i] * b.c_q[i] for i in range(1, len(a.c_q) + 1)]) AS DOUBLE)
+        / sqrt(CAST(a.c_n AS DOUBLE) * CAST(b.c_n AS DOUBLE)) >= 0.4
+)
+SELECT ca.c_id AS vec_id, ca.cent_id, (k.victim IS NULL) AS kept
+FROM ca LEFT JOIN k ON ca.c_id = k.victim
+"""
+
+
+QUERIES["dedup_semantic"] = _q_dedup_semantic
+ORACLES["dedup_semantic"] = _O_DEDUP_SEMANTIC

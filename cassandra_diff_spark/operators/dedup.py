@@ -821,3 +821,106 @@ def embedding_near_pairs_incremental(
         .filter(F.col("cos") >= F.lit(min_cos))
         .select("new_id", "dup_id", "dup_in", "dot")
     )
+
+
+# ------------------------------------------------- semantic (SemDeDup) dedup
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    centroid_mod: int = 32,
+    max_centroids: int = 65536,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, compare pairs ONLY within a cluster, and
+    keep one representative of each near-duplicate neighborhood.
+
+    Per document: ``(id, cent_id, kept)`` — ``kept`` is False iff some
+    SMALLER-id document in the same cluster has cosine >= min_cos (the
+    deterministic min-id survivorship rule; on a chain a~b~c the whole
+    neighborhood collapses to its minimum id, matching the connected-
+    component min-label convention of :func:`dedup_clusters`).
+
+    Where :func:`embedding_near_pairs` blocks by hyperplane bands (pairs
+    anywhere in space that hash together), semantic dedup blocks by
+    K-MEANS-style cells: the same deterministic hash-mod centroid scheme
+    as :func:`~cassandra_diff_spark.operators.similarity.ivf_index`, so
+    the cluster assignment is one fused Arrow matmul pass and the whole
+    operator stays SQL-reproducible (oracle-checkable).
+
+    Scale shape: with centroid_mod=m the expected cell size is ~m
+    (|corpus|/m centroids), so the in-cell self-join does ~m x |corpus|
+    comparisons total — LINEAR in the corpus for fixed m, vs quadratic
+    all-pairs; the join shuffles (cent_id, quantized vec) rows once. Hot
+    cells (embedding-space skew) are AQE's skew-join case; for known-
+    pathological corpora lower centroid_mod (more, smaller cells).
+    False-negative contract: pairs straddling a cell boundary are NOT
+    compared — SemDeDup's documented approximation, traded for the
+    linear-cost blocking (the paper's k is chosen so cells ~ semantic
+    neighborhoods).
+    """
+    from cassandra_diff_spark.operators.similarity import ivf_index
+
+    idx = ivf_index(
+        df, id_col, vec_col, centroid_mod=centroid_mod,
+        max_centroids=max_centroids, dim=dim,
+    )
+    # ivf_index emits the centroid ORDINAL (its internal join key); the
+    # report column should carry the centroid's actual document id —
+    # recover the id list with the same hash-mod predicate and id-sorted
+    # order the sampler uses (driver-side, hard-capped like the sampler)
+    cent_ids = sorted(
+        r[0]
+        for r in df.select(id_col)
+        .filter(md5_hash64(F.col(id_col).cast("string")) % centroid_mod == 0)
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    cent_id_of = F.element_at(
+        F.array(*[F.lit(i) for i in cent_ids]),
+        (F.col("cent_id") + 1).cast("int"),
+    )
+    a = idx.select(
+        F.col("cent_id"),
+        F.col("c_id").alias("id_a"),
+        F.col("c_q").alias("q_a"),
+        F.col("c_n").alias("n_a"),
+    )
+    b = idx.select(
+        F.col("cent_id"),
+        F.col("c_id").alias("id_b"),
+        F.col("c_q").alias("q_b"),
+        F.col("c_n").alias("n_b"),
+    )
+    # smaller-id near neighbors within the cell; the join carries the
+    # quantized vectors because every in-cell pair is scored (cells are
+    # ~centroid_mod rows — the blocking IS the candidate pruning)
+    killers = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("dot", int_dot(F.col("q_a"), F.col("q_b")))
+        .withColumn(
+            "cos", cosine_from_int(F.col("dot"), F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("cos") >= F.lit(min_cos))
+        .select(F.col("id_a").alias("victim"))
+        .distinct()
+    )
+    members = idx.select(
+        F.col("c_id").alias(id_col), cent_id_of.alias("cent_id")
+    )
+    return (
+        members.join(
+            killers.withColumn("_killed", F.lit(True)),
+            members[id_col] == killers["victim"],
+            "left_outer",
+        )
+        .select(
+            members[id_col],
+            "cent_id",
+            F.coalesce(~F.col("_killed"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -827,3 +827,63 @@ class TestPackSequences:
             pack_sequences(d, "doc_id", "nw", 100)
         with pytest.raises(ValueError):
             pack_sequences(d, "doc_id", "nw", 100, group_col="g", n_shards=2)
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-scoped dedup: min-id survivorship within
+    deterministic IVF cells; brute-force recomputation as the baseline."""
+
+    def test_matches_brute_force_within_cells(self, embs):
+        import numpy as np
+
+        res = {
+            r["vec_id"]: r
+            for r in dedup.semantic_dedup(
+                embs, "vec_id", "embedding", min_cos=0.4, centroid_mod=32
+            ).collect()
+        }
+        assert len(res) == embs.count()
+        # brute-force replica: same quantization-free cosine is close
+        # enough for a 0.4 threshold only if we replicate the quantized
+        # math — so reuse the engine's own cell assignment and verify the
+        # survivorship logic independently in numpy
+        rows = embs.collect()
+        vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        cells: dict = {}
+        for vid, r in res.items():
+            cells.setdefault(r["cent_id"], []).append(vid)
+        for cell_ids in cells.values():
+            cell_ids.sort()
+            for i, a in enumerate(cell_ids):
+                expect_killed = False
+                for b in cell_ids[:i]:
+                    va, vb = vec[a], vec[b]
+                    cos = float(va @ vb) / (
+                        np.linalg.norm(va) * np.linalg.norm(vb)
+                    )
+                    # stay away from the quantization boundary
+                    if cos >= 0.4 + 1e-6:
+                        expect_killed = True
+                        break
+                    if cos >= 0.4 - 1e-6:
+                        expect_killed = None  # boundary — skip assert
+                        break
+                if expect_killed is None:
+                    continue
+                assert res[a]["kept"] == (not expect_killed), a
+
+    def test_min_id_always_kept_per_cell(self, embs):
+        res = dedup.semantic_dedup(
+            embs, "vec_id", "embedding", min_cos=0.4, centroid_mod=32
+        )
+        mins = res.groupBy("cent_id").agg(F.min("vec_id").alias("vec_id"))
+        joined = res.join(mins, ["cent_id", "vec_id"])
+        assert joined.filter(~F.col("kept")).count() == 0
+
+    def test_cent_id_is_a_real_document_id(self, embs):
+        res = dedup.semantic_dedup(
+            embs, "vec_id", "embedding", min_cos=0.4, centroid_mod=32
+        )
+        ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+        cents = {r["cent_id"] for r in res.select("cent_id").distinct().collect()}
+        assert cents <= ids
