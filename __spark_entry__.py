@@ -42,6 +42,7 @@ _NEEDS_DRIVER_ROW = [
     "diff_stats_orders_digest_cols",
     "diff_stats_events_digest_cols",
     "dedup_semantic",
+    "diff_stats_orders_digest_sparse",
 ]
 
 

@@ -47,7 +47,7 @@ HEADLINE = [
     "diff_stats_orders_digest",
     "diff_stats_lineitem_bucketed",
     "dedup_minhash_incremental",
-    "diff_stats_orders_digest_cols",
+    "diff_stats_orders_digest_sparse",
     "dedup_semantic",
 ]
 

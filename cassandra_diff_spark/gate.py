@@ -1753,7 +1753,11 @@ def _q_diff_stats_orders_digest_cols(spark, sf_dir):
     from cassandra_diff_spark.operators.digest import column_prune_diff
 
     src, tgt = orders_pair(spark, sf_dir)
-    return column_prune_diff(src, tgt, ORDERS_SPEC, n_buckets=64).stats
+    # default bucket granularity: the pair's drift is DENSE (1 key in 53
+    # corrupted, 1 in 97 dropped), so coarse grids mark every bucket
+    # key-dirty and phase 2 degenerates to a full diff plus overhead;
+    # 4096 buckets keep the triage meaningful across scale factors
+    return column_prune_diff(src, tgt, ORDERS_SPEC).stats
 
 
 QUERIES["diff_stats_orders_digest_cols"] = _q_diff_stats_orders_digest_cols
@@ -1771,7 +1775,7 @@ def _q_diff_stats_events_digest_cols(spark, sf_dir):
     from cassandra_diff_spark.operators.digest import column_prune_diff
 
     src, tgt = events_pair(spark, sf_dir)
-    return column_prune_diff(src, tgt, EVENTS_SPEC, n_buckets=64).stats
+    return column_prune_diff(src, tgt, EVENTS_SPEC).stats
 
 
 # set-mode events oracle: join on full key (all null-safe), group to
@@ -1824,6 +1828,47 @@ c AS (
 
 QUERIES["diff_stats_events_digest_cols"] = _q_diff_stats_events_digest_cols
 ORACLES["diff_stats_events_digest_cols"] = _O_DIFF_STATS_EVENTS_SET
+
+
+def _q_diff_stats_orders_digest_sparse(spark, sf_dir):
+    """The digest path's HEADLINE scenario — sparse drift, the recurring
+    nightly-diff case the feature exists for: ~1 key in 9973 corrupted
+    (one column, +1.0), so at the default 4096-bucket grid almost every
+    bucket digests clean and phase 2 touches a sub-percent slice. The
+    standard gate pairs drift DENSELY (1 in 53) and cannot show the
+    pruning; this query is the bench trend line for the win."""
+    from cassandra_diff_spark.operators.digest import column_prune_diff
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tgt = o.withColumn(
+        "o_totalprice",
+        F.when(k % 9973 == 7, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return column_prune_diff(o, tgt, ORDERS_SPEC).stats
+
+
+# same-key pair with M corrupted rows: every partition aligns, corrupted
+# rows have 5 of 6 regular values matched — counters in closed form
+_O_DIFF_STATS_ORDERS_DIGEST_SPARSE = """
+SELECT 'orders' AS "table",
+  CAST(COUNT(*) - SUM(CASE WHEN o_orderkey % 9973 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS matched_partitions,
+  CAST(SUM(CASE WHEN o_orderkey % 9973 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_partitions,
+  CAST(0 AS BIGINT) AS error_partitions,
+  CAST(0 AS BIGINT) AS skipped_partitions,
+  CAST(0 AS BIGINT) AS only_in_source,
+  CAST(0 AS BIGINT) AS only_in_target,
+  CAST(COUNT(*) AS BIGINT) AS matched_rows,
+  CAST(6 * COUNT(*) - SUM(CASE WHEN o_orderkey % 9973 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS matched_values,
+  CAST(SUM(CASE WHEN o_orderkey % 9973 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_values
+FROM orders
+"""
+
+
+QUERIES["diff_stats_orders_digest_sparse"] = _q_diff_stats_orders_digest_sparse
+ORACLES["diff_stats_orders_digest_sparse"] = _O_DIFF_STATS_ORDERS_DIGEST_SPARSE
 
 
 def _q_streaming_digest_buckets_orders(spark, sf_dir):

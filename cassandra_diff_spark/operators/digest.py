@@ -468,26 +468,47 @@ def column_digests(
         return F.xxhash64(key_hash, F.col(c), F.isnull(c))
 
     hash_of = col_hash_for or default_col_hash
-    pairs = F.array(
-        *[
-            F.struct(F.lit(c).alias("column"), hash_of(c).alias("h__"))
-            for c in cols
-        ]
-    )
-    return (
+    # ONE aggregation with 2 x n_cols + 1 expressions, unpivoted AFTER
+    # the agg: the shuffle carries n_buckets wide rows instead of
+    # n_cols x |table| exploded rows (the previous shape — fine for the
+    # agg thanks to map-side combine, but the pre-agg explode itself
+    # cost n_cols x row materialization; a 200-column table would have
+    # pushed 200x the rows through the hash). Same digest math
+    # bit-for-bit: identical per-column hash expressions, sum-mod, xor.
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            (F.sum(F.col(f"h{i}__").cast("decimal(38,0)")) % F.lit(DIGEST_MOD))
+            .cast("long")
+            .alias(f"s{i}__")
+        )
+        aggs.append(F.expr(f"bit_xor(h{i}__)").alias(f"x{i}__"))
+    g = (
         df.select(
             F.pmod(tok, F.lit(n_buckets)).alias("bucket"),
-            F.explode(pairs).alias("p"),
+            *[hash_of(c).alias(f"h{i}__") for i, c in enumerate(cols)],
         )
-        .select("bucket", F.col("p.column").alias("column"), F.col("p.h__").alias("h__"))
-        .groupBy("bucket", "column")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.sum(F.col("h__").cast("decimal(38,0)")) % F.lit(DIGEST_MOD))
-            .cast("long")
-            .alias("digest_sum"),
-            F.expr("bit_xor(h__)").alias("digest_xor"),
-        )
+        .groupBy("bucket")
+        .agg(*aggs)
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"s{i}__").alias("digest_sum"),
+                F.col(f"x{i}__").alias("digest_xor"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return g.select(
+        "bucket", "n_rows", F.explode(per_col).alias("p")
+    ).select(
+        "bucket",
+        F.col("p.column").alias("column"),
+        "n_rows",
+        F.col("p.digest_sum").alias("digest_sum"),
+        F.col("p.digest_xor").alias("digest_xor"),
     )
 
 
