@@ -43,6 +43,8 @@ _NEEDS_DRIVER_ROW = [
     "diff_stats_events_digest_cols",
     "dedup_semantic",
     "diff_stats_orders_digest_sparse",
+    "text_url_parts",
+    "curate_domain_cap",
 ]
 
 

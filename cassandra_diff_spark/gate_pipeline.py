@@ -1320,3 +1320,111 @@ FROM ca LEFT JOIN k ON ca.c_id = k.victim
 
 QUERIES["dedup_semantic"] = _q_dedup_semantic
 ORACLES["dedup_semantic"] = _O_DEDUP_SEMANTIC
+
+
+# ------------------------------------------- URL parsing / per-domain caps
+
+def _url_augmented(spark, sf_dir):
+    """Documents with a synthetic but VARIED url column (userinfo on %5,
+    port on %3, query on %2) so every parser branch is proven on nonzero
+    matches — same augmentation idea as the PII gate."""
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(k % 5 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+            F.lit("w"), (k % 7).cast("string"), F.lit("."),
+            F.col("source"), F.lit(".example.org"),
+            F.when(k % 3 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/p/"), k.cast("string"),
+            F.when(k % 2 == 0, F.concat(F.lit("?lang="), F.col("lang")))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+_URL_AUG_SQL = """
+aug AS (
+  SELECT doc_id, lang, source, n_chars,
+         'https://'
+         || CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END
+         || 'w' || CAST(doc_id % 7 AS VARCHAR) || '.'
+         || source || '.example.org'
+         || CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '?lang=' || lang ELSE '' END
+         AS url
+  FROM documents
+)"""
+
+
+def _q_text_url_parts(spark, sf_dir):
+    from cassandra_diff_spark.functions import web
+
+    d = _url_augmented(spark, sf_dir)
+    u = F.col("url")
+    return d.select(
+        "doc_id",
+        "url",
+        web.url_scheme(u).alias("scheme"),
+        web.url_host(u).alias("host"),
+        web.url_port(u).alias("port"),
+        web.url_path(u).alias("path"),
+        web.url_query(u).alias("query"),
+        web.registered_domain(web.url_host(u)).alias("domain"),
+    )
+
+
+def _make_o_text_url_parts() -> str:
+    from cassandra_diff_spark.functions import web
+
+    return f"""
+WITH {_URL_AUG_SQL.strip()}
+SELECT doc_id, url,
+       {web.url_scheme_sql('url')} AS scheme,
+       {web.url_host_sql('url')} AS host,
+       {web.url_port_sql('url')} AS port,
+       {web.url_path_sql('url')} AS path,
+       {web.url_query_sql('url')} AS "query",
+       {web.registered_domain_sql(web.url_host_sql('url'))} AS domain
+FROM aug
+"""
+
+
+QUERIES["text_url_parts"] = _q_text_url_parts
+ORACLES["text_url_parts"] = _make_o_text_url_parts()
+
+
+def _q_curate_domain_cap(spark, sf_dir):
+    """Per-domain cap, SALTED two-phase path (the hot-domain shape) —
+    gated against the plain window SQL, proving the salted plan returns
+    exactly the unsalted answer."""
+    from cassandra_diff_spark.operators.curate import domain_cap
+
+    d = _docs(spark, sf_dir)
+    return domain_cap(
+        d,
+        "source",
+        n_max=5,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt_id_col="doc_id",
+    ).select("doc_id", "source", "n_chars", "domain_rank")
+
+
+_O_CURATE_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars, CAST(rnk AS BIGINT) AS domain_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= 5
+"""
+
+
+QUERIES["curate_domain_cap"] = _q_curate_domain_cap
+ORACLES["curate_domain_cap"] = _O_CURATE_DOMAIN_CAP

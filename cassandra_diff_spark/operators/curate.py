@@ -340,3 +340,51 @@ def pack_sequences(
         .groupBy(group_col)
         .applyInPandas(pack, out_schema)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    n_max: int,
+    order_by: "list",
+    salt_id_col: "str | None" = None,
+    salt_partitions: int = 64,
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style): keep at most ``n_max``
+    documents per domain, best-first by ``order_by`` (a list of Column
+    sort expressions, e.g. ``[F.col("quality").desc(), F.col("id")]`` —
+    include a unique tiebreaker for determinism).
+
+    Web corpora are dominated by a few mega-domains; capping per
+    registered domain is the standard defense against one site flooding
+    the training mix. Emits the surviving rows plus ``domain_rank``
+    (1-based within the domain).
+
+    Scale shape: one shuffle on the domain key, then a per-domain window.
+    A hot domain (10^8 pages of one site) funnels through ONE task in the
+    naive window — pass ``salt_id_col`` to enable the exact two-phase
+    cap: phase 1 ranks within (domain, hash(id) % salt_partitions) and
+    keeps n_max per salt cell — a superset of the global top-n_max,
+    since the global best n_max rows occupy at most n_max rows of ANY
+    cell they land in — so phase 2's window ranks at most
+    salt_partitions x n_max rows per domain instead of the domain's full
+    row count. Both phases are windows over the SAME shuffle layout
+    (salted key first, domain key second); result is identical to the
+    unsalted cap.
+    """
+    from pyspark.sql import Window
+
+    if salt_id_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salt_partitions))
+        w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(*order_by)
+        df = (
+            df.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= n_max)
+            .drop("__r1")
+        )
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= n_max)
+    )

@@ -887,3 +887,61 @@ class TestSemanticDedup:
         ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
         cents = {r["cent_id"] for r in res.select("cent_id").distinct().collect()}
         assert cents <= ids
+
+
+class TestDomainCap:
+    def test_salted_equals_unsalted_with_hot_domain(self, spark):
+        from cassandra_diff_spark.operators.curate import domain_cap
+
+        rows = [(i, "hot" if i < 900 else f"d{i % 7}", i * 37 % 1000)
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, dom string, q long")
+        order = [F.col("q").desc(), F.col("id").asc()]
+        plain = domain_cap(df, "dom", n_max=10, order_by=order)
+        salted = domain_cap(
+            df, "dom", n_max=10, order_by=order,
+            salt_id_col="id", salt_partitions=16,
+        )
+        key = lambda d: sorted(  # noqa: E731
+            (r["id"], r["dom"], r["domain_rank"]) for r in d.collect()
+        )
+        assert key(plain) == key(salted)
+        assert all(r["domain_rank"] <= 10 for r in salted.collect())
+
+    def test_cap_keeps_best_rows(self, spark):
+        from cassandra_diff_spark.operators.curate import domain_cap
+
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 9), (3, "a", 7), (4, "b", 1)],
+            "id long, dom string, q long",
+        )
+        res = domain_cap(
+            df, "dom", n_max=2, order_by=[F.col("q").desc(), F.col("id")]
+        )
+        got = {(r["id"], r["domain_rank"]) for r in res.collect()}
+        assert got == {(2, 1), (3, 2), (4, 1)}
+
+
+class TestUrlParts:
+    def test_parses_and_handles_garbage(self, spark):
+        from cassandra_diff_spark.functions import web
+
+        df = spark.createDataFrame(
+            [
+                ("https://user:pw@w1.s.example.org:8443/p/1?lang=en",),
+                ("http://example.com/",),
+                ("not a url",),
+                ("ftp://files.archive.example.co.uk/a/b",),
+            ],
+            "url string",
+        )
+        rows = df.select(web.url_parts(F.col("url")).alias("p")).collect()
+        p0, p1, p2, p3 = (r["p"] for r in rows)
+        assert p0["scheme"] == "https" and p0["host"] == "w1.s.example.org"
+        assert p0["port"] == "8443" and p0["path"] == "/p/1"
+        assert p0["query"] == "lang=en" and p0["domain"] == "example.org"
+        assert p1["host"] == "example.com" and p1["port"] == ""
+        assert p2["host"] == "" and p2["scheme"] == ""
+        # documented last-two-labels heuristic (no PSL): co.uk, not
+        # example.co.uk
+        assert p3["scheme"] == "ftp" and p3["domain"] == "co.uk"
