@@ -45,6 +45,8 @@ _NEEDS_DRIVER_ROW = [
     "diff_stats_orders_digest_sparse",
     "text_url_parts",
     "curate_domain_cap",
+    "curate_shuffle",
+    "curate_shards",
 ]
 
 

@@ -1428,3 +1428,52 @@ WHERE rnk <= 5
 
 QUERIES["curate_domain_cap"] = _q_curate_domain_cap
 ORACLES["curate_domain_cap"] = _O_CURATE_DOMAIN_CAP
+
+
+# ------------------------------- training shuffle / sharded output layout
+
+def _q_curate_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: the (id, shuffle_key) pairs fully
+    determine the global order (the frame is range-sorted by the key),
+    so the order-insensitive gate compare validates the permutation."""
+    from cassandra_diff_spark.operators.curate import deterministic_shuffle
+
+    d = _docs(spark, sf_dir)
+    return deterministic_shuffle(d, "doc_id", seed=20260814).select(
+        "doc_id", "shuffle_key"
+    )
+
+
+_O_CURATE_SHUFFLE = f"""
+SELECT doc_id,
+       {md5_hash64_sql("CAST(doc_id AS VARCHAR) || chr(31) || '20260814'")} AS shuffle_key
+FROM documents
+"""
+
+
+def _q_curate_shards(spark, sf_dir):
+    """Sharded training output: hash-sharded parquet layout written to
+    disk and the manifest aggregated from the files read BACK — the gate
+    checks the round-tripped shard counts against closed-form SQL."""
+    from cassandra_diff_spark.operators.curate import write_training_shards
+
+    d = _docs(spark, sf_dir)
+    return write_training_shards(
+        d, "/tmp/cds_gate_shards", "doc_id", n_shards=16,
+        max_records_per_file=200,
+    )
+
+
+_H_DOC = md5_hash64_sql("CAST(doc_id AS VARCHAR)")
+_O_CURATE_SHARDS = f"""
+SELECT CAST(({_H_DOC} % 16 + 16) % 16 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES["curate_shuffle"] = _q_curate_shuffle
+ORACLES["curate_shuffle"] = _O_CURATE_SHUFFLE
+QUERIES["curate_shards"] = _q_curate_shards
+ORACLES["curate_shards"] = _O_CURATE_SHARDS

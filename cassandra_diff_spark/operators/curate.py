@@ -388,3 +388,78 @@ def domain_cap(
         df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("domain_rank") <= n_max)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    *,
+    n_partitions: "int | None" = None,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: every row
+    gets ``shuffle_key = md5_hash64(id, seed)`` (the cross-engine 60-bit hash, so the permutation is reproducible in any engine) and the frame is
+    range-partitioned and sorted by (shuffle_key, id) — a deterministic
+    pseudo-random total order, identical on every run and every cluster
+    size. A new epoch is a new seed; no RNG state, no driver pass.
+
+    Scale shape: ONE range shuffle (repartitionByRange samples the key
+    distribution, so output partitions are balanced even though the key
+    is a hash), then a partition-local sort — the same cost as any global
+    sort, and the files written from this frame stream back in shuffled
+    order with plain sequential reads. Never a global row_number (which
+    would funnel 100 TB through one window task).
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    keyed = df.withColumn(
+        "shuffle_key",
+        md5_hash64(
+            F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))
+        ),
+    )
+    parts = [F.col("shuffle_key"), F.col(id_col)]
+    ranged = (
+        keyed.repartitionByRange(n_partitions, *parts)
+        if n_partitions
+        else keyed.repartitionByRange(*parts)
+    )
+    return ranged.sortWithinPartitions(*parts)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int,
+    mode: str = "overwrite",
+    max_records_per_file: "int | None" = None,
+) -> DataFrame:
+    """Shard a corpus for training ingestion: deterministic shard
+    assignment ``shard = pmod(md5_hash64(id), n_shards)`` (cross-engine hash), written as
+    parquet partitioned by shard (``path/shard=K/...``), returning the
+    manifest read back FROM THE WRITTEN FILES — one row per shard with
+    its row count (the round-trip proves the layout, not just the plan).
+
+    Hash sharding balances shards regardless of id distribution, and a
+    reader can subset shards knowing each is an unbiased 1/n_shards
+    sample. ``max_records_per_file`` caps file sizes inside a shard
+    (maps to Spark's maxRecordsPerFile) so downstream loaders get
+    bounded-size files.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    sharded = df.withColumn(
+        "shard", F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    w = sharded.write.mode(mode).partitionBy("shard")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+    return (
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("shard").cast("long"), "n_rows")
+    )

@@ -945,3 +945,38 @@ class TestUrlParts:
         # documented last-two-labels heuristic (no PSL): co.uk, not
         # example.co.uk
         assert p3["scheme"] == "ftp" and p3["domain"] == "co.uk"
+
+
+class TestTrainingLayout:
+    def test_shuffle_is_globally_sorted_and_deterministic(self, docs):
+        from cassandra_diff_spark.operators.curate import deterministic_shuffle
+
+        a = deterministic_shuffle(docs, "doc_id", seed=1, n_partitions=8)
+        keys = [r["shuffle_key"] for r in a.select("shuffle_key").collect()]
+        assert keys == sorted(keys)  # range partitions collect in order
+        b = deterministic_shuffle(docs, "doc_id", seed=1, n_partitions=8)
+        assert [r["doc_id"] for r in a.select("doc_id").collect()] == [
+            r["doc_id"] for r in b.select("doc_id").collect()
+        ]
+        c = deterministic_shuffle(docs, "doc_id", seed=2, n_partitions=8)
+        assert [r["doc_id"] for r in a.select("doc_id").collect()] != [
+            r["doc_id"] for r in c.select("doc_id").collect()
+        ]
+
+    def test_shards_roundtrip_and_file_caps(self, docs, tmp_path):
+        import glob
+
+        from cassandra_diff_spark.operators.curate import write_training_shards
+
+        path = str(tmp_path / "shards")
+        manifest = write_training_shards(
+            docs, path, "doc_id", n_shards=8, max_records_per_file=20
+        )
+        rows = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+        assert sum(rows.values()) == docs.count()
+        assert set(rows) <= set(range(8))
+        # partitioned layout on disk; every file respects the record cap
+        spark = docs.sparkSession
+        for d in glob.glob(f"{path}/shard=*"):
+            for f in glob.glob(f"{d}/*.parquet"):
+                assert spark.read.parquet(f).count() <= 20
