@@ -434,12 +434,18 @@ def _nearest_centroid_udf(cent_mat: np.ndarray, cent_n: np.ndarray, top: int):
     @pandas_udf("array<long>")
     def nearest(qs: pd.Series) -> pd.Series:
         x = np.array(list(qs), dtype=np.float64)  # batch x dim
-        xn = np.einsum("ij,ij->i", x, x)
-        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2, integer-exact in float64
-        d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
+        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2; |x|^2 is constant per row,
+        # so ranking by (|c|^2 - 2<x,c>) is EXACTLY equivalent (every
+        # quantity is integer-exact in float64, so dropping the row
+        # constant changes no comparison) — and it skips materializing
+        # two extra batch x n_centroids broadcast intermediates, which
+        # cost ~3x the matmul itself (memory-bound)
+        s = x @ cent_mat.T
+        s *= -2.0
+        s += cent_n[None, :]
         # argsort is stable; cent arrays are id-sorted, so equal d2
         # breaks ties by centroid id asc — same as the SQL row_number
-        idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+        idx = np.argsort(s, axis=1, kind="stable")[:, :top]
         return pd.Series(list(idx.astype(np.int64)))
 
     return nearest
@@ -488,11 +494,15 @@ def ivf_index(
             qi = vec_matrix(batch.column(vec_col))
             norm = np.einsum("ij,ij->i", qi, qi)
             x = qi.astype(np.float64)
-            xn = norm.astype(np.float64)
-            d2 = xn[:, None] - 2 * (x @ cent_mat.T) + cent_n[None, :]
-            # stable argmin == argsort(stable)[0]: equal d2 break ties by
-            # centroid ordinal asc, matching _nearest_centroid_udf
-            cent = np.argmax(d2 == d2.min(axis=1, keepdims=True), axis=1)
+            # rank by (|c|^2 - 2<x,c>): the per-row |x|^2 constant drops
+            # out of every comparison (integer-exact float64), saving the
+            # batch x n_centroids broadcast intermediates that cost ~3x
+            # the matmul; np.argmin takes the FIRST minimum — ties break
+            # by centroid ordinal asc, matching _nearest_centroid_udf
+            s = x @ cent_mat.T
+            s *= -2.0
+            s += cent_n[None, :]
+            cent = np.argmin(s, axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),
