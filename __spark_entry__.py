@@ -47,6 +47,7 @@ _NEEDS_DRIVER_ROW = [
     "curate_domain_cap",
     "curate_shuffle",
     "curate_shards",
+    "dedup_minhash_stream",
 ]
 
 

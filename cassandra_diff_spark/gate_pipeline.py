@@ -1477,3 +1477,61 @@ QUERIES["curate_shuffle"] = _q_curate_shuffle
 ORACLES["curate_shuffle"] = _O_CURATE_SHUFFLE
 QUERIES["curate_shards"] = _q_curate_shards
 ORACLES["curate_shards"] = _O_CURATE_SHARDS
+
+
+# ------------------------------------------- streaming incremental dedup
+
+def _q_dedup_minhash_stream(spark, sf_dir):
+    """Streaming-runtime twin of dedup_minhash_incremental: the batch
+    docs (doc_id %5 == 0) arrive as an id-ordered 4-file stream
+    (maxFilesPerTrigger=1 -> 4 real micro-batches), each deduped against
+    the growing signature index seeded with the corpus docs' signatures.
+    The drained decision table equals the one-shot incremental run minus
+    the dup_in label — same DuckDB oracle, without that column."""
+    import glob
+    import os
+    import shutil
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    stage = "/tmp/cds_gate_stream_minhash"
+    shutil.rmtree(stage, ignore_errors=True)
+    dedup.minhash_signatures(corpus, "doc_id", "text").write.parquet(
+        f"{stage}/index"
+    )
+    # 4 id-range files; FileStreamSource orders by mtime, so stamp them
+    # in range order to make arrival id-monotone (the operator contract)
+    batch.repartitionByRange(4, "doc_id").write.parquet(f"{stage}/in")
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/in/part-*"))):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/in")
+    )
+    from cassandra_diff_spark.streaming.diff_stream import stream_minhash_dedup
+
+    return stream_minhash_dedup(
+        stream, f"{stage}/index", f"{stage}/out", "doc_id", "text"
+    )
+
+
+_O_DEDUP_MINHASH_STREAM = f"""
+WITH {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()}
+SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+       CAST({_AGREE_SUM} AS BIGINT) AS n_agree,
+       CAST({_AGREE_SUM} AS DOUBLE) / {NUM_PERM} AS est_sim
+FROM sig a JOIN sig b
+  ON a.doc_id % 5 = 0
+ AND ((b.doc_id % 5 <> 0 AND b.doc_id <> a.doc_id)
+      OR (b.doc_id % 5 = 0 AND b.doc_id < a.doc_id))
+WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
+"""
+
+
+QUERIES["dedup_minhash_stream"] = _q_dedup_minhash_stream
+ORACLES["dedup_minhash_stream"] = _O_DEDUP_MINHASH_STREAM

@@ -244,3 +244,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_minhash_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_agree_num: int = 1,
+    min_agree_den: int = 2,
+) -> DataFrame:
+    """Streaming ingest dedup against a GROWING MinHash signature index:
+    each micro-batch is deduped with
+    :func:`~cassandra_diff_spark.operators.dedup.minhash_lsh_incremental`
+    against the signatures persisted so far (original corpus + every
+    earlier batch), its verified duplicate relations append to
+    ``out_dir``, and its own signatures append to ``index_dir`` — so the
+    index grows with ingestion and history text is never re-read.
+
+    Returns the drained decision table ``(new_id, dup_id, n_agree,
+    est_sim)`` — one row per verified relation "stream doc new_id
+    duplicates earlier doc dup_id". With stream ids MONOTONE across
+    batches (the normal ingest shape), the drained table equals the
+    one-shot ``minhash_lsh_incremental(all_stream_docs, corpus_sigs)``
+    run minus its dup_in label (a cross-batch stream duplicate is served
+    from the index, indistinguishable from original corpus by design);
+    out-of-order ids across batches would report reversed pairs instead.
+    Parquet appends are at-least-once under batch retry — same caveat as
+    stream_diff (a Delta/transactional sink upgrades both to
+    exactly-once).
+    """
+    from cassandra_diff_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    spark = stream.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sigs = spark.read.parquet(index_dir)
+        dups = minhash_lsh_incremental(
+            batch_df, sigs, id_col, text_col, n,
+            min_agree_num=min_agree_num, min_agree_den=min_agree_den,
+        ).drop("dup_in")
+        dups.write.mode("append").parquet(out_dir)
+        # index ALL batch signatures (dups included): one-shot parity
+        # requires later docs to compare against every earlier doc, not
+        # only the novel ones
+        minhash_signatures(batch_df, id_col, text_col, n).write.mode(
+            "append"
+        ).parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

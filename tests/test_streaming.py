@@ -222,3 +222,40 @@ def test_stream_exact_dedup_first_seen(spark, tmp_path):
         "SELECT COUNT(*) AS n, COUNT(DISTINCT fp) AS n_fp FROM sdedup"
     ).first()
     assert out.n == 100 and out.n_fp == 100  # one survivor per duplicate set
+
+
+def test_stream_minhash_dedup_equals_one_shot(spark, sf_dir, tmp_path):
+    """Drained streaming decisions == the one-shot incremental run (minus
+    the dup_in label), across REAL micro-batch boundaries."""
+    import glob
+    import os
+
+    from cassandra_diff_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+    from cassandra_diff_spark.streaming.diff_stream import stream_minhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+
+    stage = str(tmp_path / "mh")
+    minhash_signatures(corpus, "doc_id", "text").write.parquet(f"{stage}/index")
+    batch.repartitionByRange(3, "doc_id").write.parquet(f"{stage}/in")
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/in/part-*"))):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/in")
+    )
+    got = stream_minhash_dedup(
+        stream, f"{stage}/index", f"{stage}/out", "doc_id", "text"
+    )
+    one_shot = minhash_lsh_incremental(
+        batch, minhash_signatures(corpus, "doc_id", "text"), "doc_id", "text"
+    ).drop("dup_in")
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(one_shot)
+    assert got.count() > 0  # the corpus really contains duplicates
