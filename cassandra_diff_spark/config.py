@@ -81,6 +81,13 @@ class JobConfig:
     # sources opt in knowingly): lets the digest path derive clean-bucket
     # credit from the collected digests instead of a distinct-count scan
     digest_unique_keys: bool = False
+    # column-granular digest pruning (operators/digest.column_prune_diff):
+    # phase 2 reads only pk + the drifted columns of value-dirty buckets.
+    # Requires digest_buckets > 0, align="set", AND digest_unique_keys
+    # (per-column digests are unsound under duplicate full keys — the
+    # job falls back to the whole-row digest path with a warning if the
+    # declaration is missing).
+    digest_columns: bool = False
     # persisted per-table digest snapshots (operators/digest.py snapshot
     # store): None disables; a path + digest_buckets > 0 makes run_job
     # write both sides' bucket digests there (zero extra scans — reused
@@ -134,6 +141,7 @@ def parse_config(raw: dict) -> JobConfig:
         skew_safe=bool(raw.get("skew_safe", False)),
         digest_buckets=int(raw.get("digest_buckets", 0)),
         digest_unique_keys=bool(raw.get("digest_unique_keys", False)),
+        digest_columns=bool(raw.get("digest_columns", False)),
         snapshot_path=raw.get("snapshot_path"),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),

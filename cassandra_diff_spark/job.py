@@ -164,11 +164,80 @@ def run_job(
                         stats_observation_exprs,
                     )
 
-                    if (
+                    use_digest = (
                         cfg.digest_buckets > 0
                         and token_filter is None
                         and sampler is None
-                    ):
+                    )
+                    use_columns = (
+                        use_digest
+                        and cfg.digest_columns
+                        and cfg.align == "set"
+                        and cfg.digest_unique_keys
+                    )
+                    if use_digest and cfg.digest_columns and not use_columns:
+                        import warnings
+
+                        warnings.warn(
+                            "digest_columns ignored: requires align='set' "
+                            "and digest_unique_keys=true (per-column "
+                            "digests are unsound under duplicate full "
+                            "keys) — falling back to whole-row digests",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                    if use_columns:
+                        # column-granular pruning: phase 2 reads only
+                        # pk + drifted columns of value-dirty buckets.
+                        # Single-execution like the other paths: one
+                        # mismatch-write action over the unioned detail
+                        # satisfies BOTH branch Observations; the
+                        # value branch's projection-relative counters
+                        # are globalized with the clean-column credit.
+                        from cassandra_diff_spark.operators.digest import (
+                            column_prune_plan,
+                        )
+
+                        plan = column_prune_plan(
+                            s_df, t_df, spec, n_buckets=cfg.digest_buckets
+                        )
+                        obs_v, obs_k = Observation(), Observation()
+                        detail = plan.value_result.partition_detail.observe(
+                            obs_v, *stats_observation_exprs()
+                        ).unionByName(
+                            plan.key_result.partition_detail.observe(
+                                obs_k, *stats_observation_exprs()
+                            )
+                        )
+                        mm = mismatches_from_detail(detail, pk)
+                        wrote = journal.record_mismatches(
+                            job_id, unit.bucket, table, mm
+                        )
+                        if wrote:
+                            stats = DiffStats(**obs_v.get)
+                            stats.matched_values += (
+                                stats.matched_rows
+                                * plan.n_clean_value_columns
+                            )
+                            stats.accumulate(DiffStats(**obs_k.get))
+                        else:  # journal sink failed — direct action
+                            stats = DiffStats.from_row(
+                                plan.value_result.stats.collect()[0]
+                            )
+                            stats.matched_values += (
+                                stats.matched_rows
+                                * plan.n_clean_value_columns
+                            )
+                            stats.accumulate(
+                                DiffStats.from_row(
+                                    plan.key_result.stats.collect()[0]
+                                )
+                            )
+                        stats.accumulate(
+                            DiffStats.from_row(plan.clean_credit.collect()[0])
+                        )
+                        return stats
+                    if use_digest:
                         # two-phase digest-pruned diff: the wide shuffle
                         # touches only drifted buckets (lossless — see
                         # operators/digest.py). Sampling/token filters

@@ -681,6 +681,15 @@ class ColumnPrunePlan:
     value_bucket_ids: list  # drift confined to non-key value columns
     key_bucket_ids: list  # key/count drift — full-width diff required
     dirty_value_columns: list  # union of drifted value columns
+    #: pruned-projection diff of the value-dirty buckets. NB: its stats /
+    #: partition_detail counters are PROJECTION-RELATIVE (they exclude the
+    #: unread clean columns' credit — add matched_rows x
+    #: n_clean_value_columns to matched_values to globalize them; the
+    #: combined ``result.stats`` already does).
+    value_result: DiffResult
+    key_result: DiffResult  # full-width diff of the key-dirty buckets
+    clean_credit: DataFrame  # one-row STAT_FIELDS credit for clean buckets
+    n_clean_value_columns: int  # regular columns pruned from the value diff
     result: DiffResult
 
     @property
@@ -863,6 +872,10 @@ def column_prune_plan(
         value_bucket_ids=value_ids,
         key_bucket_ids=key_ids,
         dirty_value_columns=dirty_value_cols,
+        value_result=v_res,
+        key_result=k_res,
+        clean_credit=credit,
+        n_clean_value_columns=n_clean_cols,
         result=result,
     )
 

@@ -719,3 +719,56 @@ class TestDigestPrunedJob:
             warnings.simplefilter("always")
             run_job(spark, cfg)
         assert any("digest_buckets ignored" in str(x.message) for x in w)
+
+
+class TestColumnDigestJob:
+    """digest_columns routes run_job through the column-pruned diff; the
+    journaled stats and mismatch rows must equal the classic path's, and
+    the flag must fall back loudly without the unique-keys declaration."""
+
+    def test_same_results_as_classic(self, spark, pair_dirs, tmp_path):
+        src_dir, tgt_dir = pair_dirs
+        j1, j2 = str(tmp_path / "jc1"), str(tmp_path / "jc2")
+        classic = run_job(
+            spark, make_cfg(src_dir, tgt_dir, j1, job_id="job-classic-c")
+        )
+        pruned = run_job(
+            spark,
+            make_cfg(
+                src_dir, tgt_dir, j2, job_id="job-digest-cols",
+                extra=(
+                    "digest_buckets: 64\n"
+                    "        digest_columns: true\n"
+                    "        digest_unique_keys: true"
+                ),
+            ),
+        )
+        cs, ps = classic.stats["orders"], pruned.stats["orders"]
+        from cassandra_diff_spark.model import STAT_FIELDS
+
+        assert {f: getattr(cs, f) for f in STAT_FIELDS} == {
+            f: getattr(ps, f) for f in STAT_FIELDS
+        }
+        qa, qb = JournalQueries(spark, j1), JournalQueries(spark, j2)
+        key = lambda df: sorted(  # noqa: E731
+            (r.token, r.mismatch_type)
+            for r in df.select("token", "mismatch_type").collect()
+        )
+        assert key(qa.mismatches("job-classic-c")) == key(
+            qb.mismatches("job-digest-cols")
+        )
+
+    def test_requires_unique_keys_declaration(self, spark, pair_dirs, tmp_path):
+        import warnings
+
+        src_dir, tgt_dir = pair_dirs
+        jdir = str(tmp_path / "jc3")
+        cfg = make_cfg(
+            src_dir, tgt_dir, jdir, job_id="job-cols-nodecl",
+            extra="digest_buckets: 64\n        digest_columns: true",
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            res = run_job(spark, cfg)
+        assert any("digest_columns ignored" in str(x.message) for x in w)
+        assert res.stats["orders"].mismatched_partitions > 0  # row path ran
