@@ -48,6 +48,7 @@ _NEEDS_DRIVER_ROW = [
     "curate_shuffle",
     "curate_shards",
     "dedup_minhash_stream",
+    "diff_repair_orders",
 ]
 
 

@@ -1871,6 +1871,41 @@ QUERIES["diff_stats_orders_digest_sparse"] = _q_diff_stats_orders_digest_sparse
 ORACLES["diff_stats_orders_digest_sparse"] = _O_DIFF_STATS_ORDERS_DIGEST_SPARSE
 
 
+def _q_diff_repair_orders(spark, sf_dir):
+    """Reconciliation set for the orders pair: the insert/update/delete
+    rows that would make the target identical to the source — one row
+    per divergent key with the source's values (null on delete)."""
+    from cassandra_diff_spark.operators.diff import repair_actions
+
+    src, tgt = orders_pair(spark, sf_dir)
+    return repair_actions(src, tgt, ORDERS_SPEC)
+
+
+def _make_o_diff_repair_orders() -> str:
+    nonkey = [c for c in ORDERS_COLS if c != "o_orderkey"]
+    vdiff = " OR ".join(
+        f"NOT (s.{c} IS NOT DISTINCT FROM t.{c})" for c in nonkey
+    )
+    vals = ",\n       ".join(
+        f"CASE WHEN t.o_orderkey IS NULL OR ({vdiff}) THEN s.{c} END AS {c}"
+        for c in nonkey
+    )
+    return f"""
+WITH {_ORDERS_TGT_SQL.strip()}
+SELECT CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       {vals}
+FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL OR ({vdiff})
+"""
+
+
+QUERIES["diff_repair_orders"] = _q_diff_repair_orders
+ORACLES["diff_repair_orders"] = _make_o_diff_repair_orders()
+
+
 def _q_streaming_digest_buckets_orders(spark, sf_dir):
     """Streaming-runtime twin of digest_buckets_orders: both sides'
     bucket digests run as COMPLETE-mode Structured Streaming aggregations

@@ -542,3 +542,68 @@ def stats_observation_exprs() -> list:
         F.coalesce(F.sum("matched_values"), F.lit(0)).cast("long").alias("matched_values"),
         F.coalesce(F.sum("mismatched_values"), F.lit(0)).cast("long").alias("mismatched_values"),
     ]
+
+
+def repair_actions(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+) -> DataFrame:
+    """The reconciliation set: the row-level write operations that would
+    make ``tgt`` identical to ``src`` — the "now fix it" surface the
+    reference stops short of (it reports mismatch tokens,
+    MismatchType.java:22-28; applying the fix is left to the operator).
+
+    One row per divergent full key: ``op`` in ('insert', 'update',
+    'delete') + the key columns + the SOURCE values of every non-key
+    column (null on delete). ``insert`` = key only in source, ``delete``
+    = key only in target, ``update`` = aligned row with at least one
+    regular-column value difference (null-safe compare, same `<=>`
+    semantics as the diff counters).
+
+    Scale shape: the same SINGLE-shuffle union pairing as the diff
+    itself (_pair_sides) — matched rows are filtered out before anything
+    widens, so the output is drift-sized, not table-sized. Composes with
+    the digest paths: run it over the dirty-bucket subsets a
+    DigestPrunePlan / ColumnPrunePlan pruned, and the reconciliation
+    write set for a 100 TB pair costs phase-2 economics, not a full
+    rescan.
+    """
+    spec.validate_against(src.columns, tgt.columns)
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    reg = list(spec.regular_columns(src.columns))
+    keys = pk + ck
+    cols = list(dict.fromkeys(keys + reg))
+    non_key = [c for c in cols if c not in keys]
+
+    j = _pair_sides(src, tgt, pk, cols, align_keys=ck)
+    value_diff = (
+        reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(f"s_{c}").eqNullSafe(F.col(f"t_{c}"))
+                for c in non_key
+                if c in reg
+            ],
+        )
+        if [c for c in non_key if c in reg]
+        else F.lit(False)
+    )
+    op = (
+        F.when(~F.col("t_present"), F.lit("insert"))
+        .when(~F.col("s_present"), F.lit("delete"))
+        .when(value_diff, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *keys,
+            *[
+                F.when(F.col("op") != "delete", F.col(f"s_{c}")).alias(c)
+                for c in non_key
+            ],
+        )
+    )

@@ -372,3 +372,45 @@ class TestReadmeDemoParity:
             matched_partitions=1000, matched_rows=1000, matched_values=6000
         )
         assert st.all_matches
+
+
+class TestRepairActions:
+    """repair_actions: applying the emitted write set to the target must
+    reproduce the source exactly — the round-trip property."""
+
+    def _apply(self, tgt, repair, keys, cols):
+        from pyspark.sql import functions as F
+
+        upserts = repair.filter(F.col("op") != "delete").select(*cols)
+        keep = tgt.join(repair.select(*keys), keys, "left_anti")
+        return keep.select(*cols).unionByName(upserts)
+
+    def test_roundtrip_orders(self, spark, sf_dir):
+        from cassandra_diff_spark.gate import ORDERS_SPEC, orders_pair
+        from cassandra_diff_spark.operators.diff import repair_actions
+
+        src, tgt = orders_pair(spark, sf_dir)
+        rep = repair_actions(src, tgt, ORDERS_SPEC)
+        ops = {r["op"] for r in rep.select("op").distinct().collect()}
+        assert ops == {"insert", "update", "delete"}
+        fixed = self._apply(tgt, rep, ["o_orderkey"], src.columns)
+        assert fixed.exceptAll(src).count() == 0
+        assert src.exceptAll(fixed).count() == 0
+
+    def test_roundtrip_clustered_events(self, spark, sf_dir):
+        from cassandra_diff_spark.gate import EVENTS_SPEC, events_pair
+        from cassandra_diff_spark.operators.diff import repair_actions
+
+        src, tgt = events_pair(spark, sf_dir)
+        rep = repair_actions(src, tgt, EVENTS_SPEC)
+        keys = ["user_id", "event_type", "ts", "event_id"]
+        fixed = self._apply(tgt, rep, keys, src.columns)
+        assert fixed.exceptAll(src).count() == 0
+        assert src.exceptAll(fixed).count() == 0
+
+    def test_identical_tables_empty_repair(self, spark, sf_dir):
+        from cassandra_diff_spark.gate import ORDERS_SPEC
+        from cassandra_diff_spark.operators.diff import repair_actions
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert repair_actions(o, o, ORDERS_SPEC).count() == 0
