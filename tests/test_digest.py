@@ -439,6 +439,57 @@ class TestDigestRandomized:
         assert full == pruned, f"seed={seed} align={align}"
 
 
+class TestColumnPruneRandomized:
+    """Seeded randomized equivalence for the COLUMN-pruned path: on
+    unique-full-key tables (the operator's contract) with nulls and
+    mixed key/value drift, column_prune_diff must equal the full set
+    diff. Keys are generated unique by construction."""
+
+    def _random_unique_pair(self, spark, seed: int):
+        import random
+
+        rng = random.Random(seed)
+        n = rng.randint(8, 50)
+
+        def cell(kind):
+            if rng.random() < 0.15:
+                return None
+            if kind == "i":
+                return rng.randint(0, 8)
+            return rng.choice(["a", "b", "c", "dd"])
+
+        # unique (pk, ck): pk = i // 3, ck = i % 3
+        rows = [(i // 3, i % 3, cell("i"), cell("s")) for i in range(n)]
+        schema = "pk int, ck int, v int, w string"
+        src = spark.createDataFrame(rows, schema)
+        tgt_rows = [
+            (
+                r[0],
+                r[1],
+                (r[2] or 0) + 1 if rng.random() < 0.2 else r[2],
+                # null-position drift in a second column too
+                None if rng.random() < 0.05 else r[3],
+            )
+            for r in rows
+            if rng.random() > 0.12
+        ] + [
+            (100 + i, 0, cell("i"), cell("s"))
+            for i in range(rng.randint(0, 4))
+        ]
+        tgt = spark.createDataFrame(tgt_rows, schema)
+        return src, tgt
+
+    @pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+    def test_matches_full_set_diff(self, spark, seed):
+        from cassandra_diff_spark.operators.digest import column_prune_diff
+
+        spec = TableSpec(name="r", partition_key=("pk",), clustering=("ck",))
+        src, tgt = self._random_unique_pair(spark, seed)
+        full = _stats(build_diff(src, tgt, spec, align="set"))
+        pruned = _stats(column_prune_diff(src, tgt, spec, n_buckets=7))
+        assert full == pruned, f"seed={seed}"
+
+
 class TestSnapshots:
     """Persisted digest snapshots: the drift-monitoring primitive."""
 
