@@ -833,6 +833,7 @@ def semantic_dedup(
     centroid_mod: int = 32,
     max_centroids: int = 65536,
     dim: int = 64,
+    index: "DataFrame | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster the embedding space, compare pairs ONLY within a cluster, and
@@ -864,9 +865,16 @@ def semantic_dedup(
     """
     from cassandra_diff_spark.operators.similarity import ivf_index
 
-    idx = ivf_index(
-        df, id_col, vec_col, centroid_mod=centroid_mod,
-        max_centroids=max_centroids, dim=dim,
+    # ``index``: a prebuilt ivf_index frame (same centroid_mod/dim) —
+    # skips the assignment matmul pass, the dominant cost; the caller
+    # owns its persistence (parquet), same contract as ivf_topk
+    idx = (
+        index
+        if index is not None
+        else ivf_index(
+            df, id_col, vec_col, centroid_mod=centroid_mod,
+            max_centroids=max_centroids, dim=dim,
+        )
     )
     # ivf_index emits the centroid ORDINAL (its internal join key); the
     # report column should carry the centroid's actual document id —

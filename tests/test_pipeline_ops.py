@@ -980,3 +980,22 @@ class TestTrainingLayout:
         for d in glob.glob(f"{path}/shard=*"):
             for f in glob.glob(f"{d}/*.parquet"):
                 assert spark.read.parquet(f).count() <= 20
+
+
+class TestSemanticDedupIndexReuse:
+    def test_prebuilt_index_identical(self, embs, tmp_path):
+        p = str(tmp_path / "sem_idx")
+        similarity.ivf_index(
+            embs, "vec_id", "embedding", centroid_mod=32
+        ).write.parquet(p)
+        spark = embs.sparkSession
+        idx = spark.read.parquet(p)
+        fresh = dedup.semantic_dedup(
+            embs, "vec_id", "embedding", min_cos=0.4, centroid_mod=32
+        )
+        reused = dedup.semantic_dedup(
+            embs, "vec_id", "embedding", min_cos=0.4, centroid_mod=32,
+            index=idx,
+        )
+        key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+        assert key(fresh) == key(reused)
