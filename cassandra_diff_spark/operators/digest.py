@@ -754,6 +754,19 @@ def column_prune_plan(
     # regular columns; a column the diff ignores must not trigger phase 2
     digest_cols = list(dict.fromkeys(pk + ck + reg_all))
 
+    # driver-safety: the phase-1 collect is n_buckets x n_cols rows; a
+    # 200-column table on a 2^16 grid would quietly pull 13M rows into
+    # the driver — fail with guidance instead (mirrors the ANN
+    # max_centroids guard)
+    grid = n_buckets * len(digest_cols)
+    if grid > 1 << 20:
+        raise ValueError(
+            f"column digest grid too large to collect: n_buckets="
+            f"{n_buckets} x {len(digest_cols)} columns = {grid} rows; "
+            f"lower n_buckets (pruning granularity is per bucket x "
+            f"column — 4096 buckets localize drift plenty) or digest "
+            f"fewer columns via spec.regular"
+        )
     cd_s = column_digests(
         src, spec, digest_cols, n_buckets=n_buckets, token=tok_fn,
         col_hash_for=col_hash_for,

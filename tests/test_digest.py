@@ -543,3 +543,14 @@ class TestSnapshots:
                 read_digest_snapshot(spark, path, "a"),
                 read_digest_snapshot(spark, path, "b"),
             )
+
+
+class TestColumnPruneGuard:
+    def test_oversized_grid_raises(self, spark):
+        from cassandra_diff_spark.operators.digest import column_prune_plan
+
+        cols = ", ".join(f"c{i} int" for i in range(40))
+        df = spark.createDataFrame([tuple(range(41))], f"pk int, {cols}")
+        spec = TableSpec(name="w", partition_key=("pk",))
+        with pytest.raises(ValueError, match="grid too large"):
+            column_prune_plan(df, df, spec, n_buckets=1 << 16)
