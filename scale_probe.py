@@ -112,6 +112,15 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out: dict = {"n": n, "dim": DIM, "n_queries": N_QUERIES}
     work = os.path.join("/tmp", f"scale_probe_{n}")
 
+    # warm the Arrow python workers (daemon fork + numpy/pandas import,
+    # ~10s across 32 workers) BEFORE any timed section: the probe
+    # measures operator cost, and on a real long-running cluster the
+    # workers are warm; without this the first index build absorbs the
+    # one-time spin-up and the trend line jumps 2-6x run to run
+    spark.range(0, 64, 1, 64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
     t0 = time.time()
     synth_vectors(spark, n).write.mode("overwrite").parquet(f"{work}/corpus.parquet")
     corpus = spark.read.parquet(f"{work}/corpus.parquet")
