@@ -49,6 +49,7 @@ _NEEDS_DRIVER_ROW = [
     "curate_shards",
     "dedup_minhash_stream",
     "diff_repair_orders",
+    "curate_training_corpus",
 ]
 
 

@@ -1535,3 +1535,60 @@ WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
 
 QUERIES["dedup_minhash_stream"] = _q_dedup_minhash_stream
 ORACLES["dedup_minhash_stream"] = _O_DEDUP_MINHASH_STREAM
+
+
+# ---------------------------------------- end-to-end corpus build capstone
+
+def _q_curate_training_corpus(spark, sf_dir):
+    """The whole corpus build as one plan: dedup survivorship -> quality
+    gate -> per-domain cap (salted path) -> epoch-shuffle key -> shard
+    assignment. One row per kept document with everything a training
+    loader needs."""
+    from cassandra_diff_spark.operators.curate import build_training_corpus
+
+    return build_training_corpus(
+        _docs(spark, sf_dir), "doc_id", "text", "source",
+        min_quality_milli=500, domain_max=3, shuffle_seed=7, n_shards=16,
+    )
+
+
+def _make_o_curate_training_corpus() -> str:
+    from cassandra_diff_spark.functions.text import (
+        n_bpe_tokens_sql,
+        quality_milli_sql,
+    )
+
+    shuffle_key = md5_hash64_sql("CAST(id AS VARCHAR) || chr(31) || '7'")
+    h_id = md5_hash64_sql("CAST(id AS VARCHAR)")
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id, source,
+         {fingerprint_sql('text')} AS fp,
+         {quality_milli_sql('text')} AS quality_milli,
+         {langid_sql('text')} AS lang,
+         {n_bpe_tokens_sql('text')} AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT s.* FROM scored s
+  JOIN (SELECT fp, MIN(id) AS keep_id FROM scored GROUP BY fp) k
+    ON s.fp = k.fp AND s.id = k.keep_id
+  WHERE s.quality_milli >= 500
+),
+capped AS (
+  SELECT id, source, lang, quality_milli, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY quality_milli DESC, id ASC
+         ) AS rnk
+  FROM kept
+)
+SELECT id, source, lang, quality_milli, n_tokens,
+       CAST(rnk AS BIGINT) AS domain_rank,
+       {shuffle_key} AS shuffle_key,
+       CAST(({h_id} % 16 + 16) % 16 AS BIGINT) AS shard
+FROM capped WHERE rnk <= 3
+"""
+
+
+QUERIES["curate_training_corpus"] = _q_curate_training_corpus
+ORACLES["curate_training_corpus"] = _make_o_curate_training_corpus()

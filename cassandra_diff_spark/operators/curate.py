@@ -36,12 +36,16 @@ def clean_corpus(
     id_col: str,
     text_col: str,
     min_quality_milli: int = 500,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Kept documents after exact-dedup survivorship + quality gate.
 
-    Returns (id, lang, quality_milli, n_tokens) for every document that
-    (a) is the minimum-id copy of its exact-content fingerprint group and
-    (b) scores at least ``min_quality_milli``.
+    Returns (id, lang, quality_milli, n_tokens[, *extra_cols]) for every
+    document that (a) is the minimum-id copy of its exact-content
+    fingerprint group and (b) scores at least ``min_quality_milli``.
+    ``extra_cols`` ride the same single projection (no re-join against
+    the input) — e.g. the domain column a downstream per-domain cap
+    needs.
     """
     scored = df.select(
         F.col(id_col).alias("id"),
@@ -49,6 +53,7 @@ def clean_corpus(
         quality_milli(F.col(text_col)).alias("quality_milli"),
         langid(F.col(text_col)).alias("lang"),
         n_bpe_tokens(F.col(text_col)).alias("n_tokens"),
+        *[F.col(c) for c in extra_cols],
     )
     # survivor keys (fp, min id) joined back on BOTH columns — a plain
     # two-column equi-join, no self-join lineage ambiguity
@@ -56,7 +61,7 @@ def clean_corpus(
     return (
         scored.join(survivors, ["fp", "id"])
         .filter(F.col("quality_milli") >= min_quality_milli)
-        .select("id", "lang", "quality_milli", "n_tokens")
+        .select("id", "lang", "quality_milli", "n_tokens", *extra_cols)
     )
 
 
@@ -462,4 +467,62 @@ def write_training_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(F.col("shard").cast("long"), "n_rows")
+    )
+
+
+def build_training_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    *,
+    min_quality_milli: int = 500,
+    domain_max: int = 1000,
+    shuffle_seed: int = 0,
+    n_shards: int = 64,
+) -> DataFrame:
+    """The end-to-end corpus build as ONE declarative plan: exact-dedup
+    survivorship -> quality gate -> per-domain cap (best-first by
+    quality) -> deterministic epoch-shuffle key -> hash shard
+    assignment. Returns one row per KEPT document:
+
+        (id, <domain_col>, lang, quality_milli, n_tokens, domain_rank,
+         shuffle_key, shard)
+
+    — everything a training loader needs: read shard K's rows ordered by
+    shuffle_key and you are streaming a curated, capped, reproducibly
+    shuffled corpus. Feed the result to :func:`write_training_shards`
+    (or ``partitionBy("shard").sortBy``) for the physical layout, and to
+    :func:`pack_sequences` for context-window packing.
+
+    Scale shape: one fingerprint shuffle (dedup survivorship), one
+    domain shuffle (the cap window — use the salted cap for
+    mega-domains), and pure map-side expressions for the shuffle/shard
+    keys. No step re-reads the text after the single scoring projection.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    kept = clean_corpus(
+        df, id_col, text_col, min_quality_milli, extra_cols=(domain_col,)
+    )
+    capped = domain_cap(
+        kept, domain_col, n_max=domain_max,
+        order_by=[F.col("quality_milli").desc(), F.col("id").asc()],
+        salt_id_col="id",
+    )
+    return capped.select(
+        "id",
+        domain_col,
+        "lang",
+        "quality_milli",
+        "n_tokens",
+        "domain_rank",
+        md5_hash64(
+            F.concat_ws(
+                "\x1f", F.col("id").cast("string"), F.lit(str(shuffle_seed))
+            )
+        ).alias("shuffle_key"),
+        F.pmod(md5_hash64(F.col("id").cast("string")), F.lit(n_shards)).alias(
+            "shard"
+        ),
     )
