@@ -50,6 +50,7 @@ _NEEDS_DRIVER_ROW = [
     "dedup_minhash_stream",
     "diff_repair_orders",
     "curate_training_corpus",
+    "dedup_cluster_best",
 ]
 
 

@@ -1592,3 +1592,60 @@ FROM capped WHERE rnk <= 3
 
 QUERIES["curate_training_corpus"] = _q_curate_training_corpus
 ORACLES["curate_training_corpus"] = _make_o_curate_training_corpus()
+
+
+# --------------------------------------- quality-aware cluster survivorship
+
+def _q_dedup_cluster_best(spark, sf_dir):
+    """Best-quality survivor per near-duplicate cluster (instead of the
+    min-id convention): MinHash clusters joined with the quality score,
+    max score (tie -> min id) kept."""
+    from cassandra_diff_spark.functions.text import quality_milli
+
+    d = _docs(spark, sf_dir)
+    clusters = dedup.dedup_clusters(
+        dedup.minhash_lsh_pairs(d, "doc_id", "text")
+    )
+    scores = d.select("doc_id", quality_milli(F.col("text")).alias("q"))
+    return dedup.cluster_survivors(clusters, scores, id_col="doc_id", score_col="q")
+
+
+def _make_o_dedup_cluster_best() -> str:
+    from cassandra_diff_spark.functions.text import quality_milli_sql
+
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_BAND_CONDS}
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION ALL
+  SELECT id_2, id_1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+scored AS (SELECT doc_id AS id, {quality_milli_sql('text')} AS q FROM documents)
+SELECT c.id, c.cluster_id,
+       FIRST_VALUE(c.id) OVER (
+         PARTITION BY c.cluster_id ORDER BY s.q DESC, c.id ASC
+       ) AS survivor_id,
+       c.id = FIRST_VALUE(c.id) OVER (
+         PARTITION BY c.cluster_id ORDER BY s.q DESC, c.id ASC
+       ) AS kept
+FROM clusters c JOIN scored s ON c.id = s.id
+"""
+
+
+QUERIES["dedup_cluster_best"] = _q_dedup_cluster_best
+ORACLES["dedup_cluster_best"] = _make_o_dedup_cluster_best()

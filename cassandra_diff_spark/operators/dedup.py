@@ -932,3 +932,42 @@ def semantic_dedup(
             F.coalesce(~F.col("_killed"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivorship over resolved duplicate clusters: where
+    :func:`dedup_clusters`' cluster_id doubles as a min-ID survivor, real
+    corpus builds usually keep the BEST copy (highest quality score,
+    longest, newest...) of each near-duplicate set. Joins the cluster
+    assignment with a per-document score and picks, per cluster, the
+    max-score member (ties -> min id — fully deterministic).
+
+    Returns ``(id, cluster_id, survivor_id, kept)``. One score join +
+    one window over the cluster key — the window's first_value comes
+    from the ordered frame, so no second self-join. Cluster sizes are
+    near-duplicate set sizes (small by nature); a pathological mega-
+    cluster is an input-quality signal, not a plan problem.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("s__")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("s__").desc(), F.col("id").asc()
+    )
+    return (
+        j.withColumn("survivor_id", F.first("id").over(w))
+        .select(
+            "id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("id") == F.col("survivor_id")).alias("kept"),
+        )
+    )

@@ -999,3 +999,20 @@ class TestSemanticDedupIndexReuse:
         )
         key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
         assert key(fresh) == key(reused)
+
+
+class TestClusterSurvivors:
+    def test_best_quality_survivor(self, spark):
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster_id long"
+        )
+        scores = spark.createDataFrame(
+            [(1, 100), (2, 900), (3, 900), (7, 5), (8, 50)], "id long, score long"
+        )
+        res = {
+            r["id"]: (r["survivor_id"], r["kept"])
+            for r in dedup.cluster_survivors(clusters, scores).collect()
+        }
+        # cluster 1: max score 900 tie between 2 and 3 -> min id 2
+        assert res[1] == (2, False) and res[2] == (2, True) and res[3] == (2, False)
+        assert res[8] == (8, True) and res[7] == (8, False)
