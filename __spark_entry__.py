@@ -51,6 +51,7 @@ _NEEDS_DRIVER_ROW = [
     "diff_repair_orders",
     "curate_training_corpus",
     "dedup_cluster_best",
+    "curate_token_budget",
 ]
 
 

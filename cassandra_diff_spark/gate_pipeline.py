@@ -1649,3 +1649,78 @@ FROM clusters c JOIN scored s ON c.id = s.id
 
 QUERIES["dedup_cluster_best"] = _q_dedup_cluster_best
 ORACLES["dedup_cluster_best"] = _make_o_dedup_cluster_best()
+
+
+# ------------------------------------------- token-budget mixture sampling
+
+def _q_curate_token_budget(spark, sf_dir):
+    """Mixture-to-token-budget composition: per-language token budgets
+    (a deterministic function of each language's available tokens) ->
+    keep rates via integer arithmetic -> the map-only hash-predicate
+    sample over the cleaned corpus. Every step integer-exact, so the
+    whole composition has a SQL twin."""
+    from cassandra_diff_spark.operators.curate import (
+        clean_corpus,
+        stratified_sample,
+        token_budget_rates,
+    )
+
+    kept = clean_corpus(_docs(spark, sf_dir), "doc_id", "text")
+    stats = {
+        r["lang"]: r["total"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    # deterministic per-language targets: 1/4, 2/4, 3/4 of available by
+    # sorted-language position (the SQL twin replays the same formula)
+    targets = {
+        lang: ((i % 3) + 1) * stats[lang] // 4
+        for i, lang in enumerate(sorted(stats))
+    }
+    rates = token_budget_rates(stats, targets)
+    return stratified_sample(kept, "id", "lang", rates).select(
+        "id", "lang", "n_tokens"
+    )
+
+
+def _make_o_curate_token_budget() -> str:
+    from cassandra_diff_spark.functions.text import (
+        md5_hash64_sql,
+        n_bpe_tokens_sql,
+        quality_milli_sql,
+    )
+
+    h = md5_hash64_sql("CAST(id AS VARCHAR)")
+    return f"""
+WITH scored AS (
+  SELECT doc_id AS id,
+         {fingerprint_sql('text')} AS fp,
+         {quality_milli_sql('text')} AS quality_milli,
+         {langid_sql('text')} AS lang,
+         {n_bpe_tokens_sql('text')} AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT s.* FROM scored s
+  JOIN (SELECT fp, MIN(id) AS keep_id FROM scored GROUP BY fp) k
+    ON s.fp = k.fp AND s.id = k.keep_id
+  WHERE s.quality_milli >= 500
+),
+stats AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total,
+         ROW_NUMBER() OVER (ORDER BY lang) - 1 AS i
+  FROM kept GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         LEAST(1000000,
+               ((((i % 3) + 1) * total // 4) * 1000000) // total) AS ppm
+  FROM stats
+)
+SELECT k.id, k.lang, k.n_tokens
+FROM kept k JOIN rates r ON k.lang = r.lang
+WHERE {h} % 1000000 < r.ppm
+"""
+
+
+QUERIES["curate_token_budget"] = _q_curate_token_budget
+ORACLES["curate_token_budget"] = _make_o_curate_token_budget()

@@ -526,3 +526,31 @@ def build_training_corpus(
             "shard"
         ),
     )
+
+
+def token_budget_rates(
+    available_tokens: dict,
+    target_tokens: dict,
+) -> dict:
+    """Per-stratum keep rates (ppm) that hit a TOKEN budget per stratum —
+    the mixture-weighting step of a training-data build ("2B tokens of
+    code, 500M of forums"): ppm = target * 1e6 div available, capped at
+    1e6 (a stratum with less than its target keeps everything — the
+    build then reports the shortfall via the stats, it does not
+    oversample).
+
+    Pure integer driver arithmetic over an already-aggregated stats dict
+    (stratum -> available tokens, e.g. from :func:`corpus_stats`);
+    strata absent from ``available_tokens`` get 0. Feed the result to
+    :func:`stratified_sample` — the sampled token count then lands on
+    the target in expectation (the hash predicate samples documents
+    uniformly within a stratum).
+    """
+    rates = {}
+    for stratum, target in target_tokens.items():
+        avail = int(available_tokens.get(stratum, 0))
+        if avail <= 0:
+            rates[stratum] = 0
+        else:
+            rates[stratum] = min(1_000_000, (int(target) * 1_000_000) // avail)
+    return rates

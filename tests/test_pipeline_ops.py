@@ -1016,3 +1016,40 @@ class TestClusterSurvivors:
         # cluster 1: max score 900 tie between 2 and 3 -> min id 2
         assert res[1] == (2, False) and res[2] == (2, True) and res[3] == (2, False)
         assert res[8] == (8, True) and res[7] == (8, False)
+
+
+class TestTokenBudgetRates:
+    def test_rate_arithmetic(self):
+        from cassandra_diff_spark.operators.curate import token_budget_rates
+
+        rates = token_budget_rates(
+            {"en": 1_000_000, "de": 100, "fr": 0},
+            {"en": 250_000, "de": 500, "fr": 10, "xx": 5},
+        )
+        assert rates["en"] == 250_000  # quarter of available
+        assert rates["de"] == 1_000_000  # target > available -> keep all
+        assert rates["fr"] == 0 and rates["xx"] == 0  # nothing available
+
+    def test_sampled_tokens_near_target(self, docs):
+        from cassandra_diff_spark.operators.curate import (
+            clean_corpus,
+            stratified_sample,
+            token_budget_rates,
+        )
+
+        kept = clean_corpus(docs, "doc_id", "text")
+        stats = {
+            r["lang"]: r["t"]
+            for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        targets = {lang: total // 2 for lang, total in stats.items()}
+        sampled = stratified_sample(
+            kept, "id", "lang", token_budget_rates(stats, targets)
+        )
+        got = {
+            r["lang"]: r["t"]
+            for r in sampled.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        for lang, target in targets.items():
+            if target > 1000:  # enough mass for the LLN to apply
+                assert 0.6 * target <= got.get(lang, 0) <= 1.4 * target, lang
