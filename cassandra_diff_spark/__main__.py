@@ -7,6 +7,7 @@
                                    [--continue-on-error]
                                    [--serve [PORT]]
                                    [--drift-report TABLE JOB_A JOB_B]
+                                   [--repair TABLE OUT_PATH]
 
 Prints one JSON line per table with the 9 RangeStats counters, then a
 job summary line; exit code 0 iff every table fully matches
@@ -50,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="compare two runs' digest snapshots of TABLE (no job run)",
     )
+    ap.add_argument(
+        "--repair", nargs=2, metavar=("TABLE", "OUT_PATH"), default=None,
+        help=(
+            "write the insert/update/delete reconciliation set that makes "
+            "the target identical to the source for TABLE to OUT_PATH as "
+            "parquet (no diff job run); prints per-op counts"
+        ),
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -66,6 +75,41 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]
             out[side] = row.asDict()
         print(json.dumps({"table": table, "job_a": job_a, "job_b": job_b, **out}))
+        return 0
+    if args.repair is not None:
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.model import TableSpec
+        from cassandra_diff_spark.operators.diff import repair_actions
+        from cassandra_diff_spark.sources.catalog import table_config_for
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        table, out_path = args.repair
+        tcfg = table_config_for(cfg, table)
+        if tcfg is None:
+            print(f"no key roles configured for table {table}", file=sys.stderr)
+            return 2
+        spec = TableSpec(
+            name=table,
+            partition_key=tcfg.partition_key,
+            clustering=tcfg.clustering,
+        )
+        src = get_provider(cfg.source.provider, cfg.source.options).read_table(
+            spark, table
+        )
+        tgt = get_provider(cfg.target.provider, cfg.target.options).read_table(
+            spark, table
+        )
+        rep = repair_actions(src, tgt, spec)
+        rep.write.mode("overwrite").parquet(out_path)
+        counts = {
+            r["op"]: r["n"]
+            for r in spark.read.parquet(out_path)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({"table": table, "path": out_path, "ops": counts}))
         return 0
     result = run_job(
         spark,

@@ -772,3 +772,42 @@ class TestColumnDigestJob:
             res = run_job(spark, cfg)
         assert any("digest_columns ignored" in str(x.message) for x in w)
         assert res.stats["orders"].mismatched_partitions > 0  # row path ran
+
+
+class TestRepairCli:
+    def test_repair_writes_reconciliation_set(
+        self, spark, pair_dirs, tmp_path, capsys
+    ):
+        import json
+
+        from cassandra_diff_spark.__main__ import main
+
+        src_dir, tgt_dir = pair_dirs
+        cfg_file = tmp_path / "repair_cfg.yaml"
+        out_path = str(tmp_path / "repair_out")
+        cfg_file.write_text(
+            f"job_id: cli-repair\n"
+            f"source: {{provider: parquet, options: {{path: {src_dir}}}}}\n"
+            f"target: {{provider: parquet, options: {{path: {tgt_dir}}}}}\n"
+            f"keyspace_tables:\n"
+            f"  - {{name: orders, partition_key: [o_orderkey]}}\n"
+            f"metadata_options: {{path: {tmp_path / 'j'}}}\n"
+            f"retry_options: {{impl: none}}\n"
+        )
+        rc = main([str(cfg_file), "--repair", "orders", out_path])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # target dropped %97 keys (inserts) and corrupted %53 (updates);
+        # nothing exists only in the target
+        assert out["ops"]["insert"] > 0 and out["ops"]["update"] > 0
+        assert "delete" not in out["ops"]
+        # applying the set reconciles: keep tgt rows not repaired + upserts
+        rep = spark.read.parquet(out_path)
+        src = spark.read.parquet(f"{src_dir}/orders.parquet")
+        tgt = spark.read.parquet(f"{tgt_dir}/orders.parquet")
+        keep = tgt.join(rep.select("o_orderkey"), "o_orderkey", "left_anti")
+        fixed = keep.unionByName(
+            rep.filter("op != 'delete'").select(*src.columns)
+        )
+        assert fixed.exceptAll(src).count() == 0
+        assert src.exceptAll(fixed).count() == 0
