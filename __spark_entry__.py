@@ -52,6 +52,7 @@ _NEEDS_DRIVER_ROW = [
     "curate_training_corpus",
     "dedup_cluster_best",
     "curate_token_budget",
+    "diff_stats_orders_schema_drift",
 ]
 
 

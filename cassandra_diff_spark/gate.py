@@ -1906,6 +1906,24 @@ QUERIES["diff_repair_orders"] = _q_diff_repair_orders
 ORACLES["diff_repair_orders"] = _make_o_diff_repair_orders()
 
 
+def _q_diff_stats_orders_schema_drift(spark, sf_dir):
+    """Schema-tolerant diff (migration scenario): each side carries a
+    column the other lacks; the diff runs over the intersection and the
+    counters equal the plain orders diff — gated by the SAME oracle."""
+    from cassandra_diff_spark.operators.diff import build_diff_common
+
+    src, tgt = orders_pair(spark, sf_dir)
+    src = src.withColumn("legacy_flag", F.lit("x"))
+    tgt = tgt.withColumn("new_metric", F.lit(1))
+    res, src_only, tgt_only = build_diff_common(src, tgt, ORDERS_SPEC)
+    assert src_only == ["legacy_flag"] and tgt_only == ["new_metric"]
+    return res.stats
+
+
+QUERIES["diff_stats_orders_schema_drift"] = _q_diff_stats_orders_schema_drift
+ORACLES["diff_stats_orders_schema_drift"] = _O_DIFF_STATS_ORDERS
+
+
 def _q_streaming_digest_buckets_orders(spark, sf_dir):
     """Streaming-runtime twin of digest_buckets_orders: both sides'
     bucket digests run as COMPLETE-mode Structured Streaming aggregations

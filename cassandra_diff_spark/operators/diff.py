@@ -607,3 +607,41 @@ def repair_actions(
             ],
         )
     )
+
+
+def build_diff_common(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    **kwargs,
+) -> "tuple[DiffResult, list, list]":
+    """Schema-TOLERANT diff for migration scenarios: where the reference
+    fails fast on any column-name difference (Differ.validateTableSpecs,
+    Differ.java:287-291 — right for same-schema clusters, wrong mid-
+    migration), this diffs the COLUMN INTERSECTION and reports each
+    side's exclusive columns instead of refusing.
+
+    Returns ``(DiffResult, src_only_columns, tgt_only_columns)``. Key
+    columns (pk + clustering) must exist on both sides — a missing key
+    is a real schema break and still raises. Value counters cover the
+    common regular columns only (the exclusive columns are unknowable on
+    the other side; callers decide whether their presence is itself a
+    mismatch). ``kwargs`` pass through to :func:`build_diff`.
+    """
+    pk = list(spec.partition_key)
+    ck = list(spec.clustering)
+    tgt_cols = set(tgt.columns)
+    common = [c for c in src.columns if c in tgt_cols]
+    missing_keys = [k for k in pk + ck if k not in set(common)]
+    if missing_keys:
+        raise ValueError(
+            f"key columns missing from one side: {missing_keys} — the "
+            f"schema-tolerant diff needs the full primary key on both sides"
+        )
+    src_only = [c for c in src.columns if c not in tgt_cols]
+    src_col_set = set(src.columns)
+    tgt_only = [c for c in tgt.columns if c not in src_col_set]
+    res = build_diff(
+        src.select(*common), tgt.select(*common), spec, **kwargs
+    )
+    return res, src_only, tgt_only

@@ -414,3 +414,83 @@ class TestRepairActions:
 
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
         assert repair_actions(o, o, ORDERS_SPEC).count() == 0
+
+
+class TestSchemaTolerantDiff:
+    def test_intersection_diff_and_exclusive_columns(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.gate import ORDERS_SPEC, orders_pair
+        from cassandra_diff_spark.operators.diff import (
+            build_diff,
+            build_diff_common,
+        )
+
+        src, tgt = orders_pair(spark, sf_dir)
+        plain = build_diff(src, tgt, ORDERS_SPEC).stats.collect()[0].asDict()
+        res, src_only, tgt_only = build_diff_common(
+            src.withColumn("a_legacy", F.lit("x")),
+            tgt.withColumn("b_new", F.lit(2)),
+            ORDERS_SPEC,
+        )
+        assert src_only == ["a_legacy"] and tgt_only == ["b_new"]
+        assert res.stats.collect()[0].asDict() == plain
+
+    def test_missing_key_still_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.gate import ORDERS_SPEC, orders_pair
+        from cassandra_diff_spark.operators.diff import build_diff_common
+
+        src, tgt = orders_pair(spark, sf_dir)
+        with _pytest.raises(ValueError, match="key columns missing"):
+            build_diff_common(
+                src, tgt.withColumnRenamed("o_orderkey", "renamed"), ORDERS_SPEC
+            )
+
+
+class TestRepairRandomized:
+    """Seeded randomized round-trip: applying the repair set to any
+    unique-keyed target reproduces the source exactly."""
+
+    def _random_unique_pair(self, spark, seed: int):
+        import random
+
+        rng = random.Random(seed)
+        n = rng.randint(8, 50)
+
+        def cell(kind):
+            if rng.random() < 0.15:
+                return None
+            if kind == "i":
+                return rng.randint(0, 8)
+            return rng.choice(["a", "b", "c", "dd"])
+
+        rows = [(i // 3, i % 3, cell("i"), cell("s")) for i in range(n)]
+        schema = "pk int, ck int, v int, w string"
+        src = spark.createDataFrame(rows, schema)
+        tgt_rows = [
+            (r[0], r[1], (r[2] or 0) + 1 if rng.random() < 0.25 else r[2],
+             None if rng.random() < 0.1 else r[3])
+            for r in rows
+            if rng.random() > 0.15
+        ] + [(100 + i, 0, cell("i"), cell("s")) for i in range(rng.randint(0, 4))]
+        tgt = spark.createDataFrame(tgt_rows, schema)
+        return src, tgt
+
+    @pytest.mark.parametrize("seed", [21, 22, 23, 24])
+    def test_roundtrip(self, spark, seed):
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.model import TableSpec
+        from cassandra_diff_spark.operators.diff import repair_actions
+
+        spec = TableSpec(name="r", partition_key=("pk",), clustering=("ck",))
+        src, tgt = self._random_unique_pair(spark, seed)
+        rep = repair_actions(src, tgt, spec)
+        keep = tgt.join(rep.select("pk", "ck"), ["pk", "ck"], "left_anti")
+        fixed = keep.unionByName(
+            rep.filter(F.col("op") != "delete").select(*src.columns)
+        )
+        assert fixed.exceptAll(src).count() == 0, seed
+        assert src.exceptAll(fixed).count() == 0, seed
