@@ -14,13 +14,20 @@ Design stance (see SURVEY.md):
 """
 
 from cassandra_diff_spark.model import TableSpec, DiffStats, STAT_FIELDS
-from cassandra_diff_spark.operators.diff import build_diff, DiffResult
+from cassandra_diff_spark.operators.diff import (
+    DiffResult,
+    build_diff,
+    build_diff_common,
+    repair_actions,
+)
 
 __all__ = [
     "TableSpec",
     "DiffStats",
     "STAT_FIELDS",
     "build_diff",
+    "build_diff_common",
+    "repair_actions",
     "DiffResult",
 ]
 
