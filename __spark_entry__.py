@@ -53,6 +53,8 @@ _NEEDS_DRIVER_ROW = [
     "dedup_cluster_best",
     "curate_token_budget",
     "diff_stats_orders_schema_drift",
+    "balanced_splits_orders",
+    "key_skew_lineitem",
 ]
 
 

@@ -396,6 +396,72 @@ GROUP BY 1
 """
 
 
+def _q_balanced_splits_orders(spark, sf_dir):
+    """Data-driven split planning: near-equal ROW counts per split from
+    the table's token histogram (vs the reference's equal-width cuts,
+    DiffJob.java:246-267, balanced only under uniform hashing) — grid
+    histogram + exclusive-cumsum assignment, integer arithmetic end to
+    end."""
+    from cassandra_diff_spark.plans.splits import balanced_split_report
+
+    o = load(spark, sf_dir, "orders")
+    tok_fn = lambda pk_cols: (  # noqa: E731
+        F.col(pk_cols[0]).cast("bigint") * F.lit(_KNUTH)
+    ) % F.lit(_SPLIT_RING)
+    return balanced_split_report(
+        o, ["o_orderkey"], _N_SPLITS, grid=256, token=tok_fn,
+        min_token=0, max_token=_SPLIT_RING,
+    )
+
+
+_O_BALANCED_SPLITS = f"""
+WITH cells AS (
+  SELECT {split_assignment_sql(_SPLIT_TOK_SQL, 256, 0, _SPLIT_RING)} AS cell
+  FROM orders
+),
+counts AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell),
+c2 AS (
+  SELECT cell, n, SUM(n) OVER () AS total,
+         COALESCE(SUM(n) OVER (
+           ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_ex
+  FROM counts
+)
+SELECT CAST(LEAST({_N_SPLITS - 1}, (cum_ex * {_N_SPLITS}) // total) AS BIGINT) AS split_number,
+       CAST(MIN(cell) AS BIGINT) AS start_cell,
+       CAST(MAX(cell) AS BIGINT) AS end_cell,
+       CAST(SUM(n) AS BIGINT) AS planned_rows
+FROM c2 GROUP BY 1
+"""
+
+
+def _q_key_skew_lineitem(spark, sf_dir):
+    """Partition-skew diagnostic: the 20 heaviest lineitem partitions by
+    row count with their table share in ppm — the pre-flight check for
+    ``skew_safe``/salting decisions."""
+    from cassandra_diff_spark.plans.splits import key_skew_report
+
+    return key_skew_report(
+        load(spark, sf_dir, "lineitem"), ["l_orderkey"], top_n=20
+    )
+
+
+_O_KEY_SKEW_LINEITEM = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+),
+t AS (SELECT counts.*, SUM(n_rows) OVER () AS total FROM counts)
+SELECT l_orderkey, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS ppm
+FROM t
+ORDER BY n_rows DESC, l_orderkey ASC
+LIMIT 20
+"""
+
+
+
+
+
 def _q_random_token_split(spark, sf_dir):
     # F1 RANDOM partitioner: REAL RandomPartitioner tokens (abs of the
     # signed-128 md5 digest, TokenHelper.java:42-58 ring) over a TEXT key
@@ -2324,3 +2390,9 @@ FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket AND sd.col = td.col
 
 QUERIES["column_drift_orders"] = _q_column_drift_orders
 ORACLES["column_drift_orders"] = _make_o_column_drift_orders()
+
+
+QUERIES["balanced_splits_orders"] = _q_balanced_splits_orders
+ORACLES["balanced_splits_orders"] = _O_BALANCED_SPLITS
+QUERIES["key_skew_lineitem"] = _q_key_skew_lineitem
+ORACLES["key_skew_lineitem"] = _O_KEY_SKEW_LINEITEM

@@ -235,3 +235,57 @@ class TestOrderInvariance:
         rev = build_diff(src, tgt, spec, align="positional", reverse=True).stats.collect()[0]
         assert fwd.matched_rows == 2 and rev.matched_rows == 0
         assert fwd.mismatched_partitions == rev.mismatched_partitions == 1
+
+
+class TestBalancedSplits:
+    def test_skewed_keys_get_balanced_row_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.plans.splits import (
+            balanced_split_report,
+            balanced_splits,
+            calculate_splits,
+            split_assignment,
+        )
+
+        # keys piled into the low 1% of the ring: equal-width splits
+        # would put ~everything in split 0
+        ring = 1_000_000
+        df = spark.range(10_000).select(
+            (F.col("id") % 10_000).alias("k")
+        )
+        tok_fn = lambda pk: F.col(pk[0]).cast("bigint")  # noqa: E731
+        n_splits = 8
+        report = {
+            r["split_number"]: r["planned_rows"]
+            for r in balanced_split_report(
+                df, ["k"], n_splits, grid=512, token=tok_fn,
+                min_token=0, max_token=ring,
+            ).collect()
+        }
+        assert sum(report.values()) == 10_000
+        assert max(report.values()) <= 2 * (10_000 // n_splits)
+        # equal-width control: everything lands in split 0
+        eq = df.select(
+            split_assignment(tok_fn(["k"]), n_splits, 0, ring).alias("s")
+        ).groupBy("s").count().collect()
+        assert {r["s"] for r in eq} == {0}
+        # contiguous ring cover
+        splits = balanced_splits(
+            df, ["k"], n_splits, num_buckets=4, grid=512, token=tok_fn,
+            min_token=0, max_token=ring,
+        )
+        assert splits[0].start == 0 and splits[-1].end == ring
+        for a, b in zip(splits, splits[1:]):
+            assert a.end == b.start
+
+    def test_key_skew_report_finds_hot_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.plans.splits import key_skew_report
+
+        hot = spark.range(500).select(F.lit(7).alias("k"))
+        cold = spark.range(500).select((F.col("id") + 100).alias("k"))
+        rep = key_skew_report(hot.unionByName(cold), ["k"], top_n=3).collect()
+        assert rep[0]["k"] == 7 and rep[0]["n_rows"] == 500
+        assert rep[0]["ppm"] == 500_000  # half the table
