@@ -8,6 +8,7 @@
                                    [--serve [PORT]]
                                    [--drift-report TABLE JOB_A JOB_B]
                                    [--repair TABLE OUT_PATH]
+                                   [--plan TABLE N_SPLITS]
 
 Prints one JSON line per table with the 9 RangeStats counters, then a
 job summary line; exit code 0 iff every table fully matches
@@ -52,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         help="compare two runs' digest snapshots of TABLE (no job run)",
     )
     ap.add_argument(
+        "--plan", nargs=2, metavar=("TABLE", "N_SPLITS"), default=None,
+        help=(
+            "print TABLE's data-driven balanced split ranges (near-equal "
+            "row counts from the source's token histogram) as JSON lines "
+            "— no diff job run"
+        ),
+    )
+    ap.add_argument(
         "--repair", nargs=2, metavar=("TABLE", "OUT_PATH"), default=None,
         help=(
             "write the insert/update/delete reconciliation set that makes "
@@ -75,6 +84,34 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]
             out[side] = row.asDict()
         print(json.dumps({"table": table, "job_a": job_a, "job_b": job_b, **out}))
+        return 0
+    if args.plan is not None:
+        from cassandra_diff_spark.model import TableSpec
+        from cassandra_diff_spark.plans.splits import balanced_splits
+        from cassandra_diff_spark.sources.catalog import table_config_for
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        table, n_splits = args.plan[0], int(args.plan[1])
+        tcfg = table_config_for(cfg, table)
+        if tcfg is None:
+            print(f"no key roles configured for table {table}", file=sys.stderr)
+            return 2
+        src = get_provider(cfg.source.provider, cfg.source.options).read_table(
+            spark, table
+        )
+        for s in balanced_splits(
+            src, list(tcfg.partition_key), n_splits, cfg.buckets
+        ):
+            print(
+                json.dumps(
+                    {
+                        "split_number": s.split_number,
+                        "bucket": s.bucket,
+                        "start": s.start,
+                        "end": s.end,
+                    }
+                )
+            )
         return 0
     if args.repair is not None:
         from pyspark.sql import functions as F

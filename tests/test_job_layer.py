@@ -811,3 +811,33 @@ class TestRepairCli:
         )
         assert fixed.exceptAll(src).count() == 0
         assert src.exceptAll(fixed).count() == 0
+
+
+class TestPlanCli:
+    def test_plan_prints_contiguous_balanced_splits(
+        self, spark, pair_dirs, tmp_path, capsys
+    ):
+        import json
+
+        from cassandra_diff_spark.__main__ import main
+        from cassandra_diff_spark.plans.splits import MURMUR3_MAX, MURMUR3_MIN
+
+        src_dir, tgt_dir = pair_dirs
+        cfg_file = tmp_path / "plan_cfg.yaml"
+        cfg_file.write_text(
+            f"source: {{provider: parquet, options: {{path: {src_dir}}}}}\n"
+            f"target: {{provider: parquet, options: {{path: {tgt_dir}}}}}\n"
+            f"keyspace_tables:\n"
+            f"  - {{name: orders, partition_key: [o_orderkey]}}\n"
+            f"metadata_options: {{path: {tmp_path / 'j'}}}\n"
+        )
+        rc = main([str(cfg_file), "--plan", "orders", "8"])
+        assert rc == 0
+        lines = [
+            json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert 1 <= len(lines) <= 8
+        assert lines[0]["start"] == MURMUR3_MIN
+        assert lines[-1]["end"] == MURMUR3_MAX
+        for a, b in zip(lines, lines[1:]):
+            assert a["end"] == b["start"]
