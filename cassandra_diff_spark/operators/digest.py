@@ -932,3 +932,46 @@ def snapshot_drift_summary(a: DataFrame, b: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dirty_rows_est"),
     )
+
+
+def digest_repair(
+    src: DataFrame,
+    tgt: DataFrame,
+    spec: TableSpec,
+    *,
+    n_buckets: int = 4096,
+    align: str = "set",
+    token: Optional[Callable[[Sequence[str]], Column]] = None,
+    row_hash_for: Optional[Callable[[DataFrame], Column]] = None,
+) -> DataFrame:
+    """Digest-pruned reconciliation: the
+    :func:`~cassandra_diff_spark.operators.diff.repair_actions` write set
+    computed over ONLY the digest-dirty buckets — clean buckets are
+    content-identical (same hash contract as the pruned diff) and can
+    contribute no repair op, so the result EQUALS the full repair set at
+    phase-2 cost: two kilobyte-scale digest scans plus a drift-sized
+    pairing, instead of re-pairing 2 x 100 TB to emit a few thousand
+    upserts. Null-bucket rows (custom token fn over null keys) stay IN
+    the repaired subset — same defensive routing as the pruned diff."""
+    from cassandra_diff_spark.operators.diff import repair_actions
+
+    plan = digest_prune_plan(
+        src, tgt, spec, n_buckets=n_buckets, align=align, token=token,
+        row_hash_for=row_hash_for,
+    )
+    tok_fn = token or token_expr
+    pk = list(spec.partition_key)
+    clean_ids = [
+        r.bucket for r in plan.compare_rows
+        if not r.dirty and r.bucket is not None
+    ]
+
+    def dirty_pred(_df: DataFrame) -> Column:
+        if not clean_ids:
+            return F.lit(True)
+        bucket = F.pmod(tok_fn(pk), F.lit(n_buckets))
+        return ~F.coalesce(bucket.isin(clean_ids), F.lit(False))
+
+    return repair_actions(
+        src.filter(dirty_pred(src)), tgt.filter(dirty_pred(tgt)), spec
+    )

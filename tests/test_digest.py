@@ -554,3 +554,24 @@ class TestColumnPruneGuard:
         spec = TableSpec(name="w", partition_key=("pk",))
         with pytest.raises(ValueError, match="grid too large"):
             column_prune_plan(df, df, spec, n_buckets=1 << 16)
+
+
+class TestDigestRepair:
+    def test_equals_full_repair_set(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.diff import repair_actions
+        from cassandra_diff_spark.operators.digest import digest_repair
+
+        src, tgt = orders_pair(spark, sf_dir)
+        full = repair_actions(src, tgt, ORDERS)
+        pruned = digest_repair(src, tgt, ORDERS, n_buckets=64)
+        key = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.collect()
+        )
+        assert key(full) == key(pruned)
+        assert pruned.count() > 0
+
+    def test_identical_tables_empty(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.digest import digest_repair
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert digest_repair(o, o, ORDERS, n_buckets=64).count() == 0
