@@ -38,6 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round); declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
     # new in round 5 — no driver row exists yet
+    "events_asof_attribution",
+    "events_asof_chunked",
+    "events_interval_attribution",
+    "events_resample_locf",
     "diff_stats_lineitem_bucketed_digest",
     "diff_stats_orders_digest_cols",
     "diff_stats_events_digest_cols",

@@ -1724,3 +1724,207 @@ WHERE {h} % 1000000 < r.ppm
 
 QUERIES["curate_token_budget"] = _q_curate_token_budget
 ORACLES["curate_token_budget"] = _make_o_curate_token_budget()
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of attribution, interval
+# containment, LOCF resampling. Spark has no ASOF JOIN; the operator is
+# the union-window formulation (one hash shuffle, no inequality-join
+# candidate blow-up). The DuckDB oracles use LATERAL nearest-row
+# subqueries / plain inequality joins — the semantics spec, quadratic
+# and fine at sf0.01 — so the gates prove the single-shuffle plans
+# compute exactly what the naive relational form does.
+
+
+def _q_events_asof_attribution(spark, sf_dir):
+    """Every click joined to the user's most recent at-or-before
+    purchase (ties on ts: greatest event_id wins — the deterministic
+    tiebreak contract)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        prefix="purchase_",
+    ).select(
+        "event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value"
+    )
+
+
+_O_EVENTS_ASOF_ATTRIBUTION = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, m.purchase_ts, m.purchase_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts AS purchase_ts, r.value AS purchase_value
+  FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+def _q_events_asof_chunked(spark, sf_dir):
+    """The hot-key-parallel chunked as-of (15-minute chunks — far below
+    the data's spacing, so the boundary carry-in stitching is exercised
+    on nearly every match) with a 2 h staleness bound. Same oracle shape
+    as the unchunked gate: the chunking must be invisible."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import asof_join_chunked
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_chunked(
+        clicks,
+        errors,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        prefix="err_",
+        tolerance_us=2 * 3_600 * 1_000_000,
+        chunk_us=15 * 60 * 1_000_000,
+    ).select("event_id", "user_id", "ts", "err_ts", "err_value")
+
+
+_O_EVENTS_ASOF_CHUNKED = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id, l.user_id, l.ts, m.err_ts, m.err_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts AS err_ts, r.value AS err_value
+  FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+    AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+def _q_events_interval_attribution(spark, sf_dir):
+    """Per-purchase 2-hour attribution window: how many of the user's
+    clicks (and their value sum) land inside [purchase_ts, +2h], zero-
+    click purchases included — the left_intervals containment join,
+    bucketed at 1 h cells so no inequality join ever runs."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import interval_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return (
+        interval_join(
+            clicks,
+            purchases,
+            ["user_id"],
+            point_ts="click_ts",
+            how="left_intervals",
+            bucket_us=3_600 * 1_000_000,
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("click_id").cast("long").alias("n_clicks"),
+            F.sum("click_value").alias("click_value_sum"),
+        )
+    )
+
+
+_O_EVENTS_INTERVAL_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS s,
+         ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks,
+       SUM(c.value) AS click_value_sum
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts >= p.s AND c.ts <= p.e
+GROUP BY p.purchase_id
+"""
+
+
+def _q_events_resample_locf(spark, sf_dir):
+    """Per-user hourly grid (first observation floored to the hour
+    through the last) carrying each user's most recent at-or-before
+    event value forward — the time-series gridding step feeding
+    fixed-step models. Grid + values = one small per-key agg + the
+    single-shuffle as-of join; never a driver loop."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import resample_locf
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return resample_locf(
+        ev,
+        ["user_id"],
+        value_cols=["value"],
+        step_us=3_600 * 1_000_000,
+        tiebreak="event_id",
+    ).select("user_id", "grid_ts", "locf_ts", "locf_value")
+
+
+_O_EVENTS_RESAMPLE_LOCF = """
+WITH b AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY user_id
+),
+g AS (
+  SELECT user_id,
+         UNNEST(generate_series(date_trunc('hour', t0), t1, INTERVAL 1 HOUR))
+           AS grid_ts
+  FROM b
+)
+SELECT g.user_id, g.grid_ts, m.locf_ts, m.locf_value
+FROM g LEFT JOIN LATERAL (
+  SELECT e.ts AS locf_ts, e.value AS locf_value
+  FROM events e
+  WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+QUERIES["events_asof_attribution"] = _q_events_asof_attribution
+ORACLES["events_asof_attribution"] = _O_EVENTS_ASOF_ATTRIBUTION
+QUERIES["events_asof_chunked"] = _q_events_asof_chunked
+ORACLES["events_asof_chunked"] = _O_EVENTS_ASOF_CHUNKED
+QUERIES["events_interval_attribution"] = _q_events_interval_attribution
+ORACLES["events_interval_attribution"] = _O_EVENTS_INTERVAL_ATTRIBUTION
+QUERIES["events_resample_locf"] = _q_events_resample_locf
+ORACLES["events_resample_locf"] = _O_EVENTS_RESAMPLE_LOCF

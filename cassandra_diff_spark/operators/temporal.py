@@ -1,0 +1,463 @@
+"""Temporal joins: as-of (point-in-time) join, interval containment join,
+and last-observation-carried-forward resampling.
+
+The reference engine has no temporal-join surface (its only time
+functions are the day fan-out helpers, see SURVEY.md §2.7 F6/F7); these
+operators are part of the beyond-reference training-pipeline surface: a
+feature store's point-in-time-correct join ("the value of feature X as
+of example time T, never after" — the join that prevents label leakage),
+event-to-window attribution, and time-series gridding for downstream
+models.
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do), and the naive
+translation — an inequality join ``l.key = r.key AND r.ts <= l.ts``
+followed by a max-per-left-row aggregation — materializes O(|matches|)
+intermediate rows: at 100 TB a single hot key with a year of history
+turns each left row into thousands of joined candidates before the
+aggregation throws them away. The implementation here is the
+union-window formulation: tag both sides, union, ONE hash shuffle on the
+key, and a running ``last(value, ignorenulls=True)`` over the
+(ts, side-priority, tiebreak) sort inside each key partition. Cost is a
+single data-sized Exchange plus a sort — the same shape as any windowed
+aggregation, with zero intermediate blow-up (``tests/test_temporal.py``
+asserts the one-Exchange plan).
+
+For HOT keys (one key's whole history in one task), :func:`asof_join_
+chunked` splits each key's timeline into fixed chunks, runs the window
+per (key, chunk) — parallel across chunks — and stitches boundaries with
+a per-chunk carry-in computed on a kilobyte-scale frame (keys x touched
+chunks). Equivalence with the unchunked operator is property-tested on
+adversarial data (duplicate keys/timestamps, empty chunks).
+
+All tie-breaks are total and deterministic (the contract every gate
+oracle reproduces): among right rows sharing (key, ts), the GREATEST
+``right_tiebreak`` wins, in both directions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _us_of(col: Column) -> Column:
+    """Microseconds since epoch; the cast makes TIMESTAMP_NTZ inputs
+    (raw parquet reads) work — under the engine's pinned UTC session
+    timezone the NTZ->TZ cast is value-identity, and it is a no-op for
+    plain timestamps."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+_US_PER = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+}
+
+
+def _to_us(amount: float, unit: str) -> int:
+    if unit not in _US_PER:
+        raise ValueError(f"unknown time unit {unit!r}; one of {sorted(_US_PER)}")
+    return int(amount * _US_PER[unit])
+
+
+def _prefixed(cols: Sequence[str], prefix: str) -> list[str]:
+    return [f"{prefix}{c}" for c in cols]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str],
+    right_tiebreak: Optional[str] = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_us: Optional[int] = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Point-in-time join: every ``left`` row picks the nearest ``right``
+    row at-or-before (``backward``) / at-or-after (``forward``) its own
+    timestamp, per key — a LEFT join (unmatched left rows keep nulls).
+
+    Output = all ``left`` columns + ``prefix + right_ts`` (the matched
+    right timestamp) + ``prefix + c`` for each ``right_cols`` entry.
+
+    * ``strict``: exclude right rows at exactly the left timestamp
+      (``<`` / ``>`` instead of ``<=`` / ``>=``).
+    * ``tolerance_us``: match only within this many microseconds
+      (staleness bound); an out-of-tolerance match nulls out.
+    * ``right_tiebreak``: total-orders right rows sharing (key, ts); the
+      greatest value wins. Required for deterministic output when the
+      right side may hold duplicate (key, ts) — pass the event/sequence
+      id column.
+
+    Scale shape: ONE hash Exchange (union frame, shuffled on ``on``) and
+    one sort — no inequality join, no candidate blow-up. A single
+    pathologically hot key serializes into one task; use
+    :func:`asof_join_chunked` there.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = list(on)
+    right_cols = list(right_cols)
+    lcols = list(left.columns)
+    for c in _prefixed([right_ts] + right_cols, prefix):
+        if c in lcols:
+            raise ValueError(
+                f"output column {c!r} collides with a left column; pick a "
+                f"different prefix"
+            )
+
+    # side priorities: the side that must sort FIRST among equal
+    # timestamps gets the smaller value. Non-strict => right rows at the
+    # left row's own ts are eligible => right before left; strict =>
+    # right after left (the window, which ends at the current row, then
+    # never sees them).
+    r_pri, l_pri = (1, 0) if strict else (0, 1)
+
+    tb = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r_sel = (
+        [F.col(c) for c in on]
+        + [
+            F.col(right_ts).alias("__ts"),
+            F.lit(r_pri).alias("__pri"),
+            tb.cast("long").alias("__tb"),
+        ]
+        + [F.col(c).alias(f"__r_{c}") for c in right_cols]
+        + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
+    )
+    rtypes = dict(right.dtypes)
+    l_sel = (
+        [F.col(c) for c in on]
+        + [
+            F.col(left_ts).alias("__ts"),
+            F.lit(l_pri).alias("__pri"),
+            F.lit(None).cast("long").alias("__tb"),
+        ]
+        + [
+            F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
+            for c in right_cols
+        ]
+        + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
+    )
+    u = right.select(*r_sel).unionByName(left.select(*l_sel))
+
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__pri").asc(), F.col("__tb").asc()]
+    else:
+        # desc ts; among equal right ts, GREATEST tiebreak must be the
+        # last row the window sees => ascending tiebreak here too
+        order = [F.col("__ts").desc(), F.col("__pri").asc(), F.col("__tb").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_right = F.col("__tb").isNotNull()
+    matched_ts = F.last(F.when(is_right, F.col("__ts")), ignorenulls=True).over(w)
+    picked = {
+        c: F.last(F.when(is_right, F.col(f"__r_{c}")), ignorenulls=True).over(w)
+        for c in right_cols
+    }
+    out = u.withColumn("__mts", matched_ts)
+    for c in right_cols:
+        out = out.withColumn(f"__m_{c}", picked[c])
+
+    within: Column = F.lit(True)
+    if tolerance_us is not None:
+        gap = _us_of(F.col("__ts")) - _us_of(F.col("__mts"))
+        if direction == "forward":
+            gap = -gap
+        within = F.col("__mts").isNotNull() & (gap <= F.lit(int(tolerance_us)))
+
+    return out.filter(~is_right).select(
+        *[F.col(c) for c in on],
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
+        F.when(within, F.col("__mts")).alias(f"{prefix}{right_ts}"),
+        *[
+            F.when(within, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str],
+    right_tiebreak: Optional[str] = None,
+    strict: bool = False,
+    tolerance_us: Optional[int] = None,
+    prefix: str = "r_",
+    chunk_us: int = 3_600 * 1_000_000,
+) -> DataFrame:
+    """Hot-key-parallel :func:`asof_join` (backward direction): each key's
+    timeline splits into fixed ``chunk_us`` chunks and the running-last
+    window runs per (key, chunk) — a year-long hot key becomes ~8760
+    independent hour tasks instead of one. Chunk boundaries are stitched
+    by a carry-in: the last right row of every PRECEDING chunk, computed
+    by a per-(key, chunk) partial aggregation (map-side combined — the
+    carry frame is keys x touched chunks, kilobytes per key) and a
+    window over that small frame.
+
+    Semantics are IDENTICAL to ``asof_join(..., direction="backward")``
+    — property-tested on duplicate-timestamp adversarial data. The
+    stitching relies on chunk boundaries falling strictly between
+    timestamps of different chunks, which fixed-width flooring
+    guarantees.
+
+    Cost: two data-sized hash Exchanges (the right-side partial agg and
+    the (key, chunk) union window) vs the unchunked operator's one —
+    the price of unbounded per-key parallelism. Pick ``chunk_us`` so a
+    chunk holds ~10^5-10^6 rows of the hottest key.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+    chunk = lambda ts: (_us_of(F.col(ts)) / F.lit(int(chunk_us))).cast("long")  # noqa: E731
+
+    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    # last right row per (key, chunk): max_by over the total (ts, tb)
+    # order — one partial-aggregated shuffle, output rows = touched chunks
+    rc = right.select(
+        *on,
+        chunk(right_ts).alias("__chunk"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            tb.cast("long").alias("tb"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__row"),
+        F.struct(F.col(right_ts).alias("ts"), tb.cast("long").alias("tb")).alias("__ord"),
+    )
+    last_per_chunk = rc.groupBy(*on, "__chunk").agg(
+        F.max_by("__row", "__ord").alias("__last")
+    )
+
+    # chunk universe = chunks touched by EITHER side (a left chunk with
+    # no right rows still needs a carry-in); distinct over (key, chunk)
+    # pairs only — the frames shuffled here carry two/three columns
+    chunks = (
+        left.select(*on, chunk(left_ts).alias("__chunk"))
+        .unionByName(rc.select(*on, "__chunk"))
+        .distinct()
+    )
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        chunks.join(last_per_chunk, on=on + ["__chunk"], how="left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wc))
+        .select(*on, "__chunk", "__carry")
+    )
+
+    # in-chunk union window — same construction as asof_join but
+    # partitioned by (key, chunk); carry-in joins back on the SAME
+    # (key, chunk) grouping so AQE plans it against the small frame
+    r_pri, l_pri = (1, 0) if strict else (0, 1)
+    lcols = list(left.columns)
+    rtypes = dict(right.dtypes)
+    r_sel = (
+        [F.col(c) for c in on]
+        + [
+            chunk(right_ts).alias("__chunk"),
+            F.col(right_ts).alias("__ts"),
+            F.lit(r_pri).alias("__pri"),
+            tb.cast("long").alias("__tb"),
+        ]
+        + [F.col(c).alias(f"__r_{c}") for c in right_cols]
+        + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
+    )
+    l_sel = (
+        [F.col(c) for c in on]
+        + [
+            chunk(left_ts).alias("__chunk"),
+            F.col(left_ts).alias("__ts"),
+            F.lit(l_pri).alias("__pri"),
+            F.lit(None).cast("long").alias("__tb"),
+        ]
+        + [F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols]
+        + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
+    )
+    u = right.select(*r_sel).unionByName(left.select(*l_sel))
+
+    w = (
+        Window.partitionBy(*(on + ["__chunk"]))
+        .orderBy(F.col("__ts").asc(), F.col("__pri").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_right = F.col("__tb").isNotNull()
+    out = u.withColumn(
+        "__mts", F.last(F.when(is_right, F.col("__ts")), ignorenulls=True).over(w)
+    )
+    for c in right_cols:
+        out = out.withColumn(
+            f"__m_{c}",
+            F.last(F.when(is_right, F.col(f"__r_{c}")), ignorenulls=True).over(w),
+        )
+    out = out.filter(~is_right).join(carry, on=on + ["__chunk"], how="left")
+
+    # stitch: no in-chunk match => fall back to the carry-in row
+    mts = F.coalesce(F.col("__mts"), F.col("__carry.ts"))
+    within: Column = F.lit(True)
+    if tolerance_us is not None:
+        gap = _us_of(F.col("__ts")) - _us_of(mts)
+        within = mts.isNotNull() & (gap <= F.lit(int(tolerance_us)))
+
+    return out.select(
+        *[F.col(c) for c in on],
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
+        F.when(within, mts).alias(f"{prefix}{right_ts}"),
+        *[
+            F.when(
+                within, F.coalesce(F.col(f"__m_{c}"), F.col(f"__carry.{c}"))
+            ).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    point_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    how: str = "inner",
+    bucket_us: int = 3_600 * 1_000_000,
+) -> DataFrame:
+    """Containment join: every ``points`` row pairs with every
+    ``intervals`` row (same key) whose ``[start, end]`` (closed) contains
+    its timestamp. ``how="left_intervals"`` keeps empty intervals (their
+    point columns null) — the attribution shape ("events per campaign
+    window, windows with zero events included").
+
+    Output = all interval columns + all point columns (caller
+    disambiguates name collisions beforehand).
+
+    Scale shape: the naive inequality join is a broadcast-nested-loop
+    (or a per-key cross product) — O(|points| x |intervals|) candidates
+    per key. Here both sides bucket into fixed ``bucket_us`` time cells:
+    an interval replicates into each cell it overlaps (sequence +
+    explode — replication factor = interval length / bucket width, pick
+    ``bucket_us`` near the TYPICAL interval length), a point lands in
+    exactly ONE cell, and the join is a plain hash equi-join on
+    (key, cell) followed by the exact containment filter. One data-sized
+    Exchange per side; a point's single cell means no output dedup is
+    needed.
+    """
+    if how not in ("inner", "left_intervals"):
+        raise ValueError(f"how must be inner|left_intervals, got {how!r}")
+    on = list(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(on)
+    if overlap:
+        raise ValueError(
+            f"point/interval column name collision: {sorted(overlap)}; "
+            f"rename before joining"
+        )
+    b = int(bucket_us)
+    cell_of = lambda c: (_us_of(F.col(c)) / F.lit(b)).cast("long")  # noqa: E731
+
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(F.sequence(cell_of(start), cell_of(end))),
+    )
+    pt = points.withColumn("__cell", cell_of(point_ts))
+    cond = (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
+
+    if how == "inner":
+        return (
+            iv.join(pt, on=on + ["__cell"], how="inner")
+            .filter(cond)
+            .drop("__cell")
+        )
+    # left_intervals: keep every interval exactly once when nothing
+    # matches. The bucketed join gives one row per (interval, cell,
+    # point) candidate; non-matching candidates must not survive as
+    # spurious half-null rows, so null out point columns failing the
+    # containment test and collapse the interval's no-match cells.
+    pcols = [c for c in points.columns if c not in on]
+    j = iv.join(pt, on=on + ["__cell"], how="left")
+    for c in pcols:
+        j = j.withColumn(c, F.when(cond, F.col(c)))
+    icols = [c for c in intervals.columns]
+    matched = j.filter(F.col(point_ts).isNotNull()).drop("__cell")
+    empties = (
+        j.groupBy(*[F.col(c) for c in icols])
+        .agg(F.max(F.when(F.col(point_ts).isNotNull(), 1)).alias("__any"))
+        .filter(F.col("__any").isNull())
+        .drop("__any")
+    )
+    for c in pcols:
+        empties = empties.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
+    return matched.unionByName(empties)
+
+
+def resample_locf(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    ts: str = "ts",
+    value_cols: Sequence[str],
+    step_us: int = 3_600 * 1_000_000,
+    tiebreak: Optional[str] = None,
+    prefix: str = "locf_",
+) -> DataFrame:
+    """Per-key fixed-step time grid with last-observation-carried-forward
+    values: one output row per (key, grid instant) from the key's first
+    observation (floored to the grid) through its last, each carrying the
+    most recent at-or-before observation of every ``value_cols`` entry
+    (plus ``prefix + ts`` = that observation's timestamp).
+
+    The grid generates from a per-key min/max aggregation (one partial-
+    aggregated shuffle, one output row per key) + ``sequence``/``explode``
+    — never a driver-side loop — and values attach via
+    :func:`asof_join`'s single-shuffle union window. Grid instants before
+    the first observation (the flooring edge) keep nulls.
+    """
+    on = list(on)
+    step = int(step_us)
+    bounds = df.groupBy(*on).agg(
+        F.min(ts).alias("__t0"), F.max(ts).alias("__t1")
+    )
+    grid = bounds.select(
+        *on,
+        F.explode(
+            F.sequence(
+                (_us_of(F.col("__t0")) / F.lit(step)).cast("long") * F.lit(step),
+                _us_of(F.col("__t1")),
+                F.lit(step),
+            )
+        ).alias("__gus"),
+    ).select(*on, F.timestamp_micros(F.col("__gus")).alias("grid_ts"))
+    return asof_join(
+        grid,
+        df,
+        on,
+        left_ts="grid_ts",
+        right_ts=ts,
+        right_cols=list(value_cols),
+        right_tiebreak=tiebreak,
+        direction="backward",
+        prefix=prefix,
+    )

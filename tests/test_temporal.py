@@ -1,0 +1,313 @@
+"""Temporal join operators: as-of join (plain + hot-key-chunked),
+interval containment join, LOCF resampling.
+
+The randomized suites compare against brute-force references (a pandas
+per-row scan for as-of; Spark's own inequality cross-join for
+intervals) on adversarial data — duplicate keys, duplicate timestamps
+(forcing the tiebreak contract), keys missing from one side, and chunk
+widths from far-below to far-above the timestamp spacing.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.temporal import (
+    asof_join,
+    asof_join_chunked,
+    interval_join,
+    resample_locf,
+)
+
+US = 1_000_000
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _ts(us: int) -> datetime:
+    return _EPOCH + timedelta(microseconds=int(us))
+
+
+def _us(dt: datetime) -> int:
+    return (dt - _EPOCH) // timedelta(microseconds=1)
+
+
+
+def _mk_left(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(rows)],
+        "k long, ts timestamp, lid long",
+    )
+
+
+def _mk_right(spark, rows):
+    return spark.createDataFrame(
+        [
+            (k, _ts(t), i, float(v))
+            for i, (k, t, v) in enumerate(rows)
+        ],
+        "k long, ts timestamp, rid long, v double",
+    )
+
+
+def _brute_asof(lrows, rrows, *, direction="backward", strict=False, tol=None):
+    """Per-left-row scan over the right side: the semantics spec."""
+    out = {}
+    for li, (lk, lt) in enumerate(lrows):
+        best = None  # (ts, rid, v)
+        for ri, (rk, rt, rv) in enumerate(rrows):
+            if rk != lk:
+                continue
+            if direction == "backward":
+                ok = rt < lt if strict else rt <= lt
+                better = best is None or (rt, ri) > (best[0], best[1])
+            else:
+                ok = rt > lt if strict else rt >= lt
+                # nearest following; among equal ts the greatest rid wins
+                better = best is None or (-rt, ri) > (-best[0], best[1])
+            if ok and better:
+                best = (rt, ri, rv)
+        if best is not None and tol is not None:
+            gap = (lt - best[0]) if direction == "backward" else (best[0] - lt)
+            if gap > tol:
+                best = None
+        out[li] = best
+    return out
+
+
+class TestAsofJoin:
+    def test_basic_backward(self, spark):
+        left = _mk_left(spark, [(1, 100), (1, 200), (2, 50)])
+        right = _mk_right(spark, [(1, 90, 9.0), (1, 150, 15.0), (3, 10, 1.0)])
+        got = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join(
+                left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+            ).collect()
+        }
+        assert got[0] == (_ts(90), 9.0)
+        assert got[1] == (_ts(150), 15.0)
+        assert got[2] == (None, None)  # key 2 has no right rows
+
+    def test_equal_ts_tiebreak_and_strict(self, spark):
+        left = _mk_left(spark, [(1, 100)])
+        # two right rows at the LEFT row's own ts: non-strict picks the
+        # greatest rid; strict excludes both and falls back
+        right = _mk_right(spark, [(1, 100, 1.0), (1, 100, 2.0), (1, 99, 0.5)])
+        r = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+        ).collect()[0]
+        assert r.r_v == 2.0
+        r = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+            strict=True,
+        ).collect()[0]
+        assert r.r_v == 0.5
+
+    def test_tolerance_nulls_stale_match(self, spark):
+        left = _mk_left(spark, [(1, 100 * US), (1, 200 * US)])
+        right = _mk_right(spark, [(1, 95 * US, 9.0)])
+        rows = {
+            r.lid: r.r_v
+            for r in asof_join(
+                left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+                tolerance_us=10 * US,
+            ).collect()
+        }
+        assert rows[0] == 9.0  # 5 s gap, within tolerance
+        assert rows[1] is None  # 105 s gap, stale
+
+    def test_forward(self, spark):
+        left = _mk_left(spark, [(1, 100), (1, 300)])
+        right = _mk_right(spark, [(1, 150, 15.0), (1, 250, 25.0)])
+        rows = {
+            r.lid: r.r_v
+            for r in asof_join(
+                left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+                direction="forward",
+            ).collect()
+        }
+        assert rows[0] == 15.0  # nearest following, not latest
+        assert rows[1] is None
+
+    def test_single_exchange_plan(self, spark):
+        left = _mk_left(spark, [(1, 100)])
+        right = _mk_right(spark, [(1, 90, 9.0)])
+        df = asof_join(left, right, ["k"], right_cols=["v"], right_tiebreak="rid")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    @pytest.mark.parametrize("direction,strict", [
+        ("backward", False), ("backward", True),
+        ("forward", False), ("forward", True),
+    ])
+    def test_randomized_vs_brute(self, spark, direction, strict):
+        rnd = random.Random(7)
+        # tiny ts domain => many exact ties; keys 0-4, some left-only/
+        # right-only
+        lrows = [(rnd.randrange(5), rnd.randrange(30)) for _ in range(60)]
+        rrows = [
+            (rnd.randrange(6), rnd.randrange(30), rnd.randrange(100))
+            for _ in range(80)
+        ]
+        want = _brute_asof(lrows, rrows, direction=direction, strict=strict)
+        got = {
+            r.lid: (None if r.r_v is None else (_us(r.r_ts), r.r_v))
+            for r in asof_join(
+                _mk_left(spark, lrows),
+                _mk_right(spark, rrows),
+                ["k"],
+                right_cols=["v"],
+                right_tiebreak="rid",
+                direction=direction,
+                strict=strict,
+            ).collect()
+        }
+        assert len(got) == len(lrows)
+        for li, best in want.items():
+            assert got[li] == (None if best is None else (best[0], best[2])), li
+
+
+class TestAsofChunked:
+    @pytest.mark.parametrize("chunk_us", [1, 7, 1000])
+    @pytest.mark.parametrize("strict", [False, True])
+    def test_matches_unchunked(self, spark, chunk_us, strict):
+        rnd = random.Random(11)
+        lrows = [(rnd.randrange(4), rnd.randrange(50)) for _ in range(70)]
+        rrows = [
+            (rnd.randrange(5), rnd.randrange(50), rnd.randrange(100))
+            for _ in range(90)
+        ]
+        left, right = _mk_left(spark, lrows), _mk_right(spark, rrows)
+        kw = dict(right_cols=["v"], right_tiebreak="rid", strict=strict)
+        plain = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join(left, right, ["k"], **kw).collect()
+        }
+        chunked = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join_chunked(
+                left, right, ["k"], chunk_us=chunk_us, **kw
+            ).collect()
+        }
+        assert chunked == plain
+
+    def test_tolerance_matches_unchunked(self, spark):
+        rnd = random.Random(13)
+        lrows = [(rnd.randrange(3), rnd.randrange(40) * US) for _ in range(40)]
+        rrows = [
+            (rnd.randrange(3), rnd.randrange(40) * US, rnd.randrange(10))
+            for _ in range(40)
+        ]
+        left, right = _mk_left(spark, lrows), _mk_right(spark, rrows)
+        kw = dict(right_cols=["v"], right_tiebreak="rid", tolerance_us=5 * US)
+        plain = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join(left, right, ["k"], **kw).collect()
+        }
+        chunked = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join_chunked(
+                left, right, ["k"], chunk_us=3 * US, **kw
+            ).collect()
+        }
+        assert chunked == plain
+
+
+class TestIntervalJoin:
+    def _mk(self, spark, rnd, n_iv, n_pt):
+        iv = spark.createDataFrame(
+            [
+                (rnd.randrange(4), i, _ts(a),
+                 _ts(a + rnd.randrange(0, 20)))
+                for i, a in enumerate(rnd.randrange(60) for _ in range(n_iv))
+            ],
+            "k long, iv_id long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [
+                (rnd.randrange(4), i, _ts(rnd.randrange(70)))
+                for i in range(n_pt)
+            ],
+            "k long, pt_id long, ts timestamp",
+        )
+        return iv, pt
+
+    @pytest.mark.parametrize("bucket_us", [1, 5, 1000])
+    def test_inner_vs_inequality_join(self, spark, bucket_us):
+        rnd = random.Random(17)
+        iv, pt = self._mk(spark, rnd, 25, 60)
+        got = {
+            (r.iv_id, r.pt_id)
+            for r in interval_join(
+                pt, iv, ["k"], bucket_us=bucket_us
+            ).collect()
+        }
+        want = {
+            (r.iv_id, r.pt_id)
+            for r in iv.alias("i")
+            .join(
+                pt.alias("p"),
+                (F.col("i.k") == F.col("p.k"))
+                & (F.col("p.ts") >= F.col("i.start"))
+                & (F.col("p.ts") <= F.col("i.end")),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_left_intervals_keeps_empties(self, spark):
+        iv = spark.createDataFrame(
+            [
+                (1, 0, _ts(10), _ts(20)),
+                (1, 1, _ts(100), _ts(110)),
+            ],
+            "k long, iv_id long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(1, 0, _ts(15))],
+            "k long, pt_id long, ts timestamp",
+        )
+        rows = interval_join(
+            pt, iv, ["k"], how="left_intervals", bucket_us=5
+        ).collect()
+        by_iv = {}
+        for r in rows:
+            by_iv.setdefault(r.iv_id, []).append(r.pt_id)
+        assert by_iv[0] == [0]
+        assert by_iv[1] == [None]  # empty interval survives with null point
+
+    def test_collision_raises(self, spark):
+        iv = spark.createDataFrame(
+            [(1, _ts(0), _ts(1))],
+            "k long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(1, _ts(0), _ts(0))],
+            "k long, ts timestamp, start timestamp",
+        )
+        with pytest.raises(ValueError, match="collision"):
+            interval_join(pt, iv, ["k"])
+
+
+class TestResampleLocf:
+    def test_hourly_grid(self, spark):
+        h = 3_600 * US
+        df = spark.createDataFrame(
+            [
+                (1, _ts(h + 600 * US), 10.0),
+                (1, _ts(3 * h + 60 * US), 30.0),
+            ],
+            "k long, ts timestamp, v double",
+        )
+        rows = sorted(
+            resample_locf(df, ["k"], value_cols=["v"], step_us=h).collect(),
+            key=lambda r: r.grid_ts,
+        )
+        # grid: floor(1h10m)=1h .. 3h1m => 1h, 2h, 3h
+        assert [_us(r.grid_ts) for r in rows] == [h, 2 * h, 3 * h]
+        # 1h grid point precedes the first observation => null
+        assert [r.locf_v for r in rows] == [None, 10.0, 10.0]
