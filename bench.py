@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "diff_stats_orders_digest_sparse",
     "dedup_semantic",
+    "events_asof_attribution",
 ]
 
 
