@@ -1928,3 +1928,136 @@ QUERIES["events_interval_attribution"] = _q_events_interval_attribution
 ORACLES["events_interval_attribution"] = _O_EVENTS_INTERVAL_ATTRIBUTION
 QUERIES["events_resample_locf"] = _q_events_resample_locf
 ORACLES["events_resample_locf"] = _O_EVENTS_RESAMPLE_LOCF
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction (operators/cdc.py). The latest-state gate deliberately
+# proves the SCALE claim: the operator is a max_by hash aggregation
+# (map-side combinable), the oracle is the row_number()-window
+# formulation — hash-matching output shows the cheap plan computes the
+# expensive plan's answer.
+
+
+def _cdc_events_changelog(spark, sf_dir):
+    """Deterministic changelog derivation: every event is an upsert of
+    the user's row except 'error' events, which are tombstones."""
+    from cassandra_diff_spark.gate import load_events
+
+    return load_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+
+
+_O_CDC_EVENTS_CHANGELOG = """
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+"""
+
+
+def _q_cdc_latest_state(spark, sf_dir):
+    """Changelog -> current state: per user the greatest (ts, event_id)
+    version's full row, users whose last event is a tombstone absent."""
+    from cassandra_diff_spark.operators.cdc import latest_state
+
+    return latest_state(
+        _cdc_events_changelog(spark, sf_dir),
+        ["user_id"],
+        ts_col="ts",
+        seq_col="event_id",
+    )
+
+
+_O_CDC_LATEST_STATE = f"""
+WITH cl AS ({_O_CDC_EVENTS_CHANGELOG}),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM cl
+)
+SELECT user_id, ts, event_id, event_type, value
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _q_cdc_scd2_intervals(spark, sf_dir):
+    """Changelog -> SCD2 validity rows: each non-delete version with
+    [valid_from, valid_to) bounds; tombstones close the prior interval
+    but emit nothing; the newest version stays open (null valid_to)."""
+    from cassandra_diff_spark.operators.cdc import scd2_intervals
+
+    return scd2_intervals(
+        _cdc_events_changelog(spark, sf_dir).drop("event_type"),
+        ["user_id"],
+        ts_col="ts",
+        seq_col="event_id",
+    )
+
+
+_O_CDC_SCD2_INTERVALS = f"""
+WITH cl AS ({_O_CDC_EVENTS_CHANGELOG}),
+iv AS (
+  SELECT user_id, value, op,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM cl
+)
+SELECT user_id, value, valid_from, valid_to
+FROM iv WHERE op <> 'D'
+"""
+
+
+def _q_cdc_apply_changelog(spark, sf_dir):
+    """Snapshot roll-forward on orders: a derived delta deletes keys
+    ending in 0, rewrites the totalprice of keys ending in 1, and
+    inserts fresh keys — applied as one union + max_by shuffle."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.cdc import apply_changelog
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 <= 2)
+    upd = base.filter(F.col("o_orderkey") % 10 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    dele = base.filter(F.col("o_orderkey") % 10 == 0)
+    ins = base.filter(F.col("o_orderkey") % 10 == 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    log = (
+        upd.withColumn("op", F.lit("U"))
+        .unionByName(dele.withColumn("op", F.lit("D")))
+        .unionByName(ins.withColumn("op", F.lit("U")))
+        .withColumn("op_ts", F.col("o_orderdate"))
+    )
+    return apply_changelog(base, log, ["o_orderkey"], ts_col="op_ts")
+
+
+_O_CDC_APPLY_CHANGELOG = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <= 2)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+FROM base WHERE o_orderkey % 10 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM base WHERE o_orderkey % 10 = 2
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM base WHERE o_orderkey % 10 = 2
+"""
+
+
+QUERIES["cdc_latest_state"] = _q_cdc_latest_state
+ORACLES["cdc_latest_state"] = _O_CDC_LATEST_STATE
+QUERIES["cdc_scd2_intervals"] = _q_cdc_scd2_intervals
+ORACLES["cdc_scd2_intervals"] = _O_CDC_SCD2_INTERVALS
+QUERIES["cdc_apply_changelog"] = _q_cdc_apply_changelog
+ORACLES["cdc_apply_changelog"] = _O_CDC_APPLY_CHANGELOG
