@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round); declared rows-only entries last.
 _NEEDS_DRIVER_ROW = [
     # new in round 5 — no driver row exists yet
+    "validate_orders",
     "cdc_latest_state",
     "cdc_scd2_intervals",
     "cdc_apply_changelog",

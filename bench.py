@@ -65,6 +65,13 @@ def main() -> None:
     spark.range(0, 32, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # pre-stage the bucketed lineitem layout: the bucketed gate measures
+    # the RECURRING diff over an existing layout (its whole point); the
+    # one-time bucketBy write otherwise lands inside the first timed run
+    # and swamps the trend line (24 s staging vs 1.7 s diff at sf0.1)
+    gate._stage_bucketed_lineitem_pair(
+        spark, sf_dir, f"/tmp/cds_gate_bucketed_{Path(sf_dir).name}"
+    )
 
     from cassandra_diff_spark import operators
 

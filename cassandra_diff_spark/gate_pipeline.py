@@ -2061,3 +2061,112 @@ QUERIES["cdc_scd2_intervals"] = _q_cdc_scd2_intervals
 ORACLES["cdc_scd2_intervals"] = _O_CDC_SCD2_INTERVALS
 QUERIES["cdc_apply_changelog"] = _q_cdc_apply_changelog
 ORACLES["cdc_apply_changelog"] = _O_CDC_APPLY_CHANGELOG
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality validation (operators/validate.py). The gate
+# corrupts orders deterministically first — every rule kind must prove
+# itself on NONZERO violation counts (clean TPC-H data would pass
+# trivially), and the fused one-scan aggregation must match per-rule
+# scalar SQL counts.
+
+
+def _q_validate_orders(spark, sf_dir):
+    """Rule sweep over a deterministically-corrupted orders table:
+    nulled custkeys (%97), dangling FK custkeys (%79), invalid status
+    (%89), negative totalprice (%83), malformed priority (%73), and
+    duplicated orderkeys (%101)."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators import validate as V
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    bad = (
+        o.withColumn(
+            "o_custkey",
+            F.when(k % 97 == 0, F.lit(None).cast("long"))
+            .when(k % 79 == 0, F.lit(999999999))
+            .otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 89 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 83 == 0, -F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 73 == 0, F.lit("BAD")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    bad = bad.unionByName(bad.filter(k % 101 == 0))
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        V.not_null("o_custkey"),
+        V.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        V.in_range("o_totalprice", lo=0.0),
+        V.regex_match("o_orderpriority", "^[1-5]-"),
+        V.unique("o_orderkey"),
+        V.foreign_key(["o_custkey"], customer, ["c_custkey"]),
+    ]
+    return V.check_rules(bad, rules)
+
+
+_O_VALIDATE_ORDERS = """
+WITH bad0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              WHEN o_orderkey % 79 = 0 THEN 999999999
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 83 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 73 = 0 THEN 'BAD' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+),
+bad AS (
+  SELECT * FROM bad0
+  UNION ALL SELECT * FROM bad0 WHERE o_orderkey % 101 = 0
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bad)
+SELECT r.rule, r.columns, r.violations, t.total, r.violations = 0 AS "pass"
+FROM t, (
+  SELECT 'not_null(o_custkey)' AS rule, 'o_custkey' AS columns,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad WHERE o_custkey IS NULL)
+           AS violations
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'in_range(o_totalprice)', 'o_totalprice',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad WHERE o_totalprice < 0.0)
+  UNION ALL
+  SELECT 'regex_match(o_orderpriority)', 'o_orderpriority',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad
+          WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey',
+         (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+          FROM bad)
+  UNION ALL
+  SELECT 'foreign_key(o_custkey)', 'o_custkey',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+) r
+"""
+
+
+QUERIES["validate_orders"] = _q_validate_orders
+ORACLES["validate_orders"] = _O_VALIDATE_ORDERS

@@ -1,0 +1,248 @@
+"""Declarative data-quality validation: a rule set compiled into ONE
+aggregation pass (plus one anti-join per foreign-key rule).
+
+The reference validates schemas structurally (SURVEY.md §2.2 P9) but has
+no row-content constraint surface; a training-data pipeline needs one —
+the ingest gate that answers "how many rows violate each contract"
+before a corpus is admitted. The design constraint at 100 TB is pass
+count: N rules must NOT mean N scans. Here every row-local rule
+(not_null / accepted_values / in_range / regex / custom predicate)
+becomes a conditional-sum column in a single ``agg`` over one scan, and
+uniqueness folds into the same aggregation as ``count(*) -
+count_distinct(struct(cols))``. Foreign-key rules are the only ones that
+need a second relation: each compiles to a LEFT ANTI join against the
+(broadcast when dimension-sized) referenced keys — the join Catalyst
+already optimizes.
+
+Two consumption shapes:
+
+* :func:`check_rules` — one row per rule: (rule, column, violations,
+  total, pass). Kilobytes; the thing a scheduler gates on.
+* :func:`violation_samples` — up to ``limit`` EXAMPLE rows per row-local
+  rule (union of filtered limits — still pruned scans, no shuffle), for
+  the human debugging the gate failure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative constraint. ``kind`` ∈ {not_null, accepted_values,
+    in_range, regex_match, predicate, unique, foreign_key}. Row-local
+    kinds evaluate in the fused single-pass aggregation; ``unique`` joins
+    it via count-distinct; ``foreign_key`` costs one anti-join against
+    ``ref`` (broadcast by default — dimension tables; pass
+    ``broadcast_ref=False`` for fact-sized references)."""
+
+    kind: str
+    name: str
+    columns: tuple
+    values: tuple = ()
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    pattern: Optional[str] = None
+    predicate: Optional[Column] = field(default=None, compare=False)
+    ref: Optional[DataFrame] = field(default=None, compare=False)
+    ref_columns: tuple = ()
+    broadcast_ref: bool = True
+
+
+def not_null(*cols: str) -> Rule:
+    return Rule("not_null", f"not_null({','.join(cols)})", tuple(cols))
+
+
+def accepted_values(col: str, values: Sequence) -> Rule:
+    return Rule(
+        "accepted_values", f"accepted_values({col})", (col,), tuple(values)
+    )
+
+
+def in_range(col: str, lo=None, hi=None) -> Rule:
+    return Rule("in_range", f"in_range({col})", (col,), lo=lo, hi=hi)
+
+
+def regex_match(col: str, pattern: str) -> Rule:
+    return Rule("regex_match", f"regex_match({col})", (col,), pattern=pattern)
+
+
+def predicate(name: str, cond: Column, *cols: str) -> Rule:
+    """Custom row-local constraint: ``cond`` must hold (null counts as a
+    violation). ``cols`` is documentation-only (reported in the result)."""
+    return Rule("predicate", name, tuple(cols), predicate=cond)
+
+
+def unique(*cols: str) -> Rule:
+    return Rule("unique", f"unique({','.join(cols)})", tuple(cols))
+
+
+def foreign_key(
+    cols: Sequence[str],
+    ref: DataFrame,
+    ref_cols: Sequence[str],
+    *,
+    broadcast_ref: bool = True,
+) -> Rule:
+    cols, ref_cols = tuple(cols), tuple(ref_cols)
+    if len(cols) != len(ref_cols):
+        raise ValueError("foreign_key column lists must align")
+    return Rule(
+        "foreign_key",
+        f"foreign_key({','.join(cols)})",
+        cols,
+        ref=ref,
+        ref_columns=ref_cols,
+        broadcast_ref=broadcast_ref,
+    )
+
+
+def _violation_cond(rule: Rule) -> Column:
+    """Row-local violation condition (true => the row violates). Null
+    handling: not_null flags nulls; the other row-local kinds treat a
+    null as NOT a violation (compose with not_null to forbid nulls) —
+    the coalesce makes that explicit rather than null-propagated."""
+    c = F.col(rule.columns[0]) if rule.columns else None
+    if rule.kind == "not_null":
+        conds = [F.col(x).isNull() for x in rule.columns]
+        out = conds[0]
+        for x in conds[1:]:
+            out = out | x
+        return out
+    if rule.kind == "accepted_values":
+        return F.coalesce(~c.isin(list(rule.values)), F.lit(False))
+    if rule.kind == "in_range":
+        conds = []
+        if rule.lo is not None:
+            conds.append(c < F.lit(rule.lo))
+        if rule.hi is not None:
+            conds.append(c > F.lit(rule.hi))
+        if not conds:
+            return F.lit(False)
+        out = conds[0]
+        for x in conds[1:]:
+            out = out | x
+        return F.coalesce(out, F.lit(False))
+    if rule.kind == "regex_match":
+        return F.coalesce(~c.rlike(rule.pattern), F.lit(False))
+    if rule.kind == "predicate":
+        return F.coalesce(~rule.predicate, F.lit(True))
+    raise ValueError(f"rule kind {rule.kind!r} is not row-local")
+
+
+_ROW_LOCAL = {"not_null", "accepted_values", "in_range", "regex_match", "predicate"}
+
+
+def check_rules(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate every rule; one output row per rule:
+    ``(rule, columns, violations, total, pass)``.
+
+    Cost: ONE scan for all row-local + unique rules (fused conditional
+    sums and count-distincts in a single aggregation) + one anti-join
+    scan pair per foreign-key rule. The result is ≤ len(rules) rows.
+    """
+    rules = list(rules)
+    if not rules:
+        raise ValueError("empty rule set")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    fused = [r for r in rules if r.kind in _ROW_LOCAL or r.kind == "unique"]
+    for i, r in enumerate(fused):
+        if r.kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(c) for c in r.columns]))
+                ).alias(f"__v{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(_violation_cond(r).cast("long")).alias(f"__v{i}")
+            )
+    one = df.agg(*aggs)
+    if any(r.kind == "foreign_key" for r in rules):
+        # the 1-row fused agg feeds BOTH the per-rule explode and each
+        # foreign-key row's total column; without materialization every
+        # FK rule would re-run the full-table scan behind it
+        from cassandra_diff_spark.operators import tracked_cache
+
+        one = tracked_cache(one)
+
+    out = None
+    if fused:
+        out = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.name).alias("rule"),
+                            F.lit(",".join(r.columns)).alias("columns"),
+                            F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                            .cast("long")
+                            .alias("violations"),
+                            F.col("__total").cast("long").alias("total"),
+                        )
+                        for i, r in enumerate(fused)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+    total_col = one.select(F.col("__total"))
+    for r in rules:
+        if r.kind != "foreign_key":
+            continue
+        ref = r.ref.select(
+            *[F.col(rc).alias(c) for c, rc in zip(r.columns, r.ref_columns)]
+        ).dropDuplicates(list(r.columns))
+        if r.broadcast_ref:
+            ref = F.broadcast(ref)
+        # null FK values are not violations (optional relationships);
+        # the anti-join would keep them, so pre-filter to non-null keys
+        nn = df
+        for c in r.columns:
+            nn = nn.filter(F.col(c).isNotNull())
+        viol = nn.join(ref, on=list(r.columns), how="left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("violations")
+        )
+        row = viol.crossJoin(total_col).select(
+            F.lit(r.name).alias("rule"),
+            F.lit(",".join(r.columns)).alias("columns"),
+            "violations",
+            F.col("__total").cast("long").alias("total"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn("pass", F.col("violations") == 0)
+
+
+def violation_samples(
+    df: DataFrame, rules: Sequence[Rule], *, limit: int = 5
+) -> DataFrame:
+    """Up to ``limit`` example violating rows per ROW-LOCAL rule, each
+    tagged with the rule name (first column). Each rule contributes a
+    filtered+limited branch — Catalyst pushes the filters to the scan
+    and the limits stop early; no shuffle. unique/foreign_key rules are
+    skipped (their witnesses are aggregate/join-shaped — use
+    :func:`check_rules` and a targeted query)."""
+    branches = []
+    for r in rules:
+        if r.kind not in _ROW_LOCAL:
+            continue
+        branches.append(
+            df.filter(_violation_cond(r))
+            .limit(limit)
+            .select(F.lit(r.name).alias("rule"), "*")
+        )
+    if not branches:
+        raise ValueError("no row-local rules to sample")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
