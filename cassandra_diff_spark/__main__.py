@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         help="compare two runs' digest snapshots of TABLE (no job run)",
     )
     ap.add_argument(
+        "--validate", action="store_true",
+        help=(
+            "run the config's declarative data-quality rules instead of "
+            "a diff job: one JSON line per (table, side, rule); exit 1 "
+            "if any rule fails"
+        ),
+    )
+    ap.add_argument(
         "--plan", nargs=2, metavar=("TABLE", "N_SPLITS"), default=None,
         help=(
             "print TABLE's data-driven balanced split ranges (near-equal "
@@ -85,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
             out[side] = row.asDict()
         print(json.dumps({"table": table, "job_a": job_a, "job_b": job_b, **out}))
         return 0
+    if args.validate:
+        from cassandra_diff_spark.job import run_validation
+
+        rows = run_validation(spark, cfg).collect()
+        all_pass = True
+        for r in rows:
+            print(json.dumps(r.asDict()))
+            all_pass = all_pass and r["pass"]
+        return 0 if all_pass else 1
     if args.plan is not None:
         from cassandra_diff_spark.model import TableSpec
         from cassandra_diff_spark.plans.splits import balanced_splits

@@ -56,6 +56,37 @@ class TableConfig:
 
 
 @dataclass(frozen=True)
+class ValidationRuleConfig:
+    """One declarative data-quality rule (operators/validate.py) in YAML
+    form. ``kind`` ∈ {not_null, accepted_values, in_range, regex_match,
+    expr, unique, foreign_key}; ``expr`` rules carry a SQL boolean
+    expression that must hold per row (``expr: "o_totalprice >= 0"``).
+    ``foreign_key`` references another table read through the SAME
+    side's provider."""
+
+    kind: str
+    columns: tuple = ()
+    values: tuple = ()
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    pattern: Optional[str] = None
+    expr: Optional[str] = None
+    name: Optional[str] = None
+    ref_table: Optional[str] = None
+    ref_columns: tuple = ()
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    """Rules for one table; ``side`` picks which cluster's copy is
+    checked (``source`` / ``target`` / ``both``)."""
+
+    table: str
+    rules: tuple
+    side: str = "both"
+
+
+@dataclass(frozen=True)
 class JobConfig:
     source: SourceConfig
     target: SourceConfig
@@ -93,6 +124,10 @@ class JobConfig:
     # write both sides' bucket digests there (zero extra scans — reused
     # from phase 1) keyed by job_id, for cross-run drift_report queries.
     snapshot_path: Optional[str] = None
+    # declarative data-quality rules (operators/validate.py) run by
+    # `--validate` / job.run_validation: per-table, per-side rule sets;
+    # empty tuple disables
+    validation: tuple = ()
     metadata_options: MetadataOptions = field(default_factory=MetadataOptions)
     retry_options: RetryOptions = field(default_factory=RetryOptions)
 
@@ -143,6 +178,28 @@ def parse_config(raw: dict) -> JobConfig:
         digest_unique_keys=bool(raw.get("digest_unique_keys", False)),
         digest_columns=bool(raw.get("digest_columns", False)),
         snapshot_path=raw.get("snapshot_path"),
+        validation=tuple(
+            ValidationConfig(
+                table=v["table"],
+                side=v.get("side", "both"),
+                rules=tuple(
+                    ValidationRuleConfig(
+                        kind=r["kind"],
+                        columns=tuple(r.get("columns", ())),
+                        values=tuple(r.get("values", ())),
+                        lo=r.get("lo"),
+                        hi=r.get("hi"),
+                        pattern=r.get("pattern"),
+                        expr=r.get("expr"),
+                        name=r.get("name"),
+                        ref_table=r.get("ref_table"),
+                        ref_columns=tuple(r.get("ref_columns", ())),
+                    )
+                    for r in v.get("rules", ())
+                ),
+            )
+            for v in raw.get("validation", ())
+        ),
         metadata_options=MetadataOptions(**raw.get("metadata_options", {})),
         retry_options=RetryOptions(**raw.get("retry_options", {})),
     )

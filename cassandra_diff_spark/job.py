@@ -502,3 +502,50 @@ def _attribute_error(e: Exception) -> str:
             return e.source
         e = e.__cause__
     return "UNKNOWN"
+
+
+def run_validation(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """Config-driven data-quality sweep: every ``cfg.validation`` entry's
+    rules evaluated against the named table on the configured side(s),
+    one output row per (table, side, rule) —
+    ``(table, side, rule, columns, violations, total, pass)``.
+
+    Per table+side this costs one fused aggregation scan plus one
+    anti-join per foreign_key rule (operators/validate.py); foreign-key
+    references read through the SAME side's provider, so a source-side
+    FK check never touches the target cluster."""
+    from pyspark.sql import functions as F
+
+    from cassandra_diff_spark.operators.validate import (
+        check_rules,
+        rules_from_config,
+    )
+    from cassandra_diff_spark.sources.provider import get_provider
+
+    if not cfg.validation:
+        raise ValueError("config has no validation entries")
+    frames = []
+    for vc in cfg.validation:
+        if vc.side not in ("source", "target", "both"):
+            raise ValueError(f"validation side must be source|target|both, got {vc.side!r}")
+        sides = ("source", "target") if vc.side == "both" else (vc.side,)
+        for side in sides:
+            sc = cfg.source if side == "source" else cfg.target
+            provider = get_provider(sc.provider, sc.options)
+            df = _tagged_read(provider, spark, vc.table, side)
+
+            def resolve_ref(t: str, _p=provider, _s=side) -> DataFrame:
+                return _tagged_read(_p, spark, t, _s)
+
+            rules = rules_from_config(vc.rules, resolve_ref=resolve_ref)
+            frames.append(
+                check_rules(df, rules).select(
+                    F.lit(vc.table).alias("table"),
+                    F.lit(side).alias("side"),
+                    "*",
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -246,3 +246,39 @@ def violation_samples(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def rules_from_config(rule_cfgs, resolve_ref=None) -> list:
+    """Materialize :class:`~cassandra_diff_spark.config.
+    ValidationRuleConfig` entries into :class:`Rule`s. ``resolve_ref``:
+    fn(table_name) -> DataFrame for foreign_key references (required iff
+    any FK rule is present). YAML ``expr`` rules compile through
+    ``F.expr`` — any SQL boolean over the row's columns."""
+    out = []
+    for rc in rule_cfgs:
+        if rc.kind == "not_null":
+            out.append(not_null(*rc.columns))
+        elif rc.kind == "accepted_values":
+            out.append(accepted_values(rc.columns[0], list(rc.values)))
+        elif rc.kind == "in_range":
+            out.append(in_range(rc.columns[0], lo=rc.lo, hi=rc.hi))
+        elif rc.kind == "regex_match":
+            out.append(regex_match(rc.columns[0], rc.pattern))
+        elif rc.kind == "expr":
+            out.append(
+                predicate(rc.name or f"expr({rc.expr})", F.expr(rc.expr), *rc.columns)
+            )
+        elif rc.kind == "unique":
+            out.append(unique(*rc.columns))
+        elif rc.kind == "foreign_key":
+            if resolve_ref is None:
+                raise ValueError(
+                    "foreign_key rule requires a ref resolver (reading "
+                    f"{rc.ref_table!r})"
+                )
+            out.append(
+                foreign_key(rc.columns, resolve_ref(rc.ref_table), rc.ref_columns)
+            )
+        else:
+            raise ValueError(f"unknown validation rule kind {rc.kind!r}")
+    return out

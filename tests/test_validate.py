@@ -118,3 +118,76 @@ class TestViolationSamples:
     def test_no_row_local_raises(self, spark, facts, dim):
         with pytest.raises(ValueError, match="row-local"):
             violation_samples(facts, [unique("id")])
+
+
+class TestConfigDrivenValidation:
+    @pytest.fixture()
+    def vdirs(self, spark, sf_dir, tmp_path_factory):
+        """source = pristine orders+customer; target drops some customers
+        so orders-side FK breaks there."""
+        base = tmp_path_factory.mktemp("vpair")
+        src_dir, tgt_dir = str(base / "src"), str(base / "tgt")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders.write.parquet(f"{src_dir}/orders.parquet")
+        customer.write.parquet(f"{src_dir}/customer.parquet")
+        orders.write.parquet(f"{tgt_dir}/orders.parquet")
+        customer.filter(F.col("c_custkey") % 7 != 0).write.parquet(
+            f"{tgt_dir}/customer.parquet"
+        )
+        return src_dir, tgt_dir
+
+    def _cfg_text(self, src_dir, tgt_dir, side="both"):
+        return f"""
+job_id: v-test
+source: {{provider: parquet, options: {{path: {src_dir}}}}}
+target: {{provider: parquet, options: {{path: {tgt_dir}}}}}
+keyspace_tables:
+  - {{name: orders, partition_key: [o_orderkey]}}
+validation:
+  - table: orders
+    side: {side}
+    rules:
+      - {{kind: not_null, columns: [o_custkey]}}
+      - {{kind: accepted_values, columns: [o_orderstatus], values: [O, F, P]}}
+      - {{kind: expr, name: price_positive, expr: o_totalprice > 0, columns: [o_totalprice]}}
+      - {{kind: unique, columns: [o_orderkey]}}
+      - {{kind: foreign_key, columns: [o_custkey], ref_table: customer, ref_columns: [c_custkey]}}
+"""
+
+    def test_run_validation_both_sides(self, spark, vdirs):
+        import io
+
+        from cassandra_diff_spark.config import load_config
+        from cassandra_diff_spark.job import run_validation
+
+        src_dir, tgt_dir = vdirs
+        cfg = load_config(io.StringIO(self._cfg_text(src_dir, tgt_dir)))
+        rows = run_validation(spark, cfg).collect()
+        assert len(rows) == 10  # 5 rules x 2 sides
+        by = {(r.side, r.rule): (r.violations, r["pass"]) for r in rows}
+        # pristine source: everything passes
+        assert all(p for (s, _), (_, p) in by.items() if s == "source")
+        # target customer table lost %7 keys -> orders FK violations there
+        v, p = by[("target", "foreign_key(o_custkey)")]
+        assert v > 0 and not p
+        assert by[("target", "unique(o_orderkey)")] == (0, True)
+
+    def test_cli_validate_exit_codes(self, spark, vdirs, tmp_path, capsys):
+        import json as _json
+
+        from cassandra_diff_spark.__main__ import main
+
+        src_dir, tgt_dir = vdirs
+        ok_cfg = tmp_path / "ok.yaml"
+        ok_cfg.write_text(self._cfg_text(src_dir, tgt_dir, side="source"))
+        assert main([str(ok_cfg), "--validate"]) == 0
+        lines = [
+            _json.loads(x)
+            for x in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert len(lines) == 5 and all(x["pass"] for x in lines)
+
+        bad_cfg = tmp_path / "bad.yaml"
+        bad_cfg.write_text(self._cfg_text(src_dir, tgt_dir, side="target"))
+        assert main([str(bad_cfg), "--validate"]) == 1
