@@ -2170,3 +2170,36 @@ FROM t, (
 
 QUERIES["validate_orders"] = _q_validate_orders
 ORACLES["validate_orders"] = _O_VALIDATE_ORDERS
+
+
+def _q_cdc_latest_state_stream(spark, sf_dir):
+    """Streaming-runtime twin of cdc_latest_state: the changelog streams
+    in file-sized micro-batches (availableNow, 4 files) through the
+    COMPLETE-mode max_by aggregation; the drained state table equals the
+    batch operator's — gated by the SAME window-formulation oracle. The
+    max_by version order is batching-independent, so the multi-batch
+    drain is deterministic."""
+    import shutil
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_latest_state
+
+    cl = _cdc_events_changelog(spark, sf_dir)
+    stage = "/tmp/cds_gate_stream_cdc"
+    shutil.rmtree(stage, ignore_errors=True)
+    cl.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_latest_state(
+        stream,
+        ["user_id"],
+        name="cds_stream_cdc_state",
+        ts_col="ts",
+        seq_col="event_id",
+    )
+
+
+QUERIES["cdc_latest_state_stream"] = _q_cdc_latest_state_stream
+ORACLES["cdc_latest_state_stream"] = _O_CDC_LATEST_STATE

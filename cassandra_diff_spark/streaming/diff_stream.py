@@ -307,3 +307,60 @@ def stream_minhash_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_latest_state(
+    stream: DataFrame,
+    keys,
+    *,
+    name: str,
+    ts_col: str = "op_ts",
+    seq_col: str | None = None,
+    op_col: str | None = "op",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming CDC compaction: a changelog stream maintained as
+    current state by the SAME max_by aggregation as the batch
+    :func:`~cassandra_diff_spark.operators.cdc.latest_state` — running
+    state is ONE struct per live key (the greatest-(ts, seq) version),
+    map-side-combined within every micro-batch, in COMPLETE output mode.
+
+    Drains an availableNow trigger into an in-memory table and returns
+    the final state frame — deterministic and identical to the batch
+    operator over the same rows (the gate asserts this against the
+    window-formulation SQL oracle). The delete filter applies on the
+    drained frame: tombstoned keys hold their (tiny) tombstone struct in
+    state rather than vanishing, which is what lets a later upsert
+    resurrect the key with correct ordering. In production the same
+    plan runs unbounded with a processingTime trigger into a
+    Delta/parquet sink serving point lookups."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    payload_cols = [c for c in stream.columns if c not in keys]
+    if seq_col is None:
+        ver = F.struct(F.col(ts_col).alias("ts"))
+    else:
+        ver = F.struct(F.col(ts_col).alias("ts"), F.col(seq_col).alias("seq"))
+    agg = stream.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), ver
+        ).alias("__v")
+    )
+    w = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    drained = stream.sparkSession.table(name)
+    out = drained.select(
+        *keys, *[F.col(f"__v.{c}").alias(c) for c in payload_cols]
+    )
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != "D").drop(op_col)
+    return out

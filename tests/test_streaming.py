@@ -259,3 +259,34 @@ def test_stream_minhash_dedup_equals_one_shot(spark, sf_dir, tmp_path):
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(got) == key(one_shot)
     assert got.count() > 0  # the corpus really contains duplicates
+
+
+def test_stream_latest_state_matches_batch(spark, sf_dir, tmp_path):
+    """CDC compaction drained from real micro-batches == the batch
+    operator: the max_by version order makes the final state
+    batching-independent."""
+    from cassandra_diff_spark.operators.cdc import latest_state
+    from cassandra_diff_spark.streaming.diff_stream import stream_latest_state
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cl = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    stage = str(tmp_path / "cdc_stream")
+    cl.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got = stream_latest_state(
+        stream, ["user_id"], name="t_stream_cdc",
+        ts_col="ts", seq_col="event_id",
+    )
+    want = latest_state(cl, ["user_id"], ts_col="ts", seq_col="event_id")
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
+    assert got.count() > 0
