@@ -220,6 +220,61 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["near_pairs_candidates_sec"] = round(time.time() - t0, 2)
 
+    # as-of join under adversarial skew: one key owns 30% of both sides.
+    # The plain union-window serializes that key's whole timeline through
+    # one task; the chunked variant splits it across day chunks. Equality
+    # is checked EXACTLY via an order-independent checksum of every
+    # (left id, matched ts, matched value) triple — one number per plan.
+    t0 = time.time()
+    nl = n  # left rows; right = n/4
+    hot = (F.col("id") * 2654435761 % 10) < 3  # deterministic ~30%
+    key = F.when(hot, F.lit(0)).otherwise(F.col("id") % 1000)
+    ts = F.timestamp_micros(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(86_400_000_000 * 30))
+    )
+    left = spark.range(nl).select(
+        key.alias("k"), ts.alias("ts"), F.col("id").alias("lid")
+    )
+    right = spark.range(nl // 4).select(
+        key.alias("k"),
+        ts.alias("ts"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 1_000_003).cast("double").alias("v"),
+    )
+    left.write.mode("overwrite").parquet(f"{work}/asof_left.parquet")
+    right.write.mode("overwrite").parquet(f"{work}/asof_right.parquet")
+    left = spark.read.parquet(f"{work}/asof_left.parquet")
+    right = spark.read.parquet(f"{work}/asof_right.parquet")
+    out["asof_gen_sec"] = round(time.time() - t0, 2)
+    out["asof_n_left"] = nl
+
+    from cassandra_diff_spark.operators.temporal import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    def checksum(df) -> int:
+        return df.agg(
+            F.sum(
+                F.xxhash64(F.col("lid"), F.col("r_ts"), F.col("r_v")).cast(
+                    "decimal(38,0)"
+                )
+            )
+        ).first()[0]
+
+    kw = dict(right_cols=["v"], right_tiebreak="rid")
+    t0 = time.time()
+    plain_sum = checksum(asof_join(left, right, ["k"], **kw))
+    out["asof_plain_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    chunked_sum = checksum(
+        asof_join_chunked(
+            left, right, ["k"], chunk_us=86_400_000_000, **kw
+        )
+    )
+    out["asof_chunked_sec"] = round(time.time() - t0, 2)
+    out["asof_plans_agree"] = bool(plain_sum == chunked_sum)
+
     release_caches()
     return out
 
