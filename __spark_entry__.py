@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEEDS_DRIVER_ROW = [
     # new in round 5 — no driver row exists yet
     "validate_orders",
+    "profile_orders",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

@@ -2203,3 +2203,49 @@ def _q_cdc_latest_state_stream(spark, sf_dir):
 
 QUERIES["cdc_latest_state_stream"] = _q_cdc_latest_state_stream
 ORACLES["cdc_latest_state_stream"] = _O_CDC_LATEST_STATE
+
+
+def _q_profile_orders(spark, sf_dir):
+    """Full column profile of orders (exact distincts — the oracle-able
+    mode; `distinct="approx"` is the single-pass 100 TB setting). The
+    date column normalizes to session-tz timestamp first so the reported
+    dtype is stable across parquet writer variants (same reason
+    load_events normalizes ts)."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.validate import profile_table
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    return profile_table(o)
+
+
+def _make_o_profile_orders() -> str:
+    cols = [
+        ("o_orderkey", "bigint", True),
+        ("o_custkey", "bigint", True),
+        ("o_orderstatus", "string", False),
+        ("o_totalprice", "double", True),
+        ("o_orderdate", "timestamp", False),
+        ("o_orderpriority", "string", False),
+    ]
+    parts = []
+    for c, t, num in cols:
+        mean = f"CAST(AVG({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""
+  SELECT '{c}' AS "column", '{t}' AS dtype,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         CAST(MIN({c}) AS VARCHAR) AS min_value,
+         CAST(MAX({c}) AS VARCHAR) AS max_value,
+         {mean} AS mean
+  FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["profile_orders"] = _q_profile_orders
+ORACLES["profile_orders"] = _make_o_profile_orders()

@@ -282,3 +282,78 @@ def rules_from_config(rule_cfgs, resolve_ref=None) -> list:
         else:
             raise ValueError(f"unknown validation rule kind {rc.kind!r}")
     return out
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    *,
+    distinct: Optional[str] = "exact",
+) -> DataFrame:
+    """Column-statistics profile: one output row per column —
+    ``(column, dtype, n, n_null, n_distinct, min_value, max_value,
+    mean)`` — the table-shape summary a pipeline snapshots next to every
+    corpus version (and the input a human checks before writing
+    validation rules).
+
+    min/max are stringified for a uniform schema; ``mean`` fills for
+    numeric columns only. One aggregation pass over one scan; the only
+    scale caveat is ``distinct``:
+
+    * ``"exact"`` (default): ``count_distinct`` per column — Catalyst
+      plans C distinct aggregates as an Expand (C x input rows through
+      the shuffle). Right for profiling a sample or a dimension table,
+      and for the oracle gate; wrong for 100 TB.
+    * ``"approx"``: HyperLogLog++ ``approx_count_distinct`` — single
+      pass, no Expand, ~2% error; the 100 TB setting.
+    * ``None``: skip distinct counts (null column).
+    """
+    if distinct not in ("exact", "approx", None):
+        raise ValueError(f"distinct must be exact|approx|None, got {distinct!r}")
+    types = dict(df.dtypes)
+    cols = list(cols) if cols is not None else list(df.columns)
+    numeric = {
+        c
+        for c in cols
+        if types[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or types[c].startswith("decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__d{i}"))
+        elif distinct == "approx":
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__d{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max{i}"))
+        if c in numeric:
+            aggs.append(F.avg(F.col(c)).cast("double").alias(f"__avg{i}"))
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit(types[c]).alias("dtype"),
+                        F.col("__n").cast("long").alias("n"),
+                        F.col(f"__null{i}").cast("long").alias("n_null"),
+                        (
+                            F.col(f"__d{i}").cast("long")
+                            if distinct is not None
+                            else F.lit(None).cast("long")
+                        ).alias("n_distinct"),
+                        F.col(f"__min{i}").alias("min_value"),
+                        F.col(f"__max{i}").alias("max_value"),
+                        (
+                            F.col(f"__avg{i}")
+                            if c in numeric
+                            else F.lit(None).cast("double")
+                        ).alias("mean"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -191,3 +191,33 @@ validation:
         bad_cfg = tmp_path / "bad.yaml"
         bad_cfg.write_text(self._cfg_text(src_dir, tgt_dir, side="target"))
         assert main([str(bad_cfg), "--validate"]) == 1
+
+
+class TestProfileTable:
+    def test_profile_modes(self, spark, facts):
+        from cassandra_diff_spark.operators.validate import profile_table
+
+        rows = {r.column: r for r in profile_table(facts).collect()}
+        assert rows["id"].n == 5 and rows["id"].n_distinct == 4
+        assert rows["cat"].n_null == 1 and rows["cat"].n_distinct == 3
+        assert rows["amt"].min_value == "-5.0"
+        assert rows["amt"].mean == pytest.approx((10.0 - 5.0 + 20.0 + 999.0 + 1.0) / 5)
+        assert rows["cat"].mean is None  # non-numeric
+        # approx mode still produces a sane cardinality; None skips
+        ap = {r.column: r for r in profile_table(facts, distinct="approx").collect()}
+        assert 3 <= ap["id"].n_distinct <= 5
+        no = {r.column: r for r in profile_table(facts, distinct=None).collect()}
+        assert no["id"].n_distinct is None
+
+    def test_no_expand_in_approx_plan(self, spark, facts):
+        """approx mode must stay single-pass: no Expand node (the exact
+        mode's count_distincts each multiply the shuffle input)."""
+        from cassandra_diff_spark.operators.validate import profile_table
+
+        plan = (
+            profile_table(facts, distinct="approx")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan
