@@ -40,6 +40,7 @@ _NEEDS_DRIVER_ROW = [
     # new in round 5 — no driver row exists yet
     "validate_orders",
     "profile_orders",
+    "key_scan_sorted_layout",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

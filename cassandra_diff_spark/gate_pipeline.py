@@ -2249,3 +2249,56 @@ def _make_o_profile_orders() -> str:
 
 QUERIES["profile_orders"] = _q_profile_orders
 ORACLES["profile_orders"] = _make_o_profile_orders()
+
+
+def _q_key_scan_sorted_layout(spark, sf_dir):
+    """Token-range key scan served from a token-range-SORTED parquet
+    layout (operators/bucketed.write_token_sorted): the predicate lands
+    on the materialized token column, so parquet min/max stats prune
+    whole files/row groups — the 100 TB answer to "read split [a, b)
+    without scanning the table". Same rows as filtering the raw table
+    (the oracle); staged once per sf under /tmp like the bucketed
+    layouts."""
+    import pathlib
+
+    from cassandra_diff_spark.functions.keys import _KNUTH
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.model import TableSpec
+    from cassandra_diff_spark.operators.bucketed import (
+        read_token_sorted,
+        write_token_sorted,
+    )
+
+    ring = 1_000_000_007
+    spread = lambda pk_cols: (  # noqa: E731 — SQL-reproducible ring
+        F.col(pk_cols[0]).cast("bigint") * F.lit(_KNUTH)
+    ) % F.lit(ring)
+    base = f"/tmp/cds_gate_toksorted_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(base) / "_staged"
+    stamp = f"v1:{sf_dir}:8"
+    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        write_token_sorted(
+            load(spark, sf_dir, "orders"), spec, f"{base}/orders",
+            n_files=8, token=spread,
+        )
+        marker.write_text(stamp)
+    lo, hi = 200_000_000, 700_000_000
+    return read_token_sorted(spark, f"{base}/orders", lo=lo, hi=hi).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _make_o_key_scan_sorted_layout() -> str:
+    from cassandra_diff_spark.functions.keys import _KNUTH
+
+    return f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE (o_orderkey * {_KNUTH}) % 1000000007 >= 200000000
+  AND (o_orderkey * {_KNUTH}) % 1000000007 < 700000000
+"""
+
+
+QUERIES["key_scan_sorted_layout"] = _q_key_scan_sorted_layout
+ORACLES["key_scan_sorted_layout"] = _make_o_key_scan_sorted_layout()

@@ -96,3 +96,69 @@ def test_bucketed_inputs_do_not_warn(spark, bucketed_tables):
         warnings.simplefilter("always")
         diff_bucketed(spark, "t_b_src_l", "t_b_tgt_l", LINEITEM)
     assert not any("not co-partitioned" in str(x.message) for x in w)
+
+
+class TestTokenSortedLayout:
+    def test_range_read_prunes_files_and_matches(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.functions.keys import token_expr
+        from cassandra_diff_spark.operators.bucketed import (
+            read_token_sorted,
+            write_token_sorted,
+        )
+        from cassandra_diff_spark.model import TableSpec
+
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        path = str(tmp_path / "tok_layout")
+        write_token_sorted(orders, spec, path, n_files=8)
+
+        # range bounds from the data's token quantiles: middle ~12.5%
+        toks = sorted(
+            r[0]
+            for r in orders.select(token_expr(["o_orderkey"])).collect()
+        )
+        lo, hi = toks[len(toks) * 7 // 16], toks[len(toks) * 9 // 16]
+
+        got = read_token_sorted(spark, path, lo=lo, hi=hi)
+        want = orders.filter(
+            (token_expr(["o_orderkey"]) >= lo) & (token_expr(["o_orderkey"]) < hi)
+        )
+        assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+            r.o_orderkey for r in want.collect()
+        )
+
+        # file pruning: the range-sorted layout serves a ~1/8 range from
+        # 1-2 of the 8 files; an unsorted layout would touch all of them
+        files = (
+            spark.read.parquet(path)
+            .filter(F.col("__token").between(lo, hi - 1))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert files <= 2
+
+        # the predicate reaches the parquet scan
+        plan = (
+            spark.read.parquet(path)
+            .filter(F.col("__token") >= F.lit(lo))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(__token), GreaterThanOrEqual(__token" in plan
+
+    def test_reader_hides_token_column(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import (
+            read_token_sorted,
+            write_token_sorted,
+        )
+        from cassandra_diff_spark.model import TableSpec
+
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        path = str(tmp_path / "tok_layout2")
+        write_token_sorted(orders, spec, path, n_files=4)
+        assert read_token_sorted(spark, path).columns == orders.columns
