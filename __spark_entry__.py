@@ -41,6 +41,7 @@ _NEEDS_DRIVER_ROW = [
     "validate_orders",
     "profile_orders",
     "key_scan_sorted_layout",
+    "events_quantiles_binned",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

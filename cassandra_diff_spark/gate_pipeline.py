@@ -2302,3 +2302,49 @@ WHERE (o_orderkey * {_KNUTH}) % 1000000007 >= 200000000
 
 QUERIES["key_scan_sorted_layout"] = _q_key_scan_sorted_layout
 ORACLES["key_scan_sorted_layout"] = _make_o_key_scan_sorted_layout()
+
+
+def _q_events_quantiles_binned(spark, sf_dir):
+    """Histogram-binned per-type quantiles (operators/stats.py) — the
+    100 TB quantile path: one n_bins-row aggregation instead of the
+    global sort the exact gate (events_value_quantiles) pays. The
+    oracle replays the identical bin/rank arithmetic, so output doubles
+    match bit-for-bit."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import quantiles_histogram
+
+    ev = load_events(spark, sf_dir)
+    return quantiles_histogram(
+        ev, "value", [0.25, 0.5, 0.9], lo=0.0, hi=100.0, n_bins=1000,
+        by=["event_type"],
+    )
+
+
+_O_EVENTS_QUANTILES_BINNED = """
+WITH v AS (
+  SELECT event_type,
+         LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)
+                              / ((100.0 - 0.0) / 1000)), 0), 999) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, bin, COUNT(*) AS c FROM v GROUP BY 1, 2),
+ch AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+e AS (
+  SELECT event_type, bin, cum, n, UNNEST([0.25, 0.5, 0.9]) AS p FROM ch
+)
+SELECT event_type, p,
+       0.0 + MIN(bin) * ((100.0 - 0.0) / 1000) AS q,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM e
+WHERE cum >= CEIL(p * n)
+GROUP BY event_type, p
+"""
+
+
+QUERIES["events_quantiles_binned"] = _q_events_quantiles_binned
+ORACLES["events_quantiles_binned"] = _O_EVENTS_QUANTILES_BINNED

@@ -1,0 +1,96 @@
+"""Scalable order statistics: histogram-binned quantiles.
+
+The exact nearest-rank quantiles in the gate (``events_value_quantiles``)
+sort every row through a window — correct, and the right tool at
+dimension scale, but a global sort of a 100 TB column is exactly the
+plan a large corpus cannot afford. The histogram formulation bounds the
+error explicitly instead: ONE map-side-combinable ``groupBy(bin)``
+aggregation collapses the data to ``n_bins`` rows (per group), and every
+quantile then reads off the cumulative histogram driver-free. The answer
+is the lower edge of the bin containing the target rank — within one bin
+width of the true quantile, by construction. Tighten by raising
+``n_bins`` (the shuffle carries at most n_bins rows per group
+regardless) or by a second pass over the one bin that matters.
+
+Deterministic and SQL-reproducible: fixed ``[lo, hi)`` equal-width bins,
+rank = ``ceil(p * n)`` (the nearest-rank convention the exact gate also
+uses), IEEE-identical edge arithmetic — the DuckDB oracle reproduces
+every output bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantiles_histogram(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Binned quantiles of ``value_col`` at each probability in
+    ``probs``, optionally per ``by`` group: output ``(*by, p, q, n)``
+    where ``q`` is the lower edge of the bin holding rank
+    ``ceil(p * n)`` (error ≤ one bin width ``(hi - lo) / n_bins``).
+
+    Nulls are excluded; values outside ``[lo, hi)`` clamp into the edge
+    bins (their quantiles then saturate at the range bounds — pass real
+    data bounds, e.g. from :func:`~cassandra_diff_spark.operators.
+    validate.profile_table`).
+
+    Cost: one partial-aggregated shuffle of ≤ ``n_bins`` rows per group;
+    everything after operates on the kilobyte-scale histogram.
+    """
+    if not probs:
+        raise ValueError("empty probs")
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {list(probs)}")
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    by = list(by) if by else []
+    width = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0).cast("long")
+        ),
+        F.lit(int(n_bins) - 1).cast("long"),
+    )
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*by, bin_.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bin").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*by)
+    h = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    # one row per (group, prob): the FIRST bin whose cumulative count
+    # reaches the target rank — a min over the n_bins-scale histogram
+    p_arr = F.array(*[F.lit(float(p)) for p in probs])
+    exploded = h.select(
+        *by, "__bin", "__cum", "__n", F.explode(p_arr).alias("p")
+    ).filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__n")))
+    return (
+        exploded.groupBy(*by, "p")
+        .agg(F.min("__bin").alias("__qbin"), F.max("__n").alias("n"))
+        .select(
+            *by,
+            "p",
+            (F.lit(float(lo)) + F.col("__qbin") * F.lit(width)).alias("q"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Histogram-binned quantiles vs an exact sort-based reference."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.stats import quantiles_histogram
+
+
+class TestQuantilesHistogram:
+    def test_matches_exact_within_bin_width(self, spark):
+        rnd = random.Random(31)
+        vals = [rnd.uniform(0, 100) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        probs = [0.25, 0.5, 0.9, 0.99]
+        n_bins = 1000
+        width = 100.0 / n_bins
+        got = {
+            r.p: r.q
+            for r in quantiles_histogram(
+                df, "x", probs, lo=0.0, hi=100.0, n_bins=n_bins
+            ).collect()
+        }
+        s = sorted(vals)
+        for p in probs:
+            exact = s[math.ceil(p * len(s)) - 1]  # nearest-rank
+            assert abs(got[p] - exact) <= width, (p, got[p], exact)
+
+    def test_grouped_and_n(self, spark):
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", float(i)) for i in range(1, 11)],
+            "g string, x double",
+        )
+        rows = quantiles_histogram(
+            df, "x", [0.5], lo=0.0, hi=200.0, n_bins=200, by=["g"]
+        ).collect()
+        by = {r.g: (r.q, r.n) for r in rows}
+        # width=1.0; median of 1..100 at rank 50 -> bin edge 50.0
+        assert by["a"] == (50.0, 100)
+        assert by["b"] == (5.0, 10)
+
+    def test_nulls_and_clamping(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (-50.0,), (500.0,), (5.0,)], "x double"
+        )
+        rows = quantiles_histogram(
+            df, "x", [1.0], lo=0.0, hi=10.0, n_bins=10
+        ).collect()
+        assert rows[0].n == 3  # null excluded
+        assert rows[0].q == 9.0  # 500 clamps into the last bin
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="probs"):
+            quantiles_histogram(df, "x", [], lo=0, hi=1)
+        with pytest.raises(ValueError, match="lo < hi"):
+            quantiles_histogram(df, "x", [0.5], lo=1, hi=1)
+
+    def test_single_data_shuffle(self, spark):
+        """Everything after the histogram groupBy operates on n_bins
+        rows: exactly one Exchange carries data-derived rows before the
+        windows (whose exchange moves the tiny histogram)."""
+        df = spark.range(10000).select(F.col("id").cast("double").alias("x"))
+        plan = (
+            quantiles_histogram(df, "x", [0.5], lo=0.0, hi=10000.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # histogram agg exchange + tiny window/group exchanges; the raw
+        # scan feeds exactly one partial_count aggregate
+        assert plan.count("partial_count") >= 1
