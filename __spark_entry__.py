@@ -42,6 +42,7 @@ _NEEDS_DRIVER_ROW = [
     "profile_orders",
     "key_scan_sorted_layout",
     "events_quantiles_binned",
+    "events_interval_overlap",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

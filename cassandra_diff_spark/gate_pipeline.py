@@ -2348,3 +2348,53 @@ GROUP BY event_type, p
 
 QUERIES["events_quantiles_binned"] = _q_events_quantiles_binned
 ORACLES["events_quantiles_binned"] = _O_EVENTS_QUANTILES_BINNED
+
+
+def _q_events_interval_overlap(spark, sf_dir):
+    """Per-user overlap of purchase windows [ts, +2h] with error windows
+    [ts, +1h]: interval x interval overlap join, each overlapping pair
+    emitted exactly once in its first shared time cell — no dedup
+    shuffle, no inequality join (the oracle IS the inequality join)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import interval_overlap_join
+
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("p_end"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_end"),
+    )
+    return interval_overlap_join(
+        p, e, ["user_id"],
+        left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end",
+        bucket_us=3_600 * 1_000_000,
+    ).select("user_id", "purchase_id", "error_id")
+
+
+_O_EVENTS_INTERVAL_OVERLAP = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS ps,
+         ts + INTERVAL 2 HOUR AS pe
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, event_id AS error_id, ts AS es,
+         ts + INTERVAL 1 HOUR AS ee
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.purchase_id, e.error_id
+FROM p JOIN e
+  ON e.user_id = p.user_id AND p.ps <= e.ee AND e.es <= p.pe
+"""
+
+
+QUERIES["events_interval_overlap"] = _q_events_interval_overlap
+ORACLES["events_interval_overlap"] = _O_EVENTS_INTERVAL_OVERLAP

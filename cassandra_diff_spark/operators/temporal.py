@@ -461,3 +461,57 @@ def resample_locf(
         direction="backward",
         prefix=prefix,
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_us: int = 3_600 * 1_000_000,
+) -> DataFrame:
+    """Interval x interval overlap join (closed bounds): every left/right
+    pair (same key) whose ``[start, end]`` ranges intersect — downtime
+    windows vs deploy windows, session overlap, coverage analysis.
+
+    Same cell-bucketing as :func:`interval_join`, with one extra idea:
+    a pair of long intervals shares MANY cells, so each pair is emitted
+    only in its FIRST shared cell — ``max(floor(ls/w), floor(rs/w))``,
+    a cell both sides are guaranteed to occupy when they overlap — which
+    makes the output exact without any dedup shuffle. Cost: one hash
+    equi-join on (key, cell); replication factor = interval length /
+    ``bucket_us`` per side.
+
+    Column names must not collide across the two inputs (rename first);
+    key columns join by name.
+    """
+    on = list(on)
+    overlap_cols = set(left.columns) & set(right.columns) - set(on)
+    if overlap_cols:
+        raise ValueError(
+            f"left/right column name collision: {sorted(overlap_cols)}; "
+            f"rename before joining"
+        )
+    b = int(bucket_us)
+    cell_of = lambda c: (_us_of(F.col(c)) / F.lit(b)).cast("long")  # noqa: E731
+
+    li = left.withColumn(
+        "__cell", F.explode(F.sequence(cell_of(left_start), cell_of(left_end)))
+    ).withColumn("__ls_cell", cell_of(left_start))
+    ri = right.withColumn(
+        "__cell", F.explode(F.sequence(cell_of(right_start), cell_of(right_end)))
+    ).withColumn("__rs_cell", cell_of(right_start))
+    j = li.join(ri, on=on + ["__cell"], how="inner")
+    overlaps = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    first_shared = F.col("__cell") == F.greatest(
+        F.col("__ls_cell"), F.col("__rs_cell")
+    )
+    return j.filter(overlaps & first_shared).drop(
+        "__cell", "__ls_cell", "__rs_cell"
+    )

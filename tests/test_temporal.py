@@ -311,3 +311,60 @@ class TestResampleLocf:
         assert [_us(r.grid_ts) for r in rows] == [h, 2 * h, 3 * h]
         # 1h grid point precedes the first observation => null
         assert [r.locf_v for r in rows] == [None, 10.0, 10.0]
+
+
+class TestIntervalOverlapJoin:
+    @pytest.mark.parametrize("bucket_us", [1, 7, 1000])
+    def test_vs_inequality_join(self, spark, bucket_us):
+        from cassandra_diff_spark.operators.temporal import interval_overlap_join
+
+        rnd = random.Random(37)
+
+        def mk(prefix, n):
+            rows = []
+            for i in range(n):
+                a = rnd.randrange(60)
+                rows.append((rnd.randrange(4), i, _ts(a), _ts(a + rnd.randrange(0, 25))))
+            return spark.createDataFrame(
+                rows, f"k long, {prefix}_id long, {prefix}_s timestamp, {prefix}_e timestamp"
+            )
+
+        l, r = mk("l", 30), mk("r", 40)
+        got = {
+            (x.l_id, x.r_id)
+            for x in interval_overlap_join(
+                l, r, ["k"],
+                left_start="l_s", left_end="l_e",
+                right_start="r_s", right_end="r_e",
+                bucket_us=bucket_us,
+            ).collect()
+        }
+        want = {
+            (x.l_id, x.r_id)
+            for x in l.alias("a")
+            .join(
+                r.alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.l_s") <= F.col("b.r_e"))
+                & (F.col("b.r_s") <= F.col("a.l_e")),
+            )
+            .collect()
+        }
+        assert got == want
+        # exactly-once emission: no pair may appear twice
+        rows = interval_overlap_join(
+            l, r, ["k"],
+            left_start="l_s", left_end="l_e",
+            right_start="r_s", right_end="r_e",
+            bucket_us=bucket_us,
+        ).collect()
+        assert len(rows) == len(got)
+
+    def test_collision_raises(self, spark):
+        from cassandra_diff_spark.operators.temporal import interval_overlap_join
+
+        iv = spark.createDataFrame(
+            [(1, _ts(0), _ts(1))], "k long, start timestamp, end timestamp"
+        )
+        with pytest.raises(ValueError, match="collision"):
+            interval_overlap_join(iv, iv, ["k"])
