@@ -43,6 +43,7 @@ _NEEDS_DRIVER_ROW = [
     "key_scan_sorted_layout",
     "events_quantiles_binned",
     "events_interval_overlap",
+    "dedup_containment",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

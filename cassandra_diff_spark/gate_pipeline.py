@@ -2398,3 +2398,58 @@ FROM p JOIN e
 
 QUERIES["events_interval_overlap"] = _q_events_interval_overlap
 ORACLES["events_interval_overlap"] = _O_EVENTS_INTERVAL_OVERLAP
+
+
+def _q_dedup_containment(spark, sf_dir):
+    """Shingle-containment near-dup pairs on a corpus augmented with
+    TRUNCATED copies (first ~40% of words of every 10th doc): the
+    subset-duplicate case Jaccard misses — a 40% prefix has Jaccard
+    ~0.4 (rejected at 0.8) but containment ~1.0. Same inverted-index
+    plan as the Jaccard gate; only the acceptance inequality differs."""
+    w = words(F.col("text"))
+    k = F.greatest(F.lit(1), F.floor(F.size(w) * 2 / 5)).cast("int")
+    d = _docs(spark, sf_dir)
+    trunc = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, F.lit(1), k)).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(trunc)
+    return dedup.ngram_containment_pairs(
+        aug, "doc_id", "text", n=3, threshold_num=9, threshold_den=10
+    )
+
+
+_O_DEDUP_CONTAINMENT = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           ({words_sql('text')})[1:CAST(GREATEST(1,
+              FLOOR(len({words_sql('text')}) * 2 / 5)) AS INT)], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM aug)
+),
+shc AS (
+  SELECT * FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1000)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, intersect_n, s1.sz AS sz_1, s2.sz AS sz_2
+FROM inter
+JOIN sz s1 ON s1.doc_id = id_1
+JOIN sz s2 ON s2.doc_id = id_2
+WHERE intersect_n * 10 >= 9 * LEAST(s1.sz, s2.sz)
+"""
+
+
+QUERIES["dedup_containment"] = _q_dedup_containment
+ORACLES["dedup_containment"] = _O_DEDUP_CONTAINMENT

@@ -155,6 +155,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    df_limit: int | None = 1000,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs: (id_1, id_2, intersect_n, sz_1,
+    sz_2) where ``|S1 ∩ S2| / min(|S1|, |S2|)`` >= threshold — the
+    truncation/subset detector Jaccard structurally misses. A document
+    that is a verbatim PREFIX of a 10x-longer one has containment 1.0
+    but Jaccard ~0.1: Jaccard-gated dedup keeps both copies, and the
+    training corpus double-counts the shared text. (RefinedWeb/CCNet
+    dedup between crawl snapshots with exactly this asymmetric metric.)
+
+    Same inverted-index shape and cost as :func:`ngram_jaccard_pairs` —
+    one shingle shuffle, df-capped self-join (subquadratic bound),
+    integer cross-multiplication, no floats — only the acceptance
+    inequality differs: intersect * den >= num * min(sz). The min-side
+    normalization means order within the pair stays (id_1 < id_2),
+    direction-free.
+    """
+    sh = shingle_set(df, id_col, text_col, n)
+    if df_limit is not None:
+        sh = cap_hot_shingles(sh, df_limit)
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_1"), "h")
+    b = sh.select(F.col("id").alias("id_2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").cast("long").alias("intersect_n"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_1"), F.col("sz").alias("sz_1")), "id_1")
+        .join(sizes.select(F.col("id").alias("id_2"), F.col("sz").alias("sz_2")), "id_2")
+        .filter(
+            F.col("intersect_n") * threshold_den
+            >= F.lit(threshold_num) * F.least(F.col("sz_1"), F.col("sz_2"))
+        )
+        .select("id_1", "id_2", "intersect_n", "sz_1", "sz_2")
+    )
+
+
 # ----------------------------------------------------------------- MinHash
 
 def minhash_signatures(

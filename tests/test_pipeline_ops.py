@@ -1053,3 +1053,45 @@ class TestTokenBudgetRates:
         for lang, target in targets.items():
             if target > 1000:  # enough mass for the LLN to apply
                 assert 0.6 * target <= got.get(lang, 0) <= 1.4 * target, lang
+
+
+class TestContainmentPairs:
+    def test_truncated_copy_found_jaccard_misses_it(self, spark):
+        from cassandra_diff_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        full = " ".join(f"w{i}x" for i in range(50))  # 50 distinct words
+        trunc = " ".join(full.split()[:15])  # 30% prefix
+        df = spark.createDataFrame(
+            [(1, full), (2, trunc), (3, "completely different words here entirely")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.id_1, r.id_2)
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold_num=9, threshold_den=10
+            ).collect()
+        }
+        assert (1, 2) in cont and not any(3 in p for p in cont)
+        jac = {
+            (r.id_1, r.id_2)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold_num=4, threshold_den=5
+            ).collect()
+        }
+        assert (1, 2) not in jac  # the case Jaccard structurally misses
+
+    def test_symmetric_min_normalization(self, spark):
+        """Containment normalizes by the SMALLER set: order of the pair
+        doesn't change acceptance."""
+        from cassandra_diff_spark.operators.dedup import ngram_containment_pairs
+
+        full = "one two three four five six seven eight nine ten " * 3
+        trunc = " ".join(full.split()[:9])
+        df = spark.createDataFrame(
+            [(2, full), (1, trunc)], "doc_id long, text string"
+        )
+        rows = ngram_containment_pairs(df, "doc_id", "text").collect()
+        assert len(rows) == 1 and rows[0].id_1 == 1 and rows[0].id_2 == 2
