@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         help="compare two runs' digest snapshots of TABLE (no job run)",
     )
     ap.add_argument(
+        "--profile", nargs=2, metavar=("TABLE", "SIDE"), default=None,
+        help=(
+            "print TABLE's column-statistics profile (one JSON line per "
+            "column) from the given side (source|target) — no diff job "
+            "run; distinct counts use the single-pass HLL++ mode"
+        ),
+    )
+    ap.add_argument(
         "--validate", action="store_true",
         help=(
             "run the config's declarative data-quality rules instead of "
@@ -92,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]
             out[side] = row.asDict()
         print(json.dumps({"table": table, "job_a": job_a, "job_b": job_b, **out}))
+        return 0
+    if args.profile is not None:
+        from cassandra_diff_spark.operators.validate import profile_table
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        table, side = args.profile
+        if side not in ("source", "target"):
+            print(f"profile side must be source|target, got {side}", file=sys.stderr)
+            return 2
+        sc = cfg.source if side == "source" else cfg.target
+        df = get_provider(sc.provider, sc.options).read_table(spark, table)
+        for r in profile_table(df, distinct="approx").collect():
+            print(json.dumps(r.asDict()))
         return 0
     if args.validate:
         from cassandra_diff_spark.job import run_validation

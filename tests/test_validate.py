@@ -221,3 +221,21 @@ class TestProfileTable:
             .toString()
         )
         assert "Expand" not in plan
+
+
+def test_cli_profile(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from cassandra_diff_spark.__main__ import main
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        f"source: {{provider: parquet, options: {{path: {sf_dir}}}}}\n"
+        f"target: {{provider: parquet, options: {{path: {sf_dir}}}}}\n"
+    )
+    assert main([str(cfg), "--profile", "orders", "source"]) == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    cols = {x["column"] for x in lines}
+    assert "o_orderkey" in cols and len(lines) == 6
+    ok = next(x for x in lines if x["column"] == "o_orderkey")
+    assert ok["n_null"] == 0 and ok["n"] > 0 and ok["n_distinct"] > 0
