@@ -44,6 +44,7 @@ _NEEDS_DRIVER_ROW = [
     "events_quantiles_binned",
     "events_interval_overlap",
     "dedup_containment",
+    "curate_chunks",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

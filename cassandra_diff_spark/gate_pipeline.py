@@ -2453,3 +2453,37 @@ WHERE intersect_n * 10 >= 9 * LEAST(s1.sz, s2.sz)
 
 QUERIES["dedup_containment"] = _q_dedup_containment
 ORACLES["dedup_containment"] = _O_DEDUP_CONTAINMENT
+
+
+def _q_curate_chunks(spark, sf_dir):
+    """RAG-style document chunking: 64-word windows, 16-word overlap —
+    map-only (sequence + posexplode + slice over one materialized words
+    array; zero shuffles, no Python)."""
+    from cassandra_diff_spark.operators.curate import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text",
+        chunk_words=64, overlap_words=16,
+    )
+
+
+_O_CURATE_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, {words_sql('text')} AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, ws, len(ws) AS n, UNNEST(range(0, len(ws), 48)) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_word,
+       CAST(LEAST(64, n - start) AS BIGINT) AS n_words,
+       array_to_string(ws[start + 1:start + 64], ' ') AS chunk_text
+FROM s
+"""
+
+
+QUERIES["curate_chunks"] = _q_curate_chunks
+ORACLES["curate_chunks"] = _O_CURATE_CHUNKS

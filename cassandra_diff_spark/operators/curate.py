@@ -28,6 +28,7 @@ from cassandra_diff_spark.functions.text import (
     langid,
     n_bpe_tokens,
     quality_milli,
+    words,
 )
 
 
@@ -554,3 +555,56 @@ def token_budget_rates(
         else:
             rates[stratum] = min(1_000_000, (int(target) * 1_000_000) // avail)
     return rates
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int,
+    overlap_words: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping word windows —
+    the retrieval/embedding prep step ("chunking") every RAG corpus
+    build runs: output one row per chunk, ``(doc_id, chunk_id,
+    start_word, n_words, chunk_text)``, where chunk ``i`` covers words
+    ``[i*step, i*step + chunk_words)`` with ``step = chunk_words -
+    overlap_words``. The final chunk may be shorter; empty/whitespace
+    documents produce no chunks.
+
+    Pure Catalyst — the words array materializes ONCE per document and
+    every chunk is a ``slice`` of it (`sequence` + `posexplode`
+    generates start offsets; no Python, no UDF, no shuffle at all: a
+    map-only operator whose output order/partitioning follows the
+    input, so a downstream embedding pass streams straight out of the
+    scan).
+    """
+    step = int(chunk_words) - int(overlap_words)
+    if step <= 0:
+        raise ValueError(
+            f"need overlap_words < chunk_words, got {overlap_words} >= {chunk_words}"
+        )
+    w = words(F.col(text_col))
+    nonempty = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"), w.alias("__w")
+    )
+    n = F.size(F.col("__w"))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    return nonempty.select(
+        "doc_id",
+        "__w",
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_id", "start_word"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_word").cast("long").alias("start_word"),
+        F.least(F.lit(int(chunk_words)), F.col("__n") - F.col("start_word"))
+        .cast("long")
+        .alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__w"), F.col("start_word") + 1, F.lit(int(chunk_words))),
+        ).alias("chunk_text"),
+    )

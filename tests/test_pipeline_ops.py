@@ -1095,3 +1095,46 @@ class TestContainmentPairs:
         )
         rows = ngram_containment_pairs(df, "doc_id", "text").collect()
         assert len(rows) == 1 and rows[0].id_1 == 1 and rows[0].id_2 == 2
+
+
+class TestChunkDocuments:
+    def test_overlapping_windows(self, spark):
+        from cassandra_diff_spark.operators.curate import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, text), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", chunk_words=4, overlap_words=1)
+            .collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # step=3: starts 0,3,6,9; empty docs produce nothing
+        assert [r.doc_id for r in rows] == [1, 1, 1, 1]
+        assert [(r.chunk_id, r.start_word, r.n_words) for r in rows] == [
+            (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+        ]
+        assert rows[1].chunk_text == "t3 t4 t5 t6"
+        assert rows[3].chunk_text == "t9"
+        # every adjacent pair shares exactly the overlap
+        assert rows[0].chunk_text.split()[-1] == rows[1].chunk_text.split()[0]
+
+    def test_no_shuffle_plan(self, spark):
+        from cassandra_diff_spark.operators.curate import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            chunk_documents(df, "doc_id", "text", chunk_words=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_bad_overlap_raises(self, spark):
+        from cassandra_diff_spark.operators.curate import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "doc_id", "text", chunk_words=4, overlap_words=4)
