@@ -50,6 +50,12 @@ HEADLINE = [
     "diff_stats_orders_digest_sparse",
     "dedup_semantic",
     "events_asof_attribution",
+    "cdc_latest_state",
+    "validate_orders",
+    "events_quantiles_binned",
+    "curate_chunks",
+    "key_scan_sorted_layout",
+    "dedup_containment",
 ]
 
 
