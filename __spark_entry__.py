@@ -45,6 +45,7 @@ _NEEDS_DRIVER_ROW = [
     "events_interval_overlap",
     "dedup_containment",
     "curate_chunks",
+    "events_collapse_bursts",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

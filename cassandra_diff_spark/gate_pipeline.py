@@ -2487,3 +2487,53 @@ FROM s
 
 QUERIES["curate_chunks"] = _q_curate_chunks
 ORACLES["curate_chunks"] = _O_CURATE_CHUNKS
+
+
+def _q_events_collapse_bursts(spark, sf_dir):
+    """Burst-collapse dedup of clicks: per user, clicks within 30 min of
+    their predecessor collapse into the burst's first click (burst_n,
+    burst_end preserved) — the retry-storm/duplicate-delivery cleanup.
+    One shuffle, gaps-and-islands; the oracle replays the identical
+    window formulation."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import collapse_bursts
+
+    clicks = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id", "value")
+    return collapse_bursts(
+        clicks, ["user_id"], gap_us=1800 * 1_000_000, tiebreak="event_id"
+    )
+
+
+_O_EVENTS_COLLAPSE_BURSTS = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS b
+  FROM s
+),
+u AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, b ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, b) AS burst_n,
+         MAX(ts) OVER (PARTITION BY user_id, b) AS burst_end
+  FROM t
+)
+SELECT user_id, ts, event_id, value,
+       CAST(burst_n AS BIGINT) AS burst_n, burst_end
+FROM u WHERE rn = 1
+"""
+
+
+QUERIES["events_collapse_bursts"] = _q_events_collapse_bursts
+ORACLES["events_collapse_bursts"] = _O_EVENTS_COLLAPSE_BURSTS

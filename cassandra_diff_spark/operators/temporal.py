@@ -515,3 +515,47 @@ def interval_overlap_join(
     return j.filter(overlaps & first_shared).drop(
         "__cell", "__ls_cell", "__rs_cell"
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    ts: str = "ts",
+    gap_us: int,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Burst-collapse deduplication: per key, consecutive rows closer
+    than ``gap_us`` form one burst, and only the burst's FIRST row
+    survives, annotated with ``burst_n`` (rows collapsed into it) and
+    ``burst_end`` (the burst's last timestamp) — the telemetry-cleanup
+    step that turns a retry storm / duplicate-delivery burst into one
+    event without losing its extent.
+
+    Burst = gaps-and-islands session (a burst ends when the NEXT row is
+    more than ``gap_us`` away), the same construction as the
+    sessionization gate — one hash shuffle + per-key sort, no iterative
+    state. ``tiebreak`` totally orders equal timestamps (first = least
+    tiebreak, consistent with "earliest wins").
+    """
+    on = list(on)
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*on).orderBy(*order)
+    us = _us_of(F.col(ts))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > int(gap_us)), 1).otherwise(0)
+    with_burst = df.withColumn("__new", is_new).withColumn(
+        "__burst",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy(*(on + ["__burst"])).orderBy(*order)
+    wball = Window.partitionBy(*(on + ["__burst"]))
+    return (
+        with_burst.withColumn("__rn", F.row_number().over(wb))
+        .withColumn("burst_n", F.count(F.lit(1)).over(wball).cast("long"))
+        .withColumn("burst_end", F.max(ts).over(wball))
+        .filter(F.col("__rn") == 1)
+        .drop("__new", "__burst", "__rn")
+    )

@@ -368,3 +368,38 @@ class TestIntervalOverlapJoin:
         )
         with pytest.raises(ValueError, match="collision"):
             interval_overlap_join(iv, iv, ["k"])
+
+
+class TestCollapseBursts:
+    def test_burst_semantics(self, spark):
+        from cassandra_diff_spark.operators.temporal import collapse_bursts
+
+        # key 1: burst (0, 5, 9) then lone row at 100; key 2: one row
+        df = spark.createDataFrame(
+            [
+                (1, _ts(0), 10),
+                (1, _ts(5), 11),
+                (1, _ts(9), 12),
+                (1, _ts(100), 13),
+                (2, _ts(50), 20),
+            ],
+            "k long, ts timestamp, eid long",
+        )
+        rows = sorted(
+            collapse_bursts(df, ["k"], gap_us=6, tiebreak="eid").collect(),
+            key=lambda r: (r.k, r.ts),
+        )
+        assert [(r.k, r.eid, r.burst_n, _us(r.burst_end)) for r in rows] == [
+            (1, 10, 3, 9),     # burst of 3, extent through t=9
+            (1, 13, 1, 100),
+            (2, 20, 1, 50),
+        ]
+
+    def test_equal_ts_tiebreak(self, spark):
+        from cassandra_diff_spark.operators.temporal import collapse_bursts
+
+        df = spark.createDataFrame(
+            [(1, _ts(0), 5), (1, _ts(0), 3)], "k long, ts timestamp, eid long"
+        )
+        rows = collapse_bursts(df, ["k"], gap_us=1, tiebreak="eid").collect()
+        assert len(rows) == 1 and rows[0].eid == 3  # earliest tiebreak wins
