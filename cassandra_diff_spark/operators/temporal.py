@@ -49,22 +49,6 @@ def _us_of(col: Column) -> Column:
     return F.unix_micros(col.cast("timestamp"))
 
 
-_US_PER = {
-    "microsecond": 1,
-    "millisecond": 1_000,
-    "second": 1_000_000,
-    "minute": 60 * 1_000_000,
-    "hour": 3_600 * 1_000_000,
-    "day": 86_400 * 1_000_000,
-}
-
-
-def _to_us(amount: float, unit: str) -> int:
-    if unit not in _US_PER:
-        raise ValueError(f"unknown time unit {unit!r}; one of {sorted(_US_PER)}")
-    return int(amount * _US_PER[unit])
-
-
 def _prefixed(cols: Sequence[str], prefix: str) -> list[str]:
     return [f"{prefix}{c}" for c in cols]
 
