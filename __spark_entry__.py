@@ -46,6 +46,7 @@ _NEEDS_DRIVER_ROW = [
     "dedup_containment",
     "curate_chunks",
     "events_collapse_bursts",
+    "events_point_in_time_scd2",
     "cdc_latest_state_stream",
     "cdc_latest_state",
     "cdc_scd2_intervals",

@@ -2537,3 +2537,88 @@ FROM u WHERE rn = 1
 
 QUERIES["events_collapse_bursts"] = _q_events_collapse_bursts
 ORACLES["events_collapse_bursts"] = _O_EVENTS_COLLAPSE_BURSTS
+
+
+def _q_events_point_in_time_scd2(spark, sf_dir):
+    """Cross-operator consistency: point-in-time lookup SERVED from
+    prepared SCD2 validity intervals (cdc.scd2_intervals + the cell-
+    bucketed containment join) must equal the direct as-of join — the
+    warehouse serving recipe (intervalize once, look up many) proven
+    against the as-of semantics spec. Purchases collapse to one version
+    per (user, ts) first (max event_id — the CDC tiebreak), open
+    intervals cap at the max click timestamp, and the half-open
+    [valid_from, valid_to) bound maps onto the containment join's
+    closed bounds as end = valid_to - 1 microsecond."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.cdc import scd2_intervals
+    from cassandra_diff_spark.operators.temporal import interval_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by(
+                F.struct(F.col("event_id"), F.col("value")), F.col("event_id")
+            ).alias("__v")
+        )
+        .select(
+            "user_id", "ts",
+            F.col("__v.event_id").alias("purchase_id"),
+            F.col("__v.value").alias("purchase_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cap = ev.agg(F.max("ts")).first()[0]
+    iv = scd2_intervals(
+        purchases, ["user_id"], ts_col="ts", op_col=None
+    ).select(
+        "user_id", "purchase_id", "purchase_value",
+        F.col("valid_from").alias("start"),
+        (
+            F.timestamp_micros(
+                F.unix_micros(
+                    F.coalesce(
+                        F.col("valid_to").cast("timestamp"), F.lit(cap).cast("timestamp")
+                    )
+                )
+                - F.lit(1)
+            )
+        ).alias("end"),
+    ).filter(F.col("end") >= F.col("start"))
+    return interval_join(
+        clicks, iv, ["user_id"], point_ts="click_ts",
+        bucket_us=6 * 3_600 * 1_000_000,
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_value")
+
+
+_O_EVENTS_POINT_IN_TIME_SCD2 = """
+WITH p AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS purchase_id,
+         MAX_BY(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+l AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+cap AS (SELECT MAX(ts) AS m FROM events)
+SELECT l.user_id, l.click_id, l.click_ts, m.purchase_id, m.purchase_value
+FROM l JOIN LATERAL (
+  SELECT p.purchase_id, p.purchase_value
+  FROM p, cap
+  WHERE p.user_id = l.user_id AND p.ts <= l.click_ts
+    AND l.click_ts <= cap.m - INTERVAL 1 MICROSECOND
+  ORDER BY p.ts DESC LIMIT 1
+) m ON true
+"""
+
+
+QUERIES["events_point_in_time_scd2"] = _q_events_point_in_time_scd2
+ORACLES["events_point_in_time_scd2"] = _O_EVENTS_POINT_IN_TIME_SCD2
