@@ -29,73 +29,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return narrow.unionByName(wide)
 
 
-#: Names with no GREEN row in any driver CORRECTNESS file yet (the driver
-#: caps how many entries it checks per round, in registration order).
-#: These go FIRST so the next capped run checks them; previously-covered
-#: entries follow ROTATED by round so every oracle-paired entry lands a
-#: fresh driver row at least every other round (r4 lesson: a static mid
-#: order left the same 27 tail entries driver-unchecked round after
-#: round); declared rows-only entries last.
-_NEEDS_DRIVER_ROW = [
-    # new in round 5 — no driver row exists yet
-    "validate_orders",
-    "profile_orders",
-    "key_scan_sorted_layout",
-    "events_quantiles_binned",
-    "events_interval_overlap",
-    "dedup_containment",
-    "curate_chunks",
-    "events_collapse_bursts",
-    "events_point_in_time_scd2",
-    "cdc_latest_state_stream",
-    "cdc_latest_state",
-    "cdc_scd2_intervals",
-    "cdc_apply_changelog",
-    "events_asof_attribution",
-    "events_asof_chunked",
-    "events_interval_attribution",
-    "events_resample_locf",
-    "diff_stats_lineitem_bucketed_digest",
-    "diff_stats_orders_digest_cols",
-    "diff_stats_events_digest_cols",
-    "dedup_semantic",
-    "diff_stats_orders_digest_sparse",
-    "text_url_parts",
-    "curate_domain_cap",
-    "curate_shuffle",
-    "curate_shards",
-    "dedup_minhash_stream",
-    "diff_repair_orders",
-    "curate_training_corpus",
-    "dedup_cluster_best",
-    "curate_token_budget",
-    "diff_stats_orders_schema_drift",
-    "balanced_splits_orders",
-    "key_skew_lineitem",
-]
+def _driver_rows() -> tuple[set[str], set[str]]:
+    """(ever_green, checked_last_round) derived from the CORRECTNESS files.
 
-
-def _checked_last_round() -> set[str]:
-    """Names that got a driver row in the LATEST CORRECTNESS file."""
+    The driver caps how many entries it checks per round, in registration
+    order — so ordering IS the rotation policy.  Both sets are computed from
+    the driver's own output files, never hardcoded (r5 lesson: a static head
+    list goes stale the moment the round it was written for completes).
+    """
     import json
 
     here = Path(__file__).resolve().parent
+    ever_green: set[str] = set()
+    last: set[str] = set()
     files = sorted(here.glob("CORRECTNESS_r*.json"))
-    if not files:
-        return set()
-    try:
-        return set(json.loads(files[-1].read_text()))
-    except Exception:  # a malformed file must not break the gate
-        return set()
+    for f in files:
+        try:
+            rows = json.loads(f.read_text())
+        except Exception:  # a malformed file must not break the gate
+            continue
+        if f is files[-1]:
+            last = set(rows)
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None and (
+                row.get("hash_match") or row.get("rows_match")
+            ):
+                ever_green.add(name)
+    return ever_green, last
 
 
 def _ordered(merged: dict) -> dict:
+    """Head: entries with no green driver row in ANY round.  Mid: oracle-paired
+    entries, those the capped run missed last round first (round-robin).
+    Tail: rows-only entries (no oracle)."""
     oracles = {**gate.ORACLES, **gate_pipeline.ORACLES}
-    first = [n for n in _NEEDS_DRIVER_ROW if n in merged]
-    checked = _checked_last_round()
+    ever_green, checked = _driver_rows()
+    first = sorted(n for n in merged if n not in ever_green)
     mid = sorted(n for n in merged if n in oracles and n not in first)
-    # self-maintaining round-robin: whatever the capped driver run missed
-    # last round goes to the head this round
     mid = [n for n in mid if n not in checked] + [n for n in mid if n in checked]
     last = [n for n in merged if n not in oracles and n not in first]
     return {n: merged[n] for n in first + mid + last}
