@@ -31,7 +31,14 @@ adversarial data (duplicate keys/timestamps, empty chunks).
 
 All tie-breaks are total and deterministic (the contract every gate
 oracle reproduces): among right rows sharing (key, ts), the GREATEST
-``right_tiebreak`` wins, in both directions.
+``right_tiebreak`` wins, in both directions. The tiebreak keeps its
+NATIVE type (string/UUID ids order lexically); a NULL tiebreak value
+sorts FIRST, i.e. loses to every non-null peer at the same timestamp.
+
+The matched right row travels as ONE struct (never per-column windows),
+so a null value in a matched row's column stays null instead of being
+backfilled from an older row — row atomicity is property-tested with
+nulls in ``right_cols`` (tests/test_temporal.py).
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 def _us_of(col: Column) -> Column:
     """Microseconds since epoch; the cast makes TIMESTAMP_NTZ inputs
@@ -51,6 +59,39 @@ def _us_of(col: Column) -> Column:
 
 def _prefixed(cols: Sequence[str], prefix: str) -> list[str]:
     return [f"{prefix}{c}" for c in cols]
+
+
+def _right_row_parts(
+    right: DataFrame,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_tiebreak: Optional[str],
+) -> tuple[Column, Column, StructType]:
+    """(tiebreak col, matched-row struct col, struct type) for the union
+    frame's right side. The struct carries the matched row ATOMICALLY —
+    ``__ts`` + tiebreak + every ``right_cols`` value from the SAME row —
+    so extraction can never mix columns of different rows. ``__ts``/
+    ``__tb`` are reserved field names (double-underscore, rejected if a
+    caller column uses them)."""
+    for c in right_cols:
+        if c.startswith("__"):
+            raise ValueError(f"right_cols entry {c!r} uses the reserved __ prefix")
+    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+    row = F.struct(
+        F.col(right_ts).alias("__ts"),
+        tb.alias("__tb"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    tb_t = rschema[right_tiebreak] if right_tiebreak is not None else IntegerType()
+    row_t = StructType(
+        [
+            StructField("__ts", rschema[right_ts]),
+            StructField("__tb", tb_t),
+            *[StructField(c, rschema[c]) for c in right_cols],
+        ]
+    )
+    return tb, row, row_t
 
 
 def asof_join(
@@ -107,35 +148,26 @@ def asof_join(
     # never sees them).
     r_pri, l_pri = (1, 0) if strict else (0, 1)
 
-    tb = (
-        F.col(right_tiebreak)
-        if right_tiebreak is not None
-        else F.lit(0)
-    )
-    r_sel = (
-        [F.col(c) for c in on]
-        + [
-            F.col(right_ts).alias("__ts"),
-            F.lit(r_pri).alias("__pri"),
-            tb.cast("long").alias("__tb"),
-        ]
-        + [F.col(c).alias(f"__r_{c}") for c in right_cols]
-        + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
-    )
-    rtypes = dict(right.dtypes)
-    l_sel = (
-        [F.col(c) for c in on]
-        + [
-            F.col(left_ts).alias("__ts"),
-            F.lit(l_pri).alias("__pri"),
-            F.lit(None).cast("long").alias("__tb"),
-        ]
-        + [
-            F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
-            for c in right_cols
-        ]
-        + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
-    )
+    # __side is an explicit literal — NEVER inferred from tiebreak
+    # nullness, so null tiebreak values can't flip a row's side — and the
+    # matched right row rides as ONE struct (__rrow), so a null in a
+    # matched row's column is returned as that null, never backfilled
+    # from an older row.
+    tb, rrow, rrow_t = _right_row_parts(right, right_ts, right_cols, right_tiebreak)
+    r_sel = [F.col(c) for c in on] + [
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_pri).alias("__pri"),
+        tb.alias("__tb"),
+        F.lit(1).alias("__side"),
+        rrow.alias("__rrow"),
+    ] + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
+    l_sel = [F.col(c) for c in on] + [
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_pri).alias("__pri"),
+        F.lit(None).cast(rrow_t["__tb"].dataType).alias("__tb"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
+    ] + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
     u = right.select(*r_sel).unionByName(left.select(*l_sel))
 
     if direction == "backward":
@@ -149,30 +181,25 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    is_right = F.col("__tb").isNotNull()
-    matched_ts = F.last(F.when(is_right, F.col("__ts")), ignorenulls=True).over(w)
-    picked = {
-        c: F.last(F.when(is_right, F.col(f"__r_{c}")), ignorenulls=True).over(w)
-        for c in right_cols
-    }
-    out = u.withColumn("__mts", matched_ts)
-    for c in right_cols:
-        out = out.withColumn(f"__m_{c}", picked[c])
+    # __rrow is non-null exactly on right rows (a struct of nulls is
+    # still a struct), so last-ignorenulls picks the latest right ROW
+    out = u.withColumn("__mrow", F.last("__rrow", ignorenulls=True).over(w))
 
+    mts = F.col("__mrow.__ts")
     within: Column = F.lit(True)
     if tolerance_us is not None:
-        gap = _us_of(F.col("__ts")) - _us_of(F.col("__mts"))
+        gap = _us_of(F.col("__ts")) - _us_of(mts)
         if direction == "forward":
             gap = -gap
-        within = F.col("__mts").isNotNull() & (gap <= F.lit(int(tolerance_us)))
+        within = mts.isNotNull() & (gap <= F.lit(int(tolerance_us)))
 
-    return out.filter(~is_right).select(
+    return out.filter(F.col("__side") == 0).select(
         *[F.col(c) for c in on],
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
-        F.when(within, F.col("__mts")).alias(f"{prefix}{right_ts}"),
+        F.when(within, mts).alias(f"{prefix}{right_ts}"),
         *[
-            F.when(within, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+            F.when(within, F.col(f"__mrow.{c}")).alias(f"{prefix}{c}")
             for c in right_cols
         ],
     )
@@ -216,18 +243,17 @@ def asof_join_chunked(
     right_cols = list(right_cols)
     chunk = lambda ts: (_us_of(F.col(ts)) / F.lit(int(chunk_us))).cast("long")  # noqa: E731
 
-    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
     # last right row per (key, chunk): max_by over the total (ts, tb)
-    # order — one partial-aggregated shuffle, output rows = touched chunks
+    # order — one partial-aggregated shuffle, output rows = touched
+    # chunks. __row is the SAME struct shape as the in-chunk __rrow so
+    # the boundary stitch below is a row-level coalesce, never
+    # per-column (a matched row's null column must stay null).
+    tb, rrow, rrow_t = _right_row_parts(right, right_ts, right_cols, right_tiebreak)
     rc = right.select(
         *on,
         chunk(right_ts).alias("__chunk"),
-        F.struct(
-            F.col(right_ts).alias("ts"),
-            tb.cast("long").alias("tb"),
-            *[F.col(c).alias(c) for c in right_cols],
-        ).alias("__row"),
-        F.struct(F.col(right_ts).alias("ts"), tb.cast("long").alias("tb")).alias("__ord"),
+        rrow.alias("__row"),
+        F.struct(F.col(right_ts).alias("ts"), tb.alias("tb")).alias("__ord"),
     )
     last_per_chunk = rc.groupBy(*on, "__chunk").agg(
         F.max_by("__row", "__ord").alias("__last")
@@ -257,29 +283,22 @@ def asof_join_chunked(
     # (key, chunk) grouping so AQE plans it against the small frame
     r_pri, l_pri = (1, 0) if strict else (0, 1)
     lcols = list(left.columns)
-    rtypes = dict(right.dtypes)
-    r_sel = (
-        [F.col(c) for c in on]
-        + [
-            chunk(right_ts).alias("__chunk"),
-            F.col(right_ts).alias("__ts"),
-            F.lit(r_pri).alias("__pri"),
-            tb.cast("long").alias("__tb"),
-        ]
-        + [F.col(c).alias(f"__r_{c}") for c in right_cols]
-        + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
-    )
-    l_sel = (
-        [F.col(c) for c in on]
-        + [
-            chunk(left_ts).alias("__chunk"),
-            F.col(left_ts).alias("__ts"),
-            F.lit(l_pri).alias("__pri"),
-            F.lit(None).cast("long").alias("__tb"),
-        ]
-        + [F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols]
-        + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
-    )
+    r_sel = [F.col(c) for c in on] + [
+        chunk(right_ts).alias("__chunk"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_pri).alias("__pri"),
+        tb.alias("__tb"),
+        F.lit(1).alias("__side"),
+        rrow.alias("__rrow"),
+    ] + [F.lit(None).cast(t).alias(f"__l_{c}") for c, t in left.dtypes if c not in on]
+    l_sel = [F.col(c) for c in on] + [
+        chunk(left_ts).alias("__chunk"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_pri).alias("__pri"),
+        F.lit(None).cast(rrow_t["__tb"].dataType).alias("__tb"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
+    ] + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
     u = right.select(*r_sel).unionByName(left.select(*l_sel))
 
     w = (
@@ -287,19 +306,17 @@ def asof_join_chunked(
         .orderBy(F.col("__ts").asc(), F.col("__pri").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    is_right = F.col("__tb").isNotNull()
-    out = u.withColumn(
-        "__mts", F.last(F.when(is_right, F.col("__ts")), ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__mrow", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 0)
+        .join(carry, on=on + ["__chunk"], how="left")
     )
-    for c in right_cols:
-        out = out.withColumn(
-            f"__m_{c}",
-            F.last(F.when(is_right, F.col(f"__r_{c}")), ignorenulls=True).over(w),
-        )
-    out = out.filter(~is_right).join(carry, on=on + ["__chunk"], how="left")
 
-    # stitch: no in-chunk match => fall back to the carry-in row
-    mts = F.coalesce(F.col("__mts"), F.col("__carry.ts"))
+    # stitch at ROW level: no in-chunk match => the whole carry-in row
+    # (same struct type by construction); a per-column coalesce would
+    # smear an older row's value over a matched row's legitimate null
+    frow = F.coalesce(F.col("__mrow"), F.col("__carry"))
+    mts = frow.getField("__ts")
     within: Column = F.lit(True)
     if tolerance_us is not None:
         gap = _us_of(F.col("__ts")) - _us_of(mts)
@@ -311,9 +328,7 @@ def asof_join_chunked(
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on and c != left_ts],
         F.when(within, mts).alias(f"{prefix}{right_ts}"),
         *[
-            F.when(
-                within, F.coalesce(F.col(f"__m_{c}"), F.col(f"__carry.{c}"))
-            ).alias(f"{prefix}{c}")
+            F.when(within, frow.getField(c)).alias(f"{prefix}{c}")
             for c in right_cols
         ],
     )
@@ -362,7 +377,9 @@ def interval_join(
     b = int(bucket_us)
     cell_of = lambda c: (_us_of(F.col(c)) / F.lit(b)).cast("long")  # noqa: E731
 
-    iv = intervals.withColumn(
+    # surrogate instance id BEFORE the explode, so every cell replica of
+    # one interval row shares it (left_intervals groups empties by it)
+    iv = intervals.withColumn("__iid", F.monotonically_increasing_id()).withColumn(
         "__cell",
         F.explode(F.sequence(cell_of(start), cell_of(end))),
     )
@@ -373,28 +390,35 @@ def interval_join(
         return (
             iv.join(pt, on=on + ["__cell"], how="inner")
             .filter(cond)
-            .drop("__cell")
+            .drop("__cell", "__iid")
         )
-    # left_intervals: keep every interval exactly once when nothing
-    # matches. The bucketed join gives one row per (interval, cell,
-    # point) candidate; non-matching candidates must not survive as
-    # spurious half-null rows, so null out point columns failing the
-    # containment test and collapse the interval's no-match cells.
+    # left_intervals: keep every interval INSTANCE exactly once when
+    # nothing matches — a surrogate per-row id (so duplicate interval
+    # rows keep their multiplicity) and ONE window over the join output
+    # (so the bucketed join subtree executes once structurally, instead
+    # of a matched-filter + empties-groupBy union that re-runs it).
+    # Non-matching candidates must not survive as spurious half-null
+    # rows: point columns failing the containment test are nulled, and
+    # per interval instance either its matches pass through or exactly
+    # one representative no-match row survives.
     pcols = [c for c in points.columns if c not in on]
     j = iv.join(pt, on=on + ["__cell"], how="left")
     for c in pcols:
         j = j.withColumn(c, F.when(cond, F.col(c)))
-    icols = [c for c in intervals.columns]
-    matched = j.filter(F.col(point_ts).isNotNull()).drop("__cell")
-    empties = (
-        j.groupBy(*[F.col(c) for c in icols])
-        .agg(F.max(F.when(F.col(point_ts).isNotNull(), 1)).alias("__any"))
-        .filter(F.col("__any").isNull())
-        .drop("__any")
+    wi = Window.partitionBy("__iid").orderBy(F.col("__cell").asc())
+    j = (
+        j.withColumn(
+            "__any",
+            F.max(F.when(F.col(point_ts).isNotNull(), 1)).over(
+                wi.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(wi))
     )
-    for c in pcols:
-        empties = empties.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
-    return matched.unionByName(empties)
+    return j.filter(
+        F.col(point_ts).isNotNull()
+        | (F.col("__any").isNull() & (F.col("__rn") == 1))
+    ).drop("__cell", "__iid", "__any", "__rn")
 
 
 def resample_locf(

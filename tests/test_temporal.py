@@ -403,3 +403,152 @@ class TestCollapseBursts:
         )
         rows = collapse_bursts(df, ["k"], gap_us=1, tiebreak="eid").collect()
         assert len(rows) == 1 and rows[0].eid == 3  # earliest tiebreak wins
+
+
+class TestAsofRowAtomicity:
+    """Regression suite for the round-5 ADVICE items: null values in
+    matched right rows must come through as nulls (the match is ONE row,
+    never a per-column mix), the side marker must not be inferred from
+    tiebreak nullness, and non-numeric tiebreaks must keep their native
+    ordering."""
+
+    def _right_nullable(self, spark, rows):
+        # (k, t_us, rid-or-None, v-or-None)
+        return spark.createDataFrame(
+            [(k, _ts(t), rid, v) for k, t, rid, v in rows],
+            "k long, ts timestamp, rid long, v double",
+        )
+
+    def test_matched_null_col_stays_null(self, spark):
+        left = _mk_left(spark, [(1, 25)])
+        right = self._right_nullable(
+            spark, [(1, 10, 1, 1.0), (1, 20, 2, None)]
+        )
+        r = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+        ).collect()[0]
+        assert _us(r.r_ts) == 20
+        assert r.r_v is None  # NOT backfilled from the t=10 row
+
+    def test_null_tiebreak_row_is_still_right(self, spark):
+        left = _mk_left(spark, [(1, 15)])
+        right = self._right_nullable(spark, [(1, 10, None, 5.0)])
+        rows = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+        ).collect()
+        # exactly the left row — no phantom all-null-left output row —
+        # and the null-tiebreak right row still matches
+        assert len(rows) == 1
+        assert rows[0].lid == 0 and rows[0].r_v == 5.0
+
+    def test_null_tiebreak_loses_to_nonnull_peer(self, spark):
+        left = _mk_left(spark, [(1, 10)])
+        right = self._right_nullable(
+            spark, [(1, 10, None, 1.0), (1, 10, 7, 2.0)]
+        )
+        r = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+        ).collect()[0]
+        assert r.r_v == 2.0
+
+    def test_string_tiebreak_native_order(self, spark):
+        left = _mk_left(spark, [(1, 10)])
+        right = spark.createDataFrame(
+            [(1, _ts(10), "a", 1.0), (1, _ts(10), "b", 2.0)],
+            "k long, ts timestamp, sid string, v double",
+        )
+        r = asof_join(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="sid"
+        ).collect()[0]
+        assert r.r_v == 2.0  # greatest string wins, no long-cast nulling
+
+    def test_chunked_carry_does_not_smear_null(self, spark):
+        # in-chunk match at t=995 has v NULL; an earlier-chunk carry row
+        # at t=5 has v=7.0. A per-column coalesce would emit 7.0 with
+        # r_ts=995 — mixing two rows. Row-level stitch must emit NULL.
+        left = _mk_left(spark, [(1, 1000)])
+        right = self._right_nullable(
+            spark, [(1, 5, 1, 7.0), (1, 995, 2, None)]
+        )
+        r = asof_join_chunked(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+            chunk_us=100,
+        ).collect()[0]
+        assert _us(r.r_ts) == 995
+        assert r.r_v is None
+
+    def test_chunked_carry_row_with_null_col(self, spark):
+        # no in-chunk match; the carry row itself has a null column
+        left = _mk_left(spark, [(1, 1000)])
+        right = self._right_nullable(spark, [(1, 10, 1, None)])
+        r = asof_join_chunked(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+            chunk_us=100,
+        ).collect()[0]
+        assert _us(r.r_ts) == 10
+        assert r.r_v is None
+
+    def test_chunked_null_tiebreak_row_is_still_right(self, spark):
+        left = _mk_left(spark, [(1, 1000)])
+        right = self._right_nullable(spark, [(1, 10, None, 5.0)])
+        rows = asof_join_chunked(
+            left, right, ["k"], right_cols=["v"], right_tiebreak="rid",
+            chunk_us=100,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].lid == 0 and rows[0].r_v == 5.0
+
+    def test_reserved_right_col_rejected(self, spark):
+        left = _mk_left(spark, [(1, 10)])
+        right = spark.createDataFrame(
+            [(1, _ts(5), 1.0)], "k long, ts timestamp, __ts double"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left, right, ["k"], right_cols=["__ts"])
+
+
+class TestLeftIntervalsSinglePass:
+    def test_duplicate_empty_intervals_keep_multiplicity(self, spark):
+        iv = spark.createDataFrame(
+            [(1, _ts(100), _ts(110)), (1, _ts(100), _ts(110))],
+            "k long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(1, 0, _ts(15))], "k long, pt_id long, ts timestamp"
+        )
+        rows = interval_join(
+            pt, iv, ["k"], how="left_intervals", bucket_us=5
+        ).collect()
+        # both identical empty interval INSTANCES survive
+        assert len(rows) == 2
+        assert all(r.pt_id is None for r in rows)
+
+    def test_single_join_subtree_plan(self, spark):
+        iv = spark.createDataFrame(
+            [(1, _ts(10), _ts(20))],
+            "k long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(1, 0, _ts(15))], "k long, pt_id long, ts timestamp"
+        )
+        df = interval_join(pt, iv, ["k"], how="left_intervals", bucket_us=5)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Join") == 1  # join subtree executes ONCE
+
+    def test_interval_matched_and_empty_mixed(self, spark):
+        iv = spark.createDataFrame(
+            [(1, 0, _ts(10), _ts(20)), (1, 1, _ts(100), _ts(110))],
+            "k long, iv_id long, start timestamp, end timestamp",
+        )
+        pt = spark.createDataFrame(
+            [(1, 0, _ts(12)), (1, 1, _ts(15)), (1, 2, _ts(50))],
+            "k long, pt_id long, ts timestamp",
+        )
+        rows = interval_join(
+            pt, iv, ["k"], how="left_intervals", bucket_us=3
+        ).collect()
+        by_iv = {}
+        for r in rows:
+            by_iv.setdefault(r.iv_id, []).append(r.pt_id)
+        assert sorted(by_iv[0]) == [0, 1]
+        assert by_iv[1] == [None]
