@@ -44,6 +44,14 @@ OP_UPSERT = "U"
 OP_DELETE = "D"
 
 
+def _not_delete(col):
+    """Null-safe "is not a delete": a NULL op code is an upsert, never a
+    silent drop (``col != 'D'`` is NULL for null ops, and a filter
+    treats NULL as false — a malformed changelog row would vanish from
+    the compacted state)."""
+    return ~(col.eqNullSafe(F.lit(OP_DELETE)))
+
+
 def _version_ord(ts_col: str, seq_col: Optional[str]):
     if seq_col is None:
         return F.struct(F.col(ts_col).alias("ts"))
@@ -81,7 +89,7 @@ def latest_state(
         *keys, *[F.col(f"__v.{c}").alias(c) for c in payload_cols]
     )
     if op_col is not None:
-        out = out.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+        out = out.filter(_not_delete(F.col(op_col))).drop(op_col)
     return out
 
 
@@ -147,7 +155,7 @@ def apply_changelog(
     u = sn.unionByName(cl)
     latest = u.groupBy(*keys).agg(F.max_by("__p", "__ver").alias("__v"))
     return (
-        latest.filter(F.col("__v.__op") != OP_DELETE)
+        latest.filter(_not_delete(F.col("__v.__op")))
         .select(*keys, *[F.col(f"__v.{c}").alias(c) for c in snap_cols if c not in keys])
     )
 
@@ -189,5 +197,5 @@ def scd2_intervals(
         valid_to, F.lead(ts_col).over(w)
     )
     if op_col is not None:
-        out = out.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+        out = out.filter(_not_delete(F.col(op_col))).drop(op_col)
     return out.drop(ts_col, *( [seq_col] if seq_col else [] ))

@@ -362,5 +362,6 @@ def stream_latest_state(
         *keys, *[F.col(f"__v.{c}").alias(c) for c in payload_cols]
     )
     if op_col is not None:
-        out = out.filter(F.col(op_col) != "D").drop(op_col)
+        # null-safe: a NULL op is an upsert, matching cdc.latest_state
+        out = out.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
     return out

@@ -170,3 +170,47 @@ class TestScd2Intervals:
         log = _mk_log(spark, [(1, 10, 0, 1.0, "U")])
         cols = scd2_intervals(log, ["k"], seq_col="seq").columns
         assert cols == ["k", "v", "valid_from", "valid_to"]
+
+
+class TestNullOpIsUpsert:
+    """A NULL op code is an upsert, never a silent drop (round-5 ADVICE:
+    `op != 'D'` is NULL for null ops and the filter swallowed the row)."""
+
+    def test_latest_state_null_op_kept(self, spark):
+        log = _mk_log(
+            spark,
+            [(1, 10, 0, 1.0, "U"), (2, 10, 1, 2.0, "U"), (3, 5, 2, 3.0, "U")],
+        ).unionByName(
+            spark.createDataFrame(
+                [(2, _ts(20), 3, 9.0, None), (3, _ts(9), 4, 8.0, None)],
+                "k long, op_ts timestamp, seq long, v double, op string",
+            )
+        )
+        got = {
+            r.k: r.v for r in latest_state(log, ["k"], seq_col="seq").collect()
+        }
+        # null-op versions win their keys and survive as upserts
+        assert got == {1: 1.0, 2: 9.0, 3: 8.0}
+
+    def test_apply_changelog_null_op_kept(self, spark):
+        snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        delta = spark.createDataFrame(
+            [(1, _ts(10), 0, 5.0, None), (2, _ts(10), 1, 7.0, None)],
+            "k long, op_ts timestamp, seq long, v double, op string",
+        )
+        got = {
+            r.k: r.v
+            for r in apply_changelog(
+                snap, delta, ["k"], seq_col="seq"
+            ).collect()
+        }
+        assert got == {1: 5.0, 2: 7.0}
+
+    def test_scd2_null_op_emits_interval(self, spark):
+        log = spark.createDataFrame(
+            [(1, _ts(10), 0, 1.0, None), (1, _ts(20), 1, 2.0, "D")],
+            "k long, op_ts timestamp, seq long, v double, op string",
+        )
+        rows = scd2_intervals(log, ["k"], seq_col="seq").collect()
+        assert len(rows) == 1
+        assert rows[0].v == 1.0 and rows[0].valid_to is not None
