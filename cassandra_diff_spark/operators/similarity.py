@@ -426,27 +426,67 @@ def _sample_centroids(c: DataFrame, centroid_mod: int, max_centroids: int):
     return cent_mat, cent_n
 
 
+#: rows per assignment matmul chunk: bounds the rows x n_centroids
+#: scratch at ~16 MB for nlist=1000 and keeps it REUSED — a full-batch
+#: (10^4 x nlist) scratch is ~80 MB of FRESH allocation per batch per
+#: worker, and the first-touch page faults of 32 workers x that scratch
+#: dominated the cold 1M-row build (measured 16 s -> 5.8 s cold,
+#: identical 1.4 s warm; scale_probe now records both).
+_ASSIGN_CHUNK = 2048
+
+
+def _make_assign_fn(cent_mat: np.ndarray, cent_n: np.ndarray, top: int):
+    """Factory for the nearest-``top``-centroid kernel: ordinals per row
+    of a float64 (integer-exact) matrix, chunked through a caller-
+    preallocated scratch. Returned as a CLOSURE so cloudpickle ships it
+    by value (same rationale as :func:`_make_vec_matrix_fn`).
+
+    Ranks by (|c|^2 - 2<x,c>): the per-row |x|^2 constant drops out of
+    every comparison (each quantity is an integer float64 represents
+    exactly), skipping two rows x n_centroids broadcast intermediates.
+    Ties break toward the SMALLEST centroid ordinal (argmin-first /
+    stable argsort), matching the SQL oracle's row_number tiebreak;
+    chunking cannot change any per-row result."""
+    cent_T = np.ascontiguousarray(cent_mat.T)
+    chunk_rows = _ASSIGN_CHUNK
+
+    def assign(x: np.ndarray, buf: np.ndarray) -> np.ndarray:
+        n = len(x)
+        out = np.empty((n, top), dtype=np.int64)
+        for i in range(0, n, chunk_rows):
+            ch = x[i : i + chunk_rows]
+            s = buf[: len(ch)]
+            np.matmul(ch, cent_T, out=s)
+            s *= -2.0
+            s += cent_n[None, :]
+            if top == 1:
+                out[i : i + chunk_rows, 0] = np.argmin(s, axis=1)
+            else:
+                out[i : i + chunk_rows] = np.argsort(
+                    s, axis=1, kind="stable"
+                )[:, :top]
+        return out
+
+    def scratch(n_rows: int) -> np.ndarray:
+        return np.empty(
+            (min(chunk_rows, max(n_rows, 1)), len(cent_n)), dtype=np.float64
+        )
+
+    return assign, scratch
+
+
 def _nearest_centroid_udf(cent_mat: np.ndarray, cent_n: np.ndarray, top: int):
     """Arrow-batched assignment kernel: ordinal indices of the ``top``
-    nearest centroids per vector, ONE matmul per batch."""
+    nearest centroids per vector, chunked matmuls per batch."""
     from pyspark.sql.functions import pandas_udf
+
+    assign, scratch = _make_assign_fn(cent_mat, cent_n, top)
 
     @pandas_udf("array<long>")
     def nearest(qs: pd.Series) -> pd.Series:
         x = np.array(list(qs), dtype=np.float64)  # batch x dim
-        # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2; |x|^2 is constant per row,
-        # so ranking by (|c|^2 - 2<x,c>) is EXACTLY equivalent (every
-        # quantity is integer-exact in float64, so dropping the row
-        # constant changes no comparison) — and it skips materializing
-        # two extra batch x n_centroids broadcast intermediates, which
-        # cost ~3x the matmul itself (memory-bound)
-        s = x @ cent_mat.T
-        s *= -2.0
-        s += cent_n[None, :]
-        # argsort is stable; cent arrays are id-sorted, so equal d2
-        # breaks ties by centroid id asc — same as the SQL row_number
-        idx = np.argsort(s, axis=1, kind="stable")[:, :top]
-        return pd.Series(list(idx.astype(np.int64)))
+        idx = assign(x, scratch(len(x)))
+        return pd.Series(list(idx))
 
     return nearest
 
@@ -486,23 +526,20 @@ def ivf_index(
         )
     id_type = dict(corpus.dtypes)[id_col]
     vec_matrix = _make_vec_matrix_fn(dim)
+    assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
+    first_batch_rows = 10_000  # arrow default batch size, scratch cap
 
     def batches(it):
         import pyarrow as pa
 
+        # ONE reused scratch per worker (see _ASSIGN_CHUNK: fresh
+        # full-batch scratches page-fault the cold build to ~3x)
+        buf = scratch(first_batch_rows)
         for batch in it:
             qi = vec_matrix(batch.column(vec_col))
             norm = np.einsum("ij,ij->i", qi, qi)
             x = qi.astype(np.float64)
-            # rank by (|c|^2 - 2<x,c>): the per-row |x|^2 constant drops
-            # out of every comparison (integer-exact float64), saving the
-            # batch x n_centroids broadcast intermediates that cost ~3x
-            # the matmul; np.argmin takes the FIRST minimum — ties break
-            # by centroid ordinal asc, matching _nearest_centroid_udf
-            s = x @ cent_mat.T
-            s *= -2.0
-            s += cent_n[None, :]
-            cent = np.argmin(s, axis=1)
+            cent = assign(x, buf)[:, 0]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(id_col),

@@ -147,13 +147,26 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
 
     # build-once/query-many split: the signature pass is a pure function
     # of the corpus — persist it (parquet round-trip, as a serving layer
-    # would) and measure the per-query-batch cost separately
+    # would) and measure the per-query-batch cost separately.
+    # Each build is timed TWICE in the same session: the first run pays
+    # one-time costs (worker numpy/BLAS init, first-touch page faults of
+    # the kernel scratch) plus whatever sibling load the box carries; the
+    # warm re-run is the steady-state per-corpus-pass cost — the number
+    # to trend (r5 lesson: contention masqueraded as an IVF regression
+    # until the builds were re-measured warm in isolation).
     t0 = time.time()
     similarity.hyperplane_lsh_index(
         corpus, "vec_id", "embedding", n_bands=SCALE_BANDS
     ).write.mode("overwrite").parquet(f"{work}/lsh_index.parquet")
     lsh_idx = spark.read.parquet(f"{work}/lsh_index.parquet")
     out["lsh_index_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    similarity.hyperplane_lsh_index(
+        corpus, "vec_id", "embedding", n_bands=SCALE_BANDS
+    ).write.mode("overwrite").parquet(f"{work}/lsh_index.parquet")
+    out["lsh_index_warm_sec"] = round(time.time() - t0, 2)
+    # the overwrite replaced the files the earlier read pinned
+    lsh_idx = spark.read.parquet(f"{work}/lsh_index.parquet")
     t0 = time.time()
     lsh = similarity.hyperplane_lsh_topk(
         corpus, queries, "vec_id", "embedding", k=10,
@@ -174,6 +187,12 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     ).write.mode("overwrite").parquet(f"{work}/ivf_index.parquet")
     ivf_idx = spark.read.parquet(f"{work}/ivf_index.parquet")
     out["ivf_index_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    similarity.ivf_index(
+        corpus, "vec_id", "embedding", centroid_mod=mod
+    ).write.mode("overwrite").parquet(f"{work}/ivf_index.parquet")
+    ivf_idx = spark.read.parquet(f"{work}/ivf_index.parquet")
+    out["ivf_index_warm_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     ivf = similarity.ivf_topk(
         corpus, queries, "vec_id", "embedding", k=10, centroid_mod=mod,
