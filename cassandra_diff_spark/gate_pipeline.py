@@ -2071,13 +2071,12 @@ ORACLES["cdc_apply_changelog"] = _O_CDC_APPLY_CHANGELOG
 # scalar SQL counts.
 
 
-def _q_validate_orders(spark, sf_dir):
-    """Rule sweep over a deterministically-corrupted orders table:
-    nulled custkeys (%97), dangling FK custkeys (%79), invalid status
-    (%89), negative totalprice (%83), malformed priority (%73), and
-    duplicated orderkeys (%101)."""
+def _corrupted_orders(spark, sf_dir):
+    """The deterministically-corrupted orders fixture shared by the
+    validation gates: nulled custkeys (%97), dangling FK custkeys (%79),
+    invalid status (%89), negative totalprice (%83), malformed priority
+    (%73), and duplicated orderkeys (%101)."""
     from cassandra_diff_spark.gate import load
-    from cassandra_diff_spark.operators import validate as V
 
     o = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
@@ -2105,7 +2104,16 @@ def _q_validate_orders(spark, sf_dir):
             ),
         )
     )
-    bad = bad.unionByName(bad.filter(k % 101 == 0))
+    return bad.unionByName(bad.filter(k % 101 == 0))
+
+
+def _q_validate_orders(spark, sf_dir):
+    """Rule sweep over the corrupted-orders fixture: every rule kind
+    must prove itself on a violation it was built to catch."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators import validate as V
+
+    bad = _corrupted_orders(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
     rules = [
         V.not_null("o_custkey"),
@@ -2622,3 +2630,223 @@ FROM l JOIN LATERAL (
 
 QUERIES["events_point_in_time_scd2"] = _q_events_point_in_time_scd2
 ORACLES["events_point_in_time_scd2"] = _O_EVENTS_POINT_IN_TIME_SCD2
+
+
+# ---------------------------------------------------------------------------
+# round 6: stream-stream as-of join
+
+
+def _q_events_asof_stream(spark, sf_dir):
+    """Streaming-runtime twin of events_asof_attribution: clicks and
+    purchases arrive as TWO file streams in event-time-ordered
+    micro-batches (shared quarter boundaries on both sides, mtime-
+    stamped — the operator's ordering contract), joined by the stateful
+    stream_asof_join. The drained result equals the batch asof_join, so
+    the SAME LATERAL oracle gates the streaming runtime, tiebreak
+    contract included."""
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+
+    stage = "/tmp/cds_gate_stream_asof"
+    shutil.rmtree(stage, ignore_errors=True)
+    for side, df in (("l", clicks), ("r", purchases)):
+        for i in range(4):
+            df.filter(
+                (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+            ).coalesce(1).write.mode("append").parquet(f"{stage}/{side}")
+        for i, f in enumerate(
+            sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
+        ):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    lstream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/l")
+    )
+    rstream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/r")
+    )
+    return stream_asof_join(
+        lstream,
+        rstream,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        prefix="purchase_",
+        name="cds_gate_asof_stream",
+    ).select(
+        "event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value"
+    )
+
+
+_O_EVENTS_ASOF_STREAM = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, m.purchase_ts, m.purchase_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts AS purchase_ts, r.value AS purchase_value
+  FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+QUERIES["events_asof_stream"] = _q_events_asof_stream
+ORACLES["events_asof_stream"] = _O_EVENTS_ASOF_STREAM
+
+
+# ---------------------------------------------------------------------------
+# round 6: incremental containment dedup (cross-snapshot truncation check)
+
+
+def _q_dedup_containment_incremental(spark, sf_dir):
+    """Incremental containment: the batch (docs with doc_id % 5 == 0,
+    plus TRUNCATED copies of corpus docs with doc_id % 10 == 1 at
+    id+1e6 — planted cross-snapshot subset duplicates) checks against
+    the persisted corpus shingle index; corpus text is never re-read.
+    Equals the one-shot containment run over corpus+batch restricted to
+    batch-touching pairs (the oracle IS that formulation)."""
+    from cassandra_diff_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    w = words(F.col("text"))
+    k = F.greatest(F.lit(1), F.floor(F.size(w) * 2 / 5)).cast("int")
+    trunc = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, F.lit(1), k)).alias("text"),
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(trunc)
+    )
+    corpus_sh = dedup.shingle_set(corpus, "doc_id", "text", 3)
+    return dedup.ngram_containment_incremental(
+        batch, corpus_sh, "doc_id", "text", n=3,
+        threshold_num=9, threshold_den=10,
+    )
+
+
+# batch membership: doc_id % 5 = 0 (the arriving docs) or >= 1e6 (the
+# planted truncations of corpus docs)
+_O_DEDUP_CONTAINMENT_INCREMENTAL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           ({words_sql('text')})[1:CAST(GREATEST(1,
+              FLOOR(len({words_sql('text')}) * 2 / 5)) AS INT)], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 1
+),
+sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM aug)
+),
+shc AS (
+  SELECT * FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1000)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS dup_id,
+         CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM shc a JOIN shc b ON a.h = b.h
+  WHERE (a.doc_id % 5 = 0 OR a.doc_id >= 1000000)
+    AND ((NOT (b.doc_id % 5 = 0 OR b.doc_id >= 1000000) AND b.doc_id <> a.doc_id)
+         OR ((b.doc_id % 5 = 0 OR b.doc_id >= 1000000) AND b.doc_id < a.doc_id))
+  GROUP BY 1, 2
+)
+SELECT new_id, dup_id,
+       CASE WHEN (dup_id % 5 = 0 OR dup_id >= 1000000)
+            THEN 'batch' ELSE 'corpus' END AS dup_in,
+       intersect_n, s1.sz AS sz_new, s2.sz AS sz_dup
+FROM inter
+JOIN sz s1 ON s1.doc_id = new_id
+JOIN sz s2 ON s2.doc_id = dup_id
+WHERE intersect_n * 10 >= 9 * LEAST(s1.sz, s2.sz)
+"""
+
+
+QUERIES["dedup_containment_incremental"] = _q_dedup_containment_incremental
+ORACLES["dedup_containment_incremental"] = _O_DEDUP_CONTAINMENT_INCREMENTAL
+
+
+# ---------------------------------------------------------------------------
+# round 6: unique/FK violation witnesses
+
+
+def _q_validate_samples_orders(spark, sf_dir):
+    """Witness rows for the aggregate/join-shaped rules over the
+    corrupted-orders fixture: every row of every collided o_orderkey
+    (uniqueness witnesses arrive as colliding GROUPS) and every dangling-
+    custkey orphan row. The limit is set above the fixture's witness
+    count, so the output is the deterministic FULL witness set — which is
+    what makes it oracle-expressible; production use passes a small
+    limit."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators import validate as V
+
+    bad = _corrupted_orders(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    rules = [
+        V.unique("o_orderkey"),
+        V.foreign_key(["o_custkey"], customer, ["c_custkey"]),
+    ]
+    return V.violation_samples(bad, rules, limit=10_000_000).select(
+        "rule", "o_orderkey", "o_custkey"
+    )
+
+
+_O_VALIDATE_SAMPLES_ORDERS = """
+WITH bad0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              WHEN o_orderkey % 79 = 0 THEN 999999999
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+bad AS (
+  SELECT * FROM bad0
+  UNION ALL SELECT * FROM bad0 WHERE o_orderkey % 101 = 0
+)
+SELECT 'unique(o_orderkey)' AS rule, o_orderkey, o_custkey
+FROM bad
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM bad GROUP BY o_orderkey HAVING COUNT(*) > 1
+)
+UNION ALL
+SELECT 'foreign_key(o_custkey)' AS rule, o_orderkey, o_custkey
+FROM bad
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+QUERIES["validate_samples_orders"] = _q_validate_samples_orders
+ORACLES["validate_samples_orders"] = _O_VALIDATE_SAMPLES_ORDERS

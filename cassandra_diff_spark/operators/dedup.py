@@ -203,6 +203,82 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_containment_incremental(
+    new_df: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    df_limit: int | None = 1000,
+) -> DataFrame:
+    """Incremental containment dedup — cross-snapshot mode: detect batch
+    docs that are truncations/supersets of ALREADY-INDEXED corpus docs
+    (or of earlier batch docs) without re-shingling the corpus.
+    ``corpus_shingles`` is a persisted :func:`shingle_set` frame
+    (``(id, h)`` — build once over the history, write to parquet, reuse
+    every batch: the 100 TB corpus text is never re-read; the index is
+    re-SCANNED per batch for the df recount and the candidate join, but
+    that is hash-row traffic, not text shingling).
+
+    Emits ``(new_id, dup_id, dup_in, intersect_n, sz_new, sz_dup)`` —
+    one row per relation with ``intersect / min(sz) >= threshold``,
+    ``dup_in`` = 'corpus' or 'batch' (earlier-id batch doc, first-seen-
+    wins). Exact ONE-SHOT PARITY: equals :func:`ngram_containment_pairs`
+    over corpus+batch restricted to pairs touching the batch, because
+    the df cap and both sizes are recomputed over the UNION of index and
+    batch shingles (a cap computed on the corpus alone would diverge
+    from the one-shot run as the batch piles onto hot shingles).
+    Ids must be globally unique across corpus + batch.
+    """
+    new_sh = shingle_set(new_df, id_col, text_col, n)
+    all_sh = corpus_shingles.select("id", "h").withColumn(
+        "__src", F.lit("corpus")
+    ).unionByName(new_sh.withColumn("__src", F.lit("batch")))
+    if df_limit is not None:
+        hot = (
+            all_sh.groupBy("h").count().filter(F.col("count") > df_limit).select("h")
+        )
+        all_sh = all_sh.join(hot, "h", "left_anti")
+        new_sh = new_sh.join(hot, "h", "left_anti")
+    sizes = all_sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+
+    a = new_sh.select(F.col("id").alias("new_id"), "h")
+    b = all_sh.select(F.col("id").alias("dup_id"), "h", "__src")
+    inter = (
+        a.join(b, "h")
+        .filter(
+            ((F.col("__src") == "corpus") & (F.col("dup_id") != F.col("new_id")))
+            | ((F.col("__src") == "batch") & (F.col("dup_id") < F.col("new_id")))
+        )
+        .groupBy("new_id", "dup_id", "__src")
+        .agg(F.count("*").cast("long").alias("intersect_n"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("new_id"), F.col("sz").alias("sz_new")),
+            "new_id",
+        )
+        .join(
+            sizes.select(F.col("id").alias("dup_id"), F.col("sz").alias("sz_dup")),
+            "dup_id",
+        )
+        .filter(
+            F.col("intersect_n") * threshold_den
+            >= F.lit(threshold_num) * F.least(F.col("sz_new"), F.col("sz_dup"))
+        )
+        .select(
+            "new_id",
+            "dup_id",
+            F.col("__src").alias("dup_in"),
+            "intersect_n",
+            "sz_new",
+            "sz_dup",
+        )
+    )
+
+
 # ----------------------------------------------------------------- MinHash
 
 def minhash_signatures(

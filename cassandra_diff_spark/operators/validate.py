@@ -225,23 +225,57 @@ def check_rules(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
 def violation_samples(
     df: DataFrame, rules: Sequence[Rule], *, limit: int = 5
 ) -> DataFrame:
-    """Up to ``limit`` example violating rows per ROW-LOCAL rule, each
-    tagged with the rule name (first column). Each rule contributes a
-    filtered+limited branch — Catalyst pushes the filters to the scan
-    and the limits stop early; no shuffle. unique/foreign_key rules are
-    skipped (their witnesses are aggregate/join-shaped — use
-    :func:`check_rules` and a targeted query)."""
+    """Up to ``limit`` example violating rows per rule, each tagged with
+    the rule name (first column), for the human debugging a failed gate.
+
+    Cost per rule kind:
+
+    * row-local — a filtered+limited branch: Catalyst pushes the filter
+      to the scan and the limit stops early; no shuffle.
+    * unique — one aggregation finds up to ``limit`` COLLIDED KEYS
+      (kilobytes), then a broadcast semi-join pulls their rows back:
+      witnesses arrive in colliding GROUPS (every row of a sampled key,
+      the pair a human actually wants to eyeball), so the row count can
+      exceed ``limit`` when a sampled key has many duplicates.
+    * foreign_key — the orphan rows themselves (the same anti-join
+      :func:`check_rules` counts), limited.
+    """
     branches = []
     for r in rules:
-        if r.kind not in _ROW_LOCAL:
-            continue
-        branches.append(
-            df.filter(_violation_cond(r))
-            .limit(limit)
-            .select(F.lit(r.name).alias("rule"), "*")
-        )
+        if r.kind in _ROW_LOCAL:
+            branches.append(
+                df.filter(_violation_cond(r))
+                .limit(limit)
+                .select(F.lit(r.name).alias("rule"), "*")
+            )
+        elif r.kind == "unique":
+            dup_keys = (
+                df.groupBy(*[F.col(c) for c in r.columns])
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(*r.columns)
+                .limit(limit)
+            )
+            branches.append(
+                df.join(F.broadcast(dup_keys), on=list(r.columns), how="left_semi")
+                .select(F.lit(r.name).alias("rule"), *df.columns)
+            )
+        elif r.kind == "foreign_key":
+            ref = r.ref.select(
+                *[F.col(rc).alias(c) for c, rc in zip(r.columns, r.ref_columns)]
+            ).dropDuplicates(list(r.columns))
+            if r.broadcast_ref:
+                ref = F.broadcast(ref)
+            nn = df
+            for c in r.columns:
+                nn = nn.filter(F.col(c).isNotNull())
+            branches.append(
+                nn.join(ref, on=list(r.columns), how="left_anti")
+                .limit(limit)
+                .select(F.lit(r.name).alias("rule"), *df.columns)
+            )
     if not branches:
-        raise ValueError("no row-local rules to sample")
+        raise ValueError("no rules to sample")
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

@@ -309,6 +309,234 @@ def stream_minhash_dedup(
     return spark.read.parquet(out_dir)
 
 
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols,
+    right_tiebreak: str | None = None,
+    tolerance_us: int | None = None,
+    prefix: str = "r_",
+    name: str,
+    prune_keep_us: int | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Stream-stream as-of join: every LEFT stream row picks the nearest
+    RIGHT stream row at-or-before its timestamp, per key — the streaming
+    twin of :func:`~cassandra_diff_spark.operators.temporal.asof_join`
+    (backward, non-strict), implemented as ONE ``applyInPandasWithState``
+    stateful operator over the side-tagged union of the two streams.
+
+    Per-key state is the right-side history, collapsed to the greatest-
+    tiebreak row per timestamp (rows a backward as-of can never pick are
+    dropped at ingest, so state size is bounded by DISTINCT right
+    timestamps per key, not right rows). Each micro-batch ingests its
+    right rows FIRST, then matches its left rows against the full
+    history — so a right row matches left rows of its own batch.
+
+    Ordering contract (the same one every foreachBatch operator here
+    documents): micro-batches must arrive event-time-ordered per key —
+    a left row's candidate right rows (ts at-or-before it) must be in
+    the same or an earlier batch. File sources get this by stamping
+    time-partitioned files in order (see the gate); a Kafka deployment
+    gets it from per-key partition ordering. Under that contract the
+    drained result equals the batch operator exactly (pytest + the
+    oracle-paired gate assert it, including the tiebreak contract).
+
+    ``prune_keep_us``: state TTL for 100 TB streams — right rows older
+    than (key's max right ts - prune_keep_us) collapse to the single
+    newest such row (the carry a backward as-of still needs). Exact as
+    long as no left row arrives more than ``prune_keep_us`` behind its
+    key's right-side frontier; None (default) keeps full history.
+
+    Drains an availableNow trigger into an in-memory table and returns
+    the final frame; in production the same plan runs unbounded with a
+    processingTime trigger into a parquet/Delta sink.
+    """
+    import numpy as np
+    import pandas as pd
+
+    on = list(on)
+    right_cols = list(right_cols)
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    lpayload = [c for c in left.columns if c not in on and c != left_ts]
+    tb_type = rtypes[right_tiebreak] if right_tiebreak is not None else "int"
+    tb = (
+        F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    )
+
+    # side-tagged union; timestamps as epoch micros (pandas-friendly,
+    # no tz round-trip in state)
+    r_sel = [F.col(c) for c in on] + [
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__ts"),
+        F.lit(1).alias("__side"),
+        tb.alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(f"__l_{c}") for c in lpayload],
+    ]
+    l_sel = [F.col(c) for c in on] + [
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lpayload],
+    ]
+    u = right.select(*r_sel).unionByName(left.select(*l_sel))
+
+    key_schema = ", ".join(f"{c} {dict(u.dtypes)[c]}" for c in on)
+    out_schema = (
+        key_schema
+        + ", __ts long"
+        + "".join(f", __l_{c} {ltypes[c]}" for c in lpayload)
+        + ", __mts long"
+        + "".join(f", __m_{c} {rtypes[c]}" for c in right_cols)
+    )
+    state_schema = (
+        f"ts array<long>, tb array<{tb_type}>"
+        + "".join(f", v_{c} array<{rtypes[c]}>" for c in right_cols)
+    )
+    n_vals = len(right_cols)
+    out_cols = (
+        on
+        + ["__ts"]
+        + [f"__l_{c}" for c in lpayload]
+        + ["__mts"]
+        + [f"__m_{c}" for c in right_cols]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hist = None
+        if state.exists:
+            st = state.get
+            hist = pd.DataFrame(
+                {
+                    "ts": list(st[0]),
+                    "tb": list(st[1]),
+                    **{
+                        f"v_{c}": list(st[2 + i])
+                        for i, c in enumerate(right_cols)
+                    },
+                }
+            )
+        lefts = []
+        rights = []
+        empty = None
+        for pdf in pdfs:
+            empty = pdf.iloc[:0] if empty is None else empty
+            r, l = pdf[pdf["__side"] == 1], pdf[pdf["__side"] == 0]
+            if len(r):
+                rights.append(r)
+            if len(l):
+                lefts.append(l)
+        rb = pd.concat(rights, ignore_index=True) if rights else empty
+        if len(rb):
+            add = pd.DataFrame(
+                {
+                    "ts": rb["__ts"].astype("int64"),
+                    "tb": rb["__tb"],
+                    **{f"v_{c}": rb[f"__r_{c}"] for c in right_cols},
+                }
+            )
+            hist = add if hist is None or not len(hist) else pd.concat(
+                [hist, add], ignore_index=True
+            )
+            # sort by (ts, tb) — null tiebreak first, i.e. it LOSES —
+            # and collapse to the greatest-tb row per ts (only that row
+            # can ever be picked by a backward non-strict as-of)
+            hist = (
+                hist.sort_values(
+                    ["ts", "tb"], kind="stable", na_position="first"
+                )
+                .drop_duplicates(subset="ts", keep="last")
+                .reset_index(drop=True)
+            )
+            if prune_keep_us is not None and len(hist):
+                floor = int(hist["ts"].iloc[-1]) - int(prune_keep_us)
+                # keep everything newer than the floor, plus the single
+                # newest at-or-below it (the carry)
+                cut = int(np.searchsorted(hist["ts"].values, floor, "right"))
+                hist = hist.iloc[max(0, cut - 1) :].reset_index(drop=True)
+            state.update(
+                (
+                    hist["ts"].tolist(),
+                    hist["tb"].tolist(),
+                    *[hist[f"v_{c}"].tolist() for c in right_cols],
+                )
+            )
+        if not lefts:
+            return
+        lb = pd.concat(lefts, ignore_index=True)
+        if hist is not None and len(hist):
+            # rightmost history row with ts <= left ts: searchsorted on
+            # the (ts,tb)-sorted, per-ts-collapsed history
+            pos = (
+                np.searchsorted(
+                    hist["ts"].values, lb["__ts"].astype("int64").values, "right"
+                )
+                - 1
+            )
+            ok = pos >= 0
+            if tolerance_us is not None:
+                gap = lb["__ts"].astype("int64").values - np.where(
+                    ok, hist["ts"].values[np.maximum(pos, 0)], 0
+                )
+                ok = ok & (gap <= int(tolerance_us))
+            mts = [
+                int(hist["ts"].iloc[p]) if o else None
+                for p, o in zip(pos, ok)
+            ]
+            mvals = {
+                f"__m_{c}": [
+                    hist[f"v_{c}"].iloc[p] if o else None
+                    for p, o in zip(pos, ok)
+                ]
+                for c in right_cols
+            }
+        else:
+            mts = [None] * len(lb)
+            mvals = {f"__m_{c}": [None] * len(lb) for c in right_cols}
+        out = pd.DataFrame(
+            {
+                **{c: [key[i]] * len(lb) for i, c in enumerate(on)},
+                "__ts": lb["__ts"].values,
+                **{f"__l_{c}": lb[f"__l_{c}"].values for c in lpayload},
+                "__mts": mts,
+                **mvals,
+            }
+        )
+        yield out[out_cols]
+
+    stateful = u.groupBy(*on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        stateful.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    drained = left.sparkSession.table(name)
+    return drained.select(
+        *on,
+        F.timestamp_micros(F.col("__ts")).alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lpayload],
+        F.timestamp_micros(F.col("__mts")).alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
 def stream_latest_state(
     stream: DataFrame,
     keys,

@@ -1138,3 +1138,90 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, "doc_id", "text", chunk_words=4, overlap_words=4)
+
+
+class TestContainmentIncremental:
+    def test_one_shot_parity(self, spark):
+        """Incremental batch-vs-index run == the one-shot containment run
+        over corpus+batch restricted to batch-touching pairs, reoriented
+        so new_id is the batch doc (larger id for batch-batch pairs)."""
+        from cassandra_diff_spark.operators.dedup import (
+            ngram_containment_incremental,
+            ngram_containment_pairs,
+            shingle_set,
+        )
+
+        full = " ".join(f"w{i}x" for i in range(60))
+        trunc40 = " ".join(full.split()[:24])
+        other = " ".join(f"z{i}q" for i in range(40))
+        other_trunc = " ".join(other.split()[:16])
+        corpus = spark.createDataFrame(
+            [(1, full), (2, other), (3, "unrelated text entirely here now")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            # 10 and 11 truncate corpus doc 1 (11 also contained in 10 ->
+            # a batch-batch relation); 12 truncates corpus doc 2
+            [(10, trunc40), (11, " ".join(full.split()[:10])), (12, other_trunc)],
+            "doc_id long, text string",
+        )
+        idx = shingle_set(corpus, "doc_id", "text", 3)
+        got = {
+            (r.new_id, r.dup_id, r.dup_in, r.intersect_n, r.sz_new, r.sz_dup)
+            for r in ngram_containment_incremental(
+                batch, idx, "doc_id", "text", threshold_num=9, threshold_den=10
+            ).collect()
+        }
+        both = corpus.unionByName(batch)
+        batch_ids = {10, 11, 12}
+        want = set()
+        for r in ngram_containment_pairs(
+            both, "doc_id", "text", threshold_num=9, threshold_den=10
+        ).collect():
+            in1, in2 = r.id_1 in batch_ids, r.id_2 in batch_ids
+            if not (in1 or in2):
+                continue  # corpus-corpus pairs are not re-litigated
+            if in1 and in2:
+                new, dup, dup_in = max(r.id_1, r.id_2), min(r.id_1, r.id_2), "batch"
+                sz_new, sz_dup = (
+                    (r.sz_2, r.sz_1) if r.id_2 > r.id_1 else (r.sz_1, r.sz_2)
+                )
+            elif in1:
+                new, dup, dup_in = r.id_1, r.id_2, "corpus"
+                sz_new, sz_dup = r.sz_1, r.sz_2
+            else:
+                new, dup, dup_in = r.id_2, r.id_1, "corpus"
+                sz_new, sz_dup = r.sz_2, r.sz_1
+            want.add((new, dup, dup_in, r.intersect_n, sz_new, sz_dup))
+        assert got == want
+        assert any(d == "corpus" for _, _, d, _, _, _ in got)
+        assert any(d == "batch" for _, _, d, _, _, _ in got)
+
+    def test_df_cap_counts_union(self, spark):
+        """The hot-shingle cap is computed over corpus+batch, matching
+        the one-shot run (a corpus-only cap would diverge)."""
+        from cassandra_diff_spark.operators.dedup import (
+            ngram_containment_incremental,
+            shingle_set,
+        )
+
+        # one shared shingle everywhere: 'a b c' in every doc
+        base = "a b c "
+        corpus = spark.createDataFrame(
+            [(i, base + f"u{i} v{i} w{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(10 + i, base + f"x{i} y{i} z{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        idx = shingle_set(corpus, "doc_id", "text", 3)
+        # df of shingle 'a b c' = 6 over the union; cap at 5 must drop it
+        got = ngram_containment_incremental(
+            batch, idx, "doc_id", "text", threshold_num=1, threshold_den=2,
+            df_limit=5,
+        ).collect()
+        assert all(r.intersect_n == 0 or r.intersect_n < 6 for r in got)
+        # with the shared shingle capped away, no batch doc reaches 1/2
+        # containment against anything
+        assert got == []

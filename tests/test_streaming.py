@@ -290,3 +290,111 @@ def test_stream_latest_state_matches_batch(spark, sf_dir, tmp_path):
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(got) == key(want)
     assert got.count() > 0
+
+
+def _stage_time_sliced(df, ts_col, bounds, out_dir):
+    """Write df as one file per time slice (shared boundaries), mtime-
+    stamped in slice order so FileStreamSource delivers event-time-
+    ordered micro-batches — the stream_asof_join contract."""
+    import glob
+    import os
+
+    for i in range(len(bounds) - 1):
+        sl = df.filter(
+            (F.col(ts_col) >= bounds[i]) & (F.col(ts_col) < bounds[i + 1])
+        )
+        sl.coalesce(1).write.mode("append").parquet(out_dir)
+    for i, f in enumerate(sorted(glob.glob(f"{out_dir}/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def test_stream_asof_join_matches_batch(spark, sf_dir, tmp_path):
+    """Drained stream-stream as-of == the batch asof_join, across real
+    event-time-ordered micro-batches (shared slice boundaries on both
+    sides so a left row's candidates are never in a later batch)."""
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import asof_join
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    _stage_time_sliced(clicks, "ts", bounds, ldir)
+    _stage_time_sliced(purchases, "ts", bounds, rdir)
+    lstream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir)
+    )
+    rstream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+    )
+    got = stream_asof_join(
+        lstream,
+        rstream,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        prefix="purchase_",
+        name="t_stream_asof",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    want = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        prefix="purchase_",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    assert got.count() > 0
+
+
+def test_stream_asof_tolerance_and_prune(spark, tmp_path):
+    """Tolerance nulls stale matches; prune keeps the carry row so
+    results stay exact within the prune horizon."""
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    t0 = datetime(2024, 1, 1)
+    us = timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, t0 + 100 * us, 10), (1, t0 + 5_000_000 * us, 11)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + 50 * us, 1, 7.0)], "k long, ts timestamp, rid long, v double"
+    )
+    ldir, rdir = str(tmp_path / "l2"), str(tmp_path / "r2")
+    left.coalesce(1).write.parquet(ldir)
+    right.coalesce(1).write.parquet(rdir)
+    got = stream_asof_join(
+        spark.readStream.schema(left.schema).parquet(ldir),
+        spark.readStream.schema(right.schema).parquet(rdir),
+        ["k"],
+        right_cols=["v"],
+        right_tiebreak="rid",
+        tolerance_us=1_000_000,
+        prune_keep_us=10_000_000,
+        name="t_stream_asof_tol",
+    )
+    rows = {r.lid: r.r_v for r in got.collect()}
+    assert rows[10] == 7.0   # within 1s tolerance
+    assert rows[11] is None  # ~5s stale, nulled

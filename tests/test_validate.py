@@ -115,9 +115,36 @@ class TestViolationSamples:
         rows = violation_samples(df, [not_null("c")], limit=3).collect()
         assert len(rows) == 3
 
-    def test_no_row_local_raises(self, spark, facts, dim):
-        with pytest.raises(ValueError, match="row-local"):
-            violation_samples(facts, [unique("id")])
+    def test_unique_witnesses_arrive_as_groups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+            "id long, v string",
+        )
+        rows = violation_samples(df, [unique("id")], limit=10).collect()
+        got = sorted((r.id, r.v) for r in rows)
+        # every row of every collided key; the unique id=2 row absent
+        assert got == [(1, "a"), (1, "b"), (3, "d"), (3, "e"), (3, "f")]
+        assert all(r.rule == "unique(id)" for r in rows)
+
+    def test_unique_limit_caps_keys_not_rows(self, spark):
+        df = spark.createDataFrame(
+            [(k, i) for k in range(10) for i in range(3)], "id long, v long"
+        )
+        rows = violation_samples(df, [unique("id")], limit=2).collect()
+        keys = {r.id for r in rows}
+        assert len(keys) == 2  # 2 sampled keys ...
+        assert len(rows) == 6  # ... each with its full colliding group
+
+    def test_fk_orphan_rows_sampled(self, spark, facts, dim):
+        rows = violation_samples(
+            facts, [foreign_key(["id"], dim, ["ref_id"])], limit=5
+        ).collect()
+        assert [r.id for r in rows] == [4]  # the dangling key's row
+        assert rows[0].rule == "foreign_key(id)"
+
+    def test_no_rules_raises(self, spark, facts):
+        with pytest.raises(ValueError, match="no rules"):
+            violation_samples(facts, [])
 
 
 class TestConfigDrivenValidation:
