@@ -2850,3 +2850,42 @@ WHERE o_custkey IS NOT NULL
 
 QUERIES["validate_samples_orders"] = _q_validate_samples_orders
 ORACLES["validate_samples_orders"] = _O_VALIDATE_SAMPLES_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: exact quantiles at histogram cost (second-pass refinement)
+
+
+def _q_events_quantiles_refined(spark, sf_dir):
+    """EXACT per-type quantiles via the two-pass histogram refinement:
+    pass 1 locates the one bin per (type, p) holding the target rank;
+    pass 2 rescans only those bins (broadcast-semi-join-gated,
+    plan-asserted in pytest) and picks the residual-rank value. The
+    oracle is the straight nearest-rank window formulation — the values
+    must be EXACTLY the full-sort answer, not within-bin."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import quantiles_refined
+
+    ev = load_events(spark, sf_dir)
+    return quantiles_refined(
+        ev, "value", [0.25, 0.5, 0.9], lo=0.0, hi=100.0, n_bins=100,
+        by=["event_type"],
+    )
+
+
+_O_EVENTS_QUANTILES_REFINED = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, p, MAX(value) AS q, CAST(MAX(n) AS BIGINT) AS n
+FROM r, (SELECT UNNEST([0.25, 0.5, 0.9]) AS p) probs
+WHERE rn = CEIL(p * n)
+GROUP BY event_type, p
+"""
+
+
+QUERIES["events_quantiles_refined"] = _q_events_quantiles_refined
+ORACLES["events_quantiles_refined"] = _O_EVENTS_QUANTILES_REFINED

@@ -10,7 +10,8 @@ quantile then reads off the cumulative histogram driver-free. The answer
 is the lower edge of the bin containing the target rank — within one bin
 width of the true quantile, by construction. Tighten by raising
 ``n_bins`` (the shuffle carries at most n_bins rows per group
-regardless) or by a second pass over the one bin that matters.
+regardless), or get the EXACT value from :func:`quantiles_refined` — a
+second pass that rescans only the one bin per (group, p) that matters.
 
 Deterministic and SQL-reproducible: fixed ``[lo, hi)`` equal-width bins,
 rank = ``ceil(p * n)`` (the nearest-rank convention the exact gate also
@@ -24,6 +25,45 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _check_args(probs, lo, hi):
+    if not probs:
+        raise ValueError("empty probs")
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {list(probs)}")
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+
+
+def _bin_expr(value_col: str, lo: float, width: float, n_bins: int):
+    v = F.col(value_col).cast("double")
+    return F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0).cast("long")
+        ),
+        F.lit(int(n_bins) - 1).cast("long"),
+    )
+
+
+def _cum_histogram(df, value_col, by, lo, width, n_bins):
+    """(by..., __bin, __c, __cum, __n): the per-group cumulative
+    histogram — one partial-aggregated shuffle, ≤ n_bins rows/group."""
+    v = F.col(value_col).cast("double")
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*by, _bin_expr(value_col, lo, width, n_bins).alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bin").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*by)
+    return hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
 
 
 def quantiles_histogram(
@@ -49,35 +89,10 @@ def quantiles_histogram(
     Cost: one partial-aggregated shuffle of ≤ ``n_bins`` rows per group;
     everything after operates on the kilobyte-scale histogram.
     """
-    if not probs:
-        raise ValueError("empty probs")
-    if not all(0.0 < p <= 1.0 for p in probs):
-        raise ValueError(f"probs must be in (0, 1], got {list(probs)}")
-    if hi <= lo:
-        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    _check_args(probs, lo, hi)
     by = list(by) if by else []
     width = (float(hi) - float(lo)) / int(n_bins)
-    v = F.col(value_col).cast("double")
-    bin_ = F.least(
-        F.greatest(
-            F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0).cast("long")
-        ),
-        F.lit(int(n_bins) - 1).cast("long"),
-    )
-    hist = (
-        df.filter(v.isNotNull())
-        .groupBy(*by, bin_.alias("__bin"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    wcum = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__bin").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy(*by)
-    h = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
-        "__n", F.sum("__c").over(wall)
-    )
+    h = _cum_histogram(df, value_col, by, lo, width, n_bins)
     # one row per (group, prob): the FIRST bin whose cumulative count
     # reaches the target rank — a min over the n_bins-scale histogram
     p_arr = F.array(*[F.lit(float(p)) for p in probs])
@@ -93,4 +108,69 @@ def quantiles_histogram(
             (F.lit(float(lo)) + F.col("__qbin") * F.lit(width)).alias("q"),
             F.col("n").cast("long").alias("n"),
         )
+    )
+
+
+def quantiles_refined(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """EXACT nearest-rank quantiles at histogram-shuffle cost: the
+    histogram pass locates, per (group, p), the one bin holding rank
+    ``ceil(p * n)`` plus the in-bin residual rank; a second pass scans
+    ONLY those bins' rows (a broadcast semi-join on (group, bin) — the
+    target set is kilobytes) and picks the residual-rank-th smallest
+    value within each. Output ``(*by, p, q, n)`` with ``q`` the exact
+    value the full-sort window formulation would return — without ever
+    sorting more than the selected bins (~n/n_bins rows per target).
+
+    Equivalence: the rank-th smallest value overall IS the (rank -
+    cum_before)-th smallest within its bin, because equal-width binning
+    partitions the value axis (equal values share a bin, and clamped
+    out-of-range values keep their true order inside the edge bins).
+    """
+    from cassandra_diff_spark.operators import tracked_cache
+
+    _check_args(probs, lo, hi)
+    by = list(by) if by else []
+    width = (float(hi) - float(lo)) / int(n_bins)
+    # n_bins-scale frame, referenced by the target selection AND the
+    # residual-rank join: cache so the data-sized aggregation under it
+    # runs once
+    h = tracked_cache(_cum_histogram(df, value_col, by, lo, width, n_bins))
+    p_arr = F.array(*[F.lit(float(p)) for p in probs])
+    targets = (
+        h.select(*by, "__bin", "__cum", "__n", F.explode(p_arr).alias("p"))
+        .filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__n")))
+        .groupBy(*by, "p")
+        .agg(F.min("__bin").alias("__bin"), F.max("__n").alias("n"))
+    )
+    # residual rank within the chosen bin: rank - (cum before the bin)
+    targets = targets.join(h.select(*by, "__bin", "__cum", "__c"), by + ["__bin"]).select(
+        *by,
+        "__bin",
+        "p",
+        "n",
+        (F.ceil(F.col("p") * F.col("n")) - (F.col("__cum") - F.col("__c"))).alias("__r"),
+    )
+
+    v = F.col(value_col).cast("double")
+    sel = targets.select(*by, "__bin").distinct()
+    rows = (
+        df.filter(v.isNotNull())
+        .withColumn("__bin", _bin_expr(value_col, lo, width, n_bins))
+        .join(F.broadcast(sel), on=by + ["__bin"], how="left_semi")
+    )
+    wv = Window.partitionBy(*by, "__bin").orderBy(v.asc())
+    ranked = rows.withColumn("__rn", F.row_number().over(wv))
+    return (
+        ranked.join(F.broadcast(targets), on=by + ["__bin"])
+        .filter(F.col("__rn") == F.col("__r"))
+        .select(*by, "p", v.alias("q"), F.col("n").cast("long").alias("n"))
     )

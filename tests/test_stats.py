@@ -75,3 +75,56 @@ class TestQuantilesHistogram:
         # histogram agg exchange + tiny window/group exchanges; the raw
         # scan feeds exactly one partial_count aggregate
         assert plan.count("partial_count") >= 1
+
+
+class TestQuantilesRefined:
+    def test_exact_vs_sorted_reference(self, spark):
+        from cassandra_diff_spark.operators.stats import quantiles_refined
+
+        rnd = random.Random(17)
+        vals = [rnd.uniform(0, 100) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        probs = [0.25, 0.5, 0.9, 0.99, 1.0]
+        got = {
+            r.p: (r.q, r.n)
+            for r in quantiles_refined(
+                df, "x", probs, lo=0.0, hi=100.0, n_bins=64
+            ).collect()
+        }
+        s = sorted(vals)
+        for p in probs:
+            exact = s[math.ceil(p * len(s)) - 1]
+            assert got[p] == (exact, len(s)), p  # EXACT, not within-bin
+
+    def test_grouped_with_duplicates_and_clamping(self, spark):
+        from cassandra_diff_spark.operators.stats import quantiles_refined
+
+        # duplicates at the rank boundary + values outside [lo, hi)
+        a = [1.0, 2.0, 2.0, 2.0, 3.0, 250.0, -7.0]
+        b = [5.0] * 4
+        df = spark.createDataFrame(
+            [("a", v) for v in a] + [("b", v) for v in b], "g string, x double"
+        )
+        got = {
+            (r.g, r.p): r.q
+            for r in quantiles_refined(
+                df, "x", [0.5, 1.0], lo=0.0, hi=10.0, n_bins=10, by=["g"]
+            ).collect()
+        }
+        sa, sb = sorted(a), sorted(b)
+        assert got[("a", 0.5)] == sa[math.ceil(0.5 * len(sa)) - 1]  # 2.0
+        assert got[("a", 1.0)] == 250.0  # clamped bin still yields true max
+        assert got[("b", 0.5)] == 5.0 and got[("b", 1.0)] == 5.0
+
+    def test_second_pass_scans_only_target_bins(self, spark):
+        """The refine scan is gated by a broadcast semi-join on the
+        kilobyte target-bin set (plan-asserted), so its cost is
+        ~n/n_bins rows per quantile, not a second full sort."""
+        from cassandra_diff_spark.operators.stats import quantiles_refined
+
+        df = spark.range(0, 10_000).select((F.col("id") % 100).cast("double").alias("x"))
+        out = quantiles_refined(df, "x", [0.5], lo=0.0, hi=100.0, n_bins=100)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        r = out.collect()[0]
+        assert (r.q, r.n) == (49.0, 10_000)
