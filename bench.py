@@ -56,6 +56,11 @@ HEADLINE = [
     "curate_chunks",
     "key_scan_sorted_layout",
     "dedup_containment",
+    # round-6 additions
+    "events_asof_stream",
+    "dedup_containment_incremental",
+    "events_quantiles_refined",
+    "validate_samples_orders",
 ]
 
 

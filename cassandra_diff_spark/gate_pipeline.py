@@ -2889,3 +2889,83 @@ GROUP BY event_type, p
 
 QUERIES["events_quantiles_refined"] = _q_events_quantiles_refined
 ORACLES["events_quantiles_refined"] = _O_EVENTS_QUANTILES_REFINED
+
+
+# ---------------------------------------------------------------------------
+# round 6: z-order layout scan + skew-safe salted join
+
+
+def _q_key_scan_zorder_layout(spark, sf_dir):
+    """Two-dimensional pruned scan from a Z-ORDER-clustered lineitem
+    layout (operators/bucketed.write_zorder over (l_orderkey,
+    l_partkey)): each parquet file is a small hyper-rectangle of the
+    (orderkey, partkey) plane, so a range filter on EITHER column — here
+    a partkey range, the dimension a single-column orderkey sort cannot
+    serve — prunes files through native min/max stats (pytest asserts
+    the file counts). Rows equal filtering the raw table (the oracle);
+    staged once per sf under /tmp like the other layouts."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.bucketed import write_zorder
+
+    base = f"/tmp/cds_gate_zorder_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(base) / "_staged"
+    stamp = f"v1:{sf_dir}:16"
+    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        write_zorder(
+            li, ["l_orderkey", "l_partkey"], f"{base}/lineitem", n_files=16
+        )
+        marker.write_text(stamp)
+    z = spark.read.parquet(f"{base}/lineitem")
+    lo_p, hi_p = 100, 400
+    return z.filter(
+        (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") < hi_p)
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
+_O_KEY_SCAN_ZORDER = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey >= 100 AND l_partkey < 400
+"""
+
+
+def _q_lineitem_salted_join(spark, sf_dir):
+    """Brand revenue through the skew-safe salted join: lineitem (the
+    fact side, hot keys possible) joins part spread over 16 salt
+    sub-keys per partkey — results identical to the plain join (the
+    oracle IS the plain join), distribution straggler-proof."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, part, ["l_partkey"], salt=16)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_O_LINEITEM_SALTED_JOIN = """
+SELECT p.p_brand,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+QUERIES["key_scan_zorder_layout"] = _q_key_scan_zorder_layout
+ORACLES["key_scan_zorder_layout"] = _O_KEY_SCAN_ZORDER
+QUERIES["lineitem_salted_join"] = _q_lineitem_salted_join
+ORACLES["lineitem_salted_join"] = _O_LINEITEM_SALTED_JOIN

@@ -352,6 +352,82 @@ def write_token_sorted(
     )
 
 
+def write_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    *,
+    n_files: int,
+    bits: int = 16,
+    bounds: Optional[dict] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout over 2+ NUMERIC
+    columns: rows are range-partitioned and sorted by the bit-interleaved
+    key of the columns' fixed-width quantized ranks, so every file's
+    min/max statistics bound EVERY clustered column at once — a filter on
+    any one of them (or any conjunction) prunes files, where a single-
+    column sort (:func:`write_token_sorted`) serves only its own column.
+    The multi-dimensional answer to "scan 100 TB by either key without
+    two copies of the data".
+
+    Unlike the token layout, nothing derived is stored: predicates land
+    on the ORIGINAL columns, whose per-file min/max are tight because
+    z-clustering keeps each file a small hyper-rectangle of the value
+    space. The z key itself is dropped before the write.
+
+    ``bounds``: ``{col: (lo, hi)}`` quantization ranges; columns missing
+    from it get one tiny min/max aggregation (driver-side, one row).
+    Values outside a given range clamp into the edge cells — correct but
+    cluster-degrading, so pass real bounds for append workloads.
+    ``bits`` per column; ``bits * len(cols)`` must fit a signed long.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (sort for 1)")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits={bits} x {len(cols)} columns exceeds 63 bits")
+    bounds = dict(bounds or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in missing],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in missing],
+        ).first()
+        for c in missing:
+            bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+
+    n_cells = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        lo, hi = (float(x) for x in bounds[c])
+        if not hi > lo:
+            raise ValueError(f"degenerate bounds for {c!r}: [{lo}, {hi}]")
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(
+            float(n_cells)
+        )
+        ranks.append(
+            F.least(
+                F.greatest(F.floor(scaled), F.lit(0).cast("long")),
+                F.lit(n_cells).cast("long"),
+            )
+        )
+    z: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_token_sorted(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,70 @@
+"""Skew-safe joins: salting for hot keys.
+
+A shuffle join hashes rows to tasks BY KEY, so one pathologically hot key
+(the null-ish user id, the default domain, the empty document) serializes
+into one straggler task no matter how many executors exist — the classic
+100 TB failure mode. AQE's skew-join handles sort-merge SPLITS of an
+oversized partition, but only when statistics see it (post-shuffle, same
+stage) and not for aggregation-feeding joins planned otherwise.
+:func:`salted_join` is the explicit fix: the skewed (big) side spreads
+each key over ``salt`` sub-keys, the other side replicates each row
+``salt`` times, and the join runs on ``(key, salt)`` — the hot key's rows
+now land on ``salt`` tasks. Results are EXACTLY a plain join: every big-
+side row carries ONE salt value and meets exactly the one matching
+replica of each small-side row (the oracle-paired gate asserts equality).
+
+Cost model: the replicated side ships ``salt`` copies through its
+exchange — use :func:`~pyspark.sql.functions.broadcast` instead when the
+small side fits in memory (replication x broadcast is pointless); salting
+earns its keep when the small side is too big to broadcast but ``salt``
+copies of it still beat one straggler task holding the hot key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: internal salt column name (never visible in output)
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    *,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Join ``skewed`` (the big side with hot keys) to ``other`` on the
+    ``on`` columns, spread over ``salt`` sub-partitions per key. Output
+    columns and rows are identical to ``skewed.join(other, on, how)``;
+    only the physical distribution differs (the exchange hashes
+    ``on + [salt]``, so a hot key parallelizes ``salt``-ways).
+
+    ``how``: ``inner`` or ``left`` (outer semantics on the REPLICATED
+    side would need a post-dedup — use a plain join there).
+
+    The salt is a deterministic hash of the skewed row's full column set
+    (uniform even when the join key is constant); any per-row value
+    works — correctness never depends on it, because each skewed row
+    holds exactly one salt value and meets exactly the one matching
+    replica of each ``other`` row.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = list(on)
+    if int(salt) < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    s = skewed.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(int(salt))),
+    )
+    o = other.withColumn(
+        SALT_COL,
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(int(salt))])),
+    )
+    return s.join(o, on=on + [SALT_COL], how=how).drop(SALT_COL)

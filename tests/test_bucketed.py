@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from cassandra_diff_spark.gate import lineitem_pair, orders_pair
 from cassandra_diff_spark.model import TableSpec
@@ -162,3 +163,60 @@ class TestTokenSortedLayout:
         path = str(tmp_path / "tok_layout2")
         write_token_sorted(orders, spec, path, n_files=4)
         assert read_token_sorted(spark, path).columns == orders.columns
+
+
+class TestZorderLayout:
+    def test_prunes_on_both_columns_and_matches(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import write_zorder
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        path = str(tmp_path / "z_layout")
+        write_zorder(li, ["l_orderkey", "l_partkey"], path, n_files=16)
+
+        lo_k, hi_k = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+        lo_p, hi_p = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+        mid_k = lo_k + (hi_k - lo_k) // 8
+        mid_p = lo_p + (hi_p - lo_p) // 8
+
+        z = spark.read.parquet(path)
+
+        def files_read(df):
+            return df.select(F.input_file_name()).distinct().count()
+
+        # a ~1/8 range on EITHER clustered column prunes files; a single-
+        # column sort layout can only serve one of these
+        by_k = z.filter(F.col("l_orderkey") <= mid_k)
+        by_p = z.filter(F.col("l_partkey") <= mid_p)
+        assert files_read(by_k) <= 8
+        assert files_read(by_p) <= 8
+        # the conjunction prunes harder than either alone
+        both = z.filter(
+            (F.col("l_orderkey") <= mid_k) & (F.col("l_partkey") <= mid_p)
+        )
+        assert files_read(both) <= min(files_read(by_k), files_read(by_p))
+
+        # row parity with the unclustered source
+        want = li.filter(F.col("l_orderkey") <= mid_k).count()
+        assert by_k.count() == want
+
+        # no derived column leaks into the layout
+        assert set(z.columns) == {"l_orderkey", "l_partkey", "l_quantity"}
+
+    def test_bad_args(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import write_zorder
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        with pytest.raises(ValueError, match=">= 2"):
+            write_zorder(li, ["l_orderkey"], str(tmp_path / "z1"), n_files=4)
+        with pytest.raises(ValueError, match="63 bits"):
+            write_zorder(
+                li, ["l_orderkey", "l_partkey"], str(tmp_path / "z2"),
+                n_files=4, bits=32,
+            )
+        with pytest.raises(ValueError, match="degenerate"):
+            write_zorder(
+                li, ["l_orderkey", "l_partkey"], str(tmp_path / "z3"),
+                n_files=4, bounds={"l_orderkey": (5, 5), "l_partkey": (0, 1)},
+            )

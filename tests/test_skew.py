@@ -1,0 +1,67 @@
+"""Skew-safe salted join: result parity with the plain join, salt-spread
+physical distribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.skew import SALT_COL, salted_join
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one pathologically hot key (0) + a long tail, plus a key with no
+    # match on the other side
+    rows = [(0, i) for i in range(500)] + [(k, k) for k in range(1, 50)] + [(999, -1)]
+    return spark.createDataFrame(rows, "k long, payload long")
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [(k, f"d{k}") for k in range(50)], "k long, label string"
+    )
+
+
+class TestSaltedJoin:
+    @pytest.mark.parametrize("salt", [1, 4, 16])
+    def test_inner_equals_plain_join(self, spark, skewed, dim, salt):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(skewed, dim, ["k"], salt=salt).collect()
+        )
+        want = sorted(tuple(r) for r in skewed.join(dim, "k").collect())
+        assert got == want and len(got) == 500 + 49
+
+    def test_left_keeps_unmatched(self, spark, skewed, dim):
+        got = salted_join(skewed, dim, ["k"], how="left", salt=8)
+        assert got.filter(F.col("k") == 999).collect()[0].label is None
+        assert got.count() == skewed.count()
+
+    def test_salt_reaches_the_exchange(self, spark, skewed, dim):
+        plan = (
+            salted_join(skewed, dim, ["k"], salt=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert SALT_COL in plan  # the join distribution includes the salt
+
+    def test_hot_key_spreads_over_salt_buckets(self, spark, skewed):
+        s = skewed.withColumn(
+            SALT_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(16)
+            ),
+        )
+        n_buckets = (
+            s.filter(F.col("k") == 0).select(SALT_COL).distinct().count()
+        )
+        assert n_buckets >= 12  # 500 rows of one key land in most buckets
+
+    def test_bad_args(self, spark, skewed, dim):
+        with pytest.raises(ValueError, match="how"):
+            salted_join(skewed, dim, ["k"], how="full")
+        with pytest.raises(ValueError, match="salt"):
+            salted_join(skewed, dim, ["k"], salt=0)
