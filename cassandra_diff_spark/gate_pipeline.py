@@ -2969,3 +2969,51 @@ QUERIES["key_scan_zorder_layout"] = _q_key_scan_zorder_layout
 ORACLES["key_scan_zorder_layout"] = _O_KEY_SCAN_ZORDER
 QUERIES["lineitem_salted_join"] = _q_lineitem_salted_join
 ORACLES["lineitem_salted_join"] = _O_LINEITEM_SALTED_JOIN
+
+
+# ---------------------------------------------------------------------------
+# round 6: small-files compaction
+
+
+def _q_compact_orders_roundtrip(spark, sf_dir):
+    """Small-files compaction round trip: orders fragmented into 64
+    micro-files, compacted by byte-sized repartition width
+    (operators/bucketed.compact_parquet), read back and checksummed —
+    the oracle is the same checksum over the raw table, proving the
+    rewrite is row-exact. File-count behavior is pytest-asserted."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.bucketed import compact_parquet
+
+    base = f"/tmp/cds_gate_compact_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(base) / "_staged"
+    stamp = f"v1:{sf_dir}"
+    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
+        load(spark, sf_dir, "orders").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/frag")
+        compact_parquet(spark, f"{base}/frag", f"{base}/compact", target_mb=256)
+        marker.write_text(stamp)
+    return (
+        spark.read.parquet(f"{base}/compact")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_totalprice").cast("double").alias("sum_price"),
+            F.sum(F.col("o_orderkey") * F.col("o_custkey")).cast("long").alias("key_dot"),
+        )
+    )
+
+
+_O_COMPACT_ORDERS_ROUNDTRIP = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price,
+       CAST(SUM(o_orderkey * o_custkey) AS BIGINT) AS key_dot
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES["compact_orders_roundtrip"] = _q_compact_orders_roundtrip
+ORACLES["compact_orders_roundtrip"] = _O_COMPACT_ORDERS_ROUNDTRIP

@@ -381,18 +381,32 @@ def write_zorder(
     Values outside a given range clamp into the edge cells — correct but
     cluster-degrading, so pass real bounds for append workloads.
     ``bits`` per column; ``bits * len(cols)`` must fit a signed long.
+    Timestamp/date columns quantize through their epoch-microsecond cast
+    (bounds for them are then epoch micros); other non-numerics are
+    rejected.
     """
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns (sort for 1)")
     if bits * len(cols) > 63:
         raise ValueError(f"bits={bits} x {len(cols)} columns exceeds 63 bits")
+    types = dict(df.dtypes)
+    numeric_ish = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def as_num(c: str) -> Column:
+        t = types[c]
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if t in numeric_ish or t.startswith("decimal"):
+            return F.col(c).cast("double")
+        raise ValueError(f"column {c!r} has non-orderable-numeric type {t!r}")
+
     bounds = dict(bounds or {})
     missing = [c for c in cols if c not in bounds]
     if missing:
         row = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in missing],
-            *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in missing],
+            *[F.min(as_num(c)).alias(f"lo_{c}") for c in missing],
+            *[F.max(as_num(c)).alias(f"hi_{c}") for c in missing],
         ).first()
         for c in missing:
             bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
@@ -403,7 +417,7 @@ def write_zorder(
         lo, hi = (float(x) for x in bounds[c])
         if not hi > lo:
             raise ValueError(f"degenerate bounds for {c!r}: [{lo}, {hi}]")
-        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(
+        scaled = (as_num(c) - F.lit(lo)) / F.lit(hi - lo) * F.lit(
             float(n_cells)
         )
         ranks.append(
@@ -426,6 +440,56 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_mb: int = 256,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files and return that file count.
+    The ingest-side maintenance op every streaming/append pipeline needs
+    — a million 100 KB micro-batch files turn 100 TB scans into a
+    listing+open storm (driver-side file metadata alone) before a byte
+    of data is read.
+
+    Sizing reads the directory's byte total from the filesystem
+    (Hadoop FS API — works on any supported scheme, never lists row
+    counts), so the repartition width is data-derived, not guessed.
+    ``sort_by``: range-partition + in-file sort on these columns while
+    compacting (fold the :func:`write_token_sorted`-style clustering
+    into the rewrite, since the data is being rewritten anyway);
+    default is round-robin — evenly sized files, no extra sort.
+
+    ``dst_path`` must differ from ``src_path``: parquet reads are lazy,
+    and overwriting the input in place would delete the files the scan
+    is about to read. Swap directories (write + rename) in the caller's
+    orchestration layer.
+    """
+    if src_path.rstrip("/") == dst_path.rstrip("/"):
+        raise ValueError(
+            "dst_path must differ from src_path (in-place overwrite "
+            "would delete the files the lazy scan reads); write then swap"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // (int(target_mb) * 1024 * 1024)))
+
+    df = spark.read.parquet(src_path)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode(mode).parquet(dst_path)
+    return n_files
 
 
 def read_token_sorted(

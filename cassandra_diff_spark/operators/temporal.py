@@ -214,21 +214,23 @@ def asof_join_chunked(
     right_ts: str = "ts",
     right_cols: Sequence[str],
     right_tiebreak: Optional[str] = None,
+    direction: str = "backward",
     strict: bool = False,
     tolerance_us: Optional[int] = None,
     prefix: str = "r_",
     chunk_us: int = 3_600 * 1_000_000,
 ) -> DataFrame:
-    """Hot-key-parallel :func:`asof_join` (backward direction): each key's
-    timeline splits into fixed ``chunk_us`` chunks and the running-last
-    window runs per (key, chunk) — a year-long hot key becomes ~8760
-    independent hour tasks instead of one. Chunk boundaries are stitched
-    by a carry-in: the last right row of every PRECEDING chunk, computed
-    by a per-(key, chunk) partial aggregation (map-side combined — the
-    carry frame is keys x touched chunks, kilobytes per key) and a
-    window over that small frame.
+    """Hot-key-parallel :func:`asof_join`: each key's timeline splits
+    into fixed ``chunk_us`` chunks and the running-last window runs per
+    (key, chunk) — a year-long hot key becomes ~8760 independent hour
+    tasks instead of one. Chunk boundaries are stitched by a carry row
+    computed by a per-(key, chunk) partial aggregation (map-side
+    combined — the carry frame is keys x touched chunks, kilobytes per
+    key) and a window over that small frame: backward carries IN the
+    last right row of preceding chunks; forward carries the first right
+    row of following chunks.
 
-    Semantics are IDENTICAL to ``asof_join(..., direction="backward")``
+    Semantics are IDENTICAL to ``asof_join`` with the same ``direction``
     — property-tested on duplicate-timestamp adversarial data. The
     stitching relies on chunk boundaries falling strictly between
     timestamps of different chunks, which fixed-width flooring
@@ -239,42 +241,56 @@ def asof_join_chunked(
     the price of unbounded per-key parallelism. Pick ``chunk_us`` so a
     chunk holds ~10^5-10^6 rows of the hottest key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = list(right_cols)
     chunk = lambda ts: (_us_of(F.col(ts)) / F.lit(int(chunk_us))).cast("long")  # noqa: E731
 
-    # last right row per (key, chunk): max_by over the total (ts, tb)
-    # order — one partial-aggregated shuffle, output rows = touched
-    # chunks. __row is the SAME struct shape as the in-chunk __rrow so
-    # the boundary stitch below is a row-level coalesce, never
-    # per-column (a matched row's null column must stay null).
+    backward = direction == "backward"
+    # boundary right row per (key, chunk): for backward the LAST row by
+    # (ts, tb); for forward the FIRST row by ts with GREATEST tb among
+    # its ties (max_by over (-ts, tb) lexicographic). One partial-
+    # aggregated shuffle, output rows = touched chunks. __row is the
+    # SAME struct shape as the in-chunk __rrow so the boundary stitch
+    # below is a row-level coalesce, never per-column (a matched row's
+    # null column must stay null).
     tb, rrow, rrow_t = _right_row_parts(right, right_ts, right_cols, right_tiebreak)
+    ts_ord = _us_of(F.col(right_ts))
+    if not backward:
+        ts_ord = -ts_ord
     rc = right.select(
         *on,
         chunk(right_ts).alias("__chunk"),
         rrow.alias("__row"),
-        F.struct(F.col(right_ts).alias("ts"), tb.alias("tb")).alias("__ord"),
+        F.struct(ts_ord.alias("ts"), tb.alias("tb")).alias("__ord"),
     )
-    last_per_chunk = rc.groupBy(*on, "__chunk").agg(
-        F.max_by("__row", "__ord").alias("__last")
+    boundary_per_chunk = rc.groupBy(*on, "__chunk").agg(
+        F.max_by("__row", "__ord").alias("__bnd")
     )
 
     # chunk universe = chunks touched by EITHER side (a left chunk with
-    # no right rows still needs a carry-in); distinct over (key, chunk)
-    # pairs only — the frames shuffled here carry two/three columns
+    # no right rows still needs a carry; distinct over (key, chunk)
+    # pairs only — the frames shuffled here carry two/three columns).
+    # backward: carry-IN = last boundary row of any PRECEDING chunk;
+    # forward: carry-OUT = first boundary row of any FOLLOWING chunk.
     chunks = (
         left.select(*on, chunk(left_ts).alias("__chunk"))
         .unionByName(rc.select(*on, "__chunk"))
         .distinct()
     )
-    wc = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__chunk").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    wc = Window.partitionBy(*on).orderBy(F.col("__chunk").asc())
+    if backward:
+        carry_col = F.last("__bnd", ignorenulls=True).over(
+            wc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        carry_col = F.first("__bnd", ignorenulls=True).over(
+            wc.rowsBetween(1, Window.unboundedFollowing)
+        )
     carry = (
-        chunks.join(last_per_chunk, on=on + ["__chunk"], how="left")
-        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wc))
+        chunks.join(boundary_per_chunk, on=on + ["__chunk"], how="left")
+        .withColumn("__carry", carry_col)
         .select(*on, "__chunk", "__carry")
     )
 
@@ -301,9 +317,12 @@ def asof_join_chunked(
     ] + [F.col(c).alias(f"__l_{c}") for c in lcols if c not in on]
     u = right.select(*r_sel).unionByName(left.select(*l_sel))
 
+    in_order = (
+        [F.col("__ts").asc()] if backward else [F.col("__ts").desc()]
+    ) + [F.col("__pri").asc(), F.col("__tb").asc()]
     w = (
         Window.partitionBy(*(on + ["__chunk"]))
-        .orderBy(F.col("__ts").asc(), F.col("__pri").asc(), F.col("__tb").asc())
+        .orderBy(*in_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (
@@ -312,14 +331,16 @@ def asof_join_chunked(
         .join(carry, on=on + ["__chunk"], how="left")
     )
 
-    # stitch at ROW level: no in-chunk match => the whole carry-in row
+    # stitch at ROW level: no in-chunk match => the whole carry row
     # (same struct type by construction); a per-column coalesce would
-    # smear an older row's value over a matched row's legitimate null
+    # smear another row's value over a matched row's legitimate null
     frow = F.coalesce(F.col("__mrow"), F.col("__carry"))
     mts = frow.getField("__ts")
     within: Column = F.lit(True)
     if tolerance_us is not None:
         gap = _us_of(F.col("__ts")) - _us_of(mts)
+        if not backward:
+            gap = -gap
         within = mts.isNotNull() & (gap <= F.lit(int(tolerance_us)))
 
     return out.select(

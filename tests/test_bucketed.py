@@ -220,3 +220,49 @@ class TestZorderLayout:
                 li, ["l_orderkey", "l_partkey"], str(tmp_path / "z3"),
                 n_files=4, bounds={"l_orderkey": (5, 5), "l_partkey": (0, 1)},
             )
+
+
+class TestCompactParquet:
+    def test_compacts_small_files_preserving_rows(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import compact_parquet
+
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.repartition(64).write.parquet(src)  # the small-files mess
+
+        import glob
+        n = compact_parquet(spark, src, dst, target_mb=256)
+        files = glob.glob(f"{dst}/part-*")
+        assert len(files) == n  # sf0.01 orders ≈ 0.5 MB -> 1 file
+        assert n < 64
+        got = spark.read.parquet(dst)
+        assert got.count() == orders.count()
+        assert set(got.columns) == set(orders.columns)
+
+    def test_sorted_compaction_clusters(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import compact_parquet
+
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "comp2")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.repartition(32).write.parquet(src)
+        # tiny target so multiple output files exist to check clustering
+        n = compact_parquet(
+            spark, src, dst, target_mb=1, sort_by=["o_orderkey"]
+        )
+        if n > 1:
+            # range clustering: per-file key ranges are disjoint-ish ->
+            # a narrow key filter touches few files
+            got = spark.read.parquet(dst)
+            lo, hi = got.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+            narrow = got.filter(F.col("o_orderkey") <= lo + (hi - lo) // 10)
+            touched = narrow.select(F.input_file_name()).distinct().count()
+            assert touched < n
+        assert spark.read.parquet(dst).count() == orders.count()
+
+    def test_in_place_rejected(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import compact_parquet
+
+        with pytest.raises(ValueError, match="differ"):
+            compact_parquet(spark, str(tmp_path / "x"), str(tmp_path / "x/"))

@@ -174,7 +174,8 @@ class TestAsofJoin:
 class TestAsofChunked:
     @pytest.mark.parametrize("chunk_us", [1, 7, 1000])
     @pytest.mark.parametrize("strict", [False, True])
-    def test_matches_unchunked(self, spark, chunk_us, strict):
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_unchunked(self, spark, chunk_us, strict, direction):
         rnd = random.Random(11)
         lrows = [(rnd.randrange(4), rnd.randrange(50)) for _ in range(70)]
         rrows = [
@@ -182,7 +183,10 @@ class TestAsofChunked:
             for _ in range(90)
         ]
         left, right = _mk_left(spark, lrows), _mk_right(spark, rrows)
-        kw = dict(right_cols=["v"], right_tiebreak="rid", strict=strict)
+        kw = dict(
+            right_cols=["v"], right_tiebreak="rid", strict=strict,
+            direction=direction,
+        )
         plain = {
             r.lid: (r.r_ts, r.r_v)
             for r in asof_join(left, right, ["k"], **kw).collect()
