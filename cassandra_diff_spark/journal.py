@@ -477,3 +477,37 @@ def vacuum(
             shutil.move(tmp, journal._table("task_status"))
         dropped["task_status"] = n_before - n_after
     return dropped
+
+
+def compact(journal: "Journal", target_mb: int = 64) -> dict:
+    """Small-files compaction of the journal's append tables: a long
+    diff job appends one parquet file per task event, so a month of
+    nightly runs turns every journal read (resume filters, the API
+    layer's scans) into a file-listing storm. Rewrites each existing
+    table at ``target_mb`` file granularity via
+    :func:`~cassandra_diff_spark.operators.bucketed.compact_parquet`
+    with the same write-then-swap pattern as :func:`vacuum`; returns
+    ``{table: n_files_after}``.
+
+    Run it from the scheduler between jobs — the swap is not safe
+    against a concurrently appending writer (the reference ages rows
+    server-side inside Cassandra; an explicit maintenance step is the
+    parquet journal's equivalent)."""
+    import shutil
+
+    from cassandra_diff_spark.operators.bucketed import compact_parquet
+
+    out = {}
+    if not os.path.exists(journal.path):
+        return out
+    for name in sorted(os.listdir(journal.path)):
+        src = journal._table(name)
+        if not os.path.isdir(src):
+            continue  # marker files (mutex) are not tables
+        tmp = src + "__compact"
+        out[name] = compact_parquet(
+            journal.spark, src, tmp, target_mb=target_mb
+        )
+        shutil.rmtree(src)
+        shutil.move(tmp, src)
+    return out

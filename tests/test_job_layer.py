@@ -841,3 +841,25 @@ class TestPlanCli:
         assert lines[-1]["end"] == MURMUR3_MAX
         for a, b in zip(lines, lines[1:]):
             assert a["end"] == b["start"]
+
+
+def test_journal_compact_preserves_rows(spark, tmp_path):
+    """journal.compact() collapses per-event micro-files without losing
+    a row, and reads keep working through the swap."""
+    from cassandra_diff_spark.journal import Journal, compact
+
+    j = Journal(spark, str(tmp_path / "jr"))
+    for i in range(6):  # 6 appends -> >= 6 files in task_status
+        j._append(
+            "task_status",
+            spark.createDataFrame([(f"job{i}", i)], "job_id string, split int"),
+        )
+    import glob
+
+    before = len(glob.glob(str(tmp_path / "jr/task_status/part-*")))
+    assert before >= 6
+    n = compact(j, target_mb=64)
+    after = len(glob.glob(str(tmp_path / "jr/task_status/part-*")))
+    assert after == n["task_status"] == 1
+    got = sorted(r.job_id for r in j._read("task_status").collect())
+    assert got == [f"job{i}" for i in range(6)]
