@@ -2646,6 +2646,7 @@ def _q_events_asof_stream(spark, sf_dir):
     contract included."""
     import glob
     import os
+    import pathlib
     import shutil
     from datetime import timedelta
 
@@ -2659,21 +2660,25 @@ def _q_events_asof_stream(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
-    step = (hi - lo) / 4
-    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
 
-    stage = "/tmp/cds_gate_stream_asof"
-    shutil.rmtree(stage, ignore_errors=True)
-    for side, df in (("l", clicks), ("r", purchases)):
-        for i in range(4):
-            df.filter(
-                (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
-            ).coalesce(1).write.mode("append").parquet(f"{stage}/{side}")
-        for i, f in enumerate(
-            sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
-        ):
-            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stage = f"/tmp/cds_gate_stream_asof_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    stamp = f"v1:{sf_dir}:4"
+    if not (marker.exists() and marker.read_text() == stamp):
+        shutil.rmtree(stage, ignore_errors=True)
+        lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+        step = (hi - lo) / 4
+        bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+        for side, df in (("l", clicks), ("r", purchases)):
+            for i in range(4):
+                df.filter(
+                    (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+                ).coalesce(1).write.mode("append").parquet(f"{stage}/{side}")
+            for i, f in enumerate(
+                sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
+            ):
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        marker.write_text(stamp)
 
     lstream = (
         spark.readStream.schema(clicks.schema)
