@@ -58,9 +58,13 @@ HEADLINE = [
     "dedup_containment",
     # round-6 additions
     "events_asof_stream",
+    "events_interval_stream",
     "dedup_containment_incremental",
     "events_quantiles_refined",
     "validate_samples_orders",
+    "lineitem_salted_join",
+    "key_scan_zorder_layout",
+    "compact_orders_roundtrip",
 ]
 
 

@@ -2636,6 +2636,52 @@ ORACLES["events_point_in_time_scd2"] = _O_EVENTS_POINT_IN_TIME_SCD2
 # round 6: stream-stream as-of join
 
 
+def _stage_event_stream_slices(spark, sf_dir) -> str:
+    """Stage clicks (l/) and purchases (r/) as four time-sliced,
+    mtime-ordered parquet files each — the event-time-ordered
+    micro-batch fixture shared by the stream-stream join gates. Marker-
+    gated: a no-op after the first call per sf."""
+    import glob
+    import os
+    import pathlib
+    import shutil
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+
+    stage = f"/tmp/cds_gate_stream_asof_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    stamp = f"v1:{sf_dir}:4"
+    if marker.exists() and marker.read_text() == stamp:
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+    for side, df in (("l", clicks), ("r", purchases)):
+        for i in range(4):
+            df.filter(
+                (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+            ).coalesce(1).write.mode("append").parquet(f"{stage}/{side}")
+        for i, f in enumerate(
+            sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
+        ):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    marker.write_text(stamp)
+    return stage
+
+
+#: schema of the staged event-stream slices
+_EVENT_STREAM_SCHEMA = "user_id bigint, ts timestamp, event_id bigint, value double"
+
+
 def _q_events_asof_stream(spark, sf_dir):
     """Streaming-runtime twin of events_asof_attribution: clicks and
     purchases arrive as TWO file streams in event-time-ordered
@@ -2644,49 +2690,17 @@ def _q_events_asof_stream(spark, sf_dir):
     stream_asof_join. The drained result equals the batch asof_join, so
     the SAME LATERAL oracle gates the streaming runtime, tiebreak
     contract included."""
-    import glob
-    import os
-    import pathlib
-    import shutil
-    from datetime import timedelta
-
-    from cassandra_diff_spark.gate import load_events
     from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
 
-    ev = load_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-
-    stage = f"/tmp/cds_gate_stream_asof_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(stage) / "_staged"
-    stamp = f"v1:{sf_dir}:4"
-    if not (marker.exists() and marker.read_text() == stamp):
-        shutil.rmtree(stage, ignore_errors=True)
-        lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
-        step = (hi - lo) / 4
-        bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
-        for side, df in (("l", clicks), ("r", purchases)):
-            for i in range(4):
-                df.filter(
-                    (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
-                ).coalesce(1).write.mode("append").parquet(f"{stage}/{side}")
-            for i, f in enumerate(
-                sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
-            ):
-                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-        marker.write_text(stamp)
+    stage = _stage_event_stream_slices(spark, sf_dir)
 
     lstream = (
-        spark.readStream.schema(clicks.schema)
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/l")
     )
     rstream = (
-        spark.readStream.schema(purchases.schema)
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/r")
     )
@@ -3022,3 +3036,63 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["compact_orders_roundtrip"] = _q_compact_orders_roundtrip
 ORACLES["compact_orders_roundtrip"] = _O_COMPACT_ORDERS_ROUNDTRIP
+
+
+# ---------------------------------------------------------------------------
+# round 6: stream-stream interval (containment) join
+
+
+def _q_events_interval_stream(spark, sf_dir):
+    """Streaming-runtime containment join: purchase windows [ts, +2h]
+    stream in as intervals (ordered by start — the same staged
+    time-sliced files as events_asof_stream), clicks stream in as
+    points; every (click inside window) pair emits exactly once. The
+    oracle is the plain inequality join — the batch semantics the
+    stateful operator must reproduce across micro-batch boundaries."""
+    from cassandra_diff_spark.streaming.diff_stream import stream_interval_join
+
+    stage = _stage_event_stream_slices(spark, sf_dir)
+    pstream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/l")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("value", "click_value")
+    )
+    istream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/r")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return stream_interval_join(
+        pstream, istream, ["user_id"], name="cds_gate_interval_stream"
+    ).select(
+        "user_id", "start", "end", "purchase_id", "ts", "click_id", "click_value"
+    )
+
+
+_O_EVENTS_INTERVAL_STREAM = """
+WITH l AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts AS start, ts + INTERVAL 2 HOUR AS "end",
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT r.user_id, r.start, r."end", r.purchase_id,
+       l.ts, l.click_id, l.click_value
+FROM r JOIN l ON l.user_id = r.user_id
+              AND l.ts >= r.start AND l.ts <= r."end"
+"""
+
+
+QUERIES["events_interval_stream"] = _q_events_interval_stream
+ORACLES["events_interval_stream"] = _O_EVENTS_INTERVAL_STREAM

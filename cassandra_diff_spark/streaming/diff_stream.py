@@ -537,6 +537,181 @@ def stream_asof_join(
     )
 
 
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on,
+    *,
+    point_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    name: str,
+    prune_keep_us: int | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Stream-stream containment join: every POINT stream row pairs with
+    every INTERVAL stream row (same key) whose ``[start, end]`` (closed)
+    contains its timestamp — the streaming twin of
+    :func:`~cassandra_diff_spark.operators.temporal.interval_join`
+    (inner), as one ``applyInPandasWithState`` operator over the
+    side-tagged union of the two streams.
+
+    Per-key state is the interval history; each micro-batch ingests its
+    intervals FIRST, then matches its points against every interval seen
+    so far — each (point, interval) pair emits exactly once, in the
+    point's batch.
+
+    Ordering contract: micro-batches must arrive event-time-ordered per
+    key with intervals ordered by their START — a point's containing
+    intervals all have ``start <= point_ts``, so under shared time-slice
+    staging they sit in the same or an earlier batch (the same contract,
+    and in the gate the same staged files, as :func:`stream_asof_join`).
+
+    ``prune_keep_us``: state TTL — intervals whose ``end`` is more than
+    this far behind the key's point-time frontier are dropped (they can
+    no longer contain any future point under the ordering contract);
+    None keeps full history.
+
+    Drains an availableNow trigger into an in-memory table and returns
+    the final frame (interval columns + point columns, like the batch
+    operator's inner output).
+    """
+    import numpy as np
+    import pandas as pd
+
+    on = list(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(on)
+    if overlap:
+        raise ValueError(
+            f"point/interval column name collision: {sorted(overlap)}; "
+            f"rename before joining"
+        )
+    ptypes = dict(points.dtypes)
+    itypes = dict(intervals.dtypes)
+    ipayload = [c for c in intervals.columns if c not in on + [start, end]]
+    ppayload = [c for c in points.columns if c not in on + [point_ts]]
+
+    i_sel = [F.col(c) for c in on] + [
+        F.unix_micros(F.col(start).cast("timestamp")).alias("__s"),
+        F.unix_micros(F.col(end).cast("timestamp")).alias("__e"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__pt"),
+        *[F.col(c).alias(f"__i_{c}") for c in ipayload],
+        *[F.lit(None).cast(ptypes[c]).alias(f"__p_{c}") for c in ppayload],
+    ]
+    p_sel = [F.col(c) for c in on] + [
+        F.lit(None).cast("long").alias("__s"),
+        F.lit(None).cast("long").alias("__e"),
+        F.lit(0).alias("__side"),
+        F.unix_micros(F.col(point_ts).cast("timestamp")).alias("__pt"),
+        *[F.lit(None).cast(itypes[c]).alias(f"__i_{c}") for c in ipayload],
+        *[F.col(c).alias(f"__p_{c}") for c in ppayload],
+    ]
+    u = intervals.select(*i_sel).unionByName(points.select(*p_sel))
+
+    utypes = dict(u.dtypes)
+    key_schema = ", ".join(f"{c} {utypes[c]}" for c in on)
+    out_schema = (
+        key_schema
+        + ", __s long, __e long"
+        + "".join(f", __i_{c} {itypes[c]}" for c in ipayload)
+        + ", __pt long"
+        + "".join(f", __p_{c} {ptypes[c]}" for c in ppayload)
+    )
+    state_schema = "s array<long>, e array<long>, hwm long" + "".join(
+        f", i_{c} array<{itypes[c]}>" for c in ipayload
+    )
+    out_cols = (
+        on
+        + ["__s", "__e"]
+        + [f"__i_{c}" for c in ipayload]
+        + ["__pt"]
+        + [f"__p_{c}" for c in ppayload]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        s_l, e_l, hwm = [], [], None
+        ivals = {c: [] for c in ipayload}
+        if state.exists:
+            st = state.get
+            s_l, e_l, hwm = list(st[0]), list(st[1]), st[2]
+            for i, c in enumerate(ipayload):
+                ivals[c] = list(st[3 + i])
+        pts = []
+        added = False
+        for pdf in pdfs:
+            ib = pdf[pdf["__side"] == 1]
+            if len(ib):
+                added = True
+                s_l.extend(int(x) for x in ib["__s"])
+                e_l.extend(int(x) for x in ib["__e"])
+                for c in ipayload:
+                    ivals[c].extend(ib[f"__i_{c}"])
+            pb = pdf[pdf["__side"] == 0]
+            if len(pb):
+                pts.append(pb)
+        out = None
+        if pts:
+            pb = pd.concat(pts, ignore_index=True)
+            hwm = max(int(pb["__pt"].max()), hwm if hwm is not None else -(2**62))
+            if s_l:
+                s_a = np.asarray(s_l, dtype=np.int64)
+                e_a = np.asarray(e_l, dtype=np.int64)
+                rows = []
+                for _, prow in pb.iterrows():
+                    t = int(prow["__pt"])
+                    idx = np.nonzero((s_a <= t) & (e_a >= t))[0]
+                    for j in idx:
+                        rows.append(
+                            tuple(key)
+                            + (int(s_a[j]), int(e_a[j]))
+                            + tuple(ivals[c][j] for c in ipayload)
+                            + (t,)
+                            + tuple(prow[f"__p_{c}"] for c in ppayload)
+                        )
+                if rows:
+                    out = pd.DataFrame(rows, columns=out_cols)
+        if prune_keep_us is not None and hwm is not None and s_l:
+            floor = hwm - int(prune_keep_us)
+            keep = [i for i, e in enumerate(e_l) if e >= floor]
+            if len(keep) < len(s_l):
+                s_l = [s_l[i] for i in keep]
+                e_l = [e_l[i] for i in keep]
+                for c in ipayload:
+                    ivals[c] = [ivals[c][i] for i in keep]
+        if added or pts:
+            state.update((s_l, e_l, hwm, *[ivals[c] for c in ipayload]))
+        if out is not None:
+            yield out
+
+    stateful = u.groupBy(*on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        stateful.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    drained = points.sparkSession.table(name)
+    return drained.select(
+        *on,
+        F.timestamp_micros(F.col("__s")).alias(start),
+        F.timestamp_micros(F.col("__e")).alias(end),
+        *[F.col(f"__i_{c}").alias(c) for c in ipayload],
+        F.timestamp_micros(F.col("__pt")).alias(point_ts),
+        *[F.col(f"__p_{c}").alias(c) for c in ppayload],
+    )
+
+
 def stream_latest_state(
     stream: DataFrame,
     keys,

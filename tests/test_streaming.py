@@ -398,3 +398,94 @@ def test_stream_asof_tolerance_and_prune(spark, tmp_path):
     rows = {r.lid: r.r_v for r in got.collect()}
     assert rows[10] == 7.0   # within 1s tolerance
     assert rows[11] is None  # ~5s stale, nulled
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Drained stream-stream containment join == the batch interval_join
+    (inner), across event-time-ordered micro-batches (intervals sliced by
+    their START with the same boundaries as the points)."""
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import interval_join
+    from cassandra_diff_spark.streaming.diff_stream import stream_interval_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+
+    pdir, idir = str(tmp_path / "pt"), str(tmp_path / "iv")
+    _stage_time_sliced(clicks, "ts", bounds, pdir)
+    _stage_time_sliced(purchases, "ts", bounds, idir)
+
+    pstream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withColumnRenamed("event_id", "pt_id")
+    )
+    istream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(idir)
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+            F.col("event_id").alias("iv_id"),
+        )
+    )
+    got = stream_interval_join(
+        pstream, istream, ["user_id"], name="t_stream_ivj"
+    )
+
+    iv_batch = purchases.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("iv_id"),
+    )
+    pt_batch = clicks.withColumnRenamed("event_id", "pt_id")
+    want = interval_join(
+        pt_batch, iv_batch, ["user_id"],
+        bucket_us=30 * 60 * 1_000_000, how="inner",
+    ).select(*got.columns)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
+    assert got.count() > 0
+
+
+def test_stream_interval_join_prune_keeps_live_intervals(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_interval_join
+
+    t0 = datetime(2024, 1, 1)
+    us = timedelta(microseconds=1)
+    iv = spark.createDataFrame(
+        [(1, t0, t0 + 100 * us, 1), (1, t0, t0 + 10_000_000 * us, 2)],
+        "k long, start timestamp, end timestamp, iv_id long",
+    )
+    pt = spark.createDataFrame(
+        [(1, t0 + 5_000_000 * us, 10)], "k long, ts timestamp, pt_id long"
+    )
+    ivd, ptd = str(tmp_path / "iv2"), str(tmp_path / "pt2")
+    iv.coalesce(1).write.parquet(ivd)
+    pt.coalesce(1).write.parquet(ptd)
+    got = stream_interval_join(
+        spark.readStream.schema(pt.schema).parquet(ptd),
+        spark.readStream.schema(iv.schema).parquet(ivd),
+        ["k"],
+        name="t_stream_ivj2",
+        prune_keep_us=1_000_000,
+    ).collect()
+    # the long-lived interval still contains the point; the expired one
+    # doesn't match (its end is far before the point)
+    assert [(r.iv_id, r.pt_id) for r in got] == [(2, 10)]
