@@ -3096,3 +3096,55 @@ FROM r JOIN l ON l.user_id = r.user_id
 
 QUERIES["events_interval_stream"] = _q_events_interval_stream
 ORACLES["events_interval_stream"] = _O_EVENTS_INTERVAL_STREAM
+
+
+# ---------------------------------------------------------------------------
+# round 6: interval coalescing (gaps-and-islands union of spans)
+
+
+def _q_events_merge_intervals(spark, sf_dir):
+    """Per-user union of purchase attribution windows [ts, +2h]: merge
+    overlapping/touching windows into maximal disjoint spans with merge
+    counts — one shuffle + per-key sort (running-MAX-end span breaks,
+    robust to fully-contained intervals), no self-join. The oracle is
+    the same gaps-and-islands formulation in SQL."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import merge_intervals
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    return merge_intervals(iv, ["user_id"])
+
+
+_O_EVENTS_MERGE_INTERVALS = """
+WITH r AS (
+  SELECT user_id, ts AS start, ts + INTERVAL 2 HOUR AS "end"
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, start, "end",
+         MAX(epoch_us("end")) OVER (
+           PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM r
+),
+s AS (
+  SELECT user_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR epoch_us(start) > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM m
+)
+SELECT user_id, MIN(start) AS start, MAX("end") AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM s GROUP BY user_id, span
+"""
+
+
+QUERIES["events_merge_intervals"] = _q_events_merge_intervals
+ORACLES["events_merge_intervals"] = _O_EVENTS_MERGE_INTERVALS

@@ -546,6 +546,52 @@ def interval_overlap_join(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    start: str = "start",
+    end: str = "end",
+    min_gap_us: int = 0,
+) -> DataFrame:
+    """Coalesce overlapping/adjacent intervals per key into maximal
+    disjoint spans: ``(*on, start, end, n_merged)`` — downtime windows
+    union, coverage spans, deploy-freeze consolidation. Two intervals
+    merge when the later one starts within ``min_gap_us`` of (or before)
+    the earlier span's end; closed bounds, so touching intervals merge
+    at ``min_gap_us=0``.
+
+    Gaps-and-islands: one hash shuffle + per-key sort by start, a
+    running max of ``end`` marks span breaks (an interval starts a new
+    span iff it begins after every previous interval's end + gap), then
+    one aggregation per (key, span). Same cost shape as sessionization —
+    no self-join, no explode.
+    """
+    on = list(on)
+    w = Window.partitionBy(*on).orderBy(F.col(start).asc(), F.col(end).asc())
+    prev_max_end = F.max(_us_of(F.col(end))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull()
+        | (_us_of(F.col(start)) > prev_max_end + F.lit(int(min_gap_us))),
+        1,
+    ).otherwise(0)
+    spans = df.withColumn("__new", is_new).withColumn(
+        "__span",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy(*on, "__span")
+        .agg(
+            F.min(start).alias(start),
+            F.max(end).alias(end),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("__span")
+    )
+
+
 def collapse_bursts(
     df: DataFrame,
     on: Sequence[str],

@@ -556,3 +556,47 @@ class TestLeftIntervalsSinglePass:
             by_iv.setdefault(r.iv_id, []).append(r.pt_id)
         assert sorted(by_iv[0]) == [0, 1]
         assert by_iv[1] == [None]
+
+
+class TestMergeIntervals:
+    def test_overlap_touch_and_gap(self, spark):
+        from cassandra_diff_spark.operators.temporal import merge_intervals
+
+        iv = spark.createDataFrame(
+            [
+                (1, _ts(0), _ts(10)),
+                (1, _ts(5), _ts(20)),    # overlaps -> merges
+                (1, _ts(20), _ts(25)),   # touches (closed) -> merges
+                (1, _ts(30), _ts(40)),   # gap -> new span
+                (2, _ts(0), _ts(1)),
+            ],
+            "k long, start timestamp, end timestamp",
+        )
+        rows = sorted(
+            merge_intervals(iv, ["k"]).collect(), key=lambda r: (r.k, r.start)
+        )
+        got = [(r.k, _us(r.start), _us(r.end), r.n_merged) for r in rows]
+        assert got == [(1, 0, 25, 3), (1, 30, 40, 1), (2, 0, 1, 1)]
+
+    def test_contained_interval_does_not_split_span(self, spark):
+        """An interval fully inside an earlier long one must not break
+        the running span (the running-MAX-end construction, not lag)."""
+        from cassandra_diff_spark.operators.temporal import merge_intervals
+
+        iv = spark.createDataFrame(
+            [(1, _ts(0), _ts(100)), (1, _ts(10), _ts(20)), (1, _ts(50), _ts(120))],
+            "k long, start timestamp, end timestamp",
+        )
+        rows = merge_intervals(iv, ["k"]).collect()
+        assert len(rows) == 1
+        assert (_us(rows[0].start), _us(rows[0].end), rows[0].n_merged) == (0, 120, 3)
+
+    def test_min_gap_bridges(self, spark):
+        from cassandra_diff_spark.operators.temporal import merge_intervals
+
+        iv = spark.createDataFrame(
+            [(1, _ts(0), _ts(10)), (1, _ts(14), _ts(20))],
+            "k long, start timestamp, end timestamp",
+        )
+        assert merge_intervals(iv, ["k"], min_gap_us=5).count() == 1
+        assert merge_intervals(iv, ["k"], min_gap_us=3).count() == 2
