@@ -3148,3 +3148,64 @@ FROM s GROUP BY user_id, span
 
 QUERIES["events_merge_intervals"] = _q_events_merge_intervals
 ORACLES["events_merge_intervals"] = _O_EVENTS_MERGE_INTERVALS
+
+
+# ---------------------------------------------------------------------------
+# round 6: time-weighted average (LOCF-segment integral)
+
+
+def _q_events_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the event value signal over the
+    middle half of the data's time range: each observation holds until
+    the next (LOCF), weighted by held time clipped to the window — the
+    irregular-sampling-correct aggregate a plain AVG gets wrong. One
+    lead window, no as-of join; the oracle replays the identical segment
+    arithmetic in SQL."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts"))), F.max(F.unix_micros(F.col("ts")))
+    ).first()
+    span = hi - lo
+    t0, t1 = lo + span // 4, lo + (span * 3) // 4
+    return time_weighted_avg(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        value_col="value",
+        t0=t0,
+        t1=t1,
+        tiebreak="event_id",
+    )
+
+
+_O_EVENTS_TIME_WEIGHTED_AVG = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+w AS (SELECT lo + (hi - lo) // 4 AS t0, lo + ((hi - lo) * 3) // 4 AS t1 FROM b),
+s AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+seg AS (
+  SELECT s.user_id, s.value,
+         CASE WHEN s.value IS NULL THEN 0
+              ELSE GREATEST(
+                LEAST(COALESCE(s.nxt, w.t1), w.t1) - GREATEST(s.us, w.t0), 0)
+         END AS held
+  FROM s, w WHERE s.us < w.t1
+)
+SELECT user_id,
+       SUM(value * held) / SUM(held) AS twa,
+       CAST(SUM(held) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM seg GROUP BY user_id
+"""
+
+
+QUERIES["events_time_weighted_avg"] = _q_events_time_weighted_avg
+ORACLES["events_time_weighted_avg"] = _O_EVENTS_TIME_WEIGHTED_AVG

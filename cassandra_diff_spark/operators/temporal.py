@@ -546,6 +546,63 @@ def interval_overlap_join(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    ts: str = "ts",
+    value_col: str,
+    t0,
+    t1,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Per-key time-weighted average of a step signal over the window
+    ``[t0, t1)``: each observation holds (LOCF) until the next one, and
+    contributes its value weighted by the held duration clipped to the
+    window — the correct aggregate for irregularly-sampled series, where
+    a plain AVG over-weights bursts of updates. Output
+    ``(*on, twa, covered_us, n_obs)``; ``covered_us`` is the window time
+    during which some non-null observation was in effect — keys whose
+    first observation is inside the window cover less than ``t1 - t0``,
+    and ``twa`` averages over covered time only.
+
+    One hash shuffle + per-key sort: rows at-or-before ``t1`` get
+    ``held = [max(ts, t0), min(next_ts, t1))`` from a single ``lead``
+    window — the last pre-window row is automatically the boundary
+    (its clipped start is ``t0``), and rows that stopped holding before
+    ``t0`` clamp to zero duration. No as-of join, no explode.
+    ``tiebreak`` totally orders equal timestamps (the later-ordered row
+    supersedes at zero held time for the earlier — same contract as the
+    as-of operators). Null values hold "no signal": their segments are
+    excluded from both the numerator and covered time.
+    """
+    on = list(on)
+    t0_us, t1_us = int(t0), int(t1)
+    if t1_us <= t0_us:
+        raise ValueError(f"need t0 < t1, got [{t0}, {t1})")
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*on).orderBy(*order)
+    us = _us_of(F.col(ts))
+    seg_start = F.greatest(us, F.lit(t0_us))
+    seg_end = F.least(
+        F.coalesce(F.lead(us).over(w), F.lit(t1_us)), F.lit(t1_us)
+    )
+    held = F.greatest(seg_end - seg_start, F.lit(0))
+    v = F.col(value_col).cast("double")
+    seg = (
+        df.filter(us < F.lit(t1_us))
+        .withColumn("__held", F.when(v.isNotNull(), held).otherwise(F.lit(0)))
+        .withColumn("__wv", v * F.col("__held"))
+    )
+    return seg.groupBy(*on).agg(
+        (F.sum("__wv") / F.sum("__held")).alias("twa"),
+        F.sum("__held").cast("long").alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+
+
 def merge_intervals(
     df: DataFrame,
     on: Sequence[str],

@@ -600,3 +600,67 @@ class TestMergeIntervals:
         )
         assert merge_intervals(iv, ["k"], min_gap_us=5).count() == 1
         assert merge_intervals(iv, ["k"], min_gap_us=3).count() == 2
+
+
+class TestTimeWeightedAvg:
+    def test_step_signal(self, spark):
+        from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+        # key 1: v=10 on [0,40), v=20 on [40,100) within window [0,100)
+        df = spark.createDataFrame(
+            [(1, _ts(0), 1, 10.0), (1, _ts(40), 2, 20.0)],
+            "k long, ts timestamp, oid long, v double",
+        )
+        r = time_weighted_avg(
+            df, ["k"], value_col="v", t0=0, t1=100, tiebreak="oid"
+        ).collect()[0]
+        assert r.twa == (10.0 * 40 + 20.0 * 60) / 100
+        assert r.covered_us == 100
+
+    def test_pre_window_boundary_and_partial_coverage(self, spark):
+        from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [
+                (1, _ts(0), 1, 5.0),     # pre-window obs holds into [10, 30)
+                (1, _ts(30), 2, 15.0),   # then 15 on [30, 50)
+                (2, _ts(25), 3, 8.0),    # first obs inside window: partial
+            ],
+            "k long, ts timestamp, oid long, v double",
+        )
+        rows = {
+            r.k: r
+            for r in time_weighted_avg(
+                df, ["k"], value_col="v", t0=10, t1=50, tiebreak="oid"
+            ).collect()
+        }
+        assert rows[1].twa == (5.0 * 20 + 15.0 * 20) / 40
+        assert rows[1].covered_us == 40
+        assert rows[2].twa == 8.0
+        assert rows[2].covered_us == 25  # [25, 50) only
+
+    def test_equal_ts_later_tiebreak_supersedes(self, spark):
+        from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [(1, _ts(0), 1, 100.0), (1, _ts(0), 2, 4.0)],
+            "k long, ts timestamp, oid long, v double",
+        )
+        r = time_weighted_avg(
+            df, ["k"], value_col="v", t0=0, t1=10, tiebreak="oid"
+        ).collect()[0]
+        assert r.twa == 4.0  # the oid=1 row held for zero time
+
+    def test_null_value_breaks_coverage(self, spark):
+        from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [(1, _ts(0), 1, 10.0), (1, _ts(20), 2, None), (1, _ts(60), 3, 30.0)],
+            "k long, ts timestamp, oid long, v double",
+        )
+        r = time_weighted_avg(
+            df, ["k"], value_col="v", t0=0, t1=100, tiebreak="oid"
+        ).collect()[0]
+        # covered: [0,20) at 10 and [60,100) at 30 — the null gap excluded
+        assert r.covered_us == 60
+        assert r.twa == (10.0 * 20 + 30.0 * 40) / 60
