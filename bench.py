@@ -65,6 +65,8 @@ HEADLINE = [
     "lineitem_salted_join",
     "key_scan_zorder_layout",
     "compact_orders_roundtrip",
+    "events_merge_intervals",
+    "events_time_weighted_avg",
 ]
 
 
