@@ -451,6 +451,7 @@ def resample_locf(
     step_us: int = 3_600 * 1_000_000,
     tiebreak: Optional[str] = None,
     prefix: str = "locf_",
+    chunk_us: Optional[int] = None,
 ) -> DataFrame:
     """Per-key fixed-step time grid with last-observation-carried-forward
     values: one output row per (key, grid instant) from the key's first
@@ -463,6 +464,11 @@ def resample_locf(
     — never a driver-side loop — and values attach via
     :func:`asof_join`'s single-shuffle union window. Grid instants before
     the first observation (the flooring edge) keep nulls.
+
+    ``chunk_us``: route the value attachment through
+    :func:`asof_join_chunked` instead — a key whose whole grid would
+    otherwise serialize into one window task (years of dense grid on one
+    hot entity) parallelizes per time chunk, identical output.
     """
     on = list(on)
     step = int(step_us)
@@ -479,17 +485,16 @@ def resample_locf(
             )
         ).alias("__gus"),
     ).select(*on, F.timestamp_micros(F.col("__gus")).alias("grid_ts"))
-    return asof_join(
-        grid,
-        df,
-        on,
+    kw = dict(
         left_ts="grid_ts",
         right_ts=ts,
         right_cols=list(value_cols),
         right_tiebreak=tiebreak,
-        direction="backward",
         prefix=prefix,
     )
+    if chunk_us is not None:
+        return asof_join_chunked(grid, df, on, chunk_us=int(chunk_us), **kw)
+    return asof_join(grid, df, on, direction="backward", **kw)
 
 
 def interval_overlap_join(

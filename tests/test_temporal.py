@@ -664,3 +664,24 @@ class TestTimeWeightedAvg:
         # covered: [0,20) at 10 and [60,100) at 30 — the null gap excluded
         assert r.covered_us == 60
         assert r.twa == (10.0 * 20 + 30.0 * 40) / 60
+
+
+def test_resample_locf_chunked_matches_plain(spark):
+    rnd = random.Random(19)
+    rows = [
+        (rnd.randrange(3), rnd.randrange(100) * US, rnd.randrange(50))
+        for _ in range(60)
+    ]
+    df = _mk_right(spark, rows)
+    kw = dict(ts="ts", value_cols=["v"], step_us=7 * US, tiebreak="rid")
+    key = lambda d: sorted(  # noqa: E731
+        tuple(r) for r in resample_locf(d, ["k"], **kw).collect()
+    )
+    plain = sorted(
+        tuple(r) for r in resample_locf(df, ["k"], **kw).collect()
+    )
+    chunked = sorted(
+        tuple(r)
+        for r in resample_locf(df, ["k"], chunk_us=13 * US, **kw).collect()
+    )
+    assert chunked == plain and len(plain) > 0
