@@ -3209,3 +3209,79 @@ FROM seg GROUP BY user_id
 
 QUERIES["events_time_weighted_avg"] = _q_events_time_weighted_avg
 ORACLES["events_time_weighted_avg"] = _O_EVENTS_TIME_WEIGHTED_AVG
+
+
+# ---------------------------------------------------------------------------
+# round 6: composition — containment pairs -> duplicate clusters
+
+
+def _q_dedup_containment_clusters(spark, sf_dir):
+    """Operator composition: the containment near-dup pairs (truncation
+    detector, same augmented fixture as dedup_containment) resolve into
+    duplicate CLUSTERS via iterative min-label connected components —
+    cluster_id = min doc id = the survivor. The oracle is the recursive-
+    CTE transitive closure over the identical pair formulation."""
+    from cassandra_diff_spark.functions.text import words
+
+    w = words(F.col("text"))
+    k = F.greatest(F.lit(1), F.floor(F.size(w) * 2 / 5)).cast("int")
+    d = _docs(spark, sf_dir)
+    trunc = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, F.lit(1), k)).alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(trunc)
+    pairs = dedup.ngram_containment_pairs(
+        aug, "doc_id", "text", n=3, threshold_num=9, threshold_den=10
+    )
+    return dedup.dedup_clusters(pairs.select("id_1", "id_2"))
+
+
+_O_DEDUP_CONTAINMENT_CLUSTERS = f"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           ({words_sql('text')})[1:CAST(GREATEST(1,
+              FLOOR(len({words_sql('text')}) * 2 / 5)) AS INT)], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s FROM aug)
+),
+shc AS (
+  SELECT * FROM sh
+  WHERE h NOT IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1000)
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_1, id_2
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = id_1
+  JOIN sz s2 ON s2.doc_id = id_2
+  WHERE intersect_n * 10 >= 9 * LEAST(s1.sz, s2.sz)
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION ALL
+  SELECT id_2, id_1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+QUERIES["dedup_containment_clusters"] = _q_dedup_containment_clusters
+ORACLES["dedup_containment_clusters"] = _O_DEDUP_CONTAINMENT_CLUSTERS
