@@ -59,15 +59,17 @@ def _driver_rows() -> tuple[set[str], set[str]]:
 
 
 def _ordered(merged: dict) -> dict:
-    """Head: entries with no green driver row in ANY round.  Mid: oracle-paired
-    entries, those the capped run missed last round first (round-robin).
-    Tail: rows-only entries (no oracle)."""
+    """Head: oracle-paired entries with no green driver row in ANY round.
+    Mid: the other oracle-paired entries, those the capped run missed
+    last round first (round-robin).  Tail: rows-only entries (no oracle —
+    the driver records ``err: no_oracle`` for them, so they can never go
+    green and must not consume a head slot every round)."""
     oracles = {**gate.ORACLES, **gate_pipeline.ORACLES}
     ever_green, checked = _driver_rows()
-    first = sorted(n for n in merged if n not in ever_green)
+    first = sorted(n for n in merged if n in oracles and n not in ever_green)
     mid = sorted(n for n in merged if n in oracles and n not in first)
     mid = [n for n in mid if n not in checked] + [n for n in mid if n in checked]
-    last = [n for n in merged if n not in oracles and n not in first]
+    last = [n for n in merged if n not in oracles]
     return {n: merged[n] for n in first + mid + last}
 
 
