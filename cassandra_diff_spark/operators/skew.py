@@ -59,10 +59,19 @@ def salted_join(
     on = list(on)
     if int(salt) < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
-    s = skewed.withColumn(
-        SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(int(salt))),
+    # xxhash64 rejects map columns; hash the hashable subset (results
+    # never depend on the salt's value — see the docstring — only its
+    # spread), falling back to a per-task row counter when nothing is
+    # hashable
+    hashable = [
+        c for c, t in skewed.dtypes if not t.startswith("map<")
+    ]
+    salt_val = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(int(salt)))
+        if hashable
+        else F.pmod(F.monotonically_increasing_id(), F.lit(int(salt)))
     )
+    s = skewed.withColumn(SALT_COL, salt_val)
     o = other.withColumn(
         SALT_COL,
         F.explode(F.array(*[F.lit(i).cast("long") for i in range(int(salt))])),

@@ -318,6 +318,7 @@ def stream_asof_join(
     right_ts: str = "ts",
     right_cols,
     right_tiebreak: str | None = None,
+    strict: bool = False,
     tolerance_us: int | None = None,
     prefix: str = "r_",
     name: str,
@@ -325,10 +326,15 @@ def stream_asof_join(
     checkpoint: str | None = None,
 ) -> DataFrame:
     """Stream-stream as-of join: every LEFT stream row picks the nearest
-    RIGHT stream row at-or-before its timestamp, per key — the streaming
-    twin of :func:`~cassandra_diff_spark.operators.temporal.asof_join`
-    (backward, non-strict), implemented as ONE ``applyInPandasWithState``
-    stateful operator over the side-tagged union of the two streams.
+    RIGHT stream row at-or-before (``strict``: strictly-before) its
+    timestamp, per key — the streaming twin of
+    :func:`~cassandra_diff_spark.operators.temporal.asof_join`
+    (backward), implemented as ONE ``applyInPandasWithState`` stateful
+    operator over the side-tagged union of the two streams. (The FORWARD
+    direction is deliberately absent: it needs future right rows, i.e. a
+    watermark-delayed emit — buffer left rows in state and flush them as
+    the right frontier passes; use the batch operator until a real
+    watermark-driven variant exists.)
 
     Per-key state is the right-side history, collapsed to the greatest-
     tiebreak row per timestamp (rows a backward as-of can never pick are
@@ -471,11 +477,15 @@ def stream_asof_join(
             return
         lb = pd.concat(lefts, ignore_index=True)
         if hist is not None and len(hist):
-            # rightmost history row with ts <= left ts: searchsorted on
-            # the (ts,tb)-sorted, per-ts-collapsed history
+            # rightmost history row with ts <= left ts (strict: < — the
+            # 'left' side excludes equal timestamps entirely, and the
+            # per-ts collapse can't hide anything strict would pick):
+            # searchsorted on the (ts,tb)-sorted, per-ts-collapsed history
             pos = (
                 np.searchsorted(
-                    hist["ts"].values, lb["__ts"].astype("int64").values, "right"
+                    hist["ts"].values,
+                    lb["__ts"].astype("int64").values,
+                    "left" if strict else "right",
                 )
                 - 1
             )

@@ -65,3 +65,13 @@ class TestSaltedJoin:
             salted_join(skewed, dim, ["k"], how="full")
         with pytest.raises(ValueError, match="salt"):
             salted_join(skewed, dim, ["k"], salt=0)
+
+    def test_map_columns_tolerated(self, spark, dim):
+        df = spark.createDataFrame(
+            [(1, {"a": 1}), (2, {"b": 2})],
+            "k long, props map<string,int>",
+        )
+        got = sorted(
+            (r.k, r.label) for r in salted_join(df, dim, ["k"], salt=4).collect()
+        )
+        assert got == [(1, "d1"), (2, "d2")]

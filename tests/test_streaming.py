@@ -489,3 +489,36 @@ def test_stream_interval_join_prune_keeps_live_intervals(spark, tmp_path):
     # the long-lived interval still contains the point; the expired one
     # doesn't match (its end is far before the point)
     assert [(r.iv_id, r.pt_id) for r in got] == [(2, 10)]
+
+
+def test_stream_asof_strict_excludes_equal_ts(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    t0 = datetime(2024, 1, 1)
+    us = timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, t0 + 100 * us, 10)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + 100 * us, 1, 7.0), (1, t0 + 50 * us, 2, 5.0)],
+        "k long, ts timestamp, rid long, v double",
+    )
+    ldir, rdir = str(tmp_path / "l3"), str(tmp_path / "r3")
+    left.coalesce(1).write.parquet(ldir)
+    right.coalesce(1).write.parquet(rdir)
+
+    def run(strict, name):
+        return stream_asof_join(
+            spark.readStream.schema(left.schema).parquet(ldir),
+            spark.readStream.schema(right.schema).parquet(rdir),
+            ["k"],
+            right_cols=["v"],
+            right_tiebreak="rid",
+            strict=strict,
+            name=name,
+        ).collect()[0]
+
+    assert run(False, "t_sa_nonstrict").r_v == 7.0  # equal ts eligible
+    assert run(True, "t_sa_strict").r_v == 5.0      # strict falls back
