@@ -67,6 +67,7 @@ HEADLINE = [
     "compact_orders_roundtrip",
     "events_merge_intervals",
     "events_time_weighted_avg",
+    "dedup_containment_clusters",
 ]
 
 

@@ -522,3 +522,52 @@ def test_stream_asof_strict_excludes_equal_ts(spark, tmp_path):
 
     assert run(False, "t_sa_nonstrict").r_v == 7.0  # equal ts eligible
     assert run(True, "t_sa_strict").r_v == 5.0      # strict falls back
+
+
+@pytest.mark.parametrize("n_slices", [1, 7])
+def test_stream_asof_random_slicing_matches_batch(spark, tmp_path, n_slices):
+    """The drained result is invariant to HOW the time axis is sliced
+    into micro-batches (1 slice = everything in one batch; 7 = most
+    matches cross batch boundaries), always equal to the batch asof."""
+    import random
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.operators.temporal import asof_join
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    rnd = random.Random(23 + n_slices)
+    t0 = datetime(2024, 1, 1)
+    us = timedelta(microseconds=1)
+    lrows = [
+        (rnd.randrange(4), t0 + rnd.randrange(1000) * us, i)
+        for i in range(80)
+    ]
+    rrows = [
+        (rnd.randrange(5), t0 + rnd.randrange(1000) * us, i, float(rnd.randrange(50)))
+        for i in range(90)
+    ]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rid long, v double")
+    bounds = [t0 + (1000 * i // n_slices) * us for i in range(n_slices)] + [
+        t0 + 1001 * us
+    ]
+    ldir, rdir = str(tmp_path / "lr"), str(tmp_path / "rr")
+    _stage_time_sliced(left, "ts", bounds, ldir)
+    _stage_time_sliced(right, "ts", bounds, rdir)
+    got = stream_asof_join(
+        spark.readStream.schema(left.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir),
+        spark.readStream.schema(right.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir),
+        ["k"],
+        right_cols=["v"],
+        right_tiebreak="rid",
+        name=f"t_sa_rand_{n_slices}",
+    )
+    want = asof_join(
+        left, right, ["k"], right_cols=["v"], right_tiebreak="rid"
+    ).select(*got.columns)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
