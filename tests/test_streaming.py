@@ -571,3 +571,35 @@ def test_stream_asof_random_slicing_matches_batch(spark, tmp_path, n_slices):
     ).select(*got.columns)
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(got) == key(want)
+
+
+def test_stream_asof_null_right_value_roundtrips_as_null(spark, tmp_path):
+    """A matched right row's NULL column must come back as SQL null
+    (Arrow from_pandas NaN-as-null), and must not be backfilled from an
+    older row — the streaming twin of the batch row-atomicity contract."""
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join
+
+    t0 = datetime(2024, 1, 1)
+    us = timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, t0 + 100 * us, 10)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + 10 * us, 1, 7.0), (1, t0 + 50 * us, 2, None)],
+        "k long, ts timestamp, rid long, v double",
+    )
+    ldir, rdir = str(tmp_path / "l4"), str(tmp_path / "r4")
+    left.coalesce(1).write.parquet(ldir)
+    right.coalesce(1).write.parquet(rdir)
+    rows = stream_asof_join(
+        spark.readStream.schema(left.schema).parquet(ldir),
+        spark.readStream.schema(right.schema).parquet(rdir),
+        ["k"],
+        right_cols=["v"],
+        right_tiebreak="rid",
+        name="t_sa_nullv",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].r_ts is not None and rows[0].r_v is None
