@@ -3285,3 +3285,51 @@ FROM reach GROUP BY a
 
 QUERIES["dedup_containment_clusters"] = _q_dedup_containment_clusters
 ORACLES["dedup_containment_clusters"] = _O_DEDUP_CONTAINMENT_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: distributed footer-stats manifest
+
+
+def _q_manifest_token_layout(spark, sf_dir):
+    """Data-skipping manifest of the token-sorted orders layout: footer
+    min/max per (file, column) gathered by a DISTRIBUTED mapInPandas
+    over the file list (only names touch the driver) — the external
+    index a planner consults instead of listing+footer-reading 100 TB
+    driver-side. The gate aggregates the __token rows back to global
+    (files, rows, min, max): the manifest must account for every row and
+    bound the data exactly (the oracle computes the same from the raw
+    table)."""
+    from cassandra_diff_spark.operators.bucketed import parquet_stats_manifest
+
+    # reuse (and if needed create) the token-sorted staging of the
+    # key-scan gate — same marker, same layout
+    QUERIES["key_scan_sorted_layout"](spark, sf_dir)
+    import pathlib
+
+    base = f"/tmp/cds_gate_toksorted_{pathlib.Path(sf_dir).name}"
+    m = parquet_stats_manifest(spark, f"{base}/orders", columns=["__token"])
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min(F.col("min_value").cast("long")).alias("min_token"),
+        F.max(F.col("max_value").cast("long")).alias("max_token"),
+        F.sum("null_count").cast("long").alias("n_nulls"),
+    )
+
+
+def _make_o_manifest_token_layout() -> str:
+    from cassandra_diff_spark.functions.keys import _KNUTH
+
+    return f"""
+SELECT CAST(8 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       MIN((o_orderkey * {_KNUTH}) % 1000000007) AS min_token,
+       MAX((o_orderkey * {_KNUTH}) % 1000000007) AS max_token,
+       CAST(0 AS BIGINT) AS n_nulls
+FROM orders
+"""
+
+
+QUERIES["manifest_token_layout"] = _q_manifest_token_layout
+ORACLES["manifest_token_layout"] = _make_o_manifest_token_layout()

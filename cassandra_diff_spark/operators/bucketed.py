@@ -442,6 +442,113 @@ def write_zorder(
     )
 
 
+def parquet_stats_manifest(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Distributed parquet-footer scan: one output row per (file,
+    column) with ``(file, n_row_groups, n_rows, n_bytes, column,
+    min_value, max_value, null_count)`` — the external data-skipping
+    index a planner consults instead of listing-and-footer-reading
+    100 TB on the driver. min/max are stringified for a uniform schema
+    (cast back at the consumer, as :func:`~cassandra_diff_spark.
+    operators.validate.profile_table` does); row-group stats fold to
+    file granularity.
+
+    Only file NAMES pass through the driver (one cheap listing); the
+    footer reads — the expensive part at 10^5+ files — fan out as an
+    Arrow-batched ``mapInPandas`` over the file list. Persist the result
+    next to the layout and feed it to split planning / scan pruning
+    (e.g. pick the files whose ``__token`` ranges intersect a split).
+    Local/posix paths; object stores go through pyarrow's filesystem
+    the same way once fsspec-style URIs are in play.
+    """
+    import pandas as _pd
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().toUri().getPath()
+        if name.split("/")[-1].startswith(("_", ".")):
+            continue  # markers/checksums are not data
+        files.append(name)
+    if not files:
+        raise ValueError(f"no parquet data files under {path!r}")
+    cols = list(columns) if columns is not None else None
+
+    n_slices = min(len(files), 64)
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        n_slices
+    )
+
+    def footers(pdfs):
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            out = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                schema = md.schema
+                names = [schema.column(i).name for i in range(md.num_columns)]
+                want = [
+                    (i, n)
+                    for i, n in enumerate(names)
+                    if cols is None or n in cols
+                ]
+                per_col = {
+                    n: {"min": None, "max": None, "nulls": 0} for _, n in want
+                }
+                n_bytes = 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    n_bytes += g.total_byte_size
+                    for i, n in want:
+                        st = g.column(i).statistics
+                        if st is None:
+                            continue
+                        acc = per_col[n]
+                        if st.has_min_max:
+                            mn, mx = st.min, st.max
+                            if acc["min"] is None or mn < acc["min"]:
+                                acc["min"] = mn
+                            if acc["max"] is None or mx > acc["max"]:
+                                acc["max"] = mx
+                        if st.null_count is not None:
+                            acc["nulls"] += st.null_count
+                for _, n in want:
+                    acc = per_col[n]
+                    out.append(
+                        (
+                            fname,
+                            md.num_row_groups,
+                            md.num_rows,
+                            n_bytes,
+                            n,
+                            None if acc["min"] is None else str(acc["min"]),
+                            None if acc["max"] is None else str(acc["max"]),
+                            acc["nulls"],
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "file", "n_row_groups", "n_rows", "n_bytes",
+                    "column", "min_value", "max_value", "null_count",
+                ],
+            )
+
+    return fdf.mapInPandas(
+        footers,
+        "file string, n_row_groups int, n_rows long, n_bytes long, "
+        "column string, min_value string, max_value string, null_count long",
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -266,3 +266,37 @@ class TestCompactParquet:
 
         with pytest.raises(ValueError, match="differ"):
             compact_parquet(spark, str(tmp_path / "x"), str(tmp_path / "x/"))
+
+
+class TestParquetStatsManifest:
+    def test_manifest_matches_data(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import (
+            parquet_stats_manifest,
+            write_token_sorted,
+        )
+        from cassandra_diff_spark.model import TableSpec
+
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        path = str(tmp_path / "tok_m")
+        write_token_sorted(orders, spec, path, n_files=8)
+
+        m = parquet_stats_manifest(spark, path, columns=["__token"]).collect()
+        assert len(m) == 8  # one row per file for the one column
+        assert sum(r.n_rows for r in m) == orders.count()
+        # per-file min/max really bound the file's data, and the layout
+        # makes the ranges (near-)disjoint: global min/max match the data
+        data = spark.read.parquet(path)
+        lo, hi = data.agg(F.min("__token"), F.max("__token")).first()
+        assert min(int(r.min_value) for r in m) == lo
+        assert max(int(r.max_value) for r in m) == hi
+        assert all(r.null_count == 0 for r in m)
+
+    def test_manifest_all_columns_and_missing_path(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import parquet_stats_manifest
+
+        m = parquet_stats_manifest(spark, f"{sf_dir}/region.parquet")
+        cols = {r.column for r in m.collect()}
+        assert {"r_regionkey", "r_name"} <= cols
+        with pytest.raises(Exception):
+            parquet_stats_manifest(spark, str(tmp_path / "nope"))
