@@ -68,6 +68,7 @@ HEADLINE = [
     "events_merge_intervals",
     "events_time_weighted_avg",
     "dedup_containment_clusters",
+    "manifest_token_layout",
 ]
 
 
