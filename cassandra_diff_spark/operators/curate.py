@@ -47,6 +47,11 @@ def clean_corpus(
     ``extra_cols`` ride the same single projection (no re-join against
     the input) — e.g. the domain column a downstream per-domain cap
     needs.
+
+    NULL-text documents carry a NULL fingerprint and are dropped by the
+    survivor equi-join — identically in the SQL twin, so the contract is
+    engine-stable. ``coalesce(text, '')`` upstream to treat them as
+    empty documents instead.
     """
     scored = df.select(
         F.col(id_col).alias("id"),
@@ -104,6 +109,10 @@ def stratified_sample(
     (no RNG state), MAP-ONLY (no shuffle, no per-stratum pass — the
     CASE picks the rate inline), and composable with any downstream
     plan. At 100 TB this is a filter pushed into the scan, nothing more.
+
+    Null handling: a NULL stratum falls back to ``default_ppm``; a NULL
+    id hashes to NULL and is dropped regardless of rate (ids are the
+    sampling key — filter or synthesize them first).
     """
     from cassandra_diff_spark.functions.text import md5_hash64
 
