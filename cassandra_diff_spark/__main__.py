@@ -84,10 +84,26 @@ def main(argv: list[str] | None = None) -> int:
             "parquet (no diff job run); prints per-op counts"
         ),
     )
+    ap.add_argument(
+        "--compact-journal", type=int, nargs="?", const=64, default=None,
+        metavar="TARGET_MB",
+        help=(
+            "compact the journal's per-event append files into TARGET_MB "
+            "files per table (default 64) and exit — run between jobs, "
+            "never concurrently with one; prints {table: n_files}"
+        ),
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
     spark = get_spark("cassandra-diff-spark-job")
+
+    if args.compact_journal is not None:
+        from cassandra_diff_spark.journal import Journal, compact
+
+        j = Journal(spark, cfg.metadata_options.path, cfg.retry_options)
+        print(json.dumps(compact(j, target_mb=args.compact_journal)))
+        return 0
 
     if args.drift_report is not None:
         from cassandra_diff_spark.job import table_drift_report

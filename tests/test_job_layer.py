@@ -863,3 +863,36 @@ def test_journal_compact_preserves_rows(spark, tmp_path):
     assert after == n["task_status"] == 1
     got = sorted(r.job_id for r in j._read("task_status").collect())
     assert got == [f"job{i}" for i in range(6)]
+
+
+def test_cli_compact_journal(spark, pair_dirs, tmp_path, capsys):
+    import glob
+    import json as _json
+
+    from cassandra_diff_spark.__main__ import main
+    from cassandra_diff_spark.journal import Journal
+
+    src_dir, tgt_dir = pair_dirs
+    jdir = tmp_path / "jc"
+    j = Journal(spark, str(jdir))
+    for i in range(5):
+        j._append(
+            "task_status",
+            spark.createDataFrame([(f"j{i}", i)], "job_id string, split int"),
+        )
+    cfg_file = tmp_path / "compact_cfg.yaml"
+    cfg_file.write_text(
+        f"job_id: cli-compact\n"
+        f"source: {{provider: parquet, options: {{path: {src_dir}}}}}\n"
+        f"target: {{provider: parquet, options: {{path: {tgt_dir}}}}}\n"
+        f"keyspace_tables:\n"
+        f"  - {{name: orders, partition_key: [o_orderkey]}}\n"
+        f"metadata_options: {{path: {jdir}}}\n"
+        f"retry_options: {{impl: none}}\n"
+    )
+    rc = main([str(cfg_file), "--compact-journal"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"task_status": 1}
+    assert len(glob.glob(str(jdir / "task_status/part-*"))) == 1
+    assert j._read("task_status").count() == 5
