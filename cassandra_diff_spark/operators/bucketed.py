@@ -549,6 +549,38 @@ def parquet_stats_manifest(
     )
 
 
+def manifest_files_for_range(
+    manifest: DataFrame,
+    column: str,
+    lo: Optional[int] = None,
+    hi: Optional[int] = None,
+) -> list:
+    """File subset of a :func:`parquet_stats_manifest` whose ``column``
+    min/max range intersects ``[lo, hi)`` — the planner step that turns
+    the manifest into an explicit scan list (``spark.read.parquet(*files)``)
+    when the engine can't see the layout's stats itself (a REMOTE
+    manifest over someone else's bucket, a federated catalog, file lists
+    fed to an external copy tool). For local reads prefer a plain filter
+    — parquet min/max pruning does this natively.
+
+    The manifest is kilobytes per thousand files; this collect is the
+    planner reading its index, not a data funnel. Files with no stats
+    for the column (all-null or stats-less writers) are conservatively
+    KEPT."""
+    m = manifest.filter(F.col("column") == column)
+    if lo is not None:
+        m = m.filter(
+            F.col("max_value").isNull()
+            | (F.col("max_value").cast("long") >= F.lit(int(lo)))
+        )
+    if hi is not None:
+        m = m.filter(
+            F.col("min_value").isNull()
+            | (F.col("min_value").cast("long") < F.lit(int(hi)))
+        )
+    return sorted(r.file for r in m.select("file").distinct().collect())
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -300,3 +300,37 @@ class TestParquetStatsManifest:
         assert {"r_regionkey", "r_name"} <= cols
         with pytest.raises(Exception):
             parquet_stats_manifest(spark, str(tmp_path / "nope"))
+
+    def test_manifest_range_pruning_scan_list(self, spark, sf_dir, tmp_path):
+        """manifest -> file subset -> scan: the pruned scan list reads
+        exactly the token range's rows and skips most files."""
+        from cassandra_diff_spark.functions.keys import token_expr
+        from cassandra_diff_spark.model import TableSpec
+        from cassandra_diff_spark.operators.bucketed import (
+            manifest_files_for_range,
+            parquet_stats_manifest,
+            write_token_sorted,
+        )
+
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        path = str(tmp_path / "tok_prune")
+        write_token_sorted(orders, spec, path, n_files=8)
+        manifest = parquet_stats_manifest(spark, path, columns=["__token"])
+
+        toks = sorted(
+            r[0] for r in orders.select(token_expr(["o_orderkey"])).collect()
+        )
+        lo, hi = toks[len(toks) * 7 // 16], toks[len(toks) * 9 // 16]
+        files = manifest_files_for_range(manifest, "__token", lo=lo, hi=hi)
+        assert 1 <= len(files) <= 2  # ~1/8 range from 8 range-sorted files
+
+        got = (
+            spark.read.parquet(*files)
+            .filter((F.col("__token") >= lo) & (F.col("__token") < hi))
+            .count()
+        )
+        want = orders.filter(
+            (token_expr(["o_orderkey"]) >= lo) & (token_expr(["o_orderkey"]) < hi)
+        ).count()
+        assert got == want > 0
