@@ -3333,3 +3333,71 @@ FROM orders
 
 QUERIES["manifest_token_layout"] = _q_manifest_token_layout
 ORACLES["manifest_token_layout"] = _make_o_manifest_token_layout()
+
+
+# ---------------------------------------------------------------------------
+# round 6: near-dup corpus build (MinHash end to end)
+
+
+def _q_pipeline_corpus_neardup(spark, sf_dir):
+    """The production corpus build: verified MinHash near-dup pairs ->
+    connected components -> min-id survivorship -> quality gate ->
+    per-language rollup, all one lazy plan. Exact-only dedup
+    (pipeline_clean_corpus) keeps reformatted near-copies; this path is
+    what actually removes them. Oracle: recursive-CTE transitive closure
+    over the identical verified-pair formulation + the same quality
+    SQL."""
+    from cassandra_diff_spark.operators.curate import clean_corpus_neardup
+
+    kept = clean_corpus_neardup(_docs(spark, sf_dir), "doc_id", "text")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("quality_milli").cast("long").alias("quality_sum"),
+    )
+
+
+def _make_o_pipeline_corpus_neardup() -> str:
+    from cassandra_diff_spark.functions.text import n_bpe_tokens_sql, quality_milli_sql
+
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+pairs AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE ({_BAND_CONDS}) AND ({_AGREE_SUM}) * 2 >= {NUM_PERM}
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION ALL
+  SELECT id_2, id_1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (
+  SELECT a AS id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a
+),
+kept AS (
+  SELECT doc_id AS id,
+         {quality_milli_sql('text')} AS quality_milli,
+         {langid_sql('text')} AS lang,
+         {n_bpe_tokens_sql('text')} AS n_tokens
+  FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM losers)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(quality_milli) AS BIGINT) AS quality_sum
+FROM kept
+WHERE quality_milli >= 500
+GROUP BY lang
+"""
+
+
+QUERIES["pipeline_corpus_neardup"] = _q_pipeline_corpus_neardup
+ORACLES["pipeline_corpus_neardup"] = _make_o_pipeline_corpus_neardup()

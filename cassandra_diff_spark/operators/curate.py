@@ -71,6 +71,57 @@ def clean_corpus(
     )
 
 
+def clean_corpus_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality_milli: int = 500,
+    n: int = 3,
+    min_agree_num: int = 1,
+    min_agree_den: int = 2,
+) -> DataFrame:
+    """Kept documents after NEAR-duplicate survivorship + quality gate —
+    the production corpus build (exact-only dedup leaves every
+    reformatted/near-identical copy in the training set; this is the
+    MinHash path end to end). Verified banded pairs resolve into
+    connected components; the minimum-id doc of each near-dup cluster
+    survives (exact duplicates share all signatures, so this subsumes
+    exact-dedup survivorship), then the quality gate applies. Returns
+    (id, lang, quality_milli, n_tokens) like :func:`clean_corpus`.
+
+    Scale shape: banded candidate join (never all-pairs) + signature
+    verification + iterative min-label CC over the (small) duplicate
+    graph + one broadcast-able anti-join of the loser ids against the
+    corpus. The corpus text shuffles only in the shingle pass.
+    """
+    from cassandra_diff_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_verified_pairs,
+    )
+
+    pairs = minhash_lsh_verified_pairs(
+        df, id_col, text_col, n,
+        min_agree_num=min_agree_num, min_agree_den=min_agree_den,
+    )
+    clusters = dedup_clusters(pairs.select("id_1", "id_2"))
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__loser")
+    )
+    survivors = df.join(
+        losers, F.col(id_col) == F.col("__loser"), "left_anti"
+    )
+    return (
+        survivors.select(
+            F.col(id_col).alias("id"),
+            quality_milli(F.col(text_col)).alias("quality_milli"),
+            langid(F.col(text_col)).alias("lang"),
+            n_bpe_tokens(F.col(text_col)).alias("n_tokens"),
+        )
+        .filter(F.col("quality_milli") >= min_quality_milli)
+        .select("id", "lang", "quality_milli", "n_tokens")
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     id_col: str,

@@ -1225,3 +1225,32 @@ class TestContainmentIncremental:
         # with the shared shingle capped away, no batch doc reaches 1/2
         # containment against anything
         assert got == []
+
+
+class TestCleanCorpusNeardup:
+    def test_near_copies_removed_exact_survivorship_subsumed(self, spark):
+        from cassandra_diff_spark.operators.curate import clean_corpus_neardup
+
+        base = " ".join(f"common word{i} body" for i in range(30))
+        near = base + " tail"          # near-dup of base
+        exact = base                    # exact dup of base
+        other = " ".join(f"z{i}q" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, exact), (4, other)],
+            "doc_id long, text string",
+        )
+        kept = {r.id for r in clean_corpus_neardup(
+            df, "doc_id", "text", min_quality_milli=0
+        ).collect()}
+        # 1 survives its cluster {1, 2, 3}; the unrelated doc stays
+        assert kept == {1, 4}
+
+    def test_quality_gate_applies_after_survivorship(self, spark):
+        from cassandra_diff_spark.operators.curate import clean_corpus_neardup
+
+        df = spark.createDataFrame(
+            [(1, "!!!! ???? ;;;; ::::"), (2, "a perfectly normal sentence here")],
+            "doc_id long, text string",
+        )
+        kept = clean_corpus_neardup(df, "doc_id", "text").collect()
+        assert [r.id for r in kept] == [2]  # punctuation soup gated out
