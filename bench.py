@@ -69,6 +69,7 @@ HEADLINE = [
     "events_time_weighted_avg",
     "dedup_containment_clusters",
     "manifest_token_layout",
+    "pipeline_corpus_neardup",
 ]
 
 
