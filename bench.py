@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_containment_clusters",
     "manifest_token_layout",
     "pipeline_corpus_neardup",
+    "events_sessions_stream",
 ]
 
 

@@ -3401,3 +3401,83 @@ GROUP BY lang
 
 QUERIES["pipeline_corpus_neardup"] = _q_pipeline_corpus_neardup
 ORACLES["pipeline_corpus_neardup"] = _make_o_pipeline_corpus_neardup()
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming sessions == batch gaps-and-islands
+
+
+def _q_events_sessions_stream(spark, sf_dir):
+    """Streaming-runtime twin of events_sessions: the events stream in
+    4 micro-batches through a session_window aggregation (COMPLETE mode
+    — session merging handles out-of-order arrival, so no staging order
+    is needed), drained and compared against the batch gaps-and-islands
+    oracle. Boundary alignment: session_window's end is EXCLUSIVE (gap
+    >= g breaks) while the batch breaks at gap > g, so the stream gap is
+    g + 1 microsecond — identical semantics on integer-microsecond
+    timestamps."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.gate import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    stage = f"/tmp/cds_gate_sessions_stream_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    stamp = f"v1:{sf_dir}"
+    if not (marker.exists() and marker.read_text() == stamp):
+        shutil.rmtree(stage, ignore_errors=True)
+        ev.select("user_id", "ts", "event_id").repartition(4).write.parquet(
+            f"{stage}/in"
+        )
+        marker.write_text(stamp)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/in")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "1800 seconds 1 microsecond").alias("w"),
+        "user_id",
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cds_gate_sessions_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("cds_gate_sessions_stream").select(
+        "user_id", "n_events", "session_start", "session_end"
+    )
+
+
+_O_EVENTS_SESSIONS_STREAM = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM t GROUP BY user_id, session_id
+"""
+
+
+QUERIES["events_sessions_stream"] = _q_events_sessions_stream
+ORACLES["events_sessions_stream"] = _O_EVENTS_SESSIONS_STREAM
