@@ -2636,11 +2636,17 @@ ORACLES["events_point_in_time_scd2"] = _O_EVENTS_POINT_IN_TIME_SCD2
 # round 6: stream-stream as-of join
 
 
-def _stage_event_stream_slices(spark, sf_dir) -> str:
+def _stage_event_stream_slices(spark, sf_dir, heartbeat_days=None) -> str:
     """Stage clicks (l/) and purchases (r/) as four time-sliced,
     mtime-ordered parquet files each — the event-time-ordered
     micro-batch fixture shared by the stream-stream join gates. Marker-
-    gated: a no-op after the first call per sf."""
+    gated: a no-op after the first call per sf.
+
+    ``heartbeat_days``: also stage a far-future sentinel-key purchase
+    row (mtime-LAST right file) that pushes the closing watermark
+    ``heartbeat_days`` past the data — the punctuation row watermark-
+    driven operators need to resolve their tails.  Uses a separate
+    stage dir so the plain fixture is untouched."""
     import glob
     import os
     import pathlib
@@ -2649,9 +2655,10 @@ def _stage_event_stream_slices(spark, sf_dir) -> str:
 
     from cassandra_diff_spark.gate import load_events
 
-    stage = f"/tmp/cds_gate_stream_asof_{pathlib.Path(sf_dir).name}"
+    suffix = f"_hb{heartbeat_days}" if heartbeat_days else ""
+    stage = f"/tmp/cds_gate_stream_asof_{pathlib.Path(sf_dir).name}{suffix}"
     marker = pathlib.Path(stage) / "_staged"
-    stamp = f"v1:{sf_dir}:4"
+    stamp = f"v1:{sf_dir}:4{suffix}"
     if marker.exists() and marker.read_text() == stamp:
         return stage
     shutil.rmtree(stage, ignore_errors=True)
@@ -2674,6 +2681,14 @@ def _stage_event_stream_slices(spark, sf_dir) -> str:
             sorted(glob.glob(f"{stage}/{side}/part-*"), key=os.path.getmtime)
         ):
             os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    if heartbeat_days:
+        hb = spark.createDataFrame(
+            [(-1, hi + timedelta(days=heartbeat_days), -1, 0.0)],
+            _EVENT_STREAM_SCHEMA,
+        )
+        hb.coalesce(1).write.mode("append").parquet(f"{stage}/r")
+        newest = max(glob.glob(f"{stage}/r/part-*"), key=os.path.getmtime)
+        os.utime(newest, (1_700_000_100, 1_700_000_100))
     marker.write_text(stamp)
     return stage
 
@@ -2736,6 +2751,68 @@ FROM l LEFT JOIN LATERAL (
 
 QUERIES["events_asof_stream"] = _q_events_asof_stream
 ORACLES["events_asof_stream"] = _O_EVENTS_ASOF_STREAM
+
+
+def _q_events_asof_stream_forward(spark, sf_dir):
+    """Watermark-driven FORWARD stream as-of: every click picks the
+    nearest purchase at-or-after it within a 3-day tolerance — the
+    direction that needs FUTURE right rows, so answers emit only when
+    the watermark proves them final (candidate passed, or the tolerance
+    window closed).  The staged fixture appends a far-future sentinel
+    heartbeat purchase (the punctuation row the operator docstring
+    prescribes) so the closing watermark resolves every left row; the
+    drained result then equals the batch asof_join(direction='forward',
+    tolerance) and the same LATERAL oracle gates it."""
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join_forward
+
+    stage = _stage_event_stream_slices(spark, sf_dir, heartbeat_days=10)
+
+    lstream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/l")
+    )
+    rstream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/r")
+    )
+    # the sentinel heartbeat key never emits (right rows don't produce
+    # output), so no post-filter is needed
+    return stream_asof_join_forward(
+        lstream,
+        rstream,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        tolerance_us=3 * 86_400_000_000,
+        prefix="purchase_",
+        name="cds_gate_asof_stream_fwd",
+    ).select(
+        "event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value"
+    )
+
+
+_O_EVENTS_ASOF_STREAM_FORWARD = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, m.purchase_ts, m.purchase_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts AS purchase_ts, r.value AS purchase_value
+  FROM r
+  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+    AND r.ts <= l.ts + INTERVAL 3 DAY
+  ORDER BY r.ts ASC, r.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+QUERIES["events_asof_stream_forward"] = _q_events_asof_stream_forward
+ORACLES["events_asof_stream_forward"] = _O_EVENTS_ASOF_STREAM_FORWARD
 
 
 # ---------------------------------------------------------------------------

@@ -547,6 +547,283 @@ def stream_asof_join(
     )
 
 
+def stream_asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols,
+    tolerance_us: int,
+    right_tiebreak: str | None = None,
+    prefix: str = "r_",
+    name: str,
+    watermark_delay: str = "10 seconds",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Watermark-driven FORWARD stream-stream as-of: every LEFT row picks
+    the nearest RIGHT row at-or-after its timestamp within
+    ``tolerance_us`` — the direction that needs FUTURE right rows, so
+    unlike :func:`stream_asof_join` it cannot emit in the left row's own
+    batch. Left rows buffer in per-key state and emit exactly when the
+    WATERMARK proves their answer final:
+
+    * a candidate match (the minimal right ts at-or-after, greatest
+      tiebreak among its ties) emits once ``watermark > candidate_ts`` —
+      no earlier-or-tying right row can arrive anymore;
+    * a left row with no candidate emits null once
+      ``watermark > left_ts + tolerance_us`` — which is why the
+      tolerance is REQUIRED: an unbounded forward match could stay
+      unresolved forever.
+
+    Event-time timeouts (not data) drive the final flush: the drain's
+    closing watermark advance fires the timeout callback and resolves
+    everything whose window has closed. Left rows still inside the
+    tolerance window at end-of-stream remain unemitted — correct
+    streaming semantics; a deployment appends a heartbeat/punctuation
+    row (the gate does exactly this) to close the tail. State is pruned
+    by the watermark: right history keeps only rows a pending or future
+    left could still pick.
+
+    No cross-batch ordering contract: the watermark (set here with
+    ``watermark_delay`` on the union's event time) is the correctness
+    mechanism, so arrival order doesn't matter up to the allowed
+    lateness — rows later than the delay may resolve against an
+    already-emitted answer and are then ignored.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if tolerance_us is None:
+        raise ValueError("forward stream as-of requires tolerance_us")
+    on = list(on)
+    right_cols = list(right_cols)
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    lpayload = [c for c in left.columns if c not in on and c != left_ts]
+    tb_type = rtypes[right_tiebreak] if right_tiebreak is not None else "int"
+    tb = F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    tol = int(tolerance_us)
+
+    r_sel = [F.col(c) for c in on] + [
+        F.col(right_ts).cast("timestamp").alias("__et"),
+        F.lit(1).alias("__side"),
+        tb.alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(f"__l_{c}") for c in lpayload],
+    ]
+    l_sel = [F.col(c) for c in on] + [
+        F.col(left_ts).cast("timestamp").alias("__et"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lpayload],
+    ]
+    u = (
+        right.select(*r_sel)
+        .unionByName(left.select(*l_sel))
+        .withWatermark("__et", watermark_delay)
+    )
+
+    utypes = dict(u.dtypes)
+    key_schema = ", ".join(f"{c} {utypes[c]}" for c in on)
+    out_schema = (
+        key_schema
+        + ", __ts long"
+        + "".join(f", __l_{c} {ltypes[c]}" for c in lpayload)
+        + ", __mts long"
+        + "".join(f", __m_{c} {rtypes[c]}" for c in right_cols)
+    )
+    state_schema = (
+        f"lts array<long>"
+        + "".join(f", l_{c} array<{ltypes[c]}>" for c in lpayload)
+        + f", rts array<long>, rtb array<{tb_type}>"
+        + "".join(f", r_{c} array<{rtypes[c]}>" for c in right_cols)
+    )
+    n_l = len(lpayload)
+    out_cols = (
+        on
+        + ["__ts"]
+        + [f"__l_{c}" for c in lpayload]
+        + ["__mts"]
+        + [f"__m_{c}" for c in right_cols]
+    )
+
+    _INT_T = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+
+    def _py(series, spark_type):
+        """Union pdf columns arrive as float64 (NaN on the other side's
+        rows); state arrays silently NULL a float stored into an
+        integer slot — convert to exact Python values first."""
+        out = []
+        for x in series.tolist():
+            if x is None or (isinstance(x, float) and np.isnan(x)):
+                out.append(None)
+            elif spark_type in _INT_T:
+                out.append(int(x))
+            elif spark_type == "boolean":
+                out.append(bool(x))
+            else:
+                out.append(x)
+        return out
+
+    def update(key, pdfs, state: GroupState):
+        # unpack state
+        lts, lvals = [], {c: [] for c in lpayload}
+        rhist = None
+        if state.exists:
+            st = state.get
+            lts = list(st[0])
+            for i, c in enumerate(lpayload):
+                lvals[c] = list(st[1 + i])
+            rhist = pd.DataFrame(
+                {
+                    "ts": list(st[1 + n_l]),
+                    "tb": list(st[2 + n_l]),
+                    **{
+                        f"v_{c}": list(st[3 + n_l + i])
+                        for i, c in enumerate(right_cols)
+                    },
+                }
+            )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                rb = pdf[pdf["__side"] == 1]
+                if len(rb):
+                    add = pd.DataFrame(
+                        {
+                            "ts": (
+                                rb["__et"].astype("datetime64[us]").astype("int64")
+                            ),
+                            "tb": pd.Series(
+                                _py(rb["__tb"], tb_type), dtype=object
+                            ),
+                            **{
+                                f"v_{c}": pd.Series(
+                                    _py(rb[f"__r_{c}"], rtypes[c]), dtype=object
+                                )
+                                for c in right_cols
+                            },
+                        }
+                    )
+                    rhist = add if rhist is None or not len(rhist) else pd.concat(
+                        [rhist, add], ignore_index=True
+                    )
+                lb = pdf[pdf["__side"] == 0]
+                if len(lb):
+                    lts.extend(
+                        int(x)
+                        for x in lb["__et"].astype("datetime64[us]").astype("int64")
+                    )
+                    for c in lpayload:
+                        lvals[c].extend(_py(lb[f"__l_{c}"], ltypes[c]))
+            if rhist is not None and len(rhist):
+                # forward pick = FIRST ts at-or-after, greatest tb among
+                # its ties: sort (ts asc, tb asc), collapse per ts keeping
+                # the LAST (greatest tb)
+                rhist = (
+                    rhist.sort_values(
+                        ["ts", "tb"], kind="stable", na_position="first"
+                    )
+                    .drop_duplicates(subset="ts", keep="last")
+                    .reset_index(drop=True)
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # resolve: emit every pending left whose answer the watermark
+        # has made final
+        out_rows = []
+        keep_idx = []
+        r_ts = rhist["ts"].values if rhist is not None and len(rhist) else np.array([], dtype=np.int64)
+        for i, lt in enumerate(lts):
+            pos = int(np.searchsorted(r_ts, lt, "left"))
+            cand = int(r_ts[pos]) if pos < len(r_ts) else None
+            if cand is not None and cand - lt > tol:
+                cand = None
+            if cand is not None and wm_us > cand:
+                out_rows.append((i, cand, pos))
+            elif cand is None and wm_us > lt + tol:
+                out_rows.append((i, None, None))
+            else:
+                keep_idx.append(i)
+        out = None
+        if out_rows:
+            rows = []
+            for i, cand, pos in out_rows:
+                rows.append(
+                    tuple(key)
+                    + (lts[i],)
+                    + tuple(lvals[c][i] for c in lpayload)
+                    + (cand,)
+                    + tuple(
+                        (rhist[f"v_{c}"].iloc[pos] if cand is not None else None)
+                        for c in right_cols
+                    )
+                )
+            out = pd.DataFrame(rows, columns=out_cols)
+
+        lts = [lts[i] for i in keep_idx]
+        for c in lpayload:
+            lvals[c] = [lvals[c][i] for i in keep_idx]
+        # prune rights: only rows a pending left (ts >= min pending lt)
+        # or a future left (ts >= watermark) could still pick
+        if rhist is not None and len(rhist):
+            floor = min([wm_us] + lts) if lts else wm_us
+            rhist = rhist[rhist["ts"] >= floor].reset_index(drop=True)
+
+        if not lts and (rhist is None or not len(rhist)):
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    lts,
+                    *[lvals[c] for c in lpayload],
+                    rhist["ts"].tolist() if rhist is not None else [],
+                    rhist["tb"].tolist() if rhist is not None else [],
+                    *[
+                        (rhist[f"v_{c}"].tolist() if rhist is not None else [])
+                        for c in right_cols
+                    ],
+                )
+            )
+            if lts:
+                # wake when the earliest unresolved window can close
+                nxt = min(
+                    (lt + tol) for lt in lts
+                )
+                state.setTimeoutTimestamp(max(nxt // 1000 + 1, wm_us // 1000 + 1))
+        if out is not None:
+            yield out
+
+    stateful = u.groupBy(*on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    w = (
+        stateful.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    drained = left.sparkSession.table(name)
+    return drained.select(
+        *on,
+        F.timestamp_micros(F.col("__ts")).alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lpayload],
+        F.timestamp_micros(F.col("__mts")).alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
 def stream_interval_join(
     points: DataFrame,
     intervals: DataFrame,

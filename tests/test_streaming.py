@@ -603,3 +603,128 @@ def test_stream_asof_null_right_value_roundtrips_as_null(spark, tmp_path):
     ).collect()
     assert len(rows) == 1
     assert rows[0].r_ts is not None and rows[0].r_v is None
+
+
+def test_stream_asof_forward_matches_batch(spark, sf_dir, tmp_path):
+    """Drained watermark-driven FORWARD stream as-of == the batch
+    asof_join(direction='forward') with the same tolerance, across real
+    event-time-ordered micro-batches.  A heartbeat row (sentinel key,
+    far-future ts) in the LAST right file pushes the closing watermark
+    past every left row's tolerance window so the whole tail resolves —
+    the deployment pattern the operator docstring prescribes."""
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import asof_join
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join_forward
+
+    tol = 3 * 86_400_000_000  # 3 days
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+
+    ldir, rdir = str(tmp_path / "lf"), str(tmp_path / "rf")
+    _stage_time_sliced(clicks, "ts", bounds, ldir)
+    _stage_time_sliced(purchases, "ts", bounds, rdir)
+    # heartbeat: sentinel key, ts far past hi + tolerance, staged as the
+    # mtime-LAST right file so it arrives after every real row
+    import glob
+    import os
+
+    hb = spark.createDataFrame(
+        [(-1, hi + timedelta(days=10), -1, 0.0)], purchases.schema
+    )
+    hb.coalesce(1).write.mode("append").parquet(rdir)
+    newest = max(glob.glob(f"{rdir}/part-*"), key=os.path.getmtime)
+    os.utime(newest, (1_700_000_100, 1_700_000_100))
+
+    got = stream_asof_join_forward(
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir),
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir),
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        tolerance_us=tol,
+        prefix="purchase_",
+        name="t_stream_asof_fwd",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    want = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        direction="forward",
+        tolerance_us=tol,
+        prefix="purchase_",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    key = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert key(got) == key(want)
+    assert got.count() > 0
+
+
+def test_stream_asof_forward_semantics_and_tail(spark, tmp_path):
+    """Hand-built forward cases: nearest at-or-after wins (greatest
+    tiebreak on ties), a matched row's NULL column stays null, a left
+    row with no candidate inside the tolerance emits null once its
+    window closes, and a left row whose window the watermark never
+    passes stays UNEMITTED at end-of-stream."""
+    from datetime import datetime, timedelta
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_asof_join_forward
+
+    t0 = datetime(2024, 1, 1)
+    s = timedelta(seconds=1)
+    left = spark.createDataFrame(
+        [
+            (1, t0, 10),            # matches rid=2 (ts tie -> greatest rid)
+            (1, t0 + 5 * s, 11),    # no right within 2s -> null
+            (2, t0 + 2 * s, 12),    # matches rid=4 whose v is NULL
+            (3, t0 + 3600 * s, 13), # window never closes -> unemitted
+        ],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - 1 * s, 0, 5.0),   # before left ts=0: not forward-eligible
+            (1, t0 + 1 * s, 1, 6.0),
+            (1, t0 + 1 * s, 2, 7.0),   # tie on ts, greater rid wins
+            (2, t0 + 3 * s, 4, None),  # matched row carries NULL v
+            # watermark driver: closes lid 10-12's windows (wm ~ 3591s)
+            # but NOT lid 13's (3600s + 2s tolerance)
+            (9, t0 + 3601 * s, 9, 1.0),
+        ],
+        "k long, ts timestamp, rid long, v double",
+    )
+    ldir, rdir = str(tmp_path / "lf2"), str(tmp_path / "rf2")
+    left.coalesce(1).write.parquet(ldir)
+    right.coalesce(1).write.parquet(rdir)
+    rows = stream_asof_join_forward(
+        spark.readStream.schema(left.schema).parquet(ldir),
+        spark.readStream.schema(right.schema).parquet(rdir),
+        ["k"],
+        right_cols=["v"],
+        right_tiebreak="rid",
+        tolerance_us=2_000_000,
+        name="t_sa_fwd_sem",
+    ).collect()
+    by_lid = {r.lid: r for r in rows}
+    assert set(by_lid) == {10, 11, 12}  # lid=13 pending, never emitted
+    assert by_lid[10].r_v == 7.0 and by_lid[10].r_ts == t0 + 1 * s
+    assert by_lid[11].r_ts is None and by_lid[11].r_v is None
+    assert by_lid[12].r_ts == t0 + 3 * s and by_lid[12].r_v is None
