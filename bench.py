@@ -71,6 +71,7 @@ HEADLINE = [
     "manifest_token_layout",
     "pipeline_corpus_neardup",
     "events_sessions_stream",
+    "events_asof_stream_forward",
 ]
 
 
