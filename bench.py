@@ -72,6 +72,7 @@ HEADLINE = [
     "pipeline_corpus_neardup",
     "events_sessions_stream",
     "events_asof_stream_forward",
+    "vocab_encode_documents",
 ]
 
 

@@ -3558,3 +3558,111 @@ FROM t GROUP BY user_id, session_id
 
 QUERIES["events_sessions_stream"] = _q_events_sessions_stream
 ORACLES["events_sessions_stream"] = _O_EVENTS_SESSIONS_STREAM
+
+
+# ---------------------------------------------------------------------------
+# round 6: corpus vocabulary build + document encoding
+
+
+def _q_vocab_top_tokens(spark, sf_dir):
+    """Frozen top-20 vocabulary over the documents corpus (the synthetic word pool has 31 distinct tokens, so the cut and its tie-break are real) (min_count=2):
+    dense deterministic ids under the count-DESC/token-ASC total order.
+    The only corpus-sized work is the map-side-combined token count;
+    the id window runs over exactly 300 rows."""
+    from cassandra_diff_spark.operators.vocab import build_vocab
+
+    return build_vocab(
+        _docs(spark, sf_dir), "text", vocab_size=20, min_count=2
+    )
+
+
+_O_VOCAB_TOP_TOKENS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, n FROM counts WHERE n >= 2
+  ORDER BY n DESC, token ASC LIMIT 20
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id,
+       token, CAST(n AS BIGINT) AS n
+FROM top
+"""
+
+
+QUERIES["vocab_top_tokens"] = _q_vocab_top_tokens
+ORACLES["vocab_top_tokens"] = _O_VOCAB_TOP_TOKENS
+
+
+def _q_vocab_encode_documents(spark, sf_dir):
+    """Documents with doc_id % 20 == 0 encoded against the corpus-wide
+    top-20 vocabulary — MAP-ONLY over the corpus (the vocab collapses
+    to one broadcast map row; the token stream is never exploded or
+    shuffled). token_ids surfaces as a space-joined string so the
+    cross-engine compare is array-layout-agnostic."""
+    from cassandra_diff_spark.operators.vocab import build_vocab, encode_documents
+
+    d = _docs(spark, sf_dir)
+    v = build_vocab(d, "text", vocab_size=20, min_count=2)
+    enc = encode_documents(
+        d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", v
+    )
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>")).alias(
+            "ids_str"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+_O_VOCAB_ENCODE_DOCUMENTS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, n FROM counts WHERE n >= 2
+  ORDER BY n DESC, token ASC LIMIT 20
+),
+v AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT)
+           AS token_id, token
+  FROM top
+),
+docs AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id % 20 = 0
+),
+t AS (
+  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+  FROM docs WHERE length(trim(text)) > 0
+),
+enc AS (
+  SELECT t.doc_id,
+         string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' '
+                    ORDER BY t.pos) AS ids_str,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM t LEFT JOIN v ON v.token = t.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.ids_str, '') AS ids_str,
+       coalesce(e.n_tokens, 0) AS n_tokens,
+       coalesce(e.n_oov, 0) AS n_oov
+FROM docs d LEFT JOIN enc e USING (doc_id)
+"""
+
+
+QUERIES["vocab_encode_documents"] = _q_vocab_encode_documents
+ORACLES["vocab_encode_documents"] = _O_VOCAB_ENCODE_DOCUMENTS

@@ -1,0 +1,127 @@
+"""Corpus vocabulary build + document encoding — the tokenizer-adjacent
+step of a training-data pipeline: count every token once, freeze the
+top-V vocabulary, and turn each document into its id sequence.
+
+Scale shape (100 TB corpus):
+
+* :func:`build_vocab` has exactly ONE large shuffle — the map-side-
+  combined ``groupBy(token).count()`` whose reduce-side cardinality is
+  the DISTINCT token count, not the corpus token count. The top-V cut
+  runs on that (much smaller) frame; the final id assignment windows
+  over only V rows.
+* :func:`encode_documents` is MAP-ONLY over the corpus: the vocabulary
+  collapses to a single map-typed row, broadcast to every task, and the
+  lookup is a ``transform`` over the per-document words array — the
+  token stream is never exploded, never shuffled, never re-grouped.
+  (The naive posexplode -> join -> collect_list formulation shuffles
+  the full token stream TWICE; at 100 TB that is the whole job.)
+
+Both use the cross-engine ``words`` tokenizer from
+:mod:`cassandra_diff_spark.functions.text`, so DuckDB oracles reproduce
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.functions.text import words
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """``(token, n)`` corpus token frequencies — one explode + one
+    map-side-combined aggregation. Empty/whitespace documents contribute
+    nothing (``words('')`` is ``['']``, filtered here)."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int,
+    min_count: int = 1,
+    first_id: int = 1,
+) -> DataFrame:
+    """Frozen top-``vocab_size`` vocabulary: ``(token_id, token, n)``.
+
+    Deterministic total order — count DESC, then token ASC — so equal-
+    count tokens always receive the same ids on any cluster/run; ids
+    are dense starting at ``first_id`` (reserve 0 for OOV by default).
+
+    The ``row_number`` window is intentionally un-partitioned: it runs
+    AFTER the top-V cut, over exactly ``vocab_size`` rows (a vocabulary
+    is small by definition — the corpus-sized work all happened in the
+    counting aggregation).
+    """
+    top = (
+        token_counts(df, text_col)
+        .filter(F.col("n") >= int(min_count))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(int(vocab_size))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.select(
+        (F.row_number().over(w) + F.lit(int(first_id) - 1)).alias("token_id"),
+        "token",
+        "n",
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document against a frozen vocabulary: ``(doc_id,
+    token_ids, n_tokens, n_oov)`` where ``token_ids`` is the document's
+    word sequence mapped through the vocab (order-preserving; unknown
+    tokens become ``oov_id``).
+
+    Map-only: ``vocab`` (columns ``token``, ``token_id``) aggregates to
+    ONE ``map<string,int>`` row, joined in by a broadcast nested-loop
+    join (1 row — effectively a broadcast variable expressed in the
+    plan), and each document encodes via ``transform`` +
+    ``element_at`` on its words array. No explode, no re-group, no
+    shuffle of the token stream.
+    """
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("token_id").cast("int")))
+        ).alias("__vmap")
+    )
+    w = words(F.col(text_col))
+    ids = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            w,
+            lambda t: F.coalesce(
+                F.element_at(F.col("__vmap"), t), F.lit(int(oov_id)).cast("int")
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(vmap))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            ids.alias("token_ids"),
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            F.size(
+                F.filter("token_ids", lambda i: i == F.lit(int(oov_id)))
+            ).cast("long").alias("n_oov"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Vocabulary build + document encoding (operators/vocab.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.vocab import (
+    build_vocab,
+    encode_documents,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat and a dog"),
+            (4, ""),
+            (5, "   "),
+            (6, "zebra"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestBuildVocab:
+    def test_counts_and_order(self, spark, corpus):
+        v = build_vocab(corpus, "text", vocab_size=4).collect()
+        # counts: the=3, a=2, cat=2, dog=2, sat=2, ... tie-break token asc
+        assert [(r.token_id, r.token, r.n) for r in v] == [
+            (1, "the", 3),
+            (2, "a", 2),
+            (3, "cat", 2),
+            (4, "dog", 2),
+        ]
+
+    def test_min_count_and_first_id(self, spark, corpus):
+        v = build_vocab(corpus, "text", vocab_size=100, min_count=2, first_id=5)
+        rows = v.collect()
+        assert all(r.n >= 2 for r in rows)
+        assert min(r.token_id for r in rows) == 5
+        assert "zebra" not in {r.token for r in rows}
+
+    def test_empty_docs_contribute_nothing(self, spark, corpus):
+        toks = {r.token for r in token_counts(corpus, "text").collect()}
+        assert "" not in toks
+
+    def test_deterministic_across_runs(self, spark, corpus):
+        a = sorted(map(tuple, build_vocab(corpus, "text", vocab_size=6).collect()))
+        b = sorted(map(tuple, build_vocab(corpus, "text", vocab_size=6).collect()))
+        assert a == b
+
+
+class TestEncodeDocuments:
+    def test_roundtrip_ids_order_and_oov(self, spark, corpus):
+        v = build_vocab(corpus, "text", vocab_size=4)
+        enc = {
+            r.doc_id: r
+            for r in encode_documents(corpus, "doc_id", "text", v).collect()
+        }
+        # vocab: the=1 a=2 cat=3 dog=4; everything else OOV=0
+        assert enc[1].token_ids == [1, 3, 0, 0, 1, 0]
+        assert enc[1].n_tokens == 6 and enc[1].n_oov == 3
+        assert enc[3].token_ids == [2, 3, 0, 2, 4]
+        assert enc[4].token_ids == [] and enc[4].n_tokens == 0
+        assert enc[5].token_ids == []  # whitespace-only == empty
+        assert enc[6].token_ids == [0] and enc[6].n_oov == 1
+
+    def test_custom_oov_id(self, spark, corpus):
+        v = build_vocab(corpus, "text", vocab_size=2, first_id=1)
+        enc = {
+            r.doc_id: r
+            for r in encode_documents(
+                corpus, "doc_id", "text", v, oov_id=-1
+            ).collect()
+        }
+        assert enc[6].token_ids == [-1] and enc[6].n_oov == 1
+
+    def test_encode_is_map_only(self, spark, corpus):
+        """The corpus side must not shuffle. With a pre-materialized
+        vocab, the ONLY shuffle Exchange in the whole plan is the vocab
+        map-aggregation's (V rows); the token stream itself is never
+        exploded or shuffled."""
+        v = spark.createDataFrame(
+            [("the", 1), ("cat", 2)], "token string, token_id int"
+        )
+        plan = encode_documents(corpus, "doc_id", "text", v)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles <= 1, plan
