@@ -73,6 +73,7 @@ HEADLINE = [
     "events_sessions_stream",
     "events_asof_stream_forward",
     "vocab_encode_documents",
+    "linkage_fuzzy_customers",
 ]
 
 

@@ -3666,3 +3666,73 @@ FROM docs d LEFT JOIN enc e USING (doc_id)
 
 QUERIES["vocab_encode_documents"] = _q_vocab_encode_documents
 ORACLES["vocab_encode_documents"] = _O_VOCAB_ENCODE_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# round 6: fuzzy record linkage (blocking + edit distance)
+
+
+def _q_linkage_fuzzy_customers(spark, sf_dir):
+    """Blocked fuzzy duplicate detection on an augmented customer list:
+    every c_custkey % 7 == 0 row gets a typo'd copy at id+1e6 (one
+    character of the padded digit block overwritten at a key-dependent
+    position).  Two blocking strategies: the last-5-character suffix
+    (discriminative — catches every planted typo, which mangles an
+    earlier position) and the first-12-character prefix, which at this
+    scale is a single degenerate "Customer#000..." bucket that
+    max_block=50 DROPS — the quadratic-blowup guard exercised on real
+    data, oracle included."""
+    from cassandra_diff_spark.operators.linkage import fuzzy_dup_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    mangled = c.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "concat(substr(name, 1, cast(id % 4 + 9 as int)), 'x', "
+            "substr(name, cast(id % 4 + 11 as int)))"
+        ).alias("name"),
+    )
+    aug = c.unionByName(mangled)
+    return fuzzy_dup_pairs(
+        aug,
+        "id",
+        "name",
+        block_keys=[F.expr("right(name, 5)"), F.expr("substr(name, 1, 12)")],
+        max_edit=2,
+        max_block=50,
+    )
+
+
+_O_LINKAGE_FUZZY_CUSTOMERS = """
+WITH aug AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         substr(c_name, 1, CAST(c_custkey % 4 + 9 AS INT)) || 'x'
+           || substr(c_name, CAST(c_custkey % 4 + 11 AS INT))
+  FROM customer WHERE c_custkey % 7 = 0
+),
+blocks AS (
+  SELECT 0 AS strat, right(name, 5) AS bk, id, name FROM aug
+  UNION ALL
+  SELECT 1, substr(name, 1, 12), id, name FROM aug
+),
+sized AS (
+  SELECT strat, bk, id, name FROM (
+    SELECT b.*, COUNT(*) OVER (PARTITION BY strat, bk) AS n FROM blocks b
+  ) WHERE n <= 50
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS ed
+  FROM sized a JOIN sized b ON a.strat = b.strat AND a.bk = b.bk
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(MIN(ed) AS INT) AS edit_dist
+FROM pairs WHERE ed <= 2 GROUP BY id_a, id_b
+"""
+
+
+QUERIES["linkage_fuzzy_customers"] = _q_linkage_fuzzy_customers
+ORACLES["linkage_fuzzy_customers"] = _O_LINKAGE_FUZZY_CUSTOMERS
