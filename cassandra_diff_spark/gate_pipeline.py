@@ -3736,3 +3736,81 @@ FROM pairs WHERE ed <= 2 GROUP BY id_a, id_b
 
 QUERIES["linkage_fuzzy_customers"] = _q_linkage_fuzzy_customers
 ORACLES["linkage_fuzzy_customers"] = _O_LINKAGE_FUZZY_CUSTOMERS
+
+
+def _q_linkage_fuzzy_clusters(spark, sf_dir):
+    """Operator composition across modules: the blocked fuzzy-linkage
+    pairs (same augmented typo'd-customer fixture as
+    linkage_fuzzy_customers) resolve into entity CLUSTERS via the
+    text-dedup module's iterative min-label connected components —
+    cluster_id = min id = the canonical record. The oracle is the
+    recursive-CTE transitive closure over the identical pair
+    formulation."""
+    from cassandra_diff_spark.operators.dedup import dedup_clusters
+    from cassandra_diff_spark.operators.linkage import fuzzy_dup_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    mangled = c.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "concat(substr(name, 1, cast(id % 4 + 9 as int)), 'x', "
+            "substr(name, cast(id % 4 + 11 as int)))"
+        ).alias("name"),
+    )
+    pairs = fuzzy_dup_pairs(
+        c.unionByName(mangled),
+        "id",
+        "name",
+        block_keys=[F.expr("right(name, 5)"), F.expr("substr(name, 1, 12)")],
+        max_edit=2,
+        max_block=50,
+    )
+    return dedup_clusters(pairs.select(F.col("id_a").alias("id_1"),
+                                       F.col("id_b").alias("id_2")))
+
+
+_O_LINKAGE_FUZZY_CLUSTERS = """
+WITH RECURSIVE aug AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         substr(c_name, 1, CAST(c_custkey % 4 + 9 AS INT)) || 'x'
+           || substr(c_name, CAST(c_custkey % 4 + 11 AS INT))
+  FROM customer WHERE c_custkey % 7 = 0
+),
+blocks AS (
+  SELECT 0 AS strat, right(name, 5) AS bk, id, name FROM aug
+  UNION ALL
+  SELECT 1, substr(name, 1, 12), id, name FROM aug
+),
+sized AS (
+  SELECT strat, bk, id, name FROM (
+    SELECT b.*, COUNT(*) OVER (PARTITION BY strat, bk) AS n FROM blocks b
+  ) WHERE n <= 50
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS ed
+    FROM sized a JOIN sized b ON a.strat = b.strat AND a.bk = b.bk
+    WHERE a.id < b.id
+  ) WHERE ed <= 2 GROUP BY id_a, id_b
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+QUERIES["linkage_fuzzy_clusters"] = _q_linkage_fuzzy_clusters
+ORACLES["linkage_fuzzy_clusters"] = _O_LINKAGE_FUZZY_CLUSTERS
