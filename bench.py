@@ -74,6 +74,7 @@ HEADLINE = [
     "events_asof_stream_forward",
     "vocab_encode_documents",
     "linkage_fuzzy_customers",
+    "events_quantiles_binned_stream",
 ]
 
 

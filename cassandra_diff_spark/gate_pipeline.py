@@ -3814,3 +3814,46 @@ FROM reach GROUP BY a
 
 QUERIES["linkage_fuzzy_clusters"] = _q_linkage_fuzzy_clusters
 ORACLES["linkage_fuzzy_clusters"] = _O_LINKAGE_FUZZY_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming binned quantiles
+
+
+def _q_events_quantiles_binned_stream(spark, sf_dir):
+    """Streaming-runtime twin of events_quantiles_binned: the events
+    stream in file-sized micro-batches through the COMPLETE-mode bin
+    histogram (state ≤ n_bins rows per event_type regardless of
+    volume); quantile extraction runs on the drained histogram. Counts
+    are order-independent, so the multi-batch drain is deterministic
+    and the SAME bit-for-bit oracle gates it."""
+    import shutil
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_quantiles_histogram,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    stage = "/tmp/cds_gate_stream_quantiles"
+    shutil.rmtree(stage, ignore_errors=True)
+    ev.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_quantiles_histogram(
+        stream,
+        "value",
+        [0.25, 0.5, 0.9],
+        lo=0.0,
+        hi=100.0,
+        n_bins=1000,
+        by=["event_type"],
+        name="cds_stream_quantiles",
+    )
+
+
+QUERIES["events_quantiles_binned_stream"] = _q_events_quantiles_binned_stream
+ORACLES["events_quantiles_binned_stream"] = _O_EVENTS_QUANTILES_BINNED

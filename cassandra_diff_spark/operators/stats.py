@@ -46,15 +46,22 @@ def _bin_expr(value_col: str, lo: float, width: float, n_bins: int):
     )
 
 
-def _cum_histogram(df, value_col, by, lo, width, n_bins):
-    """(by..., __bin, __c, __cum, __n): the per-group cumulative
-    histogram — one partial-aggregated shuffle, ≤ n_bins rows/group."""
+def histogram_counts(df, value_col, by, lo, width, n_bins):
+    """(by..., __bin, __c): the per-group bin counts — ONE partial-
+    aggregated shuffle, ≤ n_bins rows per group. Order-independent and
+    map-side-combinable, so the same expression also runs as a COMPLETE-
+    mode streaming aggregation (streaming/diff_stream.py)."""
     v = F.col(value_col).cast("double")
-    hist = (
+    return (
         df.filter(v.isNotNull())
         .groupBy(*by, _bin_expr(value_col, lo, width, n_bins).alias("__bin"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+
+
+def _with_cum(hist, by):
+    """Add __cum/__n running totals to a (by..., __bin, __c) histogram —
+    windows over the ≤ n_bins-row frame, kilobyte-scale work."""
     wcum = (
         Window.partitionBy(*by)
         .orderBy(F.col("__bin").asc())
@@ -63,6 +70,33 @@ def _cum_histogram(df, value_col, by, lo, width, n_bins):
     wall = Window.partitionBy(*by)
     return hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
         "__n", F.sum("__c").over(wall)
+    )
+
+
+def _cum_histogram(df, value_col, by, lo, width, n_bins):
+    """(by..., __bin, __c, __cum, __n): the per-group cumulative
+    histogram — one partial-aggregated shuffle, ≤ n_bins rows/group."""
+    return _with_cum(histogram_counts(df, value_col, by, lo, width, n_bins), by)
+
+
+def quantiles_from_histogram(hist, probs, *, by, lo, width):
+    """Quantile extraction over an ALREADY-BUILT (by..., __bin, __c)
+    histogram (same output contract as :func:`quantiles_histogram`) —
+    the shared tail of the batch and drained-streaming paths."""
+    h = _with_cum(hist, list(by))
+    p_arr = F.array(*[F.lit(float(p)) for p in probs])
+    exploded = h.select(
+        *by, "__bin", "__cum", "__n", F.explode(p_arr).alias("p")
+    ).filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__n")))
+    return (
+        exploded.groupBy(*by, "p")
+        .agg(F.min("__bin").alias("__qbin"), F.max("__n").alias("n"))
+        .select(
+            *by,
+            "p",
+            (F.lit(float(lo)) + F.col("__qbin") * F.lit(width)).alias("q"),
+            F.col("n").cast("long").alias("n"),
+        )
     )
 
 
@@ -92,22 +126,14 @@ def quantiles_histogram(
     _check_args(probs, lo, hi)
     by = list(by) if by else []
     width = (float(hi) - float(lo)) / int(n_bins)
-    h = _cum_histogram(df, value_col, by, lo, width, n_bins)
     # one row per (group, prob): the FIRST bin whose cumulative count
     # reaches the target rank — a min over the n_bins-scale histogram
-    p_arr = F.array(*[F.lit(float(p)) for p in probs])
-    exploded = h.select(
-        *by, "__bin", "__cum", "__n", F.explode(p_arr).alias("p")
-    ).filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__n")))
-    return (
-        exploded.groupBy(*by, "p")
-        .agg(F.min("__bin").alias("__qbin"), F.max("__n").alias("n"))
-        .select(
-            *by,
-            "p",
-            (F.lit(float(lo)) + F.col("__qbin") * F.lit(width)).alias("q"),
-            F.col("n").cast("long").alias("n"),
-        )
+    return quantiles_from_histogram(
+        histogram_counts(df, value_col, by, lo, width, n_bins),
+        probs,
+        by=by,
+        lo=lo,
+        width=width,
     )
 
 

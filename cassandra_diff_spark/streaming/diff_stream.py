@@ -824,6 +824,57 @@ def stream_asof_join_forward(
     )
 
 
+def stream_quantiles_histogram(
+    stream: DataFrame,
+    value_col: str,
+    probs,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by=None,
+    name: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming binned quantiles: the live-distribution monitor. The
+    per-(group, bin) COUNT histogram — order-independent and map-side-
+    combinable — runs as a COMPLETE-mode streaming aggregation, so the
+    running state is ≤ ``n_bins`` rows per group no matter how much
+    data streams through; the quantile extraction (cumulative windows +
+    rank pick) runs on the DRAINED kilobyte-scale histogram table,
+    where windows are legal and cheap.
+
+    Drained output is deterministic and IDENTICAL to the batch
+    :func:`~cassandra_diff_spark.operators.stats.quantiles_histogram`
+    over the same data (oracle-gated). In production the same histogram
+    plan runs unbounded (processingTime trigger, parquet/Delta sink)
+    and the extraction is a trivial batch query over the sink — the
+    p50/p99-dashboard recipe.
+    """
+    from cassandra_diff_spark.operators.stats import (
+        _check_args,
+        histogram_counts,
+        quantiles_from_histogram,
+    )
+
+    _check_args(probs, lo, hi)
+    by = list(by) if by else []
+    width = (float(hi) - float(lo)) / int(n_bins)
+    hist = histogram_counts(stream, value_col, by, lo, width, n_bins)
+    w = (
+        hist.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    drained = stream.sparkSession.table(name)
+    return quantiles_from_histogram(drained, probs, by=by, lo=lo, width=width)
+
+
 def stream_interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -728,3 +728,37 @@ def test_stream_asof_forward_semantics_and_tail(spark, tmp_path):
     assert by_lid[10].r_v == 7.0 and by_lid[10].r_ts == t0 + 1 * s
     assert by_lid[11].r_ts is None and by_lid[11].r_v is None
     assert by_lid[12].r_ts == t0 + 3 * s and by_lid[12].r_v is None
+
+
+def test_stream_quantiles_matches_batch(spark, sf_dir, tmp_path):
+    """Drained streaming histogram quantiles == the batch
+    quantiles_histogram, across real micro-batches (counts are order-
+    independent, so batching cannot change the drained histogram)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import quantiles_histogram
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_quantiles_histogram,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    stage = str(tmp_path / "qs")
+    ev.repartition(3).write.parquet(stage)
+    got = stream_quantiles_histogram(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        "value",
+        [0.5, 0.9],
+        lo=0.0,
+        hi=100.0,
+        n_bins=200,
+        by=["event_type"],
+        name="t_stream_quant",
+    )
+    want = quantiles_histogram(
+        ev, "value", [0.5, 0.9], lo=0.0, hi=100.0, n_bins=200,
+        by=["event_type"],
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
+    assert got.count() > 0
