@@ -75,6 +75,7 @@ HEADLINE = [
     "vocab_encode_documents",
     "linkage_fuzzy_customers",
     "events_quantiles_binned_stream",
+    "curate_sample_exact_k",
 ]
 
 

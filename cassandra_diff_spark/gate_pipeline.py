@@ -3857,3 +3857,38 @@ def _q_events_quantiles_binned_stream(spark, sf_dir):
 
 QUERIES["events_quantiles_binned_stream"] = _q_events_quantiles_binned_stream
 ORACLES["events_quantiles_binned_stream"] = _O_EVENTS_QUANTILES_BINNED
+
+
+# ---------------------------------------------------------------------------
+# round 6: deterministic exact-k-per-stratum sampling (eval holdout)
+
+
+def _q_curate_sample_exact_k(spark, sf_dir):
+    """Exactly min(25, |stratum|) documents per language, deterministic
+    across runs and engines (selection = 25 smallest (md5 hash, id) per
+    stratum). The operator runs the scale path — per-stratum counts,
+    ppm hash prefilter, candidate certification, window over ~4k
+    survivors — while the oracle IS the naive full-sort window
+    formulation it must equal."""
+    from cassandra_diff_spark.operators.curate import sample_exact_k
+
+    return sample_exact_k(_docs(spark, sf_dir), "doc_id", "lang", 25).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_O_CURATE_SAMPLE_EXACT_K = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ({md5_hash64_sql("doc_id::VARCHAR || ':0'")} % 1000000),
+                    doc_id
+         ) AS rn
+  FROM documents WHERE doc_id IS NOT NULL
+) WHERE rn <= 25
+"""
+
+
+QUERIES["curate_sample_exact_k"] = _q_curate_sample_exact_k
+ORACLES["curate_sample_exact_k"] = _O_CURATE_SAMPLE_EXACT_K

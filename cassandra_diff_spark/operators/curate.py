@@ -20,7 +20,7 @@ among quality-passing copies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_diff_spark.functions.text import (
@@ -172,6 +172,100 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == k, F.lit(int(ppm[k]))).otherwise(rate)
     h = md5_hash64(F.col(id_col).cast("string")) % 1_000_000
     return df.filter(h < rate)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministically
+    — the eval-holdout / few-shot-pool primitive ("250 eval docs per
+    language, same 250 on every run"). The selection is the ``k``
+    smallest ``(md5_hash64(id:seed) % 1e6, id)`` per stratum — a pure
+    function of the data, reproducible in any engine.
+
+    Scale shape: the naive formulation is one ``row_number`` window =
+    a full sort of EVERY stratum — a single 10-TB stratum serializes
+    into one task. Instead:
+
+    1. per-stratum counts (one map-side-combined agg, |strata| rows);
+    2. hash PREFILTER at ``ceil(1e6 * k * candidate_factor / n)`` ppm —
+       a map-only predicate that keeps ~``k * candidate_factor``
+       candidates per stratum regardless of stratum size;
+    3. verify candidates ≥ min(k, n) per stratum (kilobyte agg). The
+       top-k by hash all survive the prefilter iff the k-th smallest
+       hash lands under the cutoff, which the count check certifies —
+       so the result is EXACT, not approximate. A stratum that fails
+       (P ≈ e^-k at factor 4, i.e. never) escalates to an unfiltered
+       window over just that stratum;
+    4. the window sorts only the ~``k * candidate_factor`` survivors.
+
+    Ties on the 60-bit hash break by id, so duplicate ids aside the
+    pick is total-ordered. NULL strata form their own stratum; NULL ids
+    are dropped (they cannot hash).
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    u = (
+        md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+        % 1_000_000
+    ).alias("__u")
+    base = df.filter(F.col(id_col).isNotNull()).withColumn("__u", u)
+    target = int(k) * int(candidate_factor)
+    rates = (
+        base.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            strata_col,
+            "__n",
+            F.least(
+                F.lit(1_000_000),
+                F.ceil(F.lit(1_000_000 * target) / F.col("__n")),
+            ).cast("long").alias("__rate"),
+        )
+    )
+    cand = base.join(F.broadcast(rates), [strata_col], "left").filter(
+        F.col("__u") < F.col("__rate")
+    )
+    # certification: enough candidates per stratum? (tiny agg; the
+    # escalation branch below is the correctness backstop, not a tuning
+    # knob)
+    short = (
+        cand.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(rates, [strata_col], "right")
+        .filter(
+            F.coalesce(F.col("__c"), F.lit(0))
+            < F.least(F.lit(int(k)), F.col("__n"))
+        )
+        .select(strata_col)
+        .collect()
+    )
+    if short:  # P(reach) ~ e^-k at factor 4; the correctness backstop
+        vals = [r[0] for r in short]
+        is_short = F.col(strata_col).isin(vals) | (
+            F.lit(None in vals) & F.col(strata_col).isNull()
+        )
+        cand = cand.filter(~F.coalesce(is_short, F.lit(False))).unionByName(
+            base.join(F.broadcast(rates), [strata_col], "left").filter(
+                F.coalesce(is_short, F.lit(False))
+            )
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__u").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__u", "__rn", "__n", "__rate")
+    )
 
 
 def repetition_stats(

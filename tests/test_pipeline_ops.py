@@ -1254,3 +1254,64 @@ class TestCleanCorpusNeardup:
         )
         kept = clean_corpus_neardup(df, "doc_id", "text").collect()
         assert [r.id for r in kept] == [2]  # punctuation soup gated out
+
+
+class TestSampleExactK:
+    """curate.sample_exact_k — deterministic exact-k-per-stratum."""
+
+    @pytest.fixture(scope="class")
+    def strat_df(self, spark):
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+        rows += [(1000 + i, None) for i in range(5)]   # null stratum
+        return spark.createDataFrame(rows, "id long, lang string")
+
+    def _naive(self, spark, df, k, seed=0):
+        """The full-sort window formulation — the semantics oracle."""
+        from cassandra_diff_spark.functions.text import md5_hash64
+        from pyspark.sql import Window
+
+        u = md5_hash64(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))) % 1_000_000
+        w = Window.partitionBy("lang").orderBy(u.asc(), F.col("id").asc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def test_exact_counts_and_equality_with_naive(self, spark, strat_df):
+        from cassandra_diff_spark.operators.curate import sample_exact_k
+
+        got = sample_exact_k(strat_df, "id", "lang", 10)
+        per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert per == {"en": 10, "de": 10, "fr": 10, None: 5}  # null stratum has 5 < k
+        key = lambda df: sorted((r.id, r.lang) for r in df.collect())  # noqa: E731
+        assert key(got) == key(self._naive(spark, strat_df, 10))
+
+    def test_escalation_path_is_exact(self, spark, strat_df):
+        """candidate_factor=0 zeroes the prefilter so EVERY stratum takes
+        the escalation branch — output must be identical anyway."""
+        from cassandra_diff_spark.operators.curate import sample_exact_k
+
+        key = lambda df: sorted((r.id, r.lang) for r in df.collect())  # noqa: E731
+        assert key(
+            sample_exact_k(strat_df, "id", "lang", 7, candidate_factor=0)
+        ) == key(sample_exact_k(strat_df, "id", "lang", 7))
+
+    def test_seed_changes_selection_deterministically(self, spark, strat_df):
+        from cassandra_diff_spark.operators.curate import sample_exact_k
+
+        key = lambda df: sorted((r.id, r.lang) for r in df.collect())  # noqa: E731
+        a1 = key(sample_exact_k(strat_df, "id", "lang", 10, seed=1))
+        a2 = key(sample_exact_k(strat_df, "id", "lang", 10, seed=1))
+        b = key(sample_exact_k(strat_df, "id", "lang", 10, seed=2))
+        assert a1 == a2 and a1 != b
+
+    def test_null_id_dropped_and_k_validated(self, spark):
+        from cassandra_diff_spark.operators.curate import sample_exact_k
+
+        df = spark.createDataFrame(
+            [(None, "en"), (1, "en")], "id long, lang string"
+        )
+        assert sample_exact_k(df, "id", "lang", 5).count() == 1
+        with pytest.raises(ValueError):
+            sample_exact_k(df, "id", "lang", 0)
