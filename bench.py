@@ -76,6 +76,7 @@ HEADLINE = [
     "linkage_fuzzy_customers",
     "events_quantiles_binned_stream",
     "curate_sample_exact_k",
+    "pipeline_tokenize_pack",
 ]
 
 

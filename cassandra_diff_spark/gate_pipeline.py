@@ -3892,3 +3892,83 @@ SELECT doc_id, lang, n_chars FROM (
 
 QUERIES["curate_sample_exact_k"] = _q_curate_sample_exact_k
 ORACLES["curate_sample_exact_k"] = _O_CURATE_SAMPLE_EXACT_K
+
+
+def _q_pipeline_tokenize_pack(spark, sf_dir):
+    """End-to-end tokenize -> quality-filter -> pack composition (the
+    pretraining batch-construction path): documents encode against the
+    corpus top-20 vocabulary (map-only), docs with >= 50% OOV tokens
+    drop (the vocabulary-coverage quality gate), survivors pack greedily
+    into capacity-256 context windows per language. Oracle = the same
+    vocab/encode formulation feeding the recursive-CTE packer."""
+    from cassandra_diff_spark.operators.curate import pack_sequences
+    from cassandra_diff_spark.operators.vocab import build_vocab, encode_documents
+
+    d = _docs(spark, sf_dir)
+    v = build_vocab(d, "text", vocab_size=20, min_count=2)
+    enc = encode_documents(d, "doc_id", "text", v, keep_cols=["lang"])
+    kept = enc.filter(F.col("n_oov") * 2 < F.col("n_tokens"))
+    return pack_sequences(
+        kept.select("doc_id", "lang", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        capacity=256,
+        group_col="lang",
+    )
+
+
+_O_PIPELINE_TOKENIZE_PACK = """
+WITH RECURSIVE toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, n FROM counts WHERE n >= 2
+  ORDER BY n DESC, token ASC LIMIT 20
+),
+v AS (SELECT token FROM top),
+docs AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(ws) AS tok FROM docs WHERE length(trim(text)) > 0
+),
+enc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS no
+  FROM t LEFT JOIN v ON v.token = t.tok
+  GROUP BY t.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.lang, coalesce(e.nt, 0) AS nt
+  FROM docs d LEFT JOIN enc e USING (doc_id)
+  WHERE coalesce(e.no, 0) * 2 < coalesce(e.nt, 0)
+),
+base AS (
+  SELECT doc_id, lang, nt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM kept
+),
+pack AS (
+  SELECT doc_id, lang, nt, rn, CAST(0 AS BIGINT) AS bin, nt AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.nt, d.rn,
+         CASE WHEN p.fill + d.nt <= 256 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.nt <= 256 THEN p.fill + d.nt ELSE d.nt END
+  FROM base d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
+)
+SELECT lang, doc_id, nt AS n_tokens, bin, CAST(fill - nt AS BIGINT) AS "offset"
+FROM pack
+"""
+
+
+QUERIES["pipeline_tokenize_pack"] = _q_pipeline_tokenize_pack
+ORACLES["pipeline_tokenize_pack"] = _O_PIPELINE_TOKENIZE_PACK

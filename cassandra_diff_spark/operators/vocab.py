@@ -23,6 +23,8 @@ results bit-for-bit.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,11 +83,14 @@ def encode_documents(
     vocab: DataFrame,
     *,
     oov_id: int = 0,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode each document against a frozen vocabulary: ``(doc_id,
-    token_ids, n_tokens, n_oov)`` where ``token_ids`` is the document's
-    word sequence mapped through the vocab (order-preserving; unknown
-    tokens become ``oov_id``).
+    *keep_cols, token_ids, n_tokens, n_oov)`` where ``token_ids`` is the
+    document's word sequence mapped through the vocab (order-preserving;
+    unknown tokens become ``oov_id``). ``keep_cols`` pass metadata
+    (language, source, license) through the map-only encode so
+    downstream packing/sharding never needs a join back to the corpus.
 
     Map-only: ``vocab`` (columns ``token``, ``token_id``) aggregates to
     ONE ``map<string,int>`` row, joined in by a broadcast nested-loop
@@ -110,14 +115,17 @@ def encode_documents(
             ),
         )
     )
+    keep = [F.col(c) for c in keep_cols]
     return (
         df.crossJoin(F.broadcast(vmap))
         .select(
             F.col(id_col).alias("doc_id"),
+            *keep,
             ids.alias("token_ids"),
         )
         .select(
             "doc_id",
+            *keep_cols,
             "token_ids",
             F.size("token_ids").cast("long").alias("n_tokens"),
             F.size(
