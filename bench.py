@@ -77,6 +77,7 @@ HEADLINE = [
     "events_quantiles_binned_stream",
     "curate_sample_exact_k",
     "pipeline_tokenize_pack",
+    "sketch_distinct_orders",
 ]
 
 

@@ -3972,3 +3972,67 @@ FROM pack
 
 QUERIES["pipeline_tokenize_pack"] = _q_pipeline_tokenize_pack
 ORACLES["pipeline_tokenize_pack"] = _O_PIPELINE_TOKENIZE_PACK
+
+
+# ---------------------------------------------------------------------------
+# round 6: mergeable HLL distinct sketches
+
+
+def _q_sketch_distinct_orders(spark, sf_dir):
+    """Sharded-sketch distinct rollup, accuracy-gated: orders splits
+    into 8 shards, each sketched independently (the persisted per-batch
+    state), the sketches union-merge, and the merged estimates must land
+    within 5% of the EXACT distinct counts — the `within_5pct` flag is
+    computed Spark-side and the oracle asserts it TRUE, so estimator
+    drift turns the gate red. (The sketch value itself is Apache
+    DataSketches state — meaningless to reproduce in SQL; its ACCURACY
+    is the checkable contract.)"""
+    from cassandra_diff_spark.operators.sketch import (
+        merge_sketches,
+        sketch_distinct,
+        sketch_estimates,
+    )
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    o = load(spark, sf_dir, "orders")
+    sharded = sketch_distinct(
+        o.withColumn("shard", F.col("o_orderkey") % 8), cols, by=["shard"]
+    )
+    est = sketch_estimates(merge_sketches(sharded, cols), cols)
+    exact = o.agg(
+        *[F.countDistinct(c).cast("long").alias(f"x_{c}") for c in cols]
+    )
+    j = est.crossJoin(exact)
+    parts = [
+        j.select(
+            F.lit(c).alias("col"),
+            F.col(f"x_{c}").alias("exact_n"),
+            (
+                F.abs(F.col(f"n_distinct_{c}") - F.col(f"x_{c}"))
+                <= 0.05 * F.col(f"x_{c}")
+            ).alias("within_5pct"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_O_SKETCH_DISTINCT_ORDERS = """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_n,
+       TRUE AS within_5pct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), TRUE
+FROM orders
+"""
+
+
+QUERIES["sketch_distinct_orders"] = _q_sketch_distinct_orders
+ORACLES["sketch_distinct_orders"] = _O_SKETCH_DISTINCT_ORDERS

@@ -732,40 +732,51 @@ def stream_asof_join_forward(
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         # resolve: emit every pending left whose answer the watermark
-        # has made final
-        out_rows = []
-        keep_idx = []
-        r_ts = rhist["ts"].values if rhist is not None and len(rhist) else np.array([], dtype=np.int64)
-        for i, lt in enumerate(lts):
-            pos = int(np.searchsorted(r_ts, lt, "left"))
-            cand = int(r_ts[pos]) if pos < len(r_ts) else None
-            if cand is not None and cand - lt > tol:
-                cand = None
-            if cand is not None and wm_us > cand:
-                out_rows.append((i, cand, pos))
-            elif cand is None and wm_us > lt + tol:
-                out_rows.append((i, None, None))
-            else:
-                keep_idx.append(i)
+        # has made final. Vectorized — the per-key cost is
+        # O(pending * log rights) in C per batch, so a key that buffers
+        # many lefts across many batches never degenerates into a
+        # Python row loop.
+        r_ts = (
+            rhist["ts"].to_numpy(dtype=np.int64)
+            if rhist is not None and len(rhist)
+            else np.array([], dtype=np.int64)
+        )
+        lts_a = np.asarray(lts, dtype=np.int64)
+        pos = np.searchsorted(r_ts, lts_a, "left")
+        safe = np.minimum(pos, max(len(r_ts) - 1, 0))
+        cand = r_ts[safe] if len(r_ts) else np.zeros(len(lts_a), dtype=np.int64)
+        valid = (pos < len(r_ts)) & (cand - lts_a <= tol)
+        emit_match = valid & (cand < wm_us)
+        emit_null = ~valid & (lts_a + tol < wm_us)
+        keep_mask = ~(emit_match | emit_null)
+        keep_idx = np.flatnonzero(keep_mask)
         out = None
-        if out_rows:
-            rows = []
-            for i, cand, pos in out_rows:
-                rows.append(
-                    tuple(key)
-                    + (lts[i],)
-                    + tuple(lvals[c][i] for c in lpayload)
-                    + (cand,)
-                    + tuple(
-                        (rhist[f"v_{c}"].iloc[pos] if cand is not None else None)
-                        for c in right_cols
-                    )
-                )
-            out = pd.DataFrame(rows, columns=out_cols)
+        if len(lts_a) and not keep_mask.all():
+            out_idx = np.flatnonzero(~keep_mask)
+            matched = emit_match[out_idx]
+            mpos = safe[out_idx]
+            data = {}
+            for j, c in enumerate(on):
+                data[c] = [key[j]] * len(out_idx)
+            data["__ts"] = lts_a[out_idx]
+            for c in lpayload:
+                vals = lvals[c]
+                data[f"__l_{c}"] = [vals[i] for i in out_idx]
+            mcand = cand[out_idx]
+            data["__mts"] = [
+                int(t) if m else None for t, m in zip(mcand, matched)
+            ]
+            for c in right_cols:
+                col = rhist[f"v_{c}"].to_numpy() if len(r_ts) else np.array([])
+                data[f"__m_{c}"] = [
+                    col[p] if m else None for p, m in zip(mpos, matched)
+                ]
+            out = pd.DataFrame(data, columns=out_cols)
 
         lts = [lts[i] for i in keep_idx]
         for c in lpayload:
-            lvals[c] = [lvals[c][i] for i in keep_idx]
+            vals = lvals[c]
+            lvals[c] = [vals[i] for i in keep_idx]
         # prune rights: only rows a pending left (ts >= min pending lt)
         # or a future left (ts >= watermark) could still pick
         if rhist is not None and len(rhist):
