@@ -709,12 +709,13 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
-    labels = (
+    cached = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .cache()
     )
+    labels = cached
     changed = 0
     for _ in range(max_iters):
         nbr = (
@@ -723,23 +724,23 @@ def dedup_clusters(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("b", "id")
         )
+        # the old label rides along, so the convergence check needs no
+        # second join back to the previous round's frame
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        cached.unpersist()
+        cached = new_labels  # the frame actually holding the cache
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -750,14 +751,14 @@ def dedup_clusters(
             f"{max_iters}); raise max_iters"
         )
         if strict:
-            labels.unpersist()
+            cached.unpersist()
             raise RuntimeError(msg)
         import warnings
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     from cassandra_diff_spark.operators import _LIVE_CACHES
 
-    _LIVE_CACHES.append(labels)  # final labels stay cached for the caller
+    _LIVE_CACHES.append(cached)  # final labels stay cached for the caller
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
