@@ -4036,3 +4036,37 @@ FROM orders
 
 QUERIES["sketch_distinct_orders"] = _q_sketch_distinct_orders
 ORACLES["sketch_distinct_orders"] = _O_SKETCH_DISTINCT_ORDERS
+
+
+def _q_vocab_incremental(spark, sf_dir):
+    """Incremental vocabulary maintenance: the historical corpus
+    (doc_id % 5 != 0) persists only its (token, n) count table; a new
+    batch (doc_id % 5 == 0) folds in with one batch scan + one
+    map-side-combined sum — history is never re-tokenized. Counts are
+    additive, so the refreshed vocabulary equals the one-shot
+    build_vocab over the whole corpus: the oracle IS the full-corpus
+    formulation."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.operators.vocab import (
+        fold_token_counts,
+        token_counts,
+        vocab_from_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    stage = f"/tmp/cds_gate_vocab_counts_{pathlib.Path(sf_dir).name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    token_counts(d.filter(F.col("doc_id") % 5 != 0), "text").write.parquet(
+        stage
+    )
+    persisted = spark.read.parquet(stage)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return vocab_from_counts(
+        fold_token_counts(persisted, batch, "text"), vocab_size=20, min_count=2
+    )
+
+
+QUERIES["vocab_incremental"] = _q_vocab_incremental
+ORACLES["vocab_incremental"] = _O_VOCAB_TOP_TOKENS

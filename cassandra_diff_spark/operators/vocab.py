@@ -43,6 +43,35 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def vocab_from_counts(
+    counts: DataFrame,
+    *,
+    vocab_size: int,
+    min_count: int = 1,
+    first_id: int = 1,
+) -> DataFrame:
+    """Freeze a vocabulary from an ALREADY-AGGREGATED ``(token, n)``
+    counts frame — the tail :func:`build_vocab` and the incremental
+    path (:func:`fold_token_counts`) share.
+
+    The ``row_number`` window is intentionally un-partitioned: it runs
+    AFTER the top-V cut, over exactly ``vocab_size`` rows (a vocabulary
+    is small by definition — the corpus-sized work all happened in the
+    counting aggregation).
+    """
+    top = (
+        counts.filter(F.col("n") >= int(min_count))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(int(vocab_size))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.select(
+        (F.row_number().over(w) + F.lit(int(first_id) - 1)).alias("token_id"),
+        "token",
+        "n",
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str,
@@ -56,23 +85,30 @@ def build_vocab(
     Deterministic total order — count DESC, then token ASC — so equal-
     count tokens always receive the same ids on any cluster/run; ids
     are dense starting at ``first_id`` (reserve 0 for OOV by default).
-
-    The ``row_number`` window is intentionally un-partitioned: it runs
-    AFTER the top-V cut, over exactly ``vocab_size`` rows (a vocabulary
-    is small by definition — the corpus-sized work all happened in the
-    counting aggregation).
     """
-    top = (
-        token_counts(df, text_col)
-        .filter(F.col("n") >= int(min_count))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(int(vocab_size))
+    return vocab_from_counts(
+        token_counts(df, text_col),
+        vocab_size=vocab_size,
+        min_count=min_count,
+        first_id=first_id,
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return top.select(
-        (F.row_number().over(w) + F.lit(int(first_id) - 1)).alias("token_id"),
-        "token",
-        "n",
+
+
+def fold_token_counts(
+    counts: DataFrame, batch: DataFrame, text_col: str
+) -> DataFrame:
+    """Fold a NEW document batch into persisted ``(token, n)`` counts —
+    incremental vocabulary maintenance: the historical corpus is never
+    re-tokenized; only its distinct-token-sized count table (persist it
+    per drop) unions with the batch's counts through one map-side-
+    combined sum. ``vocab_from_counts`` over the fold equals
+    ``build_vocab`` over corpus+batch exactly (counts are additive), so
+    refreshing the vocabulary after every ingest costs one batch scan.
+    """
+    return (
+        counts.unionByName(token_counts(batch, text_col))
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
     )
 
 

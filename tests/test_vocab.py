@@ -91,3 +91,26 @@ class TestEncodeDocuments:
         assert "BroadcastNestedLoopJoin" in plan
         shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
         assert shuffles <= 1, plan
+
+
+class TestIncrementalVocab:
+    def test_fold_equals_one_shot(self, spark, corpus):
+        """vocab_from_counts(fold(persisted, batch)) == build_vocab over
+        the union — the corpus is never re-tokenized."""
+        from cassandra_diff_spark.operators.vocab import (
+            build_vocab,
+            fold_token_counts,
+            token_counts,
+            vocab_from_counts,
+        )
+
+        hist = corpus.filter(F.col("doc_id") <= 3)
+        batch = corpus.filter(F.col("doc_id") > 3)
+        persisted = token_counts(hist, "text")
+        folded = vocab_from_counts(
+            fold_token_counts(persisted, batch, "text"), vocab_size=6
+        )
+        once = build_vocab(corpus, "text", vocab_size=6)
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, once.collect())
+        )
