@@ -294,6 +294,61 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["asof_chunked_sec"] = round(time.time() - t0, 2)
     out["asof_plans_agree"] = bool(plain_sum == chunked_sum)
 
+    # ------------------------------------------------ fuzzy linkage probe
+    # n synthetic structured records ("rec" + 9 digits + "-" + 8 hash hex
+    # chars), 10k planted single-char typos split between the digit and
+    # hex regions so each blocking strategy (13-prefix / 8-suffix) is
+    # REQUIRED for half the recall. Blocks are ~unique per record, so the
+    # within-bucket candidate set stays linear in n.
+    n_typos = 10_000
+    name = F.concat(
+        F.lit("rec"),
+        F.lpad(F.col("id").cast("string"), 9, "0"),
+        F.lit("-"),
+        F.substring(F.hex(F.xxhash64("id")), 1, 8),
+    )
+    t0 = time.time()
+    recs = spark.range(n).select(F.col("id").alias("rid"), name.alias("name"))
+    pos = F.when(
+        F.col("rid") % 2 == 0, (F.col("rid") % 9 + 4)
+    ).otherwise(F.col("rid") % 7 + 14).cast("int")
+    typos = recs.filter(F.col("rid") < n_typos).withColumn(
+        "pos", pos
+    ).select(
+        (F.col("rid") + PLANT_OFFSET).alias("rid"),
+        F.concat(
+            F.expr("substr(name, 1, pos - 1)"),
+            F.lit("x"),
+            F.expr("substr(name, pos + 1)"),
+        ).alias("name"),
+    )
+    aug = recs.unionByName(typos)
+    aug.write.mode("overwrite").parquet(f"{work}/linkage.parquet")
+    aug = spark.read.parquet(f"{work}/linkage.parquet")
+    out["linkage_gen_sec"] = round(time.time() - t0, 2)
+
+    from cassandra_diff_spark.operators.linkage import fuzzy_dup_pairs
+
+    t0 = time.time()
+    pairs = fuzzy_dup_pairs(
+        aug,
+        "rid",
+        "name",
+        block_keys=[
+            F.expr("substr(name, 1, 13)"),
+            F.expr("right(name, 8)"),
+        ],
+        max_edit=1,
+        max_block=50,
+    )
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == PLANT_OFFSET)
+        & (F.col("id_a") < n_typos)
+    ).count()
+    out["linkage_pairs_sec"] = round(time.time() - t0, 2)
+    out["linkage_recall"] = found / n_typos
+    out["linkage_n_pairs"] = pairs.count()
+
     release_caches()
     return out
 
