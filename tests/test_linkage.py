@@ -93,3 +93,19 @@ class TestBlockProfile:
         assert by[(0, "jon")] == (3, 3)
         assert by[(0, "mar")] == (2, 1)
         assert by[(1, "all")] == (6, 15)  # null name excluded
+
+
+class TestLinkagePlan:
+    def test_no_cartesian_and_equi_join_on_blocks(self, spark, records):
+        """The candidate join must be a hash/sort-merge EQUI-join on
+        (strategy, block key) — never a cartesian or BNLJ."""
+        plan = fuzzy_dup_pairs(
+            records,
+            "id",
+            "name",
+            block_keys=[F.expr("substr(name, 1, 3)"), F.expr("right(name, 3)")],
+            max_edit=2,
+            max_block=100,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1315,3 +1315,19 @@ class TestSampleExactK:
         assert sample_exact_k(df, "id", "lang", 5).count() == 1
         with pytest.raises(ValueError):
             sample_exact_k(df, "id", "lang", 0)
+
+
+class TestSampleExactKPlan:
+    def test_rates_join_is_broadcast(self, spark):
+        """The per-stratum rate table joins in as a BROADCAST (it is
+        |strata| rows); the corpus side must not shuffle for the
+        prefilter."""
+        from cassandra_diff_spark.operators.curate import sample_exact_k
+
+        df = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2]) for i in range(100)], "id long, lang string"
+        )
+        plan = sample_exact_k(df, "id", "lang", 5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
