@@ -78,6 +78,7 @@ HEADLINE = [
     "curate_sample_exact_k",
     "pipeline_tokenize_pack",
     "sketch_distinct_orders",
+    "events_outlier_fences",
 ]
 
 

@@ -4070,3 +4070,57 @@ def _q_vocab_incremental(spark, sf_dir):
 
 QUERIES["vocab_incremental"] = _q_vocab_incremental
 ORACLES["vocab_incremental"] = _O_VOCAB_TOP_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# round 6: Tukey-fence outlier summary (exact quantiles at histogram cost)
+
+
+def _q_events_outlier_fences(spark, sf_dir):
+    """Per-type 1.5x-IQR outlier summary: Q1/Q3 are the EXACT
+    nearest-rank values (quantiles_refined — histogram cost, no global
+    sort), fences broadcast back for one counting scan. The oracle
+    computes the identical fences from the window formulation, so the
+    double arithmetic hash-matches bit-for-bit."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import outlier_fences
+
+    ev = load_events(spark, sf_dir)
+    return outlier_fences(
+        ev, "value", lo=0.0, hi=100.0, n_bins=1000, by=["event_type"]
+    )
+
+
+_O_EVENTS_OUTLIER_FENCES = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+qs AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CEIL(0.25 * n) THEN value END) AS q1,
+         MAX(CASE WHEN rn = CEIL(0.75 * n) THEN value END) AS q3
+  FROM r GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - (3 * (q3 - q1)) / 2 AS fence_lo,
+         q3 + (3 * (q3 - q1)) / 2 AS fence_hi
+  FROM qs
+)
+SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(f.q1) AS q1, MIN(f.q3) AS q3,
+       MIN(f.fence_lo) AS fence_lo, MIN(f.fence_hi) AS fence_hi,
+       CAST(SUM(CASE WHEN r.value < f.fence_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN r.value > f.fence_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM r JOIN f ON r.event_type = f.event_type
+GROUP BY r.event_type
+"""
+
+
+QUERIES["events_outlier_fences"] = _q_events_outlier_fences
+ORACLES["events_outlier_fences"] = _O_EVENTS_OUTLIER_FENCES

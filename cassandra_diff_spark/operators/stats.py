@@ -200,3 +200,74 @@ def quantiles_refined(
         .filter(F.col("__rn") == F.col("__r"))
         .select(*by, "p", v.alias("q"), F.col("n").cast("long").alias("n"))
     )
+
+
+def outlier_fences(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+    k_num: int = 3,
+    k_den: int = 2,
+) -> DataFrame:
+    """Tukey-fence outlier summary per group: ``(*by, n, q1, q3,
+    fence_lo, fence_hi, n_low, n_high)`` with ``fence = q1/q3 -/+
+    (k_num * IQR) / k_den`` (default 3/2 = the classic 1.5×IQR).
+
+    Q1/Q3 are EXACT nearest-rank values from
+    :func:`quantiles_refined` — histogram-shuffle cost, no global sort —
+    and the fence arithmetic is the same two-double expression in the
+    SQL oracle, so results hash-match cross-engine. The fence frame is
+    |groups| rows, broadcast back onto the data for the flag counts:
+    total cost = the two quantile passes + ONE more counting scan.
+
+    The distribution-drift tripwire of a training pipeline: run per
+    (source, day) and alert when ``n_low + n_high`` jumps.
+    """
+    from pyspark.sql import functions as F
+
+    by = list(by) if by else []
+    q = quantiles_refined(
+        df, value_col, [0.25, 0.75], lo=lo, hi=hi, n_bins=n_bins, by=by
+    )
+    fences = (
+        q.groupBy(*by)
+        .agg(
+            F.min(F.when(F.col("p") == 0.25, F.col("q"))).alias("q1"),
+            F.min(F.when(F.col("p") == 0.75, F.col("q"))).alias("q3"),
+        )
+        .select(
+            *by,
+            "q1",
+            "q3",
+            (
+                F.col("q1")
+                - (F.lit(int(k_num)) * (F.col("q3") - F.col("q1")))
+                / F.lit(int(k_den))
+            ).alias("fence_lo"),
+            (
+                F.col("q3")
+                + (F.lit(int(k_num)) * (F.col("q3") - F.col("q1")))
+                / F.lit(int(k_den))
+            ).alias("fence_hi"),
+        )
+    )
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*by, v.alias("__v"))
+    joined = (
+        base.join(F.broadcast(fences), by)
+        if by
+        else base.crossJoin(F.broadcast(fences))
+    )
+    return joined.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q1").alias("q1"),
+        F.min("q3").alias("q3"),
+        F.min("fence_lo").alias("fence_lo"),
+        F.min("fence_hi").alias("fence_hi"),
+        F.sum((F.col("__v") < F.col("fence_lo")).cast("long")).alias("n_low"),
+        F.sum((F.col("__v") > F.col("fence_hi")).cast("long")).alias("n_high"),
+    )
