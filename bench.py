@@ -79,6 +79,7 @@ HEADLINE = [
     "pipeline_tokenize_pack",
     "sketch_distinct_orders",
     "events_outlier_fences",
+    "linkage_weighted_customers",
 ]
 
 

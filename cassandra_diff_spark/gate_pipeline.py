@@ -4124,3 +4124,88 @@ GROUP BY r.event_type
 
 QUERIES["events_outlier_fences"] = _q_events_outlier_fences
 ORACLES["events_outlier_fences"] = _O_EVENTS_OUTLIER_FENCES
+
+
+def _q_linkage_weighted_customers(spark, sf_dir):
+    """Field-weighted fuzzy matching on the typo'd-customer fixture:
+    candidates block exactly like linkage_fuzzy_customers, then score as
+    the 3:1-weighted mean of name/segment edit similarities with the
+    per-field breakdown kept. The oracle replays the identical
+    similarity and weighting arithmetic (same double expression
+    structure), so scores hash-match bit-for-bit."""
+    from cassandra_diff_spark.operators.linkage import fuzzy_match_pairs
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    mangled = c.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "concat(substr(name, 1, cast(id % 4 + 9 as int)), 'x', "
+            "substr(name, cast(id % 4 + 11 as int)))"
+        ).alias("name"),
+        "seg",
+    )
+    return fuzzy_match_pairs(
+        c.unionByName(mangled),
+        "id",
+        {"name": 3, "seg": 1},
+        block_keys=[F.expr("right(name, 5)"), F.expr("substr(name, 1, 12)")],
+        max_block=50,
+        min_score_pct=90,
+    )
+
+
+_O_LINKAGE_WEIGHTED_CUSTOMERS = """
+WITH aug AS (
+  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         substr(c_name, 1, CAST(c_custkey % 4 + 9 AS INT)) || 'x'
+           || substr(c_name, CAST(c_custkey % 4 + 11 AS INT)),
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+),
+blocks AS (
+  SELECT 0 AS strat, right(name, 5) AS bk, id, name, seg FROM aug
+  UNION ALL
+  SELECT 1, substr(name, 1, 12), id, name, seg FROM aug
+),
+sized AS (
+  SELECT strat, bk, id, name, seg FROM (
+    SELECT b.*, COUNT(*) OVER (PARTITION BY strat, bk) AS n FROM blocks b
+  ) WHERE n <= 50
+),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN a.name IS NULL AND b.name IS NULL THEN 100.0
+              WHEN a.name IS NULL OR b.name IS NULL THEN 0.0
+              WHEN GREATEST(length(a.name), length(b.name)) = 0 THEN 100.0
+              ELSE 100.0 * (GREATEST(length(a.name), length(b.name))
+                            - levenshtein(a.name, b.name))
+                   / GREATEST(length(a.name), length(b.name)) END AS name_sim,
+         CASE WHEN a.seg IS NULL AND b.seg IS NULL THEN 100.0
+              WHEN a.seg IS NULL OR b.seg IS NULL THEN 0.0
+              WHEN GREATEST(length(a.seg), length(b.seg)) = 0 THEN 100.0
+              ELSE 100.0 * (GREATEST(length(a.seg), length(b.seg))
+                            - levenshtein(a.seg, b.seg))
+                   / GREATEST(length(a.seg), length(b.seg)) END AS seg_sim
+  FROM sized a JOIN sized b ON a.strat = b.strat AND a.bk = b.bk
+  WHERE a.id < b.id
+),
+withscore AS (
+  SELECT id_a, id_b, name_sim, seg_sim,
+         (0.0 + name_sim * 3 + seg_sim * 1) / 4 AS score_pct
+  FROM scored
+)
+SELECT id_a, id_b, MIN(score_pct) AS score_pct,
+       MIN(name_sim) AS name_sim, MIN(seg_sim) AS seg_sim
+FROM withscore WHERE score_pct >= 90.0
+GROUP BY id_a, id_b
+"""
+
+
+QUERIES["linkage_weighted_customers"] = _q_linkage_weighted_customers
+ORACLES["linkage_weighted_customers"] = _O_LINKAGE_WEIGHTED_CUSTOMERS

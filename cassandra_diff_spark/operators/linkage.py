@@ -131,3 +131,122 @@ def fuzzy_block_profile(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def token_sort_key(col: Column) -> Column:
+    """Canonical form for word-order-insensitive matching: lowercase,
+    strip punctuation to spaces, collapse whitespace, SORT the tokens,
+    re-join — "Smith, John A." and "john a smith" share one key. Use as
+    a blocking strategy (word reorder breaks every prefix/suffix key)
+    or as the compare column itself for reorder-tolerant scoring."""
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")), r"\s+"
+    )
+    return F.array_join(F.array_sort(w), " ")
+
+
+def token_sort_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_sort_key` (oracle parity)."""
+    return (
+        f"array_to_string(list_sort(regexp_split_to_array(trim("
+        f"regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g')), '\\s+')), ' ')"
+    )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    fields: dict,
+    *,
+    block_keys: Sequence[Column],
+    min_score_pct: int,
+    max_block: Optional[int] = None,
+) -> DataFrame:
+    """Field-WEIGHTED fuzzy matching: candidate pairs (blocked exactly
+    like :func:`fuzzy_dup_pairs`) score as the weighted mean of
+    per-field edit similarities and survive at ``score_pct >=
+    min_score_pct``.
+
+    * ``fields``: ``{column: weight}`` (positive ints — integer weights
+      keep the score arithmetic identical in any engine). Per-field
+      similarity = ``100 * (maxlen - levenshtein) / maxlen`` (both
+      null = 100; one null = 0).
+    * Output: ``(id_a, id_b, score_pct double, <field>_sim...)`` — the
+      per-field breakdown stays visible so survivorship rules can
+      reason per attribute ("same name, different address").
+
+    Same scale shape as :func:`fuzzy_dup_pairs`: candidates only within
+    blocking buckets, JVM ``levenshtein`` inside codegen on candidates
+    alone, ``max_block`` as the quadratic guard, min-agg pair dedup
+    across strategies.
+    """
+    if not fields:
+        raise ValueError("need at least one scored field")
+    if not block_keys:
+        raise ValueError("need at least one blocking strategy")
+    if any(int(w) <= 0 for w in fields.values()):
+        raise ValueError(f"weights must be positive ints, got {fields}")
+    fcols = list(fields)
+    sides = []
+    for k, key in enumerate(block_keys):
+        sides.append(
+            df.select(
+                F.lit(k).alias("__strat"),
+                key.cast("string").alias("__bk"),
+                F.col(id_col).alias("__id"),
+                *[F.col(c).cast("string").alias(f"__f_{c}") for c in fcols],
+            ).filter(F.col("__bk").isNotNull())
+        )
+    b = sides[0]
+    for s in sides[1:]:
+        b = b.unionByName(s)
+    if max_block is not None:
+        w = Window.partitionBy("__strat", "__bk")
+        b = b.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+            F.col("__n") <= int(max_block)
+        ).drop("__n")
+    left = b.select(
+        "__strat",
+        "__bk",
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__f_{c}").alias(f"__a_{c}") for c in fcols],
+    )
+    right = b.select(
+        "__strat",
+        "__bk",
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__f_{c}").alias(f"__b_{c}") for c in fcols],
+    )
+    cand = left.join(right, ["__strat", "__bk"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    def sim(c: str) -> Column:
+        a, bb = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        ml = F.greatest(F.length(a), F.length(bb))
+        return (
+            F.when(a.isNull() & bb.isNull(), F.lit(100.0))
+            .when(a.isNull() | bb.isNull(), F.lit(0.0))
+            .when(ml == 0, F.lit(100.0))
+            .otherwise(
+                F.lit(100.0) * (ml - F.levenshtein(a, bb)) / ml
+            )
+        )
+
+    total_w = sum(int(w) for w in fields.values())
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        *[sim(c).alias(f"{c}_sim") for c in fcols],
+    ).withColumn(
+        "score_pct",
+        sum(
+            (F.col(f"{c}_sim") * F.lit(int(fields[c])) for c in fcols),
+            start=F.lit(0.0),
+        )
+        / F.lit(total_w),
+    ).filter(F.col("score_pct") >= F.lit(float(min_score_pct)))
+    return scored.groupBy("id_a", "id_b").agg(
+        F.min("score_pct").alias("score_pct"),
+        *[F.min(f"{c}_sim").alias(f"{c}_sim") for c in fcols],
+    )

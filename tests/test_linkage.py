@@ -109,3 +109,96 @@ class TestLinkagePlan:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTokenSortKey:
+    def test_reorder_and_punctuation_invariant(self, spark):
+        from cassandra_diff_spark.operators.linkage import token_sort_key
+
+        df = spark.createDataFrame(
+            [("Smith, John A.",), ("john a smith",), ("JOHN  A-SMITH",)],
+            "name string",
+        )
+        keys = {r[0] for r in df.select(token_sort_key(F.col("name"))).collect()}
+        assert keys == {"a john smith"}
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from cassandra_diff_spark.operators.linkage import (
+            token_sort_key,
+            token_sort_key_sql,
+        )
+
+        vals = ["Smith, John A.", "  Maria-Garcia ", "x", ""]
+        df = spark.createDataFrame([(v,) for v in vals], "name string")
+        got = [r[0] for r in df.select(token_sort_key(F.col("name"))).collect()]
+        con = duckdb.connect()
+        want = [
+            con.sql(
+                f"SELECT {token_sort_key_sql('?')}".replace("?", f"'{v}'")
+            ).fetchone()[0]
+            for v in vals
+        ]
+        assert got == want
+
+
+class TestFuzzyMatchPairs:
+    def test_weighted_score_and_breakdown(self, spark):
+        from cassandra_diff_spark.operators.linkage import fuzzy_match_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "jonathan smith", "york"),
+                (2, "jonathen smith", "york"),    # name 1 edit, city same
+                (3, "jonathan smith", "kent"),    # name same, city differs
+                (4, None, "york"),                # null name -> name sim 0
+            ],
+            "id long, name string, city string",
+        )
+        got = {
+            (r.id_a, r.id_b): r
+            for r in fuzzy_match_pairs(
+                df,
+                "id",
+                {"name": 3, "city": 1},
+                block_keys=[F.expr("substr(city, 1, 4)")],
+                min_score_pct=0,
+            ).collect()
+        }
+        r12 = got[(1, 2)]
+        assert abs(r12.name_sim - 100.0 * 13 / 14) < 1e-9
+        assert r12.city_sim == 100.0
+        assert abs(r12.score_pct - (r12.name_sim * 3 + 100.0) / 4) < 1e-9
+        # null name scores 0 on that field
+        r14 = got[(1, 4)]
+        assert r14.name_sim == 0.0 and r14.city_sim == 100.0
+        # (1,3) not candidates: different city block
+        assert (1, 3) not in got
+
+    def test_min_score_filters(self, spark):
+        from cassandra_diff_spark.operators.linkage import fuzzy_match_pairs
+
+        df = spark.createDataFrame(
+            [(1, "aaaa", "k"), (2, "aaab", "k"), (3, "zzzz", "k")],
+            "id long, name string, blk string",
+        )
+        got = fuzzy_match_pairs(
+            df,
+            "id",
+            {"name": 1},
+            block_keys=[F.col("blk")],
+            min_score_pct=70,
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+    def test_validation(self, spark):
+        from cassandra_diff_spark.operators.linkage import fuzzy_match_pairs
+
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        with pytest.raises(ValueError):
+            fuzzy_match_pairs(df, "id", {}, block_keys=[F.col("name")],
+                              min_score_pct=50)
+        with pytest.raises(ValueError):
+            fuzzy_match_pairs(df, "id", {"name": 0},
+                              block_keys=[F.col("name")], min_score_pct=50)
