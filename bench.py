@@ -80,6 +80,7 @@ HEADLINE = [
     "sketch_distinct_orders",
     "events_outlier_fences",
     "linkage_weighted_customers",
+    "validate_orders_stream",
 ]
 
 

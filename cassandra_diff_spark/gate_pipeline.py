@@ -4209,3 +4209,86 @@ GROUP BY id_a, id_b
 
 QUERIES["linkage_weighted_customers"] = _q_linkage_weighted_customers
 ORACLES["linkage_weighted_customers"] = _O_LINKAGE_WEIGHTED_CUSTOMERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming data-quality monitor
+
+
+def _q_validate_orders_stream(spark, sf_dir):
+    """Streaming-runtime twin of validate_orders, row-local kinds: the
+    corrupted-orders fixture streams in file-sized micro-batches through
+    the SAME fused conditional-sum aggregation, complete-mode (ONE row
+    of state). Drained counters equal the batch sweep — gated by the
+    row-local subset of the batch oracle. (unique / foreign_key need
+    distinct/anti-join plans the streaming runtime can't express; the
+    operator rejects them, the batch sweep covers them.)"""
+    import shutil
+
+    from cassandra_diff_spark.operators import validate as V
+    from cassandra_diff_spark.streaming.diff_stream import stream_check_rules
+
+    bad = _corrupted_orders(spark, sf_dir)
+    stage = "/tmp/cds_gate_stream_validate"
+    shutil.rmtree(stage, ignore_errors=True)
+    bad.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(bad.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_check_rules(
+        stream,
+        [
+            V.not_null("o_custkey"),
+            V.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            V.in_range("o_totalprice", lo=0.0),
+            V.regex_match("o_orderpriority", "^[1-5]-"),
+        ],
+        name="cds_gate_stream_validate",
+    )
+
+
+_O_VALIDATE_ORDERS_STREAM = """
+WITH bad0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              WHEN o_orderkey % 79 = 0 THEN 999999999
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 83 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 73 = 0 THEN 'BAD' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+),
+bad AS (
+  SELECT * FROM bad0
+  UNION ALL SELECT * FROM bad0 WHERE o_orderkey % 101 = 0
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bad)
+SELECT r.rule, r.columns, r.violations, t.total, r.violations = 0 AS "pass"
+FROM t, (
+  SELECT 'not_null(o_custkey)' AS rule, 'o_custkey' AS columns,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad WHERE o_custkey IS NULL)
+           AS violations
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'in_range(o_totalprice)', 'o_totalprice',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad WHERE o_totalprice < 0.0)
+  UNION ALL
+  SELECT 'regex_match(o_orderpriority)', 'o_orderpriority',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bad
+          WHERE o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+) r
+"""
+
+
+QUERIES["validate_orders_stream"] = _q_validate_orders_stream
+ORACLES["validate_orders_stream"] = _O_VALIDATE_ORDERS_STREAM

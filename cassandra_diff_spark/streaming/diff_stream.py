@@ -835,6 +835,78 @@ def stream_asof_join_forward(
     )
 
 
+def stream_check_rules(
+    stream: DataFrame,
+    rules,
+    *,
+    name: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming data-quality monitor: the ROW-LOCAL rules (not_null /
+    accepted_values / in_range / regex / custom predicate) fuse into the
+    SAME single aggregation as the batch
+    :func:`~cassandra_diff_spark.operators.validate.check_rules` and run
+    it COMPLETE-mode — conditional sums are order-independent and
+    map-side-combinable, so the running state is ONE row no matter how
+    much data streams through. Drained output row-for-row equals the
+    batch operator over the same data (oracle-gated).
+
+    ``unique`` needs a streaming-unsupported distinct aggregation and
+    ``foreign_key`` an anti-join pass — both are rejected loudly: run
+    them in the batch sweep; the live monitor covers the per-row kinds.
+    In production the same plan runs unbounded and each micro-batch
+    updates the violation counters in place — the freshness/quality
+    dashboard feed.
+    """
+    from cassandra_diff_spark.operators.validate import (
+        _ROW_LOCAL,
+        _violation_cond,
+    )
+
+    rules = list(rules)
+    if not rules:
+        raise ValueError("empty rule set")
+    bad = [r.name for r in rules if r.kind not in _ROW_LOCAL]
+    if bad:
+        raise ValueError(
+            f"stream_check_rules supports row-local rules only; run "
+            f"{bad} in the batch sweep"
+        )
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(_violation_cond(r).cast("long")).alias(f"__v{i}")
+        for i, r in enumerate(rules)
+    ]
+    agg = stream.agg(*aggs)
+    w = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    one = stream.sparkSession.table(name)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.lit(",".join(r.columns)).alias("columns"),
+                        F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                        .cast("long")
+                        .alias("violations"),
+                        F.col("__total").cast("long").alias("total"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*").withColumn("pass", F.col("violations") == 0)
+
+
 def stream_quantiles_histogram(
     stream: DataFrame,
     value_col: str,

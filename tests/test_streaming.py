@@ -762,3 +762,54 @@ def test_stream_quantiles_matches_batch(spark, sf_dir, tmp_path):
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(got) == key(want)
     assert got.count() > 0
+
+
+def test_stream_check_rules_matches_batch(spark, sf_dir, tmp_path):
+    """Drained streaming rule counters == batch check_rules restricted
+    to the same row-local rules, across real micro-batches."""
+    from cassandra_diff_spark.operators import validate as V
+    from cassandra_diff_spark.streaming.diff_stream import stream_check_rules
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    bad = orders.withColumn(
+        "o_custkey", F.when(k % 97 == 0, None).otherwise(F.col("o_custkey"))
+    ).withColumn(
+        "o_totalprice",
+        F.when(k % 83 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    stage = str(tmp_path / "vstream")
+    bad.repartition(3).write.parquet(stage)
+    rules = [
+        V.not_null("o_custkey"),
+        V.in_range("o_totalprice", lo=0.0),
+        V.accepted_values("o_orderstatus", ["O", "F", "P"]),
+    ]
+    got = stream_check_rules(
+        spark.readStream.schema(bad.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        rules,
+        name="t_stream_rules",
+    )
+    want = V.check_rules(bad, rules)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(want)
+    # the fixture really violates something
+    assert any(r.violations > 0 for r in got.collect())
+
+
+def test_stream_check_rules_rejects_non_row_local(spark, sf_dir):
+    import pytest as _pytest
+
+    from cassandra_diff_spark.operators import validate as V
+    from cassandra_diff_spark.streaming.diff_stream import stream_check_rules
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stream = spark.readStream.schema(orders.schema).parquet(
+        f"{sf_dir}/orders.parquet"
+    )
+    with _pytest.raises(ValueError, match="row-local"):
+        stream_check_rules(stream, [V.unique("o_orderkey")], name="t_x")
