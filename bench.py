@@ -81,6 +81,7 @@ HEADLINE = [
     "events_outlier_fences",
     "linkage_weighted_customers",
     "validate_orders_stream",
+    "embedding_centroids",
 ]
 
 

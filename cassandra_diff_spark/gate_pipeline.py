@@ -4292,3 +4292,42 @@ FROM t, (
 
 QUERIES["validate_orders_stream"] = _q_validate_orders_stream
 ORACLES["validate_orders_stream"] = _O_VALIDATE_ORDERS_STREAM
+
+
+# ---------------------------------------------------------------------------
+# round 6: embedding centroid profiling
+
+
+def _q_embedding_centroids(spark, sf_dir):
+    """Per-label centroids of the embeddings corpus: dim fused integer
+    milli-unit sums in ONE aggregation scan (the vector is never
+    exploded into n*dim shuffle rows); each mean is one double division
+    of exact integers, so the oracle reproduces every bit."""
+    from cassandra_diff_spark.operators.embeddings import embedding_centroids
+
+    return embedding_centroids(
+        _embs(spark, sf_dir), "embedding", dim=64, by=["label"]
+    )
+
+
+_O_EMBEDDING_CENTROIDS = f"""
+WITH q AS (
+  SELECT label, {quantize_sql('embedding')} AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+),
+e AS (
+  SELECT label, unnest(qv) AS v,
+         generate_subscripts(qv, 1) - 1 AS dim
+  FROM q
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(SUM(v) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS mean
+FROM e GROUP BY label, dim
+"""
+
+
+QUERIES["embedding_centroids"] = _q_embedding_centroids
+ORACLES["embedding_centroids"] = _O_EMBEDDING_CENTROIDS
