@@ -82,6 +82,7 @@ HEADLINE = [
     "linkage_weighted_customers",
     "validate_orders_stream",
     "embedding_centroids",
+    "text_url_canonical",
 ]
 
 

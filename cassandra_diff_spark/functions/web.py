@@ -98,3 +98,86 @@ def url_query_sql(expr: str) -> str:
 
 def registered_domain_sql(host_expr: str) -> str:
     return _sql(host_expr, _REG_DOMAIN_RE)
+
+
+#: query params that never change content: analytics/click tracking
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(=.*)?$"
+#: fragment (never sent to the server)
+_FRAGMENT_RE = r"#.*$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup of a web corpus — two crawls
+    of the same page must collapse to ONE key:
+
+    * scheme and host lowercase; userinfo dropped,
+    * default ports stripped (``http:80`` / ``https:443``), others kept,
+    * fragment dropped (never reaches the server),
+    * tracking params (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``,
+      ``ref``, ``ref_src``) removed; surviving params SORTED so
+      ``?b=2&a=1`` == ``?a=1&b=2``,
+    * trailing path slash trimmed (except the root path).
+
+    Pure Catalyst (``regexp_extract`` + array ``filter``/``sort``),
+    RE2-compatible patterns — same bits from the DuckDB twin. Non-URL
+    strings (no ``scheme://``) return NULL: filter first.
+    """
+    nofrag = F.regexp_replace(url, _FRAGMENT_RE, "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(nofrag, _HOST_RE, 1))
+    port = F.regexp_extract(nofrag, _PORT_RE, 1)
+    path = F.regexp_extract(nofrag, _PATH_RE, 1)
+    query = F.regexp_extract(nofrag, _QUERY_RE, 1)
+
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    clean_path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    qpart = F.when(
+        F.size(params) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")))
+    return F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, keep_port, clean_path, qpart))
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url`."""
+    nofrag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower({_sql(nofrag, _SCHEME_RE)})"
+    host = f"lower({_sql(nofrag, _HOST_RE)})"
+    port = _sql(nofrag, _PORT_RE)
+    path = _sql(nofrag, _PATH_RE)
+    query = _sql(nofrag, _QUERY_RE)
+    keep_port = (
+        f"CASE WHEN coalesce({port}, '') = '' "
+        f"  OR ({scheme} = 'http' AND {port} = '80') "
+        f"  OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    clean_path = (
+        f"CASE WHEN coalesce({path}, '') = '' THEN '/' "
+        f"ELSE regexp_replace({path}, '(.)/$', '\\1') END"
+    )
+    params = (
+        f"[p for p in regexp_split_to_array(coalesce({query}, ''), '&') "
+        f"if p <> '' and not regexp_matches(p, '{_TRACKING_RE}')]"
+    )
+    qpart = (
+        f"CASE WHEN len({params}) = 0 THEN '' "
+        f"ELSE '?' || array_to_string(list_sort({params}), '&') END"
+    )
+    return (
+        f"CASE WHEN coalesce({scheme}, '') = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {keep_port} "
+        f"|| {clean_path} || {qpart} END"
+    )

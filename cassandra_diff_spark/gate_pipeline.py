@@ -4331,3 +4331,65 @@ FROM e GROUP BY label, dim
 
 QUERIES["embedding_centroids"] = _q_embedding_centroids
 ORACLES["embedding_centroids"] = _O_EMBEDDING_CENTROIDS
+
+
+# ---------------------------------------------------------------------------
+# round 6: URL canonicalization (web-corpus URL-level dedup key)
+
+
+def _q_text_url_canonical(spark, sf_dir):
+    """Canonical URL key over a MESSY augmentation — uppercase hosts
+    (%11), default :443 port inserted at the host (%10, non-%3),
+    tracking params (%4), fragments (%6), trailing slash (%8) layered on the varied parts fixture. Every
+    cleanup branch proven on nonzero rows; the DuckDB twin reproduces
+    each key bit-for-bit."""
+    from cassandra_diff_spark.functions.web import canonical_url
+
+    d = _url_augmented(spark, sf_dir)
+    k = F.col("doc_id")
+    with_port = F.when(
+        (k % 10 == 0) & (k % 3 != 0),
+        F.regexp_replace(F.col("url"), r"org/p/", "org:443/p/"),
+    ).otherwise(F.col("url"))
+    messy = d.withColumn(
+        "url",
+        F.concat(
+            F.when(k % 11 == 0, F.upper(with_port)).otherwise(with_port),
+            F.when(k % 8 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(k % 4 == 0, F.lit("?utm_source=feed&z=9&gclid=1"))
+            .otherwise(F.lit("")),
+            F.when(k % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        ),
+    )
+    return messy.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon")
+    )
+
+
+def _make_o_text_url_canonical() -> str:
+    from cassandra_diff_spark.functions.web import canonical_url_sql
+
+    return f"""
+WITH {_URL_AUG_SQL.strip()},
+wp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 AND doc_id % 3 != 0
+              THEN regexp_replace(url, 'org/p/', 'org:443/p/')
+              ELSE url END AS url
+  FROM aug
+),
+messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 11 = 0 THEN upper(url) ELSE url END)
+         || (CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&z=9&gclid=1'
+             ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM wp
+)
+SELECT doc_id, url, {canonical_url_sql('url')} AS canon FROM messy
+"""
+
+
+QUERIES["text_url_canonical"] = _q_text_url_canonical
+ORACLES["text_url_canonical"] = _make_o_text_url_canonical()
