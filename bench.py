@@ -83,6 +83,7 @@ HEADLINE = [
     "validate_orders_stream",
     "embedding_centroids",
     "text_url_canonical",
+    "curate_strip_boilerplate",
 ]
 
 

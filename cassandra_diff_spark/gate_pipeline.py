@@ -4393,3 +4393,76 @@ SELECT doc_id, url, {canonical_url_sql('url')} AS canon FROM messy
 
 QUERIES["text_url_canonical"] = _q_text_url_canonical
 ORACLES["text_url_canonical"] = _make_o_text_url_canonical()
+
+
+# ---------------------------------------------------------------------------
+# round 6: boilerplate line removal (the cleaning step, not just the score)
+
+
+def _q_curate_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate REMOVAL over an augmented corpus: every
+    even doc gains a shared license-footer line (corpus-frequent by
+    construction); strip_boilerplate_lines drops it everywhere while
+    unique lines and document order survive. Raw text shuffles exactly
+    twice (explode + regroup) — the rewrite floor; the hot-fingerprint
+    set broadcasts."""
+    from cassandra_diff_spark.operators.curate import strip_boilerplate_lines
+
+    d = _docs(spark, sf_dir)
+    footer = "(c) example corp - all rights reserved"
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\n" + footer)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate_lines(aug, "doc_id", "text", min_df=10)
+
+
+_O_CURATE_STRIP_BOILERPLATE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || '(c) example corp - all rights reserved'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM aug
+),
+fps AS (
+  SELECT DISTINCT doc_id, {fingerprint_sql('line')} AS fp
+  FROM lines WHERE length(trim(line)) > 0
+),
+hot AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fps GROUP BY fp)
+  WHERE n >= 10
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN hot h ON {fingerprint_sql('l.line')} = h.fp
+  WHERE h.fp IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines,
+       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES["curate_strip_boilerplate"] = _q_curate_strip_boilerplate
+ORACLES["curate_strip_boilerplate"] = _O_CURATE_STRIP_BOILERPLATE

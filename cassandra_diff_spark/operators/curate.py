@@ -762,3 +762,72 @@ def chunk_documents(
             F.slice(F.col("__w"), F.col("start_word") + 1, F.lit(int(chunk_words))),
         ).alias("chunk_text"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 100,
+) -> DataFrame:
+    """REMOVE corpus-frequent lines from every document — the cleaning
+    step :func:`boilerplate_flags` only scores: a line whose normalized
+    fingerprint appears in at least ``min_df`` DISTINCT documents
+    (headers, nav, cookie banners, license footers) is dropped; the
+    surviving lines re-join in their original order. Output
+    ``(doc_id, text, n_lines, n_dropped)``.
+
+    Blank lines never count as boilerplate (they carry structure, and
+    dropping them would mangle every document).
+
+    Shape at scale: lines explode once; the document-frequency
+    aggregation ships (hash, id) pairs — never text; the hot set is
+    corpus-frequent BY DEFINITION, hence small, and broadcasts into a
+    hash-anti-join against the line stream; reassembly is one
+    groupBy(doc) of (pos, line) structs. Raw text crosses the wire
+    twice (explode + regroup) — the unavoidable floor for a rewrite.
+    """
+    from cassandra_diff_spark.functions.text import fingerprint
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    nonblank = F.length(F.trim(F.col("line"))) > 0
+    hot = (
+        lines.filter(nonblank)
+        .select("doc_id", fingerprint(F.col("line")).alias("fp"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= int(min_df))
+        .select("fp")
+    )
+    tagged = lines.withColumn("fp", fingerprint(F.col("line")))
+    kept = tagged.join(F.broadcast(hot), "fp", "left_anti")
+    n_all = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_all, "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

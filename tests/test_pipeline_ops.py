@@ -1331,3 +1331,57 @@ class TestSampleExactKPlan:
         ).executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestStripBoilerplate:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        footer = "(c) example corp - all rights reserved"
+        rows = [
+            (1, f"alpha body one\n\n{footer}"),
+            (2, f"beta body two\n{footer}\nextra beta"),
+            (3, f"gamma body three\n{footer}"),
+            (4, footer),                       # becomes empty
+            (5, "unique only here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_frequent_lines_dropped_order_kept(self, spark, docs):
+        from cassandra_diff_spark.operators.curate import strip_boilerplate_lines
+
+        out = {
+            r.doc_id: r
+            for r in strip_boilerplate_lines(
+                docs, "doc_id", "text", min_df=3
+            ).collect()
+        }
+        assert out[1].text == "alpha body one\n"   # blank line preserved
+        assert out[1].n_lines == 3 and out[1].n_dropped == 1
+        assert out[2].text == "beta body two\nextra beta"
+        assert out[4].text == "" and out[4].n_dropped == 1
+        assert out[5].text == "unique only here" and out[5].n_dropped == 0
+
+    def test_min_df_threshold_and_normalized_match(self, spark):
+        from cassandra_diff_spark.operators.curate import strip_boilerplate_lines
+
+        rows = [
+            (1, "Cookie  Notice\nbody a"),
+            (2, "cookie notice\nbody b"),   # same fingerprint (case/ws)
+            (3, "body c"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r.text
+            for r in strip_boilerplate_lines(
+                df, "doc_id", "text", min_df=2
+            ).collect()
+        }
+        assert out[1] == "body a" and out[2] == "body b"
+        # min_df=3: nothing frequent enough
+        out3 = {
+            r.doc_id: r.n_dropped
+            for r in strip_boilerplate_lines(
+                df, "doc_id", "text", min_df=3
+            ).collect()
+        }
+        assert all(v == 0 for v in out3.values())
