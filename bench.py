@@ -84,6 +84,7 @@ HEADLINE = [
     "embedding_centroids",
     "text_url_canonical",
     "curate_strip_boilerplate",
+    "events_funnel",
 ]
 
 

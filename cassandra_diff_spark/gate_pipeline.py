@@ -4466,3 +4466,55 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 
 QUERIES["curate_strip_boilerplate"] = _q_curate_strip_boilerplate
 ORACLES["curate_strip_boilerplate"] = _O_CURATE_STRIP_BOILERPLATE
+
+
+# ---------------------------------------------------------------------------
+# round 6: conversion funnel (chained forward as-of)
+
+
+def _q_events_funnel(spark, sf_dir):
+    """signup -> click -> purchase funnel within 7 days per link: each
+    chain link is ONE forward as-of join (union-window single shuffle,
+    never an inequality join), drop-offs exit the chain immediately.
+    The oracle is the chained LATERAL formulation."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import funnel_steps
+
+    ev = load_events(spark, sf_dir)
+    return funnel_steps(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        step_col="event_type",
+        steps=["signup", "click", "purchase"],
+        within_us=7 * 86_400_000_000,
+        tiebreak="event_id",
+    )
+
+
+_O_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+j2 AS (
+  SELECT s1.user_id, s1.t1, m.t2
+  FROM s1 LEFT JOIN LATERAL (
+    SELECT e.ts AS t2 FROM events e
+    WHERE e.event_type = 'click' AND e.user_id = s1.user_id
+      AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+    ORDER BY e.ts ASC, e.event_id DESC LIMIT 1
+  ) m ON true
+)
+SELECT j2.user_id, j2.t1, j2.t2, m.t3
+FROM j2 LEFT JOIN LATERAL (
+  SELECT e.ts AS t3 FROM events e
+  WHERE e.event_type = 'purchase' AND e.user_id = j2.user_id
+    AND e.ts > j2.t2 AND e.ts <= j2.t2 + INTERVAL 7 DAY
+  ORDER BY e.ts ASC, e.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+QUERIES["events_funnel"] = _q_events_funnel
+ORACLES["events_funnel"] = _O_EVENTS_FUNNEL

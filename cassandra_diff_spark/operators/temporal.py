@@ -696,3 +696,96 @@ def collapse_bursts(
         .filter(F.col("__rn") == 1)
         .drop("__new", "__burst", "__rn")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    on: Sequence[str],
+    *,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    within_us: int,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Ordered-sequence conversion funnel ("signup -> click -> purchase
+    within 7 days"), composed from chained FORWARD as-of joins: per key,
+    take the FIRST ``steps[0]`` event, then for each later step the
+    nearest qualifying event STRICTLY after the previous step's
+    timestamp and within ``within_us`` of it. One output row per key
+    that performed step 0: ``(*on, t1, t2, ..., tN)`` with nulls from
+    the first step not reached onward.
+
+    Scale shape: each chain link is one :func:`asof_join` — the
+    union-window single-shuffle formulation, never an inequality join —
+    and links only process keys still alive in the funnel (drop-offs
+    exit the chain immediately and re-enter the output by union, so a
+    90%-drop-off funnel does almost no work after step 1).
+
+    ``tiebreak`` orders same-timestamp step events (greatest wins),
+    exactly as in :func:`asof_join`.
+    """
+    on = list(on)
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {steps}")
+    t = lambda i: f"t{i + 1}"  # noqa: E731
+
+    cur = (
+        events.filter(F.col(step_col) == steps[0])
+        .groupBy(*on)
+        .agg(F.min(ts_col).alias(t(0)))
+    )
+    done: Optional[DataFrame] = None
+    ts_type = dict(events.dtypes)[ts_col]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(step_col) == s).select(
+            *on,
+            F.col(ts_col),
+            *( [F.col(tiebreak)] if tiebreak else [] ),
+        )
+        matched = asof_join(
+            cur,
+            nxt,
+            on,
+            left_ts=t(i - 1),
+            right_ts=ts_col,
+            right_cols=[],
+            right_tiebreak=tiebreak,
+            direction="forward",
+            strict=True,
+            tolerance_us=int(within_us),
+            prefix="__m_",
+        ).withColumnRenamed(f"__m_{ts_col}", t(i))
+        # keys that never reached step i leave the chain NOW and carry
+        # nulls for every later step
+        dropped = matched.filter(F.col(t(i)).isNull())
+        for j in range(i + 1, len(steps)):
+            dropped = dropped.withColumn(t(j), F.lit(None).cast(ts_type))
+        done = dropped if done is None else done.unionByName(dropped)
+        cur = matched.filter(F.col(t(i)).isNotNull())
+    out = cur if done is None else cur.unionByName(done)
+    return out.select(*on, *[t(i) for i in range(len(steps))])
+
+
+def funnel_summary(funnel: DataFrame, n_steps: int) -> DataFrame:
+    """Step-reach rollup of a :func:`funnel_steps` frame: ``(step,
+    n_keys)`` — one tiny aggregation over the per-key funnel rows."""
+    return funnel.agg(
+        *[
+            F.count(F.col(f"t{i + 1}")).cast("long").alias(f"__n{i}")
+            for i in range(n_steps)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.col(f"__n{i}").alias("n_keys"),
+                    )
+                    for i in range(n_steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

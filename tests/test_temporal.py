@@ -685,3 +685,74 @@ def test_resample_locf_chunked_matches_plain(spark):
         for r in resample_locf(df, ["k"], chunk_us=13 * US, **kw).collect()
     )
     assert chunked == plain and len(plain) > 0
+
+
+class TestFunnel:
+    def test_chain_semantics(self, spark):
+        from datetime import datetime, timedelta
+
+        from cassandra_diff_spark.operators.temporal import (
+            funnel_steps,
+            funnel_summary,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        h = timedelta(hours=1)
+        rows = [
+            # user 1: full conversion
+            (1, t0, "signup", 1),
+            (1, t0 + 1 * h, "click", 2),
+            (1, t0 + 2 * h, "buy", 3),
+            # user 2: clicks BEFORE signup (not forward) -> stops at t1
+            (2, t0 + 5 * h, "signup", 4),
+            (2, t0 + 1 * h, "click", 5),
+            # user 3: click too late (outside window)
+            (3, t0, "signup", 6),
+            (3, t0 + 50 * h, "click", 7),
+            # user 4: same-ts click (strict -> not matched)
+            (4, t0, "signup", 8),
+            (4, t0, "click", 9),
+            # user 5: never signed up -> absent
+            (5, t0, "click", 10),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, event_id long"
+        )
+        f = funnel_steps(
+            ev,
+            ["user_id"],
+            ts_col="ts",
+            step_col="event_type",
+            steps=["signup", "click", "buy"],
+            within_us=24 * 3_600_000_000,
+            tiebreak="event_id",
+        )
+        got = {r.user_id: (r.t1, r.t2, r.t3) for r in f.collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1] == (t0, t0 + 1 * h, t0 + 2 * h)
+        assert got[2] == (t0 + 5 * h, None, None)
+        assert got[3] == (t0, None, None)
+        assert got[4] == (t0, None, None)
+        s = {r.step: r.n_keys for r in funnel_summary(f, 3).collect()}
+        assert s == {1: 4, 2: 1, 3: 1}
+
+    def test_first_step_instance_is_min_ts(self, spark):
+        from datetime import datetime, timedelta
+
+        from cassandra_diff_spark.operators.temporal import funnel_steps
+
+        t0 = datetime(2024, 1, 1)
+        h = timedelta(hours=1)
+        ev = spark.createDataFrame(
+            [
+                (1, t0 + 10 * h, "a", 1),
+                (1, t0, "a", 2),          # earliest signup wins
+                (1, t0 + 1 * h, "b", 3),
+            ],
+            "user_id long, ts timestamp, event_type string, event_id long",
+        )
+        f = funnel_steps(
+            ev, ["user_id"], ts_col="ts", step_col="event_type",
+            steps=["a", "b"], within_us=24 * 3_600_000_000,
+        ).collect()
+        assert f[0].t1 == t0 and f[0].t2 == t0 + 1 * h
