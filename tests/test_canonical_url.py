@@ -74,3 +74,14 @@ def test_two_crawls_one_key(spark):
     )
     keys = df.select(canonical_url(F.col("url")).alias("k")).distinct().count()
     assert keys == 1
+
+
+def test_canonicalization_is_idempotent(spark, urls_df):
+    """canonical(canonical(u)) == canonical(u) — the property that makes
+    the key safe to store and re-derive."""
+    once = urls_df.select(
+        "i", canonical_url(F.col("url")).alias("c1")
+    )
+    twice = once.select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c2 == r.c1, (r.c1, r.c2)
