@@ -85,6 +85,7 @@ HEADLINE = [
     "text_url_canonical",
     "curate_strip_boilerplate",
     "events_funnel",
+    "multimodal_decode_mp3",
 ]
 
 

@@ -4518,3 +4518,56 @@ FROM j2 LEFT JOIN LATERAL (
 
 QUERIES["events_funnel"] = _q_events_funnel
 ORACLES["events_funnel"] = _O_EVENTS_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# round 6: MPEG-audio (mp3) header decode
+
+
+def _q_multimodal_decode_mp3(spark, sf_dir):
+    """MP3 header decode round trip: render genuine MPEG-audio frame
+    headers (MPEG1/MPEG2 x three sample-rate indexes x four channel
+    modes, all derived from doc_id), prefix every fifth with a REAL
+    ID3v2 tag (10-byte header + syncsafe size + padding) so the tag-skip
+    arithmetic is proven, and parse them back with the pure-Python
+    container parser. The oracle recomputes the expected fields from
+    doc_id alone."""
+    from cassandra_diff_spark.operators import multimodal
+
+    k = F.col("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
+    # ID3v2.4 tag: 'ID3' v4 flags 0, syncsafe size = 10, 10 pad bytes
+    id3 = F.lit("494433040000" + "0000000A" + "00" * 10)
+    frame = F.concat(
+        F.lit("FF"),
+        F.when(k % 2 == 0, F.lit("FB")).otherwise(F.lit("F3")),  # V1/V2, L3
+        F.expr("lpad(hex(144 + (doc_id % 3) * 4), 2, '0')"),  # brate 9|sr idx
+        F.expr("lpad(hex((doc_id % 4) * 64), 2, '0')"),       # channel mode
+    )
+    payload = d.select(
+        "doc_id",
+        F.unhex(
+            F.concat(F.when(k % 5 == 0, id3).otherwise(F.lit("")), frame)
+        ).alias("payload"),
+    )
+    return multimodal.decode_headers(payload).select(
+        "doc_id", "format", "sample_rate", "n_channels"
+    )
+
+
+_O_MULTIMODAL_DECODE_MP3 = """
+SELECT doc_id, 'mp3' AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END
+            ELSE
+              CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                   ELSE 16000 END
+            END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT) AS n_channels
+FROM documents
+"""
+
+
+QUERIES["multimodal_decode_mp3"] = _q_multimodal_decode_mp3
+ORACLES["multimodal_decode_mp3"] = _O_MULTIMODAL_DECODE_MP3

@@ -170,6 +170,41 @@ def _parse_header(b: bytes):
         sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
         ch = ((si[12] >> 1) & 0x07) + 1
         return ("flac", None, None, sr, ch, None)
+    # MPEG audio (mp3): optional ID3v2 tag (10-byte header, syncsafe
+    # 28-bit size) then a frame sync 0xFF Ex; version/layer/sample-rate
+    # index/channel mode are bit-packed in header bytes 1-3
+    mp3_i = 0
+    if n >= 10 and b[:3] == b"ID3":
+        mp3_i = 10 + (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+    if (
+        mp3_i + 4 <= n
+        and b[mp3_i] == 0xFF
+        and (b[mp3_i + 1] & 0xE0) == 0xE0
+        and b[:2] != b"\xff\xd8"
+    ):
+        ver = (b[mp3_i + 1] >> 3) & 0x03  # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        layer = (b[mp3_i + 1] >> 1) & 0x03  # 0 reserved
+        sr_idx = (b[mp3_i + 2] >> 2) & 0x03
+        if ver != 1 and layer != 0 and sr_idx != 3:
+            rates = {
+                3: (44100, 48000, 32000),
+                2: (22050, 24000, 16000),
+                0: (11025, 12000, 8000),
+            }[ver]
+            mode = (b[mp3_i + 3] >> 6) & 0x03
+            return (
+                "mp3",
+                None,
+                None,
+                rates[sr_idx],
+                1 if mode == 3 else 2,
+                None,
+            )
     if n >= 12 and b[4:8] == b"ftyp":
         # ISO-BMFF (mp4/mov/m4a): walk top-level boxes to moov, then its
         # children to mvhd (version 0: u32 timescale at box+20, u32
