@@ -4571,3 +4571,33 @@ FROM documents
 
 QUERIES["multimodal_decode_mp3"] = _q_multimodal_decode_mp3
 ORACLES["multimodal_decode_mp3"] = _O_MULTIMODAL_DECODE_MP3
+
+
+def _q_embedding_centroids_incremental(spark, sf_dir):
+    """Incremental centroid maintenance: history (vec_id % 2 == 0)
+    persists only its kilobyte centroid table; the new batch folds in by
+    integer addition — exactly the one-shot rebuild, history never
+    re-read. Same oracle as embedding_centroids."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.operators.embeddings import (
+        embedding_centroids,
+        fold_centroids,
+    )
+
+    e = _embs(spark, sf_dir)
+    stage = f"/tmp/cds_gate_centroids_{pathlib.Path(sf_dir).name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    embedding_centroids(
+        e.filter(F.col("vec_id") % 2 == 0), "embedding", dim=64, by=["label"]
+    ).write.parquet(stage)
+    hist = spark.read.parquet(stage)
+    batch = embedding_centroids(
+        e.filter(F.col("vec_id") % 2 == 1), "embedding", dim=64, by=["label"]
+    )
+    return fold_centroids(hist, batch, by=["label"])
+
+
+QUERIES["embedding_centroids_incremental"] = _q_embedding_centroids_incremental
+ORACLES["embedding_centroids_incremental"] = _O_EMBEDDING_CENTROIDS

@@ -113,3 +113,35 @@ def centroid_shift(
         F.max("n_cur").alias("n_cur"),
         F.max("n_ref").alias("n_ref"),
     )
+
+
+def fold_centroids(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fold two centroid frames (long form) into one — incremental
+    centroid maintenance: integer component sums and counts are
+    ADDITIVE, so folding a new batch's centroids into the persisted
+    table equals rebuilding over the union exactly, without re-reading
+    history. Output schema == :func:`embedding_centroids`."""
+    by = list(by) if by else []
+    cols = by + ["dim", "sum_q", "n"]
+    u = a.select(*cols).unionByName(b.select(*cols))
+    from cassandra_diff_spark.functions.vectors import QUANT
+
+    return (
+        u.groupBy(*by, "dim")
+        .agg(F.sum("sum_q").alias("sum_q"), F.sum("n").alias("n"))
+        .select(
+            *by,
+            "dim",
+            F.col("sum_q").cast("long").alias("sum_q"),
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(QUANT)))
+            ).alias("mean"),
+        )
+    )

@@ -85,3 +85,18 @@ class TestCentroidShift:
         )
         out = embedding_centroids(df, "embedding", dim=4).collect()
         assert all(r.n == 1 for r in out)  # the short vector is excluded
+
+
+def test_fold_centroids_equals_rebuild(spark, vecs):
+    from cassandra_diff_spark.operators.embeddings import fold_centroids
+
+    h = vecs.filter(F.col("id") <= 2)
+    b = vecs.filter(F.col("id") > 2)
+    folded = fold_centroids(
+        embedding_centroids(h, "embedding", dim=DIM, by=["grp"]),
+        embedding_centroids(b, "embedding", dim=DIM, by=["grp"]),
+        by=["grp"],
+    )
+    once = embedding_centroids(vecs, "embedding", dim=DIM, by=["grp"])
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(folded) == key(once)
