@@ -86,6 +86,7 @@ HEADLINE = [
     "curate_strip_boilerplate",
     "events_funnel",
     "multimodal_decode_mp3",
+    "ann_pq_topk",
 ]
 
 

@@ -4601,3 +4601,82 @@ def _q_embedding_centroids_incremental(spark, sf_dir):
 
 QUERIES["embedding_centroids_incremental"] = _q_embedding_centroids_incremental
 ORACLES["embedding_centroids_incremental"] = _O_EMBEDDING_CENTROIDS
+
+
+# ---------------------------------------------------------------------------
+# round 6: product-quantization ANN (ADC shortlist + exact rerank)
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """PQ serving pipeline end to end: deterministic per-subspace
+    codebook training -> byte-code encode (32x smaller than the float
+    vectors) -> asymmetric-distance scan (lookup-table adds, no float
+    vector touched) -> top-64 shortlist -> EXACT integer-cosine rerank
+    of only the shortlist. Queries are PLANTED perturbed copies of
+    corpus vectors (the near-neighbor regime ANN serves; far-neighbor
+    ranking on random synthetic data is information-free) and the
+    reranked top-1 equals the brute-force answer, so the gate shares
+    the exact brute-force SQL formulation — the approximate stage is
+    held to the exact standard, not a rows-only check."""
+    from cassandra_diff_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    books = pq_train(
+        embs, "vec_id", "embedding", dim=64, m=8, n_codes=16, sample_mod=1
+    )
+    enc = pq_encode(embs, "vec_id", "embedding", books, dim=64)
+    return pq_topk(
+        enc,
+        queries,
+        "vec_id",
+        "embedding",
+        books,
+        k=1,
+        shortlist=64,
+        corpus=embs,
+    )
+
+
+_O_ANN_PQ_TOPK = f"""
+WITH {_QVEC_CTE.strip()},
+qs AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [CAST(ROUND((CAST(x AS DOUBLE) + 0.001) * 1000) AS BIGINT)
+          for x in embedding] AS qq
+  FROM embeddings WHERE vec_id < 25
+),
+qn AS (
+  SELECT vec_id,  qq,
+         CAST(list_sum([qq[i] * qq[i] for i in range(1, len(qq) + 1)])
+              AS BIGINT) AS nn
+  FROM qs
+),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM qn q JOIN n0 c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM sc
+)
+WHERE rnk = 1
+"""
+
+
+QUERIES["ann_pq_topk"] = _q_ann_pq_topk
+ORACLES["ann_pq_topk"] = _O_ANN_PQ_TOPK

@@ -763,3 +763,252 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------- product quantization
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_mod: int = 4,
+    max_sample: int = 200_000,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Train product-quantization codebooks: the vector space splits
+    into ``m`` subspaces of ``dim/m`` components; each learns
+    ``n_codes`` centroids by Lloyd k-means over a deterministic
+    hash-mod sample (id-ordered initialization, fixed iteration count —
+    byte-identical retrains). Returns a ``(m, n_codes, dim/m)`` float64
+    codebook array — a few hundred KB the driver holds and broadcasts.
+
+    Sampling is LIMIT-capped at ``max_sample`` rows: training never
+    pulls more than the cap to the driver regardless of corpus size
+    (raise ``sample_mod`` for bigger corpora — ~100k training rows is
+    the standard PQ recipe).
+
+    Why PQ at 100 TB: an encoded vector is ``m`` bytes instead of
+    ``4 * dim`` — 32x smaller at dim=64/m=8 — so the serving scan
+    becomes memory-bandwidth-bound over codes, and a corpus that
+    needed a cluster to hold float vectors fits a handful of machines.
+    """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    rows = (
+        _prep(corpus, id_col, vec_col, "c_")
+        .filter(md5_hash64(F.col("c_id").cast("string")) % sample_mod == 0)
+        .select("c_id", "c_q")
+        .limit(int(max_sample))
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"sample of {len(rows)} rows cannot train {n_codes} codes; "
+            f"lower sample_mod or n_codes"
+        )
+    rows.sort(key=lambda r: r.c_id)
+    x = np.array([r.c_q for r in rows], dtype=np.float64)  # exact ints
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: the first n_codes DISTINCT sub-vectors in
+        # id order (duplicate-heavy samples would otherwise seed
+        # coincident centroids that can never separate)
+        _, first_idx = np.unique(sub, axis=0, return_index=True)
+        first_idx.sort()
+        if len(first_idx) < n_codes:
+            raise ValueError(
+                f"subspace {s} has only {len(first_idx)} distinct "
+                f"sub-vectors; lower n_codes"
+            )
+        cent = sub[first_idx[:n_codes]].copy()
+        for _ in range(int(max_iter)):
+            d2 = (
+                (cent * cent).sum(1)[None, :] - 2.0 * (sub @ cent.T)
+            )  # + |x|^2 constant dropped
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+                # empty cluster: keep the previous centroid (deterministic)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    *,
+    dim: int,
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ordinals: ``(id, codes
+    array<int>, recon_n double)`` where ``recon_n`` is the squared norm
+    of the RECONSTRUCTED vector (the per-subspace centroid norms summed)
+    — precomputed here so query-time cosine needs only lookup-table
+    adds. One map-only Arrow pass; the codebook broadcasts by value."""
+    m, n_codes, dsub = codebooks.shape
+    if m * dsub != dim:
+        raise ValueError(f"codebooks {codebooks.shape} do not cover dim={dim}")
+    vec_matrix = _make_vec_matrix_fn(dim)
+    books = codebooks
+    bnorm = (books * books).sum(2)  # (m, n_codes)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.table(batch)
+            xs = vec_matrix(tbl.column("__q").combine_chunks())
+            n = len(xs)
+            codes = np.empty((n, m), dtype=np.int64)
+            rn = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                sub = xs[:, s * dsub : (s + 1) * dsub]
+                d2 = bnorm[s][None, :] - 2.0 * (sub @ books[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+                rn += bnorm[s][codes[:, s]]
+            yield pa.record_batch(
+                {
+                    "id": tbl.column("id").combine_chunks(),
+                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
+                    "recon_n": pa.array(rn),
+                }
+            )
+
+    src = _prep(corpus, id_col, vec_col, "c_").select(
+        F.col("c_id").alias("id"), F.col("c_q").alias("__q")
+    )
+    return src.mapInArrow(
+        encode, "id long, codes array<int>, recon_n double"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    *,
+    k: int = 5,
+    shortlist: int = 0,
+    corpus: DataFrame = None,
+) -> DataFrame:
+    """ANN over PQ codes by asymmetric distance (ADC): each query builds
+    an ``(m, n_codes)`` lookup table of exact partial dot products
+    against the codebooks, and every corpus row scores as ``m`` table
+    adds over its byte codes — the scan never touches a float vector.
+    Ranking is approximate cosine: LUT dot / (|q| * sqrt(recon_n)).
+
+    With ``shortlist > k`` and the original ``corpus`` frame, the ADC
+    top-``shortlist`` per query is re-scored EXACTLY (integer cosine on
+    the true vectors — only shortlist x |queries| vectors are read) and
+    the final top-``k`` returned: the standard PQ serving pipeline,
+    recovering brute-force recall at code-scan cost.
+
+    Output: (query_id, neighbor_id, rank).
+    """
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    spark = codes.sparkSession
+    q_rows = (
+        _prep(queries, id_col, vec_col, "q_")
+        .select("q_id", "q_q", "q_n")
+        .collect()
+    )
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    # (n_queries, m, n_codes) exact partial dots
+    luts = np.stack(
+        [
+            q_mat[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    b_luts = spark.sparkContext.broadcast(luts)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qn = spark.sparkContext.broadcast(q_norm)
+    n_short = max(int(shortlist), int(k))
+
+    def scan(batches):
+        luts_, qids, qn = b_luts.value, b_qids.value, b_qn.value
+        for pdf in batches:
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            rn = np.sqrt(np.maximum(pdf["recon_n"].to_numpy(), 1e-12))
+            out = []
+            for qi in range(len(qids)):
+                lut = luts_[qi]  # (m, n_codes)
+                dots = lut[np.arange(m)[:, None], cmat.T].sum(0)
+                cos = dots / (qn[qi] * rn)
+                mask = c_ids != qids[qi]
+                cand = np.where(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.lexsort((c_ids[cand], -cos[cand]))][:n_short]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": c_ids[top],
+                            "adc_cos": cos[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_short)
+        .drop("__rn")
+    )
+    if shortlist and corpus is not None:
+        c = _prep(corpus, id_col, vec_col, "c_")
+        q = _prep(queries, id_col, vec_col, "q_")
+        exact = (
+            short.join(c, short["neighbor_id"] == c["c_id"])
+            .join(q, short["query_id"] == q["q_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_from_int(
+                    int_dot(F.col("c_q"), F.col("q_q")),
+                    F.col("c_n"),
+                    F.col("q_n"),
+                ).alias("cos"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(w3).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,92 @@
+"""Product quantization ANN (operators/similarity.py pq_*)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.similarity import (
+    brute_force_topk_pandas,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, embs):
+    # perturbed copies of corpus vectors: planted ground truth
+    return embs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.001)
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def books(embs):
+    return pq_train(
+        embs, "vec_id", "embedding", dim=DIM, m=8, n_codes=16, sample_mod=1
+    )
+
+
+class TestPQ:
+    def test_train_shape_and_determinism(self, embs, books):
+        assert books.shape == (8, 16, 8)
+        again = pq_train(
+            embs, "vec_id", "embedding", dim=DIM, m=8, n_codes=16, sample_mod=1
+        )
+        assert np.array_equal(books, again)
+
+    def test_encode_codes_in_range(self, spark, embs, books):
+        enc = pq_encode(embs, "vec_id", "embedding", books, dim=DIM)
+        rows = enc.collect()
+        assert len(rows) == embs.count()
+        for r in rows[:50]:
+            assert len(r.codes) == 8
+            assert all(0 <= c < 16 for c in r.codes)
+            assert r.recon_n > 0
+
+    def test_rerank_recovers_brute_force(self, spark, embs, queries, books):
+        """ADC shortlist + exact rerank must equal brute force at
+        rank 1 for planted near-duplicate queries."""
+        enc = pq_encode(embs, "vec_id", "embedding", books, dim=DIM)
+        got = pq_topk(
+            enc,
+            queries,
+            "vec_id",
+            "embedding",
+            books,
+            k=1,
+            shortlist=50,
+            corpus=embs,
+        )
+        hits = got.filter(
+            (F.col("rank") == 1)
+            & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        ).count()
+        assert hits == queries.count()
+        brute = brute_force_topk_pandas(
+            embs, queries, "vec_id", "embedding", k=1
+        )
+        key = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.filter(F.col("rank") == 1).collect()
+        )
+        assert key(got) == key(brute)
+
+    def test_adc_only_mode_runs(self, spark, embs, queries, books):
+        enc = pq_encode(embs, "vec_id", "embedding", books, dim=DIM)
+        got = pq_topk(enc, queries, "vec_id", "embedding", books, k=3)
+        per_q = got.groupBy("query_id").count().collect()
+        assert all(r["count"] == 3 for r in per_q)
+
+    def test_validation(self, embs):
+        with pytest.raises(ValueError, match="divide"):
+            pq_train(embs, "vec_id", "embedding", dim=DIM, m=7)
