@@ -294,6 +294,39 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["asof_chunked_sec"] = round(time.time() - t0, 2)
     out["asof_plans_agree"] = bool(plain_sum == chunked_sum)
 
+    # --------------------------------------------- product quantization
+    # 8-byte codes for 64-dim vectors (32x smaller than float32): train
+    # on a capped hash-mod sample, encode the full corpus map-only, then
+    # ADC-scan + exact-rerank the planted queries. The probe records
+    # encode throughput and whether rerank recovers recall@1 = 1.0.
+    from cassandra_diff_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    t0 = time.time()
+    books = pq_train(
+        corpus, "vec_id", "embedding", dim=DIM, m=8, n_codes=256,
+        sample_mod=max(1, n // 100_000),
+    )
+    out["pq_train_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pq_encode(corpus, "vec_id", "embedding", books, dim=DIM).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/pq_codes.parquet")
+    codes = spark.read.parquet(f"{work}/pq_codes.parquet")
+    out["pq_encode_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pq = pq_topk(
+        codes, queries, "vec_id", "embedding", books,
+        k=1, shortlist=64, corpus=corpus,
+    )
+    out["pq_recall_at_1"] = recall_at_1(
+        pq.withColumnRenamed("rank", "rank")
+    )
+    out["pq_query_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------ fuzzy linkage probe
     # n synthetic structured records ("rec" + 9 digits + "-" + 8 hash hex
     # chars), 10k planted single-char typos split between the digit and
