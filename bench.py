@@ -87,6 +87,7 @@ HEADLINE = [
     "events_funnel",
     "multimodal_decode_mp3",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -4680,3 +4680,40 @@ WHERE rnk = 1
 
 QUERIES["ann_pq_topk"] = _q_ann_pq_topk
 ORACLES["ann_pq_topk"] = _O_ANN_PQ_TOPK
+
+
+def _q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ — coarse inverted lists AND byte codes together (the
+    production ANN layout): the query ADC-scans only its n_probe lists'
+    codes (scan fraction and bytes-per-row shrink multiply; the
+    probed-list union prunes the scan in-plan), then the exact rerank
+    recovers the brute-force top-1 on the planted near-dup queries —
+    same exact SQL oracle as ann_pq_topk."""
+    from cassandra_diff_spark.operators.similarity import ivf_pq_topk, pq_train
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    books = pq_train(
+        embs, "vec_id", "embedding", dim=64, m=8, n_codes=16, sample_mod=1
+    )
+    return ivf_pq_topk(
+        embs,
+        queries,
+        "vec_id",
+        "embedding",
+        books,
+        dim=64,
+        k=1,
+        centroid_mod=16,
+        n_probe=4,
+        shortlist=64,
+    )
+
+
+QUERIES["ann_ivf_pq_topk"] = _q_ann_ivf_pq_topk
+ORACLES["ann_ivf_pq_topk"] = _O_ANN_PQ_TOPK

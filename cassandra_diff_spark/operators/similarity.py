@@ -1028,3 +1028,163 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    *,
+    dim: int,
+    k: int = 5,
+    centroid_mod: int = 32,
+    n_probe: int = 4,
+    max_centroids: int = 65536,
+    shortlist: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the production ANN layout (FAISS's default at scale):
+    the corpus partitions into inverted lists by nearest coarse
+    centroid AND stores only PQ byte codes; a query (a) picks its
+    ``n_probe`` nearest lists, (b) ADC-scans ONLY those lists' codes
+    (lookup-table adds over ``|corpus| * n_probe / n_lists`` rows — the
+    scan fraction and the bytes-per-row shrink multiply), and (c) the
+    exact integer-cosine rerank of the ``shortlist`` reads true vectors
+    for just shortlist x |queries| rows.
+
+    Coarse centroids are the same deterministic hash-mod sample as
+    :func:`ivf_topk`; codebooks come from :func:`pq_train`. The probed
+    list-id sets ride into the scan kernel per query, so a code row is
+    scored only for queries probing its list — no per-query filter
+    jobs, one pass over the (already pruned) union of probed lists.
+    """
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    spark = corpus.sparkSession
+    c = _prep(corpus, id_col, vec_col, "c_")
+    cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
+
+    # corpus side: ONE Arrow pass computes both the coarse list id and
+    # the PQ codes (shares the quantized matrix)
+    vec_matrix = _make_vec_matrix_fn(dim)
+    assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
+    books = codebooks
+    bnorm = (books * books).sum(2)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        buf = None
+        for batch in batches:
+            tbl = pa.table(batch)
+            xs = vec_matrix(tbl.column("__q").combine_chunks())
+            if buf is None or len(xs) > 0:
+                buf = scratch(len(xs))
+            cent_ids = assign(xs, buf)[:, 0]
+            n = len(xs)
+            codes = np.empty((n, m), dtype=np.int64)
+            rn = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                sub = xs[:, s * dsub : (s + 1) * dsub]
+                d2 = bnorm[s][None, :] - 2.0 * (sub @ books[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+                rn += bnorm[s][codes[:, s]]
+            yield pa.record_batch(
+                {
+                    "id": tbl.column("id").combine_chunks(),
+                    "cent_id": pa.array(cent_ids),
+                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
+                    "recon_n": pa.array(rn),
+                }
+            )
+
+    codes_df = c.select(
+        F.col("c_id").alias("id"), F.col("c_q").alias("__q")
+    ).mapInArrow(encode, "id long, cent_id long, codes array<int>, recon_n double")
+
+    # query side: driver-held LUTs + probed list sets
+    q_rows = (
+        _prep(queries, id_col, vec_col, "q_")
+        .select("q_id", "q_q", "q_n")
+        .collect()
+    )
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    qassign, qscratch = _make_assign_fn(
+        cent_mat, cent_n, min(n_probe, len(cent_n))
+    )
+    probed = qassign(q_mat, qscratch(len(q_mat)))  # (n_queries, n_probe)
+    luts = np.stack(
+        [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    b = spark.sparkContext.broadcast((q_ids, q_norm, probed, luts))
+    # prune the scan to the UNION of probed lists before it even runs
+    all_probed = sorted({int(x) for x in probed.ravel()})
+    pruned = codes_df.filter(F.col("cent_id").isin(all_probed))
+    n_short = max(int(shortlist), int(k))
+
+    def scan(batches):
+        qids, qn, probed_, luts_ = b.value
+        for pdf in batches:
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            cents = pdf["cent_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)
+            rn = np.sqrt(np.maximum(pdf["recon_n"].to_numpy(), 1e-12))
+            out = []
+            for qi in range(len(qids)):
+                in_list = np.isin(cents, probed_[qi])
+                in_list &= c_ids != qids[qi]
+                cand = np.where(in_list)[0]
+                if not len(cand):
+                    continue
+                lut = luts_[qi]
+                dots = lut[np.arange(m)[:, None], cmat[cand].T].sum(0)
+                cos = dots / (qn[qi] * rn[cand])
+                top = np.lexsort((c_ids[cand], -cos))[:n_short]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": c_ids[cand[top]],
+                            "adc_cos": cos[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = pruned.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_short)
+        .drop("__rn", "adc_cos")
+    )
+    q = _prep(queries, id_col, vec_col, "q_")
+    exact = (
+        short.join(c, short["neighbor_id"] == c["c_id"])
+        .join(F.broadcast(q), short["query_id"] == q["q_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_int(
+                int_dot(F.col("c_q"), F.col("q_q")), F.col("c_n"), F.col("q_n")
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

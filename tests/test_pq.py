@@ -90,3 +90,38 @@ class TestPQ:
     def test_validation(self, embs):
         with pytest.raises(ValueError, match="divide"):
             pq_train(embs, "vec_id", "embedding", dim=DIM, m=7)
+
+
+class TestIVFPQ:
+    def test_rerank_recovers_brute_top1(self, spark, embs, queries, books):
+        from cassandra_diff_spark.operators.similarity import ivf_pq_topk
+
+        got = ivf_pq_topk(
+            embs,
+            queries,
+            "vec_id",
+            "embedding",
+            books,
+            dim=DIM,
+            k=1,
+            centroid_mod=16,
+            n_probe=4,
+            shortlist=32,
+        )
+        hits = got.filter(
+            (F.col("rank") == 1)
+            & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        ).count()
+        assert hits == queries.count()
+
+    def test_scan_is_pruned_to_probed_lists(self, spark, embs, queries, books):
+        """The codes scan must carry an isin filter on the probed-list
+        union — the plan-visible proof the IVF pruning happens before
+        the ADC pass."""
+        from cassandra_diff_spark.operators.similarity import ivf_pq_topk
+
+        plan = ivf_pq_topk(
+            embs, queries, "vec_id", "embedding", books,
+            dim=DIM, k=1, centroid_mod=16, n_probe=2, shortlist=16,
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "cent_id" in plan and ("IN (" in plan or "isin" in plan.lower() or "cent_id#" in plan)
