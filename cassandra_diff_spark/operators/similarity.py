@@ -767,6 +767,37 @@ def brute_force_topk_pandas(
 
 # --------------------------------------------------- product quantization
 
+def _make_quantized_matrix_fn(dim: int):
+    """Arrow list<long> -> (batch x dim) float64 matrix for columns that
+    are ALREADY quantized (``_prep``'s ``c_q``): reshape only, NO
+    re-scaling — running :func:`_make_vec_matrix_fn` on a quantized
+    column multiplies by QUANT a second time, which silently changes
+    every centroid/codebook assignment (the bug the IVF-PQ recall probe
+    caught: corpus lists from 1000x-scaled vectors, query probes from
+    true-scale ones — planted pairs split across lists). Closure for
+    cloudpickle, same null/ragged contract as the raw-vector kernel."""
+
+    def mat(emb_array) -> "np.ndarray":
+        if emb_array.null_count:
+            raise ValueError(
+                "null embedding vectors cannot be indexed - filter them "
+                "out before building the index"
+            )
+        flat = emb_array.flatten()
+        if len(flat) != len(emb_array) * dim:
+            raise ValueError(
+                f"ragged embedding column: expected uniform dim={dim}, "
+                f"got {len(flat)} values for {len(emb_array)} rows"
+            )
+        return (
+            flat.to_numpy(zero_copy_only=False)
+            .reshape(len(emb_array), dim)
+            .astype(np.float64)
+        )
+
+    return mat
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str,
@@ -873,7 +904,7 @@ def pq_encode(
     m, n_codes, dsub = codebooks.shape
     if m * dsub != dim:
         raise ValueError(f"codebooks {codebooks.shape} do not cover dim={dim}")
-    vec_matrix = _make_vec_matrix_fn(dim)
+    vec_matrix = _make_quantized_matrix_fn(dim)
     books = codebooks
     bnorm = (books * books).sum(2)  # (m, n_codes)
 
@@ -1068,7 +1099,7 @@ def ivf_pq_topk(
 
     # corpus side: ONE Arrow pass computes both the coarse list id and
     # the PQ codes (shares the quantized matrix)
-    vec_matrix = _make_vec_matrix_fn(dim)
+    vec_matrix = _make_quantized_matrix_fn(dim)
     assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
     books = codebooks
     bnorm = (books * books).sum(2)

@@ -327,6 +327,19 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["pq_query_sec"] = round(time.time() - t0, 2)
 
+    # IVF-PQ: same codes, but the query scans only its n_probe coarse
+    # lists — the scan fraction and the byte shrink multiply
+    from cassandra_diff_spark.operators.similarity import ivf_pq_topk
+
+    t0 = time.time()
+    ivfpq = ivf_pq_topk(
+        corpus, queries, "vec_id", "embedding", books,
+        dim=DIM, k=1, centroid_mod=max(2, int(n ** 0.5)),
+        n_probe=8, shortlist=64,
+    )
+    out["ivf_pq_recall_at_1"] = recall_at_1(ivfpq)
+    out["ivf_pq_sec"] = round(time.time() - t0, 2)
+
     # ------------------------------------------------ fuzzy linkage probe
     # n synthetic structured records ("rec" + 9 digits + "-" + 8 hash hex
     # chars), 10k planted single-char typos split between the digit and
