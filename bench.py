@@ -88,6 +88,7 @@ HEADLINE = [
     "multimodal_decode_mp3",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "events_hop_counts",
 ]
 
 

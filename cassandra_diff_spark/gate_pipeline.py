@@ -4717,3 +4717,49 @@ def _q_ann_ivf_pq_topk(spark, sf_dir):
 
 QUERIES["ann_ivf_pq_topk"] = _q_ann_ivf_pq_topk
 ORACLES["ann_ivf_pq_topk"] = _O_ANN_PQ_TOPK
+
+
+# ---------------------------------------------------------------------------
+# round 6: hop (sliding) window aggregation
+
+
+def _q_events_hop_counts(spark, sf_dir):
+    """Sliding-window counts (1-hour windows every 30 minutes): Spark's
+    native F.window(slideDuration=...) — each event lands in exactly 2
+    windows; the oracle derives both window starts with integer epoch
+    arithmetic (floor to the slide grid, minus one slide). Window starts
+    surface as epoch-microsecond BIGINTs so the compare is
+    timezone-free."""
+    from cassandra_diff_spark.gate import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+_O_EVENTS_HOP_COUNTS = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tu FROM events
+),
+w AS (
+  SELECT event_type,
+         unnest([(tu // 1800000000) * 1800000000,
+                 (tu // 1800000000) * 1800000000 - 1800000000]) AS ws_us
+  FROM e
+)
+SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY ws_us, event_type
+"""
+
+
+QUERIES["events_hop_counts"] = _q_events_hop_counts
+ORACLES["events_hop_counts"] = _O_EVENTS_HOP_COUNTS
