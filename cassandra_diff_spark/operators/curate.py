@@ -779,7 +779,10 @@ def strip_boilerplate_lines(
     ``(doc_id, text, n_lines, n_dropped)``.
 
     Blank lines never count as boilerplate (they carry structure, and
-    dropping them would mangle every document).
+    dropping them would mangle every document). NULL-text documents
+    produce no lines and are absent from the output (same contract as
+    the clean_corpus fingerprint path — ``coalesce(text, '')`` upstream
+    to keep them as empty documents).
 
     Shape at scale: lines explode once; the document-frequency
     aggregation ships (hash, id) pairs — never text; the hot set is
