@@ -4763,3 +4763,47 @@ FROM w GROUP BY ws_us, event_type
 
 QUERIES["events_hop_counts"] = _q_events_hop_counts
 ORACLES["events_hop_counts"] = _O_EVENTS_HOP_COUNTS
+
+
+def _q_events_hop_counts_stream(spark, sf_dir):
+    """Streaming twin of events_hop_counts: the sliding-window count
+    aggregation runs COMPLETE-mode over file micro-batches (state = the
+    live window set; counts are order-independent so the drain is
+    batching-deterministic) — same integer epoch-grid oracle as the
+    batch gate."""
+    import shutil
+
+    from cassandra_diff_spark.gate import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "ts")
+    stage = "/tmp/cds_gate_stream_hop"
+    shutil.rmtree(stage, ignore_errors=True)
+    ev.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cds_stream_hop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("cds_stream_hop").select(
+        F.unix_micros(F.col("w.start")).alias("ws_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+QUERIES["events_hop_counts_stream"] = _q_events_hop_counts_stream
+ORACLES["events_hop_counts_stream"] = _O_EVENTS_HOP_COUNTS
