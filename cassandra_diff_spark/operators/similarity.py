@@ -1061,6 +1061,61 @@ def pq_topk(
     )
 
 
+def ivf_pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    *,
+    dim: int,
+    centroid_mod: int = 32,
+    max_centroids: int = 65536,
+) -> DataFrame:
+    """The persistable IVF-PQ index: ``(id, cent_id, codes, recon_n)``
+    — coarse list id + PQ byte codes + reconstructed norm, ONE Arrow
+    pass over the corpus. Build once, write to parquet, and pass back
+    to :func:`ivf_pq_topk` via ``codes=``: the encode is the dominant
+    per-call cost and a pure function of (corpus, codebooks,
+    centroid_mod), so it amortizes across every query batch exactly
+    like the LSH/IVF persisted indexes."""
+    m, n_codes, dsub = codebooks.shape
+    c = _prep(corpus, id_col, vec_col, "c_")
+    cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
+    vec_matrix = _make_quantized_matrix_fn(dim)
+    assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
+    books = codebooks
+    bnorm = (books * books).sum(2)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.table(batch)
+            xs = vec_matrix(tbl.column("__q").combine_chunks())
+            buf = scratch(len(xs))
+            cent_ids = assign(xs, buf)[:, 0]
+            n = len(xs)
+            codes = np.empty((n, m), dtype=np.int64)
+            rn = np.zeros(n, dtype=np.float64)
+            for s_ in range(m):
+                sub = xs[:, s_ * dsub : (s_ + 1) * dsub]
+                d2 = bnorm[s_][None, :] - 2.0 * (sub @ books[s_].T)
+                codes[:, s_] = np.argmin(d2, axis=1)
+                rn += bnorm[s_][codes[:, s_]]
+            yield pa.record_batch(
+                {
+                    "id": tbl.column("id").combine_chunks(),
+                    "cent_id": pa.array(cent_ids),
+                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
+                    "recon_n": pa.array(rn),
+                }
+            )
+
+    return c.select(
+        F.col("c_id").alias("id"), F.col("c_q").alias("__q")
+    ).mapInArrow(encode, "id long, cent_id long, codes array<int>, recon_n double")
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1074,6 +1129,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     max_centroids: int = 65536,
     shortlist: int = 64,
+    codes: DataFrame = None,
 ) -> DataFrame:
     """IVF-PQ — the production ANN layout (FAISS's default at scale):
     the corpus partitions into inverted lists by nearest coarse
@@ -1097,43 +1153,22 @@ def ivf_pq_topk(
     c = _prep(corpus, id_col, vec_col, "c_")
     cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
 
-    # corpus side: ONE Arrow pass computes both the coarse list id and
-    # the PQ codes (shares the quantized matrix)
-    vec_matrix = _make_quantized_matrix_fn(dim)
-    assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
+    # ``codes``: a persisted :func:`ivf_pq_encode` frame (same codebooks
+    # + centroid_mod) — build once, query many: the encode pass is the
+    # dominant per-call cost and a pure function of the corpus.
+    if codes is not None:
+        codes_df = codes
+    else:
+        codes_df = ivf_pq_encode(
+            corpus,
+            id_col,
+            vec_col,
+            codebooks,
+            dim=dim,
+            centroid_mod=centroid_mod,
+            max_centroids=max_centroids,
+        )
     books = codebooks
-    bnorm = (books * books).sum(2)
-
-    def encode(batches):
-        import pyarrow as pa
-
-        buf = None
-        for batch in batches:
-            tbl = pa.table(batch)
-            xs = vec_matrix(tbl.column("__q").combine_chunks())
-            if buf is None or len(xs) > 0:
-                buf = scratch(len(xs))
-            cent_ids = assign(xs, buf)[:, 0]
-            n = len(xs)
-            codes = np.empty((n, m), dtype=np.int64)
-            rn = np.zeros(n, dtype=np.float64)
-            for s in range(m):
-                sub = xs[:, s * dsub : (s + 1) * dsub]
-                d2 = bnorm[s][None, :] - 2.0 * (sub @ books[s].T)
-                codes[:, s] = np.argmin(d2, axis=1)
-                rn += bnorm[s][codes[:, s]]
-            yield pa.record_batch(
-                {
-                    "id": tbl.column("id").combine_chunks(),
-                    "cent_id": pa.array(cent_ids),
-                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
-                    "recon_n": pa.array(rn),
-                }
-            )
-
-    codes_df = c.select(
-        F.col("c_id").alias("id"), F.col("c_q").alias("__q")
-    ).mapInArrow(encode, "id long, cent_id long, codes array<int>, recon_n double")
 
     # query side: driver-held LUTs + probed list sets
     q_rows = (

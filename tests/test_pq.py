@@ -125,3 +125,28 @@ class TestIVFPQ:
             dim=DIM, k=1, centroid_mod=16, n_probe=2, shortlist=16,
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "cent_id" in plan and ("IN (" in plan or "isin" in plan.lower() or "cent_id#" in plan)
+
+
+def test_ivf_pq_prebuilt_codes_equal_inline(spark, embs, queries, books, tmp_path):
+    """A persisted ivf_pq_encode frame passed via codes= must give the
+    same answer as the inline encode — the build-once/query-many path."""
+    from cassandra_diff_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+    )
+
+    p = str(tmp_path / "ivfpq_codes")
+    ivf_pq_encode(
+        embs, "vec_id", "embedding", books, dim=DIM, centroid_mod=16
+    ).write.parquet(p)
+    prebuilt = ivf_pq_topk(
+        embs, queries, "vec_id", "embedding", books,
+        dim=DIM, k=1, centroid_mod=16, n_probe=4, shortlist=32,
+        codes=spark.read.parquet(p),
+    )
+    inline = ivf_pq_topk(
+        embs, queries, "vec_id", "embedding", books,
+        dim=DIM, k=1, centroid_mod=16, n_probe=4, shortlist=32,
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(prebuilt) == key(inline)
