@@ -866,6 +866,9 @@ def stream_check_rules(
     rules = list(rules)
     if not rules:
         raise ValueError("empty rule set")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
     bad = [r.name for r in rules if r.kind not in _ROW_LOCAL]
     if bad:
         raise ValueError(
