@@ -813,3 +813,95 @@ def test_stream_check_rules_rejects_non_row_local(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="row-local"):
         stream_check_rules(stream, [V.unique("o_orderkey")], name="t_x")
+
+
+def test_stream_asof_forward_tolerates_disorder_within_delay(
+    spark, sf_dir, tmp_path
+):
+    """The forward operator's correctness mechanism is the WATERMARK,
+    not arrival order: slices arriving out of order — each at most one
+    slice-width late, within the watermark delay — must drain to the
+    same answer as ordered arrival and as the batch operator."""
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import asof_join
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_asof_join_forward,
+    )
+
+    tol = 2 * 86_400_000_000  # 2 days
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    n_slices = 8
+    step = (hi - lo) / n_slices
+    bounds = [lo + step * i for i in range(n_slices)] + [
+        hi + timedelta(seconds=1)
+    ]
+
+    import glob
+    import os
+
+    # stage slices, then stamp mtimes in a PAIR-SWAPPED order:
+    # 1,0,3,2,5,4,... — every slice arrives at most one slice-width
+    # late, and the watermark delay (2 slice widths) absorbs it
+    ldir, rdir = str(tmp_path / "lod"), str(tmp_path / "rod")
+    for side, df, d in (("l", clicks, ldir), ("r", purchases, rdir)):
+        for i in range(n_slices):
+            df.filter(
+                (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+            ).coalesce(1).write.mode("append").parquet(d)
+        files = sorted(glob.glob(f"{d}/part-*"), key=os.path.getmtime)
+        # arrival[pos] = which slice index arrives at position pos
+        arrival = [1, 0, 3, 2, 5, 4, 7, 6][:n_slices]
+        for pos, slice_idx in enumerate(arrival):
+            os.utime(
+                files[slice_idx], (1_700_000_000 + pos, 1_700_000_000 + pos)
+            )
+    # heartbeat LAST on the right side
+    hb = spark.createDataFrame(
+        [(-1, hi + timedelta(days=10), -1, 0.0)], purchases.schema
+    )
+    hb.coalesce(1).write.mode("append").parquet(rdir)
+    newest = max(glob.glob(f"{rdir}/part-*"), key=os.path.getmtime)
+    os.utime(newest, (1_700_000_100, 1_700_000_100))
+
+    delay_s = int(2 * step.total_seconds()) + 60
+    got = stream_asof_join_forward(
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir),
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir),
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        tolerance_us=tol,
+        prefix="purchase_",
+        watermark_delay=f"{delay_s} seconds",
+        name="t_stream_asof_fwd_disorder",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    want = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        right_cols=["value"],
+        right_tiebreak="event_id",
+        direction="forward",
+        tolerance_us=tol,
+        prefix="purchase_",
+    ).select("event_id", "user_id", "ts", "value", "purchase_ts", "purchase_value")
+    key = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert key(got) == key(want)
+    assert got.count() > 0
