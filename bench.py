@@ -89,6 +89,8 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "events_hop_counts",
+    "multimodal_pixels_bmp",
+    "multimodal_samples_wav",
 ]
 
 

@@ -4807,3 +4807,137 @@ def _q_events_hop_counts_stream(spark, sf_dir):
 
 QUERIES["events_hop_counts_stream"] = _q_events_hop_counts_stream
 ORACLES["events_hop_counts_stream"] = _O_EVENTS_HOP_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# round 6: REAL pixel/sample decode (codec-free formats)
+
+
+def _q_multimodal_pixels_bmp(spark, sf_dir):
+    """Real BMP pixel decode round trip: render genuine 24-bit
+    bottom-up BMPs (dims, row stride padding, and per-FILE-row byte
+    fills all derived from doc_id; padding bytes are 0xAA junk the
+    decoder must SKIP), decode the pixels back, and match the
+    arithmetic oracle. first_pixel proves the bottom-up flip (the
+    image's top row is the file's LAST row); pix_sum proves the stride
+    arithmetic (counting any padding byte would break it)."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
+        (F.col("doc_id") % 200).cast("int").alias("v"),
+    ).withColumn(
+        "stride", ((F.col("w") * 3 + 3) / 4).cast("int") * 4
+    ).withColumn("pad", F.col("stride") - F.col("w") * 3)
+
+    le16 = lambda e: (  # noqa: E731
+        f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex(({e}) div 256), 2, '0')"
+    )
+    le32 = lambda e: le16(e) + " || '0000'"  # noqa: E731
+    header = F.expr(
+        "concat('424D', "
+        + le32("54 + stride * h")
+        + ", '00000000', '36000000', '28000000', "
+        + le32("w") + ", " + le32("h")
+        + ", '0100', '1800', '00000000', "
+        + le32("stride * h")
+        + ", '00000000', '00000000', '00000000', '00000000')"
+    )
+    body = F.expr(
+        "concat_ws('', transform(sequence(0, h - 1), i -> "
+        "concat(repeat(lpad(hex((v + i) % 251), 2, '0'), 3 * w), "
+        "repeat('AA', pad))))"
+    )
+    payload = d.select(
+        "doc_id", F.unhex(F.concat(header, body)).alias("payload")
+    )
+    return multimodal.decode_pixels(payload).select(
+        "doc_id", "format", "width", "height", "n_pix", "pix_sum",
+        "first_pixel",
+    )
+
+
+_O_MULTIMODAL_PIXELS_BMP = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 2 AS INT) AS w,
+         CAST(doc_id % 2 + 1 AS INT) AS h,
+         CAST(doc_id % 200 AS INT) AS v
+  FROM documents
+)
+SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS n_pix,
+       CAST(list_sum([3 * w * ((v + i) % 251) for i in range(0, h)])
+            AS BIGINT) AS pix_sum,
+       CAST((v + h - 1) % 251 AS INT) AS first_pixel
+FROM p
+"""
+
+
+QUERIES["multimodal_pixels_bmp"] = _q_multimodal_pixels_bmp
+ORACLES["multimodal_pixels_bmp"] = _O_MULTIMODAL_PIXELS_BMP
+
+
+def _q_multimodal_samples_wav(spark, sf_dir):
+    """Real PCM16 WAV sample decode round trip: render genuine WAV
+    files (RIFF chunk walk, little-endian two's-complement int16
+    samples derived from doc_id — negative values included), decode the
+    samples back, and match the arithmetic oracle on exact sums and
+    peak amplitude."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 50 + 10).cast("int").alias("n"),
+    )
+    # sample j = ((doc_id*7 + j*13) % 2001) - 1000, as LE int16 hex
+    samples = F.expr(
+        "concat_ws('', transform(sequence(0, n - 1), j -> "
+        "concat("
+        "lpad(hex(pmod((doc_id * 7 + j * 13) % 2001 - 1000, 65536) % 256), 2, '0'), "
+        "lpad(hex(pmod((doc_id * 7 + j * 13) % 2001 - 1000, 65536) div 256), 2, '0')"
+        ")))"
+    )
+    le32 = lambda e: (  # noqa: E731
+        f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex((({e}) div 256) % 256), "
+        f"2, '0') || lpad(hex((({e}) div 65536) % 256), 2, '0') || '00'"
+    )
+    payload = d.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),
+                F.expr(le32("36 + 2 * n")),
+                F.lit("57415645"),
+                F.lit("666D7420" + "10000000" + "0100" + "0100"
+                      + "803E0000" + "007D0000" + "0200" + "1000"),
+                F.lit("64617461"),
+                F.expr(le32("2 * n")),
+                samples,
+            )
+        ).alias("payload"),
+    )
+    return multimodal.decode_samples(payload).select(
+        "doc_id", "format", "sample_rate", "n_channels", "n_samples",
+        "sample_sum", "peak",
+    )
+
+
+_O_MULTIMODAL_SAMPLES_WAV = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n FROM documents
+)
+SELECT doc_id, 'wav' AS format, 16000 AS sample_rate, 1 AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum([(doc_id * 7 + j * 13) % 2001 - 1000
+                      for j in range(0, n)]) AS BIGINT) AS sample_sum,
+       CAST(list_max([abs((doc_id * 7 + j * 13) % 2001 - 1000)
+                      for j in range(0, n)]) AS INT) AS peak
+FROM p
+"""
+
+
+QUERIES["multimodal_samples_wav"] = _q_multimodal_samples_wav
+ORACLES["multimodal_samples_wav"] = _O_MULTIMODAL_SAMPLES_WAV

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 ``decode_headers`` is a REAL decoder: container-format header parsing
-(PNG / JPEG / GIF / BMP / WAV dimensions, sample rate, channels) is pure
+(PNG / JPEG / GIF / BMP / WAV / FLAC / WebP / ISO-BMFF / MP3) is pure
 byte arithmetic — no codec library needed — and it is what a 100 TB
 curation pass actually runs corpus-wide (full pixel decode happens after
-filtering, on the surviving slice). The full-pixel/audio-sample kernels
-would drop into the same ``mapInPandas`` shape with PIL/ffmpeg present;
-``decode_stub`` remains as the clearly-marked stand-in for that stage.
+filtering, on the surviving slice). ``decode_pixels`` and
+``decode_samples`` are ALSO real for the codec-free formats: 24-bit BMP
+and 8-bit PNG pixels (stdlib zlib + filter inversion) and PCM16 WAV
+samples decode to exact integer statistics. Only the codec-bound
+formats (JPEG entropy decode, compressed audio, video) remain behind
+``decode_stub`` — with a codec lib present they drop into the identical
+``mapInPandas`` shape.
 
 At 100 TB: payloads stay in columnar storage; decode runs as Arrow batches
 with spark.sql.files.maxPartitionBytes sized so one batch of decoded
@@ -309,3 +313,210 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
         .withColumn("frame_offset", (F.col("frame_no") * every_n_bytes).cast("long"))
         .select("doc_id", F.col("frame_no").cast("long").alias("frame_no"), "frame_offset")
     )
+
+
+# ---------------------------------------------------------- pixel decode
+
+def _unfilter_png_rows(raw: bytes, w: int, h: int, ch: int):
+    """Invert PNG row filters (types 0-4, 8-bit samples): returns an
+    (h, w*ch) uint8 matrix. Sequential by specification (each byte may
+    reference the reconstructed byte to its left), so rows decode in a
+    Python loop — fine for the thumbnail-scale images this pure-stdlib
+    path exists for; a production pipeline drops a codec lib into the
+    same plumbing."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # up
+            rec = (row + prev) & 0xFF
+        else:  # sub / average / paeth reference the left byte: sequential
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b_ = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    rec[i] = (row[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (row[i] + ((a + b_) >> 1)) & 0xFF
+                elif ftype == 4:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                    rec[i] = (row[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"unsupported PNG filter {ftype}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_pixels(b: bytes):
+    """REAL pixel decode for the codec-free formats: 24-bit uncompressed
+    BMP (stride padding skipped, bottom-up order honored) and 8-bit
+    non-interlaced gray/RGB/RGBA PNG (stdlib zlib + filter inversion).
+    Returns (format, width, height, n_channels, n_pix, pix_sum,
+    first_pixel) with EXACT integer pixel-byte sums, or None when the
+    payload needs a codec this sandbox does not have (JPEG, video)."""
+    import zlib
+
+    import numpy as np
+
+    n = len(b)
+    if n >= 34 and b[:2] == b"BM":
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_raw = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        h = abs(h_raw)
+        if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+            return None
+        stride = (3 * w + 3) // 4 * 4
+        if off + stride * h > n:
+            return None
+        rows = [
+            np.frombuffer(
+                b[off + r * stride : off + r * stride + 3 * w], dtype=np.uint8
+            )
+            for r in range(h)
+        ]
+        # positive height = bottom-up storage: the file's LAST row is
+        # the image's top row
+        mat = np.stack(rows[::-1] if h_raw > 0 else rows)
+        return ("bmp", w, h, 3, w * h, int(mat.sum(dtype=np.int64)),
+                int(mat[0, 0]))
+    if n >= 33 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        depth, ctype, interlace = b[24], b[25], b[28]
+        ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+        if depth != 8 or ch is None or interlace != 0 or w <= 0 or h <= 0:
+            return None
+        # concatenate IDAT chunk payloads
+        idat = bytearray()
+        i = 8
+        while i + 8 <= n:
+            size = int.from_bytes(b[i : i + 4], "big")
+            tag = b[i + 4 : i + 8]
+            if tag == b"IDAT":
+                idat += b[i + 8 : i + 8 + size]
+            if tag == b"IEND":
+                break
+            i += 12 + size  # length + tag + data + crc
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (1 + w * ch):
+            return None
+        mat = _unfilter_png_rows(raw, w, h, ch)
+        return ("png", w, h, ch, w * h, int(mat.sum(dtype=np.int64)),
+                int(mat[0, 0]))
+    return None
+
+
+def _decode_samples(b: bytes):
+    """REAL audio sample decode for PCM16 WAV: walk the RIFF chunks to
+    ``fmt `` (PCM, 16-bit) and ``data``, read little-endian int16
+    samples. Returns (format, sample_rate, n_channels, n_samples,
+    sample_sum, peak) with exact integer sums, or None."""
+    import numpy as np
+
+    n = len(b)
+    if not (n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+        return None
+    i = 12
+    rate = chans = bits = fmt_code = None
+    data = None
+    while i + 8 <= n:
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if tag == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            chans = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_code != 1 or bits != 16 or data is None:
+        return None
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    return (
+        "wav",
+        rate,
+        chans,
+        len(samples),
+        int(samples.sum(dtype=np.int64)),
+        int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
+    )
+
+
+PIXEL_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, n_channels int, "
+    "n_pix bigint, pix_sum bigint, first_pixel int"
+)
+
+SAMPLE_SCHEMA = (
+    "doc_id bigint, format string, sample_rate int, n_channels int, "
+    "n_samples bigint, sample_sum bigint, peak int"
+)
+
+
+def decode_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode over (doc_id, payload) for the formats that
+    need no codec — 24-bit BMP and 8-bit PNG (stdlib zlib) — emitting
+    EXACT integer pixel statistics; codec-bound payloads (JPEG, video)
+    yield nulls, honestly. Same Arrow plumbing as ``decode_headers``;
+    the full-codec decode drops into this exact shape."""
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                r = _decode_pixels(b)
+                rows.append(
+                    (int(doc_id),) + (r if r else (None,) * 7)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height", "n_channels",
+                    "n_pix", "pix_sum", "first_pixel",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=PIXEL_SCHEMA)
+
+
+def decode_samples(df: DataFrame) -> DataFrame:
+    """REAL audio sample decode over (doc_id, payload) for PCM16 WAV —
+    exact integer sample statistics; compressed audio yields nulls."""
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                r = _decode_samples(b)
+                rows.append((int(doc_id),) + (r if r else (None,) * 6))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "sample_rate", "n_channels",
+                    "n_samples", "sample_sum", "peak",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=SAMPLE_SCHEMA)

@@ -1,0 +1,155 @@
+"""REAL pixel/sample decode (operators/multimodal.py decode_pixels /
+decode_samples): genuine BMP/PNG/WAV files with known contents."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from cassandra_diff_spark.operators.multimodal import (
+    _decode_pixels,
+    _decode_samples,
+    decode_pixels,
+    decode_samples,
+)
+
+
+def make_bmp(pix: np.ndarray, bottom_up: bool = True) -> bytes:
+    """24-bit uncompressed BMP from an (h, w, 3) uint8 array."""
+    h, w, _ = pix.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = pix[::-1] if bottom_up else pix
+    body = b"".join(
+        rows[r].tobytes() + b"\xaa" * (stride - 3 * w) for r in range(h)
+    )
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h if bottom_up else -h, 1, 24, 0, len(body), 0, 0, 0, 0,
+        )
+    )
+    return header + body
+
+
+def make_png(pix: np.ndarray, filters) -> bytes:
+    """8-bit PNG from an (h, w, ch) uint8 array, applying the given
+    per-row filter types FORWARD (the decoder must invert them)."""
+    h, w, ch = pix.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        row = pix[r].reshape(-1).astype(np.int32)
+        f = filters[r % len(filters)]
+        enc = np.empty(w * ch, dtype=np.int32)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                enc[i] = row[i]
+            elif f == 1:
+                enc[i] = (row[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (row[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(samples: np.ndarray, rate: int = 16000, ch: int = 1) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+class TestKernels:
+    def test_bmp_padding_and_bottom_up(self):
+        rng = np.random.RandomState(7)
+        pix = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)  # stride pad 1
+        for bottom_up in (True, False):
+            r = _decode_pixels(make_bmp(pix, bottom_up))
+            assert r == (
+                "bmp", 5, 3, 3, 15, int(pix.sum()), int(pix[0, 0, 0])
+            ), bottom_up
+
+    @pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    def test_png_all_filters_roundtrip(self, filters, ch):
+        rng = np.random.RandomState(ch * 10 + filters[0])
+        pix = rng.randint(0, 256, (6, 4, ch), dtype=np.uint8)
+        r = _decode_pixels(make_png(pix, filters))
+        assert r == (
+            "png", 4, 6, ch, 24, int(pix.sum()), int(pix[0, 0, 0])
+        ), (filters, ch)
+
+    def test_wav_pcm16(self):
+        s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+        r = _decode_samples(make_wav(s, rate=22050, ch=2))
+        assert r == ("wav", 22050, 2, 6, int(s.astype(np.int64).sum()), 32768)
+
+    def test_codec_bound_payloads_yield_none(self):
+        assert _decode_pixels(b"\xff\xd8\xff\xe0JFIF") is None  # jpeg
+        assert _decode_samples(b"fLaC" + b"\x00" * 40) is None
+
+
+class TestSparkDecode:
+    def test_decode_pixels_frame(self, spark):
+        rng = np.random.RandomState(1)
+        rows = []
+        for i in range(8):
+            pix = rng.randint(0, 256, (2 + i % 3, 3 + i % 2, 3), dtype=np.uint8)
+            payload = make_bmp(pix) if i % 2 else make_png(pix, [i % 5])
+            rows.append((i, bytearray(payload), int(pix.sum()), int(pix[0, 0, 0])))
+        df = spark.createDataFrame(
+            [(r[0], bytes(r[1])) for r in rows], "doc_id long, payload binary"
+        )
+        got = {r.doc_id: r for r in decode_pixels(df).collect()}
+        for i, _, psum, first in rows:
+            assert got[i].pix_sum == psum and got[i].first_pixel == first
+
+    def test_decode_samples_frame(self, spark):
+        s = np.arange(-500, 500, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytes(make_wav(s)))], "doc_id long, payload binary"
+        )
+        r = decode_samples(df).first()
+        assert r.n_samples == 1000 and r.sample_sum == int(s.astype(np.int64).sum())
+        assert r.peak == 500 and r.sample_rate == 16000
