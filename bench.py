@@ -91,6 +91,7 @@ HEADLINE = [
     "events_hop_counts",
     "multimodal_pixels_bmp",
     "multimodal_samples_wav",
+    "linkage_block_profile",
 ]
 
 

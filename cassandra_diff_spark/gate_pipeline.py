@@ -4941,3 +4941,60 @@ FROM p
 
 QUERIES["multimodal_samples_wav"] = _q_multimodal_samples_wav
 ORACLES["multimodal_samples_wav"] = _O_MULTIMODAL_SAMPLES_WAV
+
+
+def _q_linkage_block_profile(spark, sf_dir):
+    """Blocking pre-flight on the augmented customer fixture: the top-10
+    largest buckets per strategy with their n*(n-1)/2 search cost — what
+    sizes max_block before a linkage run (the degenerate prefix bucket
+    shows up here as the quadratic hazard it is)."""
+    from cassandra_diff_spark.operators.linkage import fuzzy_block_profile
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    mangled = c.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "concat(substr(name, 1, cast(id % 4 + 9 as int)), 'x', "
+            "substr(name, cast(id % 4 + 11 as int)))"
+        ).alias("name"),
+    )
+    return fuzzy_block_profile(
+        c.unionByName(mangled),
+        block_keys=[F.expr("right(name, 5)"), F.expr("substr(name, 1, 12)")],
+        text_col="name",
+        top=10,
+    )
+
+
+_O_LINKAGE_BLOCK_PROFILE = """
+WITH aug AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         substr(c_name, 1, CAST(c_custkey % 4 + 9 AS INT)) || 'x'
+           || substr(c_name, CAST(c_custkey % 4 + 11 AS INT))
+  FROM customer WHERE c_custkey % 7 = 0
+),
+blocks AS (
+  SELECT 0 AS strat, right(name, 5) AS block_key FROM aug
+  UNION ALL
+  SELECT 1, substr(name, 1, 12) FROM aug
+),
+counted AS (
+  SELECT strat, block_key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM blocks GROUP BY strat, block_key
+)
+SELECT strat, block_key, n, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
+FROM (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY strat
+                                 ORDER BY n DESC, block_key) AS rn
+  FROM counted c
+)
+WHERE rn <= 10
+"""
+
+
+QUERIES["linkage_block_profile"] = _q_linkage_block_profile
+ORACLES["linkage_block_profile"] = _O_LINKAGE_BLOCK_PROFILE
