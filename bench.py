@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_pixels_bmp",
     "multimodal_samples_wav",
     "linkage_block_profile",
+    "diff_stats_orders_orc",
 ]
 
 

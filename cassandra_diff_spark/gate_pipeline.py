@@ -4998,3 +4998,36 @@ WHERE rn <= 10
 
 QUERIES["linkage_block_profile"] = _q_linkage_block_profile
 ORACLES["linkage_block_profile"] = _O_LINKAGE_BLOCK_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# round 6: cross-format diff (ORC-staged side through the provider layer)
+
+
+def _q_diff_stats_orders_orc(spark, sf_dir):
+    """The flagship orders diff with the TARGET side staged as ORC and
+    read back through the pluggable provider layer ("legacy export vs
+    lake" — the real cross-format migration shape). ORC round-trips the
+    exact types, so the counters equal the parquet-vs-parquet diff and
+    the SAME oracle gates the whole provider path end to end."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.gate import ORDERS_SPEC, orders_pair
+    from cassandra_diff_spark.operators.diff import build_diff
+    from cassandra_diff_spark.sources.provider import get_provider
+
+    src, tgt = orders_pair(spark, sf_dir)
+    stage = f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    tgt.write.orc(f"{stage}/orders.orc")
+    provider = get_provider("orc", {"path": stage})
+    return build_diff(
+        src, provider.read_table(spark, "orders"), ORDERS_SPEC, align="set"
+    ).stats
+
+
+from cassandra_diff_spark.gate import _O_DIFF_STATS_ORDERS as _O_DSO  # noqa: E402
+
+QUERIES["diff_stats_orders_orc"] = _q_diff_stats_orders_orc
+ORACLES["diff_stats_orders_orc"] = _O_DSO

@@ -54,6 +54,47 @@ class ParquetSourceProvider:
         )
 
 
+class FormatSourceProvider:
+    """Any Spark-native batch file format at ``{path}/{table}.{ext}`` —
+    ``orc`` / ``json`` / ``csv`` out of the box (plus ``avro`` when its
+    package is on the classpath): the migration sides a real diff often
+    has ("the legacy export is CSV, the new lake is parquet").
+
+    Options besides ``path``/``format``/``schema`` pass straight through
+    to the DataFrameReader (``header``, ``delimiter``, ...). CSV and
+    JSON are schema-on-read: give ``schema`` (a DDL string) for
+    type-exact diffs — inferred types can disagree with the typed side
+    and surface as spurious value mismatches, which is a property of
+    the FORMAT, not the diff.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.fmt = options["format"]
+        self.schema = options.get("schema")
+        self.reader_options = {
+            k: v
+            for k, v in options.items()
+            if k not in ("path", "format", "schema")
+        }
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        r = spark.read.format(self.fmt).options(**self.reader_options)
+        if self.schema:
+            r = r.schema(self.schema)
+        return r.load(f"{self.path}/{table}.{self.fmt}")
+
+    def list_tables(self, spark: SparkSession) -> list[str]:
+        import os
+
+        suffix = f".{self.fmt}"
+        return sorted(
+            f[: -len(suffix)]
+            for f in os.listdir(self.path)
+            if f.endswith(suffix)
+        )
+
+
 class CatalogSourceProvider:
     """Reads from the Spark catalog (``database`` option); auto-discovery
     via spark.catalog.listTables (reference Schema.java:27-38)."""
@@ -156,5 +197,8 @@ class CassandraSourceProvider:
 
 
 register_provider("parquet", ParquetSourceProvider)
+register_provider("orc", lambda o: FormatSourceProvider({**o, "format": "orc"}))
+register_provider("csv", lambda o: FormatSourceProvider({**o, "format": "csv"}))
+register_provider("json", lambda o: FormatSourceProvider({**o, "format": "json"}))
 register_provider("catalog", CatalogSourceProvider)
 register_provider("cassandra", CassandraSourceProvider)

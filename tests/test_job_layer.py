@@ -896,3 +896,46 @@ def test_cli_compact_journal(spark, pair_dirs, tmp_path, capsys):
     assert out == {"task_status": 1}
     assert len(glob.glob(str(jdir / "task_status/part-*"))) == 1
     assert j._read("task_status").count() == 5
+
+
+class TestFormatProviders:
+    """FormatSourceProvider: orc/csv/json sides through the registry."""
+
+    def test_orc_roundtrip_diff_clean(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.gate import ORDERS_SPEC, load
+        from cassandra_diff_spark.operators.diff import build_diff
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        o = load(spark, sf_dir, "orders")
+        o.write.orc(str(tmp_path / "orders.orc"))
+        p = get_provider("orc", {"path": str(tmp_path)})
+        assert p.list_tables(spark) == ["orders"]
+        stats = build_diff(
+            o, p.read_table(spark, "orders"), ORDERS_SPEC, align="set"
+        ).stats.first()
+        assert stats.mismatched_values == 0
+        assert stats.only_in_source == 0 and stats.only_in_target == 0
+
+    def test_csv_with_ddl_schema_is_type_exact(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.gate import ORDERS_SPEC, load
+        from cassandra_diff_spark.operators.diff import build_diff
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        o = load(spark, sf_dir, "orders")
+        o.write.option("header", True).csv(str(tmp_path / "orders.csv"))
+        ddl = ", ".join(f"{c} {t}" for c, t in o.dtypes)
+        p = get_provider(
+            "csv", {"path": str(tmp_path), "schema": ddl, "header": "true"}
+        )
+        back = p.read_table(spark, "orders")
+        assert back.dtypes == o.dtypes
+        stats = build_diff(o, back, ORDERS_SPEC, align="set").stats.first()
+        assert stats.mismatched_values == 0
+
+    def test_unknown_provider_raises(self, spark):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.sources.provider import get_provider
+
+        with _pytest.raises(ValueError, match="unknown source provider"):
+            get_provider("xml", {})
