@@ -939,3 +939,41 @@ class TestFormatProviders:
 
         with _pytest.raises(ValueError, match="unknown source provider"):
             get_provider("xml", {})
+
+
+class TestCrossFormatJob:
+    def test_yaml_job_with_orc_target(self, spark, pair_dirs, tmp_path):
+        """A YAML job whose TARGET side is ORC runs through the identical
+        lifecycle — the provider name in the config is the only change
+        (the registry supplies the rest)."""
+        src_dir, _ = pair_dirs
+        orc_dir = str(tmp_path / "orc_tgt")
+        k = F.col("o_orderkey")
+        orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+        (
+            orders.filter(k % 97 != 0)
+            .withColumn(
+                "o_totalprice",
+                F.when(k % 53 == 0, F.col("o_totalprice") + 1).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.mode("overwrite")
+            .orc(f"{orc_dir}/orders.orc")
+        )
+        jdir = str(tmp_path / "journal_orc")
+        cfg = load_config_text(
+            f"""
+            job_id: job-orc
+            source: {{provider: parquet, options: {{path: {src_dir}}}}}
+            target: {{provider: orc, options: {{path: {orc_dir}}}}}
+            keyspace_tables:
+              - {{name: orders, partition_key: [o_orderkey]}}
+            metadata_options: {{path: {jdir}}}
+            retry_options: {{impl: none}}
+            """
+        )
+        result = run_job(spark, cfg)
+        st = result.stats["orders"]
+        want = orders.filter(k % 97 == 0).count()
+        assert st.only_in_source == want and st.mismatched_partitions > 0
