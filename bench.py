@@ -93,6 +93,7 @@ HEADLINE = [
     "multimodal_samples_wav",
     "linkage_block_profile",
     "diff_stats_orders_orc",
+    "vocab_hash_embed",
 ]
 
 

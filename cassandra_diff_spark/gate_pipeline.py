@@ -5031,3 +5031,59 @@ from cassandra_diff_spark.gate import _O_DIFF_STATS_ORDERS as _O_DSO  # noqa: E4
 
 QUERIES["diff_stats_orders_orc"] = _q_diff_stats_orders_orc
 ORACLES["diff_stats_orders_orc"] = _O_DSO
+
+
+# ---------------------------------------------------------------------------
+# round 6: feature-hashing document vectors
+
+
+def _q_vocab_hash_embed(spark, sf_dir):
+    """Model-free document vectors by the hashing trick: ±1 at
+    md5-hash-indexed components, built MAP-ONLY by a higher-order fold
+    (the token stream never explodes or shuffles — plan-asserted in
+    pytest); the oracle IS the explode/groupBy formulation, so the gate
+    proves the fold equals the shuffle-heavy textbook shape. Vector
+    surfaces as a space-joined string for layout-agnostic compare."""
+    from cassandra_diff_spark.operators.vocab import hash_embed
+
+    return hash_embed(_docs(spark, sf_dir), "doc_id", "text", dim=64).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("emb").cast("array<string>")).alias("emb_str"),
+        "n_tokens",
+    )
+
+
+_O_VOCAB_HASH_EMBED = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id, {md5_hash64_sql('tok')} AS hv FROM t
+),
+c AS (
+  SELECT doc_id, hv % 64 AS idx,
+         CAST(SUM(CASE WHEN hv % 128 < 64 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, hv % 64
+),
+dims AS (SELECT unnest(range(0, 64)) AS idx),
+dense AS (
+  SELECT d.doc_id, dm.idx, coalesce(c.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN dims dm
+  LEFT JOIN c ON c.doc_id = d.doc_id AND c.idx = dm.idx
+),
+nt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t GROUP BY doc_id
+)
+SELECT dense.doc_id,
+       string_agg(CAST(v AS VARCHAR), ' ' ORDER BY idx) AS emb_str,
+       coalesce(MAX(nt.n_tokens), 0) AS n_tokens
+FROM dense LEFT JOIN nt ON nt.doc_id = dense.doc_id
+GROUP BY dense.doc_id
+"""
+
+
+QUERIES["vocab_hash_embed"] = _q_vocab_hash_embed
+ORACLES["vocab_hash_embed"] = _O_VOCAB_HASH_EMBED

@@ -169,3 +169,57 @@ def encode_documents(
             ).cast("long").alias("n_oov"),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document vectors (the "hashing trick"): every
+    token adds ±1 at component ``md5_hash64(token) % dim`` (sign from
+    the next hash bit) — a model-free, vocabulary-free text embedding
+    that feeds the engine's ANN / embedding-dedup / centroid-drift
+    operators directly. Output ``(doc_id, emb array<long>, n_tokens)``.
+
+    MAP-ONLY: token hashes materialize once per document and a single
+    ``aggregate`` higher-order fold builds the dense vector in-place —
+    the token stream is never exploded or shuffled (the groupBy(doc,
+    component) formulation ships every token through an exchange; at
+    corpus scale that shuffle IS the job). Integer counts end to end,
+    so the vector is bit-identical in any engine.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    w = words(F.col(text_col))
+    hs = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<long>")
+    ).otherwise(F.transform(w, lambda t: md5_hash64(t)))
+    d = int(dim)
+    emb = F.aggregate(
+        F.col("__hs"),
+        F.array_repeat(F.lit(0).cast("long"), d),
+        lambda acc, h: F.transform(
+            acc,
+            # sign bit = (h div d) % 2, written as pmod(h, 2d) < d so the
+            # arithmetic stays exact-integer (h / d would promote to
+            # double and lose bits above 2^53 on the 60-bit hash)
+            lambda x, i: x
+            + F.when(
+                F.pmod(h, F.lit(d)) == i.cast("long"),
+                F.when(
+                    F.pmod(h, F.lit(2 * d)) < F.lit(d), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), hs.alias("__hs"))
+        .select(
+            "doc_id",
+            emb.alias("emb"),
+            F.size("__hs").cast("long").alias("n_tokens"),
+        )
+    )

@@ -114,3 +114,55 @@ class TestIncrementalVocab:
         assert sorted(map(tuple, folded.collect())) == sorted(
             map(tuple, once.collect())
         )
+
+
+class TestHashEmbed:
+    def test_vector_semantics(self, spark):
+        from cassandra_diff_spark.functions.text import md5_hash64
+        from cassandra_diff_spark.operators.vocab import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "the cat the dog"), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        d = 8
+        out = {r.doc_id: r for r in hash_embed(df, "doc_id", "text", dim=d).collect()}
+        assert out[2].emb == [0] * d and out[2].n_tokens == 0
+        assert out[3].emb == [0] * d
+        # brute-force expectation from the same hash function
+        hv = {
+            r.t: r.h
+            for r in spark.createDataFrame(
+                [("the",), ("cat",), ("dog",)], "t string"
+            ).select("t", md5_hash64(F.col("t")).alias("h")).collect()
+        }
+        exp = [0] * d
+        for tok in ["the", "cat", "the", "dog"]:
+            h = hv[tok]
+            exp[h % d] += 1 if (h // d) % 2 == 0 else -1
+        assert out[1].emb == exp
+        assert out[1].n_tokens == 4
+
+    def test_map_only_plan(self, spark):
+        from cassandra_diff_spark.operators.vocab import hash_embed
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = hash_embed(df, "doc_id", "text")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+
+    def test_feeds_embedding_operators(self, spark):
+        """The hashed vectors drop straight into the centroid profiler —
+        the text -> vector -> monitoring bridge."""
+        from cassandra_diff_spark.operators.embeddings import embedding_centroids
+        from cassandra_diff_spark.operators.vocab import hash_embed
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i % 3} words", ["a", "b"][i % 2]) for i in range(20)],
+            "doc_id long, text string, grp string",
+        )
+        emb = hash_embed(df, "doc_id", "text", dim=8).join(
+            df.select("doc_id", "grp"), "doc_id"
+        ).select("doc_id", "grp", F.col("emb").cast("array<float>").alias("emb"))
+        cent = embedding_centroids(emb, "emb", dim=8, by=["grp"])
+        assert cent.count() == 16  # 2 groups x 8 dims
