@@ -94,6 +94,7 @@ HEADLINE = [
     "linkage_block_profile",
     "diff_stats_orders_orc",
     "vocab_hash_embed",
+    "events_cohort_retention",
 ]
 
 

@@ -5087,3 +5087,39 @@ GROUP BY dense.doc_id
 
 QUERIES["vocab_hash_embed"] = _q_vocab_hash_embed
 ORACLES["vocab_hash_embed"] = _O_VOCAB_HASH_EMBED
+
+
+# ---------------------------------------------------------------------------
+# round 6: cohort retention
+
+
+def _q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events stream: users bucketed by
+    first-activity period (integer 7-day epoch buckets — calendar-free,
+    engine-exact), counted in every period they return. Two user-keyed
+    shuffles (distinct activity + cohort min) that co-partition for the
+    join; the output is the |cohorts| x |offsets| matrix."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(load_events(spark, sf_dir), "user_id", "ts")
+
+
+_O_EVENTS_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS p
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(p) AS c FROM act GROUP BY user_id
+)
+SELECT c AS cohort, a.p - c AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM act a JOIN cohorts USING (user_id)
+GROUP BY c, a.p - c
+"""
+
+
+QUERIES["events_cohort_retention"] = _q_events_cohort_retention
+ORACLES["events_cohort_retention"] = _O_EVENTS_COHORT_RETENTION

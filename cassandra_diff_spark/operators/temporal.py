@@ -789,3 +789,47 @@ def funnel_summary(funnel: DataFrame, n_steps: int) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str,
+    ts_col: str,
+    *,
+    period_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period, counted in every later period they return — ``(cohort,
+    offset, n_active)`` where ``cohort = min_period(user)`` and
+    ``offset = period - cohort`` (offset 0 = the cohort's size).
+
+    Periods are integer epoch buckets (``epoch_us div period_us``) —
+    no calendar arithmetic, so results are engine-exact and the default
+    week is exactly 7 days from the epoch, not an ISO week.
+
+    Scale shape: one distinct over (user, period) — the activity set,
+    map-side combined — one min-aggregation for cohorts (both shuffle
+    on the user key, so the join between them is co-partitioned), and
+    a final small rollup. Nothing row-expands: the matrix is
+    |cohorts| x |offsets| rows.
+    """
+    pu = F.lit(int(period_us))
+    # floor of the double quotient equals integer division here: epoch
+    # micros < 2^53 are exact doubles, and at an exact period boundary
+    # the quotient is an exactly-representable integer
+    act = (
+        events.select(
+            F.col(id_col).alias("__u"),
+            F.floor(_us_of(F.col(ts_col)) / pu).cast("long").alias("__p"),
+        )
+        .distinct()
+    )
+    cohorts = act.groupBy("__u").agg(F.min("__p").alias("__c"))
+    return (
+        act.join(cohorts, "__u")
+        .groupBy(
+            F.col("__c").alias("cohort"),
+            (F.col("__p") - F.col("__c")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

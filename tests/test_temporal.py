@@ -756,3 +756,40 @@ class TestFunnel:
             steps=["a", "b"], within_us=24 * 3_600_000_000,
         ).collect()
         assert f[0].t1 == t0 and f[0].t2 == t0 + 1 * h
+
+
+class TestCohortRetention:
+    def test_matrix_semantics(self, spark):
+        from datetime import datetime, timedelta
+
+        from cassandra_diff_spark.operators.temporal import cohort_retention
+
+        day = 86_400_000_000
+        t0 = datetime(2024, 1, 1)
+        D = timedelta(days=1)
+        rows = [
+            (1, t0), (1, t0 + 1 * D),          # u1: periods 0 (x2 -> once)
+            (1, t0 + 3 * D),                   # u1: period 1
+            (2, t0 + 1 * D),                   # u2: period 0 only
+            (3, t0 + 4 * D), (3, t0 + 7 * D),  # u3: cohort 1, offsets 0,1
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r.cohort, r.offset): r.n_active
+            for r in cohort_retention(
+                ev, "user_id", "ts", period_us=3 * day
+            ).collect()
+        }
+        base = int((t0 - datetime(1970, 1, 1)).total_seconds() * 1e6 // (3 * day))
+        norm = {(c - base, o): n for (c, o), n in got.items()}
+        assert norm == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
+
+    def test_offset_zero_is_cohort_size(self, spark, sf_dir):
+        from cassandra_diff_spark.gate import load_events
+        from cassandra_diff_spark.operators.temporal import cohort_retention
+
+        ev = load_events(spark, sf_dir)
+        m = cohort_retention(ev, "user_id", "ts")
+        sizes = m.filter(F.col("offset") == 0).agg(F.sum("n_active")).first()[0]
+        users = ev.select("user_id").distinct().count()
+        assert sizes == users  # every user appears in exactly one cohort
