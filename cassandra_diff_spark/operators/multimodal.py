@@ -397,6 +397,8 @@ def _decode_pixels(b: bytes):
         mat = np.stack(rows[::-1] if h_raw > 0 else rows)
         return ("bmp", w, h, 3, w * h, int(mat.sum(dtype=np.int64)),
                 int(mat[0, 0]))
+    if n >= 13 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_pixels(b)
     if n >= 33 and b[:8] == b"\x89PNG\r\n\x1a\n":
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
@@ -520,3 +522,109 @@ def decode_samples(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(parse, schema=SAMPLE_SCHEMA)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode: variable-width codes LSB-first, CLEAR
+    resets the table, width grows when the next entry would not fit
+    (cap 12 bits). Returns the palette-index list or raises on a
+    malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list = [bytes([c]) for c in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([c]) for c in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return list(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("LZW: more pixels than the frame holds")
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return list(out)
+
+
+def _decode_gif_pixels(b: bytes):
+    """REAL GIF pixel decode — pure-Python LZW plus global-color-table
+    mapping (the third codec-free image format). Non-interlaced, global
+    palette only; returns the same stats tuple as the BMP/PNG decoders
+    with pixel bytes being the palette-mapped RGB values."""
+    import numpy as np
+
+    n = len(b)
+    if not (n >= 13 and b[:6] in (b"GIF87a", b"GIF89a")):
+        return None
+    flags = b[10]
+    if not flags & 0x80:
+        return None  # no global color table: nothing to map through
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    palette = np.frombuffer(b[i : i + 3 * gct_n], dtype=np.uint8).reshape(
+        gct_n, 3
+    )
+    i += 3 * gct_n
+    while i < n:
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < n and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            if iflags & 0x80:  # local color table
+                i += 3 * (2 << (iflags & 0x07))
+            if iflags & 0x40:  # interlaced: row reorder not implemented
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < n and b[i]:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            i += 1
+            idx = _lzw_decode_gif(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                return None
+            pix = palette[np.array(idx[: w * h], dtype=np.int64)]
+            return (
+                "gif", w, h, 3, w * h,
+                int(pix.sum(dtype=np.int64)), int(pix[0, 0]),
+            )
+        elif block == 0x3B:
+            break
+        else:
+            return None
+    return None

@@ -153,3 +153,115 @@ class TestSparkDecode:
         r = decode_samples(df).first()
         assert r.n_samples == 1000 and r.sample_sum == int(s.astype(np.int64).sum())
         assert r.peak == 500 and r.sample_rate == 16000
+
+
+# ------------------------------------------------------------- GIF / LZW
+
+def pack_codes(codes_widths) -> bytes:
+    """LSB-first variable-width bit packing, the GIF LZW layout."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(indexes, palette: np.ndarray, w: int, h: int,
+             min_code: int = 8, clear_every=None) -> bytes:
+    """GIF89a with a literal-code LZW stream: each pixel emitted as its
+    own code, tracking the DECODER's table size so code widths grow at
+    exactly the right moments (plus optional mid-stream CLEARs)."""
+    gct_bits = max(1, int(np.ceil(np.log2(len(palette)))))
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    width = min_code + 1
+    size = clear + 2
+    prev = False
+    codes.append((clear, width))
+    for j, px in enumerate(indexes):
+        if clear_every and j and j % clear_every == 0:
+            codes.append((clear, width))
+            width, size, prev = min_code + 1, clear + 2, False
+        codes.append((int(px), width))
+        if prev:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    codes.append((eoi, width))
+    stream = pack_codes(codes)
+    subs = b"".join(
+        bytes([len(stream[i : i + 255])]) + stream[i : i + 255]
+        for i in range(0, len(stream), 255)
+    ) + b"\x00"
+    pal = palette.astype(np.uint8).tobytes()
+    pal += b"\x00" * (3 * (1 << gct_bits) - len(pal))
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+        + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + subs
+        + b"\x3b"
+    )
+
+
+class TestGifDecode:
+    def test_literal_stream_with_width_growth(self):
+        """600 pixels at min_code 8: the decoder's table passes 512, so
+        codes widen 9 -> 10 bits mid-stream — the encoder tracks it."""
+        rng = np.random.RandomState(3)
+        palette = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+        w, h = 30, 20
+        idx = rng.randint(0, 256, w * h)
+        r = _decode_pixels(make_gif(idx, palette, w, h))
+        pix = palette[idx]
+        assert r == ("gif", w, h, 3, w * h, int(pix.sum()), int(pix[0, 0]))
+
+    def test_mid_stream_clear_resets_table(self):
+        rng = np.random.RandomState(4)
+        palette = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+        w, h = 25, 16
+        idx = rng.randint(0, 256, w * h)
+        r = _decode_pixels(make_gif(idx, palette, w, h, clear_every=97))
+        pix = palette[idx]
+        assert r == ("gif", w, h, 3, w * h, int(pix.sum()), int(pix[0, 0]))
+
+    def test_compressed_codes_and_code_equals_next(self):
+        """Handcrafted stream exercising dict references and the
+        code==next-entry special case: codes [CLEAR,1,6,2,EOI] at
+        min_code 2 decode to pixels [1,1,1,2]."""
+        palette = np.array(
+            [[10, 0, 0], [20, 1, 2], [30, 3, 4], [40, 5, 6]], dtype=np.uint8
+        )
+        # widths: after CLEAR the decoder reads 3-bit codes; the table
+        # reaches 8 entries after code 2, so EOI is read at 4 bits
+        stream = pack_codes([(4, 3), (1, 3), (6, 3), (2, 3), (5, 4)])
+        gif = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 4, 1, 0x80 | 1, 0, 0)
+            + palette.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
+            + bytes([2])
+            + bytes([len(stream)]) + stream + b"\x00"
+            + b"\x3b"
+        )
+        r = _decode_pixels(gif)
+        pix = palette[np.array([1, 1, 1, 2])]
+        assert r == ("gif", 4, 1, 3, 4, int(pix.sum()), int(pix[0, 0]))
+
+    def test_interlaced_rejected(self):
+        palette = np.zeros((4, 3), dtype=np.uint8)
+        g = bytearray(make_gif(np.zeros(4, dtype=int), palette, 4, 1, min_code=2))
+        # set the interlace flag in the image descriptor
+        idesc = g.index(0x2C, 13)
+        g[idesc + 9] |= 0x40
+        assert _decode_pixels(bytes(g)) is None
