@@ -95,6 +95,7 @@ HEADLINE = [
     "diff_stats_orders_orc",
     "vocab_hash_embed",
     "events_cohort_retention",
+    "pipeline_image_triage",
 ]
 
 

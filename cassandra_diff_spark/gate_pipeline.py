@@ -5123,3 +5123,78 @@ GROUP BY c, a.p - c
 
 QUERIES["events_cohort_retention"] = _q_events_cohort_retention
 ORACLES["events_cohort_retention"] = _O_EVENTS_COHORT_RETENTION
+
+
+def _q_pipeline_image_triage(spark, sf_dir):
+    """The multimodal curation shape end to end: a mixed payload column
+    (genuine BMPs on even ids, JPEG-headered bytes the sandbox cannot
+    pixel-decode on odd), header-decode triages formats corpus-wide,
+    ONLY the decodable slice flows into the pixel decoder, and a
+    mean-brightness quality gate keeps images averaging >= 96/255.
+    Every stage arithmetic — the oracle recomputes the surviving rows
+    and their exact pixel sums from doc_id alone."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
+        (F.col("doc_id") % 200).cast("int").alias("v"),
+    ).withColumn(
+        "stride", ((F.col("w") * 3 + 3) / 4).cast("int") * 4
+    ).withColumn("pad", F.col("stride") - F.col("w") * 3)
+    le16 = lambda e: (  # noqa: E731
+        f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex(({e}) div 256), 2, '0')"
+    )
+    le32 = lambda e: le16(e) + " || '0000'"  # noqa: E731
+    bmp = F.expr(
+        "concat('424D', "
+        + le32("54 + stride * h")
+        + ", '00000000', '36000000', '28000000', "
+        + le32("w") + ", " + le32("h")
+        + ", '0100', '1800', '00000000', "
+        + le32("stride * h")
+        + ", '00000000', '00000000', '00000000', '00000000', "
+        + "concat_ws('', transform(sequence(0, h - 1), i -> "
+        "concat(repeat(lpad(hex((v + i) % 251), 2, '0'), 3 * w), "
+        "repeat('AA', pad)))))"
+    )
+    payload = d.select(
+        "doc_id",
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, bmp).otherwise(
+                F.lit("FFD8FFE0104A464946")
+            )
+        ).alias("payload"),
+    )
+    headers = multimodal.decode_headers(payload)
+    decodable = payload.join(
+        headers.filter(F.col("format") == "bmp").select("doc_id"), "doc_id"
+    )
+    pix = multimodal.decode_pixels(decodable)
+    return pix.filter(
+        F.col("pix_sum") >= 96 * 3 * F.col("n_pix")
+    ).select("doc_id", "width", "height", "pix_sum")
+
+
+_O_PIPELINE_IMAGE_TRIAGE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 2 AS INT) AS w,
+         CAST(doc_id % 2 + 1 AS INT) AS h,
+         CAST(doc_id % 200 AS INT) AS v
+  FROM documents WHERE doc_id % 2 = 0
+),
+s AS (
+  SELECT doc_id, w, h,
+         CAST(list_sum([3 * w * ((v + i) % 251) for i in range(0, h)])
+              AS BIGINT) AS pix_sum
+  FROM p
+)
+SELECT doc_id, w AS width, h AS height, pix_sum
+FROM s WHERE pix_sum >= 96 * 3 * w * h
+"""
+
+
+QUERIES["pipeline_image_triage"] = _q_pipeline_image_triage
+ORACLES["pipeline_image_triage"] = _O_PIPELINE_IMAGE_TRIAGE
