@@ -5198,3 +5198,84 @@ FROM s WHERE pix_sum >= 96 * 3 * w * h
 
 QUERIES["pipeline_image_triage"] = _q_pipeline_image_triage
 ORACLES["pipeline_image_triage"] = _O_PIPELINE_IMAGE_TRIAGE
+
+
+def _q_dedup_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): maximal spans of >= 8
+    whitespace tokens that occur more than once corpus-wide, merged per
+    document by a gaps-and-islands window.  Map-only gram hashing; only
+    (hash, pos) crosses the shuffle."""
+    from cassandra_diff_spark.operators import spans
+
+    return spans.duplicate_spans(_docs(spark, sf_dir), "doc_id", "text", k=8)
+
+
+def _make_o_dedup_duplicate_spans() -> str:
+    from cassandra_diff_spark.operators.spans import gram_occurrences_sql
+
+    body = gram_occurrences_sql("documents", "doc_id", "text", 8)
+    return f"""
+WITH {body},
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+nw AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                   THEN 1 ELSE 0 END AS n
+       FROM hits),
+isl AS (SELECT doc_id, pos,
+               sum(n) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM nw)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, i
+"""
+
+
+QUERIES["dedup_duplicate_spans"] = _q_dedup_duplicate_spans
+ORACLES["dedup_duplicate_spans"] = _make_o_dedup_duplicate_spans()
+
+
+def _q_dedup_span_cleaned(spark, sf_dir):
+    """The cleaning half of exact-substring dedup: every token covered by a
+    NON-canonical duplicated 8-gram (canonical = least (doc_id, pos) per
+    gram hash) is cut and the document re-joined.  Output keeps before and
+    after token counts so the removed mass is visible."""
+    from cassandra_diff_spark.operators import spans
+
+    return spans.remove_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text", k=8)
+
+
+def _make_o_dedup_span_cleaned() -> str:
+    from cassandra_diff_spark.operators.spans import gram_occurrences_sql
+
+    body = gram_occurrences_sql("documents", "doc_id", "text", 8)
+    return f"""
+WITH {body},
+marked AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY h) AS cnt
+           FROM grams),
+covered AS (SELECT DISTINCT doc_id, pos + unnest(range(0, 8)) AS tpos
+            FROM marked WHERE cnt >= 2 AND rn > 1),
+tok AS (SELECT doc_id, t, unnest(range(0, len(t))) AS tpos FROM toks),
+kept AS (SELECT k.doc_id, k.tpos, k.t[k.tpos + 1] AS tok
+         FROM tok k
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc_id = k.doc_id AND c.tpos = k.tpos)),
+rebuilt AS (SELECT doc_id, count(*) AS n_tokens_clean,
+                   string_agg(tok, ' ' ORDER BY tpos) AS text_clean
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+       coalesce(r.text_clean, '') AS text_clean
+FROM documents d
+JOIN toks t ON t.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
+QUERIES["dedup_span_cleaned"] = _q_dedup_span_cleaned
+ORACLES["dedup_span_cleaned"] = _make_o_dedup_span_cleaned()
