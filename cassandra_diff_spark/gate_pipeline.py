@@ -5279,3 +5279,29 @@ LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 
 QUERIES["dedup_span_cleaned"] = _q_dedup_span_cleaned
 ORACLES["dedup_span_cleaned"] = _make_o_dedup_span_cleaned()
+
+
+def _q_search_bm25(spark, sf_dir):
+    """BM25 keyword retrieval: top-25 documents for a 3-term query with a
+    wide IDF spread ('dup' is ~35x rarer than the other two).  Postings
+    filter to the query terms BEFORE the shuffle; docfreq + corpus stats
+    are broadcast back; per-term weights round to integer micro-units
+    before the order-free per-doc sum (cross-engine bit-stable)."""
+    from cassandra_diff_spark.operators import search
+
+    return search.bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text",
+        ["dup", "merge", "window"], top_k=25,
+    )
+
+
+def _make_o_search_bm25() -> str:
+    from cassandra_diff_spark.operators.search import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "documents", "doc_id", "text", ["dup", "merge", "window"], top_k=25
+    )
+
+
+QUERIES["search_bm25"] = _q_search_bm25
+ORACLES["search_bm25"] = _make_o_search_bm25()
