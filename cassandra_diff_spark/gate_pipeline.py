@@ -5305,3 +5305,39 @@ def _make_o_search_bm25() -> str:
 
 QUERIES["search_bm25"] = _q_search_bm25
 ORACLES["search_bm25"] = _make_o_search_bm25()
+
+
+def _q_text_lm_score(spark, sf_dir):
+    """Unigram LM quality scoring (CCNet-style): add-1 smoothed corpus
+    model, per-token log-prob in micro-nats rounded BEFORE the per-doc
+    sum (order-free). Model + stats ride a broadcast; one corpus shuffle
+    total (the count agg)."""
+    from cassandra_diff_spark.operators import vocab
+
+    return vocab.lm_unigram_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+_O_TEXT_LM_SCORE = """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+stats AS (SELECT sum(n) AS T, count(*) AS V FROM counts),
+lp AS (SELECT t.doc_id,
+              CAST(ROUND(ln((coalesce(c.n, 0) + 1.0) / (s.T + 1.0 * s.V))
+                         * 1000000) AS BIGINT) AS lp_u
+       FROM tok t LEFT JOIN counts c USING (token) CROSS JOIN stats s),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(lp_u) AS BIGINT) AS logprob_u
+            FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.logprob_u, 0) AS BIGINT) AS logprob_u
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["text_lm_score"] = _q_text_lm_score
+ORACLES["text_lm_score"] = _O_TEXT_LM_SCORE

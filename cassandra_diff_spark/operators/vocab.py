@@ -223,3 +223,71 @@ def hash_embed(
             F.size("__hs").cast("long").alias("n_tokens"),
         )
     )
+
+
+LM_SCALE = 1_000_000  # micro-nats: ROUND(ln p * 1e6) per token, then SUM
+
+
+def lm_unigram_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document add-alpha unigram log-likelihood — the CCNet-style
+    language-model quality signal (fluent in-distribution text scores
+    high, gibberish and boilerplate-of-another-register score low).
+
+    ``counts`` is an ``(token, n)`` frame from :func:`token_counts` (pass a
+    persisted one to score new batches against a frozen corpus model —
+    the incremental path); default scores the corpus against itself.
+    Token log-probability is ``ln((n + alpha) / (T + alpha * V))`` with
+    ``n = 0`` for out-of-vocabulary tokens, ``T`` total training tokens,
+    ``V`` distinct training tokens.
+
+    Scale shape: model stats are one broadcast row; the model itself is a
+    broadcast map-side join (unigram vocabularies are MBs even at web
+    scale); per-token micro-nat rounding BEFORE the sum keeps the
+    aggregation order-free and cross-engine bit-stable.
+
+    Output: ``(id, n_tokens, logprob_u)`` — ``logprob_u`` is the summed
+    per-token log-probability in integer micro-nats; divide by
+    ``n_tokens`` for the mean. Empty documents score 0 with 0 tokens.
+    """
+    if counts is None:
+        counts = token_counts(df, text_col)
+    stats = counts.agg(
+        F.sum("n").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__lp_u",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__T") + F.lit(alpha) * F.col("__V"))
+                )
+                * LM_SCALE
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("__lp_u").alias("logprob_u"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logprob_u", F.lit(0)).cast("long").alias("logprob_u"),
+        )
+    )

@@ -166,3 +166,57 @@ class TestHashEmbed:
         ).select("doc_id", "grp", F.col("emb").cast("array<float>").alias("emb"))
         cent = embedding_centroids(emb, "emb", dim=8, by=["grp"])
         assert cent.count() == 16  # 2 groups x 8 dims
+
+
+class TestLMUnigramScore:
+    def test_hand_computed(self, spark):
+        import math
+        from cassandra_diff_spark.operators.vocab import LM_SCALE, lm_unigram_score
+
+        # corpus: T=4 tokens, V=2 distinct ('a' x3, 'b' x1), alpha=1
+        df = spark.createDataFrame(
+            [(1, "a a a"), (2, "b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in lm_unigram_score(df, "doc_id", "text").collect()}
+        lp = lambda n: round(math.log((n + 1.0) / (4 + 2.0)) * LM_SCALE)  # noqa: E731
+        assert out[1].logprob_u == 3 * lp(3) and out[1].n_tokens == 3
+        assert out[2].logprob_u == lp(1) and out[2].n_tokens == 1
+
+    def test_frozen_model_scores_oov(self, spark):
+        import math
+        from cassandra_diff_spark.operators.vocab import (
+            LM_SCALE,
+            lm_unigram_score,
+            token_counts,
+        )
+
+        train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+        counts = token_counts(train, "text")  # T=3, V=2
+        new = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+        out = lm_unigram_score(new, "doc_id", "text", counts=counts).collect()[0]
+        exp = round(math.log(3.0 / 5.0) * LM_SCALE) + round(math.log(1.0 / 5.0) * LM_SCALE)
+        assert out.logprob_u == exp  # OOV token falls back to alpha mass
+
+    def test_empty_doc_scores_zero(self, spark):
+        from cassandra_diff_spark.operators.vocab import lm_unigram_score
+
+        df = spark.createDataFrame([(1, "a"), (2, " ")], "doc_id long, text string")
+        out = {r.doc_id: (r.n_tokens, r.logprob_u)
+               for r in lm_unigram_score(df, "doc_id", "text").collect()}
+        assert out[2] == (0, 0)
+
+    def test_gibberish_scores_below_fluent(self, spark):
+        from cassandra_diff_spark.operators.vocab import lm_unigram_score, token_counts
+
+        train = spark.createDataFrame(
+            [(i, "the quick brown fox jumps") for i in range(20)],
+            "doc_id long, text string",
+        )
+        counts = token_counts(train, "text")
+        probe = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "zxq vbnm qwerty asdf hjkl")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.logprob_u / r.n_tokens
+               for r in lm_unigram_score(probe, "doc_id", "text", counts=counts).collect()}
+        assert out[1] > out[2]
