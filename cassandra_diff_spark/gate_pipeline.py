@@ -5341,3 +5341,45 @@ LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES["text_lm_score"] = _q_text_lm_score
 ORACLES["text_lm_score"] = _O_TEXT_LM_SCORE
+
+
+def _q_events_rolling_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags per user: each value vs the mean/std
+    of its 20 predecessors (self excluded), z=3.  The test runs as a pure
+    integer inequality on cent-quantized sums — no float window aggs, so
+    the window-summation order can never skew a verdict."""
+    from cassandra_diff_spark.operators import stats
+
+    ev = load(spark, sf_dir, "events")
+    return stats.rolling_anomaly(
+        ev, "user_id", "ts", "value", order_cols=("event_id",)
+    )
+
+
+_O_EVENTS_ROLLING_ANOMALY = """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, ts, event_id, v,
+         count(v) OVER win AS n,
+         sum(v)   OVER win AS s,
+         sum(v*v) OVER win AS q2
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts, event_id,
+       v AS value_c,
+       CAST(n AS BIGINT) AS n_prev,
+       CAST(floor(1000.0 * s / n) AS BIGINT) AS mean_c1000
+FROM w
+WHERE n >= 5
+  AND (v*n - s) * (v*n - s) * (n - 1) > 9 * (q2*n - s*s) * n
+"""
+
+
+QUERIES["events_rolling_anomaly"] = _q_events_rolling_anomaly
+ORACLES["events_rolling_anomaly"] = _O_EVENTS_ROLLING_ANOMALY

@@ -271,3 +271,69 @@ def outlier_fences(
         F.sum((F.col("__v") < F.col("fence_lo")).cast("long")).alias("n_low"),
         F.sum((F.col("__v") > F.col("fence_hi")).cast("long")).alias("n_high"),
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    window: int = 20,
+    z_int: int = 3,
+    min_periods: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over an ordered per-key stream.
+
+    For each row, compare ``value`` against the mean/stddev of the
+    preceding ``window`` rows of the SAME key (the row itself excluded —
+    no self-masking): flag when ``|x - mean| > z * stddev_samp``.
+
+    Exactness contract: values are quantized to ``1/scale`` units and the
+    test is evaluated as the equivalent INTEGER inequality
+
+        (x*n - S)^2 * (n - 1)  >  z^2 * (Q*n - S^2) * n
+
+    with ``S``/``Q`` the window sum / sum-of-squares — no float window
+    aggregates anywhere, so results are bit-identical across engines,
+    partitionings, and retries (a float formulation would inherit the
+    engine's window-summation order).  A zero-variance window flags any
+    deviation, matching the strict inequality.
+
+    ``order_cols`` breaks timestamp ties (pass the event id); without a
+    unique total order the window frame itself would be nondeterministic.
+
+    Scale shape: one hash-partitioned window per key — state bounded by
+    ``window``, never key history; no corpus-wide ordering.
+
+    Output: flagged rows only — ``(key, ts, *order_cols, value_c, n_prev,
+    mean_c1000)`` with ``mean_c1000 = floor(1000 * S / n)`` for context.
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col("__v")
+    n = F.col("__n")
+    s = F.col("__s")
+    q = F.col("__q")
+    lhs = (x * n - s) * (x * n - s) * (n - 1)
+    rhs = F.lit(z_int * z_int) * (q * n - s * s) * n
+    out = (
+        df.withColumn("__v", v)
+        .withColumn("__n", F.count("__v").over(w).cast("long"))
+        .withColumn("__s", F.sum("__v").over(w))
+        .withColumn("__q", F.sum(F.col("__v") * F.col("__v")).over(w))
+        .filter((n >= F.lit(max(min_periods, 2))) & (lhs > rhs))
+    )
+    return out.select(
+        key_col,
+        ts_col,
+        *order_cols,
+        F.col("__v").alias("value_c"),
+        n.alias("n_prev"),
+        F.floor(F.lit(1000) * s / n).cast("long").alias("mean_c1000"),
+    )

@@ -128,3 +128,59 @@ class TestQuantilesRefined:
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
         r = out.collect()[0]
         assert (r.q, r.n) == (49.0, 10_000)
+
+
+class TestRollingAnomaly:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, value double"
+        )
+
+    def test_spike_flagged(self, spark):
+        from cassandra_diff_spark.operators.stats import rolling_anomaly
+
+        rows = [(1, t, t, 10.0 + (t % 3)) for t in range(10)]
+        rows.append((1, 100, 100, 500.0))  # wild spike
+        out = rolling_anomaly(
+            self._ev(spark, rows), "user_id", "ts", "value",
+            order_cols=("event_id",),
+        ).collect()
+        assert [(r.event_id, r.value_c) for r in out] == [(100, 50000)]
+        assert out[0].n_prev == 10
+
+    def test_zero_variance_window_flags_any_deviation(self, spark):
+        from cassandra_diff_spark.operators.stats import rolling_anomaly
+
+        rows = [(1, t, t, 7.0) for t in range(6)] + [(1, 10, 10, 7.01)]
+        out = rolling_anomaly(
+            self._ev(spark, rows), "user_id", "ts", "value",
+            order_cols=("event_id",),
+        ).collect()
+        assert [r.event_id for r in out] == [10]
+
+    def test_min_periods_suppresses_early_rows(self, spark):
+        from cassandra_diff_spark.operators.stats import rolling_anomaly
+
+        rows = [(1, 0, 0, 1.0), (1, 1, 1, 1.0), (1, 2, 2, 999.0)]
+        assert (
+            rolling_anomaly(
+                self._ev(spark, rows), "user_id", "ts", "value",
+                order_cols=("event_id",),
+            ).count()
+            == 0
+        )
+
+    def test_keys_independent(self, spark):
+        from cassandra_diff_spark.operators.stats import rolling_anomaly
+
+        rows = [(1, t, t, 5.0 + (t % 2)) for t in range(8)]
+        rows += [(2, t, 100 + t, 400.0 + (t % 2)) for t in range(8)]
+        # user 2's values would be wild for user 1's window but are
+        # ordinary within its own key
+        assert (
+            rolling_anomaly(
+                self._ev(spark, rows), "user_id", "ts", "value",
+                order_cols=("event_id",),
+            ).count()
+            == 0
+        )
