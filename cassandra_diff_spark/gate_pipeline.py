@@ -5383,3 +5383,30 @@ WHERE n >= 5
 
 QUERIES["events_rolling_anomaly"] = _q_events_rolling_anomaly
 ORACLES["events_rolling_anomaly"] = _O_EVENTS_ROLLING_ANOMALY
+
+
+def _q_events_heavy_hitters(spark, sf_dir):
+    """Frequent users (>= 0.75% of all events) found WITHOUT shuffling the
+    key space: per-partition mergeable Misra-Gries candidates (provable
+    superset at this threshold) + an exact broadcast-confirm pass — so the
+    result equals the plain GROUP BY formulation the oracle runs."""
+    from cassandra_diff_spark.operators import sketch
+
+    ev = load(spark, sf_dir, "events")
+    return sketch.heavy_hitters(ev, "user_id", 0.0075)
+
+
+_O_EVENTS_HEAVY_HITTERS = """
+WITH t AS (SELECT count(*) AS total FROM events WHERE user_id IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(floor(1000000.0 * count(*) / t.total) AS BIGINT) AS share_ppm
+FROM events, t
+WHERE user_id IS NOT NULL
+GROUP BY user_id, t.total
+HAVING count(*) >= ceil(0.0075 * t.total)
+"""
+
+
+QUERIES["events_heavy_hitters"] = _q_events_heavy_hitters
+ORACLES["events_heavy_hitters"] = _O_EVENTS_HEAVY_HITTERS

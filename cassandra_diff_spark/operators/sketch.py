@@ -83,3 +83,68 @@ def sketch_estimates(
             for c in cols
         ],
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float,
+    capacity: Optional[int] = None,
+) -> DataFrame:
+    """Exact frequent-item detection without shuffling the key space.
+
+    Two passes:
+
+    1. a per-partition **Misra-Gries summary** (capacity ``k =
+       ceil(1/threshold_frac)``) built in one ``mapInPandas`` sweep using
+       the mergeable-summaries rule (add counts, then subtract the
+       (k+1)-st largest and drop non-positives).  Per-partition error is
+       <= n_part/(k+1), so the union of summaries provably contains EVERY
+       value with global frequency >= threshold_frac (> n/(k+1));
+       the shuffle carries at most ``k`` candidates per partition, never
+       the full key cardinality;
+    2. an exact count of the candidate values only (broadcast semi-join +
+       map-side-combined groupBy), filtered at ``cnt >=
+       ceil(threshold_frac * total)``.
+
+    The superset guarantee makes the output EXACTLY the heavy-hitter set
+    a full groupBy would return — but at 100 TB with billions of distinct
+    keys, pass 1 bounds the shuffle at k x partitions rows.  Nulls are
+    ignored.  Output: ``(col, cnt, share_ppm)``.
+    """
+    import math
+
+    k = capacity or max(int(math.ceil(1.0 / threshold_frac)), 1)
+    src = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    out_schema = src.schema
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k:
+                sub = sorted(counts.values(), reverse=True)[k]
+                counts = {v: c - sub for v, c in counts.items() if c > sub}
+        yield pd.DataFrame({"v": list(counts.keys())})
+
+    cand = src.mapInPandas(mg, schema=out_schema).distinct()
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
+    exact = (
+        src.join(F.broadcast(cand), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(threshold_frac) * F.col("__total")))
+        .select(
+            F.col("v").alias(col),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.floor(F.lit(1_000_000) * F.col("cnt") / F.col("__total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

@@ -69,3 +69,50 @@ def test_incremental_fold_in(spark, orders):
     )
     once = sketch_estimates(sketch_distinct(orders, ["o_custkey"]), ["o_custkey"])
     assert folded.collect() == once.collect()
+
+
+class TestHeavyHitters:
+    def test_matches_exact_groupby(self, spark):
+        from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+        rows = [(i % 7,) for i in range(700)] + [(99,)] * 300
+        df = spark.createDataFrame(rows, "k long").repartition(8)
+        out = {r.k: r.cnt for r in heavy_hitters(df, "k", 0.2).collect()}
+        assert out == {99: 300}  # 30% >= 20%; each of 0..6 is 10%
+
+    def test_heavy_key_spread_across_partitions_still_found(self, spark):
+        from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+        # heavy key interleaved with churn keys so per-partition MG
+        # pressure is high; superset guarantee must still hold
+        rows = []
+        for i in range(2000):
+            rows.append((1000,) if i % 4 == 0 else (i,))
+        df = spark.createDataFrame(rows, "k long").repartition(16)
+        out = {r.k for r in heavy_hitters(df, "k", 0.2).collect()}
+        assert out == {1000}
+
+    def test_share_and_threshold_edge(self, spark):
+        from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+        rows = [(1,)] * 25 + [(2,)] * 24 + [(3,)] * 51
+        df = spark.createDataFrame(rows, "k long")
+        out = {r.k: (r.cnt, r.share_ppm) for r in heavy_hitters(df, "k", 0.25).collect()}
+        # ceil(0.25*100)=25: key 1 exactly at threshold stays, key 2 misses
+        assert out == {1: (25, 250000), 3: (51, 510000)}
+
+    def test_nulls_ignored(self, spark):
+        from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+        rows = [(None,)] * 80 + [(5,)] * 20
+        df = spark.createDataFrame(rows, "k long")
+        out = {r.k: r.cnt for r in heavy_hitters(df, "k", 0.5).collect()}
+        assert out == {5: 20}  # total excludes nulls -> 20/20 = 100%
+
+    def test_string_keys(self, spark):
+        from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+        rows = [("hot",)] * 60 + [(f"cold{i}",) for i in range(40)]
+        df = spark.createDataFrame(rows, "k string").repartition(4)
+        out = {r.k for r in heavy_hitters(df, "k", 0.3).collect()}
+        assert out == {"hot"}
