@@ -96,6 +96,12 @@ HEADLINE = [
     "vocab_hash_embed",
     "events_cohort_retention",
     "pipeline_image_triage",
+    "dedup_duplicate_spans",
+    "search_bm25",
+    "text_lm_score",
+    "events_rolling_anomaly",
+    "events_heavy_hitters",
+    "embedding_covariance",
 ]
 
 

@@ -5410,3 +5410,70 @@ HAVING count(*) >= ceil(0.0075 * t.total)
 
 QUERIES["events_heavy_hitters"] = _q_events_heavy_hitters
 ORACLES["events_heavy_hitters"] = _O_EVENTS_HEAVY_HITTERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: covariance moments + PCA projection of the embedding corpus
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Exact covariance moments of the embedding corpus, upper triangle:
+    per-partition integer Gramian partials (one M^T M matmul per Arrow
+    batch) so the shuffle carries partitions x d^2 rows, never n x d^2;
+    m2_q = n*S_ij - S_i*S_j is an exact BIGINT and cov is ONE double
+    division of exact integers — the oracle's pair-join formulation
+    reproduces every bit."""
+    from cassandra_diff_spark.operators.embeddings import embedding_covariance
+
+    return embedding_covariance(_embs(spark, sf_dir), "embedding", dim=64)
+
+
+_O_EMBEDDING_COVARIANCE = f"""
+WITH q AS (
+  SELECT vec_id, ({quantize_sql('embedding')})[1:64] AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 64
+),
+e AS (
+  SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) - 1 AS d
+  FROM q
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+s AS (SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM e GROUP BY d),
+g AS (
+  SELECT a.d AS i, b.d AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS sij
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+  GROUP BY a.d, b.d
+)
+SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j, nn.n AS n,
+       CAST(nn.n * g.sij - si.s * sj.s AS BIGINT) AS m2_q,
+       CAST(nn.n * g.sij - si.s * sj.s AS DOUBLE)
+         / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000000.0) AS cov
+FROM g
+CROSS JOIN nn
+JOIN s si ON si.d = g.i
+JOIN s sj ON sj.d = g.j
+"""
+
+
+QUERIES["embedding_covariance"] = _q_embedding_covariance
+ORACLES["embedding_covariance"] = _O_EMBEDDING_COVARIANCE
+
+
+def _q_embedding_pca_project(spark, sf_dir):
+    """PCA projection onto the top-4 principal components. The covariance
+    moments are distributed and exact (embedding_covariance's kernel);
+    the d x d eigendecomposition is driver-side numpy (kilobytes), so —
+    like ann_ivf_kmeans_topk — there is deliberately NO SQL twin: an
+    eigensolver is not expressible in ANSI SQL. Rows-only driver check;
+    the value-level invariants (component orthonormality, projection
+    variance == eigenvalues, sign determinism, equality with numpy PCA)
+    are pytest-asserted in tests/test_embedding_pca.py."""
+    from cassandra_diff_spark.operators.embeddings import pca_project
+
+    return pca_project(
+        _embs(spark, sf_dir), "vec_id", "embedding", dim=64, n_components=4
+    )
+
+
+QUERIES["embedding_pca_project"] = _q_embedding_pca_project

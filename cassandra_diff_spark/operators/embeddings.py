@@ -145,3 +145,177 @@ def fold_centroids(
             ).alias("mean"),
         )
     )
+
+
+def _gram_moments(df: DataFrame, vec_col: str, *, dim: int) -> DataFrame:
+    """Integer moment frame of a quantized embedding corpus, encoded as
+    ``(i, j, s)`` rows: ``i <= j`` carries ``S_ij = sum(q_i * q_j)``,
+    ``(i, -1)`` carries the component sum ``S_i``, and ``(-1, -1)``
+    carries the row count ``n``.  All sums are exact int64 in milli-unit
+    scale, so they are additive across shards and bit-stable.
+
+    Scale shape: a per-partition **Gramian kernel** — each
+    ``mapInPandas`` partition emits its ``d x d`` integer partial (one
+    ``M^T M`` matmul per Arrow batch), so the shuffle carries
+    ``partitions x (d(d+1)/2 + d + 1)`` rows, never ``n x d^2``.
+    """
+
+    sel = df.filter(F.col(vec_col).isNotNull()).filter(
+        F.size(F.col(vec_col)) >= int(dim)
+    )
+    q = sel.select(F.slice(quantize(F.col(vec_col)), 1, int(dim)).alias("__q"))
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = int(dim)
+        gm = np.zeros((d, d), dtype=np.int64)
+        sv = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            gm += m.T @ m
+            sv += m.sum(axis=0)
+            n += m.shape[0]
+        ii, jj = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii, np.arange(d), [-1]]),
+                "j": np.concatenate([jj, np.full(d, -1), [-1]]),
+                "s": np.concatenate([gm[ii, jj], sv, [n]]),
+            }
+        )
+
+    parts = q.mapInPandas(gram, schema="i int, j int, s long")
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int,
+    dims: Optional[Sequence[int]] = None,
+) -> DataFrame:
+    """Exact covariance moments of an embedding corpus — the input PCA,
+    whitening, and drift-shape monitoring all start from.
+
+    Population covariance over the quantized vectors, upper triangle only:
+    ``(i, j, n, m2_q, cov)`` with ``m2_q = n*S_ij - S_i*S_j`` (an EXACT
+    integer in milli-unit^2 scale) and ``cov = m2_q / (n^2 * QUANT^2)`` —
+    one double division of exact integers per output cell.
+
+    Scale shape: a per-partition **Gramian kernel** — each ``mapInPandas``
+    partition emits its ``d x d`` integer partial (one ``M^T M`` matmul
+    per Arrow batch), so the shuffle carries ``partitions x d^2`` rows,
+    never ``n x d^2``; the final assembly runs on the kilobyte-scale
+    moment frame with broadcast self-joins.  ``dims`` restricts output to
+    a sub-block without changing the plan shape.
+
+    Overflow envelope: |q| <= QUANT * max|x|; ``n * S_ij`` stays inside
+    int64 for n up to ~1e9 rows of unit-norm vectors — beyond that,
+    shard the corpus and fold the per-shard moment frames (they are
+    additive in ``S_i``/``S_ij``/``n``).
+    """
+    dims = sorted(set(int(d) for d in (dims if dims is not None else range(dim))))
+    moments = _gram_moments(df, vec_col, dim=dim)
+    s_ij = moments.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    s_i = moments.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("__d"), F.col("s").alias("__sd")
+    )
+    n_row = moments.filter(F.col("i") == -1).select(F.col("s").alias("__n"))
+    keep = s_ij.filter(F.col("i").isin(dims) & F.col("j").isin(dims))
+    out = (
+        keep.join(F.broadcast(s_i), keep["i"] == s_i["__d"])
+        .select("i", "j", "s", F.col("__sd").alias("__si"))
+        .join(F.broadcast(s_i), F.col("j") == s_i["__d"])
+        .select("i", "j", "s", "__si", F.col("__sd").alias("__sj"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("m2_q", F.col("__n") * F.col("s") - F.col("__si") * F.col("__sj"))
+    )
+    denom = float(QUANT * QUANT)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("m2_q").cast("long").alias("m2_q"),
+        (
+            F.col("m2_q").cast("double")
+            / (F.col("__n").cast("double") * F.col("__n").cast("double") * denom)
+        ).alias("cov"),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    n_components: int,
+) -> DataFrame:
+    """Project embeddings onto their top principal components.
+
+    The moment assembly is :func:`_gram_moments` (distributed, exact,
+    ONE pass over the corpus); the eigendecomposition runs driver-side
+    on the ``d x d`` moment matrix (kilobytes — the ONLY thing
+    collected: ``d(d+1)/2 + d + 1`` rows), and the projection is a
+    map-only Arrow kernel against the broadcast component matrix — no
+    shuffle anywhere in the projection stage.  Centering reuses the
+    exact integer component sums from the same moment frame
+    (``mu_i = S_i / (n * QUANT)``), so the corpus is scanned exactly
+    twice total: once for moments, once for the projection itself.
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive, so output is deterministic.
+
+    Output: ``(id, proj array<double>)`` — centered, unscaled scores.
+    """
+    import numpy as np
+
+    d = int(dim)
+    rows = _gram_moments(df, vec_col, dim=d).collect()
+    s_ij = np.zeros((d, d), dtype=np.int64)
+    s_i = np.zeros(d, dtype=np.int64)
+    n = 0
+    for r in rows:
+        if r["i"] < 0:
+            n = int(r["s"])
+        elif r["j"] < 0:
+            s_i[r["i"]] = r["s"]
+        else:
+            s_ij[r["i"], r["j"]] = s_ij[r["j"], r["i"]] = r["s"]
+    if n == 0:
+        raise ValueError(f"pca_project: no rows with a non-null {vec_col} of length >= {dim}")
+    nf = float(n)
+    cov = (nf * s_ij.astype(np.float64) - np.outer(s_i, s_i).astype(np.float64)) / (
+        nf * nf * float(QUANT) * float(QUANT)
+    )
+    mu = s_i.astype(np.float64) / (nf * float(QUANT))
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: int(n_components)]
+    comp = vecs[:, order]  # d x k
+    for c in range(comp.shape[1]):
+        if comp[np.argmax(np.abs(comp[:, c])), c] < 0:
+            comp[:, c] = -comp[:, c]
+    comp_b = comp.copy()
+
+    sel = df.filter(F.col(vec_col).isNotNull()).filter(
+        F.size(F.col(vec_col)) >= d
+    )
+    q = sel.select(F.col(id_col), F.slice(quantize(F.col(vec_col)), 1, d).alias("__q"))
+    id_type = sel.schema[id_col].dataType.simpleString()
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["__q"].tolist(), dtype=np.float64) / float(QUANT)
+            proj = (m - mu) @ comp_b
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(proj)})
+
+    return q.mapInPandas(project, schema=f"{id_col} {id_type}, proj array<double>")
