@@ -102,6 +102,7 @@ HEADLINE = [
     "events_rolling_anomaly",
     "events_heavy_hitters",
     "embedding_covariance",
+    "curate_sample_weighted",
 ]
 
 

@@ -5477,3 +5477,41 @@ def _q_embedding_pca_project(spark, sf_dir):
 
 
 QUERIES["embedding_pca_project"] = _q_embedding_pca_project
+
+
+# ---------------------------------------------------------------------------
+# round 6: deterministic weighted sampling without replacement
+
+
+def _q_curate_sample_weighted(spark, sf_dir):
+    """Exactly min(25, |stratum|) documents per language, drawn with
+    probability proportional to n_chars (the quality-weighted holdout):
+    Efraimidis-Spirakis exponential-race keys over the cross-engine md5
+    hash, k smallest (key, id) win. The operator runs the scale path —
+    per-stratum weight totals, key prefilter at t = 4k/W, candidate
+    certification + heavy-skew escalation, window over the survivors —
+    while the oracle IS the naive full-sort window formulation."""
+    from cassandra_diff_spark.operators.curate import sample_weighted
+
+    return sample_weighted(
+        _docs(spark, sf_dir), "doc_id", "lang", "n_chars", 25
+    ).select("doc_id", "lang", "n_chars")
+
+
+_O_CURATE_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (-ln((CAST({md5_hash64_sql("doc_id::VARCHAR || ':0'")} AS DOUBLE) + 0.5)
+                         / 1152921504606846976.0) / CAST(n_chars AS DOUBLE)),
+                    doc_id
+         ) AS rn
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+) WHERE rn <= 25
+"""
+
+
+QUERIES["curate_sample_weighted"] = _q_curate_sample_weighted
+ORACLES["curate_sample_weighted"] = _O_CURATE_SAMPLE_WEIGHTED

@@ -268,6 +268,104 @@ def sample_exact_k(
     )
 
 
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    ``min(k, |stratum|)`` rows per stratum, each stratum drawn with
+    inclusion probability proportional to ``weight_col`` — the
+    quality-weighted corpus sampling primitive ("keep 1M documents,
+    preferring high-quality ones, same 1M on every run").
+
+    Selection rule (Efraimidis-Spirakis exponential race): per row,
+    ``u = (md5_hash64(id:seed) + 0.5) / 2^60`` in (0,1) and
+    ``key = -ln(u) / w``; the ``k`` SMALLEST ``(key, id)`` per stratum
+    win. A pure function of the data — reproducible in any engine. The
+    key itself is never emitted (libm ``ln`` may differ by 1 ulp across
+    engines; selection flips only when two keys collide within an ulp,
+    ~2^-60 per pair).
+
+    Scale shape (mirrors :func:`sample_exact_k` — never a full
+    per-stratum sort):
+
+    1. per-stratum weight totals ``W`` (one map-side-combined agg);
+    2. key PREFILTER at ``t = candidate_factor * k / W`` — map-only
+       predicate; E-S gives ``E[key_(k)] = k/W``, so the k-th key lands
+       under ``t`` with overwhelming probability on non-degenerate
+       weight mixes;
+    3. certification: a stratum whose ``key < t`` candidate count is
+       below ``min(k, n)`` (heavy-skew mixes can starve the light rows)
+       escalates to an unfiltered window over just that stratum — the
+       result is EXACT either way, the prefilter is purely a pruning
+       step;
+    4. the window sorts only the survivors.
+
+    Rows with NULL id, or NULL/non-positive weight, are excluded (a
+    zero-weight row can never be drawn; E-S requires ``w > 0``).
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    two60 = float(1 << 60)
+    h = md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(two60)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    base = (
+        df.filter(F.col(id_col).isNotNull())
+        .filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__key", key)
+    )
+    totals = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(weight_col).cast("double")).alias("__w"),
+    )
+    thresholds = totals.select(
+        strata_col,
+        "__n",
+        (F.lit(float(candidate_factor * int(k))) / F.col("__w")).alias("__t"),
+    )
+    cand = base.join(F.broadcast(thresholds), [strata_col], "left").filter(
+        F.col("__key") < F.col("__t")
+    )
+    short = (
+        cand.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(thresholds, [strata_col], "right")
+        .filter(
+            F.coalesce(F.col("__c"), F.lit(0))
+            < F.least(F.lit(int(k)), F.col("__n"))
+        )
+        .select(strata_col)
+        .collect()
+    )
+    if short:  # heavy-skew backstop: exact window over just these strata
+        vals = [r[0] for r in short]
+        is_short = F.col(strata_col).isin([v for v in vals if v is not None]) | (
+            F.lit(None in vals) & F.col(strata_col).isNull()
+        )
+        cand = cand.filter(~F.coalesce(is_short, F.lit(False))).unionByName(
+            base.join(F.broadcast(thresholds), [strata_col], "left").filter(
+                F.coalesce(is_short, F.lit(False))
+            )
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__key", "__rn", "__n", "__w", "__t")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str,

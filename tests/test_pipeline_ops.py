@@ -1385,3 +1385,93 @@ class TestStripBoilerplate:
             ).collect()
         }
         assert all(v == 0 for v in out3.values())
+
+
+class TestSampleWeighted:
+    """curate.sample_weighted — Efraimidis-Spirakis weighted sampling
+    without replacement, certified prefilter + heavy-skew escalation."""
+
+    @pytest.fixture(scope="class")
+    def wdf(self, spark):
+        rows = [(i, ["en", "de"][i % 2], float(1 + i % 7)) for i in range(200)]
+        rows += [(500, "en", None), (501, "en", 0.0), (502, "en", -3.0)]
+        rows += [(600 + i, None, 2.0) for i in range(4)]  # null stratum
+        return spark.createDataFrame(rows, "id long, lang string, w double")
+
+    def _naive(self, df, k, seed=0):
+        """The full-sort window formulation — the semantics oracle."""
+        from pyspark.sql import Window
+
+        from cassandra_diff_spark.functions.text import md5_hash64
+
+        h = md5_hash64(F.concat(F.col("id").cast("string"), F.lit(f":{seed}")))
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+        key = -F.log(u) / F.col("w").cast("double")
+        win = Window.partitionBy("lang").orderBy(key.asc(), F.col("id").asc())
+        return (
+            df.filter(F.col("id").isNotNull())
+            .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    @staticmethod
+    def _key(df):
+        return sorted((r.id, r.lang) for r in df.collect())
+
+    def test_equals_naive_window_formulation(self, spark, wdf):
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        got = sample_weighted(wdf, "id", "lang", "w", 15)
+        assert self._key(got) == self._key(self._naive(wdf, 15))
+        per = {
+            r.lang: r.n
+            for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert per == {"en": 15, "de": 15, None: 4}  # null stratum has 4 < k
+
+    def test_heavy_skew_forces_escalation_and_stays_exact(self, spark):
+        """One row carries ~all the weight: t = 4k/W starves the light
+        rows, certification fails, the stratum escalates — and the output
+        still equals the naive formulation."""
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        rows = [(0, "a", 1.0e9)] + [(i, "a", 1.0) for i in range(1, 60)]
+        df = spark.createDataFrame(rows, "id long, lang string, w double")
+        got = sample_weighted(df, "id", "lang", "w", 5, candidate_factor=1)
+        assert self._key(got) == self._key(self._naive(df, 5))
+        # the mega-weight row is (essentially) always drawn
+        assert 0 in {r.id for r in got.collect()}
+
+    def test_zero_factor_escalates_everything(self, spark, wdf):
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        assert self._key(
+            sample_weighted(wdf, "id", "lang", "w", 9, candidate_factor=0)
+        ) == self._key(sample_weighted(wdf, "id", "lang", "w", 9))
+
+    def test_weight_bias_is_real(self, spark):
+        """10x-weight rows should win far more than 1x rows (sanity on
+        the proportional-inclusion semantics, not a statistical test of
+        the engine): expected heavy share ~10/11, binomial sd ~3."""
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        rows = [(i, "a", 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, lang string, w double")
+        got = sample_weighted(df, "id", "lang", "w", 100)
+        heavy = sum(1 for r in got.collect() if r.id % 2 == 0)
+        assert heavy >= 75
+
+    def test_partitioning_invariance(self, spark, wdf):
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        a = self._key(sample_weighted(wdf.repartition(13), "id", "lang", "w", 8))
+        b = self._key(sample_weighted(wdf.coalesce(1), "id", "lang", "w", 8))
+        assert a == b
+
+    def test_k_validated(self, spark, wdf):
+        from cassandra_diff_spark.operators.curate import sample_weighted
+
+        with pytest.raises(ValueError):
+            sample_weighted(wdf, "id", "lang", "w", 0)
