@@ -103,6 +103,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "embedding_covariance",
     "curate_sample_weighted",
+    "events_quantiles_incremental",
 ]
 
 

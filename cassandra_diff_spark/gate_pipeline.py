@@ -5515,3 +5515,76 @@ SELECT doc_id, lang, n_chars FROM (
 
 QUERIES["curate_sample_weighted"] = _q_curate_sample_weighted
 ORACLES["curate_sample_weighted"] = _O_CURATE_SAMPLE_WEIGHTED
+
+
+# ---------------------------------------------------------------------------
+# round 6: incremental quantiles via additive histogram folds
+
+
+def _q_events_quantiles_incremental(spark, sf_dir):
+    """Incremental quantiles: history (event_id % 10 < 8) persists only
+    its <= n_bins-row histogram; the new batch's histogram folds in by
+    integer addition and quantiles extract from the combined frame —
+    exactly the one-shot rebuild (the oracle is the whole-corpus
+    formulation), history never re-binned or re-read."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import (
+        fold_histograms,
+        histogram_counts,
+        quantiles_from_histogram,
+    )
+
+    ev = load_events(spark, sf_dir)
+    lo, hi, n_bins = 0.0, 100.0, 500
+    width = (hi - lo) / n_bins
+    stage = f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    histogram_counts(
+        ev.filter(F.col("event_id") % 10 < 8), "value", ["event_type"],
+        lo, width, n_bins,
+    ).write.parquet(stage)
+    hist = spark.read.parquet(stage)
+    batch = histogram_counts(
+        ev.filter(F.col("event_id") % 10 >= 8), "value", ["event_type"],
+        lo, width, n_bins,
+    )
+    return quantiles_from_histogram(
+        fold_histograms([hist, batch], by=["event_type"]),
+        [0.1, 0.5, 0.99],
+        by=["event_type"],
+        lo=lo,
+        width=width,
+    )
+
+
+_O_EVENTS_QUANTILES_INCREMENTAL = """
+WITH v AS (
+  SELECT event_type,
+         LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)
+                              / ((100.0 - 0.0) / 500)), 0), 499) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, bin, COUNT(*) AS c FROM v GROUP BY 1, 2),
+ch AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+e AS (
+  SELECT event_type, bin, cum, n, UNNEST([0.1, 0.5, 0.99]) AS p FROM ch
+)
+SELECT event_type, p,
+       0.0 + MIN(bin) * ((100.0 - 0.0) / 500) AS q,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM e
+WHERE cum >= CEIL(p * n)
+GROUP BY event_type, p
+"""
+
+
+QUERIES["events_quantiles_incremental"] = _q_events_quantiles_incremental
+ORACLES["events_quantiles_incremental"] = _O_EVENTS_QUANTILES_INCREMENTAL

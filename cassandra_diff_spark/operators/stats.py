@@ -100,6 +100,36 @@ def quantiles_from_histogram(hist, probs, *, by, lo, width):
     )
 
 
+def fold_histograms(hists: Sequence[DataFrame], *, by: Sequence[str]) -> DataFrame:
+    """Additive fold of ``(by..., __bin, __c)`` histograms — the
+    incremental quantile path: persist tonight's
+    :func:`histogram_counts` output (≤ n_bins rows per group,
+    kilobytes), fold tomorrow's batch histogram in, and extract
+    quantiles from the combined frame with
+    :func:`quantiles_from_histogram`. Equals the one-shot rebuild
+    EXACTLY — bin counts are order-free additive integers — and history
+    is never re-binned or re-read (the same persisted-index contract as
+    ``fold_centroids`` / ``fold_token_counts``).
+
+    All histograms must share the binning (``lo``/``width``/``n_bins``)
+    and the ``by`` grouping; the fold itself is one map-side-combinable
+    groupBy over frames whose size is bins x groups, not data.
+    """
+    if not hists:
+        raise ValueError("fold_histograms: need at least one histogram")
+    cols = [*by, "__bin", "__c"]
+    for h in hists:
+        missing = [c for c in cols if c not in h.columns]
+        if missing:
+            raise ValueError(
+                f"fold_histograms: histogram is missing columns {missing}"
+            )
+    folded = hists[0].select(*cols)
+    for h in hists[1:]:
+        folded = folded.unionByName(h.select(*cols))
+    return folded.groupBy(*by, "__bin").agg(F.sum("__c").alias("__c"))
+
+
 def quantiles_histogram(
     df: DataFrame,
     value_col: str,

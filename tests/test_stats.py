@@ -184,3 +184,40 @@ class TestRollingAnomaly:
             ).count()
             == 0
         )
+
+
+class TestFoldHistograms:
+    """stats.fold_histograms — incremental quantiles via additive folds."""
+
+    def test_fold_equals_one_shot(self, spark):
+        from cassandra_diff_spark.operators.stats import (
+            fold_histograms,
+            histogram_counts,
+            quantiles_from_histogram,
+        )
+
+        rows = [(i, "a" if i % 3 else "b", float(i % 97)) for i in range(600)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        lo, width, n_bins = 0.0, 1.0, 100
+        parts = [
+            histogram_counts(df.filter(f"id % 3 = {m}"), "v", ["g"], lo, width, n_bins)
+            for m in range(3)
+        ]
+        folded = fold_histograms(parts, by=["g"])
+        one_shot = histogram_counts(df, "v", ["g"], lo, width, n_bins)
+        key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+        assert key(folded) == key(one_shot)
+
+        probs = [0.25, 0.5, 0.9]
+        qa = quantiles_from_histogram(folded, probs, by=["g"], lo=lo, width=width)
+        qb = quantiles_from_histogram(one_shot, probs, by=["g"], lo=lo, width=width)
+        assert key(qa) == key(qb)
+
+    def test_validates_inputs(self, spark):
+        from cassandra_diff_spark.operators.stats import fold_histograms
+
+        with pytest.raises(ValueError, match="at least one"):
+            fold_histograms([], by=["g"])
+        bad = spark.createDataFrame([("a", 1)], "g string, __bin long")
+        with pytest.raises(ValueError, match="missing columns"):
+            fold_histograms([bad], by=["g"])
