@@ -104,6 +104,7 @@ HEADLINE = [
     "embedding_covariance",
     "curate_sample_weighted",
     "events_quantiles_incremental",
+    "validate_correlations",
 ]
 
 

@@ -5588,3 +5588,63 @@ GROUP BY event_type, p
 
 QUERIES["events_quantiles_incremental"] = _q_events_quantiles_incremental
 ORACLES["events_quantiles_incremental"] = _O_EVENTS_QUANTILES_INCREMENTAL
+
+
+# ---------------------------------------------------------------------------
+# round 6: exact-moment Pearson correlation matrix (profiling surface)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_validate_correlations(spark, sf_dir):
+    """Correlation matrix of lineitem's four numeric measures: all
+    k + k(k+1)/2 integer moments fused into ONE aggregation scan
+    (decimal(38,0) sums — exact at any corpus size); cov/corr are fixed
+    double expressions over those exact integers, so DuckDB's HUGEINT
+    formulation reproduces every bit."""
+    from cassandra_diff_spark.operators.validate import numeric_correlations
+
+    li = load(spark, sf_dir, "lineitem")
+    return numeric_correlations(li, _CORR_COLS, scale=1000)
+
+
+def _make_o_validate_correlations() -> str:
+    cols = _CORR_COLS
+    k = len(cols)
+    qsel = ", ".join(
+        f"CAST(ROUND(CAST({c} AS DOUBLE) * 1000) AS BIGINT) AS q{i}"
+        for i, c in enumerate(cols)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    sums += [f"SUM(CAST(q{i} AS HUGEINT)) AS s{i}" for i in range(k)]
+    sums += [
+        f"SUM(CAST(q{i} AS HUGEINT) * q{j}) AS p{i}_{j}"
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    arms = []
+    for i in range(k):
+        for j in range(i, k):
+            m2 = f"(CAST(n AS HUGEINT) * p{i}_{j} - s{i} * s{j})"
+            vii = f"(CAST(n AS HUGEINT) * p{i}_{i} - s{i} * s{i})"
+            vjj = f"(CAST(n AS HUGEINT) * p{j}_{j} - s{j} * s{j})"
+            arms.append(
+                f"SELECT '{cols[i]}' AS col_i, '{cols[j]}' AS col_j, n,\n"
+                f"  CAST({m2} AS DOUBLE)\n"
+                f"    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0) AS cov,\n"
+                f"  CASE WHEN {vii} = 0 OR {vjj} = 0 THEN NULL\n"
+                f"       ELSE CAST({m2} AS DOUBLE)\n"
+                f"            / sqrt(CAST({vii} AS DOUBLE) * CAST({vjj} AS DOUBLE)) END AS corr\n"
+                f"FROM m"
+            )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH q AS (SELECT {qsel} FROM lineitem WHERE {notnull}),\n"
+        f"m AS (SELECT {', '.join(sums)} FROM q)\n{body}"
+    )
+
+
+QUERIES["validate_correlations"] = _q_validate_correlations
+ORACLES["validate_correlations"] = _make_o_validate_correlations()

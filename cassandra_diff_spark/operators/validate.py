@@ -391,3 +391,95 @@ def profile_table(
             )
         ).alias("r")
     ).select("r.*")
+
+
+def numeric_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Pearson correlation matrix of numeric columns — the
+    column-relationship half of table profiling (is price still a
+    function of quantity after tonight's load? did a join bug decouple
+    two columns that always moved together?).
+
+    Exact-arithmetic discipline: values quantize to ``1/scale`` units
+    and every moment (``S_i``, ``S_ij``) accumulates as an EXACT
+    ``decimal(38,0)`` integer — order-free, map-side-combinable, and
+    reproducible in any engine with 128-bit sums (DuckDB's HUGEINT
+    oracle matches bit-for-bit). Each output double is then a fixed
+    expression over exact integers:
+
+        cov  = (n*S_ij - S_i*S_j) / (n^2 * scale^2)
+        corr = (n*S_ij - S_i*S_j) / sqrt((n*S_ii - S_i^2)(n*S_jj - S_j^2))
+
+    with ``corr`` NULL when either column has zero variance.
+
+    Scale shape: ONE aggregation scan with ``k + k(k+1)/2 + 1`` fused
+    sums (map-side combined — the shuffle carries one partial row per
+    task, never data); the pair expansion runs on the single aggregated
+    row via an in-plan explode, so nothing reaches the driver.
+    Rows with a NULL in ANY requested column are excluded (listwise
+    deletion — the covariance of a pair is otherwise over an undefined
+    row set).
+
+    The reference engine has no statistics surface; this extends
+    :func:`profile_table` the way ``embedding_covariance`` extends
+    centroids.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols}")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    q = base.select(
+        *[
+            F.round(F.col(c).cast("double") * int(scale))
+            .cast("long")
+            .alias(f"__q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(F.col(f"__q{i}").cast(dec)).alias(f"__s{i}"))
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(
+                    F.col(f"__q{i}").cast(dec) * F.col(f"__q{j}").cast(dec)
+                ).alias(f"__p{i}_{j}")
+            )
+    m = q.agg(*aggs)
+
+    nd = F.col("__n").cast(dec)
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            m2 = (nd * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")).cast(dec)
+            vii = (nd * F.col(f"__p{i}_{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")).cast(dec)
+            vjj = (nd * F.col(f"__p{j}_{j}") - F.col(f"__s{j}") * F.col(f"__s{j}")).cast(dec)
+            denom = F.col("__n").cast("double") * F.col("__n").cast("double") * float(
+                int(scale) * int(scale)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_i"),
+                    F.lit(cols[j]).alias("col_j"),
+                    F.col("__n").alias("n"),
+                    (m2.cast("double") / denom).alias("cov"),
+                    F.when(
+                        (vii == F.lit(0).cast(dec)) | (vjj == F.lit(0).cast(dec)),
+                        F.lit(None).cast("double"),
+                    )
+                    .otherwise(
+                        m2.cast("double")
+                        / F.sqrt(vii.cast("double") * vjj.cast("double"))
+                    )
+                    .alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pairs)).alias("r")).select("r.*")

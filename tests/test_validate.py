@@ -266,3 +266,71 @@ def test_cli_profile(spark, sf_dir, tmp_path, capsys):
     assert "o_orderkey" in cols and len(lines) == 6
     ok = next(x for x in lines if x["column"] == "o_orderkey")
     assert ok["n_null"] == 0 and ok["n"] > 0 and ok["n_distinct"] > 0
+
+
+class TestNumericCorrelations:
+    """validate.numeric_correlations — exact-moment Pearson matrix."""
+
+    @pytest.fixture(scope="class")
+    def ndf(self, spark):
+        rows = [
+            (float(i), float(2 * i + 3), float(i % 4), 7.0, None if i == 5 else float(i))
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "a double, b double, c double, k double, d double")
+
+    def test_matches_numpy(self, spark, ndf):
+        import numpy as np
+
+        from cassandra_diff_spark.operators.validate import numeric_correlations
+
+        out = {
+            (r.col_i, r.col_j): r
+            for r in numeric_correlations(ndf, ["a", "b", "c"], scale=1000).collect()
+        }
+        assert len(out) == 6 and all(r.n == 40 for r in out.values())
+        m = np.array([[float(i), float(2 * i + 3), float(i % 4)] for i in range(40)])
+        q = np.round(m * 1000) / 1000.0
+        exp_cov = np.cov(q, rowvar=False, bias=True)
+        exp_corr = np.corrcoef(q, rowvar=False)
+        names = ["a", "b", "c"]
+        for i in range(3):
+            for j in range(i, 3):
+                r = out[(names[i], names[j])]
+                assert abs(r.cov - exp_cov[i, j]) < 1e-9
+                assert abs(r.corr - exp_corr[i, j]) < 1e-12
+
+    def test_perfect_linear_and_zero_variance(self, spark, ndf):
+        from cassandra_diff_spark.operators.validate import numeric_correlations
+
+        out = {
+            (r.col_i, r.col_j): r
+            for r in numeric_correlations(ndf, ["a", "b", "k"]).collect()
+        }
+        assert out[("a", "b")].corr == 1.0  # b = 2a + 3 exactly
+        assert out[("a", "k")].corr is None  # constant column -> NULL
+        assert out[("k", "k")].corr is None and out[("k", "k")].cov == 0.0
+
+    def test_listwise_deletion(self, spark, ndf):
+        from cassandra_diff_spark.operators.validate import numeric_correlations
+
+        out = numeric_correlations(ndf, ["a", "d"]).collect()
+        assert all(r.n == 39 for r in out)  # the one null-d row drops everywhere
+
+    def test_single_aggregation_scan(self, spark, ndf):
+        from cassandra_diff_spark.operators.validate import numeric_correlations
+
+        plan = (
+            numeric_correlations(ndf, ["a", "b", "c"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("HashAggregate") <= 4  # partial+final, one agg pair (+AQE wrap)
+        assert "CartesianProduct" not in plan and "Expand" not in plan
+
+    def test_validates_cols(self, spark, ndf):
+        from cassandra_diff_spark.operators.validate import numeric_correlations
+
+        with pytest.raises(ValueError, match="at least 2"):
+            numeric_correlations(ndf, ["a"])
