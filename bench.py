@@ -105,6 +105,7 @@ HEADLINE = [
     "curate_sample_weighted",
     "events_quantiles_incremental",
     "validate_correlations",
+    "join_profile_lineitem",
 ]
 
 

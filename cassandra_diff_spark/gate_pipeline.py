@@ -5648,3 +5648,42 @@ def _make_o_validate_correlations() -> str:
 
 QUERIES["validate_correlations"] = _q_validate_correlations
 ORACLES["validate_correlations"] = _make_o_validate_correlations()
+
+
+# ---------------------------------------------------------------------------
+# round 6: join pre-flight (exact explosion profile)
+
+
+def _q_join_profile_lineitem(spark, sf_dir):
+    """Pre-flight for joining lineitem to itself on l_partkey (the
+    classic accidental fan-out): per-key EXACT output-row counts for
+    the 20 worst keys, priced at two count-aggregations — count frames
+    join on |distinct keys| rows, the data never shuffles."""
+    from cassandra_diff_spark.operators.skew import join_explosion_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return join_explosion_profile(
+        li, li.filter(F.col("l_quantity") >= 25), ["l_partkey"], top_n=20
+    )
+
+
+_O_JOIN_PROFILE_LINEITEM = """
+WITH lc AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+),
+rc AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+  FROM lineitem WHERE l_partkey IS NOT NULL AND l_quantity >= 25
+  GROUP BY l_partkey
+)
+SELECT lc.l_partkey, n_left, n_right,
+       CAST(n_left * n_right AS BIGINT) AS out_rows
+FROM lc JOIN rc USING (l_partkey)
+ORDER BY out_rows DESC, lc.l_partkey ASC
+LIMIT 20
+"""
+
+
+QUERIES["join_profile_lineitem"] = _q_join_profile_lineitem
+ORACLES["join_profile_lineitem"] = _O_JOIN_PROFILE_LINEITEM

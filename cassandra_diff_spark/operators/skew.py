@@ -77,3 +77,85 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("long") for i in range(int(salt))])),
     )
     return s.join(o, on=on + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def join_explosion_profile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-flight cost profile of an equi-join: the EXACT number of
+    output rows each key would produce, for the ``top_n`` worst keys —
+    the "is this join about to emit 10^15 rows / serialize into one
+    straggler" check you run BEFORE a 100 TB join, priced at two
+    count-aggregations instead of the join itself.
+
+    For each join key, ``out_rows = n_left * n_right`` exactly (inner
+    join semantics; NULL keys never match and are excluded). The two
+    count frames are |distinct keys|-sized — their join shuffles key
+    counts, never data rows. Output: ``(*keys, n_left, n_right,
+    out_rows)``, the ``top_n`` largest by ``(out_rows, keys)`` — the
+    deterministic tiebreak makes the cutoff reproducible.
+
+    Reading the result: a hot ``out_rows`` >> the rest means salt that
+    key (:func:`salted_join`) or pre-aggregate one side; a TOTAL far
+    above both input sizes means the keys are not what you thought
+    (fan-out join bug). Use :func:`join_explosion_summary` for the
+    one-row totals.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("need at least one join key")
+    lc = (
+        left.dropna(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.dropna(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    prof = lc.join(rc, keys, "inner").select(
+        *keys,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+    )
+    return prof.orderBy(
+        F.col("out_rows").desc(), *[F.col(k).asc() for k in keys]
+    ).limit(int(top_n))
+
+
+def join_explosion_summary(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """One-row totals for the pre-flight: ``(matching_keys,
+    total_out_rows, max_key_out_rows)`` — exact inner-join output size
+    and the worst single key's contribution, from the same two count
+    aggregations as :func:`join_explosion_profile`."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("need at least one join key")
+    lc = (
+        left.dropna(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.dropna(subset=keys)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    per = lc.join(rc, keys, "inner").select(
+        (F.col("n_left") * F.col("n_right")).alias("__o")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.coalesce(F.sum("__o"), F.lit(0)).cast("long").alias("total_out_rows"),
+        F.coalesce(F.max("__o"), F.lit(0)).cast("long").alias("max_key_out_rows"),
+    )

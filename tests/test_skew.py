@@ -75,3 +75,78 @@ class TestSaltedJoin:
             (r.k, r.label) for r in salted_join(df, dim, ["k"], salt=4).collect()
         )
         assert got == [(1, "d1"), (2, "d2")]
+
+
+class TestJoinExplosionProfile:
+    """skew.join_explosion_profile / _summary — exact join pre-flight."""
+
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(k, i) for k in ["hot", "warm", "cold"] for i in range({"hot": 50, "warm": 5, "cold": 1}[k])]
+            + [(None, 0), ("left_only", 1)],
+            "k string, v long",
+        )
+        right = spark.createDataFrame(
+            [(k, i) for k in ["hot", "warm"] for i in range({"hot": 40, "warm": 3}[k])]
+            + [(None, 0), ("right_only", 1)],
+            "k string, v long",
+        )
+        return left, right
+
+    def test_exact_products_and_order(self, spark, sides):
+        from cassandra_diff_spark.operators.skew import join_explosion_profile
+
+        left, right = sides
+        rows = join_explosion_profile(left, right, ["k"]).collect()
+        assert [(r.k, r.n_left, r.n_right, r.out_rows) for r in rows] == [
+            ("hot", 50, 40, 2000),
+            ("warm", 5, 3, 15),
+        ]
+        # ground truth: profile total == actual inner-join count
+        assert sum(r.out_rows for r in rows) == left.join(right, "k").count()
+
+    def test_summary_row(self, spark, sides):
+        from cassandra_diff_spark.operators.skew import join_explosion_summary
+
+        left, right = sides
+        r = join_explosion_summary(left, right, ["k"]).collect()[0]
+        assert (r.matching_keys, r.total_out_rows, r.max_key_out_rows) == (2, 2015, 2000)
+
+    def test_no_match_is_zero_not_empty(self, spark, sides):
+        from cassandra_diff_spark.operators.skew import join_explosion_summary
+
+        left, _ = sides
+        other = left.filter("k = 'left_only'").select(F.col("k").alias("x"), "v") \
+            .select(F.lit("nomatch").alias("k"), "v")
+        r = join_explosion_summary(left, other, ["k"]).collect()[0]
+        assert (r.matching_keys, r.total_out_rows, r.max_key_out_rows) == (0, 0, 0)
+
+    def test_data_never_joins_only_count_frames(self, spark, sides):
+        """The joined relations must be the POST-aggregation count
+        frames: both join children contain a HashAggregate below them."""
+        from cassandra_diff_spark.operators.skew import join_explosion_profile
+
+        left, right = sides
+        plan = (
+            join_explosion_profile(left, right, ["k"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin"))
+        assert join_pos >= 0
+        # aggregates appear below (after, in tree print) the join operator
+        assert plan.count("HashAggregate", join_pos) >= 2
+
+    def test_keys_validated(self, spark, sides):
+        from cassandra_diff_spark.operators.skew import (
+            join_explosion_profile,
+            join_explosion_summary,
+        )
+
+        left, right = sides
+        with pytest.raises(ValueError):
+            join_explosion_profile(left, right, [])
+        with pytest.raises(ValueError):
+            join_explosion_summary(left, right, [])
