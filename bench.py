@@ -106,6 +106,7 @@ HEADLINE = [
     "events_quantiles_incremental",
     "validate_correlations",
     "join_profile_lineitem",
+    "text_strip_html",
 ]
 
 

@@ -181,3 +181,61 @@ def canonical_url_sql(expr: str) -> str:
         f"ELSE {scheme} || '://' || {host} || {keep_port} "
         f"|| {clean_path} || {qpart} END"
     )
+
+
+# ------------------------------------------------------------- HTML strip
+
+#: tag-strip steps, applied in order. RE2-compatible (lazy quantifiers,
+#: inline flags, NO lookaround/backreferences) so Spark (Java regex) and
+#: DuckDB (RE2) produce identical text; '\s' is avoided because Java and
+#: RE2 disagree on \x0B membership — the explicit class below is the
+#: engine-stable spelling.
+_HTML_TAG_STEPS = (
+    (r"(?s)<!--.*?-->", " "),                 # comments first (may hide tags)
+    (r"(?is)<script[^>]*>.*?</script>", " "), # script bodies are not text
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<[^>]*>", " "),                    # any remaining tag
+)
+#: minimal entity decode (the high-frequency web five + nbsp); '&amp;'
+#: LAST so '&amp;lt;' decodes to the literal '&lt;' like a single-pass
+#: HTML parser would.
+_HTML_ENTITY_STEPS = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+_WS_RUN = r"[ \t\n\r\f]+"
+
+
+def strip_html(col: Column) -> Column:
+    """Markup-to-text for crawled documents: drop comments, script and
+    style bodies, then every remaining tag; decode the six dominant
+    entities; collapse whitespace runs to single spaces and trim.
+
+    Pure Catalyst ``regexp_replace`` chain — JVM-side, codegen'd, zero
+    Python — with a bit-identical DuckDB twin (:func:`strip_html_sql`).
+    This is the dependency-free extraction step (trafilatura-class
+    boilerplate/readability extraction needs a DOM; pair this with
+    ``curate.strip_boilerplate_lines`` for the corpus-frequency cut).
+    """
+    x = col
+    for pat, rep in _HTML_TAG_STEPS:
+        x = F.regexp_replace(x, pat, rep)
+    for ent, rep in _HTML_ENTITY_STEPS:
+        x = F.regexp_replace(x, ent, rep)
+    return F.trim(F.regexp_replace(x, _WS_RUN, " "))
+
+
+def strip_html_sql(expr: str) -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    x = expr
+    for pat, rep in _HTML_TAG_STEPS:
+        x = f"regexp_replace({x}, '{q(pat)}', '{q(rep)}', 'g')"
+    for ent, rep in _HTML_ENTITY_STEPS:
+        x = f"regexp_replace({x}, '{q(ent)}', '{q(rep)}', 'g')"
+    return f"trim(regexp_replace({x}, '{q(_WS_RUN)}', ' ', 'g'))"

@@ -5687,3 +5687,51 @@ LIMIT 20
 
 QUERIES["join_profile_lineitem"] = _q_join_profile_lineitem
 ORACLES["join_profile_lineitem"] = _O_JOIN_PROFILE_LINEITEM
+
+
+# ---------------------------------------------------------------------------
+# round 6: HTML-to-text extraction
+
+
+_HTML_PRE = (
+    '<html><head><title>t</title><style>p {color: red}</style>'
+    '<script type="text/javascript">if (1 < 2) { x = "a&b"; }</script>'
+    '</head><body><p class="lead">'
+)
+_HTML_POST = (
+    '</p><!-- generated <footer> --><div>&amp;copy; 2026 '
+    '&lt;Corp&gt;&nbsp;Inc &#39;quoted&#39;</div></body></html>'
+)
+
+
+def _q_text_strip_html(spark, sf_dir):
+    """Markup-to-text over documents wrapped in a deterministic HTML
+    shell (title/style/script heads, attributes, a comment hiding a
+    tag, entities, a '<' inside script code): comments, script/style
+    bodies and tags drop, entities decode, whitespace collapses — a
+    pure Catalyst regexp chain whose RE2-compatible patterns make the
+    DuckDB twin bit-identical."""
+    from cassandra_diff_spark.functions.web import strip_html
+
+    d = _docs(spark, sf_dir)
+    wrapped = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        strip_html(wrapped).alias("clean"),
+    ).withColumn("clean_chars", F.length("clean").cast("long"))
+
+
+def _make_o_text_strip_html() -> str:
+    from cassandra_diff_spark.functions.web import strip_html_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    clean = strip_html_sql(f"('{pre}' || text || '{post}')")
+    return f"""
+SELECT doc_id, {clean} AS clean, CAST(length({clean}) AS BIGINT) AS clean_chars
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+QUERIES["text_strip_html"] = _q_text_strip_html
+ORACLES["text_strip_html"] = _make_o_text_strip_html()

@@ -1,0 +1,81 @@
+"""functions/web.strip_html — markup-to-text extraction cases + DuckDB
+bit-parity of the SQL twin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.functions.web import strip_html, strip_html_sql
+
+CASES = [
+    # (raw html, expected text)
+    ("<p>hello <b>world</b></p>", "hello world"),
+    ("a<br/>b", "a b"),
+    # script/style bodies vanish entirely, including '<' inside code
+    ('<script>if (1 < 2) { alert("x"); }</script>after', "after"),
+    ("<style>p { color: red }</style>text", "text"),
+    ("<SCRIPT TYPE='a'>x</SCRIPT>ok", "ok"),  # case-insensitive
+    # comments drop first, even when they hide a tag
+    ("keep<!-- <div>hidden</div> -->me", "keep me"),
+    # entities: the dominant six; &amp; decodes LAST
+    ("&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp;", "<tag> \"q\" 's' a b &"),
+    ("&amp;lt;", "&lt;"),  # single-pass decode, not recursive
+    # attributes with '>' edge: tag ends at first '>'
+    ('<a href="u">link</a>', "link"),
+    # whitespace collapse + trim
+    ("  <p>\n\n a \t b \r\n </p>  ", "a b"),
+    # multiline script (the (?s) flag)
+    ("<script>\nvar x = 1;\nvar y = 2;\n</script>done", "done"),
+    # plain text with stray '<' not forming a tag survives as-is when no
+    # closing '>' follows
+    ("1 < 2 and done", "1 < 2 and done"),
+    ("", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def html_df(spark):
+    return spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, h string"
+    )
+
+
+def test_extraction_cases(spark, html_df):
+    got = {
+        r.i: r.c for r in html_df.select("i", strip_html(F.col("h")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_sql_twin_bit_identical(spark, html_df):
+    got = [
+        r.c
+        for r in html_df.select("i", strip_html(F.col("h")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            "SELECT " + strip_html_sql("v") + " FROM (SELECT ? AS v)",
+            params=[raw],
+        ).fetchone()[0]
+        for raw, _ in CASES
+    ]
+    assert got == want
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "i long, h string")
+    assert df.select(strip_html(F.col("h")).alias("c")).collect()[0].c is None
+
+
+def test_no_python_in_plan(spark, html_df):
+    plan = (
+        html_df.select(strip_html(F.col("h")).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
