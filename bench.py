@@ -107,6 +107,7 @@ HEADLINE = [
     "validate_correlations",
     "join_profile_lineitem",
     "text_strip_html",
+    "curate_split",
 ]
 
 

@@ -5735,3 +5735,36 @@ FROM documents WHERE text IS NOT NULL
 
 QUERIES["text_strip_html"] = _q_text_strip_html
 ORACLES["text_strip_html"] = _make_o_text_strip_html()
+
+
+# ---------------------------------------------------------------------------
+# round 6: deterministic train/val/test split
+
+
+def _q_curate_split(spark, sf_dir):
+    """98/1/1 train/val/test assignment as a pure function of (doc_id,
+    seed): the same id lands in the same split on every run, engine, and
+    shard layout — growing the corpus never moves an old row across a
+    boundary (no test-set leakage). MAP-ONLY: one hash expression, no
+    shuffle, no count pass."""
+    from cassandra_diff_spark.operators.curate import assign_split
+
+    d = _docs(spark, sf_dir)
+    return assign_split(
+        d, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=7
+    ).select("doc_id", "lang", "split")
+
+
+_O_CURATE_SPLIT = f"""
+SELECT doc_id, lang,
+       CASE WHEN ({md5_hash64_sql("doc_id::VARCHAR || ':7'")} % 1000000) < 980000
+              THEN 'train'
+            WHEN ({md5_hash64_sql("doc_id::VARCHAR || ':7'")} % 1000000) < 990000
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+QUERIES["curate_split"] = _q_curate_split
+ORACLES["curate_split"] = _O_CURATE_SPLIT

@@ -932,3 +932,50 @@ def strip_boilerplate_lines(
             .alias("n_dropped"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: "dict[str, float]",
+    *,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each row lands in
+    exactly one named split with probability proportional to its
+    fraction, as a pure function of ``(id, seed)`` — the same id maps to
+    the same split on every run, every engine, every shard layout (the
+    property random() splits lack: adding data or repartitioning never
+    moves an existing row across the boundary, so yesterday's test set
+    never leaks into tomorrow's training set).
+
+    Mechanics: ``md5_hash64(id:seed) % 1e6`` against cumulative ppm
+    cut-points in the splits' given order (insertion order — pin it).
+    Fractions must sum to 1 within 1 ppm rounding; the last split
+    absorbs the rounding remainder. MAP-ONLY — one expression, no
+    shuffle, no count pass.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    names = list(splits)
+    if len(names) < 2:
+        raise ValueError(f"need at least 2 splits, got {names}")
+    fracs = [float(splits[n]) for n in names]
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive: {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    cuts = []
+    acc = 0.0
+    for f in fracs[:-1]:
+        acc += f
+        cuts.append(int(round(acc * 1_000_000)))
+    u = md5_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ) % 1_000_000
+    # nest from the last cut outward so the smallest cut tests first
+    expr = F.lit(names[-1])
+    for name, cut in reversed(list(zip(names[:-1], cuts))):
+        expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

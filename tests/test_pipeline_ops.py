@@ -1475,3 +1475,59 @@ class TestSampleWeighted:
 
         with pytest.raises(ValueError):
             sample_weighted(wdf, "id", "lang", "w", 0)
+
+
+class TestAssignSplit:
+    """curate.assign_split — deterministic hash train/val/test split."""
+
+    def test_partition_of_rows_and_rough_fractions(self, spark):
+        from cassandra_diff_spark.operators.curate import assign_split
+
+        df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+        out = assign_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        per = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(per.values()) == 5000 and set(per) == {"train", "val", "test"}
+        assert 3800 <= per["train"] <= 4200  # ~4000, hash-uniform
+        assert 350 <= per["val"] <= 650 and 350 <= per["test"] <= 650
+
+    def test_stability_under_growth_and_layout(self, spark):
+        """The defining property: adding rows or repartitioning never
+        moves an existing id across a split boundary."""
+        from cassandra_diff_spark.operators.curate import assign_split
+
+        small = spark.createDataFrame([(i,) for i in range(300)], "id long")
+        big = spark.createDataFrame([(i,) for i in range(900)], "id long").repartition(7)
+        splits = {"train": 0.9, "test": 0.1}
+        a = {r.id: r.split for r in assign_split(small, "id", splits).collect()}
+        b = {r.id: r.split for r in assign_split(big, "id", splits).collect()}
+        assert all(b[i] == a[i] for i in a)
+
+    def test_seed_changes_assignment(self, spark):
+        from cassandra_diff_spark.operators.curate import assign_split
+
+        df = spark.createDataFrame([(i,) for i in range(400)], "id long")
+        splits = {"a": 0.5, "b": 0.5}
+        x = {r.id: r.split for r in assign_split(df, "id", splits, seed=1).collect()}
+        y = {r.id: r.split for r in assign_split(df, "id", splits, seed=2).collect()}
+        assert any(x[i] != y[i] for i in x)
+
+    def test_map_only_plan(self, spark):
+        from cassandra_diff_spark.operators.curate import assign_split
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        plan = (
+            assign_split(df, "id", {"a": 0.5, "b": 0.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        from cassandra_diff_spark.operators.curate import assign_split
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="at least 2"):
+            assign_split(df, "id", {"all": 1.0})
+        with pytest.raises(ValueError, match="sum to 1"):
+            assign_split(df, "id", {"a": 0.5, "b": 0.6})
+        with pytest.raises(ValueError, match="positive"):
+            assign_split(df, "id", {"a": 1.5, "b": -0.5})
