@@ -154,42 +154,63 @@ def _gram_moments(df: DataFrame, vec_col: str, *, dim: int) -> DataFrame:
     carries the row count ``n``.  All sums are exact int64 in milli-unit
     scale, so they are additive across shards and bit-stable.
 
-    Scale shape: a per-partition **Gramian kernel** — each
-    ``mapInPandas`` partition emits its ``d x d`` integer partial (one
-    ``M^T M`` matmul per Arrow batch), so the shuffle carries
-    ``partitions x (d(d+1)/2 + d + 1)`` rows, never ``n x d^2``.
+    Scale shape: a per-partition **Gramian kernel** — a fused
+    ``mapInArrow`` numpy pass (flat Arrow buffers in, no per-row object
+    conversion — the same zero-copy discipline as the ANN index
+    builds); each partition emits ONE ``d x d`` integer partial, so the
+    shuffle carries ``partitions x (d(d+1)/2 + d + 1)`` rows, never
+    ``n x d^2``. Quantization inside the kernel is bit-exact with the
+    Catalyst ``round(x*1000)`` path (HALF_UP fixup — see
+    ``similarity._make_vec_matrix_fn``). The per-batch ``M^T M`` runs
+    through BLAS float64 when exactness is provable
+    (``max|q|^2 x batch_rows < 2^53``: every product and partial sum
+    representable), else falls back to exact int64 matmul.
     """
+    from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
 
+    d = int(dim)
     sel = df.filter(F.col(vec_col).isNotNull()).filter(
-        F.size(F.col(vec_col)) >= int(dim)
+        F.size(F.col(vec_col)) >= d
     )
-    q = sel.select(F.slice(quantize(F.col(vec_col)), 1, int(dim)).alias("__q"))
+    v = sel.select(F.slice(F.col(vec_col), 1, d).alias("__v"))
+    vec_matrix = _make_vec_matrix_fn(d)
 
-    def gram(batches):
+    def gram(it):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        d = int(dim)
         gm = np.zeros((d, d), dtype=np.int64)
         sv = np.zeros(d, dtype=np.int64)
         n = 0
-        for pdf in batches:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            m = np.array(pdf["__q"].tolist(), dtype=np.int64)
-            gm += m.T @ m
-            sv += m.sum(axis=0)
-            n += m.shape[0]
+            q = vec_matrix(batch.column("__v"))
+            mx = int(np.abs(q).max()) if q.size else 0
+            if mx * mx * q.shape[0] < (1 << 53):
+                f = q.astype(np.float64)
+                gm += (f.T @ f).astype(np.int64)
+            else:  # magnitudes too large for provably-exact BLAS
+                gm += q.T @ q
+            sv += q.sum(axis=0)
+            n += q.shape[0]
+        if not n:
+            return
         ii, jj = np.triu_indices(d)
-        yield pd.DataFrame(
-            {
-                "i": np.concatenate([ii, np.arange(d), [-1]]),
-                "j": np.concatenate([jj, np.full(d, -1), [-1]]),
-                "s": np.concatenate([gm[ii, jj], sv, [n]]),
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([ii, np.arange(d), [-1]]).astype(np.int32)
+                ),
+                pa.array(
+                    np.concatenate([jj, np.full(d, -1), [-1]]).astype(np.int32)
+                ),
+                pa.array(np.concatenate([gm[ii, jj], sv, [n]])),
+            ],
+            ["i", "j", "s"],
         )
 
-    parts = q.mapInPandas(gram, schema="i int, j int, s long")
+    parts = v.mapInArrow(gram, "i int, j int, s long")
     return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
 
@@ -302,20 +323,33 @@ def pca_project(
             comp[:, c] = -comp[:, c]
     comp_b = comp.copy()
 
+    from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
+
     sel = df.filter(F.col(vec_col).isNotNull()).filter(
         F.size(F.col(vec_col)) >= d
     )
-    q = sel.select(F.col(id_col), F.slice(quantize(F.col(vec_col)), 1, d).alias("__q"))
+    q = sel.select(F.col(id_col), F.slice(F.col(vec_col), 1, d).alias("__v"))
     id_type = sel.schema[id_col].dataType.simpleString()
+    vec_matrix = _make_vec_matrix_fn(d)
+    n_comp = comp_b.shape[1]
+    quant = float(QUANT)
 
-    def project(batches):
-        import pandas as pd
+    def project(it):
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            m = np.array(pdf["__q"].tolist(), dtype=np.float64) / float(QUANT)
+            m = vec_matrix(batch.column("__v")).astype(np.float64) / quant
             proj = (m - mu) @ comp_b
-            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(proj)})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(proj.reshape(-1), type=pa.float64()), n_comp
+                    ).cast(pa.list_(pa.float64())),
+                ],
+                [id_col, "proj"],
+            )
 
-    return q.mapInPandas(project, schema=f"{id_col} {id_type}, proj array<double>")
+    return q.mapInArrow(project, f"{id_col} {id_type}, proj array<double>")

@@ -27,6 +27,7 @@ the result dict in the per-round BENCH json.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -394,6 +395,43 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["linkage_pairs_sec"] = round(time.time() - t0, 2)
     out["linkage_recall"] = found / n_typos
     out["linkage_n_pairs"] = pairs.count()
+
+    # ---- covariance moments at n vectors: the Gramian kernel's cost is
+    # one M^T M matmul per Arrow batch; shuffle = partitions x d^2 rows
+    from cassandra_diff_spark.operators.embeddings import embedding_covariance
+
+    t0 = time.time()
+    cov_rows = embedding_covariance(corpus, "embedding", dim=DIM).count()
+    out["covariance_sec"] = round(time.time() - t0, 2)
+    out["covariance_cells"] = cov_rows  # d(d+1)/2
+
+    # ---- exact heavy hitters at 10n rows / ~9n distinct keys: the
+    # Misra-Gries pass must bound the shuffle at k x partitions instead
+    # of the key cardinality, and the confirm pass must return EXACTLY
+    # the full-groupBy answer
+    from cassandra_diff_spark.operators.sketch import heavy_hitters
+
+    n_events = 10 * n
+    hot = F.when(
+        F.col("id") % 100 < 5, F.concat(F.lit("hot"), (F.col("id") % 3).cast("string"))
+    ).otherwise(F.col("id").cast("string"))
+    ev = spark.range(n_events).select(hot.alias("k"))
+    ev.write.mode("overwrite").parquet(f"{work}/hh.parquet")
+    ev = spark.read.parquet(f"{work}/hh.parquet")
+    t0 = time.time()
+    hh = {r["k"]: r["cnt"] for r in heavy_hitters(ev, "k", 0.01).collect()}
+    out["heavy_hitters_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    truth = {
+        r["k"]: r["c"]
+        for r in ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= math.ceil(0.01 * n_events))
+        .collect()
+    }
+    out["heavy_hitters_groupby_sec"] = round(time.time() - t0, 2)
+    out["heavy_hitters_exact"] = hh == truth
+    out["heavy_hitters_found"] = len(hh)
 
     release_caches()
     return out
