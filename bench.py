@@ -108,6 +108,7 @@ HEADLINE = [
     "join_profile_lineitem",
     "text_strip_html",
     "curate_split",
+    "events_top_k",
 ]
 
 

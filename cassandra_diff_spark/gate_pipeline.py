@@ -5768,3 +5768,38 @@ FROM documents
 
 QUERIES["curate_split"] = _q_curate_split
 ORACLES["curate_split"] = _O_CURATE_SPLIT
+
+
+# ---------------------------------------------------------------------------
+# round 6: exact per-group top-k without a per-group sort
+
+
+def _q_events_top_k(spark, sf_dir):
+    """Top 40 events per type by value: histogram pass locates the bin
+    holding the k-th largest per group, only that bin and above ranks
+    (provable superset — no certification needed), the window sorts
+    ~k + one bin per group instead of the whole group. The oracle IS
+    the naive full-sort window formulation this must equal."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import top_k_by_group
+
+    ev = load_events(spark, sf_dir)
+    return top_k_by_group(
+        ev, ["event_type"], "value", 40,
+        id_col="event_id", lo=0.0, hi=100.0, n_bins=512,
+    ).select("event_type", "event_id", "value")
+
+
+_O_EVENTS_TOP_K = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id ASC
+         ) AS rn
+  FROM events WHERE value IS NOT NULL
+) WHERE rn <= 40
+"""
+
+
+QUERIES["events_top_k"] = _q_events_top_k
+ORACLES["events_top_k"] = _O_EVENTS_TOP_K

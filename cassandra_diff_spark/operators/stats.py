@@ -367,3 +367,72 @@ def rolling_anomaly(
         n.alias("n_prev"),
         F.floor(F.lit(1000) * s / n).cast("long").alias("mean_c1000"),
     )
+
+
+def top_k_by_group(
+    df: DataFrame,
+    by: Sequence[str],
+    order_col: str,
+    k: int,
+    *,
+    id_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """EXACT top-``k`` rows per group by ``order_col`` (descending, ties
+    broken by ``id_col`` ascending) — without sorting any group.
+
+    The naive formulation is one ``row_number`` window = a full sort of
+    EVERY group; a single 10-TB group serializes into one task. This is
+    the top-k analog of :func:`quantiles_refined`:
+
+    1. per-group histogram of ``order_col`` (ONE map-side-combined
+       shuffle, ≤ n_bins rows per group);
+    2. per group, find the bin holding the k-th largest value (a
+       descending cumulative sum over the kilobyte histogram) — every
+       top-k row lies in that bin or above BY CONSTRUCTION, so unlike a
+       sampled threshold this needs no certification/escalation: the
+       candidate set is provably a superset for ANY ``lo``/``hi``
+       (out-of-range values clamp into the edge bins and stay
+       candidates);
+    3. keep only candidate rows (broadcast threshold + the SAME bin
+       expression as pass 1 — bit-identical boundary arithmetic, no
+       float-edge mismatch) and window just those.
+
+    Candidates per group ~ k + one bin's population; raise ``n_bins``
+    when values concentrate. NULL ``order_col`` rows cannot rank and are
+    excluded.
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    _check_args([0.5], lo, hi)
+    by = list(by)
+    width = (float(hi) - float(lo)) / int(n_bins)
+    hist = histogram_counts(df, order_col, by, lo, width, n_bins)
+    wdesc = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*by)
+    cut = (
+        hist.withColumn("__from_top", F.sum("__c").over(wdesc))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .filter(F.col("__from_top") >= F.least(F.lit(int(k)), F.col("__n")))
+        .groupBy(*by)
+        .agg(F.max("__bin").alias("__bstar"))
+    )
+    cand = (
+        df.filter(F.col(order_col).isNotNull())
+        .join(F.broadcast(cut), by, "inner")
+        .filter(_bin_expr(order_col, lo, width, n_bins) >= F.col("__bstar"))
+    )
+    w = Window.partitionBy(*by).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__bstar", "__rn")
+    )

@@ -221,3 +221,95 @@ class TestFoldHistograms:
         bad = spark.createDataFrame([("a", 1)], "g string, __bin long")
         with pytest.raises(ValueError, match="missing columns"):
             fold_histograms([bad], by=["g"])
+
+
+class TestTopKByGroup:
+    """stats.top_k_by_group — exact per-group top-k, no per-group sort."""
+
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        rows = [(i, ["a", "b"][i % 2], float((i * 37) % 100)) for i in range(400)]
+        rows += [(1000, "a", None)]  # null value excluded
+        return spark.createDataFrame(rows, "id long, g string, v double")
+
+    def _naive(self, df, k):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+        return (
+            df.filter(F.col("v").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    @staticmethod
+    def _key(df):
+        return sorted((r.id, r.g, r.v) for r in df.collect())
+
+    def test_equals_naive(self, spark, vals):
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        got = top_k_by_group(
+            vals, ["g"], "v", 25, id_col="id", lo=0.0, hi=100.0, n_bins=64
+        )
+        assert self._key(got) == self._key(self._naive(vals, 25))
+
+    def test_duplicate_values_tiebreak(self, spark):
+        """All values equal: the candidate set degrades to the full
+        group (one bin holds everything) but the result stays exact —
+        k smallest ids win the tiebreak."""
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        df = spark.createDataFrame(
+            [(i, "x", 5.0) for i in range(30)], "id long, g string, v double"
+        )
+        got = top_k_by_group(
+            df, ["g"], "v", 7, id_col="id", lo=0.0, hi=10.0, n_bins=16
+        )
+        assert sorted(r.id for r in got.collect()) == list(range(7))
+
+    def test_out_of_range_values_still_exact(self, spark):
+        """Values beyond [lo, hi) clamp into the edge bins and must stay
+        candidates — the superset property holds for ANY bounds."""
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        rows = [(i, "x", float(i)) for i in range(50)]  # 0..49, hi=10 clamps 10..49
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = top_k_by_group(
+            df, ["g"], "v", 5, id_col="id", lo=0.0, hi=10.0, n_bins=8
+        )
+        assert sorted(r.v for r in got.collect()) == [45.0, 46.0, 47.0, 48.0, 49.0]
+
+    def test_k_exceeds_group(self, spark, vals):
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        got = top_k_by_group(
+            vals, ["g"], "v", 10_000, id_col="id", lo=0.0, hi=100.0, n_bins=64
+        )
+        assert got.count() == 400  # every non-null row survives
+
+    def test_window_sees_only_candidates(self, spark):
+        """With discriminative bins, the windowed row count per group is
+        ~k + one bin, not the group size."""
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        n = 5000
+        df = spark.createDataFrame(
+            [(i, "x", float(i % 1000)) for i in range(n)], "id long, g string, v double"
+        )
+        cut_bin = 1000  # n_bins such that bins are 1-wide
+        got = top_k_by_group(
+            df, ["g"], "v", 10, id_col="id", lo=0.0, hi=1000.0, n_bins=1000
+        )
+        # candidate frame = rows with bin >= bstar; reconstruct its size
+        # via the operator's own intermediate: values >= 998 (k=10 ->
+        # two top values of 5 copies each) -> 10 candidates exactly
+        assert got.count() == 10
+        assert sorted(r.v for r in got.collect()) == [998.0] * 5 + [999.0] * 5
+
+    def test_validates_k(self, spark, vals):
+        from cassandra_diff_spark.operators.stats import top_k_by_group
+
+        with pytest.raises(ValueError):
+            top_k_by_group(vals, ["g"], "v", 0, id_col="id", lo=0.0, hi=1.0)
