@@ -76,8 +76,17 @@ def duplicate_spans(
     exclusive, both 0-based token indexes.
     """
     occ = gram_occurrences(df, id_col, text_col, k)
-    dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
-    hits = occ.join(dup.select("h"), "h", "left_semi").select(id_col, "pos")
+    # duplicated-gram detection as a count window over h, NOT groupBy +
+    # self-semi-join: the join form evaluates the tokenize+gram-hash
+    # subtree twice (no ReusedExchange — the aggregate and join sides
+    # need different outputs) and shuffles twice; the window form is ONE
+    # h-shuffle over a single gram pass
+    wh = Window.partitionBy("h")
+    hits = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+        .filter(F.col("__cnt") >= 2)
+        .select(id_col, "pos")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = hits.withColumn(
         "__new", F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
@@ -112,16 +121,20 @@ def remove_duplicate_spans(
     whose every token was covered comes back with ``text_clean = ''``.
     """
     occ = gram_occurrences(df, id_col, text_col, k)
-    agg = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
-    )
+    # same single-pass window shape as duplicate_spans: count + canonical
+    # (least (id, pos)) per gram hash in ONE h-shuffle, no re-evaluation
+    # of the gram subtree through a groupBy + join-back
+    wh = Window.partitionBy("h")
     noncanon = (
-        occ.join(agg.filter(F.col("cnt") >= 2), "h")
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+        .withColumn(
+            "__first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(wh)
+        )
         .filter(
-            ~(
-                (F.col(id_col) == F.col(f"first.{id_col}"))
-                & (F.col("pos") == F.col("first.pos"))
+            (F.col("__cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("pos") == F.col("__first.pos"))
             )
         )
         .select(id_col, "pos")
