@@ -109,6 +109,7 @@ HEADLINE = [
     "text_strip_html",
     "curate_split",
     "events_top_k",
+    "vocab_tfidf_embed",
 ]
 
 

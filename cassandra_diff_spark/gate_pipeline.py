@@ -5803,3 +5803,64 @@ SELECT event_type, event_id, value FROM (
 
 QUERIES["events_top_k"] = _q_events_top_k
 ORACLES["events_top_k"] = _O_EVENTS_TOP_K
+
+
+# ---------------------------------------------------------------------------
+# round 6: tf-idf-weighted feature hashing
+
+
+def _q_vocab_tfidf_embed(spark, sf_dir):
+    """TF-IDF-weighted hashing-trick vectors: each token adds ±idf_u
+    (integer micro-nats, rounded per token BEFORE the sum) at its
+    md5-hashed component — stopwords contribute ~0, informative tokens
+    dominate. Spark side is the MAP-ONLY fold against ONE broadcast
+    idf-map row; the oracle IS the explode/join/groupBy textbook shape.
+    Vector surfaces as a space-joined string for layout-agnostic
+    compare."""
+    from cassandra_diff_spark.operators.vocab import hash_embed_tfidf
+
+    return hash_embed_tfidf(_docs(spark, sf_dir), "doc_id", "text", dim=64).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("emb").cast("array<string>")).alias("emb_str"),
+        "n_tokens",
+    )
+
+
+_O_VOCAB_TFIDF_EMBED = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base),
+t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM base WHERE length(trim(text)) > 0
+),
+dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfv FROM t GROUP BY tok),
+h AS (
+  SELECT t.doc_id, {md5_hash64_sql('t.tok')} AS hv,
+         CAST(ROUND(ln(CAST(n.nd + 1 AS DOUBLE) / CAST(dfq.dfv + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS wu
+  FROM t JOIN dfq ON dfq.tok = t.tok CROSS JOIN n
+),
+c AS (
+  SELECT doc_id, hv % 64 AS idx,
+         CAST(SUM(CASE WHEN hv % 128 < 64 THEN wu ELSE -wu END) AS BIGINT) AS v
+  FROM h GROUP BY doc_id, hv % 64
+),
+dims AS (SELECT unnest(range(0, 64)) AS idx),
+dense AS (
+  SELECT b.doc_id, dm.idx, coalesce(c.v, 0) AS v
+  FROM (SELECT doc_id FROM base) b
+  CROSS JOIN dims dm
+  LEFT JOIN c ON c.doc_id = b.doc_id AND c.idx = dm.idx
+),
+nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t GROUP BY doc_id)
+SELECT dense.doc_id,
+       string_agg(CAST(v AS VARCHAR), ' ' ORDER BY idx) AS emb_str,
+       coalesce(MAX(nt.n_tokens), 0) AS n_tokens
+FROM dense LEFT JOIN nt ON nt.doc_id = dense.doc_id
+GROUP BY dense.doc_id
+"""
+
+
+QUERIES["vocab_tfidf_embed"] = _q_vocab_tfidf_embed
+ORACLES["vocab_tfidf_embed"] = _O_VOCAB_TFIDF_EMBED

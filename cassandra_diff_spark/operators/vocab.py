@@ -23,7 +23,7 @@ results bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -289,5 +289,125 @@ def lm_unigram_score(
             id_col,
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.coalesce("logprob_u", F.lit(0)).cast("long").alias("logprob_u"),
+        )
+    )
+
+
+def doc_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(token, df)``: the number of DISTINCT documents containing each
+    token — the idf input. ``array_distinct`` runs per document BEFORE
+    the explode, so each document ships each of its tokens once (the
+    shuffle carries the document's vocabulary, not its length) and a
+    plain COUNT gives the document frequency with no count_distinct
+    Expand. Persist this frame to freeze an idf model
+    (:func:`hash_embed_tfidf`'s ``dfreq=`` incremental path)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.length(F.trim(F.col(text_col))) == 0,
+                    F.array().cast("array<string>"),
+                ).otherwise(F.array_distinct(words(F.col(text_col))))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def hash_embed_tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+    dfreq: Optional[DataFrame] = None,
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """TF-IDF-weighted feature hashing: like :func:`hash_embed`, but
+    each token adds ``±idf_u`` instead of ±1 at its hashed component —
+    stopwords (df ~ N) contribute ~0 while informative tokens dominate,
+    which is what the downstream cosine ANN / near-dup / centroid
+    operators actually want from a model-free text vector.
+
+    ``idf_u = round(1e6 * ln((N+1)/(df+1)))`` — an integer micro-nat
+    weight (the :func:`lm_unigram_score` rounding discipline: per-token
+    rounding BEFORE the sum keeps every component an exact, order-free
+    integer). Repeated tokens add repeatedly — tf comes free from the
+    fold. Tokens absent from ``dfreq`` take df = 0 (the max-idf OOV
+    weight).
+
+    Pass a persisted ``dfreq`` (+ its ``n_docs``) to embed new batches
+    against a FROZEN idf model — the incremental path that keeps
+    tonight's vectors comparable with last month's index. Default
+    derives both from ``df`` itself (N = non-null-text document count,
+    computed in-plan — no driver count).
+
+    Scale shape: the idf table aggregates to ONE map row (vocabularies
+    are MBs at web scale — same broadcast posture as
+    :func:`encode_documents`) and the vector builds in the same
+    MAP-ONLY higher-order fold as :func:`hash_embed`: the token stream
+    is never exploded, joined, or shuffled. NULL-text documents are
+    excluded; empty documents embed as the zero vector.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    base = df.filter(F.col(text_col).isNotNull())
+    if dfreq is None:
+        dfreq = doc_frequencies(df, id_col, text_col)
+    if n_docs is None:
+        nrow = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    else:
+        nrow = base.sparkSession.range(1).select(
+            F.lit(int(n_docs)).cast("long").alias("__N")
+        )
+    imap = dfreq.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("df").cast("long")))
+        ).alias("__dfmap")
+    )
+    d = int(dim)
+    w = words(F.col(text_col))
+    idf_u = lambda t: F.round(  # noqa: E731
+        F.log(
+            (F.col("__N") + F.lit(1)).cast("double")
+            / (F.coalesce(F.element_at(F.col("__dfmap"), t), F.lit(0)) + F.lit(1)).cast(
+                "double"
+            )
+        )
+        * LM_SCALE
+    ).cast("long")
+    pairs = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<struct<h:bigint,w:bigint>>"),
+    ).otherwise(
+        F.transform(
+            w, lambda t: F.struct(md5_hash64(t).alias("h"), idf_u(t).alias("w"))
+        )
+    )
+    emb = F.aggregate(
+        F.col("__p"),
+        F.array_repeat(F.lit(0).cast("long"), d),
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                F.pmod(p["h"], F.lit(d)) == i.cast("long"),
+                F.when(
+                    F.pmod(p["h"], F.lit(2 * d)) < F.lit(d), p["w"]
+                ).otherwise(-p["w"]),
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(imap))
+        .crossJoin(F.broadcast(nrow))
+        .select(F.col(id_col).alias("doc_id"), pairs.alias("__p"))
+        .select(
+            "doc_id",
+            emb.alias("emb"),
+            F.size("__p").cast("long").alias("n_tokens"),
         )
     )

@@ -220,3 +220,94 @@ class TestLMUnigramScore:
         out = {r.doc_id: r.logprob_u / r.n_tokens
                for r in lm_unigram_score(probe, "doc_id", "text", counts=counts).collect()}
         assert out[1] > out[2]
+
+
+class TestHashEmbedTfidf:
+    """vocab.hash_embed_tfidf — idf-weighted hashing-trick vectors."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the cat ran fast"),
+            (4, "the the the"),  # tf stacking on a stopword
+            (5, ""),             # empty -> zero vector
+            (6, None),           # excluded
+        ]
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def test_matches_python_reference(self, spark, corpus):
+        import hashlib
+        import math
+
+        from cassandra_diff_spark.operators.vocab import hash_embed_tfidf
+
+        rows = {r.doc_id: r for r in hash_embed_tfidf(corpus, "id", "text", dim=16).collect()}
+        docs = {1: "the cat sat", 2: "the dog ran", 3: "the cat ran fast", 4: "the the the", 5: ""}
+        n = 5
+        dfv = {}
+        for t in docs.values():
+            for tok in set(t.split()):
+                dfv[tok] = dfv.get(tok, 0) + 1
+        def h64(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        for did, text in docs.items():
+            exp = [0] * 16
+            for tok in text.split():
+                if not tok:
+                    continue
+                hv = h64(tok)
+                wu = round(math.log((n + 1) / (dfv[tok] + 1)) * 1_000_000)
+                exp[hv % 16] += wu if hv % 32 < 16 else -wu
+            assert list(rows[did].emb) == exp, did
+        assert 6 not in rows and rows[5].n_tokens == 0
+
+    def test_stopword_weight_vanishes(self, spark, corpus):
+        """'the' appears in every non-empty doc with text -> df=N-1?? no:
+        df=4 of N=5 -> idf small; a unique token's weight is much larger."""
+        import math
+
+        small = round(math.log(6 / 5) * 1e6)   # 'the': df=4, N=5
+        big = round(math.log(6 / 2) * 1e6)     # unique tokens: df=1
+        assert big > 5 * small
+
+    def test_frozen_model_incremental(self, spark, corpus):
+        """Embedding a new batch against a persisted dfreq + n_docs gives
+        the same vectors the one-shot run gave those documents."""
+        from cassandra_diff_spark.operators.vocab import (
+            doc_frequencies,
+            hash_embed_tfidf,
+        )
+
+        dfreq = doc_frequencies(corpus, "id", "text")
+        frozen = {r.doc_id: list(r.emb) for r in hash_embed_tfidf(
+            corpus.filter("id <= 3"), "id", "text", dim=16,
+            dfreq=dfreq, n_docs=5,
+        ).collect()}
+        oneshot = {r.doc_id: list(r.emb) for r in hash_embed_tfidf(
+            corpus, "id", "text", dim=16,
+        ).collect()}
+        assert frozen == {k: v for k, v in oneshot.items() if k <= 3}
+
+    def test_map_only_fold(self, spark, corpus, tmp_path):
+        """No Exchange between the scan and the vector fold besides the
+        two 1-row broadcast sides (idf map + N)."""
+        from cassandra_diff_spark.operators.vocab import (
+            doc_frequencies,
+            hash_embed_tfidf,
+        )
+
+        dpath, fpath = str(tmp_path / "docs"), str(tmp_path / "dfreq")
+        corpus.write.mode("overwrite").parquet(dpath)
+        src = spark.read.parquet(dpath)
+        doc_frequencies(src, "id", "text").write.mode("overwrite").parquet(fpath)
+        dfreq = spark.read.parquet(fpath)
+        plan = (
+            hash_embed_tfidf(src, "id", "text", dim=16, dfreq=dfreq, n_docs=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # against a persisted idf model the whole plan is shuffle-free:
+        # the idf map collapses via a SinglePartition agg and joins in as
+        # a 1-row broadcast; the token stream never hash-partitions
+        assert "Exchange hashpartitioning" not in plan
