@@ -110,6 +110,7 @@ HEADLINE = [
     "curate_split",
     "events_top_k",
     "vocab_tfidf_embed",
+    "events_winsorized",
 ]
 
 

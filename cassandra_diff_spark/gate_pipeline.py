@@ -5864,3 +5864,46 @@ GROUP BY dense.doc_id
 
 QUERIES["vocab_tfidf_embed"] = _q_vocab_tfidf_embed
 ORACLES["vocab_tfidf_embed"] = _O_VOCAB_TFIDF_EMBED
+
+
+# ---------------------------------------------------------------------------
+# round 6: winsorization at exact quantiles
+
+
+def _q_events_winsorized(spark, sf_dir):
+    """Per-type winsorization of event values into the exact [p5, p95]
+    nearest-rank envelope: cut values from the two-pass refined-quantile
+    path (histogram cost, no per-group sort), clamp as a map-only
+    least/greatest against the broadcast kilobyte cut row."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import winsorize
+
+    ev = load_events(spark, sf_dir)
+    return winsorize(
+        ev, "value", 0.05, 0.95, lo=0.0, hi=100.0, n_bins=512,
+        by=["event_type"],
+    ).select("event_id", "event_type", "value", "value_w")
+
+
+_O_EVENTS_WINSORIZED = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CEIL(0.05 * n) THEN v END) AS qlo,
+         MAX(CASE WHEN rn = CEIL(0.95 * n) THEN v END) AS qhi
+  FROM r GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE LEAST(GREATEST(CAST(e.value AS DOUBLE), c.qlo), c.qhi) END AS value_w
+FROM events e LEFT JOIN cuts c ON c.event_type = e.event_type
+"""
+
+
+QUERIES["events_winsorized"] = _q_events_winsorized
+ORACLES["events_winsorized"] = _O_EVENTS_WINSORIZED

@@ -436,3 +436,53 @@ def top_k_by_group(
         .filter(F.col("__rn") <= int(k))
         .drop("__bstar", "__rn")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Winsorization: clamp ``value_col`` into the EXACT per-group
+    ``[p_lo, p_hi]`` nearest-rank quantile envelope — the standard
+    outlier treatment before training on heavy-tailed numerics (cap,
+    don't drop: the row's other columns stay usable).
+
+    The cut values come from :func:`quantiles_refined` (exact, at
+    histogram-shuffle cost — never a per-group sort); they broadcast
+    back as one kilobyte row per group and the clamp itself is a
+    map-only ``least/greatest``. Output: the input plus ``out_col``
+    (default ``{value_col}_w``); NULL values stay NULL.
+    """
+    if not (0.0 < p_lo < p_hi <= 1.0):
+        raise ValueError(f"need 0 < p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    by = list(by) if by else []
+    out_col = out_col or f"{value_col}_w"
+    q = quantiles_refined(
+        df, value_col, [p_lo, p_hi], lo=lo, hi=hi, n_bins=n_bins, by=by
+    )
+    cuts = q.groupBy(*by).agg(
+        F.max(F.when(F.col("p") == float(p_lo), F.col("q"))).alias("__qlo"),
+        F.max(F.when(F.col("p") == float(p_hi), F.col("q"))).alias("__qhi"),
+    )
+    joined = (
+        df.join(F.broadcast(cuts), by, "left")
+        if by
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    clamped = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("__qlo")),
+            F.col("__qhi"),
+        )
+    )
+    return joined.withColumn(out_col, clamped).drop("__qlo", "__qhi")

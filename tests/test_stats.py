@@ -313,3 +313,39 @@ class TestTopKByGroup:
 
         with pytest.raises(ValueError):
             top_k_by_group(vals, ["g"], "v", 0, id_col="id", lo=0.0, hi=1.0)
+
+
+class TestWinsorize:
+    """stats.winsorize — exact-quantile clamping."""
+
+    def test_clamps_to_exact_envelope(self, spark):
+        from cassandra_diff_spark.operators.stats import winsorize
+
+        rows = [(i, "a", float(i)) for i in range(1, 101)]  # 1..100
+        rows += [(200, "a", None)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = {r.id: r.v_w for r in winsorize(
+            df, "v", 0.10, 0.90, lo=0.0, hi=101.0, n_bins=101, by=["g"]
+        ).collect()}
+        # nearest-rank: q10 = 10th smallest = 10.0, q90 = 90th = 90.0
+        assert out[1] == 10.0 and out[5] == 10.0 and out[10] == 10.0
+        assert out[50] == 50.0
+        assert out[90] == 90.0 and out[95] == 90.0 and out[100] == 90.0
+        assert out[200] is None
+
+    def test_groups_independent(self, spark):
+        from cassandra_diff_spark.operators.stats import winsorize
+
+        rows = [(i, "low", float(i % 10)) for i in range(100)]
+        rows += [(1000 + i, "high", float(50 + i % 10)) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        out = winsorize(df, "v", 0.05, 0.95, lo=0.0, hi=100.0, by=["g"])
+        mx = {r.g: r.m for r in out.groupBy("g").agg(F.max("v_w").alias("m")).collect()}
+        assert mx["low"] <= 9.0 and mx["high"] >= 58.0
+
+    def test_validates_probs(self, spark):
+        from cassandra_diff_spark.operators.stats import winsorize
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError):
+            winsorize(df, "v", 0.9, 0.1, lo=0.0, hi=1.0)
