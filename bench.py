@@ -111,6 +111,8 @@ HEADLINE = [
     "events_top_k",
     "vocab_tfidf_embed",
     "events_winsorized",
+    "events_cdf_transform",
+    "events_robust_scale",
 ]
 
 

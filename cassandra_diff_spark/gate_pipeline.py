@@ -5907,3 +5907,87 @@ FROM events e LEFT JOIN cuts c ON c.event_type = e.event_type
 
 QUERIES["events_winsorized"] = _q_events_winsorized
 ORACLES["events_winsorized"] = _O_EVENTS_WINSORIZED
+
+
+# ---------------------------------------------------------------------------
+# round 6: feature scaling (CDF transform + robust IQR scale)
+
+
+def _q_events_cdf_transform(spark, sf_dir):
+    """Per-type quantile normalization: each value maps to cum(bin)/n
+    from the cumulative histogram — rank-based feature scaling with one
+    histogram shuffle + a broadcast join; the data never re-shuffles.
+    Score = one double division of exact integers (bit-stable)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import cdf_transform
+
+    ev = load_events(spark, sf_dir)
+    return cdf_transform(
+        ev, "value", lo=0.0, hi=100.0, n_bins=256, by=["event_type"]
+    ).select("event_id", "event_type", "value", "value_cdf")
+
+
+_O_EVENTS_CDF_TRANSFORM = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)
+                              / ((100.0 - 0.0) / 256)), 0), 255) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+ch AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) END AS value_cdf
+FROM events e
+LEFT JOIN ch ON ch.event_type = e.event_type
+  AND ch.bin = LEAST(GREATEST(FLOOR((CAST(e.value AS DOUBLE) - 0.0)
+                                    / ((100.0 - 0.0) / 256)), 0), 255)
+"""
+
+
+QUERIES["events_cdf_transform"] = _q_events_cdf_transform
+ORACLES["events_cdf_transform"] = _O_EVENTS_CDF_TRANSFORM
+
+
+def _q_events_robust_scale(spark, sf_dir):
+    """Median/IQR standardization per type: exact nearest-rank
+    p25/p50/p75 from the two-pass refined path, (x - p50)/(p75 - p25)
+    as map-only arithmetic against one broadcast row per group."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import robust_scale
+
+    ev = load_events(spark, sf_dir)
+    return robust_scale(
+        ev, "value", lo=0.0, hi=100.0, n_bins=512, by=["event_type"]
+    ).select("event_id", "event_type", "value", "value_rs")
+
+
+_O_EVENTS_ROBUST_SCALE = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CEIL(0.25 * n) THEN v END) AS q1,
+         MAX(CASE WHEN rn = CEIL(0.5 * n) THEN v END) AS q2,
+         MAX(CASE WHEN rn = CEIL(0.75 * n) THEN v END) AS q3
+  FROM r GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value IS NULL OR c.q3 = c.q1 THEN NULL
+            ELSE (CAST(e.value AS DOUBLE) - c.q2) / (c.q3 - c.q1) END AS value_rs
+FROM events e LEFT JOIN cuts c ON c.event_type = e.event_type
+"""
+
+
+QUERIES["events_robust_scale"] = _q_events_robust_scale
+ORACLES["events_robust_scale"] = _O_EVENTS_ROBUST_SCALE

@@ -486,3 +486,88 @@ def winsorize(
         )
     )
     return joined.withColumn(out_col, clamped).drop("__qlo", "__qhi")
+
+
+def cdf_transform(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Quantile (CDF) normalization: map each value to its per-group
+    empirical CDF position ``cum(bin)/n`` — the rank-based feature
+    scaling that makes heavy-tailed columns uniform-ish without
+    learning any parameters.
+
+    Resolution is one histogram bin (rows sharing a bin share a score;
+    monotone in the value up to bin width — raise ``n_bins`` to
+    tighten). The score is ONE double division of exact integers, so
+    it is bit-stable across engines. Cost: the histogram shuffle plus a
+    broadcast join of the ≤ bins x groups cumulative frame — the data
+    itself never re-shuffles. NULL values score NULL.
+    """
+    _check_args([0.5], lo, hi)
+    by = list(by) if by else []
+    out_col = out_col or f"{value_col}_cdf"
+    width = (float(hi) - float(lo)) / int(n_bins)
+    ch = _cum_histogram(df, value_col, by, lo, width, n_bins).select(
+        *by, "__bin", "__cum", "__n"
+    )
+    keyed = df.withColumn("__bin", _bin_expr(value_col, lo, width, n_bins))
+    joined = keyed.join(F.broadcast(ch), [*by, "__bin"], "left")
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col(value_col).isNull(), F.lit(None).cast("double")
+        ).otherwise(F.col("__cum").cast("double") / F.col("__n").cast("double")),
+    ).drop("__bin", "__cum", "__n")
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Median/IQR standardization: ``(x - p50) / (p75 - p25)`` with
+    EXACT per-group nearest-rank quantiles — the outlier-insensitive
+    alternative to mean/stddev z-scores (one corrupt mega-value moves a
+    mean arbitrarily; it moves a median not at all).
+
+    Quantiles come from :func:`quantiles_refined` (histogram cost, no
+    per-group sort) and broadcast back as one row per group; the scale
+    itself is map-only arithmetic. A zero-IQR group (over half the mass
+    on one value) yields NULL scores — constant features carry no
+    signal to standardize. NULL values stay NULL.
+    """
+    by = list(by) if by else []
+    out_col = out_col or f"{value_col}_rs"
+    q = quantiles_refined(
+        df, value_col, [0.25, 0.5, 0.75], lo=lo, hi=hi, n_bins=n_bins, by=by
+    )
+    cuts = q.groupBy(*by).agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("q"))).alias("__q1"),
+        F.max(F.when(F.col("p") == 0.5, F.col("q"))).alias("__q2"),
+        F.max(F.when(F.col("p") == 0.75, F.col("q"))).alias("__q3"),
+    )
+    joined = (
+        df.join(F.broadcast(cuts), by, "left")
+        if by
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    scaled = F.when(
+        F.col(value_col).isNull() | (F.col("__q3") == F.col("__q1")),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (F.col(value_col).cast("double") - F.col("__q2"))
+        / (F.col("__q3") - F.col("__q1"))
+    )
+    return joined.withColumn(out_col, scaled).drop("__q1", "__q2", "__q3")

@@ -349,3 +349,37 @@ class TestWinsorize:
         df = spark.createDataFrame([(1, 1.0)], "id long, v double")
         with pytest.raises(ValueError):
             winsorize(df, "v", 0.9, 0.1, lo=0.0, hi=1.0)
+
+
+class TestFeatureScaling:
+    """stats.cdf_transform / robust_scale."""
+
+    @pytest.fixture(scope="class")
+    def fdf(self, spark):
+        rows = [(i, "a", float(i)) for i in range(1, 101)]
+        rows += [(500, "a", None), (600, "const", 5.0), (601, "const", 5.0), (602, "const", 5.0)]
+        return spark.createDataFrame(rows, "id long, g string, v double")
+
+    def test_cdf_monotone_and_exact_ratio(self, spark, fdf):
+        from cassandra_diff_spark.operators.stats import cdf_transform
+
+        out = {r.id: r.v_cdf for r in cdf_transform(
+            fdf.filter("g = 'a'"), "v", lo=0.0, hi=101.0, n_bins=101, by=["g"],
+            out_col="v_cdf",
+        ).collect()}
+        # one-wide bins: value i sits in bin i with cum = i -> cdf = i/100
+        assert out[1] == 1 / 100 and out[50] == 50 / 100 and out[100] == 1.0
+        assert out[500] is None
+        vals = [out[i] for i in range(1, 101)]
+        assert vals == sorted(vals)
+
+    def test_robust_scale_reference_values(self, spark, fdf):
+        from cassandra_diff_spark.operators.stats import robust_scale
+
+        out = {r.id: r.v_rs for r in robust_scale(
+            fdf, "v", lo=0.0, hi=101.0, n_bins=101, by=["g"], out_col="v_rs"
+        ).collect()}
+        # 1..100: p25=25, p50=50, p75=75 (nearest rank) -> (x-50)/50
+        assert out[50] == 0.0 and out[100] == 1.0 and out[1] == (1 - 50) / 50
+        # constant group: IQR 0 -> NULL, not a divide-by-zero
+        assert out[600] is None and out[500] is None
