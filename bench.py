@@ -113,6 +113,7 @@ HEADLINE = [
     "events_winsorized",
     "events_cdf_transform",
     "events_robust_scale",
+    "events_top_users",
 ]
 
 

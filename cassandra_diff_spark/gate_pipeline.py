@@ -5991,3 +5991,48 @@ FROM events e LEFT JOIN cuts c ON c.event_type = e.event_type
 
 QUERIES["events_robust_scale"] = _q_events_robust_scale
 ORACLES["events_robust_scale"] = _O_EVENTS_ROBUST_SCALE
+
+
+# ---------------------------------------------------------------------------
+# round 6: composition — top contributors per category
+
+
+def _q_events_top_users(spark, sf_dir):
+    """Top 10 users per event type by event count: one map-side-combined
+    count aggregation, then top_k_by_group ranks WITHOUT sorting any
+    (type) group — the histogram threshold keeps the window to ~k + one
+    bin per group. Operators compose without glue; the oracle is the
+    count + full-sort window formulation."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import top_k_by_group
+
+    ev = load_events(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return top_k_by_group(
+        counts, ["event_type"], "n_events", 10,
+        id_col="user_id", lo=0.0, hi=10000.0, n_bins=1024,
+    ).select("event_type", "user_id", "n_events")
+
+
+_O_EVENTS_TOP_USERS = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n_events FROM (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n_events DESC, user_id ASC
+         ) AS rn
+  FROM c
+) WHERE rn <= 10
+"""
+
+
+QUERIES["events_top_users"] = _q_events_top_users
+ORACLES["events_top_users"] = _O_EVENTS_TOP_USERS
