@@ -433,6 +433,40 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["heavy_hitters_exact"] = hh == truth
     out["heavy_hitters_found"] = len(hh)
 
+    # ---- per-group top-k at 10n rows in ONE group: the naive window
+    # formulation serializes the whole group through a single task; the
+    # histogram-threshold path sorts only ~k + one bin
+    from cassandra_diff_spark.operators.stats import top_k_by_group
+
+    vals = spark.range(n_events).select(
+        F.col("id"),
+        F.lit("g").alias("grp"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).cast("double") / 1e3).alias(
+            "v"
+        ),
+    )
+    vals.write.mode("overwrite").parquet(f"{work}/topk.parquet")
+    vals = spark.read.parquet(f"{work}/topk.parquet")
+    t0 = time.time()
+    ours = top_k_by_group(
+        vals, ["grp"], "v", 100, id_col="id", lo=0.0, hi=1_000_000.0, n_bins=4096
+    ).collect()
+    out["topk_hist_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id").asc())
+    naive = (
+        vals.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 100)
+        .drop("__rn")
+        .collect()
+    )
+    out["topk_window_sec"] = round(time.time() - t0, 2)
+    out["topk_exact"] = sorted((r["id"], r["v"]) for r in ours) == sorted(
+        (r["id"], r["v"]) for r in naive
+    )
+
     release_caches()
     return out
 
