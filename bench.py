@@ -114,6 +114,7 @@ HEADLINE = [
     "events_cdf_transform",
     "events_robust_scale",
     "events_top_users",
+    "graph_pagerank",
 ]
 
 

@@ -6036,3 +6036,87 @@ SELECT event_type, user_id, n_events FROM (
 
 QUERIES["events_top_users"] = _q_events_top_users
 ORACLES["events_top_users"] = _O_EVENTS_TOP_USERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: integer-exact PageRank over the event transition graph
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """PageRank authority over the k -> k transition graph (consecutive
+    events per user, ordered by (ts, event_id), k from the props JSON):
+    3 synchronous integer micro-unit updates — every contribution an
+    integer division, every sum order-free, so the unrolled-CTE oracle
+    reproduces each rank bit-for-bit."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.graph import pagerank_micro
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .withColumn("prev_k", F.lag("k").over(w))
+        .filter(F.col("prev_k").isNotNull())
+        .select(F.col("prev_k").alias("src"), F.col("k").alias("dst"))
+    )
+    return pagerank_micro(steps, iters=3).select(
+        F.col("node").cast("long").alias("node"), "rank_u"
+    )
+
+
+_O_GRAPH_PAGERANK = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+o AS (
+  SELECT user_id, k,
+         lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+  FROM s WHERE k IS NOT NULL
+),
+edges AS (SELECT prev_k AS src, k AS dst FROM o WHERE prev_k IS NOT NULL),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+m1 AS (
+  SELECT e.dst AS node, CAST(SUM(r0.r // od.deg) AS BIGINT) AS m
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN outd od ON od.src = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(m1.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN m1 ON m1.node = n.node
+),
+m2 AS (
+  SELECT e.dst AS node, CAST(SUM(r1.r // od.deg) AS BIGINT) AS m
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN outd od ON od.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(m2.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN m2 ON m2.node = n.node
+),
+m3 AS (
+  SELECT e.dst AS node, CAST(SUM(r2.r // od.deg) AS BIGINT) AS m
+  FROM edges e JOIN r2 ON r2.node = e.src JOIN outd od ON od.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(m3.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN m3 ON m3.node = n.node
+)
+SELECT CAST(node AS BIGINT) AS node, r AS rank_u FROM r3
+"""
+
+
+QUERIES["graph_pagerank"] = _q_graph_pagerank
+ORACLES["graph_pagerank"] = _O_GRAPH_PAGERANK
