@@ -115,6 +115,7 @@ HEADLINE = [
     "events_robust_scale",
     "events_top_users",
     "graph_pagerank",
+    "embedding_random_project",
 ]
 
 

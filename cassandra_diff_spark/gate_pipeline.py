@@ -6120,3 +6120,51 @@ SELECT CAST(node AS BIGINT) AS node, r AS rank_u FROM r3
 
 QUERIES["graph_pagerank"] = _q_graph_pagerank
 ORACLES["graph_pagerank"] = _O_GRAPH_PAGERANK
+
+
+# ---------------------------------------------------------------------------
+# round 6: Johnson-Lindenstrauss random projection
+
+
+def _q_embedding_random_project(spark, sf_dir):
+    """Data-independent JL reduction 64 -> 8: ±1 Achlioptas matrix
+    derived from the cross-engine md5 hash, projection = one zero-copy
+    Arrow matmul (map-only, no shuffle); every output component is an
+    EXACT int64 sum, surfaced long-form so the oracle's unnest/join
+    formulation matches bit-for-bit."""
+    from cassandra_diff_spark.operators.embeddings import random_project
+
+    out = random_project(
+        _embs(spark, sf_dir), "vec_id", "embedding", dim=64, out_dim=8, seed=0
+    )
+    return out.select(
+        "vec_id", F.posexplode("proj_q").alias("j", "y")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "y")
+
+
+_O_EMBEDDING_RANDOM_PROJECT = f"""
+WITH q AS (
+  SELECT vec_id, ({quantize_sql('embedding')})[1:64] AS qv
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64
+),
+e AS (
+  SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) - 1 AS i
+  FROM q
+),
+signs AS (
+  SELECT i.i, j.j,
+         CASE WHEN ({md5_hash64_sql(
+             "CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) || ':0'"
+         )}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+)
+SELECT e.vec_id, CAST(signs.j AS BIGINT) AS j,
+       CAST(SUM(signs.s * e.v) AS BIGINT) AS y
+FROM e JOIN signs ON signs.i = e.i
+GROUP BY e.vec_id, signs.j
+"""
+
+
+QUERIES["embedding_random_project"] = _q_embedding_random_project
+ORACLES["embedding_random_project"] = _O_EMBEDDING_RANDOM_PROJECT

@@ -353,3 +353,82 @@ def pca_project(
             )
 
     return q.mapInArrow(project, f"{id_col} {id_type}, proj array<double>")
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    out_dim: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``dim``-d
+    embeddings to ``out_dim`` components with a data-independent ±1
+    matrix (Achlioptas 2003) — the no-training-pass complement to
+    :func:`pca_project` (no moment pass, no eigh, nothing to fit or
+    drift: tonight's batch and last month's project identically).
+
+    Exactness contract: the sign matrix derives from the cross-engine
+    md5 hash (``sign(i,j) = +1 iff md5_hash64(f"{i}:{j}:{seed}") % 2 ==
+    0``) and inputs are milli-unit quantized, so every output component
+    is an EXACT int64 ``sum_i sign(i,j) * q_i`` — order-free and
+    bit-identical in any engine (the SQL oracle rebuilds the same sign
+    table from SQL ``md5``).
+
+    Scale shape: the matrix is ``out_dim x dim`` driver-built kilobytes
+    shipped by closure; the projection is ONE zero-copy ``mapInArrow``
+    matmul per batch — map-only, no shuffle anywhere. Unit scale: an
+    input in units of x has outputs in milli-units of x (divide by
+    1000; keep the integers for downstream exact ops).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
+
+    d, od = int(dim), int(out_dim)
+    if od <= 0 or d <= 0:
+        raise ValueError(f"need dim > 0 and out_dim > 0, got {dim}, {out_dim}")
+    signs = np.empty((od, d), dtype=np.int64)
+    for j in range(od):
+        for i in range(d):
+            h = int(
+                hashlib.md5(f"{i}:{j}:{seed}".encode()).hexdigest()[:15], 16
+            )
+            signs[j, i] = 1 if h % 2 == 0 else -1
+
+    sel = df.filter(F.col(vec_col).isNotNull()).filter(
+        F.size(F.col(vec_col)) >= d
+    )
+    q = sel.select(F.col(id_col), F.slice(F.col(vec_col), 1, d).alias("__v"))
+    id_type = sel.schema[id_col].dataType.simpleString()
+    vec_matrix = _make_vec_matrix_fn(d)
+
+    def project(it):
+        import pyarrow as pa
+
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            m = vec_matrix(batch.column("__v"))
+            mx = int(np.abs(m).max()) if m.size else 0
+            if mx * d < (1 << 52):  # |partial sum| < 2^53: BLAS is exact
+                y = (m.astype(np.float64) @ signs.T.astype(np.float64)).astype(
+                    np.int64
+                )
+            else:
+                y = m @ signs.T
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(y.reshape(-1), type=pa.int64()), od
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                [id_col, "proj_q"],
+            )
+
+    return q.mapInArrow(project, f"{id_col} {id_type}, proj_q array<long>")

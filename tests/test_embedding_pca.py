@@ -147,3 +147,62 @@ class TestPcaProject:
         empty = spark.createDataFrame([], "id long, embedding array<float>")
         with pytest.raises(ValueError, match="no rows"):
             pca_project(empty, "id", "embedding", dim=DIM, n_components=2)
+
+
+class TestRandomProject:
+    """embeddings.random_project — JL ±1 projection, integer-exact."""
+
+    def test_matches_python_reference(self, spark, vecs):
+        import hashlib
+
+        from cassandra_diff_spark.operators.embeddings import random_project
+
+        od = 3
+        got = {r.id: list(r.proj_q) for r in random_project(
+            vecs, "id", "embedding", dim=DIM, out_dim=od, seed=7
+        ).collect()}
+        q = _quantized(_corpus())
+        signs = np.empty((od, DIM), dtype=np.int64)
+        for j in range(od):
+            for i in range(DIM):
+                h = int(hashlib.md5(f"{i}:{j}:7".encode()).hexdigest()[:15], 16)
+                signs[j, i] = 1 if h % 2 == 0 else -1
+        exp = q @ signs.T
+        assert len(got) == N
+        for rid in range(N):
+            assert got[rid] == list(exp[rid])
+
+    def test_distance_preservation_rough(self, spark, vecs):
+        """JL sanity (not a proof): with 4 output dims over a rank-2
+        corpus, projected distances correlate strongly with originals."""
+        from cassandra_diff_spark.operators.embeddings import random_project
+
+        got = {r.id: np.array(r.proj_q, dtype=float) for r in random_project(
+            vecs, "id", "embedding", dim=DIM, out_dim=4, seed=1
+        ).collect()}
+        x = _corpus().astype(np.float64)
+        rng = np.random.RandomState(0)
+        pairs = [(int(a), int(b)) for a, b in rng.randint(0, N, (200, 2)) if a != b]
+        orig = np.array([np.linalg.norm(x[a] - x[b]) for a, b in pairs])
+        proj = np.array([np.linalg.norm(got[a] - got[b]) for a, b in pairs])
+        assert np.corrcoef(orig, proj)[0, 1] > 0.7
+
+    def test_map_only_and_seed_sensitivity(self, spark, vecs, tmp_path):
+        from cassandra_diff_spark.operators.embeddings import random_project
+
+        path = str(tmp_path / "emb_rp")
+        vecs.write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        out = random_project(src, "id", "embedding", dim=DIM, out_dim=2, seed=0)
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+        a = {r.id: tuple(r.proj_q) for r in out.collect()}
+        b = {r.id: tuple(r.proj_q) for r in random_project(
+            src, "id", "embedding", dim=DIM, out_dim=2, seed=1
+        ).collect()}
+        assert a != b
+
+    def test_validation(self, spark, vecs):
+        from cassandra_diff_spark.operators.embeddings import random_project
+
+        with pytest.raises(ValueError):
+            random_project(vecs, "id", "embedding", dim=DIM, out_dim=0)
