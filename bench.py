@@ -116,6 +116,7 @@ HEADLINE = [
     "events_top_users",
     "graph_pagerank",
     "embedding_random_project",
+    "sketch_overlap_keys",
 ]
 
 

@@ -6168,3 +6168,46 @@ GROUP BY e.vec_id, signs.j
 
 QUERIES["embedding_random_project"] = _q_embedding_random_project
 ORACLES["embedding_random_project"] = _O_EMBEDDING_RANDOM_PROJECT
+
+
+# ---------------------------------------------------------------------------
+# round 6: sketch-cost key-overlap pre-flight
+
+
+def _q_sketch_overlap_keys(spark, sf_dir):
+    """Overlap of the orders and customer key sets WITHOUT a join: two
+    HLL sketch scans + a kilobyte union, intersection by inclusion-
+    exclusion. Accuracy-gated like sketch_distinct_orders: the estimate
+    must land within 10% of the exact join-based intersection (the
+    sketch bytes themselves are DataSketches state — the checkable
+    contract is accuracy)."""
+    from cassandra_diff_spark.operators.sketch import key_overlap_estimate
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    est = key_overlap_estimate(o, c, "o_custkey", "c_custkey")
+    exact = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(c.select(F.col("c_custkey").alias("k")).distinct(), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_intersection",
+        (
+            F.abs(F.col("n_intersection") - F.col("exact_intersection"))
+            <= 0.10 * F.col("exact_intersection")
+        ).alias("within_10pct"),
+    )
+
+
+_O_SKETCH_OVERLAP_KEYS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection, TRUE AS within_10pct
+FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) a
+JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL) b
+USING (k)
+"""
+
+
+QUERIES["sketch_overlap_keys"] = _q_sketch_overlap_keys
+ORACLES["sketch_overlap_keys"] = _O_SKETCH_OVERLAP_KEYS

@@ -116,3 +116,36 @@ class TestHeavyHitters:
         df = spark.createDataFrame(rows, "k string").repartition(4)
         out = {r.k for r in heavy_hitters(df, "k", 0.3).collect()}
         assert out == {"hot"}
+
+
+class TestKeyOverlapEstimate:
+    """sketch.key_overlap_estimate — inclusion-exclusion at sketch cost."""
+
+    def test_known_overlap_accuracy(self, spark):
+        from cassandra_diff_spark.operators.sketch import key_overlap_estimate
+
+        a = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(2000, 8000)], "k long")
+        r = key_overlap_estimate(a, b, "k").collect()[0]
+        assert abs(r.n_intersection - 2000) <= 0.10 * 2000
+        assert abs(r.n_union - 8000) <= 0.05 * 8000
+        assert 180 <= r.jaccard_milli <= 320  # true 2000/8000 = 250
+
+    def test_identical_and_disjoint(self, spark):
+        from cassandra_diff_spark.operators.sketch import key_overlap_estimate
+
+        a = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+        same = key_overlap_estimate(a, a, "k").collect()[0]
+        assert same.jaccard_milli >= 960  # identical sets (HLL re-estimate noise)
+        b = spark.createDataFrame([(i,) for i in range(100000, 103000)], "k long")
+        dis = key_overlap_estimate(a, b, "k").collect()[0]
+        assert dis.n_intersection <= 0.05 * dis.n_union  # ~0, clamped >= 0
+        assert dis.n_intersection >= 0.0
+
+    def test_different_column_names_and_nulls(self, spark):
+        from cassandra_diff_spark.operators.sketch import key_overlap_estimate
+
+        a = spark.createDataFrame([(1,), (2,), (None,)], "x long")
+        b = spark.createDataFrame([(2,), (3,), (None,)], "y long")
+        r = key_overlap_estimate(a, b, "x", "y").collect()[0]
+        assert abs(r.n_union - 3) < 0.5 and abs(r.n_intersection - 1) < 0.5
