@@ -117,6 +117,7 @@ HEADLINE = [
     "graph_pagerank",
     "embedding_random_project",
     "sketch_overlap_keys",
+    "text_scripts",
 ]
 
 

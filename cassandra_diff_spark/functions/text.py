@@ -284,3 +284,71 @@ def pii_redact_sql(expr: str) -> str:
     for kind, token in PII_REDACTIONS:
         out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '{token}', 'g')"
     return out
+
+
+# ------------------------------------------------------------- scripts
+
+#: Unicode script ranges as \x{...} literals — the ONE hex-escape syntax
+#: Java regex and RE2 share, so the identical pattern string runs in
+#: Spark and DuckDB. Counting is length-difference after deleting the
+#: class (both engines count code points), so every count is an exact
+#: integer. Order matters: `script_dominant` breaks ties by first-listed.
+SCRIPT_RANGES = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("digit", r"[0-9]"),
+)
+
+
+def script_count(col: Column, pattern: str) -> Column:
+    """Exact count of characters matching a one-char class: length
+    difference after deleting the class. JVM-side, no Python."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+    ).cast("long")
+
+
+def script_count_sql(expr: str, pattern: str) -> str:
+    p = pattern.replace("'", "''")
+    return (
+        f"CAST(length({expr}) - length(regexp_replace({expr}, '{p}', '', 'g'))"
+        f" AS BIGINT)"
+    )
+
+
+def script_dominant(col: Column) -> Column:
+    """Name of the script with the most characters (ties: first in
+    SCRIPT_RANGES, 'digit' excluded; all-zero -> 'none'). Explicit
+    argmax-as-CASE, same shape as ``langid`` so the SQL twin evaluates
+    identically."""
+    names = [n for n, _ in SCRIPT_RANGES if n != "digit"]
+    counts = {n: script_count(col, p) for n, p in SCRIPT_RANGES if n != "digit"}
+    e = F.lit("none")
+    for n in reversed(names):
+        before = names[: names.index(n)]
+        cond = counts[n] > 0
+        for o in before:
+            cond = cond & (counts[n] > counts[o])
+        for o in names[names.index(n) + 1:]:
+            cond = cond & (counts[n] >= counts[o])
+        e = F.when(cond, F.lit(n)).otherwise(e)
+    return e
+
+
+def script_dominant_sql(expr: str) -> str:
+    names = [n for n, _ in SCRIPT_RANGES if n != "digit"]
+    cnt = {
+        n: script_count_sql(expr, p) for n, p in SCRIPT_RANGES if n != "digit"
+    }
+    out = "'none'"
+    for n in reversed(names):
+        before = names[: names.index(n)]
+        conds = [f"{cnt[n]} > 0"]
+        conds += [f"{cnt[n]} > {cnt[o]}" for o in before]
+        conds += [f"{cnt[n]} >= {cnt[o]}" for o in names[names.index(n) + 1:]]
+        out = f"CASE WHEN {' AND '.join(conds)} THEN '{n}' ELSE {out} END"
+    return out

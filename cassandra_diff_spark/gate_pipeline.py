@@ -6211,3 +6211,63 @@ USING (k)
 
 QUERIES["sketch_overlap_keys"] = _q_sketch_overlap_keys
 ORACLES["sketch_overlap_keys"] = _O_SKETCH_OVERLAP_KEYS
+
+
+# ---------------------------------------------------------------------------
+# round 6: Unicode script profiling
+
+
+def _q_text_scripts(spark, sf_dir):
+    """Per-document Unicode script profile over documents augmented with
+    planted multilingual suffixes (every range branch fires): exact
+    per-script character counts (length-difference after class
+    deletion; \\x{...} hex classes — the one syntax Java regex and RE2
+    share) + the dominant script via the langid-style argmax CASE."""
+    from cassandra_diff_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_count,
+        script_dominant,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" Привет мир история"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" 世界の歴史ひらがな한국"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" नमस्ते दुनिया αβγ"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.col("text"), suffix)
+    return d.select(
+        "doc_id",
+        *[script_count(t, p).alias(f"n_{n}") for n, p in SCRIPT_RANGES],
+        script_dominant(t).alias("dominant"),
+    )
+
+
+def _make_o_text_scripts() -> str:
+    from cassandra_diff_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_count_sql,
+        script_dominant_sql,
+    )
+
+    t = (
+        "(text || CASE doc_id % 5"
+        " WHEN 1 THEN ' Привет мир история'"
+        " WHEN 2 THEN ' 世界の歴史ひらがな한국'"
+        " WHEN 3 THEN ' مرحبا بالعالم'"
+        " WHEN 4 THEN ' नमस्ते दुनिया αβγ'"
+        " ELSE '' END)"
+    )
+    cols = ", ".join(
+        f"{script_count_sql(t, p)} AS n_{n}" for n, p in SCRIPT_RANGES
+    )
+    return f"""
+SELECT doc_id, {cols}, {script_dominant_sql(t)} AS dominant
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+QUERIES["text_scripts"] = _q_text_scripts
+ORACLES["text_scripts"] = _make_o_text_scripts()
