@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     ap.add_argument(
+        "--advise", metavar="TABLE", default=None,
+        help="pre-flight a table pair: layout/overlap/skew evidence + "
+             "recommended diff settings (kilobyte-scale checks only)",
+    )
+    ap.add_argument(
         "--plan", nargs=2, metavar=("TABLE", "N_SPLITS"), default=None,
         help=(
             "print TABLE's data-driven balanced split ranges (near-equal "
@@ -139,6 +144,33 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict()))
             all_pass = all_pass and r["pass"]
         return 0 if all_pass else 1
+    if args.advise is not None:
+        from cassandra_diff_spark.model import TableSpec
+        from cassandra_diff_spark.plans.advisor import recommend_diff_strategy
+        from cassandra_diff_spark.sources.catalog import table_config_for
+
+        table = args.advise
+        tcfg = table_config_for(cfg, table)
+        if tcfg is None:
+            print(f"no key roles configured for table {table}", file=sys.stderr)
+            return 2
+        if cfg.source.provider != "parquet" or cfg.target.provider != "parquet":
+            print("--advise needs parquet path providers on both sides", file=sys.stderr)
+            return 2
+        spec = TableSpec(
+            name=table,
+            partition_key=tcfg.partition_key,
+            clustering=tcfg.clustering,
+        )
+        out = recommend_diff_strategy(
+            spark,
+            f"{cfg.source.options['path']}/{table}.parquet",
+            f"{cfg.target.options['path']}/{table}.parquet",
+            spec,
+            snapshot_path=cfg.snapshot_path,
+        )
+        print(json.dumps(out, default=str, indent=2))
+        return 0
     if args.plan is not None:
         from cassandra_diff_spark.model import TableSpec
         from cassandra_diff_spark.plans.splits import balanced_splits
