@@ -118,6 +118,7 @@ HEADLINE = [
     "embedding_random_project",
     "sketch_overlap_keys",
     "text_scripts",
+    "sketch_cm_user_counts",
 ]
 
 

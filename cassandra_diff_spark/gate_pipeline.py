@@ -6271,3 +6271,64 @@ FROM documents WHERE text IS NOT NULL
 
 QUERIES["text_scripts"] = _q_text_scripts
 ORACLES["text_scripts"] = _make_o_text_scripts()
+
+
+# ---------------------------------------------------------------------------
+# round 6: Count-Min frequency store (mergeable, deterministic values)
+
+
+def _q_sketch_cm_user_counts(spark, sf_dir):
+    """Count-Min frequency store built INCREMENTALLY (two event shards
+    sketched independently, folded cell-wise — equals the one-shot
+    build exactly) and queried for every user_id % 10 == 3: estimates
+    are min-over-rows of md5-assigned integer counters, so the oracle's
+    replay of the same cell arithmetic matches bit-for-bit (approximate
+    SEMANTICS — est >= true count — with deterministic VALUES)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch_build,
+        fold_cm_sketches,
+    )
+
+    ev = load_events(spark, sf_dir)
+    d, w = 4, 512
+    parts = [
+        cm_sketch_build(
+            ev.filter(F.col("event_id") % 2 == m), "user_id", depth=d, width=w
+        )
+        for m in (0, 1)
+    ]
+    sk = fold_cm_sketches(parts)
+    keys = ev.filter(F.col("user_id") % 10 == 3).select("user_id").distinct()
+    return cm_estimate(sk, keys, "user_id", depth=d, width=w)
+
+
+_O_SKETCH_CM_USER_COUNTS = f"""
+WITH k AS (
+  SELECT CAST(user_id AS VARCHAR) AS kk FROM events WHERE user_id IS NOT NULL
+),
+rows AS (SELECT unnest(range(0, 4)) AS r),
+cells AS (
+  SELECT rows.r AS row,
+         ({md5_hash64_sql("CAST(rows.r AS VARCHAR) || ':0:' || k.kk")}) % 512 AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM k CROSS JOIN rows GROUP BY 1, 2
+),
+q AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id % 10 = 3
+),
+lk AS (
+  SELECT q.user_id, rows.r,
+         ({md5_hash64_sql("CAST(rows.r AS VARCHAR) || ':0:' || CAST(q.user_id AS VARCHAR)")}) % 512 AS idx
+  FROM q CROSS JOIN rows
+)
+SELECT lk.user_id, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+FROM lk LEFT JOIN cells ON cells.row = lk.r AND cells.idx = lk.idx
+GROUP BY lk.user_id
+"""
+
+
+QUERIES["sketch_cm_user_counts"] = _q_sketch_cm_user_counts
+ORACLES["sketch_cm_user_counts"] = _O_SKETCH_CM_USER_COUNTS

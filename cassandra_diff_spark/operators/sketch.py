@@ -205,3 +205,97 @@ def key_overlap_estimate(
         .cast("long")
         .alias("jaccard_milli"),
     )
+
+
+def cm_sketch_build(
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Count-Min sketch of a key column's frequencies: a ``depth x
+    width`` integer counter matrix in long form ``(row, idx, cnt)`` —
+    the mergeable approximate-frequency store (persist per shard/day,
+    :func:`fold_cm_sketches` new batches in, query any key's count
+    without the key-cardinality groupBy state).
+
+    Exact-arithmetic contract: cell assignment is the cross-engine md5
+    hash (``idx = md5_hash64(f"{row}:{seed}:" + key) % width``) and the
+    counters are plain integer sums — the sketch, and therefore every
+    ESTIMATE read from it, is bit-identical in any engine (approximate
+    SEMANTICS, deterministic VALUES — the estimate errs only upward, by
+    collision mass ~ n/width per row, and min-over-rows takes the least
+    collided). NULL keys are excluded.
+
+    One map-side-combined groupBy whose reduce cardinality is at most
+    ``depth x width`` cells — never the key cardinality.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth, width >= 1, got {depth}, {width}")
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    src = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("__k")
+    )
+    rows = src.select(
+        "__k",
+        F.explode(F.array(*[F.lit(r) for r in range(int(depth))])).alias("row"),
+    )
+    idx = md5_hash64(
+        F.concat(F.col("row").cast("string"), F.lit(f":{seed}:"), F.col("__k"))
+    ) % int(width)
+    return (
+        rows.select("row", idx.alias("idx"))
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def fold_cm_sketches(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Additive fold of Count-Min sketches built with the SAME
+    depth/width/seed: counters add cell-wise, so the fold equals the
+    one-shot build over the unioned data exactly."""
+    if not sketches:
+        raise ValueError("fold_cm_sketches: need at least one sketch")
+    u = sketches[0].select("row", "idx", "cnt")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select("row", "idx", "cnt"))
+    return u.groupBy("row", "idx").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Frequency estimates for a key frame from a Count-Min sketch:
+    ``(key_col, est)`` with ``est = min over rows of counter[h_row(k)]``
+    (0 when a cell is absent — an absent cell is a zero counter).
+    The sketch frame is depth x width cells — it joins in broadcast;
+    the keys never shuffle. Estimates are upper bounds: ``est >= true``
+    always, with overshoot ~ n/width per row before the min.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    k = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(r) for r in range(int(depth))])).alias("row"),
+    )
+    idx = md5_hash64(
+        F.concat(
+            F.col("row").cast("string"),
+            F.lit(f":{seed}:"),
+            F.col(key_col).cast("string"),
+        )
+    ) % int(width)
+    j = k.withColumn("idx", idx).join(F.broadcast(sketch), ["row", "idx"], "left")
+    return (
+        j.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -149,3 +149,66 @@ class TestKeyOverlapEstimate:
         b = spark.createDataFrame([(2,), (3,), (None,)], "y long")
         r = key_overlap_estimate(a, b, "x", "y").collect()[0]
         assert abs(r.n_union - 3) < 0.5 and abs(r.n_intersection - 1) < 0.5
+
+
+class TestCountMin:
+    """sketch.cm_sketch_build / fold_cm_sketches / cm_estimate."""
+
+    @pytest.fixture(scope="class")
+    def freq_df(self, spark):
+        rows = [("hot",)] * 500 + [("warm",)] * 60 + [(f"k{i}",) for i in range(300)]
+        rows += [(None,)]
+        return spark.createDataFrame(rows, "k string")
+
+    def test_upper_bound_and_tightness(self, spark, freq_df):
+        from cassandra_diff_spark.operators.sketch import (
+            cm_estimate,
+            cm_sketch_build,
+        )
+
+        sk = cm_sketch_build(freq_df, "k", depth=4, width=1024)
+        keys = spark.createDataFrame([("hot",), ("warm",), ("k5",)], "k string")
+        est = {r.k: r.est for r in cm_estimate(sk, keys, "k", depth=4, width=1024).collect()}
+        true = {"hot": 500, "warm": 60, "k5": 1}
+        for k, t in true.items():
+            assert est[k] >= t  # CM never undercounts
+            assert est[k] <= t + 10  # 860 items over 1024 cells: tiny collision mass
+
+    def test_fold_equals_one_shot(self, spark, freq_df):
+        from cassandra_diff_spark.operators.sketch import (
+            cm_sketch_build,
+            fold_cm_sketches,
+        )
+
+        wm = freq_df.withColumn("h", F.crc32(F.coalesce(F.col("k"), F.lit(""))) % 3)
+        parts = [
+            cm_sketch_build(wm.filter(F.col("h") == i), "k", depth=3, width=256)
+            for i in range(3)
+        ]
+        folded = fold_cm_sketches(parts)
+        one = cm_sketch_build(freq_df, "k", depth=3, width=256)
+        key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+        assert key(folded) == key(one)
+
+    def test_absent_key_and_cell_bound(self, spark, freq_df):
+        from cassandra_diff_spark.operators.sketch import (
+            cm_estimate,
+            cm_sketch_build,
+        )
+
+        sk = cm_sketch_build(freq_df, "k", depth=4, width=1024)
+        assert sk.count() <= 4 * 1024  # state bounded by the matrix, not keys
+        keys = spark.createDataFrame([("never-seen",)], "k string")
+        est = cm_estimate(sk, keys, "k", depth=4, width=1024).collect()[0].est
+        assert 0 <= est <= 10  # collision mass only
+
+    def test_validation(self, spark, freq_df):
+        from cassandra_diff_spark.operators.sketch import (
+            cm_sketch_build,
+            fold_cm_sketches,
+        )
+
+        with pytest.raises(ValueError):
+            cm_sketch_build(freq_df, "k", depth=0)
+        with pytest.raises(ValueError):
+            fold_cm_sketches([])
