@@ -119,6 +119,7 @@ HEADLINE = [
     "sketch_overlap_keys",
     "text_scripts",
     "sketch_cm_user_counts",
+    "bloom_prefilter_orders",
 ]
 
 

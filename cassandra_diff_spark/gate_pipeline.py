@@ -6332,3 +6332,66 @@ GROUP BY lk.user_id
 
 QUERIES["sketch_cm_user_counts"] = _q_sketch_cm_user_counts
 ORACLES["sketch_cm_user_counts"] = _O_SKETCH_CM_USER_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# round 6: bloom prefilter (deterministic false positives)
+
+
+def _q_bloom_prefilter_orders(spark, sf_dir):
+    """Shuffle-reduction pre-flight: a 4096-bit bloom of one third of
+    the customer keys (packed 63-bit words, broadcastable bitset frame)
+    prefilters orders MAP-ONLY — true members pass, non-members drop at
+    the scan, and the deliberately small filter produces REAL false
+    positives whose set is hash-defined, so the oracle reproduces the
+    kept rows exactly (including every FP)."""
+    from cassandra_diff_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_keys,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    bloom = bloom_build(
+        c.filter(F.col("c_custkey") % 3 == 0), "c_custkey", m_bits=4096, k=5
+    )
+    return bloom_filter_keys(
+        o, "o_custkey", bloom, m_bits=4096, k=5
+    ).select("o_orderkey", "o_custkey")
+
+
+_O_BLOOM_PREFILTER_ORDERS = f"""
+WITH ks AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk
+  FROM customer WHERE c_custkey IS NOT NULL AND c_custkey % 3 = 0
+),
+idx AS (SELECT unnest(range(0, 5)) AS i),
+pos AS (
+  SELECT ({md5_hash64_sql("CAST(idx.i AS VARCHAR) || ':0:' || ks.kk")}) % 4096 AS p
+  FROM ks CROSS JOIN idx
+),
+words AS (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+lk AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         ({md5_hash64_sql(
+             "CAST(idx.i AS VARCHAR) || ':0:' || CAST(o.o_custkey AS VARCHAR)"
+         )}) % 4096 AS p
+  FROM orders o CROSS JOIN idx WHERE o.o_custkey IS NOT NULL
+),
+hit AS (
+  SELECT l.o_orderkey, l.o_custkey,
+         CASE WHEN (COALESCE(w.bits, 0)
+                    & (CAST(1 AS BIGINT) << CAST(l.p % 63 AS INT))) != 0
+              THEN 1 ELSE 0 END AS ok
+  FROM lk l LEFT JOIN words w ON w.word = l.p // 63
+)
+SELECT o_orderkey, o_custkey FROM hit GROUP BY 1, 2 HAVING MIN(ok) = 1
+"""
+
+
+QUERIES["bloom_prefilter_orders"] = _q_bloom_prefilter_orders
+ORACLES["bloom_prefilter_orders"] = _O_BLOOM_PREFILTER_ORDERS

@@ -299,3 +299,109 @@ def cm_estimate(
         j.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+#: bits packed per bloom word — 63 keeps every mask positive, so the
+#: shift/AND arithmetic is identical in Spark and DuckDB (bit 63 would
+#: ride the sign bit and overflow-check differently across engines)
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_pos_sql(i: int, seed: int, col: str, m_bits: int) -> str:
+    """Spark-SQL fragment: the i-th bloom bit position of ``col``
+    (cross-engine md5, same formula the DuckDB twin spells)."""
+    return (
+        f"(conv(substring(md5(concat('{i}:{seed}:', cast(`{col}` as string))),"
+        f" 1, 15), 16, 10) % {int(m_bits)})"
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Bloom filter of a key column as a PACKED integer bitset frame
+    ``(word, bits)`` — at most ``ceil(m_bits / 63)`` rows regardless of
+    key cardinality (2^20 bits ≈ 16 k rows ≈ 130 KB: broadcastable).
+
+    Positions are the cross-engine md5 hash (``md5_hash64(f"{i}:{seed}:"
+    + key) % m_bits`` for i < k), packing is ``bit_or`` of single-bit
+    masks — one map-side-combined groupBy whose reduce cardinality is
+    the word count, never the key count. Building is idempotent
+    (re-adding keys changes nothing) and per-shard bitsets fold
+    losslessly with another ``bit_or`` groupBy. NULL keys are excluded.
+    """
+    if m_bits < BLOOM_WORD_BITS or k < 1:
+        raise ValueError(f"need m_bits >= {BLOOM_WORD_BITS} and k >= 1")
+    src = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("__k")
+    )
+    rows = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql(i, seed, "__k", m_bits))
+                    for i in range(int(k))
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        rows.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(__mask)").cast("long").alias("bits"))
+    )
+
+
+def bloom_filter_keys(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """MAP-ONLY membership prefilter: keep rows whose key has ALL ``k``
+    bloom positions set — the shuffle-reduction step before a big
+    join/diff (drop most non-matching rows at the scan; false positives
+    pass through and the downstream join re-checks them, so the
+    composition stays EXACT — and because positions are hash-defined,
+    even the FP set is deterministic and engine-reproducible).
+
+    The bitset frame collapses to ONE ``map<long,long>`` broadcast row
+    (the ``encode_documents`` posture); membership is ``k`` md5
+    expressions + AND of masked lookups — pure Catalyst, no explode, no
+    shuffle, no Python. Rows with a NULL key are dropped (a bloom
+    cannot witness null). ``m_bits``/``k``/``seed`` must match the
+    build.
+    """
+    if m_bits < BLOOM_WORD_BITS or k < 1:
+        raise ValueError(f"need m_bits >= {BLOOM_WORD_BITS} and k >= 1")
+    bm = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("__bm")
+    )
+    out = df.filter(F.col(col).isNotNull()).crossJoin(F.broadcast(bm))
+    cond = F.lit(True)
+    for i in range(int(k)):
+        pos = _bloom_pos_sql(i, seed, col, m_bits)
+        cond = cond & (
+            F.expr(
+                f"coalesce(element_at(__bm, {pos} div {BLOOM_WORD_BITS}), 0)"
+                f" & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({pos} % {BLOOM_WORD_BITS} AS INT))"
+            )
+            != 0
+        )
+    return out.filter(cond).drop("__bm")

@@ -212,3 +212,87 @@ class TestCountMin:
             cm_sketch_build(freq_df, "k", depth=0)
         with pytest.raises(ValueError):
             fold_cm_sketches([])
+
+
+class TestBloomPrefilter:
+    """sketch.bloom_build / bloom_filter_keys."""
+
+    @pytest.fixture(scope="class")
+    def keyed(self, spark):
+        members = spark.createDataFrame([(i,) for i in range(0, 2000, 2)], "k long")
+        probe = spark.createDataFrame(
+            [(i, f"row{i}") for i in range(3000)] + [(None, "nullrow")],
+            "k long, payload string",
+        )
+        return members, probe
+
+    def test_no_false_negatives_and_fp_rate(self, spark, keyed):
+        from cassandra_diff_spark.operators.sketch import (
+            bloom_build,
+            bloom_filter_keys,
+        )
+
+        members, probe = keyed
+        bloom = bloom_build(members, "k", m_bits=1 << 15, k=5)
+        kept = {r.k for r in bloom_filter_keys(
+            probe, "k", bloom, m_bits=1 << 15, k=5
+        ).collect()}
+        truth = {i for i in range(0, 2000, 2)}
+        assert truth <= kept            # a bloom NEVER drops a member
+        fps = kept - truth
+        assert len(fps) < 0.05 * 3000   # 1000 keys in 32k bits: low FP rate
+        assert None not in kept
+
+    def test_composition_with_join_stays_exact(self, spark, keyed):
+        """Prefilter + join == plain join: FPs are re-checked downstream."""
+        from cassandra_diff_spark.operators.sketch import (
+            bloom_build,
+            bloom_filter_keys,
+        )
+
+        members, probe = keyed
+        bloom = bloom_build(members, "k", m_bits=4096, k=3)  # small: real FPs
+        pre = bloom_filter_keys(probe, "k", bloom, m_bits=4096, k=3)
+        a = sorted(tuple(r) for r in pre.join(members, "k").collect())
+        b = sorted(tuple(r) for r in probe.join(members, "k").collect())
+        assert a == b
+
+    def test_sharded_builds_fold_by_bit_or(self, spark, keyed):
+        from cassandra_diff_spark.operators.sketch import bloom_build
+
+        members, _ = keyed
+        parts = [
+            bloom_build(members.filter(F.col("k") % 4 == m), "k", m_bits=8192, k=4)
+            for m in range(4)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        folded = u.groupBy("word").agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+        one = bloom_build(members, "k", m_bits=8192, k=4)
+        key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+        assert key(folded) == key(one)
+
+    def test_filter_is_map_only(self, spark, keyed, tmp_path):
+        from cassandra_diff_spark.operators.sketch import (
+            bloom_build,
+            bloom_filter_keys,
+        )
+
+        members, probe = keyed
+        bpath, ppath = str(tmp_path / "bloom"), str(tmp_path / "probe")
+        bloom_build(members, "k", m_bits=8192, k=4).write.parquet(bpath)
+        probe.write.parquet(ppath)
+        plan = bloom_filter_keys(
+            spark.read.parquet(ppath), "k", spark.read.parquet(bpath),
+            m_bits=8192, k=4,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_validation(self, spark, keyed):
+        from cassandra_diff_spark.operators.sketch import bloom_build
+
+        members, _ = keyed
+        with pytest.raises(ValueError):
+            bloom_build(members, "k", m_bits=10)
