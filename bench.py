@@ -120,6 +120,7 @@ HEADLINE = [
     "text_scripts",
     "sketch_cm_user_counts",
     "bloom_prefilter_orders",
+    "events_rolling_anomaly_stream",
 ]
 
 

@@ -6395,3 +6395,67 @@ SELECT o_orderkey, o_custkey FROM hit GROUP BY 1, 2 HAVING MIN(ok) = 1
 
 QUERIES["bloom_prefilter_orders"] = _q_bloom_prefilter_orders
 ORACLES["bloom_prefilter_orders"] = _O_BLOOM_PREFILTER_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming rolling anomaly (live monitoring twin)
+
+
+def _stage_all_events_slices(spark, sf_dir) -> str:
+    """Stage ALL events as four time-sliced, mtime-ordered parquet files
+    — the single-stream event-time-ordered fixture (marker-gated)."""
+    import glob
+    import os
+    import pathlib
+    import shutil
+    from datetime import timedelta
+
+    from cassandra_diff_spark.gate import load_events
+
+    stage = f"/tmp/cds_gate_stream_all_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    stamp = f"v1:{sf_dir}:4"
+    if marker.exists() and marker.read_text() == stamp:
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
+    step = (hi - lo) / 4
+    bounds = [lo + step * i for i in range(4)] + [hi + timedelta(seconds=1)]
+    for i in range(4):
+        ev.filter(
+            (F.col("ts") >= bounds[i]) & (F.col("ts") < bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(f"{stage}/e")
+    for i, f in enumerate(
+        sorted(glob.glob(f"{stage}/e/part-*"), key=os.path.getmtime)
+    ):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    marker.write_text(stamp)
+    return stage
+
+
+def _q_events_rolling_anomaly_stream(spark, sf_dir):
+    """Live-monitoring twin of events_rolling_anomaly: events arrive as
+    event-time-ordered micro-batches and each reading is tested — the
+    same integer z-score inequality, same HALF_UP quantization — against
+    its key's bounded window state THE MOMENT it arrives. Drained flags
+    equal the batch operator, so the SAME oracle gates the streaming
+    runtime."""
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_rolling_anomaly,
+    )
+
+    stage = _stage_all_events_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/e")
+    )
+    return stream_rolling_anomaly(
+        stream, "user_id", "ts", "value", ("event_id",),
+        name="cds_gate_anom_stream",
+    ).select("user_id", "ts", "event_id", "value_c", "n_prev", "mean_c1000")
+
+
+QUERIES["events_rolling_anomaly_stream"] = _q_events_rolling_anomaly_stream
+ORACLES["events_rolling_anomaly_stream"] = _O_EVENTS_ROLLING_ANOMALY

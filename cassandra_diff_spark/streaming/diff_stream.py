@@ -1192,3 +1192,114 @@ def stream_latest_state(
         # null-safe: a NULL op is an upsert, matching cdc.latest_state
         out = out.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col)
     return out
+
+
+def stream_rolling_anomaly(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: "tuple[str, ...]" = ("event_id",),
+    *,
+    window: int = 20,
+    z_int: int = 3,
+    min_periods: int = 5,
+    scale: int = 100,
+    name: str = "cds_stream_rolling_anomaly",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`~cassandra_diff_spark.operators.stats.
+    rolling_anomaly`: per-key rolling z-score flags emitted AS EVENTS
+    ARRIVE — the live monitoring form of the batch sweep (alert on the
+    anomalous reading now, not at tonight's batch).
+
+    Same exactness contract as the batch op: values quantize to
+    ``1/scale`` units with Spark's HALF_UP rounding and the test is the
+    integer inequality ``(x*n - S)^2 (n-1) > z^2 (Q*n - S^2) n`` over
+    the preceding ``window`` ROWS of the key (self excluded; null
+    values occupy a row slot but contribute nothing, exactly like the
+    batch ROWS frame) — so the drained stream equals the batch operator
+    and shares its oracle.
+
+    State per key: ONE array of the last ``window`` quantized values
+    (nulls included for slot fidelity) — bounded, tiny, no TTL needed.
+    Ordering contract (same as :func:`stream_asof_join`): rows are
+    ordered by ``(ts, *order_cols)`` within each micro-batch by the
+    operator, and batches must arrive in event-time order per key (file
+    streams staged time-sliced satisfy this); out-of-order arrival
+    ACROSS batches evaluates against the already-shipped window, which
+    a real-time monitor inherently accepts.
+
+    Drains an availableNow trigger into an in-memory table; production
+    runs the same plan unbounded with a real sink.
+    """
+    import math
+
+    import pandas as pd
+
+    lo_n = max(int(min_periods), 2)
+    w_n, z2, sc = int(window), int(z_int) * int(z_int), int(scale)
+    types = dict(events.dtypes)
+    out_schema = ", ".join(
+        [f"`{key_col}` {types[key_col]}", f"`{ts_col}` {types[ts_col]}"]
+        + [f"`{c}` {types[c]}" for c in order_cols]
+        + ["value_c bigint", "n_prev bigint", "mean_c1000 bigint"]
+    )
+
+    def quant(x) -> "int | None":
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            return None
+        v = float(x) * sc
+        f = math.floor(v)
+        if abs(v - f) == 0.5:  # HALF_UP: ties away from zero (Spark round)
+            return int(math.trunc(v) + math.copysign(1.0, v))
+        return int(round(v))
+
+    def update(key, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        out: dict = {c: [] for c in
+                     [key_col, ts_col, *order_cols, "value_c", "n_prev", "mean_c1000"]}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, *order_cols], kind="mergesort")
+            cols = {
+                c: pdf[c].tolist()
+                for c in (key_col, ts_col, value_col, *order_cols)
+            }
+            for i in range(len(pdf)):
+                v = quant(cols[value_col][i])
+                vals = [b for b in buf if b is not None]
+                n = len(vals)
+                if v is not None and n >= lo_n:
+                    s = sum(vals)
+                    q2 = sum(b * b for b in vals)
+                    if (v * n - s) ** 2 * (n - 1) > z2 * (q2 * n - s * s) * n:
+                        for c in (key_col, ts_col, *order_cols):
+                            out[c].append(cols[c][i])
+                        out["value_c"].append(v)
+                        out["n_prev"].append(n)
+                        out["mean_c1000"].append(math.floor(1000.0 * s / n))
+                buf.append(v)
+                if len(buf) > w_n:
+                    buf.pop(0)
+        state.update((buf,))
+        if out["value_c"]:
+            yield pd.DataFrame(out)
+
+    flagged = events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="buf array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        flagged.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return events.sparkSession.table(name)

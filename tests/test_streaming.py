@@ -905,3 +905,64 @@ def test_stream_asof_forward_tolerates_disorder_within_delay(
     )
     assert key(got) == key(want)
     assert got.count() > 0
+
+
+class TestStreamRollingAnomaly:
+    """stream_rolling_anomaly drained == batch rolling_anomaly."""
+
+    def test_drained_equals_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.stats import rolling_anomaly
+        from cassandra_diff_spark.streaming.diff_stream import (
+            stream_rolling_anomaly,
+        )
+
+        base = dt.datetime(2026, 1, 1)
+        rows = []
+        for u in (1, 2):
+            for i in range(40):
+                v = 10.0 + (i % 3) * 0.25
+                if i in (25, 33):
+                    v = 500.0  # planted spikes
+                if i == 12:
+                    v = None  # null occupies a row slot, contributes nothing
+                if i == 17:
+                    v = 10.005  # HALF_UP tie at scale=100
+                rows.append((u, base + dt.timedelta(minutes=i), u * 1000 + i, v))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        # stage as 3 time-ordered slices
+        import glob
+        import os
+
+        stage = str(tmp_path / "slices")
+        for lo, hi in ((0, 14), (14, 28), (28, 40)):
+            df.filter(
+                (F.col("event_id") % 1000 >= lo) & (F.col("event_id") % 1000 < hi)
+            ).coalesce(1).write.mode("append").parquet(stage)
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*"), key=os.path.getmtime)):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        got = stream_rolling_anomaly(
+            stream, "user_id", "ts", "value", ("event_id",),
+            window=10, min_periods=3, name="t_anom_stream",
+        )
+        want = rolling_anomaly(
+            df, "user_id", "ts", "value", order_cols=("event_id",),
+            window=10, min_periods=3,
+        )
+        key = lambda d: sorted(  # noqa: E731
+            (r.user_id, r.event_id, r.value_c, r.n_prev, r.mean_c1000)
+            for r in d.collect()
+        )
+        assert key(got) == key(want)
+        assert len(key(got)) >= 2  # first spike flagged per user (the
+        # second sits within a window already inflated by the first)
