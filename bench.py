@@ -121,6 +121,8 @@ HEADLINE = [
     "sketch_cm_user_counts",
     "bloom_prefilter_orders",
     "events_rolling_anomaly_stream",
+    "sketch_cm_stream",
+    "bloom_stream_prefilter",
 ]
 
 

@@ -6459,3 +6459,71 @@ def _q_events_rolling_anomaly_stream(spark, sf_dir):
 
 QUERIES["events_rolling_anomaly_stream"] = _q_events_rolling_anomaly_stream
 ORACLES["events_rolling_anomaly_stream"] = _O_EVENTS_ROLLING_ANOMALY
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming twins of the CM and bloom builds
+
+
+def _q_sketch_cm_stream(spark, sf_dir):
+    """Streaming-runtime twin of sketch_cm_user_counts: events stream in
+    micro-batches into the complete-mode CM aggregation (state bounded
+    by the matrix), the drained cells feed the SAME estimate lookup, and
+    the SAME oracle replays the arithmetic bit-for-bit."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.sketch import cm_estimate
+    from cassandra_diff_spark.streaming.diff_stream import stream_cm_sketch
+
+    stage = _stage_all_events_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/e")
+    )
+    sk = stream_cm_sketch(
+        stream, "user_id", depth=4, width=512, name="cds_gate_cm_stream"
+    )
+    ev = load_events(spark, sf_dir)
+    keys = ev.filter(F.col("user_id") % 10 == 3).select("user_id").distinct()
+    return cm_estimate(sk, keys, "user_id", depth=4, width=512)
+
+
+QUERIES["sketch_cm_stream"] = _q_sketch_cm_stream
+ORACLES["sketch_cm_stream"] = _O_SKETCH_CM_USER_COUNTS
+
+
+def _q_bloom_stream_prefilter(spark, sf_dir):
+    """Streaming bloom build (complete-mode bit_or packing, <= m/63 rows
+    of state) over one third of the customer keys, then the SAME
+    map-only orders prefilter — drained bitset == batch build, so the
+    batch gate's oracle (false positives included) gates the streaming
+    runtime."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.operators.sketch import bloom_filter_keys
+    from cassandra_diff_spark.streaming.diff_stream import stream_bloom_build
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    stage = f"/tmp/cds_gate_bloom_stream_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    if not (marker.exists() and marker.read_text() == "v1"):
+        shutil.rmtree(stage, ignore_errors=True)
+        c.select("c_custkey").repartition(3).write.parquet(f"{stage}/k")
+        marker.write_text("v1")
+    stream = (
+        spark.readStream.schema("c_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/k")
+    )
+    bloom = stream_bloom_build(
+        stream, "c_custkey", m_bits=4096, k=5, name="cds_gate_bloom_stream"
+    )
+    o = load(spark, sf_dir, "orders")
+    return bloom_filter_keys(
+        o, "o_custkey", bloom, m_bits=4096, k=5
+    ).select("o_orderkey", "o_custkey")
+
+
+QUERIES["bloom_stream_prefilter"] = _q_bloom_stream_prefilter
+ORACLES["bloom_stream_prefilter"] = _O_BLOOM_PREFILTER_ORDERS

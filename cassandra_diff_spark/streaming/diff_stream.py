@@ -1303,3 +1303,65 @@ def stream_rolling_anomaly(
     q = w.start()
     q.awaitTermination()
     return events.sparkSession.table(name)
+
+
+def _drain_complete(agg: DataFrame, name: str, checkpoint: "str | None" = None) -> DataFrame:
+    """availableNow complete-mode drain into an in-memory table — the
+    shared tail of the bounded-state streaming aggregations."""
+    w = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def stream_cm_sketch(
+    stream: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    name: str = "cds_stream_cm",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming Count-Min build: the batch
+    :func:`~cassandra_diff_spark.operators.sketch.cm_sketch_build`
+    expression IS a map-side-combinable integer groupBy, so it runs
+    unchanged as a COMPLETE-mode streaming aggregation with at most
+    ``depth x width`` rows of state no matter how much data streams
+    through — the live frequency store. Drained cells equal the batch
+    build (same oracle through :func:`~cassandra_diff_spark.operators.
+    sketch.cm_estimate`)."""
+    from cassandra_diff_spark.operators.sketch import cm_sketch_build
+
+    agg = cm_sketch_build(stream, col, depth=depth, width=width, seed=seed)
+    return _drain_complete(agg, name, checkpoint)
+
+
+def stream_bloom_build(
+    stream: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 0,
+    name: str = "cds_stream_bloom",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming bloom build: ``bit_or`` packing is order-free and
+    idempotent, so the batch :func:`~cassandra_diff_spark.operators.
+    sketch.bloom_build` runs as a COMPLETE-mode aggregation with at
+    most ``ceil(m_bits/63)`` rows of state — a membership filter that
+    tracks the stream (feed the drained frame to
+    ``bloom_filter_keys``)."""
+    from cassandra_diff_spark.operators.sketch import bloom_build
+
+    agg = bloom_build(stream, col, m_bits=m_bits, k=k, seed=seed)
+    return _drain_complete(agg, name, checkpoint)

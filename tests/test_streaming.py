@@ -966,3 +966,37 @@ class TestStreamRollingAnomaly:
         assert key(got) == key(want)
         assert len(key(got)) >= 2  # first spike flagged per user (the
         # second sits within a window already inflated by the first)
+
+
+def test_stream_cm_and_bloom_match_batch(spark, tmp_path):
+    """Complete-mode CM / bloom streaming builds drain to exactly the
+    batch frames (the aggregations are order-free integers)."""
+    import glob
+    import os
+
+    from cassandra_diff_spark.operators.sketch import bloom_build, cm_sketch_build
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_bloom_build,
+        stream_cm_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(500)] + [(None,)], "k long"
+    )
+    stage = str(tmp_path / "keys")
+    df.repartition(3).write.parquet(stage)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def stream():
+        return (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    got_cm = stream_cm_sketch(stream(), "k", depth=3, width=128, name="t_cm_s")
+    assert key(got_cm) == key(cm_sketch_build(df, "k", depth=3, width=128))
+    got_bl = stream_bloom_build(stream(), "k", m_bits=2048, k=4, name="t_bl_s")
+    assert key(got_bl) == key(bloom_build(df, "k", m_bits=2048, k=4))
