@@ -329,17 +329,29 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["pq_query_sec"] = round(time.time() - t0, 2)
 
     # IVF-PQ: same codes, but the query scans only its n_probe coarse
-    # lists — the scan fraction and the byte shrink multiply
-    from cassandra_diff_spark.operators.similarity import ivf_pq_topk
+    # lists — the scan fraction and the byte shrink multiply. Build and
+    # query timed SEPARATELY (the index persists; a serving deployment
+    # pays the encode once, every query batch pays only the probe)
+    from cassandra_diff_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+    )
 
+    cmod = max(2, int(n ** 0.5))
+    t0 = time.time()
+    ivf_pq_encode(
+        corpus, "vec_id", "embedding", books, dim=DIM, centroid_mod=cmod
+    ).write.mode("overwrite").parquet(f"{work}/ivfpq_codes.parquet")
+    ivfpq_codes = spark.read.parquet(f"{work}/ivfpq_codes.parquet")
+    out["ivf_pq_encode_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     ivfpq = ivf_pq_topk(
         corpus, queries, "vec_id", "embedding", books,
-        dim=DIM, k=1, centroid_mod=max(2, int(n ** 0.5)),
-        n_probe=8, shortlist=64,
+        dim=DIM, k=1, centroid_mod=cmod,
+        n_probe=8, shortlist=64, codes=ivfpq_codes,
     )
     out["ivf_pq_recall_at_1"] = recall_at_1(ivfpq)
-    out["ivf_pq_sec"] = round(time.time() - t0, 2)
+    out["ivf_pq_query_sec"] = round(time.time() - t0, 2)
 
     # ------------------------------------------------ fuzzy linkage probe
     # n synthetic structured records ("rec" + 9 digits + "-" + 8 hash hex
