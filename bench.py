@@ -123,6 +123,7 @@ HEADLINE = [
     "events_rolling_anomaly_stream",
     "sketch_cm_stream",
     "bloom_stream_prefilter",
+    "lineitem_weighted_quantiles",
 ]
 
 

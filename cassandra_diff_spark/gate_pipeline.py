@@ -6527,3 +6527,59 @@ def _q_bloom_stream_prefilter(spark, sf_dir):
 
 QUERIES["bloom_stream_prefilter"] = _q_bloom_stream_prefilter
 ORACLES["bloom_stream_prefilter"] = _O_BLOOM_PREFILTER_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# round 6: weighted quantiles (weighted median family)
+
+
+def _q_lineitem_weighted_quantiles(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag: the rank axis
+    is cumulative integer milli-quantity, so p=0.5 is the weighted
+    median price (where half the shipped QUANTITY sits, not half the
+    line items). Same <= n_bins-row histogram shuffle as the count
+    path; the oracle replays the identical bin/weight-rank arithmetic
+    bit-for-bit."""
+    from cassandra_diff_spark.operators.stats import (
+        weighted_quantiles_histogram,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_quantiles_histogram(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9],
+        lo=0.0, hi=120000.0, n_bins=1200, by=["l_returnflag"],
+    )
+
+
+_O_LINEITEM_WEIGHTED_QUANTILES = """
+WITH v AS (
+  SELECT l_returnflag,
+         LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                              / ((120000.0 - 0.0) / 1200)), 0), 1199) AS bin,
+         CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+h AS (
+  SELECT l_returnflag, bin, SUM(w) AS c FROM v WHERE w > 0 GROUP BY 1, 2
+),
+ch AS (
+  SELECT l_returnflag, bin,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
+),
+e AS (
+  SELECT l_returnflag, bin, cum, n, UNNEST([0.25, 0.5, 0.9]) AS p FROM ch
+)
+SELECT l_returnflag, p,
+       0.0 + MIN(bin) * ((120000.0 - 0.0) / 1200) AS q,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM e
+WHERE cum >= CEIL(p * n)
+GROUP BY l_returnflag, p
+"""
+
+
+QUERIES["lineitem_weighted_quantiles"] = _q_lineitem_weighted_quantiles
+ORACLES["lineitem_weighted_quantiles"] = _O_LINEITEM_WEIGHTED_QUANTILES

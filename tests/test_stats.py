@@ -383,3 +383,46 @@ class TestFeatureScaling:
         assert out[50] == 0.0 and out[100] == 1.0 and out[1] == (1 - 50) / 50
         # constant group: IQR 0 -> NULL, not a divide-by-zero
         assert out[600] is None and out[500] is None
+
+
+class TestWeightedQuantiles:
+    """stats.weighted_quantiles_histogram — weighted median family."""
+
+    def test_weighted_median_vs_reference(self, spark):
+        from cassandra_diff_spark.operators.stats import (
+            weighted_quantiles_histogram,
+        )
+
+        # values 1..10; value 9 carries half the total weight
+        rows = [(float(i), 1.0) for i in range(1, 9)] + [(9.0, 8.0), (10.0, 0.0)]
+        rows += [(None, 5.0), (3.0, None)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        out = {r.p: r for r in weighted_quantiles_histogram(
+            df, "v", "w", [0.5, 0.9], lo=0.0, hi=10.5, n_bins=21
+        ).collect()}
+        # total integer weight: (8*1 + 8) * 1000 = 16000 (zero-weight and
+        # null rows excluded); rank(0.5) = 8000 -> cumulative reaches it
+        # inside value 9's bin (cum through 8 is 8000... exactly 8000 at
+        # value 8) -> q(0.5) = 8.0 by nearest-rank; q(0.9) -> 9.0
+        assert out[0.5].n == 16000 and out[0.5].q == 8.0
+        assert out[0.9].q == 9.0
+
+    def test_unit_weights_equal_count_path(self, spark):
+        from cassandra_diff_spark.operators.stats import (
+            quantiles_histogram,
+            weighted_quantiles_histogram,
+        )
+
+        rows = [(i % 5 and "a" or "b", float(i % 83)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v double").withColumn(
+            "one", F.lit(1.0)
+        )
+        probs = [0.25, 0.5, 0.75]
+        a = {(r.g, r.p): r.q for r in weighted_quantiles_histogram(
+            df, "v", "one", probs, lo=0.0, hi=100.0, n_bins=100,
+            by=["g"], weight_scale=1,
+        ).collect()}
+        b = {(r.g, r.p): r.q for r in quantiles_histogram(
+            df, "v", probs, lo=0.0, hi=100.0, n_bins=100, by=["g"]
+        ).collect()}
+        assert a == b
