@@ -124,6 +124,7 @@ HEADLINE = [
     "sketch_cm_stream",
     "bloom_stream_prefilter",
     "lineitem_weighted_quantiles",
+    "profile_drift_orders",
 ]
 
 

@@ -6583,3 +6583,86 @@ GROUP BY l_returnflag, p
 
 QUERIES["lineitem_weighted_quantiles"] = _q_lineitem_weighted_quantiles
 ORACLES["lineitem_weighted_quantiles"] = _O_LINEITEM_WEIGHTED_QUANTILES
+
+
+# ---------------------------------------------------------------------------
+# round 6: profile drift (column-shape monitoring without rescans)
+
+
+_DRIFT_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def _q_profile_drift_orders(spark, sf_dir):
+    """Column-shape drift: tonight's (corrupted) orders profile vs the
+    clean reference profile — null-rate spikes, cardinality changes, and
+    range excursions surface from two KILOBYTE frames, no table rescan
+    in the comparison; every corruption mode shows up in at least one
+    drift column. Integer-ppm null rates (div), raw distinct deltas,
+    null-safe min/max flags — engine-exact by construction (the float
+    `mean` is deliberately not compared)."""
+    from cassandra_diff_spark.operators.validate import (
+        profile_drift,
+        profile_table,
+    )
+
+    cur = profile_table(_corrupted_orders(spark, sf_dir), _DRIFT_COLS)
+    ref = profile_table(load(spark, sf_dir, "orders"), _DRIFT_COLS)
+    return profile_drift(cur, ref)
+
+
+def _make_o_profile_drift_orders() -> str:
+    def prof(src: str, tag: str) -> str:
+        parts = []
+        for c in _DRIFT_COLS:
+            parts.append(
+                f"""
+  SELECT '{c}' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS {tag}_n,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {tag}_null,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {tag}_distinct,
+         CAST(MIN({c}) AS VARCHAR) AS {tag}_min,
+         CAST(MAX({c}) AS VARCHAR) AS {tag}_max
+  FROM {src}"""
+            )
+        return " UNION ALL ".join(parts)
+
+    return f"""
+WITH bad0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              WHEN o_orderkey % 79 = 0 THEN 999999999
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 83 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 73 = 0 THEN 'BAD' ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+),
+bad AS (
+  SELECT * FROM bad0
+  UNION ALL SELECT * FROM bad0 WHERE o_orderkey % 101 = 0
+),
+cur AS ({prof('bad', 'cur')}),
+ref AS ({prof('orders', 'ref')})
+SELECT cur."column",
+       FALSE AS dtype_changed,
+       cur_n AS n_cur, ref_n AS n_ref,
+       CAST((cur_null * 1000000) // cur_n AS BIGINT) AS null_ppm_cur,
+       CAST((ref_null * 1000000) // ref_n AS BIGINT) AS null_ppm_ref,
+       CAST((cur_null * 1000000) // cur_n
+            - (ref_null * 1000000) // ref_n AS BIGINT) AS null_ppm_delta,
+       cur_distinct AS distinct_cur, ref_distinct AS distinct_ref,
+       CAST(cur_distinct - ref_distinct AS BIGINT) AS distinct_delta,
+       NOT (cur_min IS NOT DISTINCT FROM ref_min) AS min_changed,
+       NOT (cur_max IS NOT DISTINCT FROM ref_max) AS max_changed
+FROM cur JOIN ref ON ref."column" = cur."column"
+"""
+
+
+QUERIES["profile_drift_orders"] = _q_profile_drift_orders
+ORACLES["profile_drift_orders"] = _make_o_profile_drift_orders()

@@ -483,3 +483,59 @@ def numeric_correlations(
                 )
             )
     return m.select(F.explode(F.array(*pairs)).alias("r")).select("r.*")
+
+
+def profile_drift(cur: DataFrame, ref: DataFrame) -> DataFrame:
+    """Column-level drift between two :func:`profile_table` snapshots —
+    the profiles triad's comparison step (digests compare rows,
+    centroid_shift compares embeddings, this compares column shapes):
+    run it on tonight's profile vs the persisted reference and alert on
+    schema drift, null-rate spikes, cardinality collapse, or range
+    excursions WITHOUT rescanning either table — both inputs are
+    kilobyte frames.
+
+    Full-outer on column name (a column present on one side only drifts
+    by existence: dtype_changed is true, missing-side facts are NULL).
+    Exactness: null rates are integer ppm via ``div`` (no float
+    division), distinct deltas are raw integers, min/max comparison is
+    null-safe string equality — so the output is engine-exact (the
+    `mean` field is deliberately NOT compared: it is a float average
+    whose bits are summation-order-dependent).
+    """
+    def side(df, tag):
+        return df.select(
+            F.col("column"),
+            F.col("dtype").alias(f"{tag}_dtype"),
+            F.col("n").alias(f"{tag}_n"),
+            F.col("n_null").alias(f"{tag}_null"),
+            F.col("n_distinct").alias(f"{tag}_distinct"),
+            F.col("min_value").alias(f"{tag}_min"),
+            F.col("max_value").alias(f"{tag}_max"),
+        )
+
+    j = side(cur, "cur").join(side(ref, "ref"), "column", "full_outer")
+
+    def ppm(tag):
+        return F.when(
+            F.col(f"{tag}_n").isNull() | (F.col(f"{tag}_n") == 0),
+            F.lit(None).cast("long"),
+        ).otherwise(F.expr(f"({tag}_null * 1000000) div {tag}_n").cast("long"))
+
+    return j.select(
+        "column",
+        (~F.col("cur_dtype").eqNullSafe(F.col("ref_dtype"))).alias(
+            "dtype_changed"
+        ),
+        F.col("cur_n").cast("long").alias("n_cur"),
+        F.col("ref_n").cast("long").alias("n_ref"),
+        ppm("cur").alias("null_ppm_cur"),
+        ppm("ref").alias("null_ppm_ref"),
+        (ppm("cur") - ppm("ref")).cast("long").alias("null_ppm_delta"),
+        F.col("cur_distinct").cast("long").alias("distinct_cur"),
+        F.col("ref_distinct").cast("long").alias("distinct_ref"),
+        (F.col("cur_distinct") - F.col("ref_distinct"))
+        .cast("long")
+        .alias("distinct_delta"),
+        (~F.col("cur_min").eqNullSafe(F.col("ref_min"))).alias("min_changed"),
+        (~F.col("cur_max").eqNullSafe(F.col("ref_max"))).alias("max_changed"),
+    )

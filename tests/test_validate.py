@@ -334,3 +334,48 @@ class TestNumericCorrelations:
 
         with pytest.raises(ValueError, match="at least 2"):
             numeric_correlations(ndf, ["a"])
+
+
+class TestProfileDrift:
+    """validate.profile_drift — kilobyte-frame column-shape comparison."""
+
+    def test_detects_each_drift_kind(self, spark):
+        from cassandra_diff_spark.operators.validate import (
+            profile_drift,
+            profile_table,
+        )
+
+        ref_df = spark.createDataFrame(
+            [(i, float(i), "x") for i in range(100)], "a long, b double, c string"
+        )
+        cur_df = spark.createDataFrame(
+            # nulls in a, range excursion in b, c collapsed to one value,
+            # d is NEW, and b's dtype changes to string
+            [(i if i % 4 else None, str(float(i * 10)), "only", 1) for i in range(100)],
+            "a long, b string, c string, d long",
+        )
+        d = {
+            r.column: r
+            for r in profile_drift(
+                profile_table(cur_df), profile_table(ref_df)
+            ).collect()
+        }
+        assert d["a"].null_ppm_ref == 0 and d["a"].null_ppm_cur == 250000
+        assert d["a"].null_ppm_delta == 250000
+        assert d["b"].dtype_changed and d["b"].max_changed
+        assert d["c"].distinct_delta == 1 - 1 or d["c"].distinct_cur == 1
+        assert d["d"].n_ref is None and d["d"].dtype_changed  # new column
+        assert not d["a"].dtype_changed
+
+    def test_identical_profiles_are_quiet(self, spark):
+        from cassandra_diff_spark.operators.validate import (
+            profile_drift,
+            profile_table,
+        )
+
+        df = spark.createDataFrame([(i, "s") for i in range(50)], "a long, c string")
+        p = profile_table(df)
+        out = profile_drift(p, p).collect()
+        for r in out:
+            assert not r.dtype_changed and not r.min_changed and not r.max_changed
+            assert r.null_ppm_delta == 0 and r.distinct_delta == 0
