@@ -125,6 +125,7 @@ HEADLINE = [
     "bloom_stream_prefilter",
     "lineitem_weighted_quantiles",
     "profile_drift_orders",
+    "embedding_mahalanobis",
 ]
 
 

@@ -6666,3 +6666,19 @@ FROM cur JOIN ref ON ref."column" = cur."column"
 
 QUERIES["profile_drift_orders"] = _q_profile_drift_orders
 ORACLES["profile_drift_orders"] = _make_o_profile_drift_orders()
+
+
+def _q_embedding_mahalanobis(spark, sf_dir):
+    """Squared Mahalanobis outlier scores for every embedding. Like
+    embedding_pca_project (and ann_ivf_kmeans_topk), deliberately
+    rows-only: the d x d matrix INVERSE has no ANSI-SQL twin — the
+    value-level contract (numpy equality, known-outlier separation,
+    map-only plan) is pytest-held in test_embedding_pca.py."""
+    from cassandra_diff_spark.operators.embeddings import mahalanobis_scores
+
+    return mahalanobis_scores(
+        _embs(spark, sf_dir), "vec_id", "embedding", dim=64
+    )
+
+
+QUERIES["embedding_mahalanobis"] = _q_embedding_mahalanobis

@@ -432,3 +432,81 @@ def random_project(
             )
 
     return q.mapInArrow(project, f"{id_col} {id_type}, proj_q array<long>")
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Multivariate outlier scores: squared Mahalanobis distance
+    ``(x - mu)^T Sigma^-1 (x - mu)`` of every embedding from the corpus
+    distribution — the principled "this vector is off-manifold" signal
+    (per-component z-scores miss correlated excursions; chi-square_dim
+    quantiles give the cut line).
+
+    Same skeleton as :func:`pca_project`: ONE distributed exact moment
+    pass (:func:`_gram_moments`), a ``d x d`` driver-side solve on the
+    collected kilobyte frame (``ridge`` regularizes a singular
+    covariance), then a MAP-ONLY zero-copy Arrow kernel — the whole-
+    matrix quadratic form is one matmul per batch, no shuffle anywhere
+    in the scoring stage. Like the eigensolver paths, matrix inversion
+    has no ANSI-SQL twin: correctness is pytest-held against numpy
+    (rows-only driver check).
+
+    Output: ``(id, m2 double)`` — squared distance; NULL/short vectors
+    are excluded like every operator in this family.
+    """
+    import numpy as np
+
+    from cassandra_diff_spark.operators.similarity import _make_vec_matrix_fn
+
+    d = int(dim)
+    rows = _gram_moments(df, vec_col, dim=d).collect()
+    s_ij = np.zeros((d, d), dtype=np.int64)
+    s_i = np.zeros(d, dtype=np.int64)
+    n = 0
+    for r in rows:
+        if r["i"] < 0:
+            n = int(r["s"])
+        elif r["j"] < 0:
+            s_i[r["i"]] = r["s"]
+        else:
+            s_ij[r["i"], r["j"]] = s_ij[r["j"], r["i"]] = r["s"]
+    if n == 0:
+        raise ValueError(
+            f"mahalanobis_scores: no rows with a non-null {vec_col} of "
+            f"length >= {dim}"
+        )
+    nf = float(n)
+    cov = (nf * s_ij.astype(np.float64) - np.outer(s_i, s_i).astype(np.float64)) / (
+        nf * nf * float(QUANT) * float(QUANT)
+    )
+    prec = np.linalg.inv(cov + float(ridge) * np.eye(d))
+    mu = s_i.astype(np.float64) / (nf * float(QUANT))
+
+    sel = df.filter(F.col(vec_col).isNotNull()).filter(
+        F.size(F.col(vec_col)) >= d
+    )
+    q = sel.select(F.col(id_col), F.slice(F.col(vec_col), 1, d).alias("__v"))
+    id_type = sel.schema[id_col].dataType.simpleString()
+    vec_matrix = _make_vec_matrix_fn(d)
+    quant = float(QUANT)
+
+    def score(it):
+        import pyarrow as pa
+
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            x = vec_matrix(batch.column("__v")).astype(np.float64) / quant - mu
+            m2 = np.einsum("ij,jk,ik->i", x, prec, x)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(m2, type=pa.float64())],
+                [id_col, "m2"],
+            )
+
+    return q.mapInArrow(score, f"{id_col} {id_type}, m2 double")

@@ -206,3 +206,55 @@ class TestRandomProject:
 
         with pytest.raises(ValueError):
             random_project(vecs, "id", "embedding", dim=DIM, out_dim=0)
+
+
+class TestMahalanobis:
+    """embeddings.mahalanobis_scores — moment-pass + driver solve."""
+
+    def test_matches_numpy_and_flags_planted_outlier(self, spark):
+        from cassandra_diff_spark.operators.embeddings import mahalanobis_scores
+
+        m = _corpus()
+        rows = [(i, [float(x) for x in m[i]]) for i in range(N)]
+        out_vec = (m.mean(axis=0) + 40.0 * m.std(axis=0) * np.sign(
+            np.arange(DIM) - 2.5
+        )).astype(np.float32)
+        rows.append((900, [float(x) for x in out_vec]))
+        df = spark.createDataFrame(rows, "id long, embedding array<float>")
+
+        got = {r.id: r.m2 for r in mahalanobis_scores(
+            df, "id", "embedding", dim=DIM
+        ).collect()}
+
+        q = np.round(
+            np.vstack([m, out_vec[None, :]]).astype(np.float64) * QUANT
+        ) / QUANT
+        cov = np.cov(q, rowvar=False, bias=True)
+        prec = np.linalg.inv(cov + 1e-6 * np.eye(DIM))
+        mu = q.mean(axis=0)
+        x = q - mu
+        exp = np.einsum("ij,jk,ik->i", x, prec, x)
+        ids = list(range(N)) + [900]
+        for pos, rid in enumerate(ids):
+            assert abs(got[rid] - exp[pos]) < 1e-8 * max(1.0, exp[pos])
+        # the planted off-manifold vector dominates every inlier
+        inlier_max = max(got[i] for i in range(N))
+        assert got[900] > 5 * inlier_max
+
+    def test_scoring_stage_is_map_only(self, spark, vecs, tmp_path):
+        from cassandra_diff_spark.operators.embeddings import mahalanobis_scores
+
+        path = str(tmp_path / "emb_md")
+        vecs.write.mode("overwrite").parquet(path)
+        src = spark.read.parquet(path)
+        plan = mahalanobis_scores(
+            src, "id", "embedding", dim=DIM
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_empty_raises(self, spark):
+        from cassandra_diff_spark.operators.embeddings import mahalanobis_scores
+
+        empty = spark.createDataFrame([], "id long, embedding array<float>")
+        with pytest.raises(ValueError, match="no rows"):
+            mahalanobis_scores(empty, "id", "embedding", dim=DIM)
