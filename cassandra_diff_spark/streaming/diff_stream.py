@@ -1232,6 +1232,14 @@ def stream_rolling_anomaly(
 
     Drains an availableNow trigger into an in-memory table; production
     runs the same plan unbounded with a real sink.
+
+    Cost shape: the per-batch kernel is vectorized (exact int64 prefix
+    sums over [carry-in | batch]); wall-clock is dominated by the
+    streaming runtime itself — applyInPandasWithState invokes once per
+    (key, micro-batch), so many tiny key groups cost invocation
+    overhead, not kernel time. On a real cluster those invocations
+    spread across executors; batch :func:`~cassandra_diff_spark.
+    operators.stats.rolling_anomaly` remains the backfill path.
     """
     import math
 
@@ -1256,6 +1264,8 @@ def stream_rolling_anomaly(
         return int(round(v))
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         buf = list(state.get[0]) if state.exists else []
         out: dict = {c: [] for c in
                      [key_col, ts_col, *order_cols, "value_c", "n_prev", "mean_c1000"]}
@@ -1265,22 +1275,35 @@ def stream_rolling_anomaly(
                 c: pdf[c].tolist()
                 for c in (key_col, ts_col, value_col, *order_cols)
             }
-            for i in range(len(pdf)):
-                v = quant(cols[value_col][i])
-                vals = [b for b in buf if b is not None]
-                n = len(vals)
-                if v is not None and n >= lo_n:
-                    s = sum(vals)
-                    q2 = sum(b * b for b in vals)
-                    if (v * n - s) ** 2 * (n - 1) > z2 * (q2 * n - s * s) * n:
-                        for c in (key_col, ts_col, *order_cols):
-                            out[c].append(cols[c][i])
-                        out["value_c"].append(v)
-                        out["n_prev"].append(n)
-                        out["mean_c1000"].append(math.floor(1000.0 * s / n))
-                buf.append(v)
-                if len(buf) > w_n:
-                    buf.pop(0)
+            vq = [quant(x) for x in cols[value_col]]
+            # vectorized rolling window over [carry-in buffer | batch]:
+            # EXACT int64 prefix sums (a float cumsum would shed low bits
+            # at ~2^53 and corrupt the integer inequality); nulls occupy
+            # slots (ROWS-frame fidelity) but carry zero weight
+            comb = buf + vq
+            m = len(buf)
+            vals = np.array([0 if b is None else b for b in comb], dtype=np.int64)
+            valid = np.array([b is not None for b in comb], dtype=np.int64)
+            cs = np.concatenate([[0], np.cumsum(vals)])
+            cq = np.concatenate([[0], np.cumsum(vals * vals)])
+            cn = np.concatenate([[0], np.cumsum(valid)])
+            idx = np.arange(m, m + len(vq))
+            lo = np.maximum(0, idx - w_n)
+            s = cs[idx] - cs[lo]
+            q2 = cq[idx] - cq[lo]
+            n = cn[idx] - cn[lo]
+            x = np.where(valid[m:] == 1, vals[m:], 0)
+            with np.errstate(over="ignore"):
+                lhs = (x * n - s) ** 2 * (n - 1)
+                rhs = z2 * (q2 * n - s * s) * n
+            flag = (valid[m:] == 1) & (n >= lo_n) & (lhs > rhs)
+            for i in np.nonzero(flag)[0]:
+                for c in (key_col, ts_col, *order_cols):
+                    out[c].append(cols[c][i])
+                out["value_c"].append(int(x[i]))
+                out["n_prev"].append(int(n[i]))
+                out["mean_c1000"].append(math.floor(1000.0 * int(s[i]) / int(n[i])))
+            buf = comb[-w_n:] if len(comb) > w_n else comb
         state.update((buf,))
         if out["value_c"]:
             yield pd.DataFrame(out)
