@@ -126,6 +126,7 @@ HEADLINE = [
     "lineitem_weighted_quantiles",
     "profile_drift_orders",
     "embedding_mahalanobis",
+    "events_interval_coverage",
 ]
 
 

@@ -6682,3 +6682,64 @@ def _q_embedding_mahalanobis(spark, sf_dir):
 
 
 QUERIES["embedding_mahalanobis"] = _q_embedding_mahalanobis
+
+
+# ---------------------------------------------------------------------------
+# round 6: interval coverage (uptime / active-time rollup)
+
+
+def _q_events_interval_coverage(spark, sf_dir):
+    """Per-user covered time under purchase attribution windows: union
+    duration (overlaps counted ONCE — raw duration sums double-count
+    every overlap), span/interval counts, coverage envelope. One
+    map-side-combined aggregation over the merged-span frame; the
+    oracle extends the merge formulation with the same rollup."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import interval_coverage
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    return interval_coverage(iv, ["user_id"])
+
+
+_O_EVENTS_INTERVAL_COVERAGE = """
+WITH r AS (
+  SELECT user_id, ts AS start, ts + INTERVAL 2 HOUR AS "end"
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, start, "end",
+         MAX(epoch_us("end")) OVER (
+           PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM r
+),
+s AS (
+  SELECT user_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR epoch_us(start) > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM m
+),
+spans AS (
+  SELECT user_id, MIN(start) AS s0, MAX("end") AS e0,
+         CAST(COUNT(*) AS BIGINT) AS n_merged
+  FROM s GROUP BY user_id, span
+)
+SELECT user_id,
+       CAST(SUM(epoch_us(e0) - epoch_us(s0)) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(n_merged) AS BIGINT) AS n_intervals,
+       MIN(s0) AS first_start,
+       MAX(e0) AS last_end
+FROM spans GROUP BY user_id
+"""
+
+
+QUERIES["events_interval_coverage"] = _q_events_interval_coverage
+ORACLES["events_interval_coverage"] = _O_EVENTS_INTERVAL_COVERAGE

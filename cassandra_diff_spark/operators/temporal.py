@@ -833,3 +833,35 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    start: str = "start",
+    end: str = "end",
+    min_gap_us: int = 0,
+) -> DataFrame:
+    """Per-key COVERED time: total duration of the union of the key's
+    intervals (overlaps counted once — summing raw durations
+    double-counts every overlap), plus span/interval counts and the
+    coverage envelope. The uptime/SLA/active-time rollup.
+
+    Composition: :func:`merge_intervals` produces the maximal disjoint
+    spans (one shuffle + per-key sort), this adds ONE map-side-combined
+    aggregation over the merged-span frame — the expensive union work
+    is not repeated. Output: ``(*on, covered_us, n_spans, n_intervals,
+    first_start, last_end)`` with ``covered_us`` an exact integer
+    microsecond sum.
+    """
+    on = list(on)
+    merged = merge_intervals(df, on, start=start, end=end, min_gap_us=min_gap_us)
+    dur = F.unix_micros(F.col(end)) - F.unix_micros(F.col(start))
+    return merged.groupBy(*on).agg(
+        F.sum(dur).cast("long").alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("n_merged").cast("long").alias("n_intervals"),
+        F.min(start).alias("first_start"),
+        F.max(end).alias("last_end"),
+    )

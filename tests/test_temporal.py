@@ -793,3 +793,31 @@ class TestCohortRetention:
         sizes = m.filter(F.col("offset") == 0).agg(F.sum("n_active")).first()[0]
         users = ev.select("user_id").distinct().count()
         assert sizes == users  # every user appears in exactly one cohort
+
+
+class TestIntervalCoverage:
+    """temporal.interval_coverage — union duration, overlaps once."""
+
+    def test_overlaps_counted_once(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import interval_coverage
+
+        t0 = dt.datetime(2026, 1, 1)
+        mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        rows = [
+            # key a: [0,60] + [30,90] overlap -> union 90 min; [120,150] disjoint
+            ("a", mk(0), mk(60)),
+            ("a", mk(30), mk(90)),
+            ("a", mk(120), mk(150)),
+            # key b: identical duplicates -> counted once
+            ("b", mk(0), mk(10)),
+            ("b", mk(0), mk(10)),
+        ]
+        df = spark.createDataFrame(rows, "k string, start timestamp, end timestamp")
+        out = {r.k: r for r in interval_coverage(df, ["k"]).collect()}
+        assert out["a"].covered_us == (90 + 30) * 60 * 1_000_000
+        assert out["a"].n_spans == 2 and out["a"].n_intervals == 3
+        assert out["a"].first_start == mk(0) and out["a"].last_end == mk(150)
+        assert out["b"].covered_us == 10 * 60 * 1_000_000
+        assert out["b"].n_spans == 1 and out["b"].n_intervals == 2
