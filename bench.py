@@ -127,6 +127,7 @@ HEADLINE = [
     "profile_drift_orders",
     "embedding_mahalanobis",
     "events_interval_coverage",
+    "events_gap_report",
 ]
 
 

@@ -6743,3 +6743,62 @@ FROM spans GROUP BY user_id
 
 QUERIES["events_interval_coverage"] = _q_events_interval_coverage
 ORACLES["events_interval_coverage"] = _O_EVENTS_INTERVAL_COVERAGE
+
+
+def _q_events_gap_report(spark, sf_dir):
+    """Downtime dual of events_interval_coverage: the dark windows
+    between a user's merged purchase-attribution spans, >= 6 hours —
+    a lag window over the already-collapsed span frame (spans, not
+    intervals, so the window state is kilobyte-scale per key)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import gap_report
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    return gap_report(iv, ["user_id"], min_report_us=6 * 3600 * 1_000_000)
+
+
+_O_EVENTS_GAP_REPORT = """
+WITH r AS (
+  SELECT user_id, ts AS start, ts + INTERVAL 2 HOUR AS "end"
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, start, "end",
+         MAX(epoch_us("end")) OVER (
+           PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM r
+),
+s AS (
+  SELECT user_id, start, "end",
+         SUM(CASE WHEN prev_end IS NULL OR epoch_us(start) > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM m
+),
+spans AS (
+  SELECT user_id, MIN(start) AS s0, MAX("end") AS e0
+  FROM s GROUP BY user_id, span
+),
+g AS (
+  SELECT user_id,
+         LAG(e0) OVER (PARTITION BY user_id ORDER BY s0) AS gap_start,
+         s0 AS gap_end
+  FROM spans
+)
+SELECT user_id, gap_start, gap_end,
+       CAST(epoch_us(gap_end) - epoch_us(gap_start) AS BIGINT) AS gap_us
+FROM g
+WHERE gap_start IS NOT NULL
+  AND epoch_us(gap_end) - epoch_us(gap_start) >= 21600000000
+"""
+
+
+QUERIES["events_gap_report"] = _q_events_gap_report
+ORACLES["events_gap_report"] = _O_EVENTS_GAP_REPORT

@@ -865,3 +865,42 @@ def interval_coverage(
         F.min(start).alias("first_start"),
         F.max(end).alias("last_end"),
     )
+
+
+def gap_report(
+    df: DataFrame,
+    on: Sequence[str],
+    *,
+    start: str = "start",
+    end: str = "end",
+    min_gap_us: int = 0,
+    min_report_us: int = 0,
+) -> DataFrame:
+    """Per-key GAPS in interval coverage — the downtime dual of
+    :func:`interval_coverage` ("when was the sensor/service/feed dark,
+    and for how long"): the windows between consecutive merged spans,
+    filtered to gaps of at least ``min_report_us``.
+
+    Composition: :func:`merge_intervals` does the union (one shuffle +
+    per-key sort); the gap extraction is a lag window over the MERGED
+    span frame — per key that frame is spans, not intervals, so the
+    window state is already collapsed. Output: ``(*on, gap_start,
+    gap_end, gap_us)`` with ``gap_us`` exact integer microseconds;
+    keys with a single span report no gaps.
+    """
+    on = list(on)
+    merged = merge_intervals(df, on, start=start, end=end, min_gap_us=min_gap_us)
+    w = Window.partitionBy(*on).orderBy(F.col(start).asc())
+    gapped = merged.withColumn("__prev_end", F.lag(end).over(w)).filter(
+        F.col("__prev_end").isNotNull()
+    )
+    gap_us = F.unix_micros(F.col(start)) - F.unix_micros(F.col("__prev_end"))
+    return (
+        gapped.select(
+            *on,
+            F.col("__prev_end").alias("gap_start"),
+            F.col(start).alias("gap_end"),
+            gap_us.cast("long").alias("gap_us"),
+        )
+        .filter(F.col("gap_us") >= int(min_report_us))
+    )

@@ -821,3 +821,31 @@ class TestIntervalCoverage:
         assert out["a"].first_start == mk(0) and out["a"].last_end == mk(150)
         assert out["b"].covered_us == 10 * 60 * 1_000_000
         assert out["b"].n_spans == 1 and out["b"].n_intervals == 2
+
+
+class TestGapReport:
+    """temporal.gap_report — the downtime dual."""
+
+    def test_gaps_between_merged_spans(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import gap_report
+
+        t0 = dt.datetime(2026, 1, 1)
+        mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        rows = [
+            ("a", mk(0), mk(60)), ("a", mk(30), mk(90)),   # one span [0,90]
+            ("a", mk(120), mk(150)),                        # gap 90->120 (30m)
+            ("a", mk(151), mk(160)),                        # gap 150->151 (1m)
+            ("b", mk(0), mk(10)),                           # single span: no gap
+        ]
+        df = spark.createDataFrame(rows, "k string, start timestamp, end timestamp")
+        out = [(r.k, r.gap_start, r.gap_end, r.gap_us)
+               for r in gap_report(df, ["k"]).orderBy("k", "gap_start").collect()]
+        assert out == [
+            ("a", mk(90), mk(120), 30 * 60 * 1_000_000),
+            ("a", mk(150), mk(151), 60 * 1_000_000),
+        ]
+        # threshold filters the 1-minute blip
+        big = gap_report(df, ["k"], min_report_us=10 * 60 * 1_000_000).collect()
+        assert len(big) == 1 and big[0].gap_us == 30 * 60 * 1_000_000
