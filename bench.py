@@ -128,6 +128,7 @@ HEADLINE = [
     "embedding_mahalanobis",
     "events_interval_coverage",
     "events_gap_report",
+    "lineitem_weighted_quantiles_refined",
 ]
 
 

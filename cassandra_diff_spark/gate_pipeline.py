@@ -6802,3 +6802,50 @@ WHERE gap_start IS NOT NULL
 
 QUERIES["events_gap_report"] = _q_events_gap_report
 ORACLES["events_gap_report"] = _O_EVENTS_GAP_REPORT
+
+
+def _q_lineitem_weighted_quantiles_refined(spark, sf_dir):
+    """EXACT quantity-weighted price quantiles per return flag: pass 1
+    locates the weight-rank-holding bin, pass 2 rescans only those bins
+    for the first value whose running weight crosses the residual — the
+    full weight-ordered-sort answer without sorting more than the
+    selected bins. The oracle IS that full-sort formulation."""
+    from cassandra_diff_spark.operators.stats import (
+        weighted_quantiles_refined,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_quantiles_refined(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9],
+        lo=0.0, hi=120000.0, n_bins=1200, by=["l_returnflag"],
+    )
+
+
+_O_LINEITEM_WEIGHTED_QUANTILES_REFINED = """
+WITH v AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS val,
+         CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+pos AS (SELECT * FROM v WHERE w > 0),
+r AS (
+  SELECT l_returnflag, val, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS n
+  FROM pos
+)
+SELECT l_returnflag, p, MIN(val) AS q, CAST(MAX(n) AS BIGINT) AS n
+FROM r, (SELECT UNNEST([0.25, 0.5, 0.9]) AS p) probs
+WHERE cw >= CEIL(p * n)
+GROUP BY l_returnflag, p
+"""
+
+
+QUERIES["lineitem_weighted_quantiles_refined"] = (
+    _q_lineitem_weighted_quantiles_refined
+)
+ORACLES["lineitem_weighted_quantiles_refined"] = (
+    _O_LINEITEM_WEIGHTED_QUANTILES_REFINED
+)

@@ -617,3 +617,86 @@ def weighted_quantiles_histogram(
         *by, _bin_expr(value_col, lo, width, n_bins).alias("__bin")
     ).agg(F.sum("__w").alias("__c"))
     return quantiles_from_histogram(hist, probs, by=by, lo=lo, width=width)
+
+
+def weighted_quantiles_refined(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    by: Optional[Sequence[str]] = None,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """EXACT weighted nearest-rank quantiles at histogram cost — the
+    weighted twin of :func:`quantiles_refined`: pass 1's weighted
+    cumulative histogram locates the bin where cumulative weight
+    reaches ``ceil(p * W)`` plus the in-bin residual weight; pass 2
+    rescans ONLY those bins (broadcast semi-join) and returns the first
+    value, in value order, whose in-bin running weight crosses the
+    residual — exactly what a full weight-ordered sort would return,
+    without sorting more than the selected bins.
+
+    All ranks and running sums are exact integers in ``1/weight_scale``
+    units (the :func:`weighted_quantiles_histogram` contract); value
+    ties are harmless (every row of a tied block crosses at the same
+    reported value). Output ``(*by, p, q, n)`` with ``n`` the group's
+    total integer weight.
+    """
+    from cassandra_diff_spark.operators import tracked_cache
+
+    _check_args(probs, lo, hi)
+    by = list(by) if by else []
+    width = (float(hi) - float(lo)) / int(n_bins)
+    w_expr = F.round(F.col(weight_col).cast("double") * int(weight_scale)).cast(
+        "long"
+    )
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(weight_col).isNotNull())
+        .withColumn("__w", w_expr)
+        .filter(F.col("__w") > 0)
+    )
+    hist = src.groupBy(
+        *by, _bin_expr(value_col, lo, width, n_bins).alias("__bin")
+    ).agg(F.sum("__w").alias("__c"))
+    h = tracked_cache(_with_cum(hist, by))
+    p_arr = F.array(*[F.lit(float(p)) for p in probs])
+    targets = (
+        h.select(*by, "__bin", "__cum", "__n", F.explode(p_arr).alias("p"))
+        .filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__n")))
+        .groupBy(*by, "p")
+        .agg(F.min("__bin").alias("__bin"), F.max("__n").alias("n"))
+    )
+    targets = targets.join(
+        h.select(*by, "__bin", "__cum", "__c"), by + ["__bin"]
+    ).select(
+        *by,
+        "__bin",
+        "p",
+        "n",
+        (
+            F.ceil(F.col("p") * F.col("n")) - (F.col("__cum") - F.col("__c"))
+        ).alias("__r"),
+    )
+
+    v = F.col(value_col).cast("double")
+    sel = targets.select(*by, "__bin").distinct()
+    rows = src.withColumn(
+        "__bin", _bin_expr(value_col, lo, width, n_bins)
+    ).join(F.broadcast(sel), on=by + ["__bin"], how="left_semi")
+    wv = (
+        Window.partitionBy(*by, "__bin")
+        .orderBy(v.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rows.withColumn("__cw", F.sum("__w").over(wv))
+    return (
+        ranked.join(F.broadcast(targets), on=by + ["__bin"])
+        .filter(F.col("__cw") >= F.col("__r"))
+        .groupBy(*by, "p")
+        .agg(F.min(v).alias("q"), F.max(F.col("n")).cast("long").alias("n"))
+    )

@@ -426,3 +426,48 @@ class TestWeightedQuantiles:
             df, "v", probs, lo=0.0, hi=100.0, n_bins=100, by=["g"]
         ).collect()}
         assert a == b
+
+
+class TestWeightedQuantilesRefined:
+    """stats.weighted_quantiles_refined — exact weighted nearest rank."""
+
+    def _naive(self, rows, p):
+        """Full weight-ordered-sort reference."""
+        import math
+
+        pos = sorted((v, w) for v, w in rows if v is not None and w and w > 0)
+        total = sum(int(round(w * 1000)) for _, w in pos)
+        rank = math.ceil(p * total)
+        cum = 0
+        for v, w in pos:
+            cum += int(round(w * 1000))
+            if cum >= rank:
+                return v, total
+        raise AssertionError
+
+    def test_matches_full_sort_reference(self, spark):
+        from cassandra_diff_spark.operators.stats import (
+            weighted_quantiles_refined,
+        )
+
+        rows = [(float(i % 37) + 0.25, float(1 + (i * 13) % 9)) for i in range(300)]
+        rows += [(None, 5.0), (3.0, None), (7.0, 0.0)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        probs = [0.1, 0.5, 0.9]
+        got = {r.p: (r.q, r.n) for r in weighted_quantiles_refined(
+            df, "v", "w", probs, lo=0.0, hi=40.0, n_bins=16
+        ).collect()}
+        for p in probs:
+            assert got[p] == self._naive(rows, p), p
+
+    def test_heavy_row_pulls_the_median(self, spark):
+        from cassandra_diff_spark.operators.stats import (
+            weighted_quantiles_refined,
+        )
+
+        rows = [(float(i), 1.0) for i in range(1, 10)] + [(9.5, 100.0)]
+        df = spark.createDataFrame(rows, "v double, w double")
+        out = {r.p: r.q for r in weighted_quantiles_refined(
+            df, "v", "w", [0.5], lo=0.0, hi=10.0, n_bins=10
+        ).collect()}
+        assert out[0.5] == 9.5  # half the mass sits on the heavy row
