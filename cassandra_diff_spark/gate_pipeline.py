@@ -6849,3 +6849,124 @@ QUERIES["lineitem_weighted_quantiles_refined"] = (
 ORACLES["lineitem_weighted_quantiles_refined"] = (
     _O_LINEITEM_WEIGHTED_QUANTILES_REFINED
 )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta (reverse CDC) + k-way consensus diff
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_snapshot_delta(spark, sf_dir):
+    """Two orders snapshots -> the I/U/D changelog that transforms old
+    into new, via the single-shuffle union pairing. old drifts: keys
+    %89==0 missing (-> I), totalprice +1.0 where %97==0 (-> U); new
+    lacks keys %101==0 (-> D)."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0)
+    return snapshot_delta(old, new, ["o_orderkey"])
+
+
+_O_CDC_SNAPSHOT_DELTA = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+new AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT n.*, 'I' AS op
+FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.o_orderkey = n.o_orderkey)
+UNION ALL
+SELECT n.*, 'U' AS op
+FROM new n JOIN old o ON n.o_orderkey = o.o_orderkey
+WHERE (n.o_custkey IS DISTINCT FROM o.o_custkey)
+   OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+   OR (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+   OR (n.o_orderdate IS DISTINCT FROM o.o_orderdate)
+   OR (n.o_orderpriority IS DISTINCT FROM o.o_orderpriority)
+UNION ALL
+SELECT o.*, 'D' AS op
+FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+"""
+
+
+def _q_diff_kway_orders(spark, sf_dir):
+    """Three-replica consensus diff on orders: replica b drifts values
+    (totalprice +1.0 on %97 keys), replica c is missing %101 keys; per
+    key the majority vote, holder sets, and a consistency verdict."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.diff import diff_kway
+
+    orders = load(spark, sf_dir, "orders")
+    a = orders
+    b = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    c = orders.filter(F.col("o_orderkey") % 101 != 0)
+    return diff_kway([("a", a), ("b", b), ("c", c)], ["o_orderkey"])
+
+
+_O_DIFF_KWAY_ORDERS = """
+WITH u AS (
+  SELECT o.*, 'a' AS src FROM orders o
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority, 'b' AS src
+  FROM orders
+  UNION ALL
+  SELECT o.*, 'c' AS src FROM orders o WHERE o_orderkey % 101 <> 0
+),
+g AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority,
+         COUNT(*) AS cnt,
+         MIN(src) AS mn,
+         STRING_AGG(src, ',' ORDER BY src) AS members
+  FROM u
+  GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+),
+r AS (
+  SELECT o_orderkey, cnt, members,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderkey ORDER BY cnt DESC, mn ASC
+         ) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY o_orderkey) AS BIGINT)
+           AS n_present,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderkey) AS BIGINT)
+           AS n_values
+  FROM g
+),
+p AS (
+  SELECT o_orderkey, STRING_AGG(src, ',' ORDER BY src) AS present
+  FROM u GROUP BY o_orderkey
+)
+SELECT r.o_orderkey, r.n_present, r.n_values,
+       r.cnt AS majority_n, r.members AS consensus, p.present,
+       (r.n_present = 3 AND r.n_values = 1) AS consistent
+FROM r JOIN p ON r.o_orderkey = p.o_orderkey
+WHERE r.rn = 1
+"""
+
+
+QUERIES["cdc_snapshot_delta"] = _q_cdc_snapshot_delta
+ORACLES["cdc_snapshot_delta"] = _O_CDC_SNAPSHOT_DELTA
+QUERIES["diff_kway_orders"] = _q_diff_kway_orders
+ORACLES["diff_kway_orders"] = _O_DIFF_KWAY_ORDERS

@@ -160,6 +160,107 @@ def apply_changelog(
     )
 
 
+#: snapshot_delta op code for keys absent from the old snapshot.
+OP_INSERT = "I"
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    ts_col: Optional[str] = None,
+    ts_value=None,
+) -> DataFrame:
+    """Diff two snapshots of the same keyed table into the changelog that
+    transforms ``old`` into ``new``: per key, emit ``I`` (in new only,
+    new row), ``U`` (in both, any non-key column differing null-safely,
+    new row), or ``D`` (in old only, old row); identical rows emit
+    nothing. The inverse of :func:`apply_changelog` —
+    ``apply_changelog(old, snapshot_delta(old, new), keys)`` equals
+    ``new`` whenever both snapshots have unique keys.
+
+    This is the engine's core two-sided diff
+    (reference: RangeComparator.java:106-166 key classification)
+    re-aimed at EMITTING repair operations instead of counting
+    divergence — the step the reference leaves to its operator
+    ("go fix the target"). Physically it reuses the diff family's
+    single-shuffle union pairing (operators/diff.py:_pair_sides): both
+    snapshots union with a side tag and aggregate once on ``keys`` with
+    two conditional ``max(struct(payload))`` — one wide shuffle total,
+    vs two exchanges + merge for the full-outer-join formulation.
+
+    ``ts_col``/``ts_value`` optionally stamp every op with a literal
+    version timestamp (e.g. the snapshot epoch) so the output is
+    directly consumable by :func:`apply_changelog` / streaming sinks.
+    Columns of ``new`` define the payload; ``old`` must carry the same.
+    """
+    keys = list(keys)
+    cols = list(new.columns)
+    missing = [c for c in cols if c not in old.columns]
+    if missing:
+        raise ValueError(
+            f"old snapshot lacks columns {missing}; snapshots must share "
+            f"the new snapshot's schema"
+        )
+    payload_cols = [c for c in cols if c not in keys]
+    payload = (
+        F.struct(*[F.col(c) for c in payload_cols])
+        if payload_cols
+        else F.struct(F.lit(1).alias("__present"))
+    )
+    o = old.select(*keys, payload.alias("__p"), F.lit(0).alias("__side"))
+    n = new.select(*keys, payload.alias("__p"), F.lit(1).alias("__side"))
+    paired = (
+        o.unionByName(n)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("__side") == 0, F.col("__p"))).alias("__o"),
+            F.max(F.when(F.col("__side") == 1, F.col("__p"))).alias("__n"),
+        )
+    )
+    op = (
+        F.when(F.col("__o").isNull(), F.lit(OP_INSERT))
+        .when(F.col("__n").isNull(), F.lit(OP_DELETE))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit(OP_UPSERT))
+    )
+    out = paired.withColumn(op_col, op).filter(F.col(op_col).isNotNull())
+    side = F.when(F.col(op_col) == OP_DELETE, F.col("__o")).otherwise(F.col("__n"))
+    out = out.select(
+        *keys,
+        *[side.getField(c).alias(c) for c in payload_cols],
+        op_col,
+    )
+    if ts_col is not None:
+        out = out.withColumn(ts_col, F.lit(ts_value))
+    return out
+
+
+def repair_ops(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+    ts_col: Optional[str] = None,
+    ts_value=None,
+) -> DataFrame:
+    """The changelog that makes ``target`` match ``source``, in CDC
+    vocabulary (``I``/``U``/``D`` + optional version stamp) so it feeds
+    straight back into :func:`apply_changelog` — the replayable twin of
+    :func:`~cassandra_diff_spark.operators.diff.repair_actions`, which
+    emits the same write set in the diff family's
+    insert/update/delete reporting shape. Exactly
+    ``snapshot_delta(old=target, new=source)``:
+    ``apply_changelog(target, repair_ops(source, target), keys)``
+    equals ``source``.
+    """
+    return snapshot_delta(
+        target, source, keys, op_col=op_col, ts_col=ts_col, ts_value=ts_value
+    )
+
+
 def scd2_intervals(
     changelog: DataFrame,
     keys: Sequence[str],

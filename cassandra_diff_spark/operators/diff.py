@@ -609,6 +609,88 @@ def repair_actions(
     )
 
 
+def diff_kway(
+    sources: "Sequence[tuple[str, DataFrame]]",
+    keys: Sequence[str],
+) -> DataFrame:
+    """N-way consensus diff: generalize the reference's two-cluster
+    comparison (RangeComparator.java:106-166 classifies keys into
+    source-only / target-only / in-both) to N replicas with
+    majority-vote reconciliation — the shape a multi-datacenter or
+    multi-backup audit actually needs ("which replica is wrong?"), which
+    two-way diffs can only answer pairwise at N·(N-1)/2 the cost.
+
+    ``sources`` is ``[(name, df), ...]``; every df must carry the first
+    df's columns and hold at most one row per key (the Cassandra data
+    model). Output, one row per key present anywhere::
+
+        keys..., n_present, n_values, majority_n, consensus, present,
+        consistent
+
+    where ``n_present`` counts replicas holding the key, ``n_values``
+    counts DISTINCT payloads among them (null-safe, whole-row),
+    ``consensus`` is the comma-joined sorted names of the majority-value
+    holders (``majority_n`` of them; ties broken toward the group with
+    the lexicographically smallest member name, so the vote is
+    deterministic), ``present`` is all holders sorted, and
+    ``consistent`` means every replica agrees (``n_present == N and
+    n_values == 1``). Dissenters = ``present`` minus ``consensus``.
+
+    Scale shape: NO join and no pairwise blow-up — one union of the N
+    sides, one hash aggregation on (keys + payload columns) that
+    collapses agreeing replicas map-side, then a second aggregation on
+    keys over at most N rows per key. The wide shuffle moves the union
+    once, i.e. N-replica audit at N× the 2-way diff's shuffle volume,
+    not C(N,2)×.
+    """
+    if len(sources) < 2:
+        raise ValueError("diff_kway needs at least two sources")
+    names = [n for n, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
+    keys = list(keys)
+    first = sources[0][1]
+    cols = list(first.columns)
+    payload_cols = [c for c in cols if c not in keys]
+    tagged = []
+    for name, df in sources:
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"source {name!r} lacks columns {missing}")
+        tagged.append(df.select(*cols, F.lit(name).alias("__src")))
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+
+    # value groups: per (key, whole payload) the holder set — agreeing
+    # replicas collapse here, map-side-combinably
+    g = u.groupBy(*keys, *payload_cols).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sort_array(F.collect_list("__src")).alias("__members"),
+        F.min("__src").alias("__mn"),
+    )
+    maj = F.min_by(
+        F.struct(F.col("__cnt").alias("c"), F.col("__members").alias("m")),
+        F.struct((-F.col("__cnt")).alias("nc"), F.col("__mn").alias("mn")),
+    )
+    per_key = g.groupBy(*keys).agg(
+        F.sum("__cnt").alias("n_present"),
+        F.count(F.lit(1)).alias("n_values"),
+        maj.alias("__maj"),
+        F.array_join(F.array_sort(F.flatten(F.collect_list("__members"))), ",").alias(
+            "present"
+        ),
+    )
+    n = len(sources)
+    return per_key.select(
+        *keys,
+        "n_present",
+        "n_values",
+        F.col("__maj.c").alias("majority_n"),
+        F.array_join(F.col("__maj.m"), ",").alias("consensus"),
+        "present",
+        ((F.col("n_present") == n) & (F.col("n_values") == 1)).alias("consistent"),
+    )
+
+
 def build_diff_common(
     src: DataFrame,
     tgt: DataFrame,

@@ -214,3 +214,124 @@ class TestNullOpIsUpsert:
         rows = scd2_intervals(log, ["k"], seq_col="seq").collect()
         assert len(rows) == 1
         assert rows[0].v == 1.0 and rows[0].valid_to is not None
+
+
+class TestSnapshotDelta:
+    def _snap(self, spark, rows):
+        """rows: (key, a, b) — a nullable string, b double."""
+        return spark.createDataFrame(
+            [(k, a, None if b is None else float(b)) for k, a, b in rows],
+            "k long, a string, b double",
+        )
+
+    def test_classification(self, spark):
+        old = self._snap(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0)])
+        new = self._snap(spark, [(2, "y", 2.0), (3, None, 9.0), (4, "z", None)])
+        from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+        got = {
+            r.k: (r.op, r.a, r.b)
+            for r in snapshot_delta(old, new, ["k"]).collect()
+        }
+        # key 2 identical -> absent; null payloads compare null-safely
+        assert got == {
+            1: ("D", "x", 1.0),
+            3: ("U", None, 9.0),
+            4: ("I", "z", None),
+        }
+
+    def test_null_only_change_detected(self, spark):
+        old = self._snap(spark, [(1, "x", 1.0)])
+        new = self._snap(spark, [(1, "x", None)])
+        from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+        rows = snapshot_delta(old, new, ["k"]).collect()
+        assert len(rows) == 1 and rows[0].op == "U" and rows[0].b is None
+
+    def test_roundtrip_apply(self, spark):
+        """apply_changelog(old, snapshot_delta(old, new)) == new."""
+        rnd = random.Random(61)
+        keys = list(range(40))
+        old = self._snap(
+            spark,
+            [
+                (k, rnd.choice(["x", "y", None]), rnd.choice([1.0, 2.0, None]))
+                for k in keys
+                if rnd.random() < 0.8
+            ],
+        )
+        new = self._snap(
+            spark,
+            [
+                (k, rnd.choice(["x", "y", None]), rnd.choice([1.0, 2.0, None]))
+                for k in keys
+                if rnd.random() < 0.8
+            ],
+        )
+        from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+        delta = snapshot_delta(old, new, ["k"], ts_col="op_ts", ts_value=_ts(1))
+        rolled = apply_changelog(old, delta, ["k"], ts_col="op_ts")
+        assert sorted(
+            (r.k, r.a, r.b) for r in rolled.collect()
+        ) == sorted((r.k, r.a, r.b) for r in new.collect())
+
+    def test_repair_ops_heals_target(self, spark):
+        source = self._snap(spark, [(1, "x", 1.0), (2, "y", 2.0)])
+        target = self._snap(spark, [(2, "y", 9.0), (3, "z", 3.0)])
+        from cassandra_diff_spark.operators.cdc import repair_ops
+
+        plan = repair_ops(source, target, ["k"])
+        healed = apply_changelog(
+            target, plan.withColumn("op_ts", F.lit(_ts(1))), ["k"], ts_col="op_ts"
+        )
+        assert sorted((r.k, r.a, r.b) for r in healed.collect()) == [
+            (1, "x", 1.0),
+            (2, "y", 2.0),
+        ]
+
+    def test_missing_column_raises(self, spark):
+        old = self._snap(spark, [(1, "x", 1.0)]).drop("b")
+        new = self._snap(spark, [(1, "x", 1.0)])
+        from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+        with pytest.raises(ValueError, match="lacks columns"):
+            snapshot_delta(old, new, ["k"])
+
+
+class TestDiffKway:
+    def test_majority_and_ties(self, spark):
+        from cassandra_diff_spark.operators.diff import diff_kway
+
+        def snap(rows):
+            return spark.createDataFrame(rows, "k long, v string")
+
+        a = snap([(1, "good"), (2, "good"), (3, "va")])
+        b = snap([(1, "good"), (2, "bad"), (3, "vb")])
+        c = snap([(1, "good"), (2, "good")])
+        out = {
+            r.k: r
+            for r in diff_kway([("a", a), ("b", b), ("c", c)], ["k"]).collect()
+        }
+        r1 = out[1]
+        assert (r1.n_present, r1.n_values, r1.majority_n) == (3, 1, 3)
+        assert r1.consensus == "a,b,c" and r1.present == "a,b,c"
+        assert bool(r1.consistent)
+        r2 = out[2]
+        assert (r2.n_present, r2.n_values, r2.majority_n) == (3, 2, 2)
+        assert r2.consensus == "a,c" and not bool(r2.consistent)
+        # key 3: 1-1 tie -> lexicographically smallest member name wins
+        r3 = out[3]
+        assert (r3.n_present, r3.n_values, r3.majority_n) == (2, 2, 1)
+        assert r3.consensus == "a" and r3.present == "a,b"
+
+    def test_validation(self, spark):
+        from cassandra_diff_spark.operators.diff import diff_kway
+
+        df = spark.createDataFrame([(1, "x")], "k long, v string")
+        with pytest.raises(ValueError, match="at least two"):
+            diff_kway([("a", df)], ["k"])
+        with pytest.raises(ValueError, match="duplicate"):
+            diff_kway([("a", df), ("a", df)], ["k"])
+        with pytest.raises(ValueError, match="lacks columns"):
+            diff_kway([("a", df), ("b", df.drop("v"))], ["k"])
