@@ -6970,3 +6970,43 @@ QUERIES["cdc_snapshot_delta"] = _q_cdc_snapshot_delta
 ORACLES["cdc_snapshot_delta"] = _O_CDC_SNAPSHOT_DELTA
 QUERIES["diff_kway_orders"] = _q_diff_kway_orders
 ORACLES["diff_kway_orders"] = _O_DIFF_KWAY_ORDERS
+
+
+def _q_curate_mix_to_target(spark, sf_dir):
+    """Resample documents to a 5:3:2 src1/src2/src3 mixture at the
+    largest total the scarcest domain supports — integer mix_plan rates
+    + the map-only id-hash sample predicate."""
+    from cassandra_diff_spark.operators.curate import mix_to_target
+
+    return mix_to_target(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "source",
+        {"src1": 5, "src2": 3, "src3": 2},
+    ).select("doc_id", "source")
+
+
+_O_CURATE_MIX_TO_TARGET = f"""
+WITH c AS (
+  SELECT source AS d, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM documents WHERE source IN ('src1', 'src2', 'src3')
+  GROUP BY source
+),
+t(d, tp) AS (
+  VALUES ('src1', CAST(5 AS HUGEINT)), ('src2', CAST(3 AS HUGEINT)),
+         ('src3', CAST(2 AS HUGEINT))
+),
+j AS (SELECT c.d, c.n, t.tp FROM c JOIN t ON c.d = t.d),
+tot AS (SELECT MIN(n * 10 // tp) AS total FROM j),
+r AS (
+  SELECT d, ((SELECT total FROM tot) * tp * 1000000) // (10 * n) AS rate
+  FROM j
+)
+SELECT doc_id, source
+FROM documents JOIN r ON source = r.d
+WHERE ({md5_hash64_sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < rate
+"""
+
+
+QUERIES["curate_mix_to_target"] = _q_curate_mix_to_target
+ORACLES["curate_mix_to_target"] = _O_CURATE_MIX_TO_TARGET

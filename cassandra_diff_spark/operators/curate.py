@@ -979,3 +979,78 @@ def assign_split(
     for name, cut in reversed(list(zip(names[:-1], cuts))):
         expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def mix_plan(
+    df: DataFrame,
+    domain_col: str,
+    target_ppm: "dict[str, int]",
+    *,
+    max_total: "int | None" = None,
+) -> "tuple[int, dict[str, int]]":
+    """Solve the mixture: given target proportions ``target_ppm``
+    (integer parts per a common denominator — their SUM is the
+    denominator, so ``{"web": 7, "code": 2, "books": 1}`` works as well
+    as ppm values), find the LARGEST corpus honoring the mixture exactly
+    in expectation, limited by the scarcest domain, and the per-domain
+    keep rates that realize it.
+
+    Returns ``(total, rates)`` where ``total`` is the achievable corpus
+    size ``min_d floor(avail_d * S / t_d)`` (S = sum of targets;
+    optionally capped at ``max_total``) and ``rates`` maps each target
+    domain to the integer ppm keep rate ``floor(total * t_d * 10^6 /
+    (S * avail_d))``. All arithmetic is arbitrary-precision Python
+    integers on a collected per-domain count frame (#domains rows — a
+    kilobyte aggregate, the one legitimate driver-side step), so the
+    plan is bit-reproducible in any engine.
+
+    Raises if a target domain has no rows (the mixture is unrealizable —
+    an explicit failure beats a silently empty corpus).
+    """
+    targets = {k: int(v) for k, v in target_ppm.items()}
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError(f"target_ppm must be positive integers: {target_ppm}")
+    s = sum(targets.values())
+    avail = {
+        r["d"]: r["n"]
+        for r in df.filter(F.col(domain_col).isin(list(targets)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = sorted(set(targets) - set(avail))
+    if missing:
+        raise ValueError(
+            f"target domains with zero rows: {missing}; the requested "
+            f"mixture is unrealizable"
+        )
+    total = min((avail[d] * s) // t for d, t in targets.items())
+    if max_total is not None:
+        total = min(total, int(max_total))
+    rates = {
+        d: (total * t * 1_000_000) // (s * avail[d]) for d, t in targets.items()
+    }
+    return total, rates
+
+
+def mix_to_target(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_ppm: "dict[str, int]",
+    *,
+    max_total: "int | None" = None,
+) -> DataFrame:
+    """Resample a corpus to a TARGET domain mixture (the data-mixing
+    step of a training build: "make the corpus 70% web / 20% code /
+    10% books"), scaled to the largest total the scarcest domain
+    supports. :func:`mix_plan` solves the integer rates; the sample
+    itself is :func:`stratified_sample`'s map-only id-hash predicate —
+    deterministic, RNG-free, no shuffle, domains outside the target
+    dropped. At 100 TB the whole operator is one kilobyte-sized count
+    aggregation plus a filter pushed into the scan.
+    """
+    _total, rates = mix_plan(
+        df, domain_col, target_ppm, max_total=max_total
+    )
+    return stratified_sample(df, id_col, domain_col, rates, default_ppm=0)

@@ -1531,3 +1531,67 @@ class TestAssignSplit:
             assign_split(df, "id", {"a": 0.5, "b": 0.6})
         with pytest.raises(ValueError, match="positive"):
             assign_split(df, "id", {"a": 1.5, "b": -0.5})
+
+
+class TestMixToTarget:
+    def _corpus(self, spark, sizes):
+        rows = []
+        i = 0
+        for dom, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, dom))
+                i += 1
+        return spark.createDataFrame(rows, "id long, dom string")
+
+    def test_plan_scarcest_domain_limits(self, spark):
+        from cassandra_diff_spark.operators.curate import mix_plan
+
+        df = self._corpus(spark, {"web": 1000, "code": 100, "books": 40})
+        # 70/20/10 mixture: books supports 40*10/1 = 400 total at most
+        total, rates = mix_plan(df, "dom", {"web": 7, "code": 2, "books": 1})
+        assert total == 400
+        # books must be kept wholesale (rate 1e6); web 28%, code 80%
+        assert rates["books"] == 1_000_000
+        assert rates["web"] == 280_000
+        assert rates["code"] == 800_000
+
+    def test_plan_max_total_cap(self, spark):
+        from cassandra_diff_spark.operators.curate import mix_plan
+
+        df = self._corpus(spark, {"web": 1000, "code": 100, "books": 40})
+        total, rates = mix_plan(
+            df, "dom", {"web": 7, "code": 2, "books": 1}, max_total=100
+        )
+        assert total == 100
+        assert rates == {"web": 70_000, "code": 200_000, "books": 250_000}
+
+    def test_unrealizable_raises(self, spark):
+        from cassandra_diff_spark.operators.curate import mix_plan
+
+        df = self._corpus(spark, {"web": 10})
+        with pytest.raises(ValueError, match="zero rows"):
+            mix_plan(df, "dom", {"web": 1, "nosuch": 1})
+        with pytest.raises(ValueError, match="positive"):
+            mix_plan(df, "dom", {"web": 0})
+
+    def test_sample_achieves_mixture(self, spark):
+        from cassandra_diff_spark.operators.curate import mix_to_target
+
+        df = self._corpus(spark, {"web": 4000, "code": 800, "books": 250})
+        out = mix_to_target(df, "id", "dom", {"web": 7, "code": 2, "books": 1})
+        got = {r.dom: r.n for r in out.groupBy("dom").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        # off-target domains dropped entirely; hash sampling is
+        # binomial around the expected counts — allow 25% slack
+        assert set(got) == {"web", "code", "books"}
+        total = sum(got.values())
+        for dom, frac in [("web", 0.7), ("code", 0.2), ("books", 0.1)]:
+            assert abs(got[dom] / total - frac) < 0.25 * frac + 0.02
+
+    def test_map_only_plan(self, spark):
+        from cassandra_diff_spark.operators.curate import mix_to_target
+
+        df = self._corpus(spark, {"web": 100, "code": 50})
+        out = mix_to_target(df, "id", "dom", {"web": 1, "code": 1})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
