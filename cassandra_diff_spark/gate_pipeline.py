@@ -7010,3 +7010,92 @@ WHERE ({md5_hash64_sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < rate
 
 QUERIES["curate_mix_to_target"] = _q_curate_mix_to_target
 ORACLES["curate_mix_to_target"] = _O_CURATE_MIX_TO_TARGET
+
+
+def _q_profile_entropy(spark, sf_dir):
+    """Per-column Shannon entropy in integer micro-nats over one fanned
+    shuffle (enum, enum, and a high-cardinality id-ish column)."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.stats import column_entropy
+
+    return column_entropy(
+        load(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
+_O_PROFILE_ENTROPY = """
+WITH pairs AS (
+  SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+),
+c AS (
+  SELECT "column", value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY "column", value
+),
+w AS (
+  SELECT "column", cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY "column") AS BIGINT) AS n
+  FROM c
+),
+terms AS (
+  SELECT "column", n,
+         CAST(ROUND((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    * 1e6) AS BIGINT) AS t
+  FROM w
+)
+SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_values, MAX(n) AS n_rows,
+       CAST(SUM(t) AS BIGINT) AS entropy_micronat
+FROM terms GROUP BY "column"
+"""
+
+
+def _q_profile_mutual_info(spark, sf_dir):
+    """Categorical association: MI(o_orderstatus, o_orderpriority) in
+    integer micro-nats; marginals from windows over the joint frame."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.stats import mutual_info
+
+    return mutual_info(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+_O_PROFILE_MUTUAL_INFO = """
+WITH j AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+         CAST(o_orderpriority AS VARCHAR) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cab
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT cab,
+         CAST(SUM(cab) OVER (PARTITION BY a) AS BIGINT) AS ca,
+         CAST(SUM(cab) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         CAST(SUM(cab) OVER () AS BIGINT) AS n
+  FROM j
+),
+terms AS (
+  SELECT n,
+         CAST(ROUND((CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+                         / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS t
+  FROM m
+)
+SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+       MAX(n) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(t) AS BIGINT) AS mi_micronat
+FROM terms
+"""
+
+
+QUERIES["profile_entropy"] = _q_profile_entropy
+ORACLES["profile_entropy"] = _O_PROFILE_ENTROPY
+QUERIES["profile_mutual_info"] = _q_profile_mutual_info
+ORACLES["profile_mutual_info"] = _O_PROFILE_MUTUAL_INFO

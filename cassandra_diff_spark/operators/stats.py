@@ -700,3 +700,118 @@ def weighted_quantiles_refined(
         .groupBy(*by, "p")
         .agg(F.min(v).alias("q"), F.max(F.col("n")).cast("long").alias("n"))
     )
+
+
+def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy of each categorical column, in integer
+    MICRO-NATS — the profiling signal behind "is this column an id, an
+    enum, or junk" triage and feature-selection cuts.
+
+    One row per column: ``column, n_values, n_rows, entropy_micronat``
+    where ``entropy_micronat = SUM_v ROUND((c_v/N) * ln(N/c_v) * 1e6)``
+    over the column's value groups (NULL is a category). Per-VALUE terms
+    are rounded to integers before the sum — the engine's micro-unit
+    determinism trick (see operators/search.py BM25 weights): a float
+    SUM's value depends on reduction order, an integer SUM's does not,
+    so the result is bit-identical across engines and partitionings.
+
+    Scale shape: each row fans out to len(cols) (column, value) pairs —
+    ONE wide shuffle for the joint counts of every requested column,
+    then a window + final aggregation over the kilobyte-per-column
+    distinct-count frame. Values are compared as strings (cast once) so
+    heterogeneous column types share the single pass. High-cardinality
+    columns (ids) work — the counts frame approaches row count and the
+    entropy approaches ln(N) — but a distinct-count profile
+    (validate.profile) is the cheaper screen for those.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("column_entropy needs at least one column")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column")
+    n = F.sum("cnt").over(w)
+    c_d = F.col("cnt").cast("double")
+    n_d = n.cast("double")
+    term = F.round((c_d / n_d) * F.log(n_d / c_d) * F.lit(1e6)).cast("long")
+    return (
+        counts.select("column", "cnt", term.alias("__t"), n.alias("__n"))
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.max("__n").alias("n_rows"),
+            F.sum("__t").alias("entropy_micronat"),
+        )
+    )
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, in integer
+    micro-nats: ``MI = SUM_{a,b} (c_ab/N) * ln(c_ab * N / (c_a * c_b))``
+    with the same per-cell integer rounding as :func:`column_entropy`
+    (deterministic across engines and reduction orders). The
+    categorical complement to the numeric Pearson matrix
+    (:func:`numeric_correlations` in validate/stats profiling): "does
+    knowing region tell me the priority" — association strength for
+    leakage checks and redundant-feature pruning. NULL is a category on
+    both axes.
+
+    One row: ``col_a, col_b, n_rows, n_cells, mi_micronat``.
+
+    Scale shape: ONE wide shuffle for the joint (a, b) counts; the
+    marginals come from windows OVER THE JOINT FRAME (≤ |A|·|B| rows —
+    kilobytes for real categoricals), never a second scan of the data;
+    then a global single-row aggregation.
+    """
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    ca = F.sum("cab").over(Window.partitionBy("__a"))
+    cb = F.sum("cab").over(Window.partitionBy("__b"))
+    # the global total joins back as a broadcast scalar — an
+    # empty-partition window would funnel the joint frame to one task
+    total = joint.agg(F.sum("cab").alias("n"))
+    cells = joint.select(
+        "cab",
+        ca.alias("ca"),
+        cb.alias("cb"),
+    ).crossJoin(F.broadcast(total))
+    cab_d = F.col("cab").cast("double")
+    ca_d = F.col("ca").cast("double")
+    cb_d = F.col("cb").cast("double")
+    n_d = F.col("n").cast("double")
+    term = F.round(
+        (cab_d / n_d) * F.log((cab_d * n_d) / (ca_d * cb_d)) * F.lit(1e6)
+    ).cast("long")
+    return (
+        cells.select(term.alias("__t"), "n")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("__t").alias("mi_micronat"),
+        )
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            "n_rows",
+            "n_cells",
+            "mi_micronat",
+        )
+    )

@@ -471,3 +471,52 @@ class TestWeightedQuantilesRefined:
             df, "v", "w", [0.5], lo=0.0, hi=10.0, n_bins=10
         ).collect()}
         assert out[0.5] == 9.5  # half the mass sits on the heavy row
+
+
+class TestEntropyMI:
+    def test_entropy_hand_computed(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.stats import column_entropy
+
+        df = spark.createDataFrame(
+            [("x", 1), ("x", 1), ("y", 2), ("z", None)],
+            "c string, d int",
+        )
+        out = {r["column"]: r for r in column_entropy(df, ["c", "d"]).collect()}
+        # c: counts 2,1,1 over N=4
+        expect_c = sum(
+            round(cnt / 4 * math.log(4 / cnt) * 1e6) for cnt in (2, 1, 1)
+        )
+        assert out["c"].entropy_micronat == expect_c
+        assert out["c"].n_values == 3 and out["c"].n_rows == 4
+        # d: NULL is a category -> counts 2,1,1 as well
+        assert out["d"].entropy_micronat == expect_c
+        assert out["d"].n_values == 3
+
+    def test_constant_column_zero_entropy(self, spark):
+        from cassandra_diff_spark.operators.stats import column_entropy
+
+        df = spark.createDataFrame([("k",)] * 5, "c string")
+        row = column_entropy(df, ["c"]).collect()[0]
+        assert row.entropy_micronat == 0 and row.n_values == 1
+
+    def test_mi_independent_vs_dependent(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.stats import mutual_info
+
+        # perfectly dependent: b == a -> MI == H(a) = ln 2
+        dep = spark.createDataFrame(
+            [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")], "a string, b string"
+        )
+        row = mutual_info(dep, "a", "b").collect()[0]
+        assert row.mi_micronat == 2 * round(0.5 * math.log(2) * 1e6)
+        assert row.n_cells == 2 and row.n_rows == 4
+        # independent uniform 2x2 -> every cell term is ln(1) = 0
+        ind = spark.createDataFrame(
+            [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")], "a string, b string"
+        )
+        row = mutual_info(ind, "a", "b").collect()[0]
+        assert row.mi_micronat == 0 and row.n_cells == 4
+        assert row.col_a == "a" and row.col_b == "b"
