@@ -7099,3 +7099,28 @@ QUERIES["profile_entropy"] = _q_profile_entropy
 ORACLES["profile_entropy"] = _O_PROFILE_ENTROPY
 QUERIES["profile_mutual_info"] = _q_profile_mutual_info
 ORACLES["profile_mutual_info"] = _O_PROFILE_MUTUAL_INFO
+
+
+def _q_embedding_covariance_fold(spark, sf_dir):
+    """Incremental covariance: per-shard integer moment frames (vec_id
+    parity split) folded additively, then assembled — bit-identical to
+    the whole-corpus pass, proven against the SAME pair-join oracle as
+    embedding_covariance."""
+    from cassandra_diff_spark.operators.embeddings import (
+        covariance_from_moments,
+        fold_gram_moments,
+        gram_moments,
+    )
+
+    embs = _embs(spark, sf_dir)
+    halves = [
+        gram_moments(
+            embs.filter(F.pmod(F.col("vec_id"), F.lit(2)) == p), "embedding", dim=64
+        )
+        for p in (0, 1)
+    ]
+    return covariance_from_moments(fold_gram_moments(halves))
+
+
+QUERIES["embedding_covariance_fold"] = _q_embedding_covariance_fold
+ORACLES["embedding_covariance_fold"] = _O_EMBEDDING_COVARIANCE

@@ -241,14 +241,53 @@ def embedding_covariance(
     shard the corpus and fold the per-shard moment frames (they are
     additive in ``S_i``/``S_ij``/``n``).
     """
-    dims = sorted(set(int(d) for d in (dims if dims is not None else range(dim))))
     moments = _gram_moments(df, vec_col, dim=dim)
+    return covariance_from_moments(moments, dims=(dims if dims is not None else range(dim)))
+
+
+def gram_moments(df: DataFrame, vec_col: str, *, dim: int) -> DataFrame:
+    """Public handle on the integer moment frame (``(i, j, s)`` encoded
+    triangle + component sums + count) so callers can PERSIST it per
+    shard/epoch and fold increments instead of rescanning the corpus:
+    :func:`fold_gram_moments` + :func:`covariance_from_moments` rebuild
+    the exact covariance from folded frames bit-for-bit."""
+    return _gram_moments(df, vec_col, dim=dim)
+
+
+def fold_gram_moments(frames: Sequence[DataFrame]) -> DataFrame:
+    """Fold per-shard moment frames into the corpus moment frame — the
+    incremental path :func:`embedding_covariance`'s overflow envelope
+    points at ("shard the corpus and fold"): the moments are ADDITIVE
+    exact integers (``n``, ``S_i``, ``S_ij`` all sum), so
+    fold == rebuild, provably, with no float drift. Union + one
+    aggregation over kilobyte-scale frames."""
+    if not frames:
+        raise ValueError("fold_gram_moments needs at least one moment frame")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def covariance_from_moments(
+    moments: DataFrame,
+    *,
+    dims: Optional[Sequence[int]] = None,
+) -> DataFrame:
+    """Assemble ``(i, j, n, m2_q, cov)`` from a (possibly folded) moment
+    frame — the kilobyte-scale final step of :func:`embedding_covariance`,
+    split out so persisted/folded moments skip the corpus scan."""
+    dims = None if dims is None else sorted(set(int(d) for d in dims))
     s_ij = moments.filter((F.col("i") >= 0) & (F.col("j") >= 0))
     s_i = moments.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("__d"), F.col("s").alias("__sd")
     )
     n_row = moments.filter(F.col("i") == -1).select(F.col("s").alias("__n"))
-    keep = s_ij.filter(F.col("i").isin(dims) & F.col("j").isin(dims))
+    keep = (
+        s_ij
+        if dims is None
+        else s_ij.filter(F.col("i").isin(dims) & F.col("j").isin(dims))
+    )
     out = (
         keep.join(F.broadcast(s_i), keep["i"] == s_i["__d"])
         .select("i", "j", "s", F.col("__sd").alias("__si"))

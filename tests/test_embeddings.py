@@ -100,3 +100,35 @@ def test_fold_centroids_equals_rebuild(spark, vecs):
     once = embedding_centroids(vecs, "embedding", dim=DIM, by=["grp"])
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(folded) == key(once)
+
+
+class TestFoldGramMoments:
+    def test_fold_equals_rebuild(self, spark):
+        from cassandra_diff_spark.operators.embeddings import (
+            covariance_from_moments,
+            embedding_covariance,
+            fold_gram_moments,
+            gram_moments,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 3) / 3, float(i % 5) / 5, 0.25]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        whole = embedding_covariance(df, "embedding", dim=3)
+        halves = [
+            gram_moments(df.filter(F.col("vec_id") % 2 == p), "embedding", dim=3)
+            for p in (0, 1)
+        ]
+        folded = covariance_from_moments(fold_gram_moments(halves))
+        a = sorted(map(tuple, whole.collect()))
+        b = sorted(map(tuple, folded.collect()))
+        assert a == b
+
+    def test_fold_validation(self):
+        from cassandra_diff_spark.operators.embeddings import fold_gram_moments
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="at least one"):
+            fold_gram_moments([])
