@@ -7124,3 +7124,54 @@ def _q_embedding_covariance_fold(spark, sf_dir):
 
 QUERIES["embedding_covariance_fold"] = _q_embedding_covariance_fold
 ORACLES["embedding_covariance_fold"] = _O_EMBEDDING_COVARIANCE
+
+
+def _q_dedup_canonical_url(spark, sf_dir):
+    """URL-level dedup: each page appears twice — once clean, once as
+    its messy variant (tracking params / fragments / case / port junk)
+    under a shifted id — and collapses back to ONE survivor per
+    canonical key (min-id, i.e. the clean row) wherever the
+    canonicalizer undoes the mess. One groupBy on canon: the
+    exact-dedup survivorship shape keyed by canonical_url instead of a
+    content fingerprint."""
+    from cassandra_diff_spark.functions.web import canonical_url
+
+    clean = _url_augmented(spark, sf_dir).select(
+        "doc_id", canonical_url(F.col("url")).alias("canon")
+    )
+    messy = _q_text_url_canonical(spark, sf_dir).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "canon"
+    )
+    return clean.unionByName(messy).groupBy(F.col("canon")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _make_o_dedup_canonical_url() -> str:
+    from cassandra_diff_spark.functions.web import canonical_url_sql
+
+    return f"""
+WITH {_URL_AUG_SQL.strip()},
+clean AS (
+  SELECT doc_id, {canonical_url_sql('url')} AS canon FROM aug
+),
+messy AS (
+  SELECT doc_id + 1000000 AS doc_id, canon
+  FROM ({_make_o_text_url_canonical()})
+),
+u AS (
+  SELECT doc_id, canon FROM clean
+  UNION ALL
+  SELECT doc_id, canon FROM messy
+)
+SELECT canon, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM u GROUP BY canon
+"""
+
+
+_O_DEDUP_CANONICAL_URL = _make_o_dedup_canonical_url()
+
+
+QUERIES["dedup_canonical_url"] = _q_dedup_canonical_url
+ORACLES["dedup_canonical_url"] = _O_DEDUP_CANONICAL_URL
