@@ -4880,14 +4880,10 @@ QUERIES["multimodal_pixels_bmp"] = _q_multimodal_pixels_bmp
 ORACLES["multimodal_pixels_bmp"] = _O_MULTIMODAL_PIXELS_BMP
 
 
-def _q_multimodal_samples_wav(spark, sf_dir):
-    """Real PCM16 WAV sample decode round trip: render genuine WAV
-    files (RIFF chunk walk, little-endian two's-complement int16
-    samples derived from doc_id — negative values included), decode the
-    samples back, and match the arithmetic oracle on exact sums and
-    peak amplitude."""
-    from cassandra_diff_spark.operators import multimodal
-
+def _wav_payload(spark, sf_dir):
+    """Genuine PCM16 WAV payloads rendered from doc_id (sample j =
+    ((doc_id*7 + j*13) % 2001) - 1000 as LE two's-complement int16) —
+    shared by the sample-decode and energy gates."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 50 + 10).cast("int").alias("n"),
@@ -4904,7 +4900,7 @@ def _q_multimodal_samples_wav(spark, sf_dir):
         f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex((({e}) div 256) % 256), "
         f"2, '0') || lpad(hex((({e}) div 65536) % 256), 2, '0') || '00'"
     )
-    payload = d.select(
+    return d.select(
         "doc_id",
         F.unhex(
             F.concat(
@@ -4919,7 +4915,17 @@ def _q_multimodal_samples_wav(spark, sf_dir):
             )
         ).alias("payload"),
     )
-    return multimodal.decode_samples(payload).select(
+
+
+def _q_multimodal_samples_wav(spark, sf_dir):
+    """Real PCM16 WAV sample decode round trip: render genuine WAV
+    files (RIFF chunk walk, little-endian two's-complement int16
+    samples derived from doc_id — negative values included), decode the
+    samples back, and match the arithmetic oracle on exact sums and
+    peak amplitude."""
+    from cassandra_diff_spark.operators import multimodal
+
+    return multimodal.decode_samples(_wav_payload(spark, sf_dir)).select(
         "doc_id", "format", "sample_rate", "n_channels", "n_samples",
         "sample_sum", "peak",
     )
@@ -7175,3 +7181,109 @@ _O_DEDUP_CANONICAL_URL = _make_o_dedup_canonical_url()
 
 QUERIES["dedup_canonical_url"] = _q_dedup_canonical_url
 ORACLES["dedup_canonical_url"] = _O_DEDUP_CANONICAL_URL
+
+
+def _q_multimodal_image_ahash(spark, sf_dir):
+    """Average-hash fingerprints over REAL rendered BMPs: per-file-row
+    value (v*(row+1)) % 251 makes the two image rows brighter/darker in
+    a v-dependent order, so the hash's above-mean bits flip across the
+    corpus; h=1 images are flat (hash 0). The oracle reproduces the
+    hash CLOSED-FORM (per-row cells, integer cross-multiplied mean
+    compare) — an independent formulation of the same bits."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
+        (F.col("doc_id") % 251).cast("int").alias("v"),
+    ).withColumn(
+        "stride", ((F.col("w") * 3 + 3) / 4).cast("int") * 4
+    ).withColumn("pad", F.col("stride") - F.col("w") * 3)
+
+    le16 = lambda e: (  # noqa: E731
+        f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex(({e}) div 256), 2, '0')"
+    )
+    le32 = lambda e: le16(e) + " || '0000'"  # noqa: E731
+    header = F.expr(
+        "concat('424D', "
+        + le32("54 + stride * h")
+        + ", '00000000', '36000000', '28000000', "
+        + le32("w") + ", " + le32("h")
+        + ", '0100', '1800', '00000000', "
+        + le32("stride * h")
+        + ", '00000000', '00000000', '00000000', '00000000')"
+    )
+    body = F.expr(
+        "concat_ws('', transform(sequence(0, h - 1), i -> "
+        "concat(repeat(lpad(hex((v * (i + 1)) % 251), 2, '0'), 3 * w), "
+        "repeat('AA', pad))))"
+    )
+    payload = d.select(
+        "doc_id", F.unhex(F.concat(header, body)).alias("payload")
+    )
+    return multimodal.image_ahash(payload)
+
+
+_O_MULTIMODAL_IMAGE_AHASH = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 2 AS INT) AS w,
+         CAST(doc_id % 2 + 1 AS INT) AS h,
+         CAST(doc_id % 251 AS INT) AS v
+  FROM documents
+),
+g AS (
+  -- bottom-up storage: image TOP row is the file's LAST row (r = h-1)
+  SELECT doc_id, w, h,
+         3 * ((v * h) % 251) AS g0,
+         3 * (v % 251) AS g1
+  FROM p
+),
+vals AS (
+  SELECT doc_id, w, h,
+         CASE WHEN h = 1 THEN 0
+              WHEN g0 > g1 THEN (1 << w) - 1
+              WHEN g1 > g0 THEN ((1 << w) - 1) * (1 << w)
+              ELSE 0 END AS val
+  FROM g
+)
+SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+       lpad(lower(hex(CAST(val AS BIGINT))), 16, '0') AS ahash
+FROM vals
+"""
+
+
+def _q_multimodal_audio_energy(spark, sf_dir):
+    """Exact audio energy from the REAL PCM16 WAV decode: integer sum
+    of squared samples (the RMS/loudness numerator) alongside count and
+    peak — float-free, so the oracle matches bit-for-bit."""
+    from cassandra_diff_spark.operators import multimodal
+
+    payload = _wav_payload(spark, sf_dir)
+    return multimodal.decode_samples(payload).select(
+        "doc_id", "n_samples", "sample_sum", "peak", "sq_sum"
+    )
+
+
+_O_MULTIMODAL_AUDIO_ENERGY = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum([(doc_id * 7 + j * 13) % 2001 - 1000
+                      for j in range(0, n)]) AS BIGINT) AS sample_sum,
+       CAST(list_max([abs((doc_id * 7 + j * 13) % 2001 - 1000)
+                      for j in range(0, n)]) AS INT) AS peak,
+       CAST(list_sum([((doc_id * 7 + j * 13) % 2001 - 1000)
+                      * ((doc_id * 7 + j * 13) % 2001 - 1000)
+                      for j in range(0, n)]) AS BIGINT) AS sq_sum
+FROM p
+"""
+
+
+QUERIES["multimodal_image_ahash"] = _q_multimodal_image_ahash
+ORACLES["multimodal_image_ahash"] = _O_MULTIMODAL_IMAGE_AHASH
+QUERIES["multimodal_audio_energy"] = _q_multimodal_audio_energy
+ORACLES["multimodal_audio_energy"] = _O_MULTIMODAL_AUDIO_ENERGY

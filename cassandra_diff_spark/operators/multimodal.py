@@ -362,13 +362,12 @@ def _unfilter_png_rows(raw: bytes, w: int, h: int, ch: int):
     return out
 
 
-def _decode_pixels(b: bytes):
-    """REAL pixel decode for the codec-free formats: 24-bit uncompressed
-    BMP (stride padding skipped, bottom-up order honored) and 8-bit
-    non-interlaced gray/RGB/RGBA PNG (stdlib zlib + filter inversion).
-    Returns (format, width, height, n_channels, n_pix, pix_sum,
-    first_pixel) with EXACT integer pixel-byte sums, or None when the
-    payload needs a codec this sandbox does not have (JPEG, video)."""
+def _pixel_matrix(b: bytes):
+    """Decode a BMP/PNG payload to its raw pixel-byte matrix: returns
+    ``(format, w, h, ch, mat)`` where ``mat`` is ``(h, w*ch)`` uint8 in
+    top-down row order, or None for anything codec-bound (JPEG, video)
+    or GIF (palette-indexed — summary stats only, via
+    ``_decode_gif_pixels``)."""
     import zlib
 
     import numpy as np
@@ -395,10 +394,7 @@ def _decode_pixels(b: bytes):
         # positive height = bottom-up storage: the file's LAST row is
         # the image's top row
         mat = np.stack(rows[::-1] if h_raw > 0 else rows)
-        return ("bmp", w, h, 3, w * h, int(mat.sum(dtype=np.int64)),
-                int(mat[0, 0]))
-    if n >= 13 and b[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif_pixels(b)
+        return ("bmp", w, h, 3, mat)
     if n >= 33 and b[:8] == b"\x89PNG\r\n\x1a\n":
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
@@ -421,9 +417,64 @@ def _decode_pixels(b: bytes):
         if len(raw) != h * (1 + w * ch):
             return None
         mat = _unfilter_png_rows(raw, w, h, ch)
-        return ("png", w, h, ch, w * h, int(mat.sum(dtype=np.int64)),
-                int(mat[0, 0]))
+        return ("png", w, h, ch, mat)
     return None
+
+
+def _decode_pixels(b: bytes):
+    """REAL pixel decode for the codec-free formats: 24-bit uncompressed
+    BMP (stride padding skipped, bottom-up order honored), 8-bit
+    non-interlaced gray/RGB/RGBA PNG (stdlib zlib + filter inversion),
+    and palette-indexed GIF (LZW). Returns (format, width, height,
+    n_channels, n_pix, pix_sum, first_pixel) with EXACT integer
+    pixel-byte sums, or None when the payload needs a codec this
+    sandbox does not have (JPEG, video)."""
+    import numpy as np
+
+    if len(b) >= 13 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_pixels(b)
+    r = _pixel_matrix(b)
+    if r is None:
+        return None
+    fmt, w, h, ch, mat = r
+    return (fmt, w, h, ch, w * h, int(mat.sum(dtype=np.int64)), int(mat[0, 0]))
+
+
+def _ahash(b: bytes, grid: int = 8):
+    """Average-hash image fingerprint from the REAL pixel matrix:
+    grayscale (channel sum — exact integers, no float), block-mean
+    downsample to a ``min(grid,w) x min(grid,h)`` cell grid, one bit
+    per cell set iff the cell mean EXCEEDS the global mean (compared by
+    integer cross-multiplication ``cell_sum * n_total > total_sum *
+    cell_count`` — no division, no ties-by-epsilon). Invariant under
+    uniform brightness shifts and identical across formats carrying the
+    same pixels (a PNG and BMP of one image hash equal). Returns
+    ``(format, w, h, hex16)`` or None for undecodable payloads."""
+    import numpy as np
+
+    r = _pixel_matrix(b)
+    if r is None:
+        return None
+    fmt, w, h, ch, mat = r
+    px = mat.reshape(h, w, ch).astype(np.int64)
+    if ch == 4:
+        px = px[:, :, :3]  # alpha is not luminance
+    gray = px.sum(axis=2)  # (h, w) exact integer luminance proxy
+    gw, gh = min(grid, w), min(grid, h)
+    bx = (np.arange(w) * gw) // w
+    by = (np.arange(h) * gh) // h
+    cell_sum = np.zeros((gh, gw), dtype=np.int64)
+    cell_cnt = np.zeros((gh, gw), dtype=np.int64)
+    np.add.at(cell_sum, (by[:, None], bx[None, :]), gray)
+    np.add.at(cell_cnt, (by[:, None], bx[None, :]), 1)
+    total_sum = int(gray.sum())
+    n_total = w * h
+    bits = (cell_sum * n_total) > (total_sum * cell_cnt)
+    val = 0
+    for i, bit in enumerate(bits.ravel()):  # row-major from top-left
+        if bit:
+            val |= 1 << i
+    return (fmt, w, h, f"{val:016x}")
 
 
 def _decode_samples(b: bytes):
@@ -454,14 +505,49 @@ def _decode_samples(b: bytes):
     if fmt_code != 1 or bits != 16 or data is None:
         return None
     samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    s64 = samples.astype(np.int64)
     return (
         "wav",
         rate,
         chans,
         len(samples),
         int(samples.sum(dtype=np.int64)),
-        int(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0,
+        int(np.abs(s64).max()) if len(samples) else 0,
+        # exact energy: RMS/loudness derive from this without ever
+        # summing floats (max square 2^30, safe to ~2^33 samples)
+        int((s64 * s64).sum()),
     )
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, ahash string"
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual image fingerprints over (doc_id, payload): the
+    average-hash of the REAL decoded pixels (:func:`_ahash`), emitted
+    as a 16-hex-char string key. Exact-match grouping on ``ahash`` is
+    the image-level dedup (uniform brightness shifts and format
+    conversions of one image collide by construction); Hamming-banded
+    near-dup joins compose via the simhash band machinery
+    (operators/dedup.py) with ``ahash`` as the sketch. Same Arrow
+    mapInPandas plumbing as ``decode_pixels``; codec-bound payloads
+    (JPEG, video) and GIF yield null hashes."""
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                r = _ahash(b, grid=grid)
+                rows.append((int(doc_id),) + (r if r else (None,) * 4))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height", "ahash"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=AHASH_SCHEMA)
 
 
 PIXEL_SCHEMA = (
@@ -471,7 +557,7 @@ PIXEL_SCHEMA = (
 
 SAMPLE_SCHEMA = (
     "doc_id bigint, format string, sample_rate int, n_channels int, "
-    "n_samples bigint, sample_sum bigint, peak int"
+    "n_samples bigint, sample_sum bigint, peak int, sq_sum bigint"
 )
 
 
@@ -512,12 +598,12 @@ def decode_samples(df: DataFrame) -> DataFrame:
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(raw) if raw is not None else b""
                 r = _decode_samples(b)
-                rows.append((int(doc_id),) + (r if r else (None,) * 6))
+                rows.append((int(doc_id),) + (r if r else (None,) * 7))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "format", "sample_rate", "n_channels",
-                    "n_samples", "sample_sum", "peak",
+                    "n_samples", "sample_sum", "peak", "sq_sum",
                 ],
             )
 

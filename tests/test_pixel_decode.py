@@ -123,7 +123,10 @@ class TestKernels:
     def test_wav_pcm16(self):
         s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
         r = _decode_samples(make_wav(s, rate=22050, ch=2))
-        assert r == ("wav", 22050, 2, 6, int(s.astype(np.int64).sum()), 32768)
+        s64 = s.astype(np.int64)
+        assert r == (
+            "wav", 22050, 2, 6, int(s64.sum()), 32768, int((s64 * s64).sum())
+        )
 
     def test_codec_bound_payloads_yield_none(self):
         assert _decode_pixels(b"\xff\xd8\xff\xe0JFIF") is None  # jpeg
@@ -265,3 +268,56 @@ class TestGifDecode:
         idesc = g.index(0x2C, 13)
         g[idesc + 9] |= 0x40
         assert _decode_pixels(bytes(g)) is None
+
+
+# ------------------------------------------------------------- average hash
+
+class TestAhash:
+    def test_cross_format_and_brightness_invariance(self):
+        from cassandra_diff_spark.operators.multimodal import _ahash
+
+        rng = np.random.RandomState(7)
+        pix = rng.randint(30, 200, (16, 16, 3), dtype=np.uint8)
+        fmt_b, w, h, hash_bmp = _ahash(make_bmp(pix))
+        fmt_p, _, _, hash_png = _ahash(make_png(pix, [0, 2, 4]))
+        assert (fmt_b, fmt_p) == ("bmp", "png") and (w, h) == (16, 16)
+        # same pixels, different container -> identical fingerprint
+        assert hash_bmp == hash_png
+        # uniform brightness shift preserves every above-mean bit
+        assert _ahash(make_bmp(pix + 20))[3] == hash_bmp
+        # a different image does not collide
+        other = rng.randint(30, 200, (16, 16, 3), dtype=np.uint8)
+        assert _ahash(make_bmp(other))[3] != hash_bmp
+
+    def test_alpha_excluded_and_small_images(self):
+        from cassandra_diff_spark.operators.multimodal import _ahash
+
+        rng = np.random.RandomState(9)
+        rgb = rng.randint(0, 255, (12, 12, 3), dtype=np.uint8)
+        rgba = np.dstack([rgb, rng.randint(0, 255, (12, 12), dtype=np.uint8)])
+        # alpha channel noise must not perturb the luminance hash
+        assert (
+            _ahash(make_png(rgba, [0]))[3] == _ahash(make_png(rgb, [0]))[3]
+        )
+        # flat image -> no cell exceeds the mean -> all-zero hash
+        flat = np.full((4, 4, 3), 77, dtype=np.uint8)
+        assert _ahash(make_bmp(flat))[3] == "0" * 16
+        # codec-bound payloads stay undecodable
+        assert _ahash(b"\xff\xd8\xff\xe0JFIF") is None
+
+    def test_frame_dedup_groups(self, spark):
+        from cassandra_diff_spark.operators.multimodal import image_ahash
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(20, 220, (8, 8, 3), dtype=np.uint8)
+        b = rng.randint(20, 220, (8, 8, 3), dtype=np.uint8)
+        rows = [
+            (1, bytes(make_bmp(a))),
+            (2, bytes(make_png(a, [1]))),     # same image, other format
+            (3, bytes(make_bmp((a + 10)))),   # brightness-shifted near-dup
+            (4, bytes(make_bmp(b))),          # different image
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[4] != got[1]
