@@ -7287,3 +7287,61 @@ QUERIES["multimodal_image_ahash"] = _q_multimodal_image_ahash
 ORACLES["multimodal_image_ahash"] = _O_MULTIMODAL_IMAGE_AHASH
 QUERIES["multimodal_audio_energy"] = _q_multimodal_audio_energy
 ORACLES["multimodal_audio_energy"] = _O_MULTIMODAL_AUDIO_ENERGY
+
+
+def _q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-50 fused with a length-prior
+    top-50 (n_chars DESC — the stand-in second retriever) by
+    reciprocal-rank fusion, integer micro-unit contributions
+    floor(1e6/(60+rank)) so the fused scores hash-match the SQL twin."""
+    from cassandra_diff_spark.operators import search
+
+    docs = _docs(spark, sf_dir)
+    r1 = search.with_rank(
+        search.bm25_topk(
+            docs, "doc_id", "text", ["dup", "merge", "window"], top_k=50
+        ),
+        "doc_id",
+        [F.col("score_u").desc(), F.col("doc_id")],
+    )
+    r2 = search.with_rank(
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(50),
+        "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return search.rrf_fuse([r1, r2], "doc_id", k=60, top_k=20)
+
+
+def _make_o_search_hybrid_rrf() -> str:
+    from cassandra_diff_spark.operators.search import bm25_topk_sql
+
+    bm25 = bm25_topk_sql(
+        "documents", "doc_id", "text", ["dup", "merge", "window"], top_k=50
+    )
+    return f"""
+WITH b AS ({bm25}),
+r1 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank
+  FROM b
+),
+r2 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+  ORDER BY n_chars DESC, doc_id LIMIT 50
+),
+u AS (
+  SELECT doc_id, rank FROM r1
+  UNION ALL
+  SELECT doc_id, rank FROM r2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(1000000 // (rank + 60)) AS BIGINT) AS rrf_u
+FROM u GROUP BY doc_id
+ORDER BY rrf_u DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES["search_hybrid_rrf"] = _q_search_hybrid_rrf
+ORACLES["search_hybrid_rrf"] = _make_o_search_hybrid_rrf()

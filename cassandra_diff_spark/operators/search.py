@@ -130,3 +130,61 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_terms,
 FROM w GROUP BY {id_col}
 ORDER BY score_u DESC, {id_col} LIMIT {top_k}
 """
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    id_col: str,
+    *,
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever rankings (the standard
+    hybrid-search combiner: BM25 + dense ANN + any prior, fused without
+    score calibration). Each input carries ``(id_col, rank)`` with rank
+    1-based; a document's fused score is ``SUM_lists floor(10^6 /
+    (k + rank))`` — PURE INTEGER arithmetic (micro-units), so the sum
+    is order-free and engine-exact, same trick as the BM25 weights.
+    ``k`` is the usual dampening constant (Cormack et al.'s 60).
+
+    Output: ``(id, n_lists, rrf_u)`` ordered ``rrf_u DESC, id`` and
+    limited to ``top_k`` — deterministic cutoff.
+
+    Scale shape: the inputs are top-k lists (kilobytes); union + one
+    tiny aggregation. The heavy lifting happened inside the retrievers;
+    fusion adds no corpus-sized work by construction.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            r.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+            for r in rankings
+        ],
+    )
+    contrib = F.floor(F.lit(1_000_000) / (F.col("rank") + F.lit(int(k)))).cast(
+        "long"
+    )
+    return (
+        u.select(id_col, contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("__c").alias("rrf_u"),
+        )
+        .orderBy(F.col("rrf_u").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def with_rank(ranking: DataFrame, id_col: str, order_cols) -> DataFrame:
+    """Attach the 1-based ``rank`` column :func:`rrf_fuse` consumes,
+    from an explicit deterministic ordering (include a unique
+    tiebreaker). Window over a top-k-sized frame — driver-cheap."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return ranking.withColumn("rank", F.row_number().over(w).cast("long"))

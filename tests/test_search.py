@@ -55,3 +55,34 @@ class TestBM25:
             .toString()
         )
         assert "BroadcastExchange" in plan
+
+
+class TestRRF:
+    def test_fusion_math_and_cutoff(self, spark):
+        from cassandra_diff_spark.operators.search import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id long, rank long"
+        )
+        r2 = spark.createDataFrame(
+            [(3, 1), (1, 2), (4, 3)], "id long, rank long"
+        )
+        out = {r.id: r for r in rrf_fuse([r1, r2], "id", k=60, top_k=3).collect()}
+        # doc 1: 1e6//61 + 1e6//62 ; doc 3: 1e6//63 + 1e6//61
+        assert out[1].rrf_u == 1_000_000 // 61 + 1_000_000 // 62
+        assert out[3].rrf_u == 1_000_000 // 63 + 1_000_000 // 61
+        assert out[1].n_lists == 2 and out[3].n_lists == 2
+        # top_k=3 keeps the two double-hitters + best single
+        assert set(out) == {1, 3, 2}
+
+    def test_single_list_and_validation(self, spark):
+        from cassandra_diff_spark.operators.search import rrf_fuse, with_rank
+
+        base = spark.createDataFrame([(7, 5), (8, 1)], "id long, v long")
+        ranked = with_rank(base, "id", [F.col("v").desc(), F.col("id")])
+        got = {r.id: r.rank for r in ranked.collect()}
+        assert got == {7: 1, 8: 2}
+        out = rrf_fuse([ranked], "id", top_k=1).collect()
+        assert out[0].id == 7
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([], "id")
