@@ -2,6 +2,9 @@
 
 import math
 
+import pytest
+from pyspark.sql import functions as F
+
 from cassandra_diff_spark.operators import search
 
 
