@@ -7345,3 +7345,118 @@ ORDER BY rrf_u DESC, doc_id LIMIT 20
 
 QUERIES["search_hybrid_rrf"] = _q_search_hybrid_rrf
 ORACLES["search_hybrid_rrf"] = _make_o_search_hybrid_rrf()
+
+
+_KWAY_U_SQL = """
+  SELECT o.*, 'a' AS src FROM orders o
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority, 'b' AS src
+  FROM orders
+  UNION ALL
+  SELECT o.*, 'c' AS src FROM orders o WHERE o_orderkey % 101 <> 0
+"""
+
+_KWAY_CONSENSUS_CORE = f"""
+u AS ({_KWAY_U_SQL}),
+g AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority,
+         COUNT(*) AS cnt, MIN(src) AS mn
+  FROM u
+  GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey ORDER BY cnt DESC, mn ASC
+  ) AS rn
+  FROM g
+)
+"""
+
+
+def _kway_sources(spark, sf_dir):
+    from cassandra_diff_spark.gate import load
+
+    orders = load(spark, sf_dir, "orders")
+    b = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    c = orders.filter(F.col("o_orderkey") % 101 != 0)
+    return [("a", orders), ("b", b), ("c", c)]
+
+
+def _q_diff_kway_consensus(spark, sf_dir):
+    """Majority-vote state over three drifting orders replicas with a
+    quorum-2 floor: keys whose winning group is a lone replica (the
+    %97-and-%101 tie cells) drop out; everything else materializes the
+    agreed payload as real columns plus its vote count."""
+    from cassandra_diff_spark.operators.diff import consensus_state
+
+    return consensus_state(_kway_sources(spark, sf_dir), ["o_orderkey"], quorum=2)
+
+
+_O_DIFF_KWAY_CONSENSUS = f"""
+WITH {_KWAY_CONSENSUS_CORE.strip()}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, CAST(cnt AS BIGINT) AS n_votes
+FROM r WHERE rn = 1 AND cnt >= 2
+"""
+
+
+def _q_diff_kway_repair(spark, sf_dir):
+    """The vote-to-fix loop closed: the full (quorum-1) consensus state
+    diffs against drifting replica b via repair_ops, emitting the I/U/D
+    changelog that heals b — here, a U op restoring every %97 key's
+    totalprice to the majority value."""
+    from cassandra_diff_spark.operators.cdc import repair_ops
+    from cassandra_diff_spark.operators.diff import consensus_state
+
+    sources = _kway_sources(spark, sf_dir)
+    cons = consensus_state(sources, ["o_orderkey"], quorum=1).drop("n_votes")
+    replica_b = dict(sources)["b"]
+    return repair_ops(cons, replica_b, ["o_orderkey"])
+
+
+_O_DIFF_KWAY_REPAIR = f"""
+WITH {_KWAY_CONSENSUS_CORE.strip()},
+cons AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM r WHERE rn = 1
+),
+b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT n.*, 'I' AS op
+FROM cons n
+WHERE NOT EXISTS (SELECT 1 FROM b o WHERE o.o_orderkey = n.o_orderkey)
+UNION ALL
+SELECT n.*, 'U' AS op
+FROM cons n JOIN b o ON n.o_orderkey = o.o_orderkey
+WHERE (n.o_custkey IS DISTINCT FROM o.o_custkey)
+   OR (n.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+   OR (n.o_totalprice IS DISTINCT FROM o.o_totalprice)
+   OR (n.o_orderdate IS DISTINCT FROM o.o_orderdate)
+   OR (n.o_orderpriority IS DISTINCT FROM o.o_orderpriority)
+UNION ALL
+SELECT o.*, 'D' AS op
+FROM b o
+WHERE NOT EXISTS (SELECT 1 FROM cons n WHERE n.o_orderkey = o.o_orderkey)
+"""
+
+
+QUERIES["diff_kway_consensus"] = _q_diff_kway_consensus
+ORACLES["diff_kway_consensus"] = _O_DIFF_KWAY_CONSENSUS
+QUERIES["diff_kway_repair"] = _q_diff_kway_repair
+ORACLES["diff_kway_repair"] = _O_DIFF_KWAY_REPAIR

@@ -691,6 +691,68 @@ def diff_kway(
     )
 
 
+def consensus_state(
+    sources: "Sequence[tuple[str, DataFrame]]",
+    keys: Sequence[str],
+    *,
+    quorum: int = 1,
+) -> DataFrame:
+    """The majority-vote STATE table behind :func:`diff_kway`: per key,
+    the payload held by the largest replica group (same deterministic
+    tiebreak — count DESC, then smallest member name), as real columns.
+    ``quorum`` drops keys whose winning group is smaller than the
+    threshold (e.g. ``quorum=2`` in a 3-replica audit = only
+    majority-backed rows).
+
+    This is what the N-way repair loop diffs against:
+    ``repair_ops(consensus_state(sources, keys), replica, keys)``
+    (operators/cdc.py) emits exactly the I/U/D changelog that brings
+    one replica to the agreed state — the reference's
+    find-the-divergence mission (RangeComparator.java:106-166) carried
+    through to the fix, generalized past two clusters.
+
+    Same single-shuffle union-aggregation shape as :func:`diff_kway`;
+    the payload rides the vote as one struct, so a winning row's NULL
+    columns stay exactly that row's nulls (no cross-row mixing).
+    """
+    if len(sources) < 2:
+        raise ValueError("consensus_state needs at least two sources")
+    names = [n for n, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
+    keys = list(keys)
+    first = sources[0][1]
+    cols = list(first.columns)
+    payload_cols = [c for c in cols if c not in keys]
+    tagged = []
+    for name, df in sources:
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"source {name!r} lacks columns {missing}")
+        tagged.append(df.select(*cols, F.lit(name).alias("__src")))
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    g = u.groupBy(*keys, *payload_cols).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__src").alias("__mn"),
+    )
+    payload = (
+        F.struct(*[F.col(c) for c in payload_cols])
+        if payload_cols
+        else F.struct(F.lit(1).alias("__present"))
+    )
+    maj = F.min_by(
+        F.struct(F.col("__cnt").alias("c"), payload.alias("p")),
+        F.struct((-F.col("__cnt")).alias("nc"), F.col("__mn").alias("mn")),
+    )
+    per_key = g.groupBy(*keys).agg(maj.alias("__maj"))
+    out = per_key.filter(F.col("__maj.c") >= int(quorum))
+    return out.select(
+        *keys,
+        *[F.col(f"__maj.p.{c}").alias(c) for c in payload_cols],
+        F.col("__maj.c").cast("long").alias("n_votes"),
+    )
+
+
 def build_diff_common(
     src: DataFrame,
     tgt: DataFrame,

@@ -335,3 +335,39 @@ class TestDiffKway:
             diff_kway([("a", df), ("a", df)], ["k"])
         with pytest.raises(ValueError, match="lacks columns"):
             diff_kway([("a", df), ("b", df.drop("v"))], ["k"])
+
+
+class TestConsensusState:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_majority_payload_and_quorum(self, spark):
+        from cassandra_diff_spark.operators.diff import consensus_state
+
+        a = self._snap(spark, [(1, "good"), (2, "good"), (3, None)])
+        b = self._snap(spark, [(1, "good"), (2, "bad"), (3, "x")])
+        c = self._snap(spark, [(1, "good"), (2, "good")])
+        srcs = [("a", a), ("b", b), ("c", c)]
+        full = {r.k: r for r in consensus_state(srcs, ["k"]).collect()}
+        # nulls ride the winning row untouched; 1-1 tie at key 3 -> 'a'
+        assert (full[1].v, full[1].n_votes) == ("good", 3)
+        assert (full[2].v, full[2].n_votes) == ("good", 2)
+        assert (full[3].v, full[3].n_votes) == (None, 1)
+        q2 = {r.k for r in consensus_state(srcs, ["k"], quorum=2).collect()}
+        assert q2 == {1, 2}
+
+    def test_repair_to_consensus(self, spark):
+        from cassandra_diff_spark.operators.cdc import apply_changelog, repair_ops
+        from cassandra_diff_spark.operators.diff import consensus_state
+
+        a = self._snap(spark, [(1, "good"), (2, "good")])
+        b = self._snap(spark, [(1, "good"), (2, "bad"), (9, "junk")])
+        c = self._snap(spark, [(1, "good"), (2, "good")])
+        cons = consensus_state([("a", a), ("b", b), ("c", c)], ["k"]).drop(
+            "n_votes"
+        )
+        plan = repair_ops(cons, b, ["k"], ts_col="op_ts", ts_value=None)
+        healed = apply_changelog(b, plan, ["k"], ts_col="op_ts")
+        assert sorted((r.k, r.v) for r in healed.collect()) == sorted(
+            (r.k, r.v) for r in cons.collect()
+        )
