@@ -371,3 +371,37 @@ class TestConsensusState:
         assert sorted((r.k, r.v) for r in healed.collect()) == sorted(
             (r.k, r.v) for r in cons.collect()
         )
+
+
+class TestDiffFamilyPlans:
+    """Physical-shape assertions for the snapshot/k-way family: the
+    docstring claims (single-shuffle union pairing; no joins) hold in
+    the executed plan, so a regression that silently reintroduces a
+    join or extra exchange fails loudly."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_snapshot_delta_single_shuffle(self, spark):
+        from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+        a = spark.createDataFrame([(1, "x")], "k long, v string")
+        b = spark.createDataFrame([(1, "y")], "k long, v string")
+        p = self._plan(snapshot_delta(a, b, ["k"]))
+        assert p.count("Exchange") == 1
+        assert "Join" not in p
+
+    def test_kway_two_shuffles_no_join(self, spark):
+        from cassandra_diff_spark.operators.diff import (
+            consensus_state,
+            diff_kway,
+        )
+
+        dfs = [
+            (n, spark.createDataFrame([(1, "x")], "k long, v string"))
+            for n in ("a", "b", "c")
+        ]
+        for op in (diff_kway, consensus_state):
+            p = self._plan(op(dfs, ["k"]))
+            assert p.count("Exchange hashpartitioning") == 2, op.__name__
+            assert "Join" not in p, op.__name__
