@@ -129,6 +129,18 @@ HEADLINE = [
     "events_interval_coverage",
     "events_gap_report",
     "lineitem_weighted_quantiles_refined",
+    # round-6 session-4 additions
+    "cdc_snapshot_delta",
+    "diff_kway_orders",
+    "diff_kway_repair",
+    "curate_mix_to_target",
+    "profile_entropy",
+    "profile_mutual_info",
+    "embedding_covariance_fold",
+    "dedup_canonical_url",
+    "multimodal_image_ahash",
+    "multimodal_audio_energy",
+    "search_hybrid_rrf",
 ]
 
 
