@@ -7460,3 +7460,91 @@ QUERIES["diff_kway_consensus"] = _q_diff_kway_consensus
 ORACLES["diff_kway_consensus"] = _O_DIFF_KWAY_CONSENSUS
 QUERIES["diff_kway_repair"] = _q_diff_kway_repair
 ORACLES["diff_kway_repair"] = _O_DIFF_KWAY_REPAIR
+
+
+def _q_text_novelty(spark, sf_dir):
+    """Corpus-wide n-gram novelty per document: the fraction of its
+    3-gram shingles occurring nowhere else (exact milli-fraction);
+    document frequency via a count window over the one hash-partitioned
+    shingle frame — no self-join, hashes only on the wire."""
+    from cassandra_diff_spark.operators.curate import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+_O_TEXT_NOVELTY = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s
+        FROM documents)
+),
+c AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS dfh FROM sh
+)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dfh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((SUM(CASE WHEN dfh = 1 THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+            AS BIGINT) AS novelty_milli
+FROM c GROUP BY doc_id
+"""
+
+
+QUERIES["text_novelty"] = _q_text_novelty
+ORACLES["text_novelty"] = _O_TEXT_NOVELTY
+
+
+def _q_pipeline_hard_negatives(spark, sf_dir):
+    """Hard-negative mining composition: brute-force top-20 candidates
+    per query, minus a supplied duplicate-pair frame ((q+n) % 7 == 0 —
+    exercises both anti-join orientations), densely re-ranked to the
+    top-5 survivors."""
+    from cassandra_diff_spark.operators.similarity import hard_negatives
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("id_1")
+    )
+    dup = qs.crossJoin(
+        embs.select(F.col("vec_id").alias("id_2"))
+    ).filter((F.col("id_1") + F.col("id_2")) % 7 == 0)
+    return hard_negatives(
+        embs,
+        embs.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        dup,
+        k=5,
+        candidate_k=20,
+    )
+
+
+_O_PIPELINE_HARD_NEGATIVES = f"""
+WITH {_QVEC_CTE.strip()},
+qs AS (SELECT * FROM n0 WHERE vec_id < 10),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM qs q JOIN n0 c ON c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+         ) AS rnk
+  FROM sc
+),
+kept AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rnk) AS rank
+  FROM cand
+  WHERE rnk <= 20 AND (query_id + neighbor_id) % 7 <> 0
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM kept WHERE rank <= 5
+"""
+
+
+QUERIES["pipeline_hard_negatives"] = _q_pipeline_hard_negatives
+ORACLES["pipeline_hard_negatives"] = _O_PIPELINE_HARD_NEGATIVES

@@ -1054,3 +1054,51 @@ def mix_to_target(
         df, domain_col, target_ppm, max_total=max_total
     )
     return stratified_sample(df, id_col, domain_col, rates, default_ppm=0)
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's word
+    n-grams occur NOWHERE else in the corpus — high novelty marks
+    original content worth keeping; near-zero novelty marks template/
+    boilerplate-dominated documents whose every shingle is shared (the
+    complement of the pairwise dedup view: corpus-wide commonness
+    without materializing any pair).
+
+    Output: ``(id, n_grams, n_unique, novelty_milli)`` with
+    ``novelty_milli = n_unique * 1000 // n_grams`` (exact integer
+    milli-fraction); documents with fewer than ``n`` words fingerprint
+    as ONE whole-text shingle (the :func:`word_shingles` contract), so
+    every non-null document gets a row.
+
+    Scale shape: the distinct (id, shingle-hash) frame shuffles ONCE on
+    the hash — document frequency comes from a count window over that
+    partitioning, not a self-join — then one groupBy(id) rollup. Only
+    60-bit hashes move; shingle text never leaves the scan.
+    """
+    from pyspark.sql import Window
+
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    sh = shingle_set(df, id_col, text_col, n=n, distinct=True)
+    dfh = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    c = sh.select("id", dfh.alias("__df"))
+    return (
+        c.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_unique",
+            # integer division end to end (the contamination discipline):
+            # a double divide could round across the floor boundary
+            F.expr("(n_unique * 1000) div n_grams").alias("novelty_milli"),
+        )
+    )

@@ -1254,3 +1254,51 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dup_pairs: DataFrame,
+    k: int = 5,
+    candidate_k: int = 20,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per query,
+    the nearest corpus vectors that are NOT known duplicates of it —
+    the "close but wrong" examples contrastive training needs (a
+    near-dup used as a negative teaches the model to split identical
+    content; this is the standard guard against that).
+
+    ``dup_pairs`` is any (id_1, id_2) pair frame — MinHash/SimHash/
+    embedding near-dup output or resolved clusters — treated as
+    undirected. Candidates come from :func:`brute_force_topk` at
+    ``candidate_k`` depth (swap in the IVF/LSH variants at scale — any
+    (query_id, neighbor_id, rank) frame works via ``candidates=``-style
+    composition); known duplicates are removed by an anti-join on both
+    orientations, and the survivors re-rank densely to
+    ``(query_id, neighbor_id, rank)`` with rank 1..k.
+
+    Scale shape: the expensive step is the ANN retrieval the caller
+    already chose; the exclusion is an anti-join of a top-k-sized frame
+    against the pair frame on (query, neighbor) — drift-sized, never
+    corpus-sized. A query whose candidate list is exhausted by
+    duplicates yields fewer than k rows (deepen ``candidate_k``).
+    """
+    cand = brute_force_topk(corpus, queries, id_col, vec_col, k=candidate_k)
+    p = dup_pairs.select("id_1", "id_2")
+    both = p.unionByName(
+        p.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
+    )
+    kept = cand.join(
+        both,
+        (cand["query_id"] == both["id_1"]) & (cand["neighbor_id"] == both["id_2"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1595,3 +1595,119 @@ class TestMixToTarget:
         out = mix_to_target(df, "id", "dom", {"web": 1, "code": 1})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNoveltyScores:
+    def test_known_fractions(self, spark):
+        from cassandra_diff_spark.operators.curate import novelty_scores
+
+        # doc 1: shingles {p q r, q r s}; "p q r" shared with doc 2
+        # doc 2: {p q r, q r z, r z z2, z z2 z3} -> 3 of 4 unique
+        # doc 3: fully unique; doc 4: short doc -> one whole-text shingle
+        df = spark.createDataFrame(
+            [
+                (1, "p q r s"),
+                (2, "p q r z z2 z3"),
+                (3, "alpha beta gamma delta"),
+                (4, "hi there"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: (r.n_grams, r.n_unique, r.novelty_milli)
+            for r in novelty_scores(df, "doc_id", "text", n=3).collect()
+        }
+        assert got == {
+            1: (2, 1, 500),
+            2: (4, 3, 750),
+            3: (2, 2, 1000),
+            4: (1, 1, 1000),
+        }
+
+    def test_verbatim_copy_scores_zero(self, spark):
+        from cassandra_diff_spark.operators.curate import novelty_scores
+
+        text = "one two three four five six seven"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        rows = novelty_scores(df, "doc_id", "text", n=3).collect()
+        assert len(rows) == 2
+        assert all(r.n_unique == 0 and r.novelty_milli == 0 for r in rows)
+
+    def test_repeated_shingle_within_doc_counts_once(self, spark):
+        from cassandra_diff_spark.operators.curate import novelty_scores
+
+        # "a b c" occurs twice inside doc 1 but nowhere else: the
+        # distinct shingle set makes it corpus-unique (df == 1)
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "x y z w")], "doc_id long, text string"
+        )
+        got = {r.id: r for r in novelty_scores(df, "doc_id", "text", n=3).collect()}
+        r1 = got[1]
+        # distinct shingles of "a b c a b c": {a b c, b c a, c a b}
+        assert r1.n_grams == 3 and r1.n_unique == 3 and r1.novelty_milli == 1000
+
+
+class TestHardNegatives:
+    def _frames(self, spark):
+        # 1-d direction encoded in 2-d so cosine ordering is explicit:
+        # corpus 10..14 at increasing angles from query 0's direction
+        import math
+
+        rows = [(0, [1.0, 0.0])]
+        for i, deg in enumerate([5, 10, 15, 20, 25]):
+            a = math.radians(deg)
+            rows.append((10 + i, [math.cos(a), math.sin(a)]))
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return embs, embs.filter(F.col("vec_id") == 0)
+
+    def test_excludes_dups_and_reranks_densely(self, spark):
+        from cassandra_diff_spark.operators.similarity import hard_negatives
+
+        embs, q = self._frames(spark)
+        # nearest (10) and third-nearest (12) are known duplicates,
+        # one given in each orientation
+        dup = spark.createDataFrame(
+            [(0, 10), (12, 0)], "id_1 long, id_2 long"
+        )
+        got = [
+            (r.neighbor_id, r.rank)
+            for r in hard_negatives(
+                embs, q, "vec_id", "embedding", dup, k=3, candidate_k=5
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(11, 1), (13, 2), (14, 3)]
+
+    def test_exhausted_candidates_yield_fewer_rows(self, spark):
+        from cassandra_diff_spark.operators.similarity import hard_negatives
+
+        embs, q = self._frames(spark)
+        # candidate_k=2 and both candidates are dups -> nothing survives
+        dup = spark.createDataFrame([(0, 10), (0, 11)], "id_1 long, id_2 long")
+        out = hard_negatives(
+            embs, q, "vec_id", "embedding", dup, k=3, candidate_k=2
+        )
+        assert out.count() == 0
+
+    def test_no_dups_matches_brute_force(self, spark):
+        from cassandra_diff_spark.operators.similarity import (
+            brute_force_topk,
+            hard_negatives,
+        )
+
+        embs, q = self._frames(spark)
+        empty = spark.createDataFrame([], "id_1 long, id_2 long")
+        a = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in hard_negatives(
+                embs, q, "vec_id", "embedding", empty, k=3, candidate_k=5
+            ).collect()
+        )
+        b = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in brute_force_topk(embs, q, "vec_id", "embedding", k=3).collect()
+        )
+        assert a == b
