@@ -141,6 +141,8 @@ HEADLINE = [
     "multimodal_image_ahash",
     "multimodal_audio_energy",
     "search_hybrid_rrf",
+    "text_novelty",
+    "pipeline_hard_negatives",
 ]
 
 
