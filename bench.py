@@ -143,6 +143,8 @@ HEADLINE = [
     "search_hybrid_rrf",
     "text_novelty",
     "pipeline_hard_negatives",
+    "curate_split_neardup",
+    "vocab_pmi",
 ]
 
 

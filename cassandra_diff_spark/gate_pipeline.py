@@ -7548,3 +7548,96 @@ FROM kept WHERE rank <= 5
 
 QUERIES["pipeline_hard_negatives"] = _q_pipeline_hard_negatives
 ORACLES["pipeline_hard_negatives"] = _O_PIPELINE_HARD_NEGATIVES
+
+
+def _q_curate_split_neardup(spark, sf_dir):
+    """Leakage-proof 90/5/5 split: every member of a MinHash near-dup
+    cluster hashes on the component's min-id label, so no near-duplicate
+    pair ever straddles the train/test boundary; singletons hash on
+    their own id (which IS their singleton label)."""
+    from cassandra_diff_spark.operators.curate import assign_split_grouped
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text")
+    return assign_split_grouped(
+        d, "doc_id", pairs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=5
+    ).select("doc_id", "split")
+
+
+_SPLIT_KEY_ND = "coalesce(l.cluster_id, d.doc_id)::VARCHAR || ':5'"
+
+_O_CURATE_SPLIT_NEARDUP = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+{_SIG_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {_BAND_CONDS}
+),
+edges AS (
+  SELECT id_1 AS a, id_2 AS b FROM pairs
+  UNION ALL
+  SELECT id_2, id_1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CASE WHEN ({md5_hash64_sql(_SPLIT_KEY_ND)} % 1000000) < 900000
+              THEN 'train'
+            WHEN ({md5_hash64_sql(_SPLIT_KEY_ND)} % 1000000) < 950000
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+"""
+
+
+QUERIES["curate_split_neardup"] = _q_curate_split_neardup
+ORACLES["curate_split_neardup"] = _O_CURATE_SPLIT_NEARDUP
+
+
+def _q_vocab_pmi(spark, sf_dir):
+    """Collocation mining: symmetric window-2 skipgram co-occurrence
+    counts over the documents corpus, scored as integer micro-nat PMI
+    (marginals over the FULL matrix, min_count=3 display filter)."""
+    from cassandra_diff_spark.operators.vocab import cooccurrence_counts, pmi_pairs
+
+    cooc = cooccurrence_counts(_docs(spark, sf_dir), "text", window=2)
+    return pmi_pairs(cooc, min_count=3)
+
+
+_O_VOCAB_PMI = f"""
+WITH toks AS (SELECT {words_sql('text')} AS w FROM documents),
+pos AS (SELECT w, unnest(range(1, len(w))) AS i FROM toks),
+pr0 AS (
+  SELECT w[i] AS a, w[i + d] AS b
+  FROM pos, (SELECT unnest(range(1, 3)) AS d) dd
+  WHERE i + d <= len(w) AND w[i] <> '' AND w[i + d] <> ''
+),
+pr AS (SELECT a, b FROM pr0 UNION ALL SELECT b, a FROM pr0),
+c AS (
+  SELECT a AS token_a, b AS token_b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pr GROUP BY 1, 2
+),
+m AS (
+  SELECT token_a, token_b, n,
+         CAST(SUM(n) OVER (PARTITION BY token_a) AS BIGINT) AS ca,
+         CAST(SUM(n) OVER (PARTITION BY token_b) AS BIGINT) AS cb,
+         CAST(SUM(n) OVER () AS BIGINT) AS nn
+  FROM c
+)
+SELECT token_a, token_b, n,
+       CAST(ROUND(ln((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
+                     / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS pmi_micronat
+FROM m WHERE n >= 3
+"""
+
+
+QUERIES["vocab_pmi"] = _q_vocab_pmi
+ORACLES["vocab_pmi"] = _O_VOCAB_PMI

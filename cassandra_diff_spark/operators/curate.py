@@ -1102,3 +1102,47 @@ def novelty_scores(
             F.expr("(n_unique * 1000) div n_grams").alias("novelty_milli"),
         )
     )
+
+
+def assign_split_grouped(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: "dict[str, float]",
+    *,
+    seed: int = 0,
+    out_col: str = "split",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Leakage-proof train/val/test assignment across duplicate clusters:
+    every member of a connected duplicate component lands in the SAME
+    split. Plain :func:`assign_split` hashes each id independently, so a
+    near-duplicate pair can straddle the train/test boundary — the
+    training set then contains a paraphrase of a test document and the
+    eval is contaminated by construction. Here the split key is the
+    component's min-id label (from :func:`dedup_clusters` over any
+    (id_1, id_2) pair frame — MinHash/SimHash/containment/embedding
+    output all compose), so the whole cluster moves together; ids in no
+    pair hash on their own id, which IS their singleton label.
+
+    Same determinism contract as assign_split: pure function of
+    (label, seed), so growing the corpus or re-pairing non-members never
+    moves an existing cluster across a boundary. Expected split sizes
+    now count CLUSTERS, not rows — a heavy cluster shifts realized
+    fractions (by design: the alternative is leakage).
+
+    Scale shape: the label frame holds only ids that appear in a pair
+    (drift-sized, not corpus-sized); the corpus joins it once on id —
+    AQE broadcasts it when small — and the assignment itself stays one
+    map-side hash expression.
+    """
+    from cassandra_diff_spark.operators.dedup import dedup_clusters
+
+    labels = dedup_clusters(pairs, max_iters=max_iters).select(
+        F.col("id").alias("__asg_id"), F.col("cluster_id").alias("__asg_label")
+    )
+    keyed = df.join(labels, df[id_col] == labels["__asg_id"], "left").withColumn(
+        "__split_key", F.coalesce(F.col("__asg_label"), F.col(id_col))
+    )
+    out = assign_split(keyed, "__split_key", splits, seed=seed, out_col=out_col)
+    return out.drop("__asg_id", "__asg_label", "__split_key")

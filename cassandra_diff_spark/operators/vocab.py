@@ -411,3 +411,97 @@ def hash_embed_tfidf(
             F.size("__p").cast("long").alias("n_tokens"),
         )
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    text_col: str,
+    window: int = 2,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Skipgram co-occurrence counts — the word2vec/GloVe statistics
+    pass: for every token position, count each token within the next
+    ``window`` positions as a context. ``symmetric=True`` (the usual
+    co-occurrence matrix) also credits the mirrored (context, center)
+    event, so each within-window token pair contributes one count in
+    each direction; ``False`` keeps only left-to-right pairs.
+
+    Output: ``(token_a, token_b, n)``. Empty tokens (the ``words('')``
+    artifact) are excluded, same contract as :func:`token_counts`.
+
+    Scale shape: pair generation is a pure Catalyst nested-transform
+    over the per-document words array — the token stream explodes once
+    into (a, b) pairs and meets ONE map-side-combined groupBy whose
+    reduce cardinality is the DISTINCT pair-type count (Zipf-bounded),
+    not the corpus pair count. No join, no window, no Python.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = df.select(words(F.col(text_col)).alias("__w"))
+    sz = F.size(F.col("__w"))
+    # sequence(1, 0) would DESCEND ([1, 0]) — guard short docs explicitly
+    outer = F.when(sz >= 2, F.sequence(F.lit(1), sz - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.flatten(
+        F.transform(
+            outer,
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(window), sz - i)),
+                lambda d: F.struct(
+                    F.element_at(F.col("__w"), i).alias("a"),
+                    F.element_at(F.col("__w"), i + d).alias("b"),
+                ),
+            ),
+        )
+    )
+    p = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+        .filter((F.col("token_a") != "") & (F.col("token_b") != ""))
+    )
+    if symmetric:
+        p = p.unionByName(
+            p.select(
+                F.col("token_b").alias("token_a"),
+                F.col("token_a").alias("token_b"),
+            )
+        )
+    return p.groupBy("token_a", "token_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def pmi_pairs(cooc: DataFrame, min_count: int = 1) -> DataFrame:
+    """Pointwise mutual information over a co-occurrence frame — the
+    collocation/phrase-mining signal ("new york" binds; "of the" does
+    not): ``PMI(a,b) = ln(n_ab * N / (n_a * n_b))`` in integer
+    micro-nats with the per-cell rounding discipline of
+    :func:`~cassandra_diff_spark.operators.stats.mutual_info`, so the
+    score is bit-identical in any engine.
+
+    Marginals are computed over the FULL matrix before the
+    ``min_count`` display filter (dropping rare pairs must not deflate
+    the denominators). Output: ``(token_a, token_b, n, pmi_micronat)``.
+
+    Scale shape: the corpus-sized work already happened in
+    :func:`cooccurrence_counts`; here the windows and the broadcast
+    global total run over the pair-TYPE frame (Zipf-bounded — the
+    mutual_info posture at vocabulary scale, never a data rescan).
+    """
+    ca = F.sum("n").over(Window.partitionBy("token_a"))
+    cb = F.sum("n").over(Window.partitionBy("token_b"))
+    total = cooc.agg(F.sum("n").alias("__nn"))
+    cells = cooc.select(
+        "token_a", "token_b", "n", ca.alias("__ca"), cb.alias("__cb")
+    ).crossJoin(F.broadcast(total))
+    n_d = F.col("n").cast("double")
+    term = F.round(
+        F.log(
+            (n_d * F.col("__nn").cast("double"))
+            / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        cells.filter(F.col("n") >= min_count)
+        .select("token_a", "token_b", "n", term.alias("pmi_micronat"))
+    )

@@ -1711,3 +1711,85 @@ class TestHardNegatives:
             for r in brute_force_topk(embs, q, "vec_id", "embedding", k=3).collect()
         )
         assert a == b
+
+
+class TestAssignSplitGrouped:
+    def _splits(self):
+        return {"train": 0.6, "val": 0.2, "test": 0.2}
+
+    def test_cluster_members_share_split(self, spark):
+        from cassandra_diff_spark.operators.curate import (
+            assign_split,
+            assign_split_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(1, 9)], "doc_id long, text string"
+        )
+        # chain 1-2, 2-3 (one component) and pair 5-7; 4, 6, 8 singletons
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 7)], "id_1 long, id_2 long"
+        )
+        got = {
+            r.doc_id: r.split
+            for r in assign_split_grouped(
+                df, "doc_id", pairs, self._splits(), seed=3
+            ).collect()
+        }
+        assert got[1] == got[2] == got[3]
+        assert got[5] == got[7]
+        # the shared split is the one the min-id label hashes to, and
+        # singletons match plain assign_split exactly
+        ref = {
+            r.doc_id: r.split
+            for r in assign_split(df, "doc_id", self._splits(), seed=3).collect()
+        }
+        assert got[1] == ref[1] and got[5] == ref[5]
+        for s in (4, 6, 8):
+            assert got[s] == ref[s]
+
+    def test_growth_never_moves_existing_rows(self, spark):
+        from cassandra_diff_spark.operators.curate import assign_split_grouped
+
+        pairs = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+        small = spark.createDataFrame(
+            [(i, "t") for i in range(1, 5)], "doc_id long, text string"
+        )
+        big = spark.createDataFrame(
+            [(i, "t") for i in range(1, 50)], "doc_id long, text string"
+        )
+        a = {
+            r.doc_id: r.split
+            for r in assign_split_grouped(
+                small, "doc_id", pairs, self._splits(), seed=9
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.split
+            for r in assign_split_grouped(
+                big, "doc_id", pairs, self._splits(), seed=9
+            ).collect()
+        }
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_no_pairs_equals_plain_assign_split(self, spark):
+        from cassandra_diff_spark.operators.curate import (
+            assign_split,
+            assign_split_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "t") for i in range(100)], "doc_id long, text string"
+        )
+        empty = spark.createDataFrame([], "id_1 long, id_2 long")
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in assign_split_grouped(
+                df, "doc_id", empty, self._splits(), seed=1
+            ).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in assign_split(df, "doc_id", self._splits(), seed=1).collect()
+        )
+        assert a == b

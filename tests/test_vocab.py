@@ -311,3 +311,109 @@ class TestHashEmbedTfidf:
         # the idf map collapses via a SinglePartition agg and joins in as
         # a 1-row broadcast; the token stream never hash-partitions
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestCooccurrence:
+    def test_window_and_symmetry(self, spark):
+        from cassandra_diff_spark.operators.vocab import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "a b c a")], "id long, text string")
+        # window=2 directed pairs: (a,b) (a,c) (b,c) (b,a) (c,a)
+        directed = {
+            (r.token_a, r.token_b): r.n
+            for r in cooccurrence_counts(
+                df, "text", window=2, symmetric=False
+            ).collect()
+        }
+        # i=1: (a,b) (a,c); i=2: (b,c) (b,a); i=3: (c,a)
+        assert directed == {
+            ("a", "b"): 1,
+            ("a", "c"): 1,
+            ("b", "c"): 1,
+            ("b", "a"): 1,
+            ("c", "a"): 1,
+        }
+        sym = {
+            (r.token_a, r.token_b): r.n
+            for r in cooccurrence_counts(
+                df, "text", window=2, symmetric=True
+            ).collect()
+        }
+        # every directed count plus its mirror
+        for (a, b), n in directed.items():
+            assert sym[(a, b)] == n + directed.get((b, a), 0)
+
+    def test_short_and_empty_docs_contribute_nothing(self, spark):
+        from cassandra_diff_spark.operators.vocab import cooccurrence_counts
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "  ")], "id long, text string"
+        )
+        assert cooccurrence_counts(df, "text").count() == 0
+
+    def test_window_one_is_adjacent_bigrams(self, spark):
+        from cassandra_diff_spark.operators.vocab import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "x y z")], "id long, text string")
+        got = {
+            (r.token_a, r.token_b): r.n
+            for r in cooccurrence_counts(
+                df, "text", window=1, symmetric=False
+            ).collect()
+        }
+        assert got == {("x", "y"): 1, ("y", "z"): 1}
+
+
+class TestPMI:
+    def test_reference_values(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.vocab import (
+            cooccurrence_counts,
+            pmi_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "c d c d")], "id long, text string"
+        )
+        cooc = cooccurrence_counts(df, "text", window=1, symmetric=True)
+        rows = {(r.token_a, r.token_b): r for r in pmi_pairs(cooc).collect()}
+        # python reference over the same counts
+        counts = {
+            (r.token_a, r.token_b): r.n for r in cooc.collect()
+        }
+        nn = sum(counts.values())
+        ca = {}
+        cb = {}
+        for (a, b), n in counts.items():
+            ca[a] = ca.get(a, 0) + n
+            cb[b] = cb.get(b, 0) + n
+        for (a, b), n in counts.items():
+            want = round(math.log(n * nn / (ca[a] * cb[b])) * 1e6)
+            assert rows[(a, b)].pmi_micronat == want, (a, b)
+        # bound tokens score higher than cross-corpus independence
+        assert rows[("a", "b")].pmi_micronat > 0
+
+    def test_min_count_filters_display_not_marginals(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            cooccurrence_counts,
+            pmi_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b c")], "id long, text string"
+        )
+        cooc = cooccurrence_counts(df, "text", window=1, symmetric=True)
+        all_rows = {
+            (r.token_a, r.token_b): r.pmi_micronat
+            for r in pmi_pairs(cooc, min_count=1).collect()
+        }
+        filt = {
+            (r.token_a, r.token_b): r.pmi_micronat
+            for r in pmi_pairs(cooc, min_count=2).collect()
+        }
+        # filtered rows vanish; surviving scores are unchanged (the
+        # marginals still saw the rare pairs)
+        assert ("b", "c") not in filt and ("b", "c") in all_rows
+        for k, v in filt.items():
+            assert all_rows[k] == v
