@@ -145,6 +145,10 @@ HEADLINE = [
     "pipeline_hard_negatives",
     "curate_split_neardup",
     "vocab_pmi",
+    "eval_pair_metrics",
+    "eval_retrieval_lsh",
+    "eval_kappa_orders",
+    "eval_majority_label",
 ]
 
 

@@ -7641,3 +7641,214 @@ FROM m WHERE n >= 3
 
 QUERIES["vocab_pmi"] = _q_vocab_pmi
 ORACLES["vocab_pmi"] = _O_VOCAB_PMI
+
+
+# ---------------------------------------------------------------------------
+# round 6: evaluation operators — pair P/R/F1, retrieval recall@k/MRR,
+# Cohen's kappa, majority-vote label aggregation
+
+
+def _q_eval_pair_metrics(spark, sf_dir):
+    """pair_metrics over two mod-derived pair frames (pred given in the
+    REVERSED orientation so the canonicalizer is on the hook): tp at
+    doc_id % 6, fp at % 2 only, fn at % 3 only."""
+    from cassandra_diff_spark.operators.evaluate import pair_metrics
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    pred = ids.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("id_1"), F.col("doc_id").alias("id_2")
+    )
+    truth = ids.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id_1"), (F.col("doc_id") + 1).alias("id_2")
+    )
+    return pair_metrics(pred, truth)
+
+
+_O_EVAL_PAIR_METRICS = """
+WITH p AS (
+  SELECT doc_id AS id_1, doc_id + 1 AS id_2 FROM documents WHERE doc_id % 2 = 0
+),
+t AS (
+  SELECT doc_id AS id_1, doc_id + 1 AS id_2 FROM documents WHERE doc_id % 3 = 0
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN p.id_1 IS NOT NULL AND t.id_1 IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN p.id_1 IS NOT NULL AND t.id_1 IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN p.id_1 IS NULL AND t.id_1 IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM p FULL OUTER JOIN t ON p.id_1 = t.id_1 AND p.id_2 = t.id_2
+)
+SELECT tp + fp AS n_pred, tp + fn AS n_truth, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE (1000 * tp) // (tp + fp) END AS precision_milli,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE (1000 * tp) // (tp + fn) END AS recall_milli,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE (2000 * tp) // (2 * tp + fp + fn) END AS f1_milli
+FROM c
+"""
+
+
+def _q_eval_retrieval_lsh(spark, sf_dir):
+    """Index-honesty harness as a gate: how well does the LSH top-10
+    cover the EXACT brute-force top-3 per query — recall@10 (micro +
+    macro) and MRR in exact integer units."""
+    from cassandra_diff_spark.operators.evaluate import retrieval_metrics
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 10)
+    pred = similarity.hyperplane_lsh_topk(
+        embs, qs, "vec_id", "embedding", k=10
+    )
+    truth = similarity.brute_force_topk(
+        embs, qs, "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id")
+    return retrieval_metrics(pred, truth, k=10)
+
+
+_O_EVAL_RETRIEVAL_LSH = f"""
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0),
+lsh_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM s0 WHERE vec_id < 10) q
+  JOIN s0 c ON c.vec_id <> q.vec_id AND ({_LSH_CAND_CONDS})
+),
+lsh AS (
+  SELECT query_id, neighbor_id, rnk AS rank
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM lsh_sc)
+  WHERE rnk <= 10
+),
+br_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM n0 WHERE vec_id < 10) q
+  JOIN n0 c ON c.vec_id <> q.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM br_sc)
+  WHERE rnk <= 3
+),
+hit AS (
+  SELECT l.query_id, l.rank
+  FROM lsh l JOIN brute b
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+),
+per_hit AS (
+  SELECT query_id, COUNT(*) AS hits, MIN(rank) AS first_rank
+  FROM hit GROUP BY query_id
+),
+rel AS (SELECT query_id, COUNT(*) AS rel FROM brute GROUP BY query_id),
+per_q AS (
+  SELECT r.rel, COALESCE(h.hits, 0) AS hits,
+         COALESCE(1000000 // h.first_rank, 0) AS rr
+  FROM rel r LEFT JOIN per_hit h ON r.query_id = h.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS sum_hits,
+       CAST(SUM(rel) AS BIGINT) AS sum_relevant,
+       CAST((1000 * SUM(hits)) // SUM(rel) AS BIGINT) AS micro_recall_milli,
+       CAST(SUM((1000 * hits) // rel) // COUNT(*) AS BIGINT) AS macro_recall_milli,
+       CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_micro
+FROM per_q
+"""
+
+
+def _q_eval_kappa_orders(spark, sf_dir):
+    """Inter-annotator agreement over orders: rater A is the real
+    o_orderpriority; rater B disagrees at orderkey % 7 ('DISPUTED', a
+    label A never uses) and abstains (NULL category) at % 13."""
+    from cassandra_diff_spark.operators.evaluate import cohen_kappa
+
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("a"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("DISPUTED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("b"),
+    )
+    return cohen_kappa(r, "a", "b")
+
+
+_O_EVAL_KAPPA_ORDERS = """
+WITH r AS (
+  SELECT o_orderpriority AS a,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_orderkey % 7 = 0 THEN 'DISPUTED'
+              ELSE o_orderpriority END AS b
+  FROM orders
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree
+  FROM r
+),
+ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM r GROUP BY a),
+mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM r GROUP BY b),
+s AS (
+  SELECT CAST(SUM(COALESCE(na, 0) * COALESCE(nb, 0)) AS BIGINT) AS S
+  FROM ma FULL OUTER JOIN mb ON ma.a IS NOT DISTINCT FROM mb.b
+)
+SELECT n AS n_items, agree AS n_agree,
+       (1000 * agree) // n AS po_milli,
+       CAST(ROUND(CAST(S AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                  * 1e6) AS BIGINT) AS pe_micro,
+       CASE WHEN n * n - S = 0 THEN NULL
+            ELSE CAST(ROUND(CAST(agree * n - S AS DOUBLE)
+                            / CAST(n * n - S AS DOUBLE) * 1e6) AS BIGINT)
+            END AS kappa_micro
+FROM base, s
+"""
+
+
+def _q_eval_majority_label(spark, sf_dir):
+    """Majority-vote label aggregation over REAL multi-row groups: each
+    lineitem votes its l_returnflag on its order; deterministic
+    (count DESC, label ASC) winner + agreement confidence."""
+    from cassandra_diff_spark.operators.evaluate import majority_label
+
+    li = load(spark, sf_dir, "lineitem")
+    return majority_label(li, "l_orderkey", "l_returnflag")
+
+
+_O_EVAL_MAJORITY_LABEL = """
+WITH g AS (
+  SELECT l_orderkey AS item, l_returnflag AS label,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT item, label, cnt,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cnt DESC, (label IS NULL), label) AS rnk,
+         CAST(SUM(cnt) OVER (PARTITION BY item) AS BIGINT) AS n_total
+  FROM g
+)
+SELECT item, label, cnt AS n_votes, n_total,
+       (1000 * cnt) // n_total AS agreement_milli
+FROM w WHERE rnk = 1
+"""
+
+
+QUERIES["eval_pair_metrics"] = _q_eval_pair_metrics
+ORACLES["eval_pair_metrics"] = _O_EVAL_PAIR_METRICS
+QUERIES["eval_retrieval_lsh"] = _q_eval_retrieval_lsh
+ORACLES["eval_retrieval_lsh"] = _O_EVAL_RETRIEVAL_LSH
+QUERIES["eval_kappa_orders"] = _q_eval_kappa_orders
+ORACLES["eval_kappa_orders"] = _O_EVAL_KAPPA_ORDERS
+QUERIES["eval_majority_label"] = _q_eval_majority_label
+ORACLES["eval_majority_label"] = _O_EVAL_MAJORITY_LABEL

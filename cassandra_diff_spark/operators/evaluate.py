@@ -1,0 +1,273 @@
+"""Pipeline-quality evaluation: the measurement operators that close the
+loop on the dedup / retrieval / labeling families — "how good is the
+pair set my LSH produced", "what recall does my ANN index hold",
+"do my annotators agree". The engine's exactness discipline applies:
+every reported metric is an integer milli/micro unit derived from exact
+integer counts, so the numbers are bit-identical in any engine and the
+DuckDB oracle gates them like any data operator.
+
+Scale shapes: all inputs here are RESULT frames (pair sets, top-k
+lists, label columns) — drift/top-k/label-cardinality sized, orders of
+magnitude below the corpora that produced them. Joins key on the pair
+or (query, neighbor) identity; aggregations are map-side combinable;
+nothing rescans source data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_pairs(pairs: DataFrame) -> DataFrame:
+    """Undirected pair canonicalization: (least, greatest), distinct,
+    self-pairs dropped."""
+    return (
+        pairs.select(
+            F.least(F.col("id_1"), F.col("id_2")).alias("id_1"),
+            F.greatest(F.col("id_1"), F.col("id_2")).alias("id_2"),
+        )
+        .filter(F.col("id_1") != F.col("id_2"))
+        .distinct()
+    )
+
+
+def pair_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Precision / recall / F1 of a predicted duplicate-pair frame
+    against a truth pair frame — the harness for tuning LSH bands,
+    containment thresholds, or blocking keys on a labeled sample before
+    paying for the 100 TB run.
+
+    Both inputs are (id_1, id_2) frames, treated as undirected sets
+    (canonicalized, deduplicated, self-pairs dropped). One row out:
+    ``(n_pred, n_truth, tp, fp, fn, precision_milli, recall_milli,
+    f1_milli)`` with every metric an exact integer milli-fraction
+    (``div`` end to end — no float enters). Empty pred or truth yields
+    NULL for the affected ratios (``div`` by zero), not an error.
+
+    The whole computation is ONE declarative plan (full-outer join of
+    the two canonical pair frames on the pair identity + a single
+    global aggregation) — no driver-side counting, lazily composable.
+    """
+    p = _canon_pairs(pred).withColumn("__p", F.lit(1))
+    t = _canon_pairs(truth).withColumn("__t", F.lit(1))
+    j = p.join(t, ["id_1", "id_2"], "full_outer")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    return agg.select(
+        F.expr("tp + fp").alias("n_pred"),
+        F.expr("tp + fn").alias("n_truth"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fp) END"
+        ).alias("precision_milli"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fn) END"
+        ).alias("recall_milli"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
+        ).alias("f1_milli"),
+    )
+
+
+def retrieval_metrics(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """Recall@k and MRR of a ranked retrieval frame against a relevance
+    frame — the harness that keeps an IVF/LSH/PQ index honest after
+    every rebuild (the scale probe's recall check as a first-class,
+    gate-checkable operator).
+
+    ``pred`` is ``(query_id, neighbor_id, rank)`` (any ANN operator's
+    output); ``truth`` is ``(query_id, neighbor_id)`` relevant pairs.
+    Queries with NO truth rows are excluded (their recall is
+    undefined); queries that appear in truth but retrieved nothing
+    still count (recall 0, reciprocal rank 0).
+
+    One row out, all exact integers:
+
+    * ``n_queries``, ``sum_hits``, ``sum_relevant``
+    * ``micro_recall_milli`` = ``1000 * sum_hits div sum_relevant``
+      (hit-weighted: big queries dominate)
+    * ``macro_recall_milli`` = mean of per-query ``1000*hits div rel``
+      (query-weighted: every query votes once)
+    * ``mrr_micro`` = mean of per-query ``1_000_000 div first_hit_rank``
+
+    Scale shape: one broadcast-able join of the top-k frame against the
+    relevance frame, then a per-query aggregation at query cardinality.
+    """
+    pk = pred.filter(F.col("rank") <= k)
+    hit = pk.join(truth, ["query_id", "neighbor_id"]).select(
+        "query_id", "rank"
+    )
+    per_hit = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.min("rank").alias("first_rank"),
+    )
+    rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("rel"))
+    per_q = rel.join(per_hit, "query_id", "left").select(
+        "query_id",
+        "rel",
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        F.coalesce(
+            F.expr("1000000 div first_rank"), F.lit(0)
+        ).alias("rr_micro"),
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("sum_hits"),
+        F.sum("rel").alias("sum_relevant"),
+        F.sum(F.expr("(1000 * hits) div rel")).alias("__macro_sum"),
+        F.sum("rr_micro").alias("__rr_sum"),
+    )
+    return agg.select(
+        "n_queries",
+        "sum_hits",
+        "sum_relevant",
+        F.expr(
+            "CASE WHEN sum_relevant = 0 THEN NULL"
+            " ELSE (1000 * sum_hits) div sum_relevant END"
+        ).alias("micro_recall_milli"),
+        F.expr(
+            "CASE WHEN n_queries = 0 THEN NULL"
+            " ELSE __macro_sum div n_queries END"
+        ).alias("macro_recall_milli"),
+        F.expr(
+            "CASE WHEN n_queries = 0 THEN NULL"
+            " ELSE __rr_sum div n_queries END"
+        ).alias("mrr_micro"),
+    )
+
+
+def cohen_kappa(df: DataFrame, label_a: str, label_b: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two label
+    columns — the labeled-data QA gate ("is this annotation batch
+    usable, or are the raters guessing"). NULL is a category (two
+    raters both abstaining is agreement; one abstaining is not), same
+    convention as the entropy/MI profilers.
+
+    kappa = (po - pe) / (1 - pe) with po = agree/n and
+    pe = sum_l count_a(l)*count_b(l) / n^2. Both are ratios of exact
+    integer counts, so the single float step is the final division:
+    ``kappa_micro = round(num/den * 1e6)`` over the exact int64
+    numerator ``agree*n - S`` and denominator ``n*n - S``
+    (S = sum of marginal products) — deterministic across engines
+    (the PMI/MI rounding discipline). den == 0 (pe == 1: both raters
+    constant) yields NULL kappa. Safe to n ~ 3e9 rows (n^2 < 2^63).
+
+    One row out: ``(n_items, n_agree, po_milli, pe_micro, kappa_micro)``.
+
+    Scale shape: ONE map-side-combined groupBy on the (a, b) label pair
+    (cell cardinality = |A|x|B|); marginals and their product sum come
+    from tiny aggregations OVER that kilobyte cell frame — the
+    mutual_info posture; the data is scanned once.
+    """
+    joint = (
+        df.select(
+            F.col(label_a).cast("string").alias("__a"),
+            F.col(label_b).cast("string").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    # S = sum_l ca(l)*cb(l): labels used by only ONE rater still
+    # contribute (their product is 0 only if the other marginal is 0) —
+    # a full-outer join of the two marginal frames covers both sides
+    ma = joint.groupBy("__a").agg(F.sum("cab").alias("na"))
+    mb = joint.groupBy(F.col("__b").alias("__bk")).agg(F.sum("cab").alias("nb"))
+    # null-safe equality: NULL is a category, so the NULL marginals of
+    # the two raters must meet (a plain join key would never match them)
+    marg = ma.join(mb, ma["__a"].eqNullSafe(mb["__bk"]), "full_outer").select(
+        (
+            F.coalesce(F.col("na"), F.lit(0))
+            * F.coalesce(F.col("nb"), F.lit(0))
+        ).alias("prod")
+    )
+    s_frame = marg.agg(F.sum("prod").alias("S"))
+    base = joint.agg(
+        F.sum("cab").alias("n"),
+        F.sum(
+            F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("cab")).otherwise(0)
+        ).alias("agree"),
+    )
+    out = base.crossJoin(F.broadcast(s_frame)).select(
+        F.col("n").alias("n_items"),
+        F.col("agree").alias("n_agree"),
+        F.expr("(1000 * agree) div n").alias("po_milli"),
+        F.round(
+            F.col("S").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("pe_micro"),
+        F.when(
+            (F.col("n") * F.col("n") - F.col("S")) != 0,
+            F.round(
+                (F.col("agree") * F.col("n") - F.col("S")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("S")).cast("double")
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("kappa_micro"),
+    )
+    return out
+
+
+def majority_label(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Per-item majority-vote label aggregation — turning N noisy votes
+    per item into one training label plus a confidence: the label with
+    the most votes wins, ties break to the LEXICALLY SMALLEST label
+    (deterministic — the diff_kway convention). NULL votes are a real
+    category (an item whose raters all abstained gets label NULL).
+
+    Output: ``(item, label, n_votes, n_total, agreement_milli)`` with
+    ``agreement_milli = 1000 * n_votes div n_total``.
+
+    Scale shape: groupBy (item, label) collapses agreeing votes
+    map-side; the winner is a min_by over at most |labels| rows per
+    item — two map-side-combinable aggregations, no window, no sort.
+    """
+    g = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(label_col).cast("string").alias("__label"),
+        )
+        .groupBy("item", "__label")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    win = F.min_by(
+        F.struct(F.col("__label").alias("l"), F.col("__cnt").alias("c")),
+        # count DESC, label ASC: minimize (-count, label); NULL labels
+        # sort AFTER real strings in min_by's struct order? No — make
+        # the order explicit: nulls lose ties via a 0/1 flag first
+        F.struct(
+            (-F.col("__cnt")).alias("nc"),
+            F.col("__label").isNull().cast("int").alias("nl"),
+            F.col("__label").alias("l"),
+        ),
+    )
+    out = g.groupBy("item").agg(
+        win.alias("__w"),
+        F.sum("__cnt").alias("n_total"),
+    )
+    return out.select(
+        "item",
+        F.col("__w.l").alias("label"),
+        F.col("__w.c").alias("n_votes"),
+        "n_total",
+        F.expr("(1000 * __w.c) div n_total").alias("agreement_milli"),
+    )

@@ -1,0 +1,182 @@
+"""Evaluation operators (operators/evaluate.py): hand-computed
+references for pair P/R/F1, retrieval recall@k/MRR, Cohen's kappa, and
+majority-vote label aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.evaluate import (
+    cohen_kappa,
+    majority_label,
+    pair_metrics,
+    retrieval_metrics,
+)
+
+
+class TestPairMetrics:
+    def test_hand_computed(self, spark):
+        pred = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "id_1 long, id_2 long"
+        )
+        truth = spark.createDataFrame(
+            [(1, 2), (3, 4), (7, 8)], "id_1 long, id_2 long"
+        )
+        r = pair_metrics(pred, truth).collect()[0]
+        assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+        assert (r.precision_milli, r.recall_milli, r.f1_milli) == (666, 666, 666)
+
+    def test_orientation_duplicates_and_self_pairs_normalize(self, spark):
+        # (2,1) == (1,2); duplicates collapse; self-pairs dropped
+        pred = spark.createDataFrame(
+            [(2, 1), (1, 2), (9, 9), (3, 4)], "id_1 long, id_2 long"
+        )
+        truth = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+        r = pair_metrics(pred, truth).collect()[0]
+        assert (r.n_pred, r.n_truth, r.tp, r.fp, r.fn) == (2, 1, 1, 1, 0)
+        assert r.recall_milli == 1000
+
+    def test_empty_sides_yield_null_ratios(self, spark):
+        empty = spark.createDataFrame([], "id_1 long, id_2 long")
+        truth = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+        r = pair_metrics(empty, truth).collect()[0]
+        assert r.tp == 0 and r.fn == 1
+        assert r.precision_milli is None and r.recall_milli == 0
+
+
+class TestRetrievalMetrics:
+    def test_hand_computed(self, spark):
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 11), (1, 13), (2, 20)], "query_id long, neighbor_id long"
+        )
+        r = retrieval_metrics(pred, truth, k=2).collect()[0]
+        # q1: hit 11 at rank 2 of rel 2 -> recall 500, rr 500000
+        # q2: nothing retrieved -> recall 0, rr 0
+        assert (r.n_queries, r.sum_hits, r.sum_relevant) == (2, 1, 3)
+        assert r.micro_recall_milli == 333
+        assert r.macro_recall_milli == 250
+        assert r.mrr_micro == 250000
+
+    def test_k_cutoff_excludes_deep_hits(self, spark):
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 5)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 11)], "query_id long, neighbor_id long"
+        )
+        r3 = retrieval_metrics(pred, truth, k=3).collect()[0]
+        r5 = retrieval_metrics(pred, truth, k=5).collect()[0]
+        assert r3.sum_hits == 0 and r3.mrr_micro == 0
+        assert r5.sum_hits == 1 and r5.mrr_micro == 200000
+
+    def test_perfect_retrieval(self, spark):
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 10), (2, 20)], "query_id long, neighbor_id long"
+        )
+        r = retrieval_metrics(pred, truth, k=1).collect()[0]
+        assert r.micro_recall_milli == 1000
+        assert r.macro_recall_milli == 1000
+        assert r.mrr_micro == 1000000
+
+
+class TestCohenKappa:
+    def test_hand_computed(self, spark):
+        # counts: (x,x)=4 (x,y)=2 (y,x)=1 (y,y)=3 -> n=10 agree=7
+        # ca = {x:6, y:4}, cb = {x:5, y:5}, S = 30+20 = 50
+        # po=0.7 pe=0.5 kappa = 0.4
+        rows = (
+            [("x", "x")] * 4 + [("x", "y")] * 2 + [("y", "x")] + [("y", "y")] * 3
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert (r.n_items, r.n_agree, r.po_milli) == (10, 7, 700)
+        assert r.pe_micro == 500000
+        assert r.kappa_micro == 400000
+
+    def test_null_is_a_category(self, spark):
+        # both-null agrees; one-null disagrees
+        df = spark.createDataFrame(
+            [(None, None), ("x", None), ("x", "x"), (None, "x")],
+            "a string, b string",
+        )
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert r.n_agree == 2
+        # marginals: a {null:2, x:2}, b {null:2, x:2} -> S = 4+4 = 8
+        # kappa = (2*4 - 8) / (16 - 8) = 0
+        assert r.kappa_micro == 0
+
+    def test_constant_raters_yield_null(self, spark):
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "x")], "a string, b string"
+        )
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert r.po_milli == 1000 and r.kappa_micro is None
+
+    def test_perfect_agreement_with_varied_labels(self, spark):
+        df = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+        )
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert r.kappa_micro == 1000000
+
+    def test_label_used_by_one_rater_still_feeds_pe(self, spark):
+        # rater b never says 'z'; rater a's z-marginal must still meet
+        # b's zero -> contributes 0, but b-only labels contribute too
+        df = spark.createDataFrame(
+            [("x", "x"), ("z", "x"), ("x", "w"), ("x", "x")],
+            "a string, b string",
+        )
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        # n=4 agree=2; ca={x:3,z:1} cb={x:3,w:1}; S = 3*3 = 9
+        # kappa = (8-9)/(16-9) = -1/7 -> -142857
+        assert r.n_agree == 2
+        assert r.kappa_micro == -142857
+
+    def test_kappa_below_zero_rounding(self, spark):
+        # worse-than-chance agreement rounds HALF-consistently in both
+        # engines (double round discipline) — value checked exactly
+        df = spark.createDataFrame(
+            [("x", "y"), ("y", "x")], "a string, b string"
+        )
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        # n=2 agree=0; S = 1*1 + 1*1 = 2; kappa = (0-2)/(4-2) = -1
+        assert r.kappa_micro == -1000000
+
+
+class TestMajorityLabel:
+    def test_majority_and_agreement(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "c")],
+            "item long, label string",
+        )
+        got = {r.item: r for r in majority_label(df, "item", "label").collect()}
+        assert got[1].label == "a" and got[1].n_votes == 2
+        assert got[1].n_total == 3 and got[1].agreement_milli == 666
+        assert got[2].label == "c" and got[2].agreement_milli == 1000
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "a")], "item long, label string"
+        )
+        r = majority_label(df, "item", "label").collect()[0]
+        assert r.label == "a" and r.n_votes == 1
+
+    def test_null_votes_count_but_lose_ties(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (1, "a"), (2, None), (2, "a"), (3, None)],
+            "item long, label string",
+        )
+        got = {r.item: r for r in majority_label(df, "item", "label").collect()}
+        assert got[1].label is None and got[1].n_votes == 2  # real majority
+        assert got[2].label == "a"  # tie -> null loses
+        assert got[3].label is None and got[3].agreement_milli == 1000
