@@ -180,3 +180,57 @@ class TestMajorityLabel:
         assert got[1].label is None and got[1].n_votes == 2  # real majority
         assert got[2].label == "a"  # tie -> null loses
         assert got[3].label is None and got[3].agreement_milli == 1000
+
+
+class TestCompositions:
+    def test_pair_metrics_scores_lsh_against_exact(self, spark, sf_dir):
+        """The intended workflow: tune LSH by scoring its pair frame
+        against exact Jaccard truth on a labeled sample."""
+        from cassandra_diff_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        # inject five exact near-dups (one-word prefix drop)
+        dup = docs.limit(5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr(
+                "array_join(slice(split(text, ' '), 2, 100000), ' ')"
+            ).alias("text"),
+        )
+        corpus = docs.select("doc_id", "text").unionByName(dup)
+        pred = minhash_lsh_pairs(corpus, "doc_id", "text").select("id_1", "id_2")
+        truth = ngram_jaccard_pairs(
+            corpus, "doc_id", "text", threshold_num=4, threshold_den=5
+        ).select("id_1", "id_2")
+        from cassandra_diff_spark.operators.evaluate import pair_metrics
+
+        r = pair_metrics(pred, truth).collect()[0]
+        # every injected pair is >= 0.8 Jaccard; LSH must recall them all
+        assert r.n_truth >= 5
+        assert r.recall_milli == 1000
+
+    def test_retrieval_metrics_matches_probe_style_recall(self, spark, sf_dir):
+        """recall@k from the operator equals the hand-rolled set math
+        the scale probe does."""
+        from cassandra_diff_spark.operators.evaluate import retrieval_metrics
+        from cassandra_diff_spark.operators.similarity import (
+            brute_force_topk,
+            hyperplane_lsh_topk,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = embs.filter(F.col("vec_id") < 5)
+        pred = hyperplane_lsh_topk(embs, qs, "vec_id", "embedding", k=5)
+        truth = brute_force_topk(embs, qs, "vec_id", "embedding", k=1).select(
+            "query_id", "neighbor_id"
+        )
+        r = retrieval_metrics(pred, truth, k=5).collect()[0]
+        hits = {
+            (x.query_id, x.neighbor_id)
+            for x in pred.filter(F.col("rank") <= 5).collect()
+        }
+        want = [(x.query_id, x.neighbor_id) in hits for x in truth.collect()]
+        assert r.sum_hits == sum(want)
+        assert r.n_queries == len(want)
