@@ -149,6 +149,7 @@ HEADLINE = [
     "eval_retrieval_lsh",
     "eval_kappa_orders",
     "eval_majority_label",
+    "text_novelty_incremental",
 ]
 
 

@@ -7852,3 +7852,41 @@ QUERIES["eval_kappa_orders"] = _q_eval_kappa_orders
 ORACLES["eval_kappa_orders"] = _O_EVAL_KAPPA_ORDERS
 QUERIES["eval_majority_label"] = _q_eval_majority_label
 ORACLES["eval_majority_label"] = _O_EVAL_MAJORITY_LABEL
+
+
+def _q_text_novelty_incremental(spark, sf_dir):
+    """Incremental novelty: batch = doc_id % 4 == 0 scored against the
+    persisted shingle index of the other three quarters; df recounted
+    over the union, so the result EQUALS the one-shot corpus-wide
+    novelty restricted to batch ids (the oracle is exactly that)."""
+    from cassandra_diff_spark.operators.curate import novelty_scores_incremental
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    d = _docs(spark, sf_dir)
+    corpus_idx = shingle_set(
+        d.filter(F.col("doc_id") % 4 != 0), "doc_id", "text", n=3, distinct=True
+    )
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    return novelty_scores_incremental(batch, corpus_idx, "doc_id", "text", n=3)
+
+
+_O_TEXT_NOVELTY_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {md5_hash64_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS s
+        FROM documents)
+),
+c AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS dfh FROM sh
+)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dfh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((SUM(CASE WHEN dfh = 1 THEN 1 ELSE 0 END) * 1000) // COUNT(*)
+            AS BIGINT) AS novelty_milli
+FROM c WHERE doc_id % 4 = 0 GROUP BY doc_id
+"""
+
+
+QUERIES["text_novelty_incremental"] = _q_text_novelty_incremental
+ORACLES["text_novelty_incremental"] = _O_TEXT_NOVELTY_INCREMENTAL

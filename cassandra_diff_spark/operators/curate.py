@@ -1146,3 +1146,51 @@ def assign_split_grouped(
     )
     out = assign_split(keyed, "__split_key", splits, seed=seed, out_col=out_col)
     return out.drop("__asg_id", "__asg_label", "__split_key")
+
+
+def novelty_scores_incremental(
+    new_df: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-snapshot novelty: score a NEW batch against the indexed
+    corpus without re-shingling the corpus — the routing question of an
+    ingestion pipeline ("is this crawl slice new material or yet more
+    of the same templates"). ``corpus_shingles`` is the same persisted
+    ``shingle_set`` ``(id, h)`` frame the containment-incremental path
+    uses — build once, write to parquet, reuse every batch.
+
+    EXACT ONE-SHOT PARITY: equals :func:`novelty_scores` over
+    corpus + batch restricted to batch ids, because document frequency
+    is recounted over the UNION of index and batch hashes (a batch doc
+    that repeats an earlier batch doc's shingles is not novel, and a
+    corpus shingle re-seen in the batch stops being unique — both fall
+    out of the union recount). Ids must be globally unique across
+    corpus + batch.
+
+    Scale shape: ONE groupBy over the union hash stream (map-side
+    combined, cardinality = distinct hashes) + one hash-join of the
+    batch shingles against that df frame — hash rows only on the wire,
+    corpus text never re-read.
+    """
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    new_sh = shingle_set(new_df, id_col, text_col, n=n, distinct=True)
+    union = corpus_shingles.select("h").unionByName(new_sh.select("h"))
+    dfh = union.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    c = new_sh.join(dfh, "h").select("id", "__df")
+    return (
+        c.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_unique",
+            F.expr("(n_unique * 1000) div n_grams").alias("novelty_milli"),
+        )
+    )

@@ -1793,3 +1793,59 @@ class TestAssignSplitGrouped:
             for r in assign_split(df, "doc_id", self._splits(), seed=1).collect()
         )
         assert a == b
+
+
+class TestNoveltyIncremental:
+    def test_one_shot_parity(self, spark, sf_dir):
+        from cassandra_diff_spark.operators.curate import (
+            novelty_scores,
+            novelty_scores_incremental,
+        )
+        from cassandra_diff_spark.operators.dedup import shingle_set
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = d.filter(F.col("doc_id") % 3 != 0)
+        batch = d.filter(F.col("doc_id") % 3 == 0)
+        idx = shingle_set(corpus, "doc_id", "text", n=3, distinct=True)
+        inc = sorted(
+            tuple(r) for r in novelty_scores_incremental(
+                batch, idx, "doc_id", "text", n=3
+            ).collect()
+        )
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        one = sorted(
+            tuple(r)
+            for r in novelty_scores(d, "doc_id", "text", n=3).collect()
+            if r.id in batch_ids
+        )
+        assert inc == one
+
+    def test_batch_internal_repeats_are_not_novel(self, spark):
+        from cassandra_diff_spark.operators.curate import (
+            novelty_scores_incremental,
+        )
+        from cassandra_diff_spark.operators.dedup import shingle_set
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        idx = shingle_set(corpus, "doc_id", "text", n=3, distinct=True)
+        # 10 and 11 repeat each other; 12 overlaps the CORPUS; 13 is new
+        batch = spark.createDataFrame(
+            [
+                (10, "one two three four"),
+                (11, "one two three four"),
+                (12, "alpha beta gamma delta"),
+                (13, "totally fresh shingle material"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: r.novelty_milli
+            for r in novelty_scores_incremental(
+                batch, idx, "doc_id", "text", n=3
+            ).collect()
+        }
+        assert got == {10: 0, 11: 0, 12: 0, 13: 1000}
