@@ -7465,8 +7465,9 @@ ORACLES["diff_kway_repair"] = _O_DIFF_KWAY_REPAIR
 def _q_text_novelty(spark, sf_dir):
     """Corpus-wide n-gram novelty per document: the fraction of its
     3-gram shingles occurring nowhere else (exact milli-fraction);
-    document frequency via a count window over the one hash-partitioned
-    shingle frame — no self-join, hashes only on the wire."""
+    document frequency via a map-side-combined groupBy(h) joined back
+    on the hash (skew-join-splittable) — no self-join, no per-hash
+    window task pinning, hashes only on the wire."""
     from cassandra_diff_spark.operators.curate import novelty_scores
 
     return novelty_scores(_docs(spark, sf_dir), "doc_id", "text", n=3)

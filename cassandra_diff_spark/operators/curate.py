@@ -1075,18 +1075,19 @@ def novelty_scores(
     as ONE whole-text shingle (the :func:`word_shingles` contract), so
     every non-null document gets a row.
 
-    Scale shape: the distinct (id, shingle-hash) frame shuffles ONCE on
-    the hash — document frequency comes from a count window over that
-    partitioning, not a self-join — then one groupBy(id) rollup. Only
-    60-bit hashes move; shingle text never leaves the scan.
+    Scale shape: document frequency is a map-side-combined groupBy(h)
+    (reduce cardinality = distinct hashes) joined back to the shingle
+    frame on the hash — deliberately NOT a count window partitioned by
+    h, which would pin every holder of a viral template shingle into
+    ONE task; the join shape lets AQE's skew-join split hot hashes.
+    Then one groupBy(id) rollup. Only 60-bit hashes move; shingle text
+    never leaves the scan.
     """
-    from pyspark.sql import Window
-
     from cassandra_diff_spark.operators.dedup import shingle_set
 
     sh = shingle_set(df, id_col, text_col, n=n, distinct=True)
-    dfh = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    c = sh.select("id", dfh.alias("__df"))
+    dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    c = sh.join(dfh, "h").select("id", "__df")
     return (
         c.groupBy("id")
         .agg(
