@@ -150,6 +150,8 @@ HEADLINE = [
     "eval_kappa_orders",
     "eval_majority_label",
     "text_novelty_incremental",
+    "privacy_pseudonymize",
+    "privacy_k_anonymity",
 ]
 
 

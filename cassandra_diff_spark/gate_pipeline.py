@@ -7891,3 +7891,59 @@ FROM c WHERE doc_id % 4 = 0 GROUP BY doc_id
 
 QUERIES["text_novelty_incremental"] = _q_text_novelty_incremental
 ORACLES["text_novelty_incremental"] = _O_TEXT_NOVELTY_INCREMENTAL
+
+
+# ---------------------------------------------------------------------------
+# round 6: structured-data privacy — pseudonymization + k-anonymity audit
+
+
+def _q_privacy_pseudonymize(spark, sf_dir):
+    """Keyed deterministic surrogates for the customer/clerk identifiers:
+    equal values -> equal tokens (joins survive), secret keys the map;
+    map-only, no lookup table."""
+    from cassandra_diff_spark.operators.privacy import pseudonymize
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return pseudonymize(o, ["o_custkey", "o_orderstatus"], secret="s3cr3t")
+
+
+_O_PRIVACY_PSEUDONYMIZE = """
+SELECT o_orderkey,
+       substr(md5('s3cr3t:' || o_custkey::VARCHAR), 1, 15) AS o_custkey,
+       substr(md5('s3cr3t:' || o_orderstatus), 1, 15) AS o_orderstatus
+FROM orders
+"""
+
+
+def _q_privacy_k_anonymity(spark, sf_dir):
+    """Re-identification audit: (status, priority, order-year)
+    combinations occurring fewer than 100 times — the fingerprints a
+    release would leak."""
+    from cassandra_diff_spark.operators.privacy import k_anonymity_report
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    return k_anonymity_report(
+        o, ["o_orderstatus", "o_orderpriority", "order_year"], k=100
+    )
+
+
+_O_PRIVACY_K_ANONYMITY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 100
+"""
+
+
+QUERIES["privacy_pseudonymize"] = _q_privacy_pseudonymize
+ORACLES["privacy_pseudonymize"] = _O_PRIVACY_PSEUDONYMIZE
+QUERIES["privacy_k_anonymity"] = _q_privacy_k_anonymity
+ORACLES["privacy_k_anonymity"] = _O_PRIVACY_K_ANONYMITY

@@ -1,0 +1,95 @@
+"""Structured-data privacy for training pipelines: deterministic
+pseudonymization (surrogate keys that preserve referential integrity
+across tables and runs) and k-anonymity auditing (which
+quasi-identifier combinations are rare enough to re-identify someone).
+
+The text-side PII scrub (functions/text.py) handles free text; these
+operators handle the STRUCTURED columns — customer keys, emails-as-
+columns, account ids — that a corpus's metadata tables carry.
+
+Determinism discipline: pseudonyms are a pure function of
+(secret, value), so the same value maps to the same token in every
+table, shard, and engine — joins still work after pseudonymization,
+and the DuckDB oracle reproduces the tokens bit-for-bit. Rotating the
+secret rotates every token (the unlinkability lever).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    secret: str,
+    keep_null: bool = True,
+) -> DataFrame:
+    """Replace each listed column with a keyed deterministic surrogate:
+    the first 15 hex chars of ``md5(secret || ':' || value)`` — a
+    60-bit token as a type-uniform STRING regardless of the input type.
+    Equal values get equal tokens — foreign-key joins between
+    pseudonymized tables keep working — while the secret keys the
+    mapping (no rainbow table without it).
+
+    NULLs stay NULL by default (``keep_null=False`` tokenizes them as
+    the literal 'null' sentinel instead, hiding WHICH rows were null at
+    the cost of making all nulls one group).
+
+    MAP-ONLY: one expression per column, no shuffle, no lookup table to
+    build or leak. This is pseudonymization, not anonymization —
+    combine with :func:`k_anonymity_report` to audit what the remaining
+    quasi-identifiers still reveal.
+    """
+    if not cols:
+        raise ValueError("pseudonymize needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    out = df
+    for c in cols:
+        val = F.col(c).cast("string")
+        if not keep_null:
+            val = F.coalesce(val, F.lit("null"))
+        tok = F.substring(
+            F.md5(F.concat(F.lit(secret), F.lit(":"), val)), 1, 15
+        )
+        # keep_null: concat with NULL is NULL, md5(NULL) is NULL — the
+        # token is already NULL without an explicit branch
+        out = out.withColumn(c, tok)
+    return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Which quasi-identifier combinations occur fewer than ``k`` times
+    — the re-identification audit to run BEFORE releasing a dataset:
+    a (zip, birth-year, gender) combination shared by 2 rows is a
+    fingerprint, not an aggregate. NULL is a real value of a quasi
+    column (two all-null rows are the same combination).
+
+    Returns one row per violating combination:
+    ``(*quasi_cols, n)`` with ``n < k``, smallest groups first being
+    the most identifying (ordering left to the consumer — the frame is
+    unordered like every other operator output).
+
+    Scale shape: ONE map-side-combined groupBy at combination
+    cardinality, then a filter — the same cost as any profile
+    aggregation; no window, no join.
+    """
+    quasi_cols = list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report needs at least one quasi column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )

@@ -1,0 +1,97 @@
+"""Structured-data privacy operators (operators/privacy.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark.operators.privacy import (
+    k_anonymity_report,
+    pseudonymize,
+)
+
+
+class TestPseudonymize:
+    def test_joins_survive_tokenization(self, spark):
+        """Equal values get equal tokens across frames — referential
+        integrity is the point of DETERMINISTIC pseudonymization."""
+        a = spark.createDataFrame(
+            [(1, 100), (2, 200), (3, 100)], "k long, cust long"
+        )
+        b = spark.createDataFrame(
+            [(100, "gold"), (200, "basic")], "cust long, tier string"
+        )
+        pa = pseudonymize(a, ["cust"], secret="s")
+        pb = pseudonymize(b, ["cust"], secret="s")
+        joined = pa.join(pb, "cust")
+        assert joined.count() == 3
+        # and the raw values are gone: tokens are 15-hex strings
+        toks = [r.cust for r in pa.collect()]
+        assert all(len(t) == 15 and int(t, 16) >= 0 for t in toks)
+        assert len({t for t in toks}) == 2  # 100 and 200 -> two tokens
+
+    def test_secret_rotation_changes_every_token(self, spark):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        t1 = {r.k: r.v for r in pseudonymize(df, ["v"], secret="a").collect()}
+        t2 = {r.k: r.v for r in pseudonymize(df, ["v"], secret="b").collect()}
+        assert all(t1[k] != t2[k] for k in t1)
+
+    def test_null_handling_modes(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "k long, v string"
+        )
+        kept = {r.k: r.v for r in pseudonymize(df, ["v"], "s").collect()}
+        assert kept[1] is None and kept[2] is None and kept[3] is not None
+        sent = {
+            r.k: r.v
+            for r in pseudonymize(df, ["v"], "s", keep_null=False).collect()
+        }
+        # nulls collapse into ONE token group, distinct from real values
+        assert sent[1] == sent[2] and sent[1] is not None
+        assert sent[1] != sent[3]
+
+    def test_untouched_columns_and_validation(self, spark):
+        df = spark.createDataFrame([(1, "x", 5)], "k long, v string, n long")
+        out = pseudonymize(df, ["v"], "s").collect()[0]
+        assert out.k == 1 and out.n == 5
+        with pytest.raises(ValueError, match="at least one column"):
+            pseudonymize(df, [], "s")
+        with pytest.raises(ValueError, match="not in frame"):
+            pseudonymize(df, ["missing"], "s")
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([(1, "x")], "k long, v string")
+        plan = (
+            pseudonymize(df, ["v"], "s")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestKAnonymity:
+    def test_violations_and_null_combinations(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 2)] * 2 + [("b", None)],
+            "q1 string, q2 long",
+        )
+        got = {
+            (r.q1, r.q2): r.n
+            for r in k_anonymity_report(df, ["q1", "q2"], k=3).collect()
+        }
+        # ('a', 1) x5 passes; the three rare combos (incl. null quasi
+        # values as REAL combinations) violate
+        assert got == {("a", 2): 2, (None, 2): 2, ("b", None): 1}
+
+    def test_k_boundary_is_strict(self, spark):
+        df = spark.createDataFrame([("a",)] * 3, "q string")
+        assert k_anonymity_report(df, ["q"], k=3).count() == 0
+        assert k_anonymity_report(df, ["q"], k=4).count() == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a",)], "q string")
+        with pytest.raises(ValueError, match="at least one quasi"):
+            k_anonymity_report(df, [], k=3)
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            k_anonymity_report(df, ["q"], k=1)
