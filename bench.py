@@ -152,6 +152,8 @@ HEADLINE = [
     "text_novelty_incremental",
     "privacy_pseudonymize",
     "privacy_k_anonymity",
+    "eval_majority_label_stream",
+    "curate_contamination_stream",
 ]
 
 

@@ -7947,3 +7947,64 @@ QUERIES["privacy_pseudonymize"] = _q_privacy_pseudonymize
 ORACLES["privacy_pseudonymize"] = _O_PRIVACY_PSEUDONYMIZE
 QUERIES["privacy_k_anonymity"] = _q_privacy_k_anonymity
 ORACLES["privacy_k_anonymity"] = _O_PRIVACY_K_ANONYMITY
+
+
+def _q_eval_majority_label_stream(spark, sf_dir):
+    """Streaming-runtime twin of eval_majority_label: lineitem votes
+    stream in file-sized micro-batches through the COMPLETE-mode
+    (item, label) count aggregation; winner resolution runs on the
+    drained counts via the SAME majority_from_counts tail — gated by
+    the batch window oracle."""
+    import shutil
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_majority_label
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    stage = "/tmp/cds_gate_stream_majority"
+    shutil.rmtree(stage, ignore_errors=True)
+    li.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_majority_label(
+        stream, "l_orderkey", "l_returnflag", name="cds_gate_stream_majority"
+    )
+
+
+QUERIES["eval_majority_label_stream"] = _q_eval_majority_label_stream
+ORACLES["eval_majority_label_stream"] = _O_EVAL_MAJORITY_LABEL
+
+
+def _q_curate_contamination_stream(spark, sf_dir):
+    """Streaming-runtime twin of curate_contamination: the corpus
+    streams in file-sized micro-batches; each doc's shingles meet the
+    STATIC broadcast benchmark index (map-only) and the per-doc overlap
+    counters aggregate complete-mode. Shares the batch oracle."""
+    import shutil
+
+    from cassandra_diff_spark.operators.dedup import shingle_set
+    from cassandra_diff_spark.streaming.diff_stream import stream_contamination
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench_sh = shingle_set(
+        d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0), "doc_id", "text", 3
+    )
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    stage = "/tmp/cds_gate_stream_contam"
+    shutil.rmtree(stage, ignore_errors=True)
+    corpus.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_contamination(
+        stream, bench_sh, "doc_id", "text", n=3,
+        name="cds_gate_stream_contam",
+    )
+
+
+QUERIES["curate_contamination_stream"] = _q_curate_contamination_stream
+ORACLES["curate_contamination_stream"] = _O_CURATE_CONTAMINATION

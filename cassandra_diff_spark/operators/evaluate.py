@@ -249,6 +249,15 @@ def majority_label(
         .groupBy("item", "__label")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    return majority_from_counts(g)
+
+
+def majority_from_counts(g: DataFrame) -> DataFrame:
+    """Winner resolution over an ALREADY-AGGREGATED
+    ``(item, __label, __cnt)`` vote-count frame — the tail
+    :func:`majority_label` and the streaming twin (whose complete-mode
+    state IS that count frame) share, so drained-stream output equals
+    the batch operator by construction."""
     win = F.min_by(
         F.struct(F.col("__label").alias("l"), F.col("__cnt").alias("c")),
         # count DESC, label ASC: minimize (-count, label); NULL labels

@@ -1388,3 +1388,82 @@ def stream_bloom_build(
 
     agg = bloom_build(stream, col, m_bits=m_bits, k=k, seed=seed)
     return _drain_complete(agg, name, checkpoint)
+
+
+def stream_majority_label(
+    stream: DataFrame,
+    item_col: str,
+    label_col: str,
+    *,
+    name: str = "cds_stream_majority",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming majority-vote label aggregation: the (item, label)
+    vote COUNTS — order-free, map-side-combinable — run as the
+    COMPLETE-mode state (one row per live (item, label) pair); winner
+    resolution runs on the DRAINED count table through the SAME
+    ``majority_from_counts`` tail as the batch operator, so drained
+    output equals :func:`~cassandra_diff_spark.operators.evaluate.
+    majority_label` over the same data by construction (oracle-gated).
+
+    In production the count aggregation runs unbounded and the
+    resolution is a trivial batch query over the sink — labels firm up
+    as votes arrive."""
+    from cassandra_diff_spark.operators.evaluate import majority_from_counts
+
+    g = (
+        stream.select(
+            F.col(item_col).alias("item"),
+            F.col(label_col).cast("string").alias("__label"),
+        )
+        .groupBy("item", "__label")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return majority_from_counts(_drain_complete(g, name, checkpoint))
+
+
+def stream_contamination(
+    stream: DataFrame,
+    benchmark_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    name: str = "cds_stream_contamination",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming decontamination monitor: documents stream in, each one
+    scored for n-gram overlap against a STATIC broadcast benchmark
+    shingle frame (``shingle_set`` output, built once from the eval
+    suites). The per-document (n_grams, n_overlap) counters are
+    order-free sums keyed by doc id, so they run COMPLETE-mode (state =
+    one row per seen doc); the milli-fraction projects off the drained
+    table. Drained output equals the batch
+    :func:`~cassandra_diff_spark.operators.curate.benchmark_contamination`
+    over the same data (oracle-gated).
+
+    The stream side is map-only before the aggregation: shingle
+    explode + broadcast hash join — no stream-stream join, no
+    watermark needed."""
+    from cassandra_diff_spark.operators.dedup import shingle_set
+
+    doc_sh = shingle_set(stream, id_col, text_col, n)
+    bench = benchmark_shingles.select("h").distinct().withColumn(
+        "bh", F.col("h")
+    )
+    hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
+    agg = (
+        doc_sh.join(F.broadcast(bench), ["h"], "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_overlap"),
+        )
+    )
+    drained = _drain_complete(agg, name, checkpoint)
+    return drained.select(
+        "id",
+        "n_grams",
+        "n_overlap",
+        F.expr("(n_overlap * 1000) div n_grams").alias("overlap_milli"),
+    )

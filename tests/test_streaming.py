@@ -1000,3 +1000,78 @@ def test_stream_cm_and_bloom_match_batch(spark, tmp_path):
     assert key(got_cm) == key(cm_sketch_build(df, "k", depth=3, width=128))
     got_bl = stream_bloom_build(stream(), "k", m_bits=2048, k=4, name="t_bl_s")
     assert key(got_bl) == key(bloom_build(df, "k", m_bits=2048, k=4))
+
+
+def test_stream_majority_label_matches_batch(spark, tmp_path):
+    """Drained complete-mode vote counts resolve through the same tail
+    as the batch operator — including ties and null votes."""
+    from cassandra_diff_spark.operators.evaluate import majority_label
+    from cassandra_diff_spark.streaming.diff_stream import stream_majority_label
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "a"), (3, None), (3, "x"),
+         (3, None)],
+        "item long, label string",
+    )
+    stage = str(tmp_path / "votes")
+    df.repartition(3).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got = sorted(
+        tuple(r)
+        for r in stream_majority_label(
+            stream, "item", "label", name="t_maj_s"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in majority_label(df, "item", "label").collect()
+    )
+    assert got == want
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Per-doc overlap counters are order-free sums over a map-only
+    broadcast join — the drained stream equals the batch scan."""
+    from cassandra_diff_spark.operators.curate import benchmark_contamination
+    from cassandra_diff_spark.operators.dedup import shingle_set
+    from cassandra_diff_spark.streaming.diff_stream import stream_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still"),
+            (3, "completely unrelated content lives here today"),
+            (4, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    bench_sh = shingle_set(bench, "doc_id", "text", 3)
+    stage = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got = sorted(
+        tuple(r)
+        for r in stream_contamination(
+            stream, bench_sh, "doc_id", "text", n=3, name="t_contam_s"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in benchmark_contamination(
+            docs, bench, "doc_id", "text", n=3
+        ).collect()
+    )
+    assert got == want
+    # and the planted overlap is real: doc 1 shares 'the quick brown' etc.
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] > 0 and by_id[3][2] == 0
