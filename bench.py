@@ -154,6 +154,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "eval_majority_label_stream",
     "curate_contamination_stream",
+    "eval_class_metrics",
 ]
 
 

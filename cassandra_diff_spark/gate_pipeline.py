@@ -8008,3 +8008,58 @@ def _q_curate_contamination_stream(spark, sf_dir):
 
 QUERIES["curate_contamination_stream"] = _q_curate_contamination_stream
 ORACLES["curate_contamination_stream"] = _O_CURATE_CONTAMINATION
+
+
+def _q_eval_class_metrics(spark, sf_dir):
+    """Per-class P/R/F1 of the planted-disagreement rater pair from
+    eval_kappa_orders: 'DISPUTED' is predicted-only (NULL recall), the
+    NULL abstentions are a real class on both axes."""
+    from cassandra_diff_spark.operators.evaluate import class_metrics
+
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("a"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("DISPUTED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("b"),
+    )
+    return class_metrics(r, "a", "b")
+
+
+_O_EVAL_CLASS_METRICS = """
+WITH r AS (
+  SELECT o_orderpriority AS a,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_orderkey % 7 = 0 THEN 'DISPUTED'
+              ELSE o_orderpriority END AS b
+  FROM orders
+),
+cells AS (SELECT a AS t, b AS p, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+mt AS (SELECT t AS lab, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY 1),
+mp AS (SELECT p AS lab, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+d AS (SELECT t AS lab, n AS tp FROM cells WHERE t IS NOT DISTINCT FROM p),
+m AS (
+  SELECT COALESCE(mt.lab, mp.lab) AS label,
+         COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+  FROM mt FULL OUTER JOIN mp ON mt.lab IS NOT DISTINCT FROM mp.lab
+),
+j AS (
+  SELECT label, COALESCE(tp, 0) AS tp,
+         n_pred - COALESCE(tp, 0) AS fp,
+         n_true - COALESCE(tp, 0) AS fn
+  FROM m LEFT JOIN d ON m.label IS NOT DISTINCT FROM d.lab
+)
+SELECT label, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE (1000 * tp) // (tp + fp) END AS precision_milli,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE (1000 * tp) // (tp + fn) END AS recall_milli,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE (2000 * tp) // (2 * tp + fp + fn) END AS f1_milli
+FROM j
+"""
+
+
+QUERIES["eval_class_metrics"] = _q_eval_class_metrics
+ORACLES["eval_class_metrics"] = _O_EVAL_CLASS_METRICS

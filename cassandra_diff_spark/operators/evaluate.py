@@ -280,3 +280,77 @@ def majority_from_counts(g: DataFrame) -> DataFrame:
         "n_total",
         F.expr("(1000 * __w.c) div n_total").alias("agreement_milli"),
     )
+
+
+def confusion_matrix(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """(truth, pred, n) cell counts — the raw disagreement map between a
+    truth label column and a predicted one (a labeler model vs its
+    golden set, two pipeline versions, a rater vs the majority vote).
+    NULL is a category on both axes, same convention as
+    :func:`cohen_kappa`. ONE map-side-combined groupBy at cell
+    cardinality."""
+    return (
+        df.select(
+            F.col(truth_col).cast("string").alias("truth"),
+            F.col(pred_col).cast("string").alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def class_metrics(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a truth/pred label pair —
+    the classifier-QA sweep run before trusting model-assigned labels
+    at corpus scale. One row per label seen on EITHER axis:
+    ``(label, tp, fp, fn, precision_milli, recall_milli, f1_milli)``
+    with the exact-integer ``div`` discipline (a label never predicted
+    has NULL precision; a label never true has NULL recall).
+
+    Scale shape: everything derives from the :func:`confusion_matrix`
+    cell frame (|labels|² rows — kilobytes for real label sets): tp is
+    the diagonal, fp/fn are axis sums minus the diagonal, computed with
+    two tiny aggregations and ONE null-safe full-outer join of the
+    marginal frames. The data is scanned once, by the cell groupBy.
+    """
+    cells = confusion_matrix(df, truth_col, pred_col)
+    diag = cells.filter(F.col("truth").eqNullSafe(F.col("pred"))).select(
+        F.col("truth").alias("__label"), F.col("n").alias("tp")
+    )
+    mt = cells.groupBy(F.col("truth").alias("__t")).agg(
+        F.sum("n").alias("n_true")
+    )
+    mp = cells.groupBy(F.col("pred").alias("__p")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    marg = mt.join(mp, mt["__t"].eqNullSafe(mp["__p"]), "full_outer").select(
+        F.coalesce(F.col("__t"), F.col("__p")).alias("__label"),
+        # the coalesce above maps BOTH null marginals to a null label —
+        # legal, because eqNullSafe matched them into ONE row
+        F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+    )
+    j = marg.join(diag, marg["__label"].eqNullSafe(diag["__label"]), "left").select(
+        marg["__label"].alias("label"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        (F.col("n_pred") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+        (F.col("n_true") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+    )
+    return j.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fp) END"
+        ).alias("precision_milli"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fn) END"
+        ).alias("recall_milli"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
+        ).alias("f1_milli"),
+    )

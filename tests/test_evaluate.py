@@ -234,3 +234,58 @@ class TestCompositions:
         want = [(x.query_id, x.neighbor_id) in hits for x in truth.collect()]
         assert r.sum_hits == sum(want)
         assert r.n_queries == len(want)
+
+
+class TestClassMetrics:
+    def _df(self, spark):
+        # truth x: 3 rows (2 right), y: 2 rows (1 right, 1 -> z)
+        # z never true but predicted once; one (null, x) and one (y, null)
+        return spark.createDataFrame(
+            [
+                ("x", "x"), ("x", "x"), ("x", "y"),
+                ("y", "y"), ("y", "z"),
+                (None, "x"), ("y", None),
+            ],
+            "t string, p string",
+        )
+
+    def test_confusion_cells(self, spark):
+        from cassandra_diff_spark.operators.evaluate import confusion_matrix
+
+        got = {
+            (r.truth, r.pred): r.n
+            for r in confusion_matrix(self._df(spark), "t", "p").collect()
+        }
+        assert got == {
+            ("x", "x"): 2, ("x", "y"): 1, ("y", "y"): 1,
+            ("y", "z"): 1, (None, "x"): 1, ("y", None): 1,
+        }
+
+    def test_per_class_values(self, spark):
+        from cassandra_diff_spark.operators.evaluate import class_metrics
+
+        got = {
+            r.label: (r.tp, r.fp, r.fn, r.precision_milli, r.recall_milli)
+            for r in class_metrics(self._df(spark), "t", "p").collect()
+        }
+        # x: tp 2, fp 1 (null->x), fn 1 (x->y): p=666 r=666
+        assert got["x"] == (2, 1, 1, 666, 666)
+        # y: tp 1, fp 1 (x->y), fn 2 (y->z, y->null): p=500 r=333
+        assert got["y"] == (1, 1, 2, 500, 333)
+        # z: never true -> recall NULL; predicted once wrong -> p=0
+        assert got["z"] == (1 - 1, 1, 0, 0, None)
+        # null as a label: true once (y->null pred), predicted once
+        assert got[None] == (0, 1, 1, 0, 0)
+
+    def test_perfect_classifier(self, spark):
+        from cassandra_diff_spark.operators.evaluate import class_metrics
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("b", "b")], "t string, p string"
+        )
+        rows = class_metrics(df, "t", "p").collect()
+        assert all(
+            r.precision_milli == 1000 and r.recall_milli == 1000
+            and r.f1_milli == 1000
+            for r in rows
+        )
