@@ -155,6 +155,7 @@ HEADLINE = [
     "eval_majority_label_stream",
     "curate_contamination_stream",
     "eval_class_metrics",
+    "eval_ndcg_lsh",
 ]
 
 

@@ -8063,3 +8063,89 @@ FROM j
 
 QUERIES["eval_class_metrics"] = _q_eval_class_metrics
 ORACLES["eval_class_metrics"] = _O_EVAL_CLASS_METRICS
+
+
+def _q_eval_ndcg_lsh(spark, sf_dir):
+    """Graded ranking quality of the LSH index: truth = exact brute
+    top-3 with gains 3/2/1 by true rank; NDCG@10 of the LSH ranking per
+    query, in exact integer micro/milli units."""
+    from cassandra_diff_spark.operators.evaluate import ndcg_at_k
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 10)
+    pred = similarity.hyperplane_lsh_topk(
+        embs, qs, "vec_id", "embedding", k=10
+    )
+    truth = similarity.brute_force_topk(
+        embs, qs, "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id", (4 - F.col("rank")).alias("gain"))
+    return ndcg_at_k(pred, truth, k=10)
+
+
+_O_EVAL_NDCG_LSH = f"""
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0),
+lsh_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM s0 WHERE vec_id < 10) q
+  JOIN s0 c ON c.vec_id <> q.vec_id AND ({_LSH_CAND_CONDS})
+),
+lsh AS (
+  SELECT query_id, neighbor_id, rnk AS rank
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM lsh_sc)
+  WHERE rnk <= 10
+),
+br_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM n0 WHERE vec_id < 10) q
+  JOIN n0 c ON c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id, 4 - rnk AS gain
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM br_sc)
+  WHERE rnk <= 3
+),
+dcg AS (
+  SELECT l.query_id,
+         CAST(SUM(CAST(ROUND(CAST(t.gain AS DOUBLE) * 1e6
+                             / ln(CAST(l.rank AS DOUBLE) + 1.0)) AS BIGINT))
+              AS BIGINT) AS dcg_micro
+  FROM lsh l JOIN truth t
+    ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+  WHERE t.gain > 0
+  GROUP BY l.query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND(CAST(gain AS DOUBLE) * 1e6
+                             / ln(CAST(ir AS DOUBLE) + 1.0)) AS BIGINT))
+              AS BIGINT) AS idcg_micro
+  FROM (SELECT query_id, gain,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY gain DESC, neighbor_id ASC) AS ir
+        FROM truth WHERE gain > 0)
+  WHERE ir <= 10
+  GROUP BY query_id
+)
+SELECT i.query_id,
+       CAST(COALESCE(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       i.idcg_micro,
+       CASE WHEN i.idcg_micro = 0 THEN NULL
+            ELSE (1000 * COALESCE(d.dcg_micro, 0)) // i.idcg_micro
+            END AS ndcg_milli
+FROM ideal i LEFT JOIN dcg d ON i.query_id = d.query_id
+"""
+
+
+QUERIES["eval_ndcg_lsh"] = _q_eval_ndcg_lsh
+ORACLES["eval_ndcg_lsh"] = _O_EVAL_NDCG_LSH

@@ -354,3 +354,64 @@ def class_metrics(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
             " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
         ).alias("f1_milli"),
     )
+
+
+def ndcg_at_k(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """Per-query NDCG@k for GRADED relevance — the ranking metric when
+    some hits matter more than others (exact duplicate > near-dup >
+    same-topic in a retrieval training set). ``pred`` is
+    ``(query_id, neighbor_id, rank)``; ``truth`` is
+    ``(query_id, neighbor_id, gain)`` with positive integer gains
+    (non-positive/null gains are excluded — they carry no relevance
+    mass).
+
+    Discount discipline: the standard 1/log2(rank+1) scaled by ln 2 —
+    i.e. terms are ``round(gain * 1e6 / ln(rank+1))`` micro-units.
+    NDCG is a ratio of same-unit sums, so the constant factor cancels
+    and the value equals the log2 formulation up to per-term integer
+    rounding; ``ln`` is the one transcendental both engines evaluate
+    bit-identically (the PMI/entropy discipline), which is what makes
+    the metric gate-checkable.
+
+    Output: ``(query_id, dcg_micro, idcg_micro, ndcg_milli)`` with
+    ``ndcg_milli = (1000 * dcg_micro) div idcg_micro`` — one row per
+    query appearing in truth; a query that retrieved nothing scores 0.
+
+    Scale shape: one join of the top-k frame against the relevance
+    frame + one window over the (small) relevance frame for the ideal
+    ordering; aggregations at query cardinality.
+    """
+    from pyspark.sql import Window
+
+    t = truth.filter(F.col("gain") > 0)
+    term = F.round(
+        F.col("gain").cast("double")
+        * F.lit(1e6)
+        / F.log(F.col("__r").cast("double") + F.lit(1.0))
+    ).cast("long")
+    hits = (
+        pred.filter(F.col("rank") <= k)
+        .join(t, ["query_id", "neighbor_id"])
+        .select("query_id", "gain", F.col("rank").alias("__r"))
+        .select("query_id", term.alias("__t"))
+    )
+    dcg = hits.groupBy("query_id").agg(F.sum("__t").alias("dcg_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("neighbor_id").asc()
+    )
+    ideal = (
+        t.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", term.alias("__t"))
+        .groupBy("query_id")
+        .agg(F.sum("__t").alias("idcg_micro"))
+    )
+    return ideal.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).alias("dcg_micro"),
+        "idcg_micro",
+        F.expr(
+            "CASE WHEN idcg_micro = 0 THEN NULL"
+            " ELSE (1000 * coalesce(dcg_micro, 0)) div idcg_micro END"
+        ).alias("ndcg_milli"),
+    )

@@ -289,3 +289,72 @@ class TestClassMetrics:
             and r.f1_milli == 1000
             for r in rows
         )
+
+
+class TestNDCG:
+    def test_hand_computed(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.evaluate import ndcg_at_k
+
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 11, 3), (1, 12, 1), (1, 99, 2), (2, 21, 5)],
+            "query_id long, neighbor_id long, gain long",
+        )
+        got = {r.query_id: r for r in ndcg_at_k(pred, truth, k=3).collect()}
+
+        def term(gain, rank):
+            return round(gain * 1e6 / math.log(rank + 1))
+
+        # q1 dcg: 11 at rank 2 (gain 3) + 12 at rank 3 (gain 1)
+        dcg1 = term(3, 2) + term(1, 3)
+        # q1 ideal: gains 3,2,1 at ranks 1,2,3
+        idcg1 = term(3, 1) + term(2, 2) + term(1, 3)
+        assert got[1].dcg_micro == dcg1 and got[1].idcg_micro == idcg1
+        assert got[1].ndcg_milli == (1000 * dcg1) // idcg1
+        # q2 retrieved nothing relevant
+        assert got[2].dcg_micro == 0 and got[2].ndcg_milli == 0
+
+    def test_perfect_ranking_scores_1000(self, spark):
+        from cassandra_diff_spark.operators.evaluate import ndcg_at_k
+
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 10, 5), (1, 11, 2)],
+            "query_id long, neighbor_id long, gain long",
+        )
+        r = ndcg_at_k(pred, truth, k=2).collect()[0]
+        assert r.ndcg_milli == 1000
+
+    def test_swapped_ranking_scores_below_1000(self, spark):
+        from cassandra_diff_spark.operators.evaluate import ndcg_at_k
+
+        pred = spark.createDataFrame(
+            [(1, 11, 1), (1, 10, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 10, 5), (1, 11, 1)],
+            "query_id long, neighbor_id long, gain long",
+        )
+        r = ndcg_at_k(pred, truth, k=2).collect()[0]
+        assert 0 < r.ndcg_milli < 1000
+
+    def test_nonpositive_gains_excluded(self, spark):
+        from cassandra_diff_spark.operators.evaluate import ndcg_at_k
+
+        pred = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, neighbor_id long, rank long"
+        )
+        truth = spark.createDataFrame(
+            [(1, 10, 0), (1, 11, -2)],
+            "query_id long, neighbor_id long, gain long",
+        )
+        assert ndcg_at_k(pred, truth, k=2).count() == 0
