@@ -417,3 +417,22 @@ class TestPMI:
         assert ("b", "c") not in filt and ("b", "c") in all_rows
         for k, v in filt.items():
             assert all_rows[k] == v
+
+
+class TestCooccurrencePlan:
+    def test_single_shuffle_no_join(self, spark):
+        """Pair generation is pure Catalyst over the words array: the
+        ONLY exchange is the final pair-type groupBy; no join, no
+        window, no Python."""
+        from cassandra_diff_spark.operators.vocab import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        p = (
+            cooccurrence_counts(df, "text", window=2, symmetric=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "Join" not in p and "Window" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
