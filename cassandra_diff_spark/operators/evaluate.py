@@ -91,10 +91,12 @@ def retrieval_metrics(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     gate-checkable operator).
 
     ``pred`` is ``(query_id, neighbor_id, rank)`` (any ANN operator's
-    output); ``truth`` is ``(query_id, neighbor_id)`` relevant pairs.
-    Queries with NO truth rows are excluded (their recall is
-    undefined); queries that appear in truth but retrieved nothing
-    still count (recall 0, reciprocal rank 0).
+    output); ``truth`` is ``(query_id, neighbor_id)`` relevant pairs,
+    treated as a SET (duplicates dropped — a pair repeated in the
+    relevance frame must not double-count a hit or inflate the
+    denominator). Queries with NO truth rows are excluded (their
+    recall is undefined); queries that appear in truth but retrieved
+    nothing still count (recall 0, reciprocal rank 0).
 
     One row out, all exact integers:
 
@@ -109,6 +111,7 @@ def retrieval_metrics(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     relevance frame, then a per-query aggregation at query cardinality.
     """
     pk = pred.filter(F.col("rank") <= k)
+    truth = truth.select("query_id", "neighbor_id").distinct()
     hit = pk.join(truth, ["query_id", "neighbor_id"]).select(
         "query_id", "rank"
     )
@@ -363,7 +366,9 @@ def ndcg_at_k(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     ``(query_id, neighbor_id, rank)``; ``truth`` is
     ``(query_id, neighbor_id, gain)`` with positive integer gains
     (non-positive/null gains are excluded — they carry no relevance
-    mass).
+    mass) and ONE row per (query, neighbor): a duplicated pair would
+    double its gain in both DCG and the ideal — dedupe upstream if the
+    relevance frame can repeat.
 
     Discount discipline: the standard 1/log2(rank+1) scaled by ln 2 —
     i.e. terms are ``round(gain * 1e6 / ln(rank+1))`` micro-units.

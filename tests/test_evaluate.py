@@ -358,3 +358,18 @@ class TestNDCG:
             "query_id long, neighbor_id long, gain long",
         )
         assert ndcg_at_k(pred, truth, k=2).count() == 0
+
+
+class TestRetrievalTruthIsASet:
+    def test_duplicate_relevance_rows_do_not_inflate(self, spark):
+        from cassandra_diff_spark.operators.evaluate import retrieval_metrics
+
+        pred = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, neighbor_id long, rank long"
+        )
+        truth_dup = spark.createDataFrame(
+            [(1, 10), (1, 10), (1, 10)], "query_id long, neighbor_id long"
+        )
+        r = retrieval_metrics(pred, truth_dup, k=1).collect()[0]
+        assert r.sum_hits == 1 and r.sum_relevant == 1
+        assert r.micro_recall_milli == 1000
