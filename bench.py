@@ -156,6 +156,7 @@ HEADLINE = [
     "curate_contamination_stream",
     "eval_class_metrics",
     "eval_ndcg_lsh",
+    "eval_map_lsh",
 ]
 
 

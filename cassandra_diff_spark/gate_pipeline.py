@@ -8149,3 +8149,80 @@ FROM ideal i LEFT JOIN dcg d ON i.query_id = d.query_id
 
 QUERIES["eval_ndcg_lsh"] = _q_eval_ndcg_lsh
 ORACLES["eval_ndcg_lsh"] = _O_EVAL_NDCG_LSH
+
+
+def _q_eval_map_lsh(spark, sf_dir):
+    """Per-query average precision@10 of the LSH ranking against the
+    exact brute-force top-3 relevance set — order-sensitive where
+    recall@k is not; exact integer micro-units end to end."""
+    from cassandra_diff_spark.operators.evaluate import average_precision_at_k
+
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 10)
+    pred = similarity.hyperplane_lsh_topk(
+        embs, qs, "vec_id", "embedding", k=10
+    )
+    truth = similarity.brute_force_topk(
+        embs, qs, "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id")
+    return average_precision_at_k(pred, truth, k=10)
+
+
+_O_EVAL_MAP_LSH = f"""
+WITH {_QVEC_CTE.strip()},
+s0 AS (SELECT vec_id, qq, nn, {_EMB_KEY_COLS} FROM n0),
+lsh_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM s0 WHERE vec_id < 10) q
+  JOIN s0 c ON c.vec_id <> q.vec_id AND ({_LSH_CAND_CONDS})
+),
+lsh AS (
+  SELECT query_id, neighbor_id, rnk AS rank
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM lsh_sc)
+  WHERE rnk <= 10
+),
+br_sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT_QC} AS DOUBLE)
+           / sqrt(CAST(q.nn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS cos
+  FROM (SELECT * FROM n0 WHERE vec_id < 10) q
+  JOIN n0 c ON c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        FROM br_sc)
+  WHERE rnk <= 3
+),
+hits AS (
+  SELECT l.query_id, l.rank,
+         ROW_NUMBER() OVER (PARTITION BY l.query_id
+                            ORDER BY l.rank ASC) AS rn
+  FROM lsh l JOIN truth t
+    ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+),
+per_hit AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM((1000000 * rn) // rank) AS BIGINT) AS s
+  FROM hits GROUP BY query_id
+),
+rel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM truth GROUP BY query_id
+)
+SELECT r.query_id, r.n_rel,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.s, 0) // LEAST(r.n_rel, 10) AS BIGINT) AS ap_micro
+FROM rel r LEFT JOIN per_hit h ON r.query_id = h.query_id
+"""
+
+
+QUERIES["eval_map_lsh"] = _q_eval_map_lsh
+ORACLES["eval_map_lsh"] = _O_EVAL_MAP_LSH

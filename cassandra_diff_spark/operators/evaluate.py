@@ -420,3 +420,53 @@ def ndcg_at_k(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
             " ELSE (1000 * coalesce(dcg_micro, 0)) div idcg_micro END"
         ).alias("ndcg_milli"),
     )
+
+
+def average_precision_at_k(
+    pred: DataFrame, truth: DataFrame, k: int
+) -> DataFrame:
+    """Per-query average precision@k — the order-sensitive retrieval
+    score that rewards putting relevant results EARLY (recall@k cannot
+    tell rank 1 from rank k). ``AP = (1/min(rel, k)) *
+    sum over relevant ranks r of precision@r``.
+
+    Exact-integer form: walking the hits in rank order, the cumulative
+    hit count AT a hit's rank is just its 1-based position in the hit
+    sequence, so ``precision@r`` is ``row_number / r`` and every term is
+    ``(1e6 * row_number) div r`` — integer end to end, engine-exact.
+    (Each div floors at micro resolution; the reference float AP agrees
+    to ~1e-5 — the determinism trade every milli/micro metric here
+    makes.)
+
+    Inputs as :func:`retrieval_metrics` (truth treated as a set); one
+    row per query in truth: ``(query_id, n_rel, n_hits, ap_micro)``,
+    zero for queries that retrieved nothing relevant.
+
+    Scale shape: join of the top-k frame with the relevance set + one
+    window over the HIT rows (≤ k per query), aggregations at query
+    cardinality.
+    """
+    from pyspark.sql import Window
+
+    t = truth.select("query_id", "neighbor_id").distinct()
+    hits = (
+        pred.filter(F.col("rank") <= k)
+        .join(t, ["query_id", "neighbor_id"])
+        .select("query_id", "rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    terms = hits.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__t", F.expr("(1000000 * __rn) div rank")
+    )
+    per_hit = terms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("__t").alias("__sum")
+    )
+    rel = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    return rel.join(per_hit, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(
+            f"coalesce(__sum, 0) div least(n_rel, {int(k)})"
+        ).alias("ap_micro"),
+    )

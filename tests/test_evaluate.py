@@ -373,3 +373,81 @@ class TestRetrievalTruthIsASet:
         r = retrieval_metrics(pred, truth_dup, k=1).collect()[0]
         assert r.sum_hits == 1 and r.sum_relevant == 1
         assert r.micro_recall_milli == 1000
+
+
+class TestAveragePrecision:
+    def test_hand_computed(self, spark):
+        from cassandra_diff_spark.operators.evaluate import (
+            average_precision_at_k,
+        )
+
+        # q1 hits at ranks 1 and 3 of rel {10, 12, 99}:
+        # terms: 1e6*1//1 + 1e6*2//3; / min(3, k=5)
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 10), (1, 12), (1, 99), (2, 20)],
+            "query_id long, neighbor_id long",
+        )
+        got = {
+            r.query_id: r
+            for r in average_precision_at_k(pred, truth, k=5).collect()
+        }
+        want = (1000000 * 1 // 1 + 1000000 * 2 // 3) // 3
+        assert got[1].ap_micro == want
+        assert got[1].n_rel == 3 and got[1].n_hits == 2
+        assert got[2].ap_micro == 0 and got[2].n_hits == 0
+
+    def test_perfect_prefix_scores_million(self, spark):
+        from cassandra_diff_spark.operators.evaluate import (
+            average_precision_at_k,
+        )
+
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 10), (1, 11)], "query_id long, neighbor_id long"
+        )
+        r = average_precision_at_k(pred, truth, k=2).collect()[0]
+        assert r.ap_micro == 1000000
+
+    def test_early_beats_late(self, spark):
+        from cassandra_diff_spark.operators.evaluate import (
+            average_precision_at_k,
+        )
+
+        truth = spark.createDataFrame(
+            [(1, 10)], "query_id long, neighbor_id long"
+        )
+        early = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        late = spark.createDataFrame(
+            [(1, 11, 1), (1, 10, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        a = average_precision_at_k(early, truth, k=2).collect()[0].ap_micro
+        b = average_precision_at_k(late, truth, k=2).collect()[0].ap_micro
+        assert a == 1000000 and b == 500000
+
+    def test_denominator_capped_at_k(self, spark):
+        from cassandra_diff_spark.operators.evaluate import (
+            average_precision_at_k,
+        )
+
+        # 5 relevant but k=2: a perfect 2-prefix must score 1e6, not 2/5
+        pred = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, n) for n in (10, 11, 12, 13, 14)],
+            "query_id long, neighbor_id long",
+        )
+        r = average_precision_at_k(pred, truth, k=2).collect()[0]
+        assert r.ap_micro == 1000000
