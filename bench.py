@@ -157,6 +157,7 @@ HEADLINE = [
     "eval_class_metrics",
     "eval_ndcg_lsh",
     "eval_map_lsh",
+    "vocab_js_drift",
 ]
 
 

@@ -8226,3 +8226,65 @@ FROM rel r LEFT JOIN per_hit h ON r.query_id = h.query_id
 
 QUERIES["eval_map_lsh"] = _q_eval_map_lsh
 ORACLES["eval_map_lsh"] = _O_EVAL_MAP_LSH
+
+
+def _q_vocab_js_drift(spark, sf_dir):
+    """Vocabulary drift between the even- and odd-id halves of the
+    corpus: JS divergence over their token-frequency frames in integer
+    micro-nats (same-source halves land near 0; the value is exact
+    either way)."""
+    from cassandra_diff_spark.operators.vocab import js_divergence, token_counts
+
+    d = _docs(spark, sf_dir)
+    a = token_counts(d.filter(F.col("doc_id") % 2 == 0), "text")
+    b = token_counts(d.filter(F.col("doc_id") % 2 == 1), "text")
+    return js_divergence(a, b)
+
+
+_O_VOCAB_JS_DRIFT = f"""
+WITH tc AS (
+  SELECT doc_id, unnest({words_sql('text')}) AS token FROM documents
+),
+a AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM tc WHERE doc_id % 2 = 0 AND token <> '' GROUP BY 1
+),
+b AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM tc WHERE doc_id % 2 = 1 AND token <> '' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b USING (token)
+),
+t AS (
+  SELECT (SELECT SUM(ca) FROM a) AS tot_a, (SELECT SUM(cb) FROM b) AS tot_b
+),
+terms AS (
+  SELECT CAST(ROUND((
+           CASE WHEN ca = 0 THEN 0.0
+                ELSE (CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                     * ln(2.0 * (CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                          / ((CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))))
+                END
+           + CASE WHEN cb = 0 THEN 0.0
+                  ELSE (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE))
+                       * ln(2.0 * (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))
+                            / ((CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                               + (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))))
+                  END
+         ) * 0.5 * 1e6) AS BIGINT) AS tm,
+         tot_a, tot_b
+  FROM j, t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+       CAST(MAX(tot_a) AS BIGINT) AS total_a,
+       CAST(MAX(tot_b) AS BIGINT) AS total_b,
+       CAST(SUM(tm) AS BIGINT) AS js_micronat
+FROM terms
+"""
+
+
+QUERIES["vocab_js_drift"] = _q_vocab_js_drift
+ORACLES["vocab_js_drift"] = _O_VOCAB_JS_DRIFT

@@ -505,3 +505,64 @@ def pmi_pairs(cooc: DataFrame, min_count: int = 1) -> DataFrame:
         cells.filter(F.col("n") >= min_count)
         .select("token_a", "token_b", "n", term.alias("pmi_micronat"))
     )
+
+
+def js_divergence(counts_a: DataFrame, counts_b: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence between two token-frequency frames —
+    the corpus-drift alarm for TEXT ("did this month's crawl change
+    vocabulary"), completing the drift triad next to centroid_shift
+    (embeddings) and profile_drift (columns). Inputs are two
+    :func:`token_counts` frames ``(token, n)`` — persist yesterday's,
+    diff today's, the corpora are never re-tokenized.
+
+    ``JS = 0.5*KL(P||M) + 0.5*KL(Q||M)`` with ``M = (P+Q)/2``, in
+    integer micro-nats: the per-token term
+    ``0.5 * (p*ln(2·a·B/(a·B+b·A)) + q*ln(2·b·A/(a·B+b·A)))`` is
+    computed from the exact integer counts (a zero count contributes 0
+    by the KL convention), ROUNDED per token, then integer-summed —
+    order-free and engine-exact (the PMI/entropy discipline). Bounds:
+    0 (identical) to ln 2 ≈ 693147 micro-nats (disjoint).
+
+    One row: ``(n_tokens_union, total_a, total_b, js_micronat)``.
+
+    Scale shape: ONE null-safe full-outer join of two vocabulary-sized
+    count frames + broadcast totals + a global integer sum — nothing
+    corpus-sized moves.
+    """
+    a = counts_a.select(F.col("token").alias("t"), F.col("n").alias("ca"))
+    b = counts_b.select(F.col("token").alias("t"), F.col("n").alias("cb"))
+    ta = a.agg(F.sum("ca").alias("tot_a"))
+    tb = b.agg(F.sum("cb").alias("tot_b"))
+    j = (
+        a.join(b, "t", "full_outer")
+        .select(
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    # doubles built from exact integers; the mixture ratio uses the
+    # cross products so no intermediate distribution is materialized
+    aB = F.col("ca").cast("double") * F.col("tot_b").cast("double")
+    bA = F.col("cb").cast("double") * F.col("tot_a").cast("double")
+    p = F.col("ca").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("cb").cast("double") / F.col("tot_b").cast("double")
+    term = F.round(
+        (
+            F.when(F.col("ca") == 0, F.lit(0.0)).otherwise(
+                p * F.log(F.lit(2.0) * aB / (aB + bA))
+            )
+            + F.when(F.col("cb") == 0, F.lit(0.0)).otherwise(
+                q * F.log(F.lit(2.0) * bA / (aB + bA))
+            )
+        )
+        * F.lit(0.5)
+        * F.lit(1e6)
+    ).cast("long")
+    return j.select(term.alias("__t"), "tot_a", "tot_b").agg(
+        F.count(F.lit(1)).alias("n_tokens_union"),
+        F.max("tot_a").alias("total_a"),
+        F.max("tot_b").alias("total_b"),
+        F.sum("__t").alias("js_micronat"),
+    )

@@ -436,3 +436,60 @@ class TestCooccurrencePlan:
         assert p.count("Exchange hashpartitioning") == 1
         assert "Join" not in p and "Window" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestJSDivergence:
+    def _counts(self, spark, d):
+        return spark.createDataFrame(list(d.items()), "token string, n long")
+
+    def test_identical_distributions_zero(self, spark):
+        from cassandra_diff_spark.operators.vocab import js_divergence
+
+        a = self._counts(spark, {"x": 6, "y": 2})
+        b = self._counts(spark, {"x": 3, "y": 1})  # same shape, half mass
+        r = js_divergence(a, b).collect()[0]
+        assert r.js_micronat == 0
+        assert (r.total_a, r.total_b, r.n_tokens_union) == (8, 4, 2)
+
+    def test_disjoint_vocabularies_ln2(self, spark):
+        from cassandra_diff_spark.operators.vocab import js_divergence
+
+        a = self._counts(spark, {"x": 3, "y": 1})
+        b = self._counts(spark, {"u": 2, "v": 2})
+        r = js_divergence(a, b).collect()[0]
+        # each side contributes p*ln(2)/2 terms summing to ln 2 exactly
+        # (up to per-token rounding)
+        assert abs(r.js_micronat - 693147) <= 2
+
+    def test_python_reference(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.vocab import js_divergence
+
+        ca = {"x": 5, "y": 3, "z": 2}
+        cb = {"x": 1, "y": 7, "w": 4}
+        A, B = sum(ca.values()), sum(cb.values())
+        want = 0
+        for t in set(ca) | set(cb):
+            a, b = ca.get(t, 0), cb.get(t, 0)
+            aB, bA = a * B, b * A
+            s = 0.0
+            if a:
+                s += (a / A) * math.log(2.0 * aB / (aB + bA))
+            if b:
+                s += (b / B) * math.log(2.0 * bA / (aB + bA))
+            want += round(s * 0.5 * 1e6)
+        r = js_divergence(
+            self._counts(spark, ca), self._counts(spark, cb)
+        ).collect()[0]
+        assert r.js_micronat == want
+        assert 0 < r.js_micronat < 693147
+
+    def test_symmetry(self, spark):
+        from cassandra_diff_spark.operators.vocab import js_divergence
+
+        a = self._counts(spark, {"x": 9, "y": 1})
+        b = self._counts(spark, {"x": 2, "y": 8})
+        ab = js_divergence(a, b).collect()[0].js_micronat
+        ba = js_divergence(b, a).collect()[0].js_micronat
+        assert ab == ba
