@@ -52,15 +52,32 @@ def pair_metrics(pred: DataFrame, truth: DataFrame) -> DataFrame:
     p = _canon_pairs(pred).withColumn("__p", F.lit(1))
     t = _canon_pairs(truth).withColumn("__t", F.lit(1))
     j = p.join(t, ["id_1", "id_2"], "full_outer")
+    # coalesce: two EMPTY inputs join to zero rows and a bare sum would
+    # report NULL counts instead of 0 (found by hypothesis)
     agg = j.agg(
-        F.sum(
-            F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("tp"),
-        F.sum(
-            F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__p").isNotNull() & F.col("__t").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("fp"),
-        F.sum(
-            F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__p").isNull() & F.col("__t").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("fn"),
     )
     return agg.select(
