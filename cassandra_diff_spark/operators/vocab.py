@@ -483,16 +483,21 @@ def pmi_pairs(cooc: DataFrame, min_count: int = 1) -> DataFrame:
     the denominators). Output: ``(token_a, token_b, n, pmi_micronat)``.
 
     Scale shape: the corpus-sized work already happened in
-    :func:`cooccurrence_counts`; here the windows and the broadcast
-    global total run over the pair-TYPE frame (Zipf-bounded — the
-    mutual_info posture at vocabulary scale, never a data rescan).
+    :func:`cooccurrence_counts`; marginals are vocabulary-sized
+    groupBys JOINED back on the token — deliberately not windows
+    partitioned by token, which would pin every partner of a stopword
+    ("the" co-occurs with half the vocabulary) into ONE task; the join
+    shape lets AQE split the hot tokens. The global total broadcasts.
     """
-    ca = F.sum("n").over(Window.partitionBy("token_a"))
-    cb = F.sum("n").over(Window.partitionBy("token_b"))
+    ma = cooc.groupBy("token_a").agg(F.sum("n").alias("__ca"))
+    mb = cooc.groupBy("token_b").agg(F.sum("n").alias("__cb"))
     total = cooc.agg(F.sum("n").alias("__nn"))
-    cells = cooc.select(
-        "token_a", "token_b", "n", ca.alias("__ca"), cb.alias("__cb")
-    ).crossJoin(F.broadcast(total))
+    cells = (
+        cooc.join(ma, "token_a")
+        .join(mb, "token_b")
+        .select("token_a", "token_b", "n", "__ca", "__cb")
+        .crossJoin(F.broadcast(total))
+    )
     n_d = F.col("n").cast("double")
     term = F.round(
         F.log(
