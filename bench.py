@@ -158,6 +158,7 @@ HEADLINE = [
     "eval_ndcg_lsh",
     "eval_map_lsh",
     "vocab_js_drift",
+    "vocab_pmi_incremental",
 ]
 
 

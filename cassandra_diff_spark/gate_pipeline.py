@@ -8288,3 +8288,28 @@ FROM terms
 
 QUERIES["vocab_js_drift"] = _q_vocab_js_drift
 ORACLES["vocab_js_drift"] = _O_VOCAB_JS_DRIFT
+
+
+def _q_vocab_pmi_incremental(spark, sf_dir):
+    """Incremental collocation refresh: the even-id half's persisted
+    co-occurrence counts folded with the odd-id batch, then PMI —
+    counts are additive, so the result EQUALS the one-shot corpus-wide
+    PMI and shares its oracle."""
+    from cassandra_diff_spark.operators.vocab import (
+        cooccurrence_counts,
+        fold_cooccurrence_counts,
+        pmi_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    persisted = cooccurrence_counts(
+        d.filter(F.col("doc_id") % 2 == 0), "text", window=2
+    )
+    folded = fold_cooccurrence_counts(
+        persisted, d.filter(F.col("doc_id") % 2 == 1), "text", window=2
+    )
+    return pmi_pairs(folded, min_count=3)
+
+
+QUERIES["vocab_pmi_incremental"] = _q_vocab_pmi_incremental
+ORACLES["vocab_pmi_incremental"] = _O_VOCAB_PMI

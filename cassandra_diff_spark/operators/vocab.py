@@ -571,3 +571,30 @@ def js_divergence(counts_a: DataFrame, counts_b: DataFrame) -> DataFrame:
         F.max("tot_b").alias("total_b"),
         F.sum("__t").alias("js_micronat"),
     )
+
+
+def fold_cooccurrence_counts(
+    cooc: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    window: int = 2,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fold a NEW document batch into persisted co-occurrence counts —
+    the incremental arm of the collocation/PMI pipeline (the
+    fold_token_counts pattern: skipgram pair counts are additive, so
+    fold == rebuild exactly and the historical corpus is never
+    re-tokenized). Pass the SAME ``window``/``symmetric`` the persisted
+    frame was built with — a mismatch silently mixes two different
+    statistics (the same contract every fold in the family carries).
+
+    One batch scan + one map-side-combined sum over the union at
+    pair-type cardinality.
+    """
+    return (
+        cooc.unionByName(
+            cooccurrence_counts(batch, text_col, window=window, symmetric=symmetric)
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.sum("n").alias("n"))
+    )

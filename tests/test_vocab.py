@@ -493,3 +493,25 @@ class TestJSDivergence:
         ab = js_divergence(a, b).collect()[0].js_micronat
         ba = js_divergence(b, a).collect()[0].js_micronat
         assert ab == ba
+
+
+class TestFoldCooccurrence:
+    def test_fold_equals_rebuild(self, spark, corpus):
+        from cassandra_diff_spark.operators.vocab import (
+            cooccurrence_counts,
+            fold_cooccurrence_counts,
+            pmi_pairs,
+        )
+
+        hist = corpus.filter(F.col("doc_id") <= 3)
+        batch = corpus.filter(F.col("doc_id") > 3)
+        persisted = cooccurrence_counts(hist, "text", window=2)
+        folded = fold_cooccurrence_counts(persisted, batch, "text", window=2)
+        once = cooccurrence_counts(corpus, "text", window=2)
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, once.collect())
+        )
+        # and PMI over the fold equals PMI over the rebuild
+        a = sorted(map(tuple, pmi_pairs(folded, min_count=2).collect()))
+        b = sorted(map(tuple, pmi_pairs(once, min_count=2).collect()))
+        assert a == b
