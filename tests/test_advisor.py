@@ -66,3 +66,55 @@ def test_unsorted_small_pair_is_quiet(spark, tmp_path):
     s = _settings(out)
     assert "scan_pruning" not in s      # hash layout: ranges overlap
     assert "digest_buckets" not in s    # tiny files, digests don't pay
+
+
+class TestLSHBandPlan:
+    def test_catch_probability_hand_math(self):
+        from cassandra_diff_spark.plans.lsh import catch_probability_milli
+
+        # b=4, r=4, s=0.8: 1 - (1 - 0.8^4)^4 = 1 - (0.5904)^4
+        assert catch_probability_milli(4, 4, 800) == round(
+            (1 - (1 - 0.8**4) ** 4) * 1000
+        )
+        assert catch_probability_milli(4, 4, 0) == 0
+        assert catch_probability_milli(4, 4, 1000) == 1000
+
+    def test_engine_default_threshold(self):
+        from cassandra_diff_spark.operators.dedup import BANDS, NUM_PERM
+        from cassandra_diff_spark.plans.lsh import curve_threshold_milli
+
+        t = curve_threshold_milli(BANDS, NUM_PERM // BANDS)
+        assert 700 <= t <= 715  # (1/4)^(1/4) ~ 0.707
+
+    def test_plan_recommends_divisor_splits_best_first(self):
+        from cassandra_diff_spark.plans.lsh import band_plan
+
+        plans = band_plan(16, target_milli=700)
+        assert all(16 == p.bands * p.rows for p in plans)
+        # best plan's threshold is the closest to the target
+        best = plans[0]
+        assert all(
+            abs(best.threshold_milli - 700) <= abs(p.threshold_milli - 700)
+            for p in plans
+        )
+        # the engine default (4, 4) wins for the ~0.7 regime
+        assert (best.bands, best.rows) == (4, 4)
+
+    def test_lower_target_wants_more_bands(self):
+        from cassandra_diff_spark.plans.lsh import band_plan
+
+        loose = band_plan(16, target_milli=300)[0]
+        strict = band_plan(16, target_milli=950)[0]
+        assert loose.bands > strict.bands
+        # and catch at target is high for the loose plan by design
+        assert loose.catch_at_target_milli >= 500
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.plans.lsh import band_plan
+
+        with _pytest.raises(ValueError):
+            band_plan(1, 700)
+        with _pytest.raises(ValueError):
+            band_plan(16, 0)
