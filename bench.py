@@ -159,6 +159,7 @@ HEADLINE = [
     "eval_map_lsh",
     "vocab_js_drift",
     "vocab_pmi_incremental",
+    "vocab_js_drift_stream",
 ]
 
 

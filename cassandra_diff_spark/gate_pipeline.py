@@ -8313,3 +8313,32 @@ def _q_vocab_pmi_incremental(spark, sf_dir):
 
 QUERIES["vocab_pmi_incremental"] = _q_vocab_pmi_incremental
 ORACLES["vocab_pmi_incremental"] = _O_VOCAB_PMI
+
+
+def _q_vocab_js_drift_stream(spark, sf_dir):
+    """Streaming-runtime twin of vocab_js_drift: the odd-id half
+    streams in file-sized micro-batches through the complete-mode
+    token-count aggregation; the drained counts meet the persisted
+    even-half baseline in js_divergence — gated by the batch oracle."""
+    import shutil
+
+    from cassandra_diff_spark.operators.vocab import js_divergence, token_counts
+    from cassandra_diff_spark.streaming.diff_stream import stream_token_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    baseline = token_counts(d.filter(F.col("doc_id") % 2 == 0), "text")
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    stage = "/tmp/cds_gate_stream_tokcounts"
+    shutil.rmtree(stage, ignore_errors=True)
+    odd.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    live = stream_token_counts(stream, "text", name="cds_gate_stream_tok")
+    return js_divergence(baseline, live)
+
+
+QUERIES["vocab_js_drift_stream"] = _q_vocab_js_drift_stream
+ORACLES["vocab_js_drift_stream"] = _O_VOCAB_JS_DRIFT

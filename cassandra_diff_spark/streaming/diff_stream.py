@@ -1467,3 +1467,28 @@ def stream_contamination(
         "n_overlap",
         F.expr("(n_overlap * 1000) div n_grams").alias("overlap_milli"),
     )
+
+
+def stream_token_counts(
+    stream: DataFrame,
+    text_col: str,
+    *,
+    name: str = "cds_stream_tokcounts",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming token-frequency build: the ``token_counts`` groupBy is
+    an order-free map-side-combinable integer count, so it runs as a
+    COMPLETE-mode aggregation with state bounded by the DISTINCT token
+    count (vocabulary-sized, not corpus-sized). Drained counts equal
+    the batch build exactly — feed them to ``vocab_from_counts`` for a
+    live vocabulary or to ``js_divergence`` against a persisted
+    baseline for the live drift monitor."""
+    from cassandra_diff_spark.functions.text import words
+
+    agg = (
+        stream.select(F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _drain_complete(agg, name, checkpoint)

@@ -1075,3 +1075,31 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
     # and the planted overlap is real: doc 1 shares 'the quick brown' etc.
     by_id = {t[0]: t for t in got}
     assert by_id[1][2] > 0 and by_id[3][2] == 0
+
+
+def test_stream_token_counts_match_batch(spark, tmp_path):
+    """Complete-mode token counts drain to exactly the batch frame and
+    compose with vocab_from_counts."""
+    from cassandra_diff_spark.operators.vocab import (
+        token_counts,
+        vocab_from_counts,
+    )
+    from cassandra_diff_spark.streaming.diff_stream import stream_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, ""), (4, "the cat")],
+        "doc_id long, text string",
+    )
+    stage = str(tmp_path / "docs")
+    df.repartition(2).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    live = stream_token_counts(stream, "text", name="t_tok_s")
+    got = sorted(tuple(r) for r in live.collect())
+    want = sorted(tuple(r) for r in token_counts(df, "text").collect())
+    assert got == want
+    v = vocab_from_counts(live, vocab_size=2).collect()
+    assert [(r.token_id, r.token) for r in v] == [(1, "the"), (2, "cat")]
