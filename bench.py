@@ -160,6 +160,7 @@ HEADLINE = [
     "vocab_js_drift",
     "vocab_pmi_incremental",
     "vocab_js_drift_stream",
+    "curate_gopher_flags",
 ]
 
 

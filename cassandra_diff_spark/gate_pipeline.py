@@ -8342,3 +8342,74 @@ def _q_vocab_js_drift_stream(spark, sf_dir):
 
 QUERIES["vocab_js_drift_stream"] = _q_vocab_js_drift_stream
 ORACLES["vocab_js_drift_stream"] = _O_VOCAB_JS_DRIFT
+
+
+def _q_curate_gopher_flags(spark, sf_dir):
+    """Gopher document-quality rules as exact integer milli signals +
+    verdict — every ratio reported so a curation run can audit WHICH
+    rule rejected a corpus slice."""
+    from cassandra_diff_spark.operators.curate import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _make_o_gopher():
+    from cassandra_diff_spark.functions.text import (
+        STOPWORDS,
+        n_words_sql,
+        stopword_hits_sql,
+        words_sql,
+    )
+
+    nw = n_words_sql("text")
+    w = words_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         {nw} AS n_words,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) * 1000
+              AS BIGINT) AS tc1000,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len([l FOR l IN string_split(text, chr(10))
+                   IF regexp_matches(l, '^\\s*[-*•]\\s')]) AS BIGINT)
+           AS n_bullet,
+         CAST(len([l FOR l IN string_split(text, chr(10))
+                   IF ends_with(rtrim(l), '...')]) AS BIGINT) AS n_ellipsis,
+         CAST(len([t FOR t IN {w} IF regexp_matches(t, '[A-Za-z]')])
+              AS BIGINT) AS n_alpha,
+         {stopword_hits_sql('text', STOPWORDS['en'])} AS stopword_hits
+  FROM documents
+),
+m AS (
+  SELECT id, n_words,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE tc1000 // n_words END AS mean_word_len_milli,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE (symbols * 1000) // n_words END AS symbol_word_milli,
+         CASE WHEN n_lines = 0 THEN NULL
+              ELSE (n_bullet * 1000) // n_lines END AS bullet_line_milli,
+         CASE WHEN n_lines = 0 THEN NULL
+              ELSE (n_ellipsis * 1000) // n_lines END AS ellipsis_line_milli,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE (n_alpha * 1000) // n_words END AS alpha_word_milli,
+         stopword_hits
+  FROM base
+)
+SELECT *,
+       COALESCE(
+         n_words >= 50 AND n_words <= 100000
+         AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+         AND symbol_word_milli <= 100
+         AND bullet_line_milli <= 900
+         AND ellipsis_line_milli <= 300
+         AND alpha_word_milli >= 800
+         AND stopword_hits >= 2, FALSE) AS passes
+FROM m
+"""
+
+
+QUERIES["curate_gopher_flags"] = _q_curate_gopher_flags
+ORACLES["curate_gopher_flags"] = _make_o_gopher()

@@ -1849,3 +1849,67 @@ class TestNoveltyIncremental:
             ).collect()
         }
         assert got == {10: 0, 11: 0, 12: 0, 13: 1000}
+
+
+class TestGopherFlags:
+    def _flags(self, spark, rows, **kw):
+        from cassandra_diff_spark.operators.curate import gopher_quality_flags
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.id: r
+            for r in gopher_quality_flags(df, "doc_id", "text", **kw).collect()
+        }
+
+    def test_good_document_passes(self, spark):
+        text = ("the quick brown fox jumps over the lazy dog and then " * 6)
+        got = self._flags(spark, [(1, text)], min_words=50)
+        r = got[1]
+        assert r.passes and r.n_words >= 50
+        assert 3000 <= r.mean_word_len_milli <= 10000
+        assert r.alpha_word_milli == 1000
+
+    def test_each_rule_rejects(self, spark):
+        base = "the quick brown fox jumps over a lazy dog today " * 10
+        rows = [
+            (1, "too short"),                                   # n_words
+            (2, "#" * 40 + " " + base),                         # symbols
+            (3, "\n".join("- bullet line here" for _ in range(20))
+                + "\n" + base),                                 # bullets
+            (4, "\n".join("trailing line..." for _ in range(20))
+                + "\n" + base),                                 # ellipsis
+            (5, " ".join("123456" for _ in range(100))),        # no alpha
+            (6, base),                                          # control
+        ]
+        got = self._flags(spark, rows, max_bullet_line_milli=500,
+                          max_ellipsis_line_milli=500)
+        assert not got[1].passes
+        assert not got[2].passes and got[2].symbol_word_milli > 100
+        assert not got[3].passes and got[3].bullet_line_milli > 500
+        assert not got[4].passes and got[4].ellipsis_line_milli > 500
+        assert not got[5].passes and got[5].alpha_word_milli == 0
+        assert got[6].passes
+
+    def test_mean_word_length_bounds(self, spark):
+        # single-char words -> mean 1000 milli, below the 3000 floor
+        short = " ".join("a" for _ in range(100))
+        long = " ".join("abcdefghijklmnop" for _ in range(100))
+        got = self._flags(spark, [(1, short), (2, long)])
+        assert got[1].mean_word_len_milli == 1000 and not got[1].passes
+        assert got[2].mean_word_len_milli == 16000 and not got[2].passes
+
+    def test_null_text_fails_closed(self, spark):
+        got = self._flags(spark, [(1, None)])
+        assert got[1].passes is False
+
+    def test_map_only_plan(self, spark):
+        from cassandra_diff_spark.operators.curate import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            gopher_quality_flags(df, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
