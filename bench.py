@@ -161,6 +161,7 @@ HEADLINE = [
     "vocab_pmi_incremental",
     "vocab_js_drift_stream",
     "curate_gopher_flags",
+    "curate_dup_lines",
 ]
 
 

@@ -8413,3 +8413,49 @@ FROM m
 
 QUERIES["curate_gopher_flags"] = _q_curate_gopher_flags
 ORACLES["curate_gopher_flags"] = _make_o_gopher()
+
+
+def _q_curate_dup_lines(spark, sf_dir):
+    """Duplicate-line repetition signals over a planted multi-line
+    corpus: each doc becomes 'text \\n text \\n first-20-chars' — the
+    full text line is duplicated, the prefix line (usually) is not."""
+    from cassandra_diff_spark.operators.curate import duplicate_unit_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n"),
+            F.substring(F.col("text"), 1, 20),
+        ).alias("text"),
+    )
+    return duplicate_unit_stats(d, "doc_id", "text", sep="\n")
+
+
+_O_CURATE_DUP_LINES = """
+WITH src AS (
+  SELECT doc_id, text || chr(10) || text || chr(10) || substr(text, 1, 20)
+           AS text
+  FROM documents
+),
+ex AS (
+  SELECT doc_id AS id, u
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM src)
+  WHERE length(trim(u)) > 0
+),
+c AS (
+  SELECT id, u, CAST(COUNT(*) AS BIGINT) AS c, length(u) AS len
+  FROM ex GROUP BY id, u
+)
+SELECT id,
+       CAST(SUM(c) AS BIGINT) AS n_units,
+       CAST((1000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT)
+         AS dup_unit_milli,
+       CASE WHEN SUM(c * len) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END))
+                      // SUM(c * len) AS BIGINT) END AS dup_char_milli
+FROM c GROUP BY id
+"""
+
+
+QUERIES["curate_dup_lines"] = _q_curate_dup_lines
+ORACLES["curate_dup_lines"] = _O_CURATE_DUP_LINES

@@ -1308,3 +1308,62 @@ def gopher_quality_flags(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def duplicate_unit_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document duplicate-unit signals — the Gopher repetition
+    filters :func:`repetition_stats` does not cover: the fraction of
+    LINES (``sep='\\n'``) or PARAGRAPHS (``sep='\\n\\n'``) that are
+    duplicates, by count and by character mass. A looping generator or
+    a nav-bar-riddled scrape shows a high duplicate-line mass long
+    before its word statistics look abnormal.
+
+    Per document (units = non-blank ``sep``-separated segments):
+
+    * ``n_units``
+    * ``dup_unit_milli`` = ``1000 * (n_units - n_distinct) div n_units``
+    * ``dup_char_milli``: characters inside units occurring MORE THAN
+      ONCE (all occurrences), over total unit characters
+
+    Documents with no non-blank units are absent (nothing to measure).
+
+    Scale shape: explode -> groupBy(id, unit) -> groupBy(id), both
+    map-side combinable (the repetition_stats posture) — deliberately
+    NOT a quadratic per-row array self-scan, which would melt on
+    10k-line documents; the exchanges carry per-unit counts, not text.
+    """
+    units = F.filter(
+        F.split(F.col(text_col), sep),
+        lambda u: F.length(F.trim(u)) > 0,
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
+    counts = ex.groupBy("id", "u").agg(
+        F.count(F.lit(1)).alias("c"), F.length("u").alias("len")
+    )
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_units"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.sum(F.col("c") * F.col("len")).alias("__chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)
+            ).alias("__dup_chars"),
+        )
+        .select(
+            "id",
+            "n_units",
+            F.expr("(1000 * (n_units - __distinct)) div n_units").alias(
+                "dup_unit_milli"
+            ),
+            F.expr(
+                "CASE WHEN __chars = 0 THEN NULL"
+                " ELSE (1000 * __dup_chars) div __chars END"
+            ).alias("dup_char_milli"),
+        )
+    )

@@ -1913,3 +1913,47 @@ class TestGopherFlags:
             .toString()
         )
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestDuplicateUnitStats:
+    def test_hand_computed_lines(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_unit_stats
+
+        # doc 1: 4 lines, "aa" twice (4 chars dup of 10 total)
+        # doc 2: all unique; doc 3: blank/whitespace lines excluded
+        df = spark.createDataFrame(
+            [
+                (1, "aa\nbbb\naa\nccc"),
+                (2, "x\ny"),
+                (3, "only\n\n   \nline"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.id: r
+            for r in duplicate_unit_stats(df, "doc_id", "text").collect()
+        }
+        r1 = got[1]
+        assert r1.n_units == 4 and r1.dup_unit_milli == 250
+        assert r1.dup_char_milli == (1000 * 4) // 10
+        assert got[2].dup_unit_milli == 0 and got[2].dup_char_milli == 0
+        assert got[3].n_units == 2 and got[3].dup_unit_milli == 0
+
+    def test_paragraph_separator(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_unit_stats
+
+        df = spark.createDataFrame(
+            [(1, "para one\n\npara two\n\npara one")],
+            "doc_id long, text string",
+        )
+        r = duplicate_unit_stats(df, "doc_id", "text", sep="\n\n").collect()[0]
+        assert r.n_units == 3 and r.dup_unit_milli == 333
+
+    def test_no_units_doc_absent(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_unit_stats
+
+        df = spark.createDataFrame(
+            [(1, "   \n  \n"), (2, "real line")], "doc_id long, text string"
+        )
+        got = {r.id for r in duplicate_unit_stats(df, "doc_id", "text").collect()}
+        assert got == {2}
