@@ -118,3 +118,30 @@ class TestLSHBandPlan:
             band_plan(1, 700)
         with _pytest.raises(ValueError):
             band_plan(16, 0)
+
+
+class TestBenchRegistry:
+    def test_headline_names_resolve_and_are_unique(self):
+        """A typo in bench.HEADLINE would crash the driver's per-round
+        benchmark before any timing lands — guard the list against the
+        registry."""
+        import ast
+        from pathlib import Path
+
+        from cassandra_diff_spark import gate, gate_pipeline
+
+        tree = ast.parse(
+            (Path(__file__).resolve().parent.parent / "bench.py").read_text()
+        )
+        names = None
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Assign)
+                and getattr(node.targets[0], "id", "") == "HEADLINE"
+            ):
+                names = [ast.literal_eval(e) for e in node.value.elts]
+        assert names, "HEADLINE list not found in bench.py"
+        registry = {**gate.QUERIES, **gate_pipeline.QUERIES}
+        missing = [n for n in names if n not in registry]
+        assert not missing, missing
+        assert len(names) == len(set(names))
