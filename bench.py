@@ -162,6 +162,7 @@ HEADLINE = [
     "vocab_js_drift_stream",
     "curate_gopher_flags",
     "curate_dup_lines",
+    "curate_dup_ngrams",
 ]
 
 

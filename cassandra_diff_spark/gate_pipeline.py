@@ -8459,3 +8459,37 @@ FROM c GROUP BY id
 
 QUERIES["curate_dup_lines"] = _q_curate_dup_lines
 ORACLES["curate_dup_lines"] = _O_CURATE_DUP_LINES
+
+
+def _q_curate_dup_ngrams(spark, sf_dir):
+    """Duplicate 5-gram character mass per document — the word-soup
+    corpus repeats tokens heavily, so real duplicate shingles occur
+    naturally; exact milli integers."""
+    from cassandra_diff_spark.operators.curate import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_docs(spark, sf_dir), "doc_id", "text", n=5)
+
+
+_O_CURATE_DUP_NGRAMS = f"""
+WITH ex AS (
+  SELECT doc_id AS id, g
+  FROM (SELECT doc_id, unnest({word_shingles_sql('text', 5)}) AS g
+        FROM documents)
+),
+c AS (
+  SELECT id, g, CAST(COUNT(*) AS BIGINT) AS c, length(g) AS len
+  FROM ex GROUP BY id, g
+)
+SELECT id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       CAST((1000 * (SUM(c) - COUNT(*))) // SUM(c) AS BIGINT)
+         AS dup_ngram_milli,
+       CASE WHEN SUM(c * len) = 0 THEN NULL
+            ELSE CAST((1000 * SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END))
+                      // SUM(c * len) AS BIGINT) END AS dup_char_milli
+FROM c GROUP BY id
+"""
+
+
+QUERIES["curate_dup_ngrams"] = _q_curate_dup_ngrams
+ORACLES["curate_dup_ngrams"] = _O_CURATE_DUP_NGRAMS

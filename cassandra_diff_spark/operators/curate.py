@@ -1367,3 +1367,61 @@ def duplicate_unit_stats(
             ).alias("dup_char_milli"),
         )
     )
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Character mass inside REPEATED n-grams per document — the last
+    Gopher repetition filter (Rae et al. 2021 Table A1: "fraction of
+    characters in duplicate n-grams", n = 5..10): text that loops a
+    long phrase shows a high duplicate 5-gram char mass even when its
+    word-level statistics look normal.
+
+    Per document: ``(id, n_ngrams, dup_ngram_milli, dup_char_milli)``
+    where ``dup_ngram_milli`` counts n-gram OCCURRENCES beyond unique
+    and ``dup_char_milli`` is the character mass of all occurrences of
+    any n-gram seen more than once, over total n-gram characters.
+    Documents shorter than ``n`` words fingerprint as one whole-text
+    shingle (the :func:`word_shingles` contract) and trivially score 0.
+
+    Scale shape: explode -> groupBy(id, gram) -> groupBy(id), both
+    map-side combinable (the :func:`duplicate_unit_stats` posture);
+    exchanges carry per-gram counts + lengths, never repeated text.
+    """
+    from cassandra_diff_spark.functions.text import shingles_from_words
+
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("w__")
+    )
+    ex = base.select(
+        "id", F.explode(shingles_from_words(F.col("w__"), n)).alias("g")
+    )
+    counts = ex.groupBy("id", "g").agg(
+        F.count(F.lit(1)).alias("c"), F.length("g").alias("len")
+    )
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.sum(F.col("c") * F.col("len")).alias("__chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)
+            ).alias("__dup_chars"),
+        )
+        .select(
+            "id",
+            "n_ngrams",
+            F.expr("(1000 * (n_ngrams - __distinct)) div n_ngrams").alias(
+                "dup_ngram_milli"
+            ),
+            F.expr(
+                "CASE WHEN __chars = 0 THEN NULL"
+                " ELSE (1000 * __dup_chars) div __chars END"
+            ).alias("dup_char_milli"),
+        )
+    )

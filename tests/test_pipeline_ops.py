@@ -1957,3 +1957,39 @@ class TestDuplicateUnitStats:
         )
         got = {r.id for r in duplicate_unit_stats(df, "doc_id", "text").collect()}
         assert got == {2}
+
+
+class TestDuplicateNgramStats:
+    def test_looping_phrase_detected(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_ngram_stats
+
+        loop = ("one two three four five " * 4).strip()  # every 5-gram repeats
+        fresh = "a b c d e f g h i j"  # all distinct 5-grams
+        df = spark.createDataFrame(
+            [(1, loop), (2, fresh)], "doc_id long, text string"
+        )
+        got = {
+            r.id: r
+            for r in duplicate_ngram_stats(df, "doc_id", "text", n=5).collect()
+        }
+        assert got[1].dup_char_milli == 1000  # ALL 5-gram mass repeats
+        assert got[1].dup_ngram_milli > 500
+        assert got[2].dup_ngram_milli == 0 and got[2].dup_char_milli == 0
+
+    def test_hand_counts(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_ngram_stats
+
+        # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y]
+        # counts: "x y" x3 (len 3), "y x" x2 (len 3) -> all chars dup
+        df = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+        r = duplicate_ngram_stats(df, "doc_id", "text", n=2).collect()[0]
+        assert r.n_ngrams == 5
+        assert r.dup_ngram_milli == (1000 * 3) // 5
+        assert r.dup_char_milli == 1000
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        from cassandra_diff_spark.operators.curate import duplicate_ngram_stats
+
+        df = spark.createDataFrame([(1, "hi there")], "doc_id long, text string")
+        r = duplicate_ngram_stats(df, "doc_id", "text", n=5).collect()[0]
+        assert r.n_ngrams == 1 and r.dup_ngram_milli == 0
