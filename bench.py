@@ -163,6 +163,7 @@ HEADLINE = [
     "curate_gopher_flags",
     "curate_dup_lines",
     "curate_dup_ngrams",
+    "dedup_exact_incremental",
 ]
 
 

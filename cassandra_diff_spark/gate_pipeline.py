@@ -8493,3 +8493,24 @@ FROM c GROUP BY id
 
 QUERIES["curate_dup_ngrams"] = _q_curate_dup_ngrams
 ORACLES["curate_dup_ngrams"] = _O_CURATE_DUP_NGRAMS
+
+
+def _q_dedup_exact_incremental(spark, sf_dir):
+    """Incremental exact dedup: the odd-id batch classified against the
+    persisted even-id fingerprint index; survivorship and counts merge
+    so the result EQUALS the one-shot exact_dedup over all documents —
+    the oracle is exactly that (shared)."""
+    from cassandra_diff_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    d = _docs(spark, sf_dir)
+    idx = exact_dedup(d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    return exact_dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1), idx, "doc_id", "text"
+    )
+
+
+QUERIES["dedup_exact_incremental"] = _q_dedup_exact_incremental
+ORACLES["dedup_exact_incremental"] = _O_DEDUP_EXACT

@@ -77,6 +77,49 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup — the cross-snapshot arm the MinHash/
+    SimHash/containment/embedding/novelty incrementals already have:
+    classify a NEW batch against the persisted ``(fp, keep_id, n_dups)``
+    fingerprint index (:func:`exact_dedup` output — kilobytes per
+    million docs) without re-reading corpus text.
+
+    EXACT ONE-SHOT PARITY: the merged frame equals ``exact_dedup`` over
+    corpus + batch, because survivorship re-evaluates ``min(keep_id,
+    batch ids)`` per fingerprint and counts add — an already-indexed
+    page re-crawled under a higher id keeps its original survivor, and
+    a batch doc that beats the corpus id (ids are arbitrary) takes
+    over, exactly as the one-shot pass would decide. Write the result
+    back as the next snapshot's index; ids must be globally unique.
+
+    Scale shape: batch fingerprints (one map-only projection of the
+    batch) full-outer-join the index on fp — fingerprint-cardinality
+    traffic only; corpus text is never touched.
+    """
+    batch = exact_dedup(new_df, id_col, text_col).select(
+        "fp", F.col("keep_id").alias("__bk"), F.col("n_dups").alias("__bn")
+    )
+    idx = corpus_fps.select(
+        "fp", F.col("keep_id").alias("__ck"), F.col("n_dups").alias("__cn")
+    )
+    return idx.join(batch, "fp", "full_outer").select(
+        "fp",
+        F.least(
+            F.coalesce(F.col("__ck"), F.col("__bk")),
+            F.coalesce(F.col("__bk"), F.col("__ck")),
+        ).alias("keep_id"),
+        (
+            F.coalesce(F.col("__cn"), F.lit(0))
+            + F.coalesce(F.col("__bn"), F.lit(0))
+        ).cast("long").alias("n_dups"),
+    )
+
+
 # --------------------------------------------------------- n-gram Jaccard
 
 def shingle_set(

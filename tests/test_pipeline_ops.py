@@ -1993,3 +1993,66 @@ class TestDuplicateNgramStats:
         df = spark.createDataFrame([(1, "hi there")], "doc_id long, text string")
         r = duplicate_ngram_stats(df, "doc_id", "text", n=5).collect()[0]
         assert r.n_ngrams == 1 and r.dup_ngram_milli == 0
+
+
+class TestExactDedupIncremental:
+    def test_one_shot_parity_and_survivor_takeover(self, spark):
+        from cassandra_diff_spark.operators.dedup import (
+            exact_dedup,
+            exact_dedup_incremental,
+        )
+
+        corpus = spark.createDataFrame(
+            [(10, "same text"), (11, "corpus only"), (12, "shared later")],
+            "doc_id long, text string",
+        )
+        # batch: 5 beats corpus id 10 (takeover); 99 loses to 12;
+        # 50+51 duplicate each other batch-internally; 60 is new
+        batch = spark.createDataFrame(
+            [
+                (5, "same text"),
+                (99, "shared later"),
+                (50, "batch dup"),
+                (51, "batch dup"),
+                (60, "fresh"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = exact_dedup(corpus, "doc_id", "text")
+        inc = sorted(
+            map(tuple, exact_dedup_incremental(
+                batch, idx, "doc_id", "text"
+            ).collect())
+        )
+        once = sorted(
+            map(tuple, exact_dedup(
+                corpus.unionByName(batch), "doc_id", "text"
+            ).collect())
+        )
+        assert inc == once
+        by_keep = {r[1]: r[2] for r in inc}
+        assert by_keep[5] == 2     # takeover: batch id 5 < corpus id 10
+        assert by_keep[12] == 2    # corpus survivor retained
+        assert by_keep[50] == 2    # batch-internal dup pair
+        assert by_keep[60] == 1
+
+    def test_chained_folds_equal_one_shot(self, spark):
+        from cassandra_diff_spark.operators.dedup import (
+            exact_dedup,
+            exact_dedup_incremental,
+        )
+
+        d = spark.createDataFrame(
+            [(i, f"t{i % 4}") for i in range(12)], "doc_id long, text string"
+        )
+        idx = exact_dedup(d.filter(F.col("doc_id") < 4), "doc_id", "text")
+        idx = exact_dedup_incremental(
+            d.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 8)),
+            idx, "doc_id", "text",
+        )
+        idx = exact_dedup_incremental(
+            d.filter(F.col("doc_id") >= 8), idx, "doc_id", "text"
+        )
+        assert sorted(map(tuple, idx.collect())) == sorted(
+            map(tuple, exact_dedup(d, "doc_id", "text").collect())
+        )
