@@ -164,6 +164,7 @@ HEADLINE = [
     "curate_dup_lines",
     "curate_dup_ngrams",
     "dedup_exact_incremental",
+    "privacy_suppress",
 ]
 
 

@@ -8514,3 +8514,44 @@ def _q_dedup_exact_incremental(spark, sf_dir):
 
 QUERIES["dedup_exact_incremental"] = _q_dedup_exact_incremental
 ORACLES["dedup_exact_incremental"] = _O_DEDUP_EXACT
+
+
+def _q_privacy_suppress(spark, sf_dir):
+    """k-anonymity enforcement by suppression: orders rows whose
+    (status, priority, order-year) combination occurs fewer than 100
+    times are dropped; every surviving row hides among >= 99 others."""
+    from cassandra_diff_spark.operators.privacy import suppress_to_k
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    return suppress_to_k(
+        o, ["o_orderstatus", "o_orderpriority", "order_year"], k=100
+    )
+
+
+_O_PRIVACY_SUPPRESS = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS order_year
+  FROM orders
+),
+bad AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, order_year AS y
+  FROM src GROUP BY 1, 2, 3 HAVING COUNT(*) < 100
+)
+SELECT src.* FROM src
+WHERE NOT EXISTS (
+  SELECT 1 FROM bad
+  WHERE src.o_orderstatus IS NOT DISTINCT FROM bad.s
+    AND src.o_orderpriority IS NOT DISTINCT FROM bad.p
+    AND src.order_year IS NOT DISTINCT FROM bad.y
+)
+"""
+
+
+QUERIES["privacy_suppress"] = _q_privacy_suppress
+ORACLES["privacy_suppress"] = _O_PRIVACY_SUPPRESS

@@ -93,3 +93,34 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") < k)
     )
+
+
+def suppress_to_k(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Enforce k-anonymity by suppression — the baseline release
+    transform: drop every row whose quasi-identifier combination occurs
+    fewer than ``k`` times, so each surviving row hides among at least
+    ``k-1`` identical-looking others. (Generalization — coarsening
+    values instead of dropping rows — preserves more data; compose
+    ``F.year``/bucketing projections upstream and re-audit.)
+
+    NULL is a real quasi value (the :func:`k_anonymity_report`
+    convention), so the suppression join is NULL-SAFE — an all-null
+    combination seen once is still a fingerprint and still drops.
+
+    Scale shape: one combination-cardinality groupBy (the audit) +
+    one broadcast-able null-safe anti-join of the violating
+    combinations against the data; columns pass through untouched.
+    """
+    quasi_cols = list(quasi_cols)
+    bad = k_anonymity_report(df, quasi_cols, k).select(
+        *[F.col(c).alias(f"__v_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        e = df[c].eqNullSafe(bad[f"__v_{c}"])
+        cond = e if cond is None else (cond & e)
+    return df.join(F.broadcast(bad), cond, "left_anti")

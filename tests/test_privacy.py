@@ -95,3 +95,38 @@ class TestKAnonymity:
             k_anonymity_report(df, [], k=3)
         with pytest.raises(ValueError, match="k must be >= 2"):
             k_anonymity_report(df, ["q"], k=1)
+
+
+class TestSuppressToK:
+    def test_survivors_all_meet_k(self, spark):
+        from cassandra_diff_spark.operators.privacy import (
+            k_anonymity_report,
+            suppress_to_k,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 2)] * 2 + [("b", None)],
+            "q1 string, q2 long",
+        )
+        out = suppress_to_k(df, ["q1", "q2"], k=3)
+        assert out.count() == 5  # only the ('a', 1) group survives
+        # post-condition: the audit over the survivors is empty
+        assert k_anonymity_report(out, ["q1", "q2"], k=3).count() == 0
+
+    def test_null_combination_suppressed(self, spark):
+        from cassandra_diff_spark.operators.privacy import suppress_to_k
+
+        df = spark.createDataFrame(
+            [(None,), (None,), ("x",), ("x",)], "q string"
+        )
+        # k=3: both groups (incl. the all-null one) are rare -> all drop
+        assert suppress_to_k(df, ["q"], k=3).count() == 0
+
+    def test_non_quasi_columns_pass_through(self, spark):
+        from cassandra_diff_spark.operators.privacy import suppress_to_k
+
+        df = spark.createDataFrame(
+            [(i, "g", i * 10) for i in range(4)], "id long, q string, v long"
+        )
+        out = suppress_to_k(df, ["q"], k=3)
+        assert out.columns == ["id", "q", "v"] and out.count() == 4
