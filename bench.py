@@ -165,6 +165,7 @@ HEADLINE = [
     "curate_dup_ngrams",
     "dedup_exact_incremental",
     "privacy_suppress",
+    "text_mojibake",
 ]
 
 

@@ -352,3 +352,31 @@ def script_dominant_sql(expr: str) -> str:
         conds += [f"{cnt[n]} >= {cnt[o]}" for o in names[names.index(n) + 1:]]
         out = f"CASE WHEN {' AND '.join(conds)} THEN '{n}' ELSE {out} END"
     return out
+
+
+
+# ------------------------------------------------------------- mojibake
+
+def mojibake_marks(col: Column) -> Column:
+    """Count of encoding-damage markers — the CCNet-style signal for
+    text that survived a bad UTF-8/Latin-1 round trip: U+FFFD
+    replacement characters plus the classic double-decode artifact
+    leads ('Ã', 'Â', 'â€'). Exact integer count (length differences —
+    no regex extraction); callers ratio it per char/word like the other
+    counter primitives (n_punct, stopword_hits). A HINT, not a decoder:
+    byte-level fixing happens upstream; this flags what slipped
+    through, map-only."""
+    singles = F.length(col) - F.length(F.regexp_replace(col, "[\uFFFD\u00C3\u00C2]", ""))
+    pairs = (
+        F.length(col) - F.length(F.regexp_replace(col, "\u00E2\u20AC", ""))
+    ) / F.lit(2)
+    return (singles + pairs).cast("long")
+
+
+def mojibake_marks_sql(expr: str) -> str:
+    return (
+        f"CAST((length({expr}) - length(regexp_replace({expr}, "
+        f"'[\uFFFD\u00C3\u00C2]', '', 'g')))"
+        f" + (length({expr}) - length(regexp_replace({expr}, "
+        f"'\u00E2\u20AC', '', 'g'))) // 2 AS BIGINT)"
+    )

@@ -8555,3 +8555,52 @@ WHERE NOT EXISTS (
 
 QUERIES["privacy_suppress"] = _q_privacy_suppress
 ORACLES["privacy_suppress"] = _O_PRIVACY_SUPPRESS
+
+
+def _q_text_mojibake(spark, sf_dir):
+    """Encoding-damage triage: every 5th document gets a planted
+    double-decode suffix; marks counted exactly, ratio in integer
+    milli per character."""
+    from cassandra_diff_spark.functions.text import mojibake_marks
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" Ã© â€œbrokenâ€ � Â")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        mojibake_marks(F.col("text")).alias("marks"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "marks",
+        "n_chars",
+        F.expr("(marks * 1000) div n_chars").alias("mojibake_milli"),
+    )
+
+
+def _make_o_text_mojibake():
+    from cassandra_diff_spark.functions.text import mojibake_marks_sql
+
+    planted = " Ã© â€œbrokenâ€ � Â"
+    txt = (
+        f"CASE WHEN doc_id % 5 = 0 THEN text || '{planted}' ELSE text END"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {txt} AS text FROM documents)
+SELECT doc_id,
+       {mojibake_marks_sql('text')} AS marks,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ({mojibake_marks_sql('text')} * 1000) // CAST(length(text) AS BIGINT)
+         AS mojibake_milli
+FROM src
+"""
+
+
+QUERIES["text_mojibake"] = _q_text_mojibake
+ORACLES["text_mojibake"] = _make_o_text_mojibake()

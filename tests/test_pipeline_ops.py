@@ -2056,3 +2056,31 @@ class TestExactDedupIncremental:
         assert sorted(map(tuple, idx.collect())) == sorted(
             map(tuple, exact_dedup(d, "doc_id", "text").collect())
         )
+
+
+class TestMojibake:
+    def test_marker_counting(self, spark):
+        from cassandra_diff_spark.functions.text import mojibake_marks
+
+        rows = [
+            (1, "perfectly clean ascii"),
+            (2, "Ã© double-decoded e-acute"),         # 1 single
+            (3, "â€œsmart quotesâ€ gone wrong"),       # 2 pairs
+            (4, "lost � char and Â nbsp"),            # 2 singles
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id", mojibake_marks(F.col("text")).alias("m")
+            ).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2, 4: 2}
+
+    def test_null_text_null_marks(self, spark):
+        from cassandra_diff_spark.functions.text import mojibake_marks
+
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        assert df.select(mojibake_marks(F.col("text")).alias("m")).collect()[
+            0
+        ].m is None
