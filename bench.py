@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_exact_incremental",
     "privacy_suppress",
     "text_mojibake",
+    "eval_class_metrics_stream",
 ]
 
 

@@ -8604,3 +8604,38 @@ FROM src
 
 QUERIES["text_mojibake"] = _q_text_mojibake
 ORACLES["text_mojibake"] = _make_o_text_mojibake()
+
+
+def _q_eval_class_metrics_stream(spark, sf_dir):
+    """Streaming-runtime twin of eval_class_metrics: the rater pair
+    streams in file-sized micro-batches through the complete-mode
+    confusion-cell aggregation; per-class resolution runs on the
+    drained cells via the SAME class_metrics_from_cells tail — gated by
+    the batch oracle."""
+    import shutil
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_class_metrics
+
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("a"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("DISPUTED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("b"),
+    )
+    stage = "/tmp/cds_gate_stream_classmetrics"
+    shutil.rmtree(stage, ignore_errors=True)
+    r.repartition(4).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(r.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream_class_metrics(
+        stream, "a", "b", name="cds_gate_stream_classmetrics"
+    )
+
+
+QUERIES["eval_class_metrics_stream"] = _q_eval_class_metrics_stream
+ORACLES["eval_class_metrics_stream"] = _O_EVAL_CLASS_METRICS

@@ -334,46 +334,7 @@ def class_metrics(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
     marginal frames. The data is scanned once, by the cell groupBy.
     """
     cells = confusion_matrix(df, truth_col, pred_col)
-    diag = cells.filter(F.col("truth").eqNullSafe(F.col("pred"))).select(
-        F.col("truth").alias("__label"), F.col("n").alias("tp")
-    )
-    mt = cells.groupBy(F.col("truth").alias("__t")).agg(
-        F.sum("n").alias("n_true")
-    )
-    mp = cells.groupBy(F.col("pred").alias("__p")).agg(
-        F.sum("n").alias("n_pred")
-    )
-    marg = mt.join(mp, mt["__t"].eqNullSafe(mp["__p"]), "full_outer").select(
-        F.coalesce(F.col("__t"), F.col("__p")).alias("__label"),
-        # the coalesce above maps BOTH null marginals to a null label —
-        # legal, because eqNullSafe matched them into ONE row
-        F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
-        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
-    )
-    j = marg.join(diag, marg["__label"].eqNullSafe(diag["__label"]), "left").select(
-        marg["__label"].alias("label"),
-        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
-        (F.col("n_pred") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
-        (F.col("n_true") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
-    )
-    return j.select(
-        "label",
-        "tp",
-        "fp",
-        "fn",
-        F.expr(
-            "CASE WHEN tp + fp = 0 THEN NULL"
-            " ELSE (1000 * tp) div (tp + fp) END"
-        ).alias("precision_milli"),
-        F.expr(
-            "CASE WHEN tp + fn = 0 THEN NULL"
-            " ELSE (1000 * tp) div (tp + fn) END"
-        ).alias("recall_milli"),
-        F.expr(
-            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
-            " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
-        ).alias("f1_milli"),
-    )
+    return class_metrics_from_cells(cells)
 
 
 def ndcg_at_k(pred: DataFrame, truth: DataFrame, k: int) -> DataFrame:
@@ -486,4 +447,52 @@ def average_precision_at_k(
         F.expr(
             f"coalesce(__sum, 0) div least(n_rel, {int(k)})"
         ).alias("ap_micro"),
+    )
+
+
+def class_metrics_from_cells(cells: DataFrame) -> DataFrame:
+    """Per-class metric resolution over an ALREADY-AGGREGATED
+    ``(truth, pred, n)`` cell frame — the tail :func:`class_metrics`
+    and the streaming twin (whose complete-mode state IS that cell
+    frame) share, so drained-stream output equals the batch operator
+    by construction."""
+    diag = cells.filter(F.col("truth").eqNullSafe(F.col("pred"))).select(
+        F.col("truth").alias("__label"), F.col("n").alias("tp")
+    )
+    mt = cells.groupBy(F.col("truth").alias("__t")).agg(
+        F.sum("n").alias("n_true")
+    )
+    mp = cells.groupBy(F.col("pred").alias("__p")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    marg = mt.join(mp, mt["__t"].eqNullSafe(mp["__p"]), "full_outer").select(
+        F.coalesce(F.col("__t"), F.col("__p")).alias("__label"),
+        F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+    )
+    j = marg.join(
+        diag, marg["__label"].eqNullSafe(diag["__label"]), "left"
+    ).select(
+        marg["__label"].alias("label"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        (F.col("n_pred") - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+        (F.col("n_true") - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+    )
+    return j.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fp) END"
+        ).alias("precision_milli"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE (1000 * tp) div (tp + fn) END"
+        ).alias("recall_milli"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
+        ).alias("f1_milli"),
     )

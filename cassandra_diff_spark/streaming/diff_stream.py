@@ -1492,3 +1492,32 @@ def stream_token_counts(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return _drain_complete(agg, name, checkpoint)
+
+
+def stream_class_metrics(
+    stream: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    *,
+    name: str = "cds_stream_classmetrics",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming classifier QA: the (truth, pred) confusion-cell counts
+    — order-free, map-side-combinable — run as the COMPLETE-mode state
+    (|labels|² rows no matter how much data streams through); per-class
+    P/R/F1 resolve on the DRAINED cell table through the SAME
+    ``class_metrics_from_cells`` tail as the batch operator, so drained
+    output equals :func:`~cassandra_diff_spark.operators.evaluate.
+    class_metrics` by construction (oracle-gated). The live
+    model-vs-golden dashboard feed."""
+    from cassandra_diff_spark.operators.evaluate import class_metrics_from_cells
+
+    cells = (
+        stream.select(
+            F.col(truth_col).cast("string").alias("truth"),
+            F.col(pred_col).cast("string").alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return class_metrics_from_cells(_drain_complete(cells, name, checkpoint))

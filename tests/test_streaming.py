@@ -1103,3 +1103,32 @@ def test_stream_token_counts_match_batch(spark, tmp_path):
     assert got == want
     v = vocab_from_counts(live, vocab_size=2).collect()
     assert [(r.token_id, r.token) for r in v] == [(1, "the"), (2, "cat")]
+
+
+def test_stream_class_metrics_match_batch(spark, tmp_path):
+    """Drained confusion cells resolve through the same tail as the
+    batch operator — including null and predicted-only labels."""
+    from cassandra_diff_spark.operators.evaluate import class_metrics
+    from cassandra_diff_spark.streaming.diff_stream import stream_class_metrics
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "y"), (None, "x"), ("y", None),
+         ("z", "x")],
+        "t string, p string",
+    )
+    stage = str(tmp_path / "labels")
+    df.repartition(3).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got = sorted(
+        (str(r.label), r.tp, r.fp, r.fn)
+        for r in stream_class_metrics(stream, "t", "p", name="t_cm_s2").collect()
+    )
+    want = sorted(
+        (str(r.label), r.tp, r.fp, r.fn)
+        for r in class_metrics(df, "t", "p").collect()
+    )
+    assert got == want
