@@ -167,6 +167,7 @@ HEADLINE = [
     "privacy_suppress",
     "text_mojibake",
     "eval_class_metrics_stream",
+    "pipeline_corpus_delta",
 ]
 
 

@@ -8639,3 +8639,58 @@ def _q_eval_class_metrics_stream(spark, sf_dir):
 
 QUERIES["eval_class_metrics_stream"] = _q_eval_class_metrics_stream
 ORACLES["eval_class_metrics_stream"] = _O_EVAL_CLASS_METRICS
+
+
+def _q_pipeline_corpus_delta(spark, sf_dir):
+    """What changed between two corpus snapshots, by CONTENT: each side
+    reduces to (doc_id, fingerprint) and the engine's snapshot_delta
+    classifies I/U/D — families composing (text fingerprints into the
+    CDC diff core). 'Yesterday' = docs below the 80th-percentile id;
+    'today' drops every 7th doc (deletes), rewrites every 5th
+    (updates), and gains the top ids (inserts)."""
+    from cassandra_diff_spark.operators.cdc import snapshot_delta
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    cut = 400  # sf-scaled corpora keep ids dense from 0
+    old = d.filter(F.col("doc_id") < cut)
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("fp"), F.lit("v2")))
+            )
+            .otherwise(F.col("fp"))
+            .alias("fp"),
+        )
+    )
+    return snapshot_delta(old, new, ["doc_id"])
+
+
+_O_PIPELINE_CORPUS_DELTA = f"""
+WITH d AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+),
+old AS (SELECT * FROM d WHERE doc_id < 400),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN md5(fp || 'v2') ELSE fp END AS fp
+  FROM d WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN n.fp
+            WHEN n.doc_id IS NULL THEN o.fp
+            ELSE n.fp END AS fp,
+       CASE WHEN o.doc_id IS NULL THEN 'I'
+            WHEN n.doc_id IS NULL THEN 'D'
+            ELSE 'U' END AS op
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR (o.fp IS DISTINCT FROM n.fp)
+"""
+
+
+QUERIES["pipeline_corpus_delta"] = _q_pipeline_corpus_delta
+ORACLES["pipeline_corpus_delta"] = _O_PIPELINE_CORPUS_DELTA
