@@ -168,6 +168,7 @@ HEADLINE = [
     "text_mojibake",
     "eval_class_metrics_stream",
     "pipeline_corpus_delta",
+    "privacy_l_diversity",
 ]
 
 

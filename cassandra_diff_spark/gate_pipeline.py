@@ -8694,3 +8694,45 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
 
 QUERIES["pipeline_corpus_delta"] = _q_pipeline_corpus_delta
 ORACLES["pipeline_corpus_delta"] = _O_PIPELINE_CORPUS_DELTA
+
+
+def _q_privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit: (status, order-year) groups whose orders all
+    fall into fewer than 4 distinct price bands — k-anonymous crowds
+    that still leak their sensitive attribute."""
+    from cassandra_diff_spark.operators.privacy import l_diversity_report
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+        # explicit FLOOR: Spark's double->int cast truncates while
+        # DuckDB's rounds — the raw casts disagree on ~half the rows
+        # (group stats matched by luck; floored bands match by law)
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("price_band"),
+    )
+    return l_diversity_report(
+        o, ["o_orderstatus", "order_year"], "price_band", l=4
+    )
+
+
+_O_PRIVACY_L_DIVERSITY = """
+WITH src AS (
+  SELECT o_orderstatus,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(FLOOR(o_totalprice / 50000) AS INT) AS price_band
+  FROM orders
+)
+SELECT o_orderstatus, order_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT price_band)
+            + MAX(CASE WHEN price_band IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sensitive
+FROM src
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT price_band)
+       + MAX(CASE WHEN price_band IS NULL THEN 1 ELSE 0 END) < 4
+"""
+
+
+QUERIES["privacy_l_diversity"] = _q_privacy_l_diversity
+ORACLES["privacy_l_diversity"] = _O_PRIVACY_L_DIVERSITY

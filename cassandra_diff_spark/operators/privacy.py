@@ -124,3 +124,51 @@ def suppress_to_k(
         e = df[c].eqNullSafe(bad[f"__v_{c}"])
         cond = e if cond is None else (cond & e)
     return df.join(F.broadcast(bad), cond, "left_anti")
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Which quasi-identifier groups carry fewer than ``l`` DISTINCT
+    sensitive values — the audit k-anonymity misses (Machanavajjhala et
+    al. 2007): a group of 500 rows hides its members perfectly, yet if
+    every row shares one diagnosis the attacker learns it without
+    singling anyone out. NULL is a real value on both sides (an
+    all-null sensitive column is ONE value — maximally homogeneous).
+
+    One row per violating group:
+    ``(*quasi_cols, n, n_sensitive)`` with ``n_sensitive < l``.
+
+    Scale shape: ONE groupBy at combination cardinality with an exact
+    count_distinct on the sensitive column (Spark's Expand doubles the
+    shuffle rows — acceptable here because the frame is the AUDITED
+    table, and exactness is the point of an audit; the HLL profilers
+    cover the approximate tier).
+    """
+    quasi_cols = list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("l_diversity_report needs at least one quasi column")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot also be a quasi column"
+        )
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    # count_distinct ignores NULLs — add the null presence back so NULL
+    # counts as a value (the stated contract)
+    has_null = F.max(
+        F.when(F.col(sensitive_col).isNull(), 1).otherwise(0)
+    )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count_distinct(F.col(sensitive_col)) + has_null)
+            .cast("long")
+            .alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )

@@ -130,3 +130,47 @@ class TestSuppressToK:
         )
         out = suppress_to_k(df, ["q"], k=3)
         assert out.columns == ["id", "q", "v"] and out.count() == 4
+
+
+class TestLDiversity:
+    def test_homogeneous_group_flagged(self, spark):
+        from cassandra_diff_spark.operators.privacy import l_diversity_report
+
+        # group 'a': 4 rows, all sensitive 'flu' -> 1 distinct < 2
+        # group 'b': 3 rows, two values -> passes l=2
+        df = spark.createDataFrame(
+            [("a", "flu")] * 4 + [("b", "flu"), ("b", "cold"), ("b", "flu")],
+            "q string, s string",
+        )
+        got = {
+            r.q: (r.n, r.n_sensitive)
+            for r in l_diversity_report(df, ["q"], "s", l=2).collect()
+        }
+        assert got == {"a": (4, 1)}
+
+    def test_null_sensitive_is_a_value(self, spark):
+        from cassandra_diff_spark.operators.privacy import l_diversity_report
+
+        # all-null sensitive = ONE value (flagged at l=2); a group with
+        # one real value + nulls has TWO values (passes l=2)
+        df = spark.createDataFrame(
+            [("a", None)] * 3 + [("b", None), ("b", "x")],
+            "q string, s string",
+        )
+        got = {
+            r.q: r.n_sensitive
+            for r in l_diversity_report(df, ["q"], "s", l=2).collect()
+        }
+        assert got == {"a": 1}
+        assert l_diversity_report(df, ["q"], "s", l=3).filter(
+            F.col("q") == "b"
+        ).collect()[0].n_sensitive == 2
+
+    def test_validation(self, spark):
+        from cassandra_diff_spark.operators.privacy import l_diversity_report
+
+        df = spark.createDataFrame([("a", "x")], "q string, s string")
+        with pytest.raises(ValueError, match="cannot also be a quasi"):
+            l_diversity_report(df, ["q", "s"], "s", l=2)
+        with pytest.raises(ValueError, match="l must be >= 2"):
+            l_diversity_report(df, ["q"], "s", l=1)
