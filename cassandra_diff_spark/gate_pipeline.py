@@ -8697,38 +8697,45 @@ ORACLES["pipeline_corpus_delta"] = _O_PIPELINE_CORPUS_DELTA
 
 
 def _q_privacy_l_diversity(spark, sf_dir):
-    """l-diversity audit: (status, order-year) groups whose orders all
-    fall into fewer than 4 distinct price bands — k-anonymous crowds
-    that still leak their sensitive attribute."""
+    """l-diversity audit: (status, priority, year, month) groups whose
+    orders all fall into fewer than 4 of the coarse price bands — the
+    k-anonymous crowds that still leak their sensitive attribute (~1/3
+    of the groups at sf0.01, so BOTH branches are exercised)."""
     from cassandra_diff_spark.operators.privacy import l_diversity_report
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderstatus",
+        "o_orderpriority",
         F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
         # explicit FLOOR: Spark's double->int cast truncates while
         # DuckDB's rounds — the raw casts disagree on ~half the rows
         # (group stats matched by luck; floored bands match by law)
-        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("price_band"),
+        F.floor(F.col("o_totalprice") / 150000).cast("int").alias("price_band"),
     )
     return l_diversity_report(
-        o, ["o_orderstatus", "order_year"], "price_band", l=4
+        o,
+        ["o_orderstatus", "o_orderpriority", "order_year", "order_month"],
+        "price_band",
+        l=4,
     )
 
 
 _O_PRIVACY_L_DIVERSITY = """
 WITH src AS (
-  SELECT o_orderstatus,
+  SELECT o_orderstatus, o_orderpriority,
          CAST(year(o_orderdate) AS INT) AS order_year,
-         CAST(FLOOR(o_totalprice / 50000) AS INT) AS price_band
+         CAST(month(o_orderdate) AS INT) AS order_month,
+         CAST(FLOOR(o_totalprice / 150000) AS INT) AS price_band
   FROM orders
 )
-SELECT o_orderstatus, order_year,
+SELECT o_orderstatus, o_orderpriority, order_year, order_month,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT price_band)
             + MAX(CASE WHEN price_band IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sensitive
 FROM src
-GROUP BY 1, 2
+GROUP BY 1, 2, 3, 4
 HAVING COUNT(DISTINCT price_band)
        + MAX(CASE WHEN price_band IS NULL THEN 1 ELSE 0 END) < 4
 """
