@@ -169,6 +169,7 @@ HEADLINE = [
     "eval_class_metrics_stream",
     "pipeline_corpus_delta",
     "privacy_l_diversity",
+    "events_ks_value",
 ]
 
 

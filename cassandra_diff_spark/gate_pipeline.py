@@ -8743,3 +8743,66 @@ HAVING COUNT(DISTINCT price_band)
 
 QUERIES["privacy_l_diversity"] = _q_privacy_l_diversity
 ORACLES["privacy_l_diversity"] = _O_PRIVACY_L_DIVERSITY
+
+
+def _q_events_ks_value(spark, sf_dir):
+    """Distribution drift between segments: KS distance of the purchase
+    events' value distribution vs all other event types, exact integer
+    micro-units at 256-bin resolution (width 330/256 = 1.2890625 —
+    binary-exact, so bin assignment is engine-identical)."""
+    from cassandra_diff_spark.operators.stats import ks_distance
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("value")
+    b = e.filter(F.col("event_type") != "purchase").select("value")
+    return ks_distance(a, b, "value", lo=0.0, hi=330.0, n_bins=256)
+
+
+_O_EVENTS_KS_VALUE = """
+WITH pa AS (
+  SELECT LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 1.2890625),
+               0), 255) AS bin
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+pb AS (
+  SELECT LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 1.2890625),
+               0), 255) AS bin
+  FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
+),
+hca AS (
+  SELECT bin, SUM(COUNT(*)) OVER (ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS ca
+  FROM pa GROUP BY bin
+),
+hcb AS (
+  SELECT bin, SUM(COUNT(*)) OVER (ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cb
+  FROM pb GROUP BY bin
+),
+j AS (
+  SELECT COALESCE(hca.bin, hcb.bin) AS bin, ca, cb
+  FROM hca FULL OUTER JOIN hcb ON hca.bin = hcb.bin
+),
+f AS (
+  SELECT bin,
+         MAX(COALESCE(ca, 0)) OVER (ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS fa,
+         MAX(COALESCE(cb, 0)) OVER (ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS fb
+  FROM j
+),
+t AS (
+  SELECT CAST((SELECT COUNT(*) FROM pa) AS BIGINT) AS n_a,
+         CAST((SELECT COUNT(*) FROM pb) AS BIGINT) AS n_b
+),
+g AS (SELECT bin, ABS(fa * n_b - fb * n_a) AS gap, n_a, n_b FROM f, t)
+SELECT n_a, n_b,
+       CAST((1000000 * MAX(gap)) // (n_a * n_b) AS BIGINT) AS ks_micro,
+       CAST(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM g) THEN bin END)
+            AS BIGINT) AS ks_bin
+FROM g GROUP BY n_a, n_b
+"""
+
+
+QUERIES["events_ks_value"] = _q_events_ks_value
+ORACLES["events_ks_value"] = _O_EVENTS_KS_VALUE

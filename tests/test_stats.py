@@ -520,3 +520,43 @@ class TestEntropyMI:
         row = mutual_info(ind, "a", "b").collect()[0]
         assert row.mi_micronat == 0 and row.n_cells == 4
         assert row.col_a == "a" and row.col_b == "b"
+
+
+class TestKSDistance:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    def test_hand_computed(self, spark):
+        from cassandra_diff_spark.operators.stats import ks_distance
+
+        a = self._df(spark, [1, 1, 2, 3])
+        b = self._df(spark, [3, 3, 4])
+        r = ks_distance(a, b, "v", lo=0.0, hi=5.0, n_bins=5).collect()[0]
+        # edges: bin1 |2*3-0|=6, bin2 |3*3-0|=9, bin3 |4*3-2*4|=4, bin4 0
+        assert (r.n_a, r.n_b) == (4, 3)
+        assert r.ks_micro == (1000000 * 9) // 12  # 0.75
+        assert r.ks_bin == 2
+
+    def test_identical_samples_zero(self, spark):
+        from cassandra_diff_spark.operators.stats import ks_distance
+
+        a = self._df(spark, [1, 5, 9, 3])
+        b = self._df(spark, [1, 5, 9, 3, 1, 5, 9, 3])  # same shape, 2x mass
+        r = ks_distance(a, b, "v", lo=0.0, hi=10.0, n_bins=10).collect()[0]
+        assert r.ks_micro == 0
+
+    def test_disjoint_samples_full_distance(self, spark):
+        from cassandra_diff_spark.operators.stats import ks_distance
+
+        a = self._df(spark, [1, 2, 3])
+        b = self._df(spark, [7, 8, 9])
+        r = ks_distance(a, b, "v", lo=0.0, hi=10.0, n_bins=10).collect()[0]
+        assert r.ks_micro == 1000000
+
+    def test_nulls_excluded(self, spark):
+        from cassandra_diff_spark.operators.stats import ks_distance
+
+        a = spark.createDataFrame([(1.0,), (None,)], "v double")
+        b = spark.createDataFrame([(1.0,)], "v double")
+        r = ks_distance(a, b, "v", lo=0.0, hi=2.0, n_bins=4).collect()[0]
+        assert r.n_a == 1 and r.ks_micro == 0
