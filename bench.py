@@ -170,6 +170,7 @@ HEADLINE = [
     "pipeline_corpus_delta",
     "privacy_l_diversity",
     "events_ks_value",
+    "key_scan_hive_layout",
 ]
 
 

@@ -8806,3 +8806,34 @@ FROM g GROUP BY n_a, n_b
 
 QUERIES["events_ks_value"] = _q_events_ks_value
 ORACLES["events_ks_value"] = _O_EVENTS_KS_VALUE
+
+
+def _q_key_scan_hive_layout(spark, sf_dir):
+    """Directory-partition pruning: events staged Hive-partitioned by
+    event_type; the purchase-slice scan lists ONLY that directory
+    (PartitionFilters — pytest asserts the plan) and values round-trip
+    exactly against the raw-table oracle."""
+    from cassandra_diff_spark.operators.bucketed import (
+        read_hive_partitioned,
+        write_hive_partitioned,
+    )
+
+    e = load(spark, sf_dir, "events")
+    import pathlib
+
+    stage = f"/tmp/cds_gate_hive_{pathlib.Path(sf_dir).name}"
+    write_hive_partitioned(e, stage, ["event_type"])
+    r = read_hive_partitioned(spark, stage)
+    return r.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_O_KEY_SCAN_HIVE_LAYOUT = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+QUERIES["key_scan_hive_layout"] = _q_key_scan_hive_layout
+ORACLES["key_scan_hive_layout"] = _O_KEY_SCAN_HIVE_LAYOUT

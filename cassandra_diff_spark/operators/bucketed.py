@@ -649,3 +649,37 @@ def read_token_sorted(
     if hi is not None:
         df = df.filter(F.col(TOKEN_COL) < F.lit(int(hi)))
     return df.drop(TOKEN_COL)
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    *,
+    mode: str = "overwrite",
+    max_records_per_file: "int | None" = None,
+) -> None:
+    """Directory-partitioned parquet layout (Hive-style) — the third
+    leg of the layout family next to token-sorted (range pruning via
+    file min/max) and Z-order (multi-column locality): equality/IN
+    predicates on the partition columns prune whole DIRECTORIES at
+    planning time (``PartitionFilters`` in the scan — files of other
+    partitions are never even listed, the cheapest possible skip).
+    Right for low-cardinality routing columns (event type, language,
+    split, date); wrong for high-cardinality keys (millions of tiny
+    directories — use the token-sorted layout there).
+    """
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("write_hive_partitioned needs partition columns")
+    w = df.write.mode(mode).partitionBy(*cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.parquet(path)
+
+
+def read_hive_partitioned(spark, path: str) -> DataFrame:
+    """Read a :func:`write_hive_partitioned` layout; partition columns
+    come back from the directory names and every filter on them becomes
+    a planning-time ``PartitionFilters`` entry."""
+    return spark.read.parquet(path)

