@@ -171,6 +171,7 @@ HEADLINE = [
     "privacy_l_diversity",
     "events_ks_value",
     "key_scan_hive_layout",
+    "profile_chi2",
 ]
 
 

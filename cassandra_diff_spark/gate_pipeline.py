@@ -8837,3 +8837,58 @@ FROM events WHERE event_type = 'purchase'
 
 QUERIES["key_scan_hive_layout"] = _q_key_scan_hive_layout
 ORACLES["key_scan_hive_layout"] = _O_KEY_SCAN_HIVE_LAYOUT
+
+
+def _q_profile_chi2(spark, sf_dir):
+    """Chi-square independence of (status, priority) — the significance
+    companion to profile_mutual_info over the same pair; exact-integer
+    per-cell micro terms, zero-cell expected mass folded in closed
+    form."""
+    from cassandra_diff_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+_O_PROFILE_CHI2 = """
+WITH j AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+         CAST(o_orderpriority AS VARCHAR) AS b,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ca FROM j GROUP BY a),
+mb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM j GROUP BY b),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM j),
+cells AS (
+  SELECT CAST(ROUND(
+           (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+           * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))
+           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(n AS DOUBLE))
+           * 1e6) AS BIGINT) AS tm,
+         CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) AS ccb,
+         n, n_cells
+  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+),
+agg AS (
+  SELECT CAST(SUM(tm) AS BIGINT) AS obs,
+         CAST(ROUND((CAST(MAX(n) AS DOUBLE)
+                     - SUM(ccb) / CAST(MAX(n) AS DOUBLE)) * 1e6) AS BIGINT)
+           AS zero_mass,
+         MAX(n) AS n_rows, MAX(n_cells) AS n_cells_observed
+  FROM cells
+)
+SELECT n_rows, n_cells_observed,
+       CAST(((SELECT COUNT(*) FROM ma) - 1)
+            * ((SELECT COUNT(*) FROM mb) - 1) AS BIGINT) AS dof,
+       obs + zero_mass AS chi2_micro
+FROM agg
+"""
+
+
+QUERIES["profile_chi2"] = _q_profile_chi2
+ORACLES["profile_chi2"] = _O_PROFILE_CHI2

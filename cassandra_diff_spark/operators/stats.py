@@ -895,3 +895,87 @@ def ks_distance(
             (-F.col("__best.nb_")).cast("long").alias("ks_bin"),
         )
     )
+
+
+def chi2_independence(df, col_a: str, col_b: str):
+    """Pearson chi-square statistic between two categorical columns —
+    the SIGNIFICANCE companion to :func:`mutual_info` (MI says how
+    strong an association is; chi² against its degrees of freedom says
+    whether it could be chance at this sample size). NULL is a category
+    on both axes, the profiler convention.
+
+    ``chi2 = SUM_cells (o - e)² / e`` with ``e = ca·cb/n``. Every input
+    to a cell's term is an exact integer count; the term itself is
+    evaluated in doubles with ONE fixed expression shape —
+    ``(o·n - ca·cb)² / (ca·cb·n)`` — rounded to micro-units per cell
+    and integer-summed (order-free, engine-exact: the kappa/PMI
+    discipline). Only OBSERVED cells enter the sum directly; the
+    expected mass of zero cells is folded in exactly as
+    ``n - SUM_observed(e)`` (their (o-e)²/e reduces to e), so the
+    statistic equals the full-grid formula without materializing the
+    |A|x|B| grid.
+
+    One row: ``(n_rows, n_cells_observed, dof, chi2_micro)`` with
+    ``dof = (|A|-1)(|B|-1)``.
+
+    Scale shape: ONE map-side-combined groupBy at observed-cell
+    cardinality; marginals and totals from tiny aggregations over that
+    kilobyte frame (the mutual_info posture); data scanned once.
+    """
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ma = joint.groupBy("__a").agg(F.sum("o").alias("ca"))
+    mb = joint.groupBy("__b").agg(F.sum("o").alias("cb"))
+    total = joint.agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    na = ma.agg(F.count(F.lit(1)).alias("ka"))
+    nb = mb.agg(F.count(F.lit(1)).alias("kb"))
+    cells = (
+        joint.join(ma, "__a")
+        .join(mb, "__b")
+        .crossJoin(F.broadcast(total))
+    )
+    o_d = F.col("o").cast("double")
+    n_d = F.col("n").cast("double")
+    ca_d = F.col("ca").cast("double")
+    cb_d = F.col("cb").cast("double")
+    num = o_d * n_d - ca_d * cb_d
+    term = F.round(num * num / (ca_d * cb_d * n_d) * F.lit(1e6)).cast("long")
+    # zero-cell mass: sum over observed cells of e = ca*cb/n, folded as
+    # round((n - sum_e) * 1e6) — exact-integer inputs, one double step
+    agg = cells.agg(
+        F.sum(term).alias("__obs"),
+        F.sum(ca_d * cb_d).alias("__ccb"),
+        F.max("n").alias("n_rows"),
+        F.max("n_cells").alias("n_cells_observed"),
+    ).select(
+        "__obs",
+        F.round(
+            (
+                F.col("n_rows").cast("double")
+                - F.col("__ccb") / F.col("n_rows").cast("double")
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("__zero"),
+        "n_rows",
+        "n_cells_observed",
+    )
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_rows",
+            "n_cells_observed",
+            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+            (F.col("__obs") + F.col("__zero")).alias("chi2_micro"),
+        )
+    )

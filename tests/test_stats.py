@@ -560,3 +560,60 @@ class TestKSDistance:
         b = spark.createDataFrame([(1.0,)], "v double")
         r = ks_distance(a, b, "v", lo=0.0, hi=2.0, n_bins=4).collect()[0]
         assert r.n_a == 1 and r.ks_micro == 0
+
+
+class TestChi2Independence:
+    def test_python_reference(self, spark):
+        from cassandra_diff_spark.operators.stats import chi2_independence
+
+        rows = (
+            [("x", "u")] * 10 + [("x", "v")] * 2
+            + [("y", "u")] * 3 + [("y", "v")] * 9
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        # python reference, same per-cell rounding
+        from collections import Counter
+
+        c = Counter(rows)
+        ca = Counter(a for a, _ in rows)
+        cb = Counter(b for _, b in rows)
+        n = len(rows)
+        want = 0
+        for (a, b), o in c.items():
+            num = o * n - ca[a] * cb[b]
+            want += round(num * num / (ca[a] * cb[b] * n) * 1e6)
+        want += round((n - sum(ca[a] * cb[b] for (a, b) in c) / n) * 1e6)
+        assert r.chi2_micro == want
+        assert r.dof == 1 and r.n_rows == 24
+        assert r.chi2_micro > 3_841_000  # significant at 0.05 for dof 1
+
+    def test_independent_columns_near_zero(self, spark):
+        from cassandra_diff_spark.operators.stats import chi2_independence
+
+        # perfectly balanced 2x2 -> chi2 exactly 0
+        rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        assert r.chi2_micro == 0 and r.dof == 1
+
+    def test_zero_cells_counted_in_expected_mass(self, spark):
+        from cassandra_diff_spark.operators.stats import chi2_independence
+
+        # (y, u) never observed: its expected mass must still enter
+        rows = [("x", "u")] * 4 + [("y", "v")] * 4 + [("x", "v")] * 2
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi2_independence(df, "a", "b").collect()[0]
+        from collections import Counter
+
+        c = Counter(rows)
+        ca, cb, n = Counter(a for a, _ in rows), Counter(b for _, b in rows), 10
+        full = 0
+        for a in ca:
+            for b in cb:
+                o = c.get((a, b), 0)
+                e = ca[a] * cb[b] / n
+                full += (o - e) ** 2 / e
+        # micro value within per-cell rounding of the full-grid formula
+        assert abs(r.chi2_micro - full * 1e6) <= (len(c) + 1)
+        assert r.n_cells_observed == 3
