@@ -172,6 +172,7 @@ HEADLINE = [
     "events_ks_value",
     "key_scan_hive_layout",
     "profile_chi2",
+    "profile_cramers_v",
 ]
 
 

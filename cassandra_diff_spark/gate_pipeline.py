@@ -8892,3 +8892,33 @@ FROM agg
 
 QUERIES["profile_chi2"] = _q_profile_chi2
 ORACLES["profile_chi2"] = _O_PROFILE_CHI2
+
+
+def _q_profile_cramers_v(spark, sf_dir):
+    """Cramér's V of (status, priority) — the normalized effect size
+    over the same pair as profile_chi2/profile_mutual_info, completing
+    the association triad."""
+    from cassandra_diff_spark.operators.stats import cramers_v
+
+    return cramers_v(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+_O_PROFILE_CRAMERS_V = f"""
+WITH base AS ({_O_PROFILE_CHI2.strip()}),
+ka AS (SELECT COUNT(DISTINCT CAST(o_orderstatus AS VARCHAR)) AS ka FROM orders),
+kb AS (SELECT COUNT(DISTINCT CAST(o_orderpriority AS VARCHAR)) AS kb FROM orders)
+SELECT n_rows, dof, chi2_micro,
+       CASE WHEN LEAST(ka - 1, kb - 1) > 0
+            THEN CAST(ROUND(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+                                 / (CAST(n_rows AS DOUBLE)
+                                    * CAST(LEAST(ka - 1, kb - 1) AS DOUBLE)))
+                            * 1e3) AS BIGINT)
+            ELSE NULL END AS v_milli
+FROM base, ka, kb
+"""
+
+
+QUERIES["profile_cramers_v"] = _q_profile_cramers_v
+ORACLES["profile_cramers_v"] = _O_PROFILE_CRAMERS_V

@@ -979,3 +979,52 @@ def chi2_independence(df, col_a: str, col_b: str):
             (F.col("__obs") + F.col("__zero")).alias("chi2_micro"),
         )
     )
+
+
+def cramers_v(df, col_a: str, col_b: str):
+    """Cramér's V — the [0, 1] effect size that makes chi² comparable
+    across tables and label cardinalities (chi² grows with n; MI is in
+    nats; V answers "is this association big"): ``V = sqrt(chi² / (n ·
+    min(|A|-1, |B|-1)))``, reported in exact milli units via one
+    double sqrt over the already-exact ``chi2_micro``. Completes the
+    categorical-association triad: mutual_info (strength in nats),
+    chi2_independence (significance), cramers_v (normalized effect).
+    A constant column on either side (min side cardinality 1) yields
+    NULL — there is no association to size.
+
+    One row: ``(n_rows, dof, chi2_micro, v_milli)``. Fully declarative
+    — the label cardinalities ride in as broadcast one-row frames, no
+    driver action. NULL is a category, the profiler convention.
+    """
+    base = chi2_independence(df, col_a, col_b)
+    na = (
+        df.select(F.col(col_a).cast("string").alias("x"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("ka"))
+    )
+    nb = (
+        df.select(F.col(col_b).cast("string").alias("x"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("kb"))
+    )
+    m = F.least(F.col("ka") - 1, F.col("kb") - 1)
+    return (
+        base.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_rows",
+            "dof",
+            "chi2_micro",
+            F.when(
+                m > 0,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2_micro").cast("double")
+                        / F.lit(1e6)
+                        / (F.col("n_rows").cast("double") * m.cast("double"))
+                    )
+                    * F.lit(1e3)
+                ).cast("long"),
+            ).alias("v_milli"),
+        )
+    )

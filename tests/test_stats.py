@@ -617,3 +617,38 @@ class TestChi2Independence:
         # micro value within per-cell rounding of the full-grid formula
         assert abs(r.chi2_micro - full * 1e6) <= (len(c) + 1)
         assert r.n_cells_observed == 3
+
+
+class TestCramersV:
+    def test_reference_value(self, spark):
+        import math
+
+        from cassandra_diff_spark.operators.stats import (
+            chi2_independence,
+            cramers_v,
+        )
+
+        rows = (
+            [("x", "u")] * 10 + [("x", "v")] * 2
+            + [("y", "u")] * 3 + [("y", "v")] * 9
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        chi2 = chi2_independence(df, "a", "b").collect()[0].chi2_micro
+        r = cramers_v(df, "a", "b").collect()[0]
+        want = round(math.sqrt(chi2 / 1e6 / (24 * 1)) * 1e3)
+        assert r.v_milli == want and 0 < r.v_milli <= 1000
+
+    def test_perfect_association_is_1000(self, spark):
+        from cassandra_diff_spark.operators.stats import cramers_v
+
+        rows = [("x", "u")] * 5 + [("y", "v")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        assert cramers_v(df, "a", "b").collect()[0].v_milli == 1000
+
+    def test_constant_side_yields_null(self, spark):
+        from cassandra_diff_spark.operators.stats import cramers_v
+
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v")], "a string, b string"
+        )
+        assert cramers_v(df, "a", "b").collect()[0].v_milli is None
