@@ -173,6 +173,7 @@ HEADLINE = [
     "key_scan_hive_layout",
     "profile_chi2",
     "profile_cramers_v",
+    "events_js_value",
 ]
 
 

@@ -8922,3 +8922,66 @@ FROM base, ka, kb
 
 QUERIES["profile_cramers_v"] = _q_profile_cramers_v
 ORACLES["profile_cramers_v"] = _O_PROFILE_CRAMERS_V
+
+
+def _q_events_js_value(spark, sf_dir):
+    """Mass-weighted drift between the purchase and non-purchase value
+    distributions: JS divergence over 256-bin histograms (binary-exact
+    width), micro-nats — the companion view to events_ks_value's
+    max-gap."""
+    from cassandra_diff_spark.operators.stats import js_distance_numeric
+
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("value")
+    b = e.filter(F.col("event_type") != "purchase").select("value")
+    return js_distance_numeric(a, b, "value", lo=0.0, hi=330.0, n_bins=256)
+
+
+_O_EVENTS_JS_VALUE = """
+WITH pa AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)
+                             / 1.2890625), 0), 255) AS VARCHAR) AS token
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+pb AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0)
+                             / 1.2890625), 0), 255) AS VARCHAR) AS token
+  FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
+),
+a AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ca FROM pa GROUP BY token),
+b AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb FROM pb GROUP BY token),
+j AS (
+  SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b USING (token)
+),
+t AS (
+  SELECT (SELECT SUM(ca) FROM a) AS tot_a, (SELECT SUM(cb) FROM b) AS tot_b
+),
+terms AS (
+  SELECT CAST(ROUND((
+           CASE WHEN ca = 0 THEN 0.0
+                ELSE (CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                     * ln(2.0 * (CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                          / ((CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                             + (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))))
+                END
+           + CASE WHEN cb = 0 THEN 0.0
+                  ELSE (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE))
+                       * ln(2.0 * (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))
+                            / ((CAST(ca AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                               + (CAST(cb AS DOUBLE) * CAST(tot_a AS DOUBLE))))
+                  END
+         ) * 0.5 * 1e6) AS BIGINT) AS tm,
+         tot_a, tot_b
+  FROM j, t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+       CAST(MAX(tot_a) AS BIGINT) AS total_a,
+       CAST(MAX(tot_b) AS BIGINT) AS total_b,
+       CAST(SUM(tm) AS BIGINT) AS js_micronat
+FROM terms
+"""
+
+
+QUERIES["events_js_value"] = _q_events_js_value
+ORACLES["events_js_value"] = _O_EVENTS_JS_VALUE

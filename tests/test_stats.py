@@ -652,3 +652,28 @@ class TestCramersV:
             [("x", "u"), ("x", "v")], "a string, b string"
         )
         assert cramers_v(df, "a", "b").collect()[0].v_milli is None
+
+
+class TestJSNumeric:
+    def test_drift_ordering_and_bounds(self, spark):
+        from cassandra_diff_spark.operators.stats import js_distance_numeric
+
+        a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4] * 5], "v double")
+        same = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4] * 3], "v double")
+        shifted = spark.createDataFrame([(float(v),) for v in [2, 3, 4, 5] * 5], "v double")
+        disjoint = spark.createDataFrame([(float(v),) for v in [7, 8, 9] * 5], "v double")
+        kw = dict(lo=0.0, hi=10.0, n_bins=10)
+        z = js_distance_numeric(a, same, "v", **kw).collect()[0].js_micronat
+        s = js_distance_numeric(a, shifted, "v", **kw).collect()[0].js_micronat
+        d = js_distance_numeric(a, disjoint, "v", **kw).collect()[0].js_micronat
+        assert z == 0
+        assert 0 < s < d
+        assert abs(d - 693147) <= 7  # ln 2 up to per-bin rounding
+
+    def test_one_sided_empty_bins_need_no_epsilon(self, spark):
+        from cassandra_diff_spark.operators.stats import js_distance_numeric
+
+        a = spark.createDataFrame([(1.0,), (1.0,), (5.0,)], "v double")
+        b = spark.createDataFrame([(1.0,), (9.0,)], "v double")  # 9 only in b
+        r = js_distance_numeric(a, b, "v", lo=0.0, hi=10.0, n_bins=10).collect()[0]
+        assert 0 < r.js_micronat < 693150  # finite, no epsilon needed
