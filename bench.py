@@ -174,6 +174,7 @@ HEADLINE = [
     "profile_chi2",
     "profile_cramers_v",
     "events_js_value",
+    "eval_fleiss_kappa",
 ]
 
 

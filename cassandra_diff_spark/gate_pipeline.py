@@ -8985,3 +8985,65 @@ FROM terms
 
 QUERIES["events_js_value"] = _q_events_js_value
 ORACLES["events_js_value"] = _O_EVENTS_JS_VALUE
+
+
+def _q_eval_fleiss_kappa(spark, sf_dir):
+    """Multi-rater agreement over REAL constant panels: orders with
+    exactly 4 lineitems form 4-vote panels, each lineitem voting its
+    l_returnflag; Fleiss' kappa in exact integer micro-units."""
+    from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+    li = load(spark, sf_dir, "lineitem")
+    panel = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 4)
+        .select("l_orderkey")
+    )
+    votes = li.join(panel, "l_orderkey").select("l_orderkey", "l_returnflag")
+    return fleiss_kappa(votes, "l_orderkey", "l_returnflag")
+
+
+_O_EVAL_FLEISS_KAPPA = """
+WITH panel AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) = 4
+),
+v AS (
+  SELECT l.l_orderkey AS item, l.l_returnflag AS lab
+  FROM lineitem l JOIN panel p ON l.l_orderkey = p.l_orderkey
+),
+cnt AS (SELECT item, lab, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+pi AS (SELECT item, SUM(c * c) - 4 AS sq FROM cnt GROUP BY item),
+it AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(sq) AS BIGINT) AS pnum
+  FROM pi
+),
+m AS (SELECT lab, CAST(SUM(c) AS BIGINT) AS cj FROM cnt GROUP BY lab),
+lb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+         CAST(SUM(cj * cj) AS BIGINT) AS csq,
+         CAST(SUM(cj) AS BIGINT) AS ctot
+  FROM m
+)
+SELECT n_items,
+       CAST(4 AS BIGINT) AS n_raters,
+       n_labels,
+       CAST(ROUND(CAST(pnum AS DOUBLE)
+                  / CAST(n_items * 4 * 3 AS DOUBLE) * 1e6) AS BIGINT)
+         AS pbar_micro,
+       CAST(ROUND(CAST(csq AS DOUBLE)
+                  / CAST(ctot * ctot AS DOUBLE) * 1e6) AS BIGINT) AS pe_micro,
+       CASE WHEN (ctot * ctot - csq) * (n_items * 4 * 3) = 0 THEN NULL
+            ELSE CAST(ROUND(
+                   CAST(pnum * ctot * ctot
+                        - csq * (n_items * 4 * 3) AS DOUBLE)
+                   / CAST((ctot * ctot - csq)
+                          * (n_items * 4 * 3) AS DOUBLE) * 1e6) AS BIGINT)
+            END AS kappa_micro
+FROM it, lb
+"""
+
+
+QUERIES["eval_fleiss_kappa"] = _q_eval_fleiss_kappa
+ORACLES["eval_fleiss_kappa"] = _O_EVAL_FLEISS_KAPPA

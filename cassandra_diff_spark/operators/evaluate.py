@@ -496,3 +496,85 @@ def class_metrics_from_cells(cells: DataFrame) -> DataFrame:
             " ELSE (2000 * tp) div (2 * tp + fp + fn) END"
         ).alias("f1_milli"),
     )
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, label_col: str) -> DataFrame:
+    """Multi-rater agreement (Fleiss 1971) — Cohen's kappa generalized
+    from two raters to N: every item receives the SAME number of
+    categorical votes (the operator validates this and raises
+    otherwise — subset to a constant panel first; majority_label
+    handles the ragged case), and kappa measures how far the observed
+    within-item agreement exceeds chance from the pooled label
+    distribution. NULL votes are a category (the family convention).
+
+    Math on exact integers: per item ``P_i = (Σ_j n_ij² - n)/(n(n-1))``
+    — sums of squared counts; ``P̄`` and ``P̄e = Σ_j p_j²`` are ratios
+    of exact integer sums, so the single float step is the final
+    ``round((num/den) * 1e6)`` over int64 cross-products (the Cohen
+    kappa discipline; N_items·n and label totals must keep the
+    products < 2^63 — ~3e9 votes, same caveat).
+
+    One row: ``(n_items, n_raters, n_labels, pbar_micro, pe_micro,
+    kappa_micro)``; NULL kappa when pe == 1 (all votes one label).
+
+    Scale shape: one groupBy (item, label) for the vote counts, one
+    groupBy (item) for the per-item sums, kilobyte label-marginal
+    aggregations — the data is scanned once.
+    """
+    votes = df.select(
+        F.col(item_col).alias("item"),
+        F.col(label_col).cast("string").alias("__label"),
+    )
+    cnt = votes.groupBy("item", "__label").agg(F.count(F.lit(1)).alias("c"))
+    per_item = cnt.groupBy("item").agg(
+        F.sum("c").alias("__n"),
+        F.sum(F.col("c") * F.col("c")).alias("__sq"),
+    )
+    # constant-panel validation: kilobyte action over the distinct
+    # per-item vote counts (the one legitimate driver step)
+    ns = [r.n for r in per_item.select(F.col("__n").alias("n")).distinct().collect()]
+    if len(ns) != 1:
+        raise ValueError(
+            f"fleiss_kappa needs the same number of votes per item; saw "
+            f"panel sizes {sorted(ns)[:10]} — subset to a constant panel "
+            f"or use majority_label for ragged votes"
+        )
+    n = int(ns[0])
+    if n < 2:
+        raise ValueError(f"fleiss_kappa needs >= 2 votes per item, got {n}")
+    # P_i numerators sum exactly: sum_i (sq_i - n); denominator N*n*(n-1)
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("__sq") - F.lit(n)).alias("__pnum"),
+    )
+    marg = cnt.groupBy("__label").agg(F.sum("c").alias("cj"))
+    lab = marg.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(F.col("cj") * F.col("cj")).alias("__csq"),
+        F.sum("cj").alias("__ctot"),
+    )
+    j = items.crossJoin(F.broadcast(lab))
+    # pbar = pnum / (N n (n-1)); pe = csq / ctot²; kappa = (pbar-pe)/(1-pe)
+    # exact int64 cross-products: num = pnum·ctot² - csq·N·n·(n-1),
+    #                             den = (ctot² - csq)·N·n·(n-1)
+    pden = F.col("n_items") * F.lit(n) * F.lit(n - 1)
+    ct2 = F.col("__ctot") * F.col("__ctot")
+    num = F.col("__pnum") * ct2 - F.col("__csq") * pden
+    den = (ct2 - F.col("__csq")) * pden
+    return j.select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        "n_labels",
+        F.round(F.col("__pnum").cast("double") / pden.cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("pbar_micro"),
+        F.round(F.col("__csq").cast("double") / ct2.cast("double") * F.lit(1e6))
+        .cast("long")
+        .alias("pe_micro"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double") * F.lit(1e6)).cast(
+                "long"
+            ),
+        ).alias("kappa_micro"),
+    )

@@ -451,3 +451,70 @@ class TestAveragePrecision:
         )
         r = average_precision_at_k(pred, truth, k=2).collect()[0]
         assert r.ap_micro == 1000000
+
+
+class TestFleissKappa:
+    def test_wikipedia_style_reference(self, spark):
+        """Python reference on a small constant-panel fixture."""
+        from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+        # 4 items x 3 raters
+        data = {
+            1: ["a", "a", "a"],
+            2: ["a", "a", "b"],
+            3: ["b", "b", "b"],
+            4: ["a", "b", "c"],
+        }
+        rows = [(i, l) for i, ls in data.items() for l in ls]
+        df = spark.createDataFrame(rows, "item long, label string")
+        r = fleiss_kappa(df, "item", "label").collect()[0]
+        # reference math
+        from collections import Counter
+
+        N, n = 4, 3
+        pnum = sum(
+            sum(c * c for c in Counter(ls).values()) - n for ls in data.values()
+        )
+        pbar = pnum / (N * n * (n - 1))
+        marg = Counter(l for ls in data.values() for l in ls)
+        tot = sum(marg.values())
+        pe = sum(c * c for c in marg.values()) / tot**2
+        want = round((pbar - pe) / (1 - pe) * 1e6)
+        assert r.kappa_micro == want
+        assert r.pbar_micro == round(pbar * 1e6)
+        assert r.pe_micro == round(pe * 1e6)
+        assert (r.n_items, r.n_raters, r.n_labels) == (4, 3, 3)
+
+    def test_perfect_agreement(self, spark):
+        from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+        rows = [(1, "a")] * 3 + [(2, "b")] * 3
+        df = spark.createDataFrame(rows, "item long, label string")
+        r = fleiss_kappa(df, "item", "label").collect()[0]
+        assert r.kappa_micro == 1000000
+
+    def test_constant_label_yields_null(self, spark):
+        from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+        rows = [(1, "a")] * 3 + [(2, "a")] * 3
+        df = spark.createDataFrame(rows, "item long, label string")
+        r = fleiss_kappa(df, "item", "label").collect()[0]
+        assert r.pbar_micro == 1000000 and r.kappa_micro is None
+
+    def test_ragged_panel_rejected(self, spark):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+        rows = [(1, "a")] * 3 + [(2, "a")] * 2
+        df = spark.createDataFrame(rows, "item long, label string")
+        with _pytest.raises(ValueError, match="same number of votes"):
+            fleiss_kappa(df, "item", "label")
+
+    def test_null_votes_are_a_category(self, spark):
+        from cassandra_diff_spark.operators.evaluate import fleiss_kappa
+
+        rows = [(1, None), (1, None), (2, None), (2, None)]
+        df = spark.createDataFrame(rows, "item long, label string")
+        r = fleiss_kappa(df, "item", "label").collect()[0]
+        assert r.n_labels == 1 and r.pbar_micro == 1000000
