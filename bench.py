@@ -175,6 +175,7 @@ HEADLINE = [
     "profile_cramers_v",
     "events_js_value",
     "eval_fleiss_kappa",
+    "privacy_t_closeness",
 ]
 
 

@@ -9047,3 +9047,67 @@ FROM it, lb
 
 QUERIES["eval_fleiss_kappa"] = _q_eval_fleiss_kappa
 ORACLES["eval_fleiss_kappa"] = _O_EVAL_FLEISS_KAPPA
+
+
+def _q_privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit completing the privacy trilogy: per
+    (status, priority) group, the ordered-EMD between its price-band
+    distribution and the table's — exact integer micro-units."""
+    from cassandra_diff_spark.operators.privacy import t_closeness_report
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("price_band"),
+    )
+    return t_closeness_report(
+        o, ["o_orderstatus", "o_orderpriority"], "price_band"
+    )
+
+
+_O_PRIVACY_T_CLOSENESS = """
+WITH src AS (
+  SELECT o_orderstatus AS q1, o_orderpriority AS q2,
+         CAST(FLOOR(o_totalprice / 50000) AS INT) AS s
+  FROM orders
+),
+cells AS (
+  SELECT q1, q2, s, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3
+),
+gb AS (SELECT s, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY s),
+gcum AS (
+  SELECT s, SUM(gc) OVER (ORDER BY s ASC NULLS FIRST
+                          ROWS UNBOUNDED PRECEDING) AS cum_glob
+  FROM gb
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS ntot,
+         CAST(COUNT(DISTINCT s)
+              + MAX(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM cells
+),
+grp AS (SELECT q1, q2, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+fill AS (
+  SELECT grid.q1, grid.q2, grid.n, grid.cum_glob,
+         SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY grid.q1, grid.q2
+           ORDER BY grid.s ASC NULLS FIRST ROWS UNBOUNDED PRECEDING
+         ) AS cum_grp
+  FROM (SELECT g.q1, g.q2, g.n, gl.s, gl.cum_glob
+        FROM grp g CROSS JOIN gcum gl) grid
+  LEFT JOIN cells c
+    ON c.q1 IS NOT DISTINCT FROM grid.q1
+   AND c.q2 IS NOT DISTINCT FROM grid.q2
+   AND c.s IS NOT DISTINCT FROM grid.s
+)
+SELECT q1 AS o_orderstatus, q2 AS o_orderpriority, n,
+       CASE WHEN (MAX(k) - 1) * n * MAX(ntot) = 0 THEN NULL
+            ELSE CAST((1000000 * SUM(ABS(cum_grp * ntot - cum_glob * n)))
+                      // ((MAX(k) - 1) * n * MAX(ntot)) AS BIGINT) END AS t_micro
+FROM fill, tot
+GROUP BY q1, q2, n
+"""
+
+
+QUERIES["privacy_t_closeness"] = _q_privacy_t_closeness
+ORACLES["privacy_t_closeness"] = _O_PRIVACY_T_CLOSENESS

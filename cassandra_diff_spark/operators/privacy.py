@@ -172,3 +172,114 @@ def l_diversity_report(
         )
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per-group t-closeness (Li et al. 2007) — the third classic
+    privacy audit after :func:`k_anonymity_report` and
+    :func:`l_diversity_report`: even a diverse group leaks when its
+    sensitive DISTRIBUTION differs sharply from the table's (a group
+    skewed to the top salary band reveals "these people earn a lot").
+    Distance is the ordered-category earth-mover's distance
+
+        ``t = (1/(k-1)) · Σ_i |cumP(i) - cumQ(i)|``
+
+    (P = group distribution, Q = global; bands ordered by the sensitive
+    value's natural sort — pass an ordered band column like
+    l_diversity's price_band). EXACT integers: per band the gap is
+    ``|cum_g·N - cum_G·n_g|`` and
+
+        ``t_micro = (1e6 · Σ gaps) div ((k-1) · n_g · N)``
+
+    — no float; cross-products must stay < 2^63 (n_g·N caveat). NULL
+    is a band, ordered FIRST (Spark/DuckDB both sort NULL first
+    ascending). One row per group: ``(*quasi_cols, n, t_micro)`` —
+    report, not filter: the caller picks the threshold.
+
+    Scale shape: one (quasi, band) groupBy; the group×band evaluation
+    grid is built by crossing the group frame with the kilobyte global
+    band list (never the data), cumulatives via windows over ≤ k rows
+    per group.
+    """
+    quasi_cols = list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("t_closeness_report needs at least one quasi column")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot also be a quasi column"
+        )
+    from pyspark.sql import Window
+
+    s = F.col(sensitive_col)
+    cells = df.groupBy(*quasi_cols, s.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wg = Window.orderBy(F.col("__s").asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    glob = (
+        cells.groupBy("__s")
+        .agg(F.sum("__c").alias("__gc"))
+        .select(
+            "__s",
+            F.sum("__gc").over(wg).alias("__cum_glob"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("__c").alias("__N"),
+        F.count_distinct("__s").alias("__kd"),
+        F.max(F.when(F.col("__s").isNull(), 1).otherwise(0)).alias("__hn"),
+    ).select(
+        "__N", (F.col("__kd") + F.col("__hn")).alias("__k")
+    )
+    groups = cells.groupBy(*quasi_cols).agg(F.sum("__c").alias("n"))
+    # evaluation grid: every group × every global band (null-safe join
+    # back to the group's own count at that band)
+    grid = groups.crossJoin(F.broadcast(glob))
+    gcells = cells.select(
+        *[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+        F.col("__s").alias("__sb"),
+        "__c",
+    )
+    cond = F.col("__sb").eqNullSafe(F.col("__s"))
+    for c in quasi_cols:
+        cond = cond & F.col(f"__q_{c}").eqNullSafe(F.col(c))
+    j = grid.join(gcells, cond, "left")
+    wq = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(F.col("__s").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = j.select(
+        *quasi_cols,
+        "n",
+        "__cum_glob",
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(wq).alias("__cum_grp"),
+    )
+    out = (
+        filled.crossJoin(F.broadcast(totals))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.abs(
+                    F.col("__cum_grp") * F.col("__N")
+                    - F.col("__cum_glob") * F.col("n")
+                )
+            ).alias("__gapsum"),
+            F.max("__N").alias("__Nv"),
+            F.max("__k").alias("__kv"),
+        )
+    )
+    return out.select(
+        *quasi_cols,
+        "n",
+        F.expr(
+            "CASE WHEN (__kv - 1) * n * __Nv = 0 THEN NULL"
+            " ELSE (1000000 * __gapsum) div ((__kv - 1) * n * __Nv) END"
+        ).alias("t_micro"),
+    )

@@ -174,3 +174,63 @@ class TestLDiversity:
             l_diversity_report(df, ["q", "s"], "s", l=2)
         with pytest.raises(ValueError, match="l must be >= 2"):
             l_diversity_report(df, ["q"], "s", l=1)
+
+
+class TestTCloseness:
+    def test_python_reference(self, spark):
+        from cassandra_diff_spark.operators.privacy import t_closeness_report
+
+        rows = (
+            [("a", 1)] * 4 + [("a", 2)] * 1        # group a skews low
+            + [("b", 1)] * 1 + [("b", 2)] * 2 + [("b", 3)] * 2
+        )
+        df = spark.createDataFrame(rows, "q string, s long")
+        got = {
+            r.q: (r.n, r.t_micro)
+            for r in t_closeness_report(df, ["q"], "s").collect()
+        }
+        # reference: bands [1,2,3], N=10, k=3
+        from collections import Counter
+
+        allc = Counter(s for _, s in rows)
+        bands = sorted(allc)
+        N, k = len(rows), len(bands)
+        for g in ("a", "b"):
+            gc = Counter(s for q, s in rows if q == g)
+            n = sum(gc.values())
+            cumg = cumG = 0
+            gaps = 0
+            for band in bands:
+                cumg += gc.get(band, 0)
+                cumG += allc[band]
+                gaps += abs(cumg * N - cumG * n)
+            want = (1000000 * gaps) // ((k - 1) * n * N)
+            assert got[g] == (n, want), g
+        # with exactly two groups the distances are symmetric (their
+        # distributions sum to the global) — both must be positive
+        assert got["a"][1] > 0 and got["b"][1] > 0
+
+    def test_group_matching_global_scores_zero(self, spark):
+        from cassandra_diff_spark.operators.privacy import t_closeness_report
+
+        # both groups have the SAME distribution as the global
+        rows = [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+        df = spark.createDataFrame(rows, "q string, s long")
+        got = {r.q: r.t_micro for r in t_closeness_report(df, ["q"], "s").collect()}
+        assert got == {"a": 0, "b": 0}
+
+    def test_null_band_ordered_first(self, spark):
+        from cassandra_diff_spark.operators.privacy import t_closeness_report
+
+        rows = [("a", None), ("a", None), ("b", 1), ("b", 2)]
+        df = spark.createDataFrame(rows, "q string, s long")
+        got = {r.q: r.t_micro for r in t_closeness_report(df, ["q"], "s").collect()}
+        # group a is ALL null-band (global null mass 1/2): maximally far
+        assert got["a"] > 0 and got["b"] > 0
+
+    def test_constant_sensitive_yields_null(self, spark):
+        from cassandra_diff_spark.operators.privacy import t_closeness_report
+
+        df = spark.createDataFrame([("a", 1), ("b", 1)], "q string, s long")
+        rows = t_closeness_report(df, ["q"], "s").collect()
+        assert all(r.t_micro is None for r in rows)  # k-1 == 0
