@@ -40,6 +40,7 @@ def _driver_rows() -> tuple[set[str], set[str]]:
     import json
 
     here = Path(__file__).resolve().parent
+    oracles = {**gate.ORACLES, **gate_pipeline.ORACLES}
     ever_green: set[str] = set()
     last: set[str] = set()
     files = sorted(here.glob("CORRECTNESS_r*.json"))
@@ -51,8 +52,14 @@ def _driver_rows() -> tuple[set[str], set[str]]:
         if f is files[-1]:
             last = set(rows)
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("err") is None and (
-                row.get("hash_match") or row.get("rows_match")
+            if not (isinstance(row, dict) and row.get("err") is None):
+                continue
+            # Oracle-paired gates are green ONLY on the bit-exact value hash
+            # (r6 lesson: hash_match OR rows_match parked a rows-match-only
+            # failure as "ever green", hiding it from future rotations).
+            # The lenient rows_match fallback stays for names with no oracle.
+            if row.get("hash_match") or (
+                name not in oracles and row.get("rows_match")
             ):
                 ever_green.add(name)
     return ever_green, last

@@ -3091,12 +3091,20 @@ def _q_compact_orders_roundtrip(spark, sf_dir):
         ).parquet(f"{base}/frag")
         compact_parquet(spark, f"{base}/frag", f"{base}/compact", target_mb=256)
         marker.write_text(stamp)
+    # Checksum in exact cents: SUM over DOUBLE is order-dependent in the
+    # last bits, and the compacted copy is physically reordered, so a raw
+    # float sum diverges from the oracle's scan of the unfragmented table
+    # even when the rewrite is row-exact (r6 driver red row).  ROUND(x*100)
+    # is an exact integer on both engines because o_totalprice carries two
+    # decimal digits, making the sum order-independent BIGINT math.
     return (
         spark.read.parquet(f"{base}/compact")
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("o_totalprice").cast("double").alias("sum_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
             F.sum(F.col("o_orderkey") * F.col("o_custkey")).cast("long").alias("key_dot"),
         )
     )
@@ -3105,7 +3113,7 @@ def _q_compact_orders_roundtrip(spark, sf_dir):
 _O_COMPACT_ORDERS_ROUNDTRIP = """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(SUM(o_orderkey * o_custkey) AS BIGINT) AS key_dot
 FROM orders GROUP BY o_orderstatus
 """

@@ -45,7 +45,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    loose: bool = False,
+) -> list[str]:
+    """Default is BIT-EXACT float comparison — the driver hashes values
+    bit-exactly, and r6's red row (`compact_orders_roundtrip`) passed the old
+    ``np.allclose`` check while failing the driver.  ``loose=True`` restores
+    the tolerance comparison for debugging only."""
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(
@@ -59,16 +68,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     for c in s.columns:
         sc, dc = s[c], d[c]
         if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
-            ok = np.allclose(
-                sc.astype(float), dc.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
-            )
+            a, b = sc.astype("float64").to_numpy(), dc.astype("float64").to_numpy()
+            if loose:
+                bad = ~np.isclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+            else:
+                bad = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+            ok = not bad.any()
         else:
-            ok = sc.equals(dc)
+            bad = (sc != dc).to_numpy() & ~(sc.isna() & dc.isna()).to_numpy()
+            ok = not bad.any()
         if not ok:
-            diff_idx = (sc != dc) if not pd.api.types.is_float_dtype(sc) else ~np.isclose(
-                sc.astype(float), dc.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
+            idx = np.nonzero(bad)[0][:5]
+            sample = pd.DataFrame(
+                {"spark": sc.iloc[idx].to_list(), "duck": dc.iloc[idx].to_list()}
             )
-            sample = pd.DataFrame({"spark": sc[diff_idx][:5], "duck": dc[diff_idx][:5]})
             problems.append(f"values differ in column {c}:\n{sample}")
     return problems
 
@@ -76,6 +89,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--loose",
+        action="store_true",
+        help="tolerance float compare (driver is bit-exact; debugging only)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -105,7 +123,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle raised: {e}")
             n_fail += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare(name, spark_pdf, duck_pdf, loose=args.loose)
         if problems:
             n_fail += 1
             print(f"FAIL  {name}:")

@@ -24,6 +24,13 @@ _SETTINGS = dict(
 )
 
 
+def _round_half_up(x: float) -> int:
+    """Reference rounding matching Spark/DuckDB ROUND: half AWAY from zero.
+    Python's built-in ``round()`` is banker's (half-even), which diverges on
+    exact-.5 ties that hypothesis readily finds (e.g. pe = 414062.5)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
 def _canon(pairs):
     return {
         (min(a, b), max(a, b)) for a, b in pairs if a != b
@@ -115,12 +122,27 @@ def test_kappa_matches_reference(spark, rows):
     s = sum(ca.get(l, 0) * cb.get(l, 0) for l in set(ca) | set(cb))
     assert (r.n_items, r.n_agree) == (n, agree), rows
     assert r.po_milli == (1000 * agree) // n
-    assert r.pe_micro == round(s / (n * n) * 1e6)
+    assert r.pe_micro == _round_half_up(s / (n * n) * 1e6)
     if n * n - s == 0:
         assert r.kappa_micro is None
     else:
-        assert r.kappa_micro == round((agree * n - s) / (n * n - s) * 1e6)
+        assert r.kappa_micro == _round_half_up((agree * n - s) / (n * n - s) * 1e6)
         assert r.kappa_micro <= 1_000_000
+
+
+def test_kappa_exact_half_tie(spark):
+    """Deterministic exact-.5 tie: n=16, s=2 → pe = 2/256·1e6 = 7812.5.
+    HALF_UP (operator, DuckDB) gives 7813; Python banker's round() would
+    give 7812 — the r6 hypothesis-found test-oracle bug, pinned forever."""
+    from cassandra_diff_spark.operators.evaluate import cohen_kappa
+
+    rows = [("x", "z"), ("z", "x")] + [("y", "w")] * 14
+    r = cohen_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert (r.n_items, r.n_agree) == (16, 0)
+    assert r.pe_micro == 7813
+    assert r.kappa_micro == _round_half_up(-2 / 254 * 1e6) == -7874
 
 
 votes = st.lists(
