@@ -247,7 +247,34 @@ def main() -> None:
         except Exception as e:  # the headline line must survive a probe failure
             out["scale_probe"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # The driver keeps only a ~2 KB stdout tail and parses the LAST JSON
+    # line (r6 lesson: one giant line with 150 per-query timings + the full
+    # scale probe overflowed the capture and BENCH_r06 recorded parsed:null).
+    # Emit the full detail FIRST (and persist it to BENCH_LOCAL.json for
+    # humans), then a short summary line guaranteed to fit the tail window.
     print(json.dumps(out))
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+            json.dumps(out, indent=1)
+        )
+    except OSError:
+        pass
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "top5": top5,
+    }
+    probe = out.get("scale_probe")
+    if isinstance(probe, dict):
+        summary["probe_recall1_min"] = min(
+            (v for k, v in probe.items() if k.endswith("recall_at_1")), default=None
+        )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

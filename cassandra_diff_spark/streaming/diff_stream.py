@@ -1079,22 +1079,29 @@ def stream_interval_join(
             pb = pd.concat(pts, ignore_index=True)
             hwm = max(int(pb["__pt"].max()), hwm if hwm is not None else -(2**62))
             if s_l:
+                # Vectorized containment resolve (same treatment the forward
+                # as-of resolve got): one broadcast compare of the point
+                # vector against the interval bound arrays, one np.nonzero
+                # for all (point, interval) hits — no per-row Python loop.
                 s_a = np.asarray(s_l, dtype=np.int64)
                 e_a = np.asarray(e_l, dtype=np.int64)
-                rows = []
-                for _, prow in pb.iterrows():
-                    t = int(prow["__pt"])
-                    idx = np.nonzero((s_a <= t) & (e_a >= t))[0]
-                    for j in idx:
-                        rows.append(
-                            tuple(key)
-                            + (int(s_a[j]), int(e_a[j]))
-                            + tuple(ivals[c][j] for c in ipayload)
-                            + (t,)
-                            + tuple(prow[f"__p_{c}"] for c in ppayload)
+                pt_a = pb["__pt"].to_numpy(dtype=np.int64)
+                hit = (s_a[None, :] <= pt_a[:, None]) & (e_a[None, :] >= pt_a[:, None])
+                pi, ii = np.nonzero(hit)
+                if len(pi):
+                    data = {c: pd.Series([key[k]] * len(pi)) for k, c in enumerate(on)}
+                    data["__s"] = s_a[ii]
+                    data["__e"] = e_a[ii]
+                    for c in ipayload:
+                        data[f"__i_{c}"] = pd.Series(ivals[c]).iloc[ii].reset_index(
+                            drop=True
                         )
-                if rows:
-                    out = pd.DataFrame(rows, columns=out_cols)
+                    data["__pt"] = pt_a[pi]
+                    for c in ppayload:
+                        data[f"__p_{c}"] = (
+                            pb[f"__p_{c}"].iloc[pi].reset_index(drop=True)
+                        )
+                    out = pd.DataFrame(data)[out_cols]
         if prune_keep_us is not None and hwm is not None and s_l:
             floor = hwm - int(prune_keep_us)
             keep = [i for i, e in enumerate(e_l) if e >= floor]
