@@ -798,6 +798,62 @@ def _make_quantized_matrix_fn(dim: int):
     return mat
 
 
+def _make_pq_code_fn(codebooks: np.ndarray):
+    """Factory for the PQ byte-code kernel: nearest-codebook ordinals
+    per subspace plus the reconstructed squared norm, chunked through
+    ONE caller-preallocated ``(chunk x n_codes)`` scratch reused across
+    subspaces AND batches. The previous per-subspace
+    ``bnorm - 2 * (sub @ books.T)`` allocated a fresh ``(batch x
+    n_codes)`` temporary per subspace per batch (~160 MB/batch/worker at
+    m=8, batch 10k) — the same first-touch page-fault traffic the coarse
+    IVF assign kernel eliminated; porting the chunked-scratch pattern is
+    what it exists for. Chunking cannot change any per-row result
+    (every compared quantity is an exact-integer float64); ties break
+    toward the smallest code ordinal (argmin-first), as before."""
+    books = codebooks
+    m, n_codes, dsub = books.shape
+    bookT = [np.ascontiguousarray(books[s].T) for s in range(m)]
+    bnorm = (books * books).sum(2)  # (m, n_codes)
+    chunk_rows = _ASSIGN_CHUNK
+
+    def encode(xs: np.ndarray, buf: np.ndarray):
+        n = len(xs)
+        codes = np.empty((n, m), dtype=np.int32)
+        rn = np.zeros(n, dtype=np.float64)
+        for i in range(0, n, chunk_rows):
+            ch = xs[i : i + chunk_rows]
+            s_ = buf[: len(ch)]
+            for s in range(m):
+                np.matmul(ch[:, s * dsub : (s + 1) * dsub], bookT[s], out=s_)
+                s_ *= -2.0
+                s_ += bnorm[s][None, :]
+                idx = np.argmin(s_, axis=1)
+                codes[i : i + chunk_rows, s] = idx
+                rn[i : i + chunk_rows] += bnorm[s][idx]
+        return codes, rn
+
+    def scratch(n_rows: int) -> np.ndarray:
+        return np.empty(
+            (min(chunk_rows, max(n_rows, 1)), n_codes), dtype=np.float64
+        )
+
+    def to_list_array(codes: np.ndarray):
+        """(n x m) int32 code matrix -> Arrow list<int32> column, built
+        from flat values + arithmetic offsets — no per-row Python list
+        (the ``pa.array(list(codes))`` path boxed every row into a numpy
+        object and re-inferred its type). A closure like its siblings so
+        cloudpickle ships it by value."""
+        import pyarrow as pa
+
+        n = len(codes)
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+            pa.array(codes.ravel()),
+        )
+
+    return encode, scratch, to_list_array
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str,
@@ -905,27 +961,21 @@ def pq_encode(
     if m * dsub != dim:
         raise ValueError(f"codebooks {codebooks.shape} do not cover dim={dim}")
     vec_matrix = _make_quantized_matrix_fn(dim)
-    books = codebooks
-    bnorm = (books * books).sum(2)  # (m, n_codes)
+    pq_codes, pq_scratch, codes_arr = _make_pq_code_fn(codebooks)
 
     def encode(batches):
         import pyarrow as pa
 
+        # ONE reused scratch per worker (see _make_pq_code_fn)
+        buf = pq_scratch(10_000)
         for batch in batches:
             tbl = pa.table(batch)
             xs = vec_matrix(tbl.column("__q").combine_chunks())
-            n = len(xs)
-            codes = np.empty((n, m), dtype=np.int64)
-            rn = np.zeros(n, dtype=np.float64)
-            for s in range(m):
-                sub = xs[:, s * dsub : (s + 1) * dsub]
-                d2 = bnorm[s][None, :] - 2.0 * (sub @ books[s].T)
-                codes[:, s] = np.argmin(d2, axis=1)
-                rn += bnorm[s][codes[:, s]]
+            codes, rn = pq_codes(xs, buf)
             yield pa.record_batch(
                 {
                     "id": tbl.column("id").combine_chunks(),
-                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
+                    "codes": codes_arr(codes),
                     "recon_n": pa.array(rn),
                 }
             )
@@ -1083,30 +1133,26 @@ def ivf_pq_encode(
     cent_mat, cent_n = _sample_centroids(c, centroid_mod, max_centroids)
     vec_matrix = _make_quantized_matrix_fn(dim)
     assign, scratch = _make_assign_fn(cent_mat, cent_n, 1)
-    books = codebooks
-    bnorm = (books * books).sum(2)
+    pq_codes, pq_scratch, codes_arr = _make_pq_code_fn(codebooks)
 
     def encode(batches):
         import pyarrow as pa
 
+        # ONE reused scratch pair per worker — coarse assign + PQ codes
+        # (fresh per-batch/per-subspace temporaries page-fault the cold
+        # build; see _make_assign_fn / _make_pq_code_fn)
+        cbuf = scratch(10_000)
+        buf = pq_scratch(10_000)
         for batch in batches:
             tbl = pa.table(batch)
             xs = vec_matrix(tbl.column("__q").combine_chunks())
-            buf = scratch(len(xs))
-            cent_ids = assign(xs, buf)[:, 0]
-            n = len(xs)
-            codes = np.empty((n, m), dtype=np.int64)
-            rn = np.zeros(n, dtype=np.float64)
-            for s_ in range(m):
-                sub = xs[:, s_ * dsub : (s_ + 1) * dsub]
-                d2 = bnorm[s_][None, :] - 2.0 * (sub @ books[s_].T)
-                codes[:, s_] = np.argmin(d2, axis=1)
-                rn += bnorm[s_][codes[:, s_]]
+            cent_ids = assign(xs, cbuf)[:, 0]
+            codes, rn = pq_codes(xs, buf)
             yield pa.record_batch(
                 {
                     "id": tbl.column("id").combine_chunks(),
                     "cent_id": pa.array(cent_ids),
-                    "codes": pa.array(list(codes), type=pa.list_(pa.int32())),
+                    "codes": codes_arr(codes),
                     "recon_n": pa.array(rn),
                 }
             )
