@@ -598,3 +598,192 @@ def fold_cooccurrence_counts(
         .groupBy("token_a", "token_b")
         .agg(F.sum("n").alias("n"))
     )
+
+
+# ---------------------------------------------------------------- BPE
+#
+# Byte-pair-encoding tokenizer training, Spark-first. The classic
+# algorithm (Sennrich et al. 2016) iterates: count adjacent symbol
+# pairs, merge the most frequent pair everywhere, repeat. Re-expressed
+# for a 100 TB corpus:
+#
+#   * training runs over the WORD-FREQUENCY table, not the corpus — one
+#     corpus-sized tokenize+groupBy up front, then every merge iteration
+#     touches only |word types| rows (Zipf: millions, not trillions);
+#   * a merge is ONE map-only string REPLACE plus ONE shuffle at
+#     symbol-pair-type cardinality (the cooccurrence_counts shape) and a
+#     single 1-row collect of the argmax — per iteration, regardless of
+#     corpus size;
+#   * encoding is map-only: the learned merge list folds into nested
+#     JVM-side replace expressions (literals in the plan — nothing is
+#     broadcast, no UDF), applied per word inside higher-order array
+#     functions, so the token stream is never exploded or shuffled.
+#
+# Symbol sequences are represented as MARKER-WRAPPED strings: every
+# symbol is enclosed in \x01..\x02, so the pair (a, b) occurs in a word
+# iff the string "\x01a\x02\x01b\x02" occurs — no false matches across
+# symbol boundaries ("aa b" never matches "a b") — and a merge is a
+# plain left-to-right non-overlapping REPLACE, which has IDENTICAL
+# semantics in Spark, DuckDB, and Python str.replace ("a a a" with
+# (a,a) -> "aa a", exactly the classic pairwise-walk merge). Pair
+# counting counts overlapping occurrences (the classic get_stats), the
+# merge applies non-overlapping left-to-right (the classic merge): both
+# faithful to the reference algorithm. Ties break (count DESC, left
+# ASC, right ASC) — deterministic, byte-wise in both engines.
+
+_BPE_L = "\x01"  #: symbol open marker
+_BPE_R = "\x02"  #: symbol close marker
+_BPE_EOW = "\x03"  #: end-of-word symbol byte (rendered "</w>" in outputs)
+_BPE_EOW_SHOW = "</w>"
+
+
+def _bpe_marker_free(col):
+    """True iff the word contains none of the three marker bytes (both
+    engines drop such words identically before training/encoding)."""
+    return ~col.rlike("[\x01\x02\x03]")
+
+
+def _bpe_wrap(word_col):
+    """Initial symbol string of a word: each character wrapped in
+    markers, plus the end-of-word symbol."""
+    return F.concat(
+        F.array_join(
+            F.transform(
+                F.split(word_col, ""),
+                lambda c: F.concat(F.lit(_BPE_L), c, F.lit(_BPE_R)),
+            ),
+            "",
+        ),
+        F.lit(_BPE_L + _BPE_EOW + _BPE_R),
+    )
+
+
+def _bpe_symbols(syms_col):
+    """Wrapped symbol string -> array of raw symbols."""
+    return F.split(
+        F.expr(f"substring({syms_col}, 2, length({syms_col}) - 2)")
+        if isinstance(syms_col, str)
+        else syms_col,
+        _BPE_R + _BPE_L,
+    )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms): the word-frequency table with each word's
+    initial wrapped symbol string — the ONLY corpus-sized pass of BPE
+    training (map-side-combined groupBy at word-type cardinality)."""
+    w = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter((F.col("word") != "") & _bpe_marker_free(F.col("word")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return w.select("word", "cnt", _bpe_wrap(F.col("word")).alias("syms"))
+
+
+def bpe_pair_counts(wc: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_count) over a (cnt, syms) frame: every
+    adjacent symbol pair, occurrences weighted by word frequency. One
+    shuffle at pair-type cardinality."""
+    d = wc.select(
+        "cnt",
+        F.expr("substring(syms, 2, length(syms) - 2)").alias("__body"),
+    ).select("cnt", F.split("__body", _BPE_R + _BPE_L).alias("__sy"))
+    pairs = F.zip_with(
+        F.expr("slice(__sy, 1, size(__sy) - 1)"),
+        F.expr("slice(__sy, 2, size(__sy) - 1)"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        d.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        )
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 32,
+    *,
+    min_count: int = 1,
+    checkpoint_every: int = 16,
+) -> list[tuple[int, str, str, str, int]]:
+    """Train a BPE merge list: ``[(merge_rank, left_sym, right_sym,
+    merged, pair_count)]``, rank 1-based in merge order. Stops early
+    when no pair reaches ``min_count`` (or none is left).
+
+    The returned list is a driver-held kilobyte object (like
+    :func:`~cassandra_diff_spark.operators.similarity.pq_train`'s
+    codebooks): vocab-sized, never data-sized. Each iteration collects
+    exactly ONE argmax row; ``checkpoint_every`` localCheckpoints the
+    word table to keep the nested-replace lineage bounded for large
+    merge counts."""
+    cur = bpe_word_counts(df, text_col).select("cnt", "syms")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        best = (
+            bpe_pair_counts(cur)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].pair_count < min_count:
+            break
+        a, b, n = best[0].left_sym, best[0].right_sym, best[0].pair_count
+        merges.append((rank, a, b, a + b, int(n)))
+        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+        rep = _BPE_L + a + b + _BPE_R
+        cur = cur.withColumn("syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep)))
+        if checkpoint_every and rank % int(checkpoint_every) == 0:
+            cur = cur.localCheckpoint()
+    return merges
+
+
+def bpe_apply(word_col, merges) -> "F.Column":
+    """Tokenize ONE word column with a learned merge list: the merges
+    fold into nested literal replace expressions (JVM-side, no UDF, no
+    broadcast), then the wrapped string splits back into symbols with
+    the end-of-word byte rendered ``</w>``. Returns ``array<string>``."""
+    w = _bpe_wrap(word_col)
+    for _, a, b, _m, _n in merges:
+        w = F.replace(
+            w,
+            F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+            F.lit(_BPE_L + a + b + _BPE_R),
+        )
+    syms = F.split(F.substring(w, 2, F.length(w) - 2), _BPE_R + _BPE_L)
+    return F.transform(
+        syms, lambda s: F.replace(s, F.lit(_BPE_EOW), F.lit(_BPE_EOW_SHOW))
+    )
+
+
+def bpe_encode_documents(
+    df: DataFrame, id_col: str, text_col: str, merges
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens): every document encoded with
+    the learned merges — MAP-ONLY over the corpus (the whole pipeline is
+    higher-order array expressions per row; the token stream is never
+    exploded or shuffled, the same scale contract as
+    :func:`encode_documents`)."""
+    toks = F.flatten(
+        F.transform(
+            F.filter(
+                words(F.col(text_col)),
+                lambda w: (w != "") & _bpe_marker_free(w),
+            ),
+            lambda w: bpe_apply(w, merges),
+        )
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
