@@ -9127,6 +9127,133 @@ ORACLES["privacy_t_closeness"] = _O_PRIVACY_T_CLOSENESS
 
 
 # ---------------------------------------------------------------------------
+# round 7: BPE tokenizer training + encoding
+
+_BPE_N_MERGES = 8
+
+
+def _q_vocab_bpe_train(spark, sf_dir):
+    """BPE merge-list training over the documents corpus (Sennrich
+    et al. 2016, re-expressed Spark-first): each merge iteration is one
+    map-only marker-wrapped string REPLACE over the word-frequency
+    table plus one pair-type-cardinality shuffle and a 1-row argmax
+    collect — per-iteration cost independent of corpus size. The oracle
+    replays the identical algorithm as UNROLLED CTE stages (the
+    PageRank-gate technique): same wrapped representation, same
+    left-to-right non-overlapping REPLACE semantics (verified identical
+    in Spark and DuckDB), same (count DESC, left, right) tie-break —
+    every merge rank, pair, and count must match bit-for-bit."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.vocab import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def _q_vocab_bpe_encode(spark, sf_dir):
+    """Corpus token frequencies under the learned BPE merges, computed
+    through the REAL per-document encode path: bpe_encode_documents is
+    map-only (the merge list folds into nested JVM replace literals
+    applied inside higher-order array functions — the token stream is
+    never exploded until this aggregation). The oracle applies the same
+    unrolled merges to the word-frequency table and sums word counts
+    per emitted symbol — equal because encoding is per-word
+    deterministic."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.vocab import (
+        bpe_encode_documents,
+        bpe_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _BPE_N_MERGES)
+    enc = bpe_encode_documents(docs, "doc_id", "text", merges)
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _bpe_oracle_stages(n: int) -> str:
+    """The shared unrolled-CTE prefix: words -> w0 -> (p1,b1,w1) ->
+    ... -> (pN,bN,wN). Markers are chr(1)/chr(2), end-of-word chr(3) —
+    built with chr() so no control bytes appear in the SQL text."""
+    c1, c2, c3 = "chr(1)", "chr(2)", "chr(3)"
+    stages = [
+        f"""words AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents WHERE text IS NOT NULL)
+  WHERE token <> ''
+    AND NOT regexp_matches(token, '[' || {c1} || {c2} || {c3} || ']')
+  GROUP BY token
+),
+w0 AS (
+  SELECT array_to_string(
+           list_transform(string_split(word, ''), c -> {c1} || c || {c2}), '')
+         || {c1} || {c3} || {c2} AS w,
+         cnt
+  FROM words
+)"""
+    ]
+    for k in range(1, n + 1):
+        stages.append(
+            f"""p{k} AS (
+  SELECT sy[i] AS left_sym, sy[i+1] AS right_sym,
+         CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(w[2:len(w)-1], {c2} || {c1}) AS sy, cnt FROM w{k-1}),
+       LATERAL unnest(range(1, len(sy))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT CAST({k} AS BIGINT) AS merge_rank, left_sym, right_sym,
+         left_sym || right_sym AS merged, pair_count
+  FROM p{k} ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
+),
+w{k} AS (
+  SELECT REPLACE(w, {c1} || b.left_sym || {c2} || {c1} || b.right_sym || {c2},
+                    {c1} || b.left_sym || b.right_sym || {c2}) AS w, cnt
+  FROM w{k-1} CROSS JOIN b{k} b
+)"""
+        )
+    return ",\n".join(stages)
+
+
+_O_VOCAB_BPE_TRAIN = (
+    "WITH "
+    + _bpe_oracle_stages(_BPE_N_MERGES)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, _BPE_N_MERGES + 1)
+    )
+)
+
+_O_VOCAB_BPE_ENCODE = (
+    "WITH "
+    + _bpe_oracle_stages(_BPE_N_MERGES)
+    + f"""
+SELECT REPLACE(sym, chr(3), '</w>') AS token, CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(w[2:len(w)-1], chr(2) || chr(1))) AS sym, cnt
+      FROM w{_BPE_N_MERGES})
+GROUP BY 1
+"""
+)
+
+
+QUERIES["vocab_bpe_train"] = _q_vocab_bpe_train
+ORACLES["vocab_bpe_train"] = _O_VOCAB_BPE_TRAIN
+QUERIES["vocab_bpe_encode"] = _q_vocab_bpe_encode
+ORACLES["vocab_bpe_encode"] = _O_VOCAB_BPE_ENCODE
+
+
+
+# ---------------------------------------------------------------------------
 # streaming-gate runtime conf
 
 
@@ -9155,6 +9282,8 @@ def _with_stream_conf(fn):
     return wrapped
 
 
+# NOTE: register streaming gates ABOVE this loop — it wraps by name once,
+# at import time.
 for _name in [n for n in QUERIES if "stream" in n]:
     QUERIES[_name] = _with_stream_conf(QUERIES[_name])
 del _name

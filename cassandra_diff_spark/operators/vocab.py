@@ -722,7 +722,10 @@ def bpe_train(
     exactly ONE argmax row; ``checkpoint_every`` localCheckpoints the
     word table to keep the nested-replace lineage bounded for large
     merge counts."""
-    cur = bpe_word_counts(df, text_col).select("cnt", "syms")
+    # the word table is scanned once per merge iteration — persist it so
+    # the corpus-sized tokenize+groupBy runs exactly once, not N times
+    base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
+    cur = base
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(num_merges) + 1):
         best = (
@@ -744,6 +747,7 @@ def bpe_train(
         cur = cur.withColumn("syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep)))
         if checkpoint_every and rank % int(checkpoint_every) == 0:
             cur = cur.localCheckpoint()
+    base.unpersist()
     return merges
 
 

@@ -1,0 +1,159 @@
+"""BPE tokenizer training/encoding vs a pure-Python reference
+implementation of the classic algorithm (Sennrich et al. 2016:
+get_stats counts overlapping adjacent pairs, merge applies
+left-to-right non-overlapping). Any divergence on any corpus is a
+semantics bug in the marker-wrapped string formulation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+def _ref_train(texts, n_merges, min_count=1):
+    wf = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.strip().split():
+            if w:
+                wf[w] += 1
+    vocab = {tuple(list(w) + ["\x03"]): c for w, c in wf.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (a, b), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_count:
+            break
+        merges.append((rank, a, b, a + b, n))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def _ref_encode(t, merges):
+    toks = []
+    for w in (t or "").strip().split():
+        if not w:
+            continue
+        syms = list(w) + ["\x03"]
+        for _, a, b, m, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(s.replace("\x03", "</w>") for s in syms)
+    return toks
+
+
+CORPUS = [
+    (1, "low low low lower lowest"),
+    (2, "newer newer new news"),
+    (3, "widest wide wider new low"),
+    (4, None),
+    (5, "   "),
+    (6, "aaa aa a aaaa"),  # overlapping-pair + run-merge edge cases
+    (7, "x" + "\x01" + "y bad marker word ok"),  # marker byte: word dropped
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(corpus_df):
+    from cassandra_diff_spark.operators.vocab import bpe_train
+
+    texts = [t.replace("x\x01y", "") if t and "\x01" in t else t for _, t in CORPUS]
+    want = _ref_train(texts, 12)
+    got = bpe_train(corpus_df, "text", 12)
+    assert got == want
+
+
+def test_bpe_encode_matches_reference(corpus_df):
+    from cassandra_diff_spark.operators.vocab import (
+        bpe_encode_documents,
+        bpe_train,
+    )
+
+    merges = bpe_train(corpus_df, "text", 10)
+    enc = {
+        r.id: (list(r.tokens), r.n_tokens)
+        for r in bpe_encode_documents(
+            corpus_df, "doc_id", "text", merges
+        ).collect()
+    }
+    for did, t in CORPUS:
+        if t is None:
+            assert did not in enc  # null text rows are dropped
+            continue
+        clean = " ".join(
+            w for w in t.split() if "\x01" not in w and "\x02" not in w
+        )
+        want = _ref_encode(clean, merges)
+        assert enc[did][0] == want, (did, enc[did][0], want)
+        assert enc[did][1] == len(want)
+
+
+def test_bpe_train_exhausts_small_corpus(spark):
+    from cassandra_diff_spark.operators.vocab import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    # "ab" -> a b </w>: merges (a,b), (ab,</w>) then nothing left
+    merges = bpe_train(df, "text", 50)
+    assert [m[:4] for m in merges] == [
+        (1, "a", "b", "ab"),
+        (2, "ab", "\x03", "ab\x03"),
+    ]
+
+
+def test_bpe_min_count_stops_early(spark):
+    from cassandra_diff_spark.operators.vocab import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa zq")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, "text", 50, min_count=2)
+    # pairs of "zq" occur once each and must never merge
+    assert all(n >= 2 for *_rest, n in merges)
+    assert merges == _ref_train(["aa aa aa zq"], 50, min_count=2)
+    # the first merge is (a, \x03): the end-of-word byte sorts before
+    # 'a', so it wins the count tie — "aa" itself never merges
+    assert merges[0][1:3] == ("a", "\x03")
+
+
+def test_bpe_encode_empty_and_whitespace(spark):
+    from cassandra_diff_spark.operators.vocab import bpe_encode_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "a")], "doc_id long, text string"
+    )
+    enc = {
+        r.id: (list(r.tokens), r.n_tokens)
+        for r in bpe_encode_documents(df, "doc_id", "text", []).collect()
+    }
+    assert enc[1] == ([], 0)
+    assert enc[2] == ([], 0)
+    assert enc[3] == (["a", "</w>"], 2)
