@@ -7296,8 +7296,81 @@ FROM p
 """
 
 
+def _q_multimodal_image_dhash(spark, sf_dir):
+    """Difference-hash fingerprints over REAL rendered BMPs: pixel value
+    (v*(x+1)) % 251 varies per COLUMN (identical rows), so horizontal
+    gradient bits flip per doc while the row structure stays flat — the
+    signal dhash reads and ahash can miss. With w <= 4 every pixel
+    column is its own cell (gw+1 = w), so the oracle reproduces the
+    bits CLOSED-FORM: bit (y, x) = [ (v*(x+2)) % 251 > (v*(x+1)) % 251 ],
+    identical rows duplicating the row bit-block."""
+    from cassandra_diff_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
+        (F.col("doc_id") % 251).cast("int").alias("v"),
+    ).withColumn(
+        "stride", ((F.col("w") * 3 + 3) / 4).cast("int") * 4
+    ).withColumn("pad", F.col("stride") - F.col("w") * 3)
+
+    le16 = lambda e: (  # noqa: E731
+        f"lpad(hex(({e}) % 256), 2, '0') || lpad(hex(({e}) div 256), 2, '0')"
+    )
+    le32 = lambda e: le16(e) + " || '0000'"  # noqa: E731
+    header = F.expr(
+        "concat('424D', "
+        + le32("54 + stride * h")
+        + ", '00000000', '36000000', '28000000', "
+        + le32("w") + ", " + le32("h")
+        + ", '0100', '1800', '00000000', "
+        + le32("stride * h")
+        + ", '00000000', '00000000', '00000000', '00000000')"
+    )
+    body = F.expr(
+        "concat_ws('', transform(sequence(0, h - 1), i -> concat("
+        "concat_ws('', transform(sequence(0, w - 1), x -> "
+        "repeat(lpad(hex((v * (x + 1)) % 251), 2, '0'), 3))), "
+        "repeat('AA', pad))))"
+    )
+    payload = d.select(
+        "doc_id", F.unhex(F.concat(header, body)).alias("payload")
+    )
+    return multimodal.image_dhash(payload)
+
+
+_O_MULTIMODAL_IMAGE_DHASH = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 2 AS INT) AS w,
+         CAST(doc_id % 2 + 1 AS INT) AS h,
+         CAST(doc_id % 251 AS INT) AS v
+  FROM documents
+),
+rowbits AS (
+  -- per-row gradient bit block: bit x (x = 0..w-2) compares adjacent
+  -- pixel columns; rows are identical so each row emits the same block
+  SELECT doc_id, w, h,
+         CAST(list_sum([
+           CASE WHEN (v * (x + 2)) % 251 > (v * (x + 1)) % 251
+                THEN 1 << x ELSE 0 END
+           for x in range(0, w - 1)
+         ]) AS BIGINT) AS rowval
+  FROM p
+)
+SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+       lpad(lower(hex(CAST(
+         rowval + CASE WHEN h = 2 THEN rowval << (w - 1) ELSE 0 END
+       AS BIGINT))), 16, '0') AS dhash
+FROM rowbits
+"""
+
+
 QUERIES["multimodal_image_ahash"] = _q_multimodal_image_ahash
 ORACLES["multimodal_image_ahash"] = _O_MULTIMODAL_IMAGE_AHASH
+QUERIES["multimodal_image_dhash"] = _q_multimodal_image_dhash
+ORACLES["multimodal_image_dhash"] = _O_MULTIMODAL_IMAGE_DHASH
 QUERIES["multimodal_audio_energy"] = _q_multimodal_audio_energy
 ORACLES["multimodal_audio_energy"] = _O_MULTIMODAL_AUDIO_ENERGY
 

@@ -477,6 +477,48 @@ def _ahash(b: bytes, grid: int = 8):
     return (fmt, w, h, f"{val:016x}")
 
 
+def _dhash(b: bytes, grid: int = 8):
+    """Difference-hash (gradient) image fingerprint from the REAL pixel
+    matrix: grayscale (channel sum — exact integers), block-mean
+    downsample to ``(min(grid,h) x min(grid+1, w))`` cells, one bit per
+    HORIZONTALLY ADJACENT cell pair set iff the right cell's mean
+    exceeds the left's (integer cross-multiplication ``sum_r * cnt_l >
+    sum_l * cnt_r`` — no division). Gradient bits survive uniform
+    brightness AND contrast curves that move the global mean — the
+    edits :func:`_ahash` is blind to — so the two hashes band
+    complementary near-dup families. Bit (y, x) is ``1 << (y*gw + x)``,
+    row-major from top-left; w == 1 images have no horizontal pairs and
+    hash to 0. Returns ``(format, w, h, hex16)`` or None."""
+    import numpy as np
+
+    r = _pixel_matrix(b)
+    if r is None:
+        return None
+    fmt, w, h, ch, mat = r
+    px = mat.reshape(h, w, ch).astype(np.int64)
+    if ch == 4:
+        px = px[:, :, :3]  # alpha is not luminance
+    gray = px.sum(axis=2)  # (h, w) exact integer luminance proxy
+    gw = min(grid, w - 1)  # pairs need gw+1 columns
+    gh = min(grid, h)
+    val = 0
+    if gw > 0:
+        bx = (np.arange(w) * (gw + 1)) // w
+        by = (np.arange(h) * gh) // h
+        cell_sum = np.zeros((gh, gw + 1), dtype=np.int64)
+        cell_cnt = np.zeros((gh, gw + 1), dtype=np.int64)
+        np.add.at(cell_sum, (by[:, None], bx[None, :]), gray)
+        np.add.at(cell_cnt, (by[:, None], bx[None, :]), 1)
+        bits = (
+            cell_sum[:, 1:] * cell_cnt[:, :-1]
+            > cell_sum[:, :-1] * cell_cnt[:, 1:]
+        )
+        for i, bit in enumerate(bits.ravel()):  # row-major from top-left
+            if bit:
+                val |= 1 << i
+    return (fmt, w, h, f"{val:016x}")
+
+
 def _decode_samples(b: bytes):
     """REAL audio sample decode for PCM16 WAV: walk the RIFF chunks to
     ``fmt `` (PCM, 16-bit) and ``data``, read little-endian int16
@@ -548,6 +590,36 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(parse, schema=AHASH_SCHEMA)
+
+
+DHASH_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, dhash string"
+)
+
+
+def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Gradient-hash fingerprints over (doc_id, payload): the
+    difference-hash of the REAL decoded pixels (:func:`_dhash`) as a
+    16-hex-char key — the complementary sketch to :func:`image_ahash`
+    (dhash catches brightness-curve edits that preserve each cell's
+    relation to the global mean; ahash catches gradient-free washes).
+    Same Arrow mapInPandas plumbing; Hamming-banded near-dup joins
+    compose via the simhash band machinery with ``dhash`` as the
+    sketch. Codec-bound payloads (JPEG, video) yield null hashes."""
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                r = _dhash(b, grid=grid)
+                rows.append((int(doc_id),) + (r if r else (None,) * 4))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height", "dhash"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=DHASH_SCHEMA)
 
 
 PIXEL_SCHEMA = (

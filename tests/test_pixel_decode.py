@@ -321,3 +321,71 @@ class TestAhash:
         got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
         assert got[1] == got[2] == got[3]
         assert got[4] != got[1]
+
+
+class TestDhash:
+    def test_reference_bits_and_cross_format(self):
+        from cassandra_diff_spark.operators.multimodal import _dhash
+
+        rng = np.random.RandomState(11)
+        pix = rng.randint(10, 240, (16, 16, 3), dtype=np.uint8)
+        fmt_b, w, h, hash_bmp = _dhash(make_bmp(pix))
+        assert (fmt_b, w, h) == ("bmp", 16, 16)
+        # independent reference: 8x9 block means, right-vs-left compare
+        gray = pix.astype(np.int64).sum(axis=2)
+        bx = (np.arange(16) * 9) // 16
+        by = (np.arange(16) * 8) // 16
+        s = np.zeros((8, 9), dtype=np.int64)
+        c = np.zeros((8, 9), dtype=np.int64)
+        np.add.at(s, (by[:, None], bx[None, :]), gray)
+        np.add.at(c, (by[:, None], bx[None, :]), 1)
+        want = 0
+        for i, bit in enumerate(
+            (s[:, 1:] * c[:, :-1] > s[:, :-1] * c[:, 1:]).ravel()
+        ):
+            if bit:
+                want |= 1 << i
+        assert hash_bmp == f"{want:016x}"
+        # same pixels, other container -> identical fingerprint
+        assert _dhash(make_png(pix, [0, 3, 1]))[3] == hash_bmp
+
+    def test_gradient_survives_contrast_curve(self):
+        from cassandra_diff_spark.operators.multimodal import _ahash, _dhash
+
+        # a strictly monotone value remap (40->40, 90->90, 200->110)
+        # preserves every gradient comparison, so dhash is identical —
+        # but it moves the global mean below the middle band, so the
+        # above-mean cell set (ahash) changes: the complementarity claim
+        def img(top):
+            cols = np.array([40] * 5 + [90] * 5 + [top] * 6, dtype=np.uint8)
+            return np.tile(cols[None, :, None], (16, 1, 3))
+
+        assert _dhash(make_bmp(img(200)))[3] == _dhash(make_bmp(img(110)))[3]
+        assert _ahash(make_bmp(img(200)))[3] != _ahash(make_bmp(img(110)))[3]
+
+    def test_degenerate_widths(self):
+        from cassandra_diff_spark.operators.multimodal import _dhash
+
+        # w == 1: no horizontal pairs -> all-zero hash
+        col = np.arange(12, dtype=np.uint8).reshape(4, 1, 3)
+        assert _dhash(make_bmp(col))[3] == "0" * 16
+        # flat image: no strict inequality anywhere -> all-zero hash
+        flat = np.full((6, 6, 3), 133, dtype=np.uint8)
+        assert _dhash(make_bmp(flat))[3] == "0" * 16
+        # codec-bound payloads stay undecodable
+        assert _dhash(b"\xff\xd8\xff\xe0JFIF") is None
+
+    def test_image_dhash_frame(self, spark):
+        from cassandra_diff_spark.operators.multimodal import image_dhash
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(20, 220, (8, 8, 3), dtype=np.uint8)
+        rows = [
+            (1, bytes(make_bmp(a))),
+            (2, bytes(make_png(a, [2]))),  # same image, other format
+            (3, None),                     # null payload -> null hash
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+        assert got[1] == got[2] and got[1] is not None
+        assert got[3] is None
