@@ -426,6 +426,37 @@ def _sample_centroids(c: DataFrame, centroid_mod: int, max_centroids: int):
     return cent_mat, cent_n
 
 
+#: hard cap on driver-collected query sets: the ANN query paths hold the
+#: query matrix (and, for PQ, its LUTs) on the driver by contract — a
+#: bounded probe set, not a second corpus. 100k 64-dim queries is ~50 MB
+#: of LUTs; a million-query frame belongs in a join-shaped pipeline
+#: (e.g. dedup near-pairs), so the cap fails fast instead of OOMing.
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, quantized matrix, norms) of a BOUNDED query
+    set; raises if it exceeds :data:`MAX_DRIVER_QUERIES` (collects at
+    most cap+1 rows either way)."""
+    q_rows = (
+        _prep(queries, id_col, vec_col, "q_")
+        .select("q_id", "q_q", "q_n")
+        .limit(MAX_DRIVER_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}; "
+            f"the *_topk query paths hold queries driver-side by contract "
+            f"— for corpus-scale probe sets use the banded near-pair "
+            f"operators (operators/dedup.py) instead"
+        )
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)  # exact ints
+    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    return q_ids, q_mat, q_norm
+
+
 #: rows per assignment matmul chunk: bounds the rows x n_centroids
 #: scratch at ~16 MB for nlist=1000 and keeps it REUSED — a full-batch
 #: (10^4 x nlist) scratch is ~80 MB of FRESH allocation per batch per
@@ -712,14 +743,7 @@ def brute_force_topk_pandas(
     import pandas as pd
 
     spark = corpus.sparkSession
-    q_rows = (
-        _prep(queries, id_col, vec_col, "q_")
-        .select("q_id", "q_q", "q_n")
-        .collect()
-    )
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)  # exact ints < 2^53
-    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    q_ids, q_mat, q_norm = _collect_queries(queries, id_col, vec_col)
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_mat = spark.sparkContext.broadcast(q_mat)
     bq_norm = spark.sparkContext.broadcast(q_norm)
@@ -1017,14 +1041,7 @@ def pq_topk(
 
     m, n_codes, dsub = codebooks.shape
     spark = codes.sparkSession
-    q_rows = (
-        _prep(queries, id_col, vec_col, "q_")
-        .select("q_id", "q_q", "q_n")
-        .collect()
-    )
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    q_ids, q_mat, q_norm = _collect_queries(queries, id_col, vec_col)
     # (n_queries, m, n_codes) exact partial dots
     luts = np.stack(
         [
@@ -1217,14 +1234,7 @@ def ivf_pq_topk(
     books = codebooks
 
     # query side: driver-held LUTs + probed list sets
-    q_rows = (
-        _prep(queries, id_col, vec_col, "q_")
-        .select("q_id", "q_q", "q_n")
-        .collect()
-    )
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.q_q for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt(np.array([r.q_n for r in q_rows], dtype=np.float64))
+    q_ids, q_mat, q_norm = _collect_queries(queries, id_col, vec_col)
     qassign, qscratch = _make_assign_fn(
         cent_mat, cent_n, min(n_probe, len(cent_n))
     )
