@@ -157,3 +157,25 @@ def test_bpe_encode_empty_and_whitespace(spark):
     assert enc[1] == ([], 0)
     assert enc[2] == ([], 0)
     assert enc[3] == (["a", "</w>"], 2)
+
+
+def test_bpe_plans_stay_map_only(spark, corpus_df):
+    """Scale contract: encoding never explodes or shuffles the token
+    stream (zero Exchange, zero Generate); pair counting adds exactly
+    ONE shuffle beyond the word-count build."""
+    from cassandra_diff_spark.operators.vocab import (
+        bpe_encode_documents,
+        bpe_pair_counts,
+        bpe_word_counts,
+    )
+
+    enc = bpe_encode_documents(
+        corpus_df, "doc_id", "text", [(1, "l", "o", "lo", 6)]
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0 and plan.count("Generate") == 0
+
+    wc = bpe_word_counts(corpus_df, "text")
+    base = wc._jdf.queryExecution().executedPlan().toString()
+    pairs = bpe_pair_counts(wc)._jdf.queryExecution().executedPlan().toString()
+    assert pairs.count("Exchange") == base.count("Exchange") + 1
