@@ -910,22 +910,42 @@ def pq_train(
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     dsub = dim // m
-    rows = (
+    # Arrow collect: row-object collect() + per-row Python list boxing
+    # was ~11 s of an ~18 s train at the 100k-row cap; the flat-buffer
+    # reshape is the _make_vec_matrix_fn path and the id sort replays
+    # the old stable row sort (ids are unique), so init order — and
+    # therefore every codebook byte — is unchanged
+    tbl = (
         _prep(corpus, id_col, vec_col, "c_")
         .filter(md5_hash64(F.col("c_id").cast("string")) % sample_mod == 0)
         .select("c_id", "c_q")
         .limit(int(max_sample))
-        .collect()
+        .toArrow()
     )
-    if len(rows) < n_codes:
+    n_rows = tbl.num_rows
+    if n_rows < n_codes:
         raise ValueError(
-            f"sample of {len(rows)} rows cannot train {n_codes} codes; "
+            f"sample of {n_rows} rows cannot train {n_codes} codes; "
             f"lower sample_mod or n_codes"
         )
-    rows.sort(key=lambda r: r.c_id)
-    x = np.array([r.c_q for r in rows], dtype=np.float64)  # exact ints
+    q_col = tbl.column("c_q").combine_chunks()
+    if q_col.null_count:
+        raise ValueError(
+            "null embedding vectors cannot be sampled for PQ training - "
+            "filter them out first"
+        )
+    flat = q_col.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) != n_rows * dim:
+        raise ValueError(
+            f"ragged embedding column: expected uniform dim={dim}, "
+            f"got {len(flat)} values for {n_rows} rows"
+        )
+    ids = tbl.column("c_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    x = flat.reshape(n_rows, dim).astype(np.float64)[order]  # exact ints
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
-    for s in range(m):
+
+    def train_subspace(s: int) -> None:
         sub = x[:, s * dsub : (s + 1) * dsub]
         # deterministic init: the first n_codes DISTINCT sub-vectors in
         # id order (duplicate-heavy samples would otherwise seed
@@ -939,20 +959,25 @@ def pq_train(
             )
         cent = sub[first_idx[:n_codes]].copy()
         assign = np.empty(len(sub), dtype=np.int64)
-        buf = np.empty((min(_ASSIGN_CHUNK, len(sub)), n_codes))
+        # train-side chunks are 8x the executor kernel's: the driver has
+        # the whole sample local, so a 33 MB scratch amortizes numpy
+        # dispatch better (the loop is memory-bandwidth-bound on the
+        # d2 scratch traffic; measured ~7.5 -> ~5 s with threads at 100k)
+        chunk = 8 * _ASSIGN_CHUNK
+        buf = np.empty((min(chunk, len(sub)), n_codes))
         for _ in range(int(max_iter)):
             # chunked in-place (|c|^2 - 2<x,c>) assignment through a
-            # reused 4 MB scratch — a fresh (n x n_codes) d2 temporary
+            # reused scratch — a fresh (n x n_codes) d2 temporary
             # per iteration was ~40 s of allocator traffic at 100k rows
             cnorm = (cent * cent).sum(1)
             cent_T = np.ascontiguousarray(cent.T)
-            for i in range(0, len(sub), _ASSIGN_CHUNK):
-                ch = sub[i : i + _ASSIGN_CHUNK]
+            for i in range(0, len(sub), chunk):
+                ch = sub[i : i + chunk]
                 s_ = buf[: len(ch)]
                 np.matmul(ch, cent_T, out=s_)
                 s_ *= -2.0
                 s_ += cnorm[None, :]
-                assign[i : i + _ASSIGN_CHUNK] = np.argmin(s_, axis=1)
+                assign[i : i + chunk] = np.argmin(s_, axis=1)
             # vectorized per-cluster means: dsub bincounts, never a
             # 256-mask Python loop
             counts = np.bincount(assign, minlength=n_codes)
@@ -965,6 +990,15 @@ def pq_train(
             cent[nz] = sums[nz] / counts[nz, None]
             # empty cluster: keep the previous centroid (deterministic)
         books[s] = cent
+
+    # subspaces are fully independent (disjoint column slices, disjoint
+    # output planes), and the hot ops (matmul/unique/bincount) release
+    # the GIL — a thread per subspace uses the driver's idle cores with
+    # byte-identical results to the sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        list(pool.map(train_subspace, range(m)))
     return books
 
 
