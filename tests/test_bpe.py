@@ -179,3 +179,42 @@ def test_bpe_plans_stay_map_only(spark, corpus_df):
     base = wc._jdf.queryExecution().executedPlan().toString()
     pairs = bpe_pair_counts(wc)._jdf.queryExecution().executedPlan().toString()
     assert pairs.count("Exchange") == base.count("Exchange") + 1
+
+
+def test_bpe_property_random_corpora(spark):
+    """Hypothesis over tiny alphabets (merge collisions and run-heavy
+    words are the adversarial shapes for the marker-wrapped REPLACE
+    formulation): train + encode must match the pure-Python reference
+    on every generated corpus."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_diff_spark.operators.vocab import (
+        bpe_encode_documents,
+        bpe_train,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus)
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        merges = bpe_train(df, "text", 6)
+        assert merges == _ref_train(texts, 6), texts
+        enc = {
+            r.id: list(r.tokens)
+            for r in bpe_encode_documents(df, "doc_id", "text", merges).collect()
+        }
+        for i, t in enumerate(texts):
+            assert enc[i] == _ref_encode(t, merges), (t, merges)
+
+    check()
