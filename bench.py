@@ -176,6 +176,9 @@ HEADLINE = [
     "events_js_value",
     "eval_fleiss_kappa",
     "privacy_t_closeness",
+    "vocab_bpe_train",
+    "vocab_bpe_encode",
+    "multimodal_image_dhash",
 ]
 
 
