@@ -722,7 +722,10 @@ def simhash_incremental(
 # ------------------------------------------------------ cluster resolution
 
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 20, strict: bool = False
+    pairs: DataFrame,
+    max_iters: int = 20,
+    strict: bool = False,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     components) by iterative min-label propagation: every node's label
@@ -745,7 +748,58 @@ def dedup_clusters(
     ``strict=True`` raises; the default warns and returns the partial
     labels (every label is still a member of the right component — only
     the minimum may not have propagated to the far end yet).
+
+    ``driver_edge_cap``: banded near-dup pair sets are usually TINY
+    relative to the corpus (830 edges at the sf0.1 containment gate),
+    and each distributed round costs 2-3 full Spark jobs — so when the
+    distinct pair count fits the cap, the components resolve DRIVER-SIDE
+    by union-find in one pass (labels identical: min id per component,
+    same lexicographic/numeric MIN the iterative path converges to, and
+    it always converges so ``max_iters``/``strict`` are moot on this
+    path). Measured 14.7 s -> sub-second on the containment-clusters
+    gate. Above the cap — a dup graph with millions of edges — the
+    distributed loop runs unchanged; ``driver_edge_cap=0`` forces it
+    (the non-convergence tests do).
     """
+    und = pairs.select("id_1", "id_2").distinct()
+    if driver_edge_cap:
+        cap_rows = und.limit(int(driver_edge_cap) + 1).collect()
+        if len(cap_rows) <= driver_edge_cap:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r_ in cap_rows:
+                a, b = r_.id_1, r_.id_2
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for x in parent:
+                r = find(x)
+                if r not in comp_min or x < comp_min[r]:
+                    comp_min[r] = x
+            id_type = und.schema["id_1"].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("id", id_type, False),
+                    StructField("cluster_id", id_type, False),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(x, comp_min[find(x)]) for x in parent], schema
+            )
+
     e = pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

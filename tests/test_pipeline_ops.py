@@ -119,17 +119,27 @@ class TestDedup:
 
         chain = [(i, i + 1) for i in range(6)]
         pairs = spark.createDataFrame(chain, "id_1 long, id_2 long")
+        # driver_edge_cap=0 forces the distributed loop (the driver-side
+        # union-find always converges, so the budget is moot there)
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            dedup.dedup_clusters(pairs, max_iters=2).collect()
+            dedup.dedup_clusters(pairs, max_iters=2, driver_edge_cap=0).collect()
         assert any("did not converge" in str(x.message) for x in w)
         import pytest as _pytest
 
         with _pytest.raises(RuntimeError, match="did not converge"):
-            dedup.dedup_clusters(pairs, max_iters=2, strict=True)
-        # and with budget it converges cleanly: one component, min label
+            dedup.dedup_clusters(
+                pairs, max_iters=2, strict=True, driver_edge_cap=0
+            )
+        # and with budget it converges cleanly: one component, min label —
+        # on BOTH paths, which must agree exactly
         res = {r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
         assert set(res.values()) == {0}
+        dist = {
+            r.id: r.cluster_id
+            for r in dedup.dedup_clusters(pairs, driver_edge_cap=0).collect()
+        }
+        assert dist == res
 
     def test_simhash_identical_docs_distance_zero(self, spark):
         rows = [(1, "spark shuffles the join keys"), (2, "spark shuffles the join keys")]
