@@ -106,6 +106,21 @@ def _lsh_candidate_count(
     )
 
 
+
+def _section_end(spark: SparkSession) -> None:
+    """Cache hygiene BETWEEN probe sections (the bench.py r4 lesson,
+    applied to the probe): each section may persist index/corpus-sized
+    frames; without a release the late sections (PQ, IVF-PQ, covariance)
+    run under maximal executor memory pressure and their timings read
+    2-5x high (measured: ivf_pq encode/query 30/45 s in-probe vs 8/8 s
+    isolated). Sections that reuse an artifact re-read it from parquet,
+    so dropping caches never changes results."""
+    from cassandra_diff_spark.operators import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+
+
 def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     from cassandra_diff_spark.operators import release_caches, similarity
     from cassandra_diff_spark.operators.dedup import embedding_near_pairs
@@ -145,6 +160,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["brute_recall_at_1"] = recall_at_1(brute)
     out["brute_sec"] = round(time.time() - t0, 2)
+    _section_end(spark)
 
     # build-once/query-many split: the signature pass is a pure function
     # of the corpus — persist it (parquet round-trip, as a serving layer
@@ -202,6 +218,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["ivf_recall_at_1"] = recall_at_1(ivf)
     out["ivf_query_sec"] = round(time.time() - t0, 2)
     out["ivf_sec"] = round(out["ivf_index_sec"] + out["ivf_query_sec"], 2)
+    _section_end(spark)
     # a query probes 8 of ~n/mod lists -> candidate fraction ~ 8*mod/n
     out["ivf_candidate_fraction"] = round(8 * mod / n, 6)
 
@@ -294,6 +311,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["asof_chunked_sec"] = round(time.time() - t0, 2)
     out["asof_plans_agree"] = bool(plain_sum == chunked_sum)
+    _section_end(spark)
 
     # --------------------------------------------- product quantization
     # 8-byte codes for 64-dim vectors (32x smaller than float32): train
@@ -327,6 +345,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         pq.withColumnRenamed("rank", "rank")
     )
     out["pq_query_sec"] = round(time.time() - t0, 2)
+    _section_end(spark)
 
     # IVF-PQ: same codes, but the query scans only its n_probe coarse
     # lists — the scan fraction and the byte shrink multiply. Build and
@@ -352,6 +371,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["ivf_pq_recall_at_1"] = recall_at_1(ivfpq)
     out["ivf_pq_query_sec"] = round(time.time() - t0, 2)
+    _section_end(spark)
 
     # ------------------------------------------------ fuzzy linkage probe
     # n synthetic structured records ("rec" + 9 digits + "-" + 8 hash hex
@@ -407,6 +427,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     out["linkage_pairs_sec"] = round(time.time() - t0, 2)
     out["linkage_recall"] = found / n_typos
     out["linkage_n_pairs"] = pairs.count()
+    _section_end(spark)
 
     # ---- covariance moments at n vectors: the Gramian kernel's cost is
     # one M^T M matmul per Arrow batch; shuffle = partitions x d^2 rows
@@ -416,6 +437,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     cov_rows = embedding_covariance(corpus, "embedding", dim=DIM).count()
     out["covariance_sec"] = round(time.time() - t0, 2)
     out["covariance_cells"] = cov_rows  # d(d+1)/2
+    _section_end(spark)
 
     # ---- exact heavy hitters at 10n rows / ~9n distinct keys: the
     # Misra-Gries pass must bound the shuffle at k x partitions instead
@@ -442,6 +464,7 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         .collect()
     }
     out["heavy_hitters_groupby_sec"] = round(time.time() - t0, 2)
+    _section_end(spark)
     out["heavy_hitters_exact"] = hh == truth
     out["heavy_hitters_found"] = len(hh)
 
