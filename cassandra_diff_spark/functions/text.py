@@ -14,6 +14,7 @@ oracle-checkable (unlike xxhash64, which is Spark-private).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -380,3 +381,49 @@ def mojibake_marks_sql(expr: str) -> str:
         f" + (length({expr}) - length(regexp_replace({expr}, "
         f"'\u00E2\u20AC', '', 'g'))) // 2 AS BIGINT)"
     )
+
+
+# ------------------------------------------------- Unicode normalization
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (UAX #15): composed/decomposed
+    spellings of the same text ("e" + U+0301 vs precomposed "é") become
+    byte-identical, so downstream EXACT operators — fingerprint dedup,
+    vocabulary build, groupBy text — stop treating them as distinct.
+    This is the missing first step of a text-dedup pipeline on crawled
+    data, where both spellings are common.
+
+    ``form``: NFC (canonical composition — the safe default; ligatures
+    and width variants are PRESERVED) or NFKC (compatibility folding —
+    "ﬁ" -> "fi", fullwidth -> ASCII; lossy, opt in deliberately).
+
+    Spark SQL has no normalization builtin, so this is an Arrow-batched
+    pandas_udf over Python ``unicodedata`` (map-only; the per-string
+    Python cost is inherent). NFC is bit-identical to DuckDB's
+    ``nfc_normalize`` (both implement the Unicode standard), which is
+    what the gate oracle uses; NULL in -> NULL out."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    return norm(col)
+
+
+def collapse_whitespace(col: Column) -> Column:
+    """Trim + collapse runs of whitespace to single spaces — the other
+    half of text canonicalization before exact dedup. Pure JVM
+    (regexp_replace), same regex the SQL twin uses."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def collapse_whitespace_sql(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"

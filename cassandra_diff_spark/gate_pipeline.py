@@ -9327,6 +9327,60 @@ ORACLES["vocab_bpe_encode"] = _O_VOCAB_BPE_ENCODE
 
 
 # ---------------------------------------------------------------------------
+# round 7: Unicode text canonicalization
+
+
+def _q_text_nfc_normalize(spark, sf_dir):
+    """Unicode canonicalization before exact dedup: every doc gets an
+    injected tail holding the adversarial cases — "e" + U+0301 combining
+    acute (NFC composes to é), a precomposed é (unchanged), a run of
+    spaces (collapsed), and the U+FB01 ﬁ ligature (NFC must PRESERVE it
+    — only NFKC folds ligatures). The pipeline is unicode_normalize
+    (Arrow-batched unicodedata — Spark SQL has no normalization builtin)
+    then the JVM whitespace collapse; the oracle replays it with
+    DuckDB's nfc_normalize, which implements the same Unicode standard,
+    so the strings must hash bit-identical."""
+    from cassandra_diff_spark.functions.text import (
+        collapse_whitespace,
+        unicode_normalize,
+    )
+
+    tail = " e\u0301 caf\u00e9  \ufb01ne"
+    raw = F.concat(F.col("text"), F.lit(tail))
+    norm = collapse_whitespace(unicode_normalize(raw, "NFC"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).cast("long").alias("n_chars"),
+        (norm != raw).alias("changed"),
+    )
+
+
+_O_TEXT_NFC_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' e' || chr(769) || ' caf' || chr(233) || '  '
+              || chr(64257) || 'ne' AS raw
+  FROM documents
+),
+n AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(nfc_normalize(raw), '\\s+', ' ', 'g')) AS norm
+  FROM raw
+)
+SELECT doc_id, norm,
+       CAST(len(norm) AS BIGINT) AS n_chars,
+       norm <> raw AS changed
+FROM n
+"""
+
+
+QUERIES["text_nfc_normalize"] = _q_text_nfc_normalize
+ORACLES["text_nfc_normalize"] = _O_TEXT_NFC_NORMALIZE
+
+
+
+# ---------------------------------------------------------------------------
 # streaming-gate runtime conf
 
 

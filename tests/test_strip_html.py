@@ -79,3 +79,49 @@ def test_no_python_in_plan(spark, html_df):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestUnicodeNormalize:
+    def test_nfc_composes_and_preserves_ligatures(self, spark):
+        from cassandra_diff_spark.functions.text import (
+            collapse_whitespace,
+            unicode_normalize,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "café"),      # decomposed -> composed
+            (2, "café"),       # already composed: unchanged
+            (3, "ﬁne   print"),  # ligature preserved by NFC; ws collapses
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {
+            r.id: r.n
+            for r in df.select(
+                "id",
+                collapse_whitespace(unicode_normalize(F.col("t"))).alias("n"),
+            ).collect()
+        }
+        assert got[1] == got[2] == "café"
+        assert got[3] == "ﬁne print"  # NFC must NOT fold the ligature
+        assert got[4] is None
+
+    def test_nfkc_folds_compatibility_forms(self, spark):
+        from cassandra_diff_spark.functions.text import unicode_normalize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "ﬁne ＡＢ 2³")], "id long, t string"
+        )
+        (r,) = df.select(unicode_normalize(F.col("t"), "NFKC").alias("n")).collect()
+        assert r.n == "fine AB 23"  # ligature, fullwidth, superscript folded
+
+    def test_unknown_form_rejected(self, spark):
+        import pytest
+
+        from cassandra_diff_spark.functions.text import unicode_normalize
+        from pyspark.sql import functions as F
+
+        with pytest.raises(ValueError, match="normalization form"):
+            unicode_normalize(F.col("x"), "NFX")
