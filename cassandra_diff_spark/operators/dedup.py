@@ -763,9 +763,15 @@ def dedup_clusters(
     """
     und = pairs.select("id_1", "id_2").distinct()
     if driver_edge_cap:
+        # persist the distinct pair frame BEFORE the probe: when the graph
+        # is over the cap, the distributed loop below reuses it instead of
+        # re-running the (often expensive banded-join) upstream a second
+        # time for the same distinct set
+        und = und.persist()
         cap_rows = und.limit(int(driver_edge_cap) + 1).collect()
         if len(cap_rows) <= driver_edge_cap:
             parent: dict = {}
+            saw_null = False
 
             def find(x):
                 r = x
@@ -777,6 +783,16 @@ def dedup_clusters(
 
             for r_ in cap_rows:
                 a, b = r_.id_1, r_.id_2
+                # a NULL id never joins in the distributed path (null keys
+                # match nothing), so it is an isolated node there: mirror
+                # that — register the non-null side, never union, and emit
+                # the single (null, null) row the distributed output has
+                if a is None or b is None:
+                    saw_null = True
+                    for v_ in (a, b):
+                        if v_ is not None:
+                            parent.setdefault(v_, v_)
+                    continue
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -792,15 +808,17 @@ def dedup_clusters(
 
             schema = StructType(
                 [
-                    StructField("id", id_type, False),
-                    StructField("cluster_id", id_type, False),
+                    StructField("id", id_type, True),
+                    StructField("cluster_id", id_type, True),
                 ]
             )
-            return pairs.sparkSession.createDataFrame(
-                [(x, comp_min[find(x)]) for x in parent], schema
-            )
+            rows = [(x, comp_min[find(x)]) for x in parent]
+            if saw_null:
+                rows.append((None, None))
+            und.unpersist()
+            return pairs.sparkSession.createDataFrame(rows, schema)
 
-    e = pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+    e = und.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -841,6 +859,7 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    und.unpersist()  # no-op when the probe never persisted it
     if changed != 0:
         msg = (
             f"dedup_clusters did not converge in max_iters={max_iters} rounds "

@@ -576,25 +576,35 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     (operators/dedup.py) with ``ahash`` as the sketch. Same Arrow
     mapInPandas plumbing as ``decode_pixels``; codec-bound payloads
     (JPEG, video) and GIF yield null hashes."""
+    return _hash_frame(
+        df, lambda b: _ahash(b, grid=grid), "ahash", AHASH_SCHEMA
+    )
+
+
+DHASH_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, dhash string"
+)
+
+
+def _hash_frame(df: DataFrame, kernel, out_col: str, schema: str) -> DataFrame:
+    """Shared mapInPandas plumbing for the perceptual-hash family: apply
+    a ``bytes -> (format, w, h, hex16) | None`` kernel per payload
+    (null payload / undecodable -> null columns). One place to fix
+    payload handling for every hash."""
 
     def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(raw) if raw is not None else b""
-                r = _ahash(b, grid=grid)
+                r = kernel(b)
                 rows.append((int(doc_id),) + (r if r else (None,) * 4))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "format", "width", "height", "ahash"],
+                columns=["doc_id", "format", "width", "height", out_col],
             )
 
-    return df.select("doc_id", "payload").mapInPandas(parse, schema=AHASH_SCHEMA)
-
-
-DHASH_SCHEMA = (
-    "doc_id bigint, format string, width int, height int, dhash string"
-)
+    return df.select("doc_id", "payload").mapInPandas(parse, schema=schema)
 
 
 def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
@@ -606,20 +616,9 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     Same Arrow mapInPandas plumbing; Hamming-banded near-dup joins
     compose via the simhash band machinery with ``dhash`` as the
     sketch. Codec-bound payloads (JPEG, video) yield null hashes."""
-
-    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in batches:
-            rows = []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(raw) if raw is not None else b""
-                r = _dhash(b, grid=grid)
-                rows.append((int(doc_id),) + (r if r else (None,) * 4))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "format", "width", "height", "dhash"],
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(parse, schema=DHASH_SCHEMA)
+    return _hash_frame(
+        df, lambda b: _dhash(b, grid=grid), "dhash", DHASH_SCHEMA
+    )
 
 
 PIXEL_SCHEMA = (

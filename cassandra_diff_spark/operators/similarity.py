@@ -940,6 +940,14 @@ def pq_train(
             f"ragged embedding column: expected uniform dim={dim}, "
             f"got {len(flat)} values for {n_rows} rows"
         )
+    # a null ELEMENT inside a vector (top-level null_count is 0) comes out
+    # of Arrow as NaN and would silently poison every codebook distance —
+    # the old row-collect path raised on the same input, so keep it loud
+    if flat.dtype.kind == "f" and np.isnan(flat).any():
+        raise ValueError(
+            "null elements inside embedding vectors cannot be sampled for "
+            "PQ training - filter them out first"
+        )
     ids = tbl.column("c_id").to_numpy()
     order = np.argsort(ids, kind="stable")
     x = flat.reshape(n_rows, dim).astype(np.float64)[order]  # exact ints

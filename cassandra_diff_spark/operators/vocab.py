@@ -658,16 +658,6 @@ def _bpe_wrap(word_col):
     )
 
 
-def _bpe_symbols(syms_col):
-    """Wrapped symbol string -> array of raw symbols."""
-    return F.split(
-        F.expr(f"substring({syms_col}, 2, length({syms_col}) - 2)")
-        if isinstance(syms_col, str)
-        else syms_col,
-        _BPE_R + _BPE_L,
-    )
-
-
 def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt, syms): the word-frequency table with each word's
     initial wrapped symbol string — the ONLY corpus-sized pass of BPE

@@ -1080,14 +1080,27 @@ def stream_interval_join(
             hwm = max(int(pb["__pt"].max()), hwm if hwm is not None else -(2**62))
             if s_l:
                 # Vectorized containment resolve (same treatment the forward
-                # as-of resolve got): one broadcast compare of the point
-                # vector against the interval bound arrays, one np.nonzero
-                # for all (point, interval) hits — no per-row Python loop.
+                # as-of resolve got): broadcast-compare the point vector
+                # against the interval bound arrays, one np.nonzero for all
+                # (point, interval) hits — no per-row Python loop. The
+                # point axis is CHUNKED so the dense hit matrix stays
+                # bounded (~128 MB at 1M retained intervals) instead of
+                # growing O(points x intervals) with the micro-batch.
                 s_a = np.asarray(s_l, dtype=np.int64)
                 e_a = np.asarray(e_l, dtype=np.int64)
                 pt_a = pb["__pt"].to_numpy(dtype=np.int64)
-                hit = (s_a[None, :] <= pt_a[:, None]) & (e_a[None, :] >= pt_a[:, None])
-                pi, ii = np.nonzero(hit)
+                pt_chunk = max(1, (1 << 27) // max(1, len(s_a)))
+                pis, iis = [], []
+                for c0 in range(0, len(pt_a), pt_chunk):
+                    pc = pt_a[c0 : c0 + pt_chunk]
+                    hit = (s_a[None, :] <= pc[:, None]) & (
+                        e_a[None, :] >= pc[:, None]
+                    )
+                    cpi, cii = np.nonzero(hit)
+                    pis.append(cpi + c0)
+                    iis.append(cii)
+                pi = np.concatenate(pis) if pis else np.empty(0, np.int64)
+                ii = np.concatenate(iis) if iis else np.empty(0, np.int64)
                 if len(pi):
                     data = {c: pd.Series([key[k]] * len(pi)) for k, c in enumerate(on)}
                     data["__s"] = s_a[ii]

@@ -74,6 +74,12 @@ def compare(
             else:
                 bad = ~((a == b) | (np.isnan(a) & np.isnan(b)))
             ok = not bad.any()
+        elif sc.dtype != dc.dtype:
+            # the old Series.equals comparison failed on dtype drift
+            # (int32 vs int64, bool vs bigint) — keep flagging it so the
+            # local harness catches what the driver's schema check would
+            problems.append(f"dtype drift in column {c}: spark={sc.dtype} duck={dc.dtype}")
+            continue
         else:
             bad = (sc != dc).to_numpy() & ~(sc.isna() & dc.isna()).to_numpy()
             ok = not bad.any()

@@ -2094,3 +2094,24 @@ class TestMojibake:
         assert df.select(mojibake_marks(F.col("text")).alias("m")).collect()[
             0
         ].m is None
+
+
+def test_dedup_clusters_null_ids_both_paths(spark):
+    """A NULL id never joins in the distributed path (null keys match
+    nothing) — the driver-side union-find must mirror that instead of
+    crashing on None comparison."""
+    from cassandra_diff_spark.operators import dedup
+
+    rows = [(1, 2), (None, 3), (4, None)]
+    pairs = spark.createDataFrame(rows, "id_1 long, id_2 long")
+    fast = {
+        r.id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()
+    }
+    slow = {
+        r.id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, driver_edge_cap=0).collect()
+    }
+    assert fast == slow
+    assert fast[1] == fast[2] == 1      # the real edge clusters
+    assert fast[3] == 3 and fast[4] == 4  # null partners stay isolated
+    assert fast[None] is None

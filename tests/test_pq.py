@@ -150,3 +150,25 @@ def test_ivf_pq_prebuilt_codes_equal_inline(spark, embs, queries, books, tmp_pat
     )
     key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert key(prebuilt) == key(inline)
+
+
+def test_pq_train_rejects_inner_null_elements(spark):
+    """A null ELEMENT inside a vector (top-level null_count 0) must fail
+    loudly — Arrow silently converts it to NaN, which would poison every
+    codebook distance."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_diff_spark.operators.similarity import pq_train
+
+    vec = F.array(
+        *[
+            F.when((F.col("id") == 3) & (F.lit(d) == 1), F.lit(None)).otherwise(
+                (F.col("id") % 7).cast("float") + d
+            )
+            for d in range(4)
+        ]
+    )
+    df = spark.range(600).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    with pytest.raises(Exception, match="null elements"):
+        pq_train(df, "vec_id", "embedding", dim=4, m=2, n_codes=4, sample_mod=1)
