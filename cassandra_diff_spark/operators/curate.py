@@ -38,6 +38,7 @@ def clean_corpus(
     text_col: str,
     min_quality_milli: int = 500,
     extra_cols: "tuple[str, ...]" = (),
+    nfc: bool = False,
 ) -> DataFrame:
     """Kept documents after exact-dedup survivorship + quality gate.
 
@@ -48,17 +49,28 @@ def clean_corpus(
     the input) — e.g. the domain column a downstream per-domain cap
     needs.
 
+    ``nfc=True`` Unicode-normalizes the text before fingerprinting
+    (:func:`~cassandra_diff_spark.functions.text.unicode_normalize`):
+    composed and decomposed spellings of the same document then dedup as
+    exact copies. Opt-in — it routes the text through an Arrow
+    pandas_udf, and ASCII-only corpora gain nothing.
+
     NULL-text documents carry a NULL fingerprint and are dropped by the
     survivor equi-join — identically in the SQL twin, so the contract is
     engine-stable. ``coalesce(text, '')`` upstream to treat them as
     empty documents instead.
     """
+    text = F.col(text_col)
+    if nfc:
+        from cassandra_diff_spark.functions.text import unicode_normalize
+
+        text = unicode_normalize(text, "NFC")
     scored = df.select(
         F.col(id_col).alias("id"),
-        fingerprint(F.col(text_col)).alias("fp"),
-        quality_milli(F.col(text_col)).alias("quality_milli"),
-        langid(F.col(text_col)).alias("lang"),
-        n_bpe_tokens(F.col(text_col)).alias("n_tokens"),
+        fingerprint(text).alias("fp"),
+        quality_milli(text).alias("quality_milli"),
+        langid(text).alias("lang"),
+        n_bpe_tokens(text).alias("n_tokens"),
         *[F.col(c) for c in extra_cols],
     )
     # survivor keys (fp, min id) joined back on BOTH columns — a plain

@@ -2115,3 +2115,20 @@ def test_dedup_clusters_null_ids_both_paths(spark):
     assert fast[1] == fast[2] == 1      # the real edge clusters
     assert fast[3] == 3 and fast[4] == 4  # null partners stay isolated
     assert fast[None] is None
+
+
+def test_clean_corpus_nfc_merges_decomposed_duplicates(spark):
+    """With nfc=True, a decomposed spelling of a kept document dedups
+    into the composed copy's fingerprint group; without it they both
+    survive as distinct documents."""
+    from cassandra_diff_spark.operators.curate import clean_corpus
+
+    composed = "the café of the and to in is a good café."
+    decomposed = composed.replace("é", "é")
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    plain = clean_corpus(df, "doc_id", "text", min_quality_milli=0)
+    assert {r.id for r in plain.collect()} == {1, 2}
+    merged = clean_corpus(df, "doc_id", "text", min_quality_milli=0, nfc=True)
+    assert {r.id for r in merged.collect()} == {1}
