@@ -5642,6 +5642,16 @@ def _make_o_validate_correlations() -> str:
         for i in range(k)
         for j in range(i, k)
     ]
+    # DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded (verified:
+    # CAST(-154439533588670000 AS DOUBLE) lands 1 ULP below Python's
+    # float() and Spark's decimal->double, which both round correctly).
+    # Routing through VARCHAR uses the correctly-rounded strtod path, so
+    # the fixed double expressions stay bit-identical to Spark at EVERY
+    # scale factor, not just the ones whose operands happen to round the
+    # same both ways (the r7 latent-landmine class).
+    def xd(e: str) -> str:
+        return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+
     arms = []
     for i in range(k):
         for j in range(i, k):
@@ -5650,11 +5660,11 @@ def _make_o_validate_correlations() -> str:
             vjj = f"(CAST(n AS HUGEINT) * p{j}_{j} - s{j} * s{j})"
             arms.append(
                 f"SELECT '{cols[i]}' AS col_i, '{cols[j]}' AS col_j, n,\n"
-                f"  CAST({m2} AS DOUBLE)\n"
+                f"  {xd(m2)}\n"
                 f"    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0) AS cov,\n"
                 f"  CASE WHEN {vii} = 0 OR {vjj} = 0 THEN NULL\n"
-                f"       ELSE CAST({m2} AS DOUBLE)\n"
-                f"            / sqrt(CAST({vii} AS DOUBLE) * CAST({vjj} AS DOUBLE)) END AS corr\n"
+                f"       ELSE {xd(m2)}\n"
+                f"            / sqrt({xd(vii)} * {xd(vjj)}) END AS corr\n"
                 f"FROM m"
             )
     body = "\nUNION ALL\n".join(arms)
