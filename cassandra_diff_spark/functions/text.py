@@ -398,10 +398,19 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
     "ﬁ" -> "fi", fullwidth -> ASCII; lossy, opt in deliberately).
 
     Spark SQL has no normalization builtin, so this is an Arrow-batched
-    pandas_udf over Python ``unicodedata`` (map-only; the per-string
-    Python cost is inherent). NFC is bit-identical to DuckDB's
-    ``nfc_normalize`` (both implement the Unicode standard), which is
-    what the gate oracle uses; NULL in -> NULL out."""
+    pandas_udf. The per-string work is ``unicodedata.normalize`` —
+    DELIBERATELY not ``pyarrow.compute.utf8_normalize``: this
+    environment's Arrow build (16.1) returns DECOMPOSED output for
+    form=NFC/NFKC (identical bytes to NFD/NFKD — the composition pass
+    never runs), so routing through it would corrupt every precomposed
+    character. Verified: ``utf8_normalize(["café"], form="NFC")`` yields
+    ``65 301``, not ``e9``. What Arrow IS trusted for here is the
+    vectorized ``string_is_ascii`` prefilter: ASCII is a fixed point of
+    all four forms (no decompositions, all starters), and crawl text is
+    mostly ASCII, so the Python loop only touches the non-ASCII slice.
+    NFC is bit-identical to DuckDB's ``nfc_normalize`` (both implement
+    the Unicode standard), which is what the gate oracle uses; NULL in
+    -> NULL out."""
     import unicodedata
 
     from pyspark.sql.functions import pandas_udf
@@ -411,9 +420,23 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
 
     @pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: unicodedata.normalize(form, v) if v is not None else None
-        )
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(s, type=pa.string())
+        is_ascii = pc.string_is_ascii(arr)
+        # non-ASCII, non-null rows are the only ones normalization can
+        # change; everything else passes through untouched
+        need = pc.fill_null(pc.invert(is_ascii), False).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        if not need.any():
+            return s
+        out = s.copy()
+        idx = s.index[np.asarray(need)]
+        out.loc[idx] = [unicodedata.normalize(form, v) for v in s.loc[idx]]
+        return out
 
     return norm(col)
 

@@ -125,3 +125,47 @@ class TestUnicodeNormalize:
 
         with pytest.raises(ValueError, match="normalization form"):
             unicode_normalize(F.col("x"), "NFX")
+
+    def test_ascii_fast_path_and_all_forms_match_unicodedata(self, spark):
+        """The pandas_udf skips the Python loop for ASCII rows via
+        Arrow's string_is_ascii — correctness requires ASCII be a fixed
+        point of every form (it is: no decompositions, all starters).
+        Mixed ASCII/non-ASCII/null batches must agree with a plain
+        unicodedata map in all four forms, including NFKC."""
+        import unicodedata
+
+        from pyspark.sql import functions as F
+
+        from cassandra_diff_spark.functions.text import unicode_normalize
+
+        rows = [
+            (1, "plain ascii only"),
+            (2, "café"),        # decomposed e + U+0301
+            (3, "Ｆｕｌｌ ﬁn"),  # compat forms: NFKC/NFKD fold, NFC/NFD keep
+            (4, None),
+            (5, ""),
+            (6, "각"),           # hangul jamo -> syllable under NFC
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        for form in ("NFC", "NFKC", "NFD", "NFKD"):
+            got = {
+                r.id: r.n
+                for r in df.select(
+                    "id", unicode_normalize(F.col("t"), form).alias("n")
+                ).collect()
+            }
+            for i, t in rows:
+                want = unicodedata.normalize(form, t) if t is not None else None
+                assert got[i] == want, (form, i, got[i], want)
+
+    def test_env_arrow_utf8_normalize_is_still_broken(self):
+        """Guard for the r7 advice to route NFC through
+        pyarrow.compute.utf8_normalize: THIS Arrow build never runs the
+        composition pass (NFC output == NFD output), so unicode_normalize
+        must keep using unicodedata. If this test ever fails, the Arrow
+        kernel got fixed and the pandas_udf body can switch to it."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = pc.utf8_normalize(pa.array(["café"]), form="NFC").to_pylist()[0]
+        assert out != "café" and [hex(ord(c)) for c in out] == ["0x63", "0x61", "0x66", "0x65", "0x301"]
