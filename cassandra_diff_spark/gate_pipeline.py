@@ -339,14 +339,47 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+#: planted-copy id offset for the self-checking kmeans-IVF gate — far
+#: above any natural vec_id, so plants never collide with corpus ids
+_PLANT_OFFSET = 10_000_000
+
+
 def _q_ann_ivf_kmeans_topk(spark, sf_dir):
-    # learned-centroid IVF: KMeans training is iterative, hence not
-    # SQL-expressible — registered rows-only (recall asserted in pytest)
+    """SELF-CHECKING gate for learned-centroid IVF (KMeans training is
+    iterative, hence has no SQL twin — r2-r7 this was a rows-only entry
+    burning a driver slot as ``err: no_oracle``). The gate now plants an
+    exact copy of every query vector into the corpus under a known id
+    and emits ONE assertion row: (n_queries, n_planted_found). A planted
+    copy quantizes identically to its query, so it lands in the query's
+    top-1 probed KMeans cell and scores cosine exactly 1.0 (dot = nn;
+    sqrt(nn*nn) exact below 2^53) — rank 1 for its own query unless >= k
+    natural exact duplicates outrank it (none exist in random-float
+    embeddings). n_planted_found == n_queries therefore holds iff
+    training, cell assignment, probing, and exact rerank all work; the
+    oracle states that equality from the base table. Full top-k
+    semantics stay pytest-held (recall vs brute force)."""
     embs = _embs(spark, sf_dir)
-    return similarity.ivf_topk_kmeans(
-        embs, embs.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_lists=16, n_probe=4,
+    queries = embs.filter(F.col("vec_id") < 10)
+    planted = queries.select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
     )
+    corpus = embs.select("vec_id", "embedding").unionByName(planted)
+    topk = similarity.ivf_topk_kmeans(
+        corpus, queries, "vec_id", "embedding", k=5, n_lists=16, n_probe=4,
+    )
+    found = topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+    )
+    return queries.agg(F.count("*").alias("n_queries")).crossJoin(
+        found.agg(F.count("*").alias("n_planted_found"))
+    )
+
+
+_O_ANN_IVF_KMEANS_TOPK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_planted_found
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 _CENT_PRED = f"{md5_hash64_sql('CAST(vec_id AS VARCHAR)')} % 32 = 0"
@@ -607,6 +640,7 @@ ORACLES: Dict[str, str] = {
     "dedup_embedding_cosine": _O_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": _O_ANN_COSINE_TOPK,
     "ann_ivf_topk": _O_ANN_IVF_TOPK,
+    "ann_ivf_kmeans_topk": _O_ANN_IVF_KMEANS_TOPK,
     "ann_lsh_topk": _O_ANN_LSH_TOPK,
     "text_stats": _O_TEXT_STATS,
     "text_langid": _O_TEXT_LANGID,
@@ -5478,23 +5512,82 @@ QUERIES["embedding_covariance"] = _q_embedding_covariance
 ORACLES["embedding_covariance"] = _O_EMBEDDING_COVARIANCE
 
 
+_PCA_K = 4
+
+
 def _q_embedding_pca_project(spark, sf_dir):
-    """PCA projection onto the top-4 principal components. The covariance
-    moments are distributed and exact (embedding_covariance's kernel);
-    the d x d eigendecomposition is driver-side numpy (kilobytes), so —
-    like ann_ivf_kmeans_topk — there is deliberately NO SQL twin: an
-    eigensolver is not expressible in ANSI SQL. Rows-only driver check;
-    the value-level invariants (component orthonormality, projection
-    variance == eigenvalues, sign determinism, equality with numpy PCA)
-    are pytest-asserted in tests/test_embedding_pca.py."""
+    """SELF-CHECKING gate for PCA projection (the eigensolver has no
+    ANSI-SQL twin — rows-only before r8, burning a driver slot as
+    ``err: no_oracle``). The gate projects every embedding onto the
+    top-4 principal components, then aggregates the PROJECTED FRAME
+    into one assertion row of quantized-integer invariants that hold
+    iff the distributed moments + driver eigh + map-only projection
+    composed correctly:
+
+    - ``max_abs_mean_micro`` = 0: projections are centered (mean of
+      each component is ~1e-13 against unit-scale data; quantized at
+      1e-6 with ~7 orders of margin);
+    - ``max_abs_offdiag_micro`` = 0: the sample covariance of the
+      projections is DIAGONAL — components are eigenvectors of the
+      data covariance, so cross-component covariance vanishes (a
+      random orthonormal basis would NOT pass);
+    - ``variances_sorted`` = 1: component variances arrive in
+      non-increasing eigenvalue order.
+
+    ``n`` comes from the projected frame and the oracle recomputes it
+    from the base table, so row coverage is cross-checked too. Value-
+    level equality with numpy PCA stays pytest-held
+    (tests/test_embedding_pca.py)."""
     from cassandra_diff_spark.operators.embeddings import pca_project
 
-    return pca_project(
-        _embs(spark, sf_dir), "vec_id", "embedding", dim=64, n_components=4
+    k = _PCA_K
+    proj = pca_project(
+        _embs(spark, sf_dir), "vec_id", "embedding", dim=64, n_components=k
+    )
+    p = proj.select(*[F.col("proj")[i].alias(f"p{i}") for i in range(k)])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"p{i}").alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum(F.col(f"p{i}") * F.col(f"p{j}")).alias(f"q{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    m = p.agg(*aggs)
+    nd = F.col("n").cast("double")
+    mean = {i: F.col(f"s{i}") / nd for i in range(k)}
+    cov = {
+        (i, j): F.col(f"q{i}_{j}") / nd - mean[i] * mean[j]
+        for i in range(k)
+        for j in range(i, k)
+    }
+    off = [F.abs(cov[(i, j)]) for i in range(k) for j in range(i + 1, k)]
+    sorted_ok = None
+    for i in range(k - 1):
+        c = cov[(i, i)] >= cov[(i + 1, i + 1)]
+        sorted_ok = c if sorted_ok is None else (sorted_ok & c)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("n_components"),
+        F.round(F.greatest(*[F.abs(mean[i]) for i in range(k)]) * 1e6)
+        .cast("long")
+        .alias("max_abs_mean_micro"),
+        F.round(F.greatest(*off) * 1e6).cast("long").alias("max_abs_offdiag_micro"),
+        sorted_ok.cast("long").alias("variances_sorted"),
     )
 
 
+_O_EMBEDDING_PCA_PROJECT = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST({_PCA_K} AS BIGINT) AS n_components,
+       CAST(0 AS BIGINT) AS max_abs_mean_micro,
+       CAST(0 AS BIGINT) AS max_abs_offdiag_micro,
+       CAST(1 AS BIGINT) AS variances_sorted
+FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64
+"""
+
+
 QUERIES["embedding_pca_project"] = _q_embedding_pca_project
+ORACLES["embedding_pca_project"] = _O_EMBEDDING_PCA_PROJECT
 
 
 # ---------------------------------------------------------------------------
@@ -6698,19 +6791,52 @@ ORACLES["profile_drift_orders"] = _make_o_profile_drift_orders()
 
 
 def _q_embedding_mahalanobis(spark, sf_dir):
-    """Squared Mahalanobis outlier scores for every embedding. Like
-    embedding_pca_project (and ann_ivf_kmeans_topk), deliberately
-    rows-only: the d x d matrix INVERSE has no ANSI-SQL twin — the
-    value-level contract (numpy equality, known-outlier separation,
-    map-only plan) is pytest-held in test_embedding_pca.py."""
+    """SELF-CHECKING gate for Mahalanobis outlier scores (the d x d
+    matrix INVERSE has no ANSI-SQL twin — rows-only before r8). The
+    trace identity makes it driver-verifiable: with the sample mean and
+    UNregularized sample covariance (``ridge=0`` — exact inverse, the
+    identity breaks by -ridge*trace(prec) per point otherwise, measured
+    -4.7e-3 here),
+
+        sum_i (x_i - mu)' S^{-1} (x_i - mu)
+          = trace(S^{-1} * n*S) = n * d      (exactly, in real math)
+
+    so the gate scores every embedding, sums the distributed output,
+    and emits (n, dim, trace_residual_milli, all_nonneg). Measured
+    float residual: ~3e-14 per point at sf0.001/0.01/0.1 — 11 orders
+    under the 1e-3 quantum. A wrong covariance, a wrong inverse, or a
+    wrong quadratic form all shift the sum by O(1) per point. ``n`` is
+    cross-checked from the base table by the oracle. Value-level numpy
+    equality and the planted-outlier contract stay pytest-held; the
+    DEFAULT ridge path (1e-6) keeps its pytest coverage too."""
     from cassandra_diff_spark.operators.embeddings import mahalanobis_scores
 
-    return mahalanobis_scores(
-        _embs(spark, sf_dir), "vec_id", "embedding", dim=64
+    d = 64
+    m = mahalanobis_scores(
+        _embs(spark, sf_dir), "vec_id", "embedding", dim=d, ridge=0.0
+    )
+    n = F.count(F.lit(1))
+    return m.agg(
+        n.cast("long").alias("n"),
+        F.lit(d).cast("long").alias("dim"),
+        F.round((F.sum("m2") - n * F.lit(d)) * F.lit(1000.0) / n)
+        .cast("long")
+        .alias("trace_residual_milli"),
+        (F.min("m2") >= F.lit(0.0)).cast("long").alias("all_nonneg"),
     )
 
 
+_O_EMBEDDING_MAHALANOBIS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(0 AS BIGINT) AS trace_residual_milli,
+       CAST(1 AS BIGINT) AS all_nonneg
+FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64
+"""
+
+
 QUERIES["embedding_mahalanobis"] = _q_embedding_mahalanobis
+ORACLES["embedding_mahalanobis"] = _O_EMBEDDING_MAHALANOBIS
 
 
 # ---------------------------------------------------------------------------
