@@ -9461,6 +9461,29 @@ QUERIES["vocab_bpe_encode"] = _q_vocab_bpe_encode
 ORACLES["vocab_bpe_encode"] = _O_VOCAB_BPE_ENCODE
 
 
+def _q_vocab_bpe_train_incremental(spark, sf_dir):
+    """The r8 incremental BPE trainer (driver-side pair-count dict +
+    signed per-merge deltas from affected words only — one shuffle over
+    |affected| rows per merge instead of a full pair recount; the path
+    a real 32k-merge vocabulary needs). Output contract: byte-identical
+    merge list to bpe_train, so it runs against the SAME unrolled-CTE
+    oracle — the driver certifies the equivalence bit-for-bit."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train_incremental(docs, "text", _BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+QUERIES["vocab_bpe_train_incremental"] = _q_vocab_bpe_train_incremental
+ORACLES["vocab_bpe_train_incremental"] = _O_VOCAB_BPE_TRAIN
+
+
 
 # ---------------------------------------------------------------------------
 # round 7: Unicode text canonicalization

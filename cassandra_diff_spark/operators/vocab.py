@@ -741,6 +741,114 @@ def bpe_train(
     return merges
 
 
+def bpe_train_incremental(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 32,
+    *,
+    min_count: int = 1,
+    checkpoint_every: int = 16,
+    max_pair_types: int = 5_000_000,
+    stats: list | None = None,
+) -> list[tuple[int, str, str, str, int]]:
+    """:func:`bpe_train` with INCREMENTAL pair counting — the path for
+    real vocabularies (a 32k-merge train is 32k iterations; recounting
+    every pair each time is 32k pair-type shuffles over the full word
+    table). Identical output to :func:`bpe_train` (same representation,
+    same tie-break, property-tested equal); only the bookkeeping moves.
+
+    The classic observation (Sennrich's own fast implementation): a
+    merge changes pair counts ONLY inside words that contain the merged
+    pair. So pair counts live in a driver-side dict, seeded by ONE full
+    distributed count, and each iteration:
+
+      * argmax is a driver dict scan — NO Spark job;
+      * ``affected = cur.filter(syms CONTAINS pattern)`` — the marker
+        wrapping makes the containment test exact, no false positives
+        across symbol boundaries;
+      * one job computes signed deltas: affected words contribute their
+        pre-merge pairs at ``-cnt`` and post-merge pairs at ``+cnt``
+        through the same :func:`bpe_pair_counts` shuffle — whose input
+        is now |affected| rows, not |word types| (Zipf: the affected
+        set collapses once merges leave the head);
+      * the word table advances by the same map-only REPLACE as
+        :func:`bpe_train` (no-op on unaffected rows), checkpointed
+        every ``checkpoint_every`` merges to bound the nested lineage.
+
+    Driver memory is O(pair types) — ints in a dict, the same budget
+    class as pq_train's codebooks but data-dependent, so it is
+    FAIL-FAST capped at ``max_pair_types`` (the MAX_DRIVER_QUERIES
+    discipline): past the cap, fall back to :func:`bpe_train`, which
+    holds only one argmax row at a time.
+
+    ``stats``, if a list, receives one ``(rank, n_affected_word_types,
+    n_delta_pair_types)`` tuple per merge — the work-proportionality
+    evidence (costs one extra count job per merge; leave None outside
+    tests/diagnostics).
+    """
+    base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
+    cur = base
+    seed = (
+        bpe_pair_counts(cur).limit(int(max_pair_types) + 1).collect()
+    )
+    if len(seed) > int(max_pair_types):
+        base.unpersist()
+        raise ValueError(
+            f"more than max_pair_types={max_pair_types} distinct symbol "
+            "pairs — the driver-side count table would not fit; raise the "
+            "cap or use bpe_train (distributed recount per merge)"
+        )
+    pc: dict[tuple[str, str], int] = {
+        (r.left_sym, r.right_sym): r.pair_count for r in seed
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_count:
+            break
+        merges.append((rank, a, b, a + b, int(n)))
+        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+        rep = _BPE_L + a + b + _BPE_R
+        aff = cur.filter(F.col("syms").contains(pat))
+        delta_src = aff.select(
+            (-F.col("cnt")).alias("cnt"), "syms"
+        ).unionByName(
+            aff.select(
+                "cnt",
+                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)).alias("syms"),
+            )
+        )
+        deltas = (
+            bpe_pair_counts(delta_src)
+            .filter(F.col("pair_count") != 0)
+            .collect()
+        )
+        if stats is not None:
+            stats.append((rank, aff.count(), len(deltas)))
+        for r in deltas:
+            key = (r.left_sym, r.right_sym)
+            c = pc.get(key, 0) + r.pair_count
+            if c < 0:  # accounting must balance exactly; never heal silently
+                raise AssertionError(
+                    f"negative pair count for {key!r} after merge {rank}"
+                )
+            if c:
+                pc[key] = c
+            else:
+                pc.pop(key, None)
+        cur = cur.withColumn(
+            "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+        )
+        if checkpoint_every and rank % int(checkpoint_every) == 0:
+            cur = cur.localCheckpoint()
+    base.unpersist()
+    return merges
+
+
 def bpe_apply(word_col, merges) -> "F.Column":
     """Tokenize ONE word column with a learned merge list: the merges
     fold into nested literal replace expressions (JVM-side, no UDF, no

@@ -330,6 +330,20 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         sample_mod=max(1, n // 100_000),
     )
     out["pq_train_sec"] = round(time.time() - t0, 2)
+    # warm retrain: same inputs, JIT/page-cache/Spark-stage effects
+    # amortized — the r6 index-warm lesson applied to training, so a
+    # contended first run can never masquerade as algorithmic cost
+    # (r7: driver probe said 19.5 s, isolated said 31.0 s, neither
+    # separable without this). Determinism doubles as a free check.
+    t0 = time.time()
+    books_warm = pq_train(
+        corpus, "vec_id", "embedding", dim=DIM, m=8, n_codes=256,
+        sample_mod=max(1, n // 100_000),
+    )
+    out["pq_train_warm_sec"] = round(time.time() - t0, 2)
+    out["pq_train_deterministic"] = bool(
+        books.shape == books_warm.shape and (books == books_warm).all()
+    )
     t0 = time.time()
     pq_encode(corpus, "vec_id", "embedding", books, dim=DIM).write.mode(
         "overwrite"

@@ -218,3 +218,84 @@ def test_bpe_property_random_corpora(spark):
             assert enc[i] == _ref_encode(t, merges), (t, merges)
 
     check()
+
+
+class TestIncrementalTrain:
+    """bpe_train_incremental must be byte-identical to bpe_train / the
+    pure-Python reference — only the bookkeeping moves (driver-side
+    pair-count dict + signed per-merge deltas from affected words)."""
+
+    def test_matches_batch_and_reference(self, corpus_df):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_train,
+            bpe_train_incremental,
+        )
+
+        texts = [t.replace("x\x01y", "") if t and "\x01" in t else t for _, t in CORPUS]
+        want = _ref_train(texts, 12)
+        assert bpe_train_incremental(corpus_df, "text", 12) == want
+        assert bpe_train(corpus_df, "text", 12) == want
+
+    def test_exhaustion_and_min_count(self, spark):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        merges = bpe_train_incremental(df, "text", 50)
+        assert [m[:4] for m in merges] == [
+            (1, "a", "b", "ab"),
+            (2, "ab", "\x03", "ab\x03"),
+        ]
+        df2 = spark.createDataFrame(
+            [(1, "aa aa aa bb")], "doc_id long, text string"
+        )
+        # min_count=3 excludes every bb-pair (count 1); the merge list
+        # must equal the reference's, including the (a,\x03)-before-(a,a)
+        # tie-break (\x03 < 'a' bytewise)
+        want = _ref_train(["aa aa aa bb"], 9, min_count=3)
+        assert bpe_train_incremental(df2, "text", 9, min_count=3) == want
+        assert all(m[4] >= 3 for m in want) and want
+
+    def test_pair_type_cap_fails_fast(self, corpus_df):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        with _pytest.raises(ValueError, match="max_pair_types"):
+            bpe_train_incremental(corpus_df, "text", 4, max_pair_types=3)
+
+    def test_per_merge_work_tracks_affected_words(self, spark):
+        """Work-proportionality evidence: the delta aggregation's input
+        is the AFFECTED word types, not the corpus. 100 distinct filler
+        words never contain any merged pair of the 'low*' family, so
+        every merge's affected count stays bounded by the 4 low-words
+        while the word table holds 104 types."""
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        # 100 filler word types built from globally-unique CJK chars:
+        # every filler pair (incl. its end-of-word pair) occurs exactly
+        # once, so min_count=2 keeps all merges inside the low-family
+        fill = " ".join(
+            chr(0x4E00 + 2 * i) + chr(0x4E01 + 2 * i) for i in range(100)
+        )
+        rows = [
+            (1, "low low low low lower lowest lowly"),
+            (2, fill),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats: list = []
+        merges = bpe_train_incremental(df, "text", 6, min_count=2, stats=stats)
+        assert merges  # the low-family merges exist
+        assert len(stats) == len(merges)
+        for _rank, n_affected, _n_delta in stats:
+            assert 1 <= n_affected <= 4, stats
+
+    @pytest.mark.slow
+    def test_256_merges_match_reference_on_documents(self, spark):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        texts = [r.text for r in docs.select("text").collect()]
+        want = _ref_train(texts, 256)
+        got = bpe_train_incremental(docs, "text", 256)
+        assert len(got) == len(want) == 256 or got == want
+        assert got == want
