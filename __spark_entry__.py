@@ -81,7 +81,10 @@ def _ordered(merged: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered({**gate.QUERIES, **gate_pipeline.QUERIES})
+    merged = gate_pipeline.ensure_stream_wrapped(
+        {**gate.QUERIES, **gate_pipeline.QUERIES}
+    )
+    return _ordered(merged)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -725,7 +725,7 @@ def dedup_clusters(
     pairs: DataFrame,
     max_iters: int = 20,
     strict: bool = False,
-    driver_edge_cap: int = 1_000_000,
+    driver_edge_cap: int = 200_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     components) by iterative min-label propagation: every node's label
@@ -762,14 +762,28 @@ def dedup_clusters(
     (the non-convergence tests do).
     """
     und = pairs.select("id_1", "id_2").distinct()
-    if driver_edge_cap:
+    # the fast path builds its output schema from ONE id type; mixed-type
+    # pair frames (int id_1 vs long id_2) would narrow or fail where the
+    # distributed path's unionByName coerces — route them there instead
+    ids_same_type = (
+        und.schema["id_1"].dataType == und.schema["id_2"].dataType
+    )
+    if driver_edge_cap and ids_same_type:
         # persist the distinct pair frame BEFORE the probe: when the graph
         # is over the cap, the distributed loop below reuses it instead of
         # re-running the (often expensive banded-join) upstream a second
         # time for the same distinct set
         und = und.persist()
-        cap_rows = und.limit(int(driver_edge_cap) + 1).collect()
-        if len(cap_rows) <= driver_edge_cap:
+        # probe with a COUNT over the capped frame first: when the graph
+        # is over the cap, the driver never materializes cap+1 Row
+        # objects just to learn it should take the distributed path
+        # (near the old 1M cap that probe-collect alone was hundreds of
+        # MB of driver heap — the r7 advice item)
+        over_cap = (
+            und.limit(int(driver_edge_cap) + 1).count() > driver_edge_cap
+        )
+        if not over_cap:
+            cap_rows = und.collect()
             parent: dict = {}
             saw_null = False
 

@@ -33,13 +33,34 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(v):
+    """Engine-independent string form of an object-column cell. Spark's
+    toPandas renders array columns as numpy arrays, DuckDB's fetchdf as
+    Python lists — ``astype(str)`` gave them different reprs ('[1. 2.]'
+    vs '[1.0, 2.0]') and element-wise ``!=`` raised on the raw arrays
+    (the r7 advice item). Recursive canonicalization compares them by
+    VALUE; numeric scalars go through float/int so float32 vs float64
+    boxing cannot differ."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "<null>"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(v)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_canon_cell)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
