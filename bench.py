@@ -179,6 +179,13 @@ HEADLINE = [
     "vocab_bpe_train",
     "vocab_bpe_encode",
     "multimodal_image_dhash",
+    # round-8 additions
+    "vocab_bpe_train_incremental",
+    "dedup_prefix_jaccard",
+    "events_transition_matrix",
+    "events_decayed_counts",
+    "ann_ivf_kmeans_topk",
+    "embedding_pca_project",
 ]
 
 

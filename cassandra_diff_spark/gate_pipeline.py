@@ -9543,6 +9543,125 @@ ORACLES["text_nfc_normalize"] = _O_TEXT_NFC_NORMALIZE
 # streaming-gate runtime conf
 
 
+# ---------------------------------------------------------------------------
+# round 8: behavioral transitions, decayed trending counts, prefix-filter
+# exact similarity join
+
+
+def _q_events_transition_matrix(spark, sf_dir):
+    """Per-user Markov event-type transitions over the full stream: ONE
+    window shuffle on user_id (lead over the (ts, event_id)-total
+    order), then a 5x5-cardinality aggregation. row_ppm is integer
+    floor division — no cross-engine ROUND trap."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import transition_matrix
+
+    ev = load_events(spark, sf_dir)
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+_O_EVENTS_TRANSITION_MATRIX = """
+WITH s AS (
+  SELECT event_type AS from_label,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS to_label
+  FROM events
+),
+t AS (
+  SELECT from_label, to_label, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM s WHERE to_label IS NOT NULL
+  GROUP BY from_label, to_label
+)
+SELECT from_label, to_label, n_trans,
+       CAST((n_trans * 1000000)
+            // SUM(n_trans) OVER (PARTITION BY from_label) AS BIGINT)
+         AS row_ppm
+FROM t
+"""
+
+
+QUERIES["events_transition_matrix"] = _q_events_transition_matrix
+ORACLES["events_transition_matrix"] = _O_EVENTS_TRANSITION_MATRIX
+
+
+_DECAY_HALF_LIFE_S = 172_800  # 2 days: shifts span 0..15 over the fixture
+
+
+def _q_events_decayed_counts(spark, sf_dir):
+    """Trending score per event_type: exponential decay quantized to
+    halving buckets (weight = 1e6 >> (age DIV half_life)) — every
+    weight an exact integer, so the score is an exact BIGINT in any
+    engine (no pow(2.0, -x) libm divergence). Reference epoch is
+    max(ts) of the input, computed in-plan."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import decayed_counts
+
+    ev = load_events(spark, sf_dir)
+    return decayed_counts(
+        ev, "event_type", "ts", half_life_s=_DECAY_HALF_LIFE_S
+    ).withColumnRenamed("group", "event_type")
+
+
+_O_EVENTS_DECAYED_COUNTS = f"""
+WITH r AS (SELECT MAX(ts) AS tref FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1000000 >> LEAST(
+         (epoch_us((SELECT tref FROM r)) - epoch_us(ts))
+           // {_DECAY_HALF_LIFE_S * 1_000_000},
+         40)) AS BIGINT) AS decayed_score
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["events_decayed_counts"] = _q_events_decayed_counts
+ORACLES["events_decayed_counts"] = _O_EVENTS_DECAYED_COUNTS
+
+
+def _q_dedup_prefix_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard >= 4/5 pairs via PREFIX FILTERING
+    (Bayardo et al., WWW 2007): candidates must share a shingle among
+    each side's rarest (1-t) fraction — LOSSLESS by theorem, unlike
+    dedup_ngram_jaccard's df-cap truncation — so the brute-force SQL
+    twin (full inverted-index join, no prefix, no cap) returns the
+    IDENTICAL pair set; the driver certifies the pruning loses
+    nothing. Shingle sets, not word sets: on this template-generated
+    corpus word-set Jaccard is non-discriminative (73k of 125k pairs
+    above 0.6)."""
+    from cassandra_diff_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold_num=4, threshold_den=5, shingle_n=3,
+    ).withColumnsRenamed({"id_1": "doc_id_1", "id_2": "doc_id_2"})
+
+
+_O_DEDUP_PREFIX_JACCARD = f"""
+WITH {_SHINGLE_CTE.strip()},
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+i AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(COUNT(*) AS BIGINT) AS intersect_n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, intersect_n,
+       (s1.n + s2.n - intersect_n) AS union_n,
+       CAST((intersect_n * 1000000) // (s1.n + s2.n - intersect_n) AS BIGINT)
+         AS jaccard_ppm
+FROM i
+JOIN sz s1 ON doc_id_1 = s1.doc_id
+JOIN sz s2 ON doc_id_2 = s2.doc_id
+WHERE intersect_n * 5 >= 4 * (s1.n + s2.n - intersect_n)
+"""
+
+
+QUERIES["dedup_prefix_jaccard"] = _q_dedup_prefix_jaccard
+ORACLES["dedup_prefix_jaccard"] = _O_DEDUP_PREFIX_JACCARD
+
+
 def _with_stream_conf(fn):
     """Run a streaming gate under 8 state partitions instead of the
     session's 32. Every stateful micro-batch pays a per-partition state

@@ -1226,3 +1226,118 @@ def cluster_survivors(
             (F.col("id") == F.col("survivor_id")).alias("kept"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT word-set Jaccard-similar pairs via PREFIX FILTERING — the
+    classic all-pairs similarity-join bound (Bayardo et al., WWW 2007;
+    Xiao et al.'s PPJoin family): a pair with ``|A ∩ B|/|A ∪ B| >= t``
+    MUST share at least one token among each side's ``|T| -
+    ceil(t*|T|) + 1`` RAREST tokens, so the candidate self-join runs on
+    those prefix tokens only — lossless, and the join keys are by
+    construction the lowest-frequency tokens, the opposite of the hot-key
+    blowup an unfiltered inverted index risks. The complementary exact
+    path to :func:`ngram_jaccard_pairs` (full index + df cap: subquadratic
+    by TRUNCATION) — this one is subquadratic by THEOREM.
+
+    Rarest-first ordering needs no global rank: each document sorts its
+    own tokens by ``(corpus_df, token)`` inside an array (sort_array of
+    collect_list — deterministic regardless of shuffle arrival order),
+    so the only corpus-wide frames are the token-frequency aggregation
+    and the prefix-token self-join. Verification carries each doc's full
+    sorted token array to its candidate pairs and intersects in-plan
+    (``array_intersect`` on distinct arrays — exact set semantics).
+
+    Output: ``(id_1, id_2, intersect_n, union_n, jaccard_ppm)`` with
+    ``jaccard_ppm = intersect_n * 1e6 DIV union_n`` (integer floor
+    division — exact in any engine) for pairs meeting
+    ``threshold_num/threshold_den``, compared by integer
+    cross-multiplication, no floats anywhere.
+
+    ``shingle_n``: None compares DISTINCT-WORD sets; an int compares
+    n-word shingle-hash sets (the :func:`shingle_set` representation the
+    rest of the jaccard family uses — the right choice on template-heavy
+    corpora where word sets barely discriminate)."""
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
+    if shingle_n is not None:
+        toks = shingle_set(df, id_col, text_col, int(shingle_n)).select(
+            "id", F.col("h").alias("token")
+        )
+    else:
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    F.filter(words(F.col(text_col)), lambda w: w != "")
+                ).alias("__arr"),
+            )
+            .filter(F.size("__arr") > 0)
+            .select("id", F.explode("__arr").alias("token"))
+        )
+    tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        toks.join(tdf, "token")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("token")))
+            ).alias("__st")
+        )
+        .select(
+            "id",
+            F.transform(F.col("__st"), lambda s: s["token"]).alias("arr"),
+            F.size("__st").cast("long").alias("n_tok"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer ceil
+    p = (
+        F.col("n_tok")
+        - F.floor((F.col("n_tok") * num + den - 1) / den).cast("long")
+        + F.lit(1)
+    )
+    prefix = docs.select(
+        "id", F.explode(F.slice("arr", 1, p.cast("int"))).alias("token")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_1"), "token")
+        .join(prefix.select(F.col("id").alias("id_2"), "token"), "token")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    d1 = docs.select(
+        F.col("id").alias("id_1"), F.col("arr").alias("__a1"), F.col("n_tok").alias("__n1")
+    )
+    d2 = docs.select(
+        F.col("id").alias("id_2"), F.col("arr").alias("__a2"), F.col("n_tok").alias("__n2")
+    )
+    inter = F.size(F.array_intersect("__a1", "__a2")).cast("long")
+    return (
+        cand.join(d1, "id_1")
+        .join(d2, "id_2")
+        .withColumn("intersect_n", inter)
+        .withColumn(
+            "union_n", (F.col("__n1") + F.col("__n2") - F.col("intersect_n"))
+        )
+        .filter(F.col("intersect_n") * den >= num * F.col("union_n"))
+        .select(
+            "id_1",
+            "id_2",
+            "intersect_n",
+            "union_n",
+            F.floor(F.col("intersect_n") * F.lit(1_000_000) / F.col("union_n"))
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -904,3 +904,105 @@ def gap_report(
         )
         .filter(F.col("gap_us") >= int(min_report_us))
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    *,
+    ppm: bool = True,
+) -> DataFrame:
+    """First-order (Markov) label-transition counts over per-key ordered
+    event streams — "after a `view`, what fraction of next events are
+    `purchase`?" The behavioral-sequence profile that funnels (fixed
+    target sequence) and sessions (gap structure) don't capture, and the
+    input to sequence-model sanity checks (does generated traffic match
+    the empirical transition structure?).
+
+    One window shuffle keyed on ``key_col`` computes each event's
+    successor label (``lead`` over (time, tiebreak) — the tiebreak makes
+    the order TOTAL, so equal timestamps transition deterministically,
+    the contract the gate oracle reproduces); the bigram aggregation is
+    label-pair cardinality, map-side combined. Per-key streams never
+    leave their partition, so the cost shape is exactly one windowed agg
+    at 100 TB — no self-join, no explode.
+
+    Output: ``(from_label, to_label, n_trans, row_ppm)`` where
+    ``row_ppm = (n_trans * 1e6) DIV sum-over-from-row`` — integer floor
+    division, exact in any engine (the cross-engine ROUND trap never
+    enters). ``ppm=False`` drops the normalized column."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    trans = (
+        df.select(
+            F.col(key_col),
+            F.col(time_col),
+            F.col(tiebreak_col),
+            F.col(label_col).alias("from_label"),
+        )
+        .withColumn("to_label", F.lead("from_label").over(w))
+        .filter(F.col("to_label").isNotNull())
+        .groupBy("from_label", "to_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    if not ppm:
+        return trans
+    wf = Window.partitionBy("from_label")
+    return trans.withColumn(
+        "row_ppm",
+        F.floor(
+            (F.col("n_trans") * F.lit(1_000_000))
+            / F.sum("n_trans").over(wf)
+        ).cast("long"),
+    )
+
+
+def decayed_counts(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    *,
+    half_life_s: int = 86_400,
+    unit_weight: int = 1_000_000,
+    max_shift: int = 40,
+) -> DataFrame:
+    """Exponentially-decayed event scores per group — the "trending now"
+    signal (an event from one half-life ago counts half as much), made
+    EXACT: the decay is quantized to halving buckets, ``weight =
+    unit_weight >> floor(age / half_life_s)``, so every weight is an
+    integer and the score an exact BIGINT sum — reproducible bit-for-bit
+    in any engine, no ``pow(2.0, -x)`` libm ULP divergence (the
+    cross-engine float trap this family of gates exists to avoid).
+
+    The reference epoch is ``max(time_col)`` over the input (computed in
+    the same plan and broadcast — deterministic, no wall clock); shifts
+    clamp at ``max_shift`` (weight 0 long before 2^-40). Cost shape: one
+    scalar-aggregate broadcast join plus one map-side-combined groupBy —
+    at 100 TB this is the same two-exchange shape as any global-constant
+    normalization.
+
+    Output: ``(group, n_events, decayed_score)``, exact integers."""
+    tref = df.select(F.max(time_col).alias("__tref"))
+    # all-integer bucket math: age in exact microseconds, DIV (integer
+    # floor division) by the half-life — a double division could round
+    # across the bucket boundary at exact multiples. shiftright's
+    # Python API takes only a literal shift, so the whole weight is one
+    # SQL expression (the shift amount is a per-row column here).
+    weight = F.expr(
+        f"shiftright(CAST({int(unit_weight)} AS BIGINT), "
+        f"least(CAST((unix_micros(__tref) - unix_micros({time_col})) DIV "
+        f"{int(half_life_s) * 1_000_000} AS INT), {int(max_shift)}))"
+    )
+    return (
+        df.crossJoin(F.broadcast(tref))
+        .select(F.col(group_col).alias("group"), weight.alias("__w"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__w").cast("long").alias("decayed_score"),
+        )
+    )

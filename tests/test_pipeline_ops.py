@@ -2132,3 +2132,69 @@ def test_clean_corpus_nfc_merges_decomposed_duplicates(spark):
     assert {r.id for r in plain.collect()} == {1, 2}
     merged = clean_corpus(df, "doc_id", "text", min_quality_milli=0, nfc=True)
     assert {r.id for r in merged.collect()} == {1}
+
+
+class TestPrefixJaccard:
+    """prefix_jaccard_pairs is LOSSLESS by the prefix-filtering theorem:
+    its pair set must equal the full inverted-index join's at the same
+    threshold — on hand-built fixtures and on the shingle corpus vs
+    ngram_jaccard_pairs with the df cap disabled."""
+
+    def test_word_sets_hand_case(self, spark):
+        from cassandra_diff_spark.operators.dedup import prefix_jaccard_pairs
+
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b c d f"),   # jaccard 4/6 with doc 1
+            (3, "x y z"),       # disjoint
+            (4, "a b c d e"),   # exact dup of 1 -> jaccard 1
+            (5, None),
+            (6, "   "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_1, r.id_2): (r.intersect_n, r.union_n, r.jaccard_ppm)
+            for r in prefix_jaccard_pairs(
+                df, "doc_id", "text", threshold_num=3, threshold_den=5
+            ).collect()
+        }
+        assert got == {
+            (1, 2): (4, 6, 666_666),
+            (1, 4): (5, 5, 1_000_000),
+            (2, 4): (4, 6, 666_666),
+        }
+
+    def test_shingle_mode_matches_uncapped_inverted_index(self, spark):
+        from cassandra_diff_spark.operators import dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        via_prefix = {
+            (r.id_1, r.id_2): (r.intersect_n, r.union_n)
+            for r in dedup.prefix_jaccard_pairs(
+                docs, "doc_id", "text",
+                threshold_num=4, threshold_den=5, shingle_n=3,
+            ).collect()
+        }
+        via_index = {
+            (r.id_1, r.id_2): (r.intersect_n, r.union_n)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3,
+                threshold_num=4, threshold_den=5, df_limit=None,
+            ).collect()
+        }
+        assert via_prefix == via_index and via_prefix
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.operators.dedup import prefix_jaccard_pairs
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="threshold"):
+            prefix_jaccard_pairs(df, "doc_id", "text", threshold_num=0)
+        with _pytest.raises(ValueError, match="threshold"):
+            prefix_jaccard_pairs(
+                df, "doc_id", "text", threshold_num=6, threshold_den=5
+            )

@@ -849,3 +849,73 @@ class TestGapReport:
         # threshold filters the 1-minute blip
         big = gap_report(df, ["k"], min_report_us=10 * 60 * 1_000_000).collect()
         assert len(big) == 1 and big[0].gap_us == 30 * 60 * 1_000_000
+
+
+class TestTransitionMatrix:
+    def test_counts_and_ppm(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import transition_matrix
+
+        t0 = dt.datetime(2026, 1, 1)
+        mk = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+        # user 1: a->b->a ; user 2: a->b ; user 3: single event (no bigram)
+        rows = [
+            (1, mk(0), "a", 10), (1, mk(1), "b", 11), (1, mk(2), "a", 12),
+            (2, mk(0), "a", 20), (2, mk(5), "b", 21),
+            (3, mk(0), "c", 30),
+        ]
+        df = spark.createDataFrame(
+            rows, "user long, ts timestamp, label string, eid long"
+        )
+        got = {
+            (r.from_label, r.to_label): (r.n_trans, r.row_ppm)
+            for r in transition_matrix(df, "user", "ts", "label", "eid").collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 1_000_000),
+            ("b", "a"): (1, 1_000_000),
+        }
+
+    def test_equal_timestamps_break_on_tiebreak(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import transition_matrix
+
+        t = dt.datetime(2026, 1, 1)
+        # same ts: order must follow eid, so x->y, never y->x
+        rows = [(1, t, "x", 1), (1, t, "y", 2)]
+        df = spark.createDataFrame(
+            rows, "user long, ts timestamp, label string, eid long"
+        )
+        got = [
+            (r.from_label, r.to_label)
+            for r in transition_matrix(df, "user", "ts", "label", "eid").collect()
+        ]
+        assert got == [("x", "y")]
+
+
+class TestDecayedCounts:
+    def test_halving_buckets_exact(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import decayed_counts
+
+        t0 = dt.datetime(2026, 1, 1)
+        hl = 3600
+        rows = [
+            ("a", t0),                                   # age 0      -> 1000000
+            ("a", t0 - dt.timedelta(seconds=hl)),        # 1 half-life-> 500000
+            ("a", t0 - dt.timedelta(seconds=2 * hl)),    # 2          -> 250000
+            ("a", t0 - dt.timedelta(seconds=2 * hl - 1)),# just under -> 500000
+            ("b", t0 - dt.timedelta(seconds=100 * hl)),  # clamped    -> 0
+        ]
+        df = spark.createDataFrame(rows, "g string, ts timestamp")
+        got = {
+            r.group: (r.n_events, r.decayed_score)
+            for r in decayed_counts(df, "g", "ts", half_life_s=hl).collect()
+        }
+        assert got == {
+            "a": (4, 1_000_000 + 500_000 + 250_000 + 500_000),
+            "b": (1, 0),
+        }
