@@ -20,7 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from cassandra_diff_spark import gate, gate_pipeline  # noqa: E402
 from cassandra_diff_spark.session import get_spark  # noqa: E402
 
-ALL_QUERIES = {**gate.QUERIES, **gate_pipeline.QUERIES}
+ALL_QUERIES = gate_pipeline.ensure_stream_wrapped(
+    {**gate.QUERIES, **gate_pipeline.QUERIES}
+)
 
 HEADLINE = [
     "diff_stats_orders",
