@@ -9364,6 +9364,23 @@ def _q_vocab_bpe_train(spark, sf_dir):
     )
 
 
+#: learned merge lists per sf_dir — bpe_train is deterministic (pinned
+#: by the train gate + pytest), so the encode gate reuses a cached list
+#: instead of paying the 8-iteration retrain it is not testing
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merges_cached(spark, sf_dir):
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.vocab import bpe_train
+
+    if sf_dir not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[sf_dir] = bpe_train(
+            load(spark, sf_dir, "documents"), "text", _BPE_N_MERGES
+        )
+    return _BPE_MERGE_CACHE[sf_dir]
+
+
 def _q_vocab_bpe_encode(spark, sf_dir):
     """Corpus token frequencies under the learned BPE merges, computed
     through the REAL per-document encode path: bpe_encode_documents is
@@ -9372,15 +9389,13 @@ def _q_vocab_bpe_encode(spark, sf_dir):
     never exploded until this aggregation). The oracle applies the same
     unrolled merges to the word-frequency table and sums word counts
     per emitted symbol — equal because encoding is per-word
-    deterministic."""
+    deterministic. Training comes from the per-sf_dir cache — the
+    retrain is the TRAIN gate's subject, not this one's."""
     from cassandra_diff_spark.gate import load
-    from cassandra_diff_spark.operators.vocab import (
-        bpe_encode_documents,
-        bpe_train,
-    )
+    from cassandra_diff_spark.operators.vocab import bpe_encode_documents
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", _BPE_N_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     enc = bpe_encode_documents(docs, "doc_id", "text", merges)
     return (
         enc.select(F.explode("tokens").alias("token"))
