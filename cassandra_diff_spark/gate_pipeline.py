@@ -3300,6 +3300,10 @@ def _q_events_time_weighted_avg(spark, sf_dir):
         t0=t0,
         t1=t1,
         tiebreak="event_id",
+        # exact-integer numerator: raw double SUMs depend on partition
+        # association order — green at sf0.001/0.01 by luck, 1 ULP off
+        # at sf0.1 (caught by the r8 three-scale sweep)
+        value_scale=1000,
     )
 
 
@@ -3315,7 +3319,8 @@ s AS (
   FROM events
 ),
 seg AS (
-  SELECT s.user_id, s.value,
+  SELECT s.user_id,
+         CAST(ROUND(s.value * 1000) AS BIGINT) AS qv,
          CASE WHEN s.value IS NULL THEN 0
               ELSE GREATEST(
                 LEAST(COALESCE(s.nxt, w.t1), w.t1) - GREATEST(s.us, w.t0), 0)
@@ -3323,7 +3328,8 @@ seg AS (
   FROM s, w WHERE s.us < w.t1
 )
 SELECT user_id,
-       SUM(value * held) / SUM(held) AS twa,
+       CAST(CAST(SUM(CAST(qv AS HUGEINT) * held) AS VARCHAR) AS DOUBLE)
+         / (CAST(SUM(held) AS DOUBLE) * 1000.0) AS twa,
        CAST(SUM(held) AS BIGINT) AS covered_us,
        CAST(COUNT(*) AS BIGINT) AS n_obs
 FROM seg GROUP BY user_id

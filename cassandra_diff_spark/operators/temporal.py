@@ -560,6 +560,7 @@ def time_weighted_avg(
     t0,
     t1,
     tiebreak: Optional[str] = None,
+    value_scale: Optional[int] = None,
 ) -> DataFrame:
     """Per-key time-weighted average of a step signal over the window
     ``[t0, t1)``: each observation holds (LOCF) until the next one, and
@@ -580,6 +581,16 @@ def time_weighted_avg(
     supersedes at zero held time for the earlier — same contract as the
     as-of operators). Null values hold "no signal": their segments are
     excluded from both the numerator and covered time.
+
+    ``value_scale``: when set (e.g. 1000), the value quantizes to
+    ``1/value_scale`` units and the weighted numerator accumulates as
+    an EXACT ``decimal(38,0)`` integer, with ``twa`` one fixed double
+    division at the end — the repo's exact-arithmetic discipline.
+    The default (None) sums raw doubles, whose result depends on
+    partition-order association: fine for analytics, NOT reproducible
+    bit-for-bit across engines or shuffle layouts (the r8 sf0.1 sweep
+    caught exactly that last-bit drift in the gate; every oracle-paired
+    use should pass a scale).
     """
     on = list(on)
     t0_us, t1_us = int(t0), int(t1)
@@ -596,6 +607,28 @@ def time_weighted_avg(
     )
     held = F.greatest(seg_end - seg_start, F.lit(0))
     v = F.col(value_col).cast("double")
+    if value_scale is not None:
+        scale = int(value_scale)
+        qv = F.round(v * scale).cast("long").cast("decimal(38,0)")
+        seg = (
+            df.filter(us < F.lit(t1_us))
+            .withColumn(
+                "__held", F.when(v.isNotNull(), held).otherwise(F.lit(0))
+            )
+            .withColumn("__wv", qv * F.col("__held").cast("decimal(38,0)"))
+        )
+        # exact decimal numerator; covered_us < 2^53 is exact in double,
+        # so twa is ONE correctly-rounded division — bit-identical in any
+        # engine whose big-int -> double path is correctly rounded (the
+        # DuckDB oracle routes through VARCHAR for that)
+        return seg.groupBy(*on).agg(
+            (
+                F.sum("__wv").cast("double")
+                / (F.sum("__held").cast("double") * float(scale))
+            ).alias("twa"),
+            F.sum("__held").cast("long").alias("covered_us"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
     seg = (
         df.filter(us < F.lit(t1_us))
         .withColumn("__held", F.when(v.isNotNull(), held).otherwise(F.lit(0)))

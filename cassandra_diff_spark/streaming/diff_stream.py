@@ -28,6 +28,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cassandra_diff_spark.model import TableSpec
+
+_INT_STATE_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+
+
+def _py_state_values(series, spark_type):
+    """Union pdf columns arrive as float64 (NaN on the other side's
+    rows); applyInPandasWithState state arrays silently NULL a float
+    stored into an integer slot — convert to exact Python values first.
+    Shared by every stateful operator that banks payload columns from a
+    side-tagged union into state (the r8 sf0.1 sweep caught
+    stream_interval_join missing this: one cross-batch interval's
+    bigint payload came back NULL while its int()-converted bounds
+    survived)."""
+    import numpy as np
+
+    out = []
+    for x in series.tolist():
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            out.append(None)
+        elif spark_type in _INT_STATE_TYPES:
+            out.append(int(x))
+        elif spark_type == "boolean":
+            out.append(bool(x))
+        else:
+            out.append(x)
+    return out
 from cassandra_diff_spark.operators.diff import build_diff
 
 
@@ -650,23 +676,7 @@ def stream_asof_join_forward(
         + [f"__m_{c}" for c in right_cols]
     )
 
-    _INT_T = ("tinyint", "smallint", "int", "integer", "bigint", "long")
-
-    def _py(series, spark_type):
-        """Union pdf columns arrive as float64 (NaN on the other side's
-        rows); state arrays silently NULL a float stored into an
-        integer slot — convert to exact Python values first."""
-        out = []
-        for x in series.tolist():
-            if x is None or (isinstance(x, float) and np.isnan(x)):
-                out.append(None)
-            elif spark_type in _INT_T:
-                out.append(int(x))
-            elif spark_type == "boolean":
-                out.append(bool(x))
-            else:
-                out.append(x)
-        return out
+    _py = _py_state_values
 
     def update(key, pdfs, state: GroupState):
         # unpack state
@@ -1070,7 +1080,10 @@ def stream_interval_join(
                 s_l.extend(int(x) for x in ib["__s"])
                 e_l.extend(int(x) for x in ib["__e"])
                 for c in ipayload:
-                    ivals[c].extend(ib[f"__i_{c}"])
+                    # exact Python values, not the union frame's float64:
+                    # a float stored into an integer state slot NULLs
+                    # silently (see _py_state_values)
+                    ivals[c].extend(_py_state_values(ib[f"__i_{c}"], itypes[c]))
             pb = pdf[pdf["__side"] == 0]
             if len(pb):
                 pts.append(pb)
