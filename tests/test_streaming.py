@@ -1132,3 +1132,52 @@ def test_stream_class_metrics_match_batch(spark, tmp_path):
         for r in class_metrics(df, "t", "p").collect()
     )
     assert got == want
+
+
+def test_stream_interval_join_payload_survives_batches(spark, tmp_path):
+    """Regression (r8, caught at sf0.1 only): interval payload columns
+    banked into state straight from the side-tagged union frame arrive
+    as float64 (the other side's rows are NaN), and a float stored into
+    an integer state slot can NULL silently — the pair then emits with
+    the right bounds but a NULL payload. Intervals here arrive one
+    batch before their matching points, so every match crosses the
+    state round-trip; all payloads must survive exactly."""
+    import datetime as dt
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # slice 1: intervals (plus one point, so the union chunk is MIXED
+    # and the payload column degrades to float64); slice 2: the points
+    # that match the slice-1 intervals
+    iv_rows = [(u, mk(0), mk(120), 10_000 + u) for u in range(1, 9)]
+    pt1 = [(1, mk(1), 900, 1.5)]
+    pt2 = [(u, mk(60), 100 + u, float(u)) for u in range(1, 9)]
+    ivdir, ptdir = str(tmp_path / "iv"), str(tmp_path / "pt")
+    iv_schema = "user_id long, start timestamp, end timestamp, iv_id long"
+    pt_schema = "user_id long, ts timestamp, pt_id long, v double"
+    spark.createDataFrame(iv_rows, iv_schema).coalesce(1).write.parquet(
+        f"{ivdir}/s1"
+    )
+    spark.createDataFrame([], iv_schema).coalesce(1).write.parquet(f"{ivdir}/s2")
+    spark.createDataFrame(pt1, pt_schema).coalesce(1).write.parquet(f"{ptdir}/s1")
+    spark.createDataFrame(pt2, pt_schema).coalesce(1).write.parquet(f"{ptdir}/s2")
+
+    istream = (
+        spark.readStream.schema(iv_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ivdir}/s*")
+    )
+    pstream = (
+        spark.readStream.schema(pt_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ptdir}/s*")
+    )
+    out = stream_interval_join(
+        pstream, istream, ["user_id"], name="t_ivj_payload"
+    ).collect()
+    got = {(r.user_id, r.pt_id): r.iv_id for r in out}
+    for u in range(1, 9):
+        assert got[(u, 100 + u)] == 10_000 + u, (u, got)
+    assert got[(1, 900)] == 10_001  # same-batch match keeps payload too
