@@ -1891,7 +1891,11 @@ def _q_events_interval_attribution(spark, sf_dir):
         .groupBy("purchase_id")
         .agg(
             F.count("click_id").cast("long").alias("n_clicks"),
-            F.sum("click_value").alias("click_value_sum"),
+            # exact milli-integer sum: raw double SUMs depend on
+            # partition association order (the r8 time_weighted_avg
+            # lesson, applied to the whole raw-double-SUM gate class)
+            F.sum(F.round(F.col("click_value") * 1000).cast("long"))
+            .alias("click_value_sum_milli"),
         )
     )
 
@@ -1908,7 +1912,8 @@ c AS (
 )
 SELECT p.purchase_id,
        CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks,
-       SUM(c.value) AS click_value_sum
+       CAST(SUM(CAST(ROUND(c.value * 1000) AS BIGINT)) AS BIGINT)
+         AS click_value_sum_milli
 FROM p LEFT JOIN c
   ON c.user_id = p.user_id AND c.ts >= p.s AND c.ts <= p.e
 GROUP BY p.purchase_id
