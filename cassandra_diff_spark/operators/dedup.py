@@ -1285,8 +1285,15 @@ def prefix_jaccard_pairs(
             .filter(F.size("__arr") > 0)
             .select("id", F.explode("__arr").alias("token"))
         )
+    from cassandra_diff_spark.operators import tracked_cache
+
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
-    docs = (
+    # cached: the sorted-token doc frame feeds THREE plan branches
+    # (prefix explode + both sides of the verification join) — without
+    # materialization the tokenize/df-join/sort pipeline runs three
+    # times over the corpus (tracked — long-lived sessions release via
+    # operators.release_caches)
+    docs = tracked_cache(
         toks.join(tdf, "token")
         .groupBy("id")
         .agg(
