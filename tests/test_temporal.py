@@ -919,3 +919,36 @@ class TestDecayedCounts:
             "a": (4, 1_000_000 + 500_000 + 250_000 + 500_000),
             "b": (1, 0),
         }
+
+
+class TestTimeWeightedAvgExact:
+    def test_value_scale_quantizes_and_matches_default_shape(self, spark):
+        """value_scale mode: numerator is an exact decimal sum of
+        round(v*scale)*held — same result as the default float path for
+        values exactly representable at the scale, and quantized
+        (round-half-up) otherwise."""
+        from cassandra_diff_spark.operators.temporal import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [
+                (1, _ts(0), 1, 10.0),          # exact at milli
+                (1, _ts(40), 2, 20.0005),      # rounds to 20.001 at milli
+            ],
+            "k long, ts timestamp, oid long, v double",
+        )
+        r = time_weighted_avg(
+            df, ["k"], value_col="v", t0=0, t1=100,
+            tiebreak="oid", value_scale=1000,
+        ).collect()[0]
+        assert r.twa == (10_000 * 40 + 20_001 * 60) / (100 * 1000)
+        assert r.covered_us == 100
+        # null values still hold "no signal" in exact mode
+        df2 = spark.createDataFrame(
+            [(1, _ts(0), 1, None), (1, _ts(50), 2, 4.0)],
+            "k long, ts timestamp, oid long, v double",
+        )
+        r2 = time_weighted_avg(
+            df2, ["k"], value_col="v", t0=0, t1=100,
+            tiebreak="oid", value_scale=1000,
+        ).collect()[0]
+        assert r2.twa == 4.0 and r2.covered_us == 50
