@@ -1228,7 +1228,7 @@ def cluster_survivors(
     )
 
 
-def prefix_jaccard_pairs(
+def prefix_jaccard_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -1236,36 +1236,13 @@ def prefix_jaccard_pairs(
     threshold_num: int = 3,
     threshold_den: int = 5,
     shingle_n: int | None = None,
-) -> DataFrame:
-    """EXACT word-set Jaccard-similar pairs via PREFIX FILTERING — the
-    classic all-pairs similarity-join bound (Bayardo et al., WWW 2007;
-    Xiao et al.'s PPJoin family): a pair with ``|A ∩ B|/|A ∪ B| >= t``
-    MUST share at least one token among each side's ``|T| -
-    ceil(t*|T|) + 1`` RAREST tokens, so the candidate self-join runs on
-    those prefix tokens only — lossless, and the join keys are by
-    construction the lowest-frequency tokens, the opposite of the hot-key
-    blowup an unfiltered inverted index risks. The complementary exact
-    path to :func:`ngram_jaccard_pairs` (full index + df cap: subquadratic
-    by TRUNCATION) — this one is subquadratic by THEOREM.
-
-    Rarest-first ordering needs no global rank: each document sorts its
-    own tokens by ``(corpus_df, token)`` inside an array (sort_array of
-    collect_list — deterministic regardless of shuffle arrival order),
-    so the only corpus-wide frames are the token-frequency aggregation
-    and the prefix-token self-join. Verification carries each doc's full
-    sorted token array to its candidate pairs and intersects in-plan
-    (``array_intersect`` on distinct arrays — exact set semantics).
-
-    Output: ``(id_1, id_2, intersect_n, union_n, jaccard_ppm)`` with
-    ``jaccard_ppm = intersect_n * 1e6 DIV union_n`` (integer floor
-    division — exact in any engine) for pairs meeting
-    ``threshold_num/threshold_den``, compared by integer
-    cross-multiplication, no floats anywhere.
-
-    ``shingle_n``: None compares DISTINCT-WORD sets; an int compares
-    n-word shingle-hash sets (the :func:`shingle_set` representation the
-    rest of the jaccard family uses — the right choice on template-heavy
-    corpora where word sets barely discriminate)."""
+) -> tuple:
+    """Candidate-generation half of :func:`prefix_jaccard_pairs`:
+    returns ``(docs, cand)`` where ``docs`` is the cached per-document
+    sorted-token frame ``(id, arr, n_tok)`` and ``cand`` the DISTINCT
+    ``(id_1, id_2)`` prefix-collision pairs. Exposed separately so the
+    scale probe can price the candidate set (the quantity the
+    prefix-filter theorem bounds) without paying verification."""
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(f"threshold {num}/{den} must be in (0, 1]")
@@ -1323,6 +1300,56 @@ def prefix_jaccard_pairs(
         .select("id_1", "id_2")
         .distinct()
     )
+    return docs, cand
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT word-set Jaccard-similar pairs via PREFIX FILTERING — the
+    classic all-pairs similarity-join bound (Bayardo et al., WWW 2007;
+    Xiao et al.'s PPJoin family): a pair with ``|A ∩ B|/|A ∪ B| >= t``
+    MUST share at least one token among each side's ``|T| -
+    ceil(t*|T|) + 1`` RAREST tokens, so the candidate self-join runs on
+    those prefix tokens only — lossless, and the join keys are by
+    construction the lowest-frequency tokens, the opposite of the hot-key
+    blowup an unfiltered inverted index risks. The complementary exact
+    path to :func:`ngram_jaccard_pairs` (full index + df cap: subquadratic
+    by TRUNCATION) — this one is subquadratic by THEOREM.
+
+    Rarest-first ordering needs no global rank: each document sorts its
+    own tokens by ``(corpus_df, token)`` inside an array (sort_array of
+    collect_list — deterministic regardless of shuffle arrival order),
+    so the only corpus-wide frames are the token-frequency aggregation
+    and the prefix-token self-join. Verification carries each doc's full
+    sorted token array to its candidate pairs and intersects in-plan
+    (``array_intersect`` on distinct arrays — exact set semantics).
+
+    Output: ``(id_1, id_2, intersect_n, union_n, jaccard_ppm)`` with
+    ``jaccard_ppm = intersect_n * 1e6 DIV union_n`` (integer floor
+    division — exact in any engine) for pairs meeting
+    ``threshold_num/threshold_den``, compared by integer
+    cross-multiplication, no floats anywhere.
+
+    ``shingle_n``: None compares DISTINCT-WORD sets; an int compares
+    n-word shingle-hash sets (the :func:`shingle_set` representation the
+    rest of the jaccard family uses — the right choice on template-heavy
+    corpora where word sets barely discriminate)."""
+    docs, cand = prefix_jaccard_candidates(
+        df,
+        id_col,
+        text_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        shingle_n=shingle_n,
+    )
+    num, den = int(threshold_num), int(threshold_den)
     d1 = docs.select(
         F.col("id").alias("id_1"), F.col("arr").alias("__a1"), F.col("n_tok").alias("__n1")
     )

@@ -257,6 +257,77 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["near_pairs_candidates_sec"] = round(time.time() - t0, 2)
 
+    # ---- prefix-filter exact Jaccard join at corpus scale: the r8
+    # operator's claim is "subquadratic by THEOREM" — candidates only
+    # from each side's rarest (1-t) token fraction, losslessly. The
+    # probe prices that: synthetic 16-token docs over a 50k vocab,
+    # 3k planted near-dups (2 of 16 tokens replaced, Jaccard ~14/18),
+    # threshold 3/4. Lossless => every planted pair whose TRUE Jaccard
+    # clears the threshold must be found (recall exactly 1.0), while
+    # the candidate fraction stays orders below all-pairs.
+    from cassandra_diff_spark.operators.dedup import (
+        prefix_jaccard_candidates,
+        prefix_jaccard_pairs,
+    )
+
+    t0 = time.time()
+    pj_n = min(n // 10, 100_000)
+    vocab = 50_000
+
+    def _doc_text(repl: bool):
+        def tok(j):
+            base_t = F.pmod(F.xxhash64(F.col("doc_id0"), F.lit(j)), F.lit(vocab))
+            if repl and j < 2:  # planted edit: replace the first 2 tokens
+                base_t = F.pmod(
+                    F.xxhash64(F.col("doc_id0"), F.lit(j), F.lit(999)),
+                    F.lit(vocab),
+                )
+            return F.concat(F.lit("t"), base_t.cast("string"))
+
+        return F.concat_ws(" ", *[tok(j) for j in range(16)])
+
+    base_docs = spark.range(pj_n).select(
+        F.col("id").alias("doc_id0"),
+        F.col("id").alias("doc_id"),
+        _doc_text(False).alias("text"),
+    )
+    planted_docs = spark.range(3_000).select(
+        F.col("id").alias("doc_id0"),
+        (F.col("id") + PLANT_OFFSET).alias("doc_id"),
+        _doc_text(True).alias("text"),
+    )
+    pj_corpus = base_docs.unionByName(planted_docs).select("doc_id", "text").cache()
+    # eligible planted pairs: exact token-set Jaccard >= 3/4 (token
+    # hash collisions inside a doc can legitimately push a pair under)
+    toks_of = F.array_distinct(F.split(F.col("text"), " "))
+    tb = base_docs.filter(F.col("doc_id") < 3_000).select(
+        "doc_id", toks_of.alias("a")
+    )
+    tp = planted_docs.select(
+        (F.col("doc_id") - PLANT_OFFSET).alias("doc_id"), toks_of.alias("b")
+    )
+    inter_c = F.size(F.array_intersect("a", "b"))
+    union_c = F.size("a") + F.size("b") - inter_c
+    eligible = tb.join(tp, "doc_id").filter(inter_c * 4 >= 3 * union_c).count()
+    pairs = prefix_jaccard_pairs(
+        pj_corpus, "doc_id", "text", threshold_num=3, threshold_den=4
+    )
+    found = pairs.filter(F.col("id_2") - F.col("id_1") == PLANT_OFFSET).count()
+    out["prefix_jaccard_recall"] = round(found / max(eligible, 1), 6)
+    out["prefix_jaccard_eligible"] = eligible
+    out["prefix_jaccard_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _docs_frame, cand = prefix_jaccard_candidates(
+        pj_corpus, "doc_id", "text", threshold_num=3, threshold_den=4
+    )
+    m_docs = pj_n + 3_000
+    out["prefix_jaccard_candidate_fraction"] = round(
+        cand.count() / (m_docs * (m_docs - 1) / 2), 8
+    )
+    out["prefix_jaccard_candidates_sec"] = round(time.time() - t0, 2)
+    pj_corpus.unpersist()
+    _section_end(spark)
+
     # as-of join under adversarial skew: one key owns 30% of both sides.
     # The plain union-window serializes that key's whole timeline through
     # one task; the chunked variant splits it across day chunks. Equality
