@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_prefix_jaccard",
     "events_transition_matrix",
     "events_decayed_counts",
+    "events_transition_stream",
     "ann_ivf_kmeans_topk",
     "embedding_pca_project",
 ]

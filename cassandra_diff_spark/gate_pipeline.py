@@ -6546,11 +6546,13 @@ def _stage_all_events_slices(spark, sf_dir) -> str:
 
     stage = f"/tmp/cds_gate_stream_all_{pathlib.Path(sf_dir).name}"
     marker = pathlib.Path(stage) / "_staged"
-    stamp = f"v2:{sf_dir}:3"
+    stamp = f"v3:{sf_dir}:3"  # v3: + event_type (transition stream gate)
     if marker.exists() and marker.read_text() == stamp:
         return stage
     shutil.rmtree(stage, ignore_errors=True)
-    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
     # 3 slices, same rationale as _stage_event_stream_slices
     lo, hi = ev.select(F.min("ts"), F.max("ts")).first()
     step = (hi - lo) / 3
@@ -9591,12 +9593,15 @@ WITH s AS (
   SELECT event_type AS from_label,
          LEAD(event_type) OVER (
            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ) AS to_label
+         ) AS to_label,
+         LEAD(1) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS has_next
   FROM events
 ),
 t AS (
   SELECT from_label, to_label, CAST(COUNT(*) AS BIGINT) AS n_trans
-  FROM s WHERE to_label IS NOT NULL
+  FROM s WHERE has_next IS NOT NULL
   GROUP BY from_label, to_label
 )
 SELECT from_label, to_label, n_trans,
@@ -9609,6 +9614,47 @@ FROM t
 
 QUERIES["events_transition_matrix"] = _q_events_transition_matrix
 ORACLES["events_transition_matrix"] = _O_EVENTS_TRANSITION_MATRIX
+
+
+def _q_events_transition_stream(spark, sf_dir):
+    """Live twin of events_transition_matrix: events arrive as
+    event-time-ordered micro-batches; per-user state is ONE label, and
+    each arriving event emits its (previous -> current) bigram the
+    moment it lands. The drained bigram multiset equals the batch
+    lead-window's pairs by construction, so after the same count + ppm
+    aggregation the BATCH oracle gates the streaming runtime."""
+    from pyspark.sql.window import Window as _W
+
+    from cassandra_diff_spark.streaming.diff_stream import stream_transitions
+
+    stage = _stage_all_events_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/e")
+    )
+    trans = (
+        stream_transitions(
+            stream, "user_id", "ts", "event_type", "event_id",
+            name="cds_gate_transition_stream",
+        )
+        .groupBy("from_label", "to_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    wf = _W.partitionBy("from_label")
+    return trans.withColumn(
+        "row_ppm",
+        F.floor(
+            (F.col("n_trans") * F.lit(1_000_000)) / F.sum("n_trans").over(wf)
+        ).cast("long"),
+    )
+
+
+QUERIES["events_transition_stream"] = _q_events_transition_stream
+ORACLES["events_transition_stream"] = _O_EVENTS_TRANSITION_MATRIX
 
 
 _DECAY_HALF_LIFE_S = 172_800  # 2 days: shifts span 0..15 over the fixture

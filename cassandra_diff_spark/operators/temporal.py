@@ -978,7 +978,11 @@ def transition_matrix(
             F.col(label_col).alias("from_label"),
         )
         .withColumn("to_label", F.lead("from_label").over(w))
-        .filter(F.col("to_label").isNotNull())
+        # end-of-sequence detection via a SENTINEL lead: filtering on
+        # to_label IS NOT NULL would also drop real transitions INTO a
+        # null label (caught by the streaming-twin equality test)
+        .withColumn("__has_next", F.lead(F.lit(1)).over(w))
+        .filter(F.col("__has_next").isNotNull())
         .groupBy("from_label", "to_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
     )

@@ -1554,3 +1554,74 @@ def stream_class_metrics(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return class_metrics_from_cells(_drain_complete(cells, name, checkpoint))
+
+
+def stream_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    *,
+    name: str = "cds_stream_transitions",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`~cassandra_diff_spark.operators.temporal.
+    transition_matrix`'s bigram extraction: per-key label transitions
+    emitted AS EVENTS ARRIVE — the live form of the behavioral-sequence
+    profile (count the `view -> purchase` hop the moment it happens).
+
+    State per key is ONE value: the latest label (plus a seen flag so a
+    genuinely-NULL label is still a valid predecessor, exactly like the
+    batch ``lead``). Each micro-batch sorts its rows by ``(ts,
+    tiebreak)`` — the same total order the batch window uses — chains
+    them onto the carried label, and yields one (from_label, to_label)
+    row per adjacent pair. Drained bigrams therefore equal the batch
+    operator's pre-aggregation pairs; the caller aggregates counts/ppm
+    on the drained frame and shares the batch oracle.
+
+    Ordering contract (same as :func:`stream_rolling_anomaly`): batches
+    arrive event-time-ordered per key (time-sliced file staging).
+    Bounded state: one label per key, no TTL needed.
+    """
+    import pandas as pd
+
+    types = dict(events.dtypes)
+    lab_t = types[label_col]
+    out_schema = f"from_label {lab_t}, to_label {lab_t}"
+    state_schema = f"seen boolean, last {lab_t}"
+
+    def update(key, pdfs, state: GroupState):
+        seen, last = (state.get if state.exists else (False, None))
+        frm, to = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            for lab in pdf[label_col].tolist():
+                if seen:
+                    frm.append(last)
+                    to.append(lab)
+                seen, last = True, lab
+        state.update((seen, last))
+        if frm:
+            yield pd.DataFrame({"from_label": frm, "to_label": to})
+
+    stateful = events.select(
+        key_col, ts_col, tiebreak_col, label_col
+    ).groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        stateful.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()
+    return events.sparkSession.table(name)

@@ -1181,3 +1181,62 @@ def test_stream_interval_join_payload_survives_batches(spark, tmp_path):
     for u in range(1, 9):
         assert got[(u, 100 + u)] == 10_000 + u, (u, got)
     assert got[(1, 900)] == 10_001  # same-batch match keeps payload too
+
+
+def test_stream_transitions_match_batch(spark, tmp_path):
+    """Drained per-key bigrams == the batch lead-window's, across
+    micro-batch boundaries (chains continue through carried state) and
+    with NULL labels as valid predecessors/successors."""
+    import datetime as dt
+
+    from cassandra_diff_spark.operators.temporal import transition_matrix
+    from cassandra_diff_spark.streaming.diff_stream import stream_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1 chain spans both slices: a b | b a
+        (1, mk(0), 1, "a"), (1, mk(1), 2, "b"),
+        (1, mk(60), 3, "b"), (1, mk(61), 4, "a"),
+        # user 2: null label mid-chain
+        (2, mk(0), 5, "x"), (2, mk(2), 6, None), (2, mk(62), 7, "x"),
+        # user 3: single event, no bigram
+        (3, mk(0), 8, "z"),
+        # equal timestamps in one slice: order by event_id
+        (4, mk(0), 9, "p"), (4, mk(0), 10, "q"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, label string"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "e")
+    df.filter(F.col("ts") < mk(30)).coalesce(1).write.parquet(f"{d}/s1")
+    df.filter(F.col("ts") >= mk(30)).coalesce(1).write.parquet(f"{d}/s2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/s*")
+    )
+    k = lambda p: tuple("" if x is None else "v" + x for x in p)  # noqa: E731
+    got = sorted(
+        (
+            (r.from_label, r.to_label)
+            for r in stream_transitions(
+                stream, "user_id", "ts", "label", "event_id", name="t_trans"
+            ).collect()
+        ),
+        key=k,
+    )
+    want_pairs = sorted(
+        (
+            (r.from_label, r.to_label)
+            for r in transition_matrix(
+                df, "user_id", "ts", "label", "event_id", ppm=False
+            ).collect()
+            for _ in range(r.n_trans)
+        ),
+        key=k,
+    )
+    # batch filters NULL to_label (end of sequence); the stream never
+    # emits those either — but a null label mid-chain is a REAL bigram
+    # member on both sides
+    assert got == want_pairs
+    assert ("x", None) in got and (None, "x") in got
