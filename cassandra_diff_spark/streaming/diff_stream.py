@@ -1593,10 +1593,17 @@ def stream_transitions(
 
     def update(key, pdfs, state: GroupState):
         seen, last = (state.get if state.exists else (False, None))
+        # concat BEFORE sorting: a group's micro-batch rows can span
+        # multiple Arrow chunks with no cross-chunk order guarantee —
+        # sorting per chunk would mis-order transitions for keys with
+        # >maxRecordsPerBatch rows in one batch
+        frames = [pdf for pdf in pdfs if len(pdf)]
         frm, to = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
-            for lab in pdf[label_col].tolist():
+        if frames:
+            batch = pd.concat(frames, ignore_index=True).sort_values(
+                [ts_col, tiebreak_col], kind="mergesort"
+            )
+            for lab in batch[label_col].tolist():
                 if seen:
                     frm.append(last)
                     to.append(lab)
