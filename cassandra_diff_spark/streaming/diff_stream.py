@@ -1302,7 +1302,15 @@ def stream_rolling_anomaly(
         buf = list(state.get[0]) if state.exists else []
         out: dict = {c: [] for c in
                      [key_col, ts_col, *order_cols, "value_c", "n_prev", "mean_c1000"]}
-        for pdf in pdfs:
+        # concat BEFORE sorting: a group's batch rows can span multiple
+        # Arrow chunks with no cross-chunk order guarantee — the
+        # carry-buffer kernel is order-sensitive, so per-chunk sorting
+        # would mis-window keys exceeding maxRecordsPerBatch rows in one
+        # batch (same fix as stream_transitions)
+        frames = [p for p in pdfs if len(p)]
+        for pdf in (
+            [pd.concat(frames, ignore_index=True)] if frames else []
+        ):
             pdf = pdf.sort_values([ts_col, *order_cols], kind="mergesort")
             cols = {
                 c: pdf[c].tolist()
