@@ -359,6 +359,16 @@ def _q_ann_ivf_kmeans_topk(spark, sf_dir):
     oracle states that equality from the base table. Full top-k
     semantics stay pytest-held (recall vs brute force)."""
     embs = _embs(spark, sf_dir)
+    # the no-collision premise is CHECKED, not assumed: a natural
+    # vec_id >= _PLANT_OFFSET could alias query_id + offset and
+    # silently distort n_planted_found at a larger fixture (one
+    # scalar aggregate — bounded driver work)
+    max_id = embs.agg(F.max("vec_id").alias("m")).first()["m"]
+    if max_id is not None and int(max_id) >= _PLANT_OFFSET:
+        raise AssertionError(
+            f"natural vec_id {max_id} >= _PLANT_OFFSET {_PLANT_OFFSET}: "
+            "planted ids would collide with corpus ids"
+        )
     queries = embs.filter(F.col("vec_id") < 10)
     planted = queries.select(
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
@@ -9645,11 +9655,13 @@ def _q_events_transition_stream(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
     )
     wf = _W.partitionBy("from_label")
-    return trans.withColumn(
-        "row_ppm",
-        F.floor(
-            (F.col("n_trans") * F.lit(1_000_000)) / F.sum("n_trans").over(wf)
-        ).cast("long"),
+    return (
+        trans.withColumn("__row_total", F.sum("n_trans").over(wf))
+        .withColumn(
+            "row_ppm",
+            F.expr("(n_trans * 1000000) div __row_total").cast("long"),
+        )
+        .drop("__row_total")
     )
 
 

@@ -964,9 +964,11 @@ def transition_matrix(
     at 100 TB — no self-join, no explode.
 
     Output: ``(from_label, to_label, n_trans, row_ppm)`` where
-    ``row_ppm = (n_trans * 1e6) DIV sum-over-from-row`` — integer floor
-    division, exact in any engine (the cross-engine ROUND trap never
-    enters). ``ppm=False`` drops the normalized column."""
+    ``row_ppm = (n_trans * 1e6) DIV sum-over-from-row`` — real integer
+    floor division (SQL ``div``, not double-divide-then-floor, which
+    diverges from the oracle's ``//`` once a row total nears 2^53/1e6
+    or the true quotient lands within half an ULP of an integer) —
+    exact in any engine. ``ppm=False`` drops the normalized column."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(time_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -989,12 +991,13 @@ def transition_matrix(
     if not ppm:
         return trans
     wf = Window.partitionBy("from_label")
-    return trans.withColumn(
-        "row_ppm",
-        F.floor(
-            (F.col("n_trans") * F.lit(1_000_000))
-            / F.sum("n_trans").over(wf)
-        ).cast("long"),
+    return (
+        trans.withColumn("__row_total", F.sum("n_trans").over(wf))
+        .withColumn(
+            "row_ppm",
+            F.expr("(n_trans * 1000000) div __row_total").cast("long"),
+        )
+        .drop("__row_total")
     )
 
 

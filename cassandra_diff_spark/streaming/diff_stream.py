@@ -1591,6 +1591,12 @@ def stream_transitions(
     Ordering contract (same as :func:`stream_rolling_anomaly`): batches
     arrive event-time-ordered per key (time-sliced file staging).
     Bounded state: one label per key, no TTL needed.
+
+    Integer label columns with any nulls arrive float64 from pandas;
+    labels are restored to exact Python values via ``_py_state_values``
+    before chaining/state (labels beyond 2^53 would lose bits at the
+    Arrow->pandas boundary itself — a pandas-interchange limit shared
+    by every ``applyInPandasWithState`` operator, pinned in tests).
     """
     import pandas as pd
 
@@ -1611,14 +1617,20 @@ def stream_transitions(
             batch = pd.concat(frames, ignore_index=True).sort_values(
                 [ts_col, tiebreak_col], kind="mergesort"
             )
-            for lab in batch[label_col].tolist():
+            # an integer label column with any nulls arrives float64
+            # from pandas; a float banked into an integer state slot
+            # NULLs silently (the stream_interval_join class) —
+            # convert to exact Python values before chaining/state
+            for lab in _py_state_values(batch[label_col], lab_t):
                 if seen:
                     frm.append(last)
                     to.append(lab)
                 seen, last = True, lab
         state.update((seen, last))
         if frm:
-            yield pd.DataFrame({"from_label": frm, "to_label": to})
+            yield pd.DataFrame(
+                {"from_label": frm, "to_label": to}, dtype=object
+            )
 
     stateful = events.select(
         key_col, ts_col, tiebreak_col, label_col

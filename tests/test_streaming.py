@@ -1240,3 +1240,68 @@ def test_stream_transitions_match_batch(spark, tmp_path):
     # member on both sides
     assert got == want_pairs
     assert ("x", None) in got and (None, "x") in got
+
+
+def test_stream_transitions_nullable_bigint_labels(spark, tmp_path):
+    """The _py_state_values trap, pinned for stream_transitions: a
+    bigint label column with ANY null arrives float64 from pandas, and
+    a raw float banked into the bigint state slot (or emitted into the
+    bigint output column) can NULL/corrupt silently. Chains cross the
+    micro-batch boundary so the carried label takes the state
+    round-trip; every integer label must survive exactly."""
+    import datetime as dt
+
+    from cassandra_diff_spark.operators.temporal import transition_matrix
+    from cassandra_diff_spark.streaming.diff_stream import stream_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # 2^52 + 1: large but float64-EXACT — the pandas boundary itself
+    # coerces a nulled int64 column to float64 (values beyond 2^53
+    # would lose bits there, before any state code runs; documented
+    # limitation), so the pin targets the recoverable class: floats
+    # banked raw into integer state/output slots
+    big = 4_503_599_627_370_497
+    rows = [
+        # user 1: chain spans both slices; null mid-chain in slice 1
+        # forces the whole pandas column to float64
+        (1, mk(0), 1, big), (1, mk(1), 2, None),
+        (1, mk(60), 3, big + 2), (1, mk(61), 4, 7),
+        # user 2: carried label is a large int across the boundary
+        (2, mk(2), 5, big + 4), (2, mk(62), 6, 11),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, label bigint"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "e")
+    df.filter(F.col("ts") < mk(30)).coalesce(1).write.parquet(f"{d}/s1")
+    df.filter(F.col("ts") >= mk(30)).coalesce(1).write.parquet(f"{d}/s2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/s*")
+    )
+    k = lambda p: tuple((x is None, x) for x in p)  # noqa: E731
+    got = sorted(
+        (
+            (r.from_label, r.to_label)
+            for r in stream_transitions(
+                stream, "user_id", "ts", "label", "event_id",
+                name="t_trans_bigint",
+            ).collect()
+        ),
+        key=k,
+    )
+    want_pairs = sorted(
+        (
+            (r.from_label, r.to_label)
+            for r in transition_matrix(
+                df, "user_id", "ts", "label", "event_id", ppm=False
+            ).collect()
+            for _ in range(r.n_trans)
+        ),
+        key=k,
+    )
+    assert got == want_pairs
+    # the 2^52-scale values survived bit-exact through state and output
+    flat = {x for p in got for x in p}
+    assert {big, big + 2, big + 4} <= flat
