@@ -9704,6 +9704,70 @@ QUERIES["events_decayed_counts"] = _q_events_decayed_counts
 ORACLES["events_decayed_counts"] = _O_EVENTS_DECAYED_COUNTS
 
 
+def _q_events_decayed_counts_incremental(spark, sf_dir):
+    """Incremental trending scores: history persists only its
+    per-(group, halving-bucket) integer counts (<= max_shift+1 rows per
+    group — kilobytes); two later time slices fold in by rebasing
+    history's bucket index by the integer epoch-bucket delta (exact —
+    the reason the buckets are EPOCH-ALIGNED: a relative-age bucket
+    re-phases under any non-multiple epoch advance and is provably not
+    foldable). The fold never re-reads events; the oracle is the
+    whole-corpus aligned formulation, so fold == rebuild is the gate."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import (
+        decayed_count_state,
+        decayed_counts_from_state,
+        fold_decayed_states,
+    )
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = hi - lo
+    c1, c2 = lo + 0.5 * span, lo + 0.8 * span
+    stage = f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    decayed_count_state(
+        ev.filter(F.col("ts") < F.lit(c1)), "event_type", "ts",
+        half_life_s=_DECAY_HALF_LIFE_S,
+    ).write.parquet(stage)
+    hist = spark.read.parquet(stage)
+    b2 = decayed_count_state(
+        ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        "event_type", "ts", half_life_s=_DECAY_HALF_LIFE_S,
+    )
+    b3 = decayed_count_state(
+        ev.filter(F.col("ts") >= F.lit(c2)), "event_type", "ts",
+        half_life_s=_DECAY_HALF_LIFE_S,
+    )
+    return decayed_counts_from_state(
+        fold_decayed_states([hist, b2, b3])
+    ).withColumnRenamed("group", "event_type")
+
+
+_O_EVENTS_DECAYED_COUNTS_INCREMENTAL = f"""
+WITH r AS (
+  SELECT MAX(epoch_us(ts)) // {_DECAY_HALF_LIFE_S * 1_000_000} AS eb
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1000000 >> LEAST(
+         (SELECT eb FROM r) - epoch_us(ts) // {_DECAY_HALF_LIFE_S * 1_000_000},
+         40)) AS BIGINT) AS decayed_score
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["events_decayed_counts_incremental"] = _q_events_decayed_counts_incremental
+ORACLES["events_decayed_counts_incremental"] = _O_EVENTS_DECAYED_COUNTS_INCREMENTAL
+
+
 def _q_dedup_prefix_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard >= 4/5 pairs via PREFIX FILTERING
     (Bayardo et al., WWW 2007): candidates must share a shingle among

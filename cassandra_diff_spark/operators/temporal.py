@@ -1046,3 +1046,151 @@ def decayed_counts(
             F.sum("__w").cast("long").alias("decayed_score"),
         )
     )
+
+
+def decayed_counts_aligned(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    *,
+    half_life_s: int = 86_400,
+    unit_weight: int = 1_000_000,
+    max_shift: int = 40,
+) -> DataFrame:
+    """:func:`decayed_counts` with EPOCH-ALIGNED halving buckets —
+    ``shift = (epoch_us(tref) DIV hl) - (epoch_us(t) DIV hl)`` instead
+    of the relative-age ``(tref - t) DIV hl`` — the variant whose state
+    is exactly foldable (see :func:`decayed_count_state`).
+
+    Why a second bucketing exists at all: relative-age buckets are
+    PROVABLY not foldable. When the reference epoch advances by
+    ``delta`` that is not a whole number of half-lives, every bucket
+    boundary re-phases — an event's new shift is ``old + k`` OR
+    ``old + k + 1`` depending on where inside its old bucket it sat,
+    information a per-bucket count has discarded (no finite bucket
+    granularity fixes this; any bucket is split by the re-phased
+    boundary). Aligning buckets to absolute multiples of the half-life
+    makes the epoch advance an INTEGER count of half-lives by
+    construction, so rebasing history is a lossless ``shift += delta_k``
+    on the bucket index — the ``>> delta_k`` rebase is exact. Same
+    all-integer weights, same two-exchange cost shape; only the bucket
+    phase differs (ages quantize against the absolute half-life grid
+    rather than against ``tref``).
+
+    One-shot form: equals ``decayed_counts_from_state(
+    decayed_count_state(df, ...))`` bit-exactly by construction."""
+    hl_us = int(half_life_s) * 1_000_000
+    tref = df.select(F.max(time_col).alias("__tref"))
+    weight = F.expr(
+        f"shiftright(CAST({int(unit_weight)} AS BIGINT), "
+        f"least(CAST(unix_micros(__tref) DIV {hl_us} "
+        f"- unix_micros({time_col}) DIV {hl_us} AS INT), {int(max_shift)}))"
+    )
+    return (
+        df.crossJoin(F.broadcast(tref))
+        .select(F.col(group_col).alias("group"), weight.alias("__w"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__w").cast("long").alias("decayed_score"),
+        )
+    )
+
+
+def decayed_count_state(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    *,
+    half_life_s: int = 86_400,
+    max_shift: int = 40,
+) -> DataFrame:
+    """Per-(group, halving-bucket) integer counts — the persisted state
+    behind incremental trending scores. ``(group, epoch_bucket, shift,
+    n)`` where ``epoch_bucket = max(epoch_us(t)) DIV hl`` over THIS
+    input (carried on every row so the frame is self-describing) and
+    ``shift = epoch_bucket - epoch_us(t) DIV hl`` clamped at
+    ``max_shift``. At most ``max_shift + 1`` rows per group — kilobytes
+    per group regardless of corpus size, the same persisted-index
+    contract as ``fold_histograms`` / ``fold_token_counts``.
+
+    Cost shape: one scalar-aggregate broadcast join plus one
+    map-side-combined groupBy — identical to the one-shot operator; the
+    state is what makes the NEXT refresh one batch scan instead of a
+    history rescan."""
+    hl_us = int(half_life_s) * 1_000_000
+    eb = df.select(
+        F.expr(
+            f"CAST(max(unix_micros({time_col})) DIV {hl_us} AS BIGINT)"
+        ).alias("__eb")
+    )
+    return (
+        df.crossJoin(F.broadcast(eb))
+        .select(
+            F.col(group_col).alias("group"),
+            F.col("__eb").alias("epoch_bucket"),
+            F.expr(
+                f"least(CAST(__eb - unix_micros({time_col}) DIV {hl_us} "
+                f"AS BIGINT), CAST({int(max_shift)} AS BIGINT))"
+            ).alias("shift"),
+        )
+        .groupBy("group", "epoch_bucket", "shift")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def fold_decayed_states(
+    states: "Sequence[DataFrame]", *, max_shift: int = 40
+) -> DataFrame:
+    """Additive fold of :func:`decayed_count_state` frames, rebasing
+    every input onto the NEWEST epoch bucket: history whose epoch is
+    ``delta_k`` half-lives behind shifts its bucket index by exactly
+    ``delta_k`` (clamped at ``max_shift`` — a clamped bucket's true
+    shift only grows, so it stays clamped; below the clamp the shift is
+    exact, so the rebase is lossless — the whole point of epoch-aligned
+    halving buckets). Slices may arrive in ANY time order: the fold
+    rebases onto the max epoch over all inputs, so a late-arriving old
+    slice folds as correctly as a new one.
+
+    Resolving the fold with :func:`decayed_counts_from_state` equals
+    :func:`decayed_counts_aligned` over the concatenated inputs
+    bit-exactly (oracle-gated; property-tested over random slicings).
+    Cost: a union of kilobyte state frames, one scalar max, one
+    groupBy — never touches the underlying events."""
+    if not states:
+        raise ValueError("fold_decayed_states: need at least one state")
+    cols = ["group", "epoch_bucket", "shift", "n"]
+    u = states[0].select(*cols)
+    for s in states[1:]:
+        u = u.unionByName(s.select(*cols))
+    new_eb = u.select(F.max("epoch_bucket").alias("__new_eb"))
+    return (
+        u.crossJoin(F.broadcast(new_eb))
+        .select(
+            "group",
+            F.col("__new_eb").alias("epoch_bucket"),
+            F.least(
+                F.col("shift") + (F.col("__new_eb") - F.col("epoch_bucket")),
+                F.lit(int(max_shift)).cast("long"),
+            ).cast("long").alias("shift"),
+            "n",
+        )
+        .groupBy("group", "epoch_bucket", "shift")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def decayed_counts_from_state(state: DataFrame, *, unit_weight: int = 1_000_000, max_shift: int = 40) -> DataFrame:
+    """Resolve a (folded) :func:`decayed_count_state` frame to the
+    ``(group, n_events, decayed_score)`` surface of
+    :func:`decayed_counts_aligned` — exact integer weights
+    ``unit_weight >> min(shift, max_shift)`` summed per group. Runs on
+    the kilobyte state frame, not the corpus."""
+    w = F.expr(
+        f"n * shiftright(CAST({int(unit_weight)} AS BIGINT), "
+        f"CAST(least(shift, {int(max_shift)}) AS INT))"
+    )
+    return state.groupBy("group").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(w).cast("long").alias("decayed_score"),
+    )

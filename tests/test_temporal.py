@@ -952,3 +952,104 @@ class TestTimeWeightedAvgExact:
             tiebreak="oid", value_scale=1000,
         ).collect()[0]
         assert r2.twa == 4.0 and r2.covered_us == 50
+
+
+class TestDecayedIncremental:
+    """fold(decayed_count_state slices) == decayed_counts_aligned
+    rebuild, bit-exact, regardless of how the corpus is sliced or in
+    what order the slices fold."""
+
+    def _mk(self, spark, seed, n=400, days=120):
+        import datetime as dt
+        import random
+
+        rnd = random.Random(seed)
+        t0 = dt.datetime(2026, 1, 3, 7, 13, 29)  # off the bucket grid
+        rows = [
+            (
+                rnd.choice(["a", "b", "c", "d"]),
+                t0 + dt.timedelta(seconds=rnd.randint(0, 86_400 * days)),
+            )
+            for _ in range(n)
+        ]
+        return spark.createDataFrame(rows, "g string, ts timestamp")
+
+    def _key(self, rows):
+        return sorted((r.group, r.n_events, r.decayed_score) for r in rows)
+
+    def test_fold_equals_rebuild_random_slicings(self, spark):
+        from cassandra_diff_spark.operators.temporal import (
+            decayed_count_state,
+            decayed_counts_aligned,
+            decayed_counts_from_state,
+            fold_decayed_states,
+        )
+
+        hl = 86_400 * 2
+        for seed in (1, 2, 3):
+            df = self._mk(spark, seed).cache()
+            want = self._key(
+                decayed_counts_aligned(df, "g", "ts", half_life_s=hl).collect()
+            )
+            # random row->slice assignment (slices interleave in time:
+            # harder than time-contiguous ingest), folded shuffled
+            import random
+
+            rnd = random.Random(100 + seed)
+            n_slices = rnd.randint(2, 5)
+            tagged = df.withColumn(
+                "s", (F.abs(F.hash("g", "ts", F.lit(seed))) % n_slices)
+            ).cache()
+            states = [
+                decayed_count_state(
+                    tagged.filter(F.col("s") == i), "g", "ts", half_life_s=hl
+                )
+                for i in range(n_slices)
+            ]
+            rnd.shuffle(states)
+            got = self._key(
+                decayed_counts_from_state(
+                    fold_decayed_states(states)
+                ).collect()
+            )
+            assert got == want, f"seed {seed}"
+            df.unpersist()
+            tagged.unpersist()
+
+    def test_fold_exercises_rebase_clamp_and_empty_slice(self, spark):
+        import datetime as dt
+
+        from cassandra_diff_spark.operators.temporal import (
+            decayed_count_state,
+            decayed_counts_aligned,
+            decayed_counts_from_state,
+            fold_decayed_states,
+        )
+
+        hl = 3_600  # 1h half-life so max_shift=8 clamps within the data
+        t0 = dt.datetime(2026, 2, 1, 0, 30)
+        old = [("g", t0 + dt.timedelta(minutes=m)) for m in (0, 10, 20)]
+        new = [("g", t0 + dt.timedelta(hours=30, minutes=m)) for m in (0, 5)]
+        df_old = spark.createDataFrame(old, "g string, ts timestamp")
+        df_new = spark.createDataFrame(new, "g string, ts timestamp")
+        df_all = df_old.unionByName(df_new)
+        empty = spark.createDataFrame([], "g string, ts timestamp")
+
+        s_old = decayed_count_state(df_old, "g", "ts", half_life_s=hl, max_shift=8)
+        s_new = decayed_count_state(df_new, "g", "ts", half_life_s=hl, max_shift=8)
+        s_empty = decayed_count_state(empty, "g", "ts", half_life_s=hl, max_shift=8)
+        # history is 30 epoch buckets behind -> every old row rebases
+        # past max_shift and clamps (weight = 1e6 >> 8 = 3906), exactly
+        # like the one-shot rebuild's clamp
+        folded = decayed_counts_from_state(
+            fold_decayed_states([s_empty, s_new, s_old], max_shift=8),
+            max_shift=8,
+        ).collect()
+        want = decayed_counts_aligned(
+            df_all, "g", "ts", half_life_s=hl, max_shift=8
+        ).collect()
+        assert self._key(folded) == self._key(want)
+        (r,) = folded
+        assert r.n_events == 5
+        # 2 fresh events at shift 0 or 1 dominate; 3 clamped at 3906
+        assert r.decayed_score == want[0].decayed_score
