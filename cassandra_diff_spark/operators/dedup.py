@@ -1290,13 +1290,52 @@ def prefix_jaccard_candidates(
         - F.floor((F.col("n_tok") * num + den - 1) / den).cast("long")
         + F.lit(1)
     )
+    # PPJoin-style pruning (Xiao et al., WWW 2008), both LOSSLESS and
+    # all-integer:
+    #   length filter — J >= t forces min >= t*max, i.e.
+    #     num*greatest(n1,n2) <= den*least(n1,n2);
+    #   positional filter — both arrays share the (df, token) total
+    #     order, so a token at 1-based positions (i, j) splits the
+    #     intersection into tokens before it (<= min(i-1, j-1)) and
+    #     from it on (<= 1 + min(n1-i, n2-j)); that bound dominates the
+    #     TRUE overlap for EVERY shared token, so requiring it to reach
+    #     alpha = ceil(num*(n1+n2)/(den+num)) (J >= t  <=>  overlap*
+    #     (den+num) >= num*(n1+n2)) on each generating token prunes
+    #     strictly more than the any-token form and still never drops
+    #     a qualifying pair. Both cuts fire BEFORE the distinct and the
+    #     array-carrying verification join — the rows they delete are
+    #     exactly the rows that would otherwise ship token arrays.
     prefix = docs.select(
-        "id", F.explode(F.slice("arr", 1, p.cast("int"))).alias("token")
+        "id",
+        "n_tok",
+        F.posexplode(F.slice("arr", 1, p.cast("int"))).alias("__p0", "token"),
+    ).select("id", "n_tok", (F.col("__p0") + 1).alias("pos"), "token")
+    l = prefix.select(
+        F.col("id").alias("id_1"),
+        F.col("n_tok").alias("__n1"),
+        F.col("pos").alias("__i"),
+        "token",
+    )
+    r = prefix.select(
+        F.col("id").alias("id_2"),
+        F.col("n_tok").alias("__n2"),
+        F.col("pos").alias("__j"),
+        "token",
+    )
+    # min(i-1, j-1) + 1 + min(n1-i, n2-j) == min(i, j) + min(n1-i, n2-j)
+    overlap_ub = F.least(F.col("__i"), F.col("__j")) + F.least(
+        F.col("__n1") - F.col("__i"), F.col("__n2") - F.col("__j")
     )
     cand = (
-        prefix.select(F.col("id").alias("id_1"), "token")
-        .join(prefix.select(F.col("id").alias("id_2"), "token"), "token")
+        l.join(r, "token")
         .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.greatest("__n1", "__n2") * num
+            <= F.least("__n1", "__n2") * den
+        )
+        .filter(
+            overlap_ub * (den + num) >= (F.col("__n1") + F.col("__n2")) * num
+        )
         .select("id_1", "id_2")
         .distinct()
     )

@@ -2198,3 +2198,71 @@ class TestPrefixJaccard:
             prefix_jaccard_pairs(
                 df, "doc_id", "text", threshold_num=6, threshold_den=5
             )
+
+    def test_ppjoin_filters_prune_candidates_losslessly(self, spark):
+        """The r9 PPJoin cuts fire in CANDIDATE generation — before the
+        array-carrying verification join — and never drop a true pair.
+        Length filter: a 2-token and a 12-token doc can share a rare
+        prefix token, but J >= 1/2 needs min >= max/2, so the pair must
+        not even become a candidate. Positional filter: two 8-token
+        docs whose only shared token sits at opposite prefix ends bound
+        the overlap below alpha, again pruned pre-verification."""
+        from cassandra_diff_spark.operators.dedup import (
+            prefix_jaccard_candidates,
+            prefix_jaccard_pairs,
+        )
+
+        # dfs: fillers c..m df=4 > qq df=3 > a df=2 > x df=1, so doc 2
+        # sorts qq FIRST (inside its 7-token prefix) and doc 1 sorts
+        # [a, qq] (prefix = whole doc): the (1,2) prefix collision on
+        # qq is real, and ONLY the length filter removes it
+        rows = [
+            (1, "qq a"),                                  # 2 tokens
+            (2, "qq c d e f g h i j k l m"),              # 12 tokens
+            (3, "c d e f g h i j k l m n"),
+            (4, "qq a x"),                                # J(1,4)=2/3
+            (5, "c d e f g h i j k l m n"),
+            (6, "c d e f g h i j k l m n"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        docs, cand = prefix_jaccard_candidates(
+            df, "doc_id", "text", threshold_num=1, threshold_den=2
+        )
+        got_cand = {(r.id_1, r.id_2) for r in cand.collect()}
+        # (1, 2) shares `qq` in both prefixes but 2*2 < 1*12: pruned
+        assert (1, 2) not in got_cand
+        # the legitimate pair survives candidates AND verification
+        assert (1, 4) in got_cand
+        pairs = {
+            (r.id_1, r.id_2)
+            for r in prefix_jaccard_pairs(
+                df, "doc_id", "text", threshold_num=1, threshold_den=2
+            ).collect()
+        }
+        assert (1, 4) in pairs and (1, 2) not in pairs
+
+    def test_ppjoin_positional_filter_prunes(self, spark):
+        """Positional filter alone: equal-length docs (length filter
+        moot) sharing ONE token at far-apart prefix positions. n1 = n2
+        = 8, t = 3/4 -> alpha = ceil(3*16/7) = 7; shared token at i=1,
+        j=3 bounds overlap at min(1,3) + min(7,5) = 6 < 7 -> pruned as
+        a CANDIDATE even though the raw prefix join collides."""
+        from cassandra_diff_spark.operators.dedup import (
+            prefix_jaccard_candidates,
+        )
+
+        # token df: `zz` unique to docs 1-2; doc 1's other tokens are
+        # common (df=3 via fillers), so zz is doc 1's rarest (i=1);
+        # doc 2 carries two rarer-than-zz singletons so zz lands at j=3
+        rows = [
+            (1, "zz a b c d e f g"),
+            (2, "zz y1 y2 c d e f g"),   # shares zz,c,d,e,f,g: J=6/10<3/4
+            (3, "a b c d e f g h"),
+            (4, "a b c d e f g h"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        docs, cand = prefix_jaccard_candidates(
+            df, "doc_id", "text", threshold_num=3, threshold_den=4
+        )
+        got = {(r.id_1, r.id_2) for r in cand.collect()}
+        assert (1, 2) not in got
