@@ -9669,6 +9669,58 @@ QUERIES["events_transition_stream"] = _q_events_transition_stream
 ORACLES["events_transition_stream"] = _O_EVENTS_TRANSITION_MATRIX
 
 
+def _q_events_sequence_loglik(spark, sf_dir):
+    """Per-user sequence anomaly score: each user's event-type stream
+    scored against the corpus's add-1-smoothed first-order transition
+    model, in integer micro-nats (per-transition ROUND before the
+    order-free per-user sum — the lm_unigram_score discipline one model
+    order up). One window shuffle + broadcast model joins."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import sequence_loglik
+
+    ev = load_events(spark, sf_dir)
+    return sequence_loglik(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).withColumnRenamed("key", "user_id")
+
+
+_O_EVENTS_SEQUENCE_LOGLIK = """
+WITH s AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER w AS b,
+         LEAD(1) OVER w AS has_next
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+p AS (SELECT user_id, a, b FROM s WHERE has_next IS NOT NULL),
+m AS (SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b),
+rt AS (SELECT a, SUM(n) AS tot FROM m GROUP BY a),
+v AS (
+  SELECT COUNT(DISTINCT event_type)
+         + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS V
+  FROM events
+),
+lp AS (
+  SELECT p.user_id,
+         CAST(ROUND(ln((COALESCE(m.n, 0) + 1.0)
+                       / (COALESCE(rt.tot, 0) + (SELECT V FROM v)))
+                    * 1000000) AS BIGINT) AS lp_u
+  FROM p
+  LEFT JOIN m ON m.a IS NOT DISTINCT FROM p.a
+             AND m.b IS NOT DISTINCT FROM p.b
+  LEFT JOIN rt ON rt.a IS NOT DISTINCT FROM p.a
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(SUM(lp_u) AS BIGINT) AS loglik_u
+FROM lp GROUP BY user_id
+"""
+
+
+QUERIES["events_sequence_loglik"] = _q_events_sequence_loglik
+ORACLES["events_sequence_loglik"] = _O_EVENTS_SEQUENCE_LOGLIK
+
+
 _DECAY_HALF_LIFE_S = 172_800  # 2 days: shifts span 0..15 over the fixture
 
 

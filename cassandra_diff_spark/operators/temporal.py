@@ -1001,6 +1001,117 @@ def transition_matrix(
     )
 
 
+def sequence_loglik(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    *,
+    matrix: "DataFrame | None" = None,
+    alphabet_size: "int | None" = None,
+) -> DataFrame:
+    """Per-key bigram sequence log-likelihood against a label-transition
+    model — "does this user's event stream match the corpus transition
+    structure?" — the sequence-anomaly scorer :func:`transition_matrix`
+    exists to feed. A key whose hops are all high-probability corpus
+    transitions scores near zero; a key full of never-seen hops scores
+    deeply negative. The per-sequence twin of CCNet-style LM scoring
+    (``lm_unigram_score``), one model order up.
+
+    Model: add-1-smoothed first-order Markov — ``P(b|a) = (n_ab + 1) /
+    (total_a + V)`` where ``V`` is the label-alphabet size (distinct
+    labels in ``df``, counting NULL as a label, or ``alphabet_size``
+    when an external ``matrix`` (``from_label, to_label, n_trans``) is
+    supplied — a batch's own alphabet would re-smooth every score).
+    Each transition contributes ``round(ln(P) * 1e6)`` micro-nats,
+    rounded BEFORE the per-key sum, so the sum is an order-free integer
+    — association order can never move a score (the
+    ``lm_unigram_score`` discipline).
+
+    Cost shape: ONE window shuffle on ``key_col`` extracts the bigrams
+    (sentinel lead — transitions into a NULL label are real, ends of
+    sequence are not); the matrix, row totals, and alphabet size are
+    |labels|²-sized frames that ride broadcast joins (null-safe ``<=>``
+    keys); the per-key sum is map-side combinable. At 100 TB: one
+    data-sized Exchange plus kilobyte broadcasts.
+
+    Output: ``(key, n_trans, loglik_u)``; single-event keys don't
+    appear (no transitions — callers left-join and fill as fits).
+    """
+    w = Window.partitionBy("key").orderBy(
+        F.col(time_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col),
+            F.col(tiebreak_col),
+            F.col(label_col).alias("a"),
+        )
+        .withColumn("b", F.lead("a").over(w))
+        .withColumn("__has_next", F.lead(F.lit(1)).over(w))
+        .filter(F.col("__has_next").isNotNull())
+        .select("key", "a", "b")
+    )
+    if matrix is None:
+        m = pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        ).select(
+            F.col("a").alias("__ma"), F.col("b").alias("__mb"), "__n"
+        )
+        v_df = df.select(
+            (
+                F.countDistinct(label_col)
+                + F.max(F.col(label_col).isNull().cast("int"))
+            ).cast("long").alias("__V")
+        )
+    else:
+        if alphabet_size is None:
+            raise ValueError(
+                "sequence_loglik: alphabet_size is required with an "
+                "external matrix (the scored batch's own alphabet would "
+                "re-smooth every probability)"
+            )
+        m = matrix.select(
+            F.col("from_label").alias("__ma"),
+            F.col("to_label").alias("__mb"),
+            F.col("n_trans").cast("long").alias("__n"),
+        )
+        v_df = df.sparkSession.range(1).select(
+            F.lit(int(alphabet_size)).cast("long").alias("__V")
+        )
+    totals = m.groupBy("__ma").agg(F.sum("__n").alias("__tot")).select(
+        F.col("__ma").alias("__ta"), "__tot"
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(m),
+            F.expr("a <=> __ma") & F.expr("b <=> __mb"),
+            "left",
+        )
+        .select("key", "a", "__n")
+        .join(F.broadcast(totals), F.expr("a <=> __ta"), "left")
+    )
+    # lp_u per transition, rounded before the order-free integer sum
+    lp_u = F.round(
+        F.log(
+            (F.coalesce(F.col("__n"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("__tot"), F.lit(0)) + F.col("__V"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(v_df))
+        .select("key", lp_u.alias("__lp"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trans"),
+            F.sum("__lp").cast("long").alias("loglik_u"),
+        )
+    )
+
+
 def decayed_counts(
     df: DataFrame,
     group_col: str,

