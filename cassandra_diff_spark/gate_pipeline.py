@@ -9721,6 +9721,77 @@ QUERIES["events_sequence_loglik"] = _q_events_sequence_loglik
 ORACLES["events_sequence_loglik"] = _O_EVENTS_SEQUENCE_LOGLIK
 
 
+_CLS_BUCKETS = 4096
+
+
+def _q_curate_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier, scoring side: hashed
+    word unigrams + adjacent bigrams index a 4096-bucket integer
+    micro-logit table (deterministic md5-derived weights, built
+    in-plan on BOTH engines); the whole scorer is map-only — the model
+    rides one broadcast map row, features never explode or shuffle."""
+    from cassandra_diff_spark.operators.curate import classifier_score
+
+    model = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                md5_hash64(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("long").alias("weight_u"),
+    )
+    return classifier_score(
+        _docs(spark, sf_dir), "doc_id", "text", model,
+        n_buckets=_CLS_BUCKETS,
+    ).withColumnRenamed("id", "doc_id")
+
+
+_O_CURATE_CLASSIFIER_SCORE = f"""
+WITH wm AS (
+  SELECT i AS bucket,
+         ({md5_hash64_sql("'w' || CAST(i AS VARCHAR)")} % 2001) - 1000 AS w
+  FROM range({_CLS_BUCKETS}) t(i)
+),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') END AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           [ws[i] || chr(31) || ws[i+1] for i in range(1, len(ws))]
+         ) AS fs
+  FROM arr
+),
+f AS (SELECT doc_id, unnest(fs) AS feat FROM feats),
+lp AS (
+  SELECT f.doc_id, COALESCE(wm.w, 0) AS w
+  FROM f LEFT JOIN wm ON wm.bucket = {md5_hash64_sql('f.feat')} % {_CLS_BUCKETS}
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf, CAST(SUM(w) AS BIGINT) AS lg
+  FROM lp GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(COALESCE(g.nf, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(g.lg, 0) AS BIGINT) AS logit_u,
+       (COALESCE(g.nf, 0) > 0 AND COALESCE(g.lg, 0) >= 0) AS pred
+FROM (SELECT doc_id FROM documents) a
+LEFT JOIN agg g USING (doc_id)
+"""
+
+
+QUERIES["curate_classifier_score"] = _q_curate_classifier_score
+ORACLES["curate_classifier_score"] = _O_CURATE_CLASSIFIER_SCORE
+
+
 _DECAY_HALF_LIFE_S = 172_800  # 2 days: shifts span 0..15 over the fixture
 
 

@@ -1437,3 +1437,84 @@ def duplicate_ngram_stats(
             ).alias("dup_char_milli"),
         )
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    *,
+    n_buckets: int,
+    bigrams: bool = True,
+    bias_u: int = 0,
+    threshold_u: int = 0,
+) -> DataFrame:
+    """fastText-style linear quality classifier SCORING — the third leg
+    of the CCNet/RefinedWeb quality triad (Gopher rules = heuristics,
+    ``lm_unigram_score`` = perplexity, this = a learned keep/drop
+    model): each document's hashed word unigrams (+ adjacent bigrams,
+    the fastText feature set) index a weight table and the document's
+    logit is their sum. Training happens offline (SGD is not a Spark
+    batch shape); scoring a frozen model over 100 TB is — and it is
+    MAP-ONLY here: ``model`` (``bucket``, ``weight_u`` integer
+    micro-logits) aggregates to ONE ``map<bigint,bigint>`` row shipped
+    by broadcast nested-loop crossJoin (the ``encode_documents``
+    pattern), and every feature hash / lookup / sum is a Catalyst array
+    expression — no shuffle, no explode, no Python.
+
+    All-integer contract: weights are micro-logits, each document's
+    ``logit_u`` is an exact BIGINT sum, and the keep decision is the
+    integer cross-multiplication ``logit_u >= threshold_u *
+    n_features`` (a per-feature-average threshold without division).
+    ``pred`` is false for featureless documents (null/empty text).
+    Feature hashing is the cross-engine ``md5_hash64 % n_buckets`` —
+    bit-reproducible in any engine with md5, unlike xxhash64.
+
+    Output: ``(id, n_features, logit_u, pred)``.
+    """
+    d = int(n_buckets)
+    if d <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    wmap = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("weight_u")))
+        ).alias("__wm")
+    )
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != "")
+    base = df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    if bigrams:
+        big = F.zip_with(
+            F.slice("__ws", 1, F.greatest(F.size("__ws") - 1, F.lit(0))),
+            F.slice(
+                "__ws",
+                2,
+                F.greatest(F.size("__ws") - 1, F.lit(0)).cast("int"),
+            ),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b),
+        )
+        feats = F.concat(F.col("__ws"), big)
+    else:
+        feats = F.col("__ws")
+    hashes = F.transform(feats, lambda s: F.pmod(md5_hash64(s), F.lit(d)))
+    logit = F.aggregate(
+        hashes,
+        F.lit(int(bias_u)).cast("long"),
+        lambda acc, h: acc
+        + F.coalesce(F.element_at(F.col("__wm"), h), F.lit(0).cast("long")),
+    )
+    return (
+        base.crossJoin(F.broadcast(wmap))
+        .select(
+            "id",
+            F.size(feats).cast("long").alias("n_features"),
+            logit.cast("long").alias("logit_u"),
+        )
+        .withColumn(
+            "pred",
+            (F.col("n_features") > 0)
+            & (F.col("logit_u") >= F.lit(int(threshold_u)) * F.col("n_features")),
+        )
+    )

@@ -114,3 +114,87 @@ def test_sequence_loglik_external_matrix_and_validation(spark):
 
     with pytest.raises(ValueError, match="alphabet_size"):
         sequence_loglik(batch, "k", "ts", "lab", "eid", matrix=tm)
+
+
+def _ref_classifier(docs, model, d, bias_u, threshold_u):
+    import hashlib
+
+    def md5h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = {}
+    for i, t in docs:
+        toks = [x for x in t.strip().split() if x] if t is not None else []
+        feats = toks + [a + "\x1f" + b for a, b in zip(toks, toks[1:])]
+        logit = bias_u + sum(model.get(md5h(f) % d, 0) for f in feats)
+        out[i] = (
+            len(feats),
+            logit,
+            len(feats) > 0 and logit >= threshold_u * len(feats),
+        )
+    return out
+
+
+@pytest.mark.slow
+def test_classifier_score_property(spark):
+    from hypothesis import strategies as st
+
+    from cassandra_diff_spark.operators.curate import classifier_score
+
+    d = 16  # tiny bucket table -> guaranteed hash collisions
+    word = st.text(alphabet="abc", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    corpus = st.lists(st.one_of(st.none(), doc), min_size=1, max_size=6)
+    weights = st.lists(
+        st.integers(-1000, 1000), min_size=d, max_size=d
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus, ws=weights)
+    def check(texts, ws):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        model = spark.createDataFrame(
+            list(enumerate(ws)), "bucket long, weight_u long"
+        )
+        got = {
+            r.id: (r.n_features, r.logit_u, r.pred)
+            for r in classifier_score(
+                df, "doc_id", "text", model,
+                n_buckets=d, bias_u=7, threshold_u=-50,
+            ).collect()
+        }
+        assert got == _ref_classifier(docs, dict(enumerate(ws)), d, 7, -50)
+
+    check()
+
+
+def test_classifier_score_map_only_plan(spark):
+    """The scorer's plan must be map-only over the corpus: the model
+    arrives via broadcast (nested-loop crossJoin of a 1-row map frame)
+    and there is NO Exchange over the document side — the shape that
+    survives 100 TB."""
+    from cassandra_diff_spark.operators.curate import classifier_score
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    model = spark.range(32).select(
+        F.col("id").alias("bucket"), (F.col("id") * 3 - 40).alias("weight_u")
+    )
+    scored = classifier_score(df, "doc_id", "text", model, n_buckets=32)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only allowed exchange is the broadcast of the 1-row model map
+    import re
+
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|rebalance)", ln)
+    ]
+    assert not data_exchanges, plan
