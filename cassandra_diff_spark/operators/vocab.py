@@ -750,6 +750,7 @@ def bpe_train_incremental(
     checkpoint_every: int = 16,
     max_pair_types: int = 5_000_000,
     stats: list | None = None,
+    stats_every: int = 1,
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train` with INCREMENTAL pair counting — the path for
     real vocabularies (a 32k-merge train is 32k iterations; recounting
@@ -782,9 +783,12 @@ def bpe_train_incremental(
     holds only one argmax row at a time.
 
     ``stats``, if a list, receives one ``(rank, n_affected_word_types,
-    n_delta_pair_types)`` tuple per merge — the work-proportionality
-    evidence (costs one extra count job per merge; leave None outside
-    tests/diagnostics).
+    n_delta_pair_types)`` tuple per sampled merge — the work-
+    proportionality evidence. The affected count costs one extra job
+    (which re-runs the bounded replace lineage), so ``stats_every``
+    samples it: 1 records every merge (tests/diagnostics), N records
+    every Nth (the 1024-merge scale probe samples at 64 so the trend
+    costs ~16 jobs, not 1024).
 
     Measured honestly: at TEST scale both paths are bound by per-merge
     Spark JOB overhead, not shuffle volume (60k synthetic docs / 50k
@@ -851,7 +855,9 @@ def bpe_train_incremental(
             .filter(F.col("pair_count") != 0)
             .collect()
         )
-        if stats is not None:
+        if stats is not None and (
+            rank == 1 or rank % max(int(stats_every), 1) == 0
+        ):
             stats.append((rank, aff.count(), len(deltas)))
         for r in deltas:
             key = (r.left_sym, r.right_sym)

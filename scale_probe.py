@@ -587,6 +587,107 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         (r["id"], r["v"]) for r in naive
     )
 
+    _section_end(spark)
+
+    # ---- incremental-BPE crossover at realistic merge counts (VERDICT
+    # r8 #1): r8 adjudicated the 128-merge/50k-type comparison as
+    # job-overhead-bound (59 vs 55 s — a wash). This section runs the
+    # regime the trainer exists for: >=1024 merges over >=500k word
+    # types (env-tunable). The batch path's per-merge cost is a FULL
+    # pair-type recount — constant by construction — so it is measured
+    # over two prefixes (16 and 64 merges) and extrapolated from the
+    # marginal cost, clearly labeled as such; running batch to 1024
+    # outright would be ~15 min of bench for a number the marginal
+    # cost already determines. The incremental path runs all merges
+    # for real, with the affected-word-fraction trend sampled every 64
+    # merges (the work-proportionality evidence: per-merge delta work
+    # collapses once merges leave the Zipf head, while batch recount
+    # cost never drops).
+    bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "1024"))
+    bpe_types = int(os.environ.get("SPARK_GRAFT_BPE_TYPES", "560000"))
+    if bpe_merges > 0 and bpe_types > 0:
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_pair_counts,
+            bpe_train,
+            bpe_train_incremental,
+            bpe_word_counts,
+        )
+
+        t0 = time.time()
+        # syllable-structured words: 64 two-char syllables, 4-6 per
+        # word, drawn from a word-id so every id maps to a fixed word;
+        # ids mix a guaranteed-coverage uniform block (one of each
+        # type) with a cubed-uniform Zipf-ish head that carries the
+        # mass — the shape that makes early merges touch many words
+        # and late merges a sliver, like real text
+        syls = [a + b for a in "bcdfghjklmnpqrstvwz" for b in "aeiou"][:64]
+        syl_arr = F.array(*[F.lit(s) for s in syls])
+        u = F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double") / 1e6
+        zipf_wid = F.floor(u * u * u * F.lit(bpe_types)).cast("long")
+        wid = F.when(F.col("id") < bpe_types, F.col("id")).otherwise(zipf_wid)
+        nsyl = (F.pmod(F.xxhash64(wid, F.lit(1)), F.lit(3)) + 4).cast("int")
+        word = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), nsyl),
+                lambda j: F.element_at(
+                    syl_arr,
+                    (F.pmod(F.xxhash64(wid, j), F.lit(64)) + 1).cast("int"),
+                ),
+            ),
+        )
+        corp = spark.range(bpe_types * 4).select(word.alias("text"))
+        corp.write.mode("overwrite").parquet(f"{work}/bpe_corpus.parquet")
+        corp = spark.read.parquet(f"{work}/bpe_corpus.parquet")
+        wc = bpe_word_counts(corp, "text")
+        out["bpe_word_types"] = wc.count()
+        out["bpe_seed_pair_types"] = bpe_pair_counts(wc).count()
+        out["bpe_gen_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        bpe_stats: list = []
+        inc = bpe_train_incremental(
+            corp, "text", bpe_merges,
+            checkpoint_every=16, stats=bpe_stats, stats_every=64,
+        )
+        out["bpe_incremental_sec"] = round(time.time() - t0, 2)
+        out["bpe_incremental_merges"] = len(inc)
+        out["bpe_incr_per_merge_sec"] = round(
+            (time.time() - t0) / max(len(inc), 1), 4
+        )
+        if bpe_stats:
+            wt = max(out["bpe_word_types"], 1)
+            out["bpe_affected_frac_first"] = round(bpe_stats[0][1] / wt, 6)
+            out["bpe_affected_frac_mid"] = round(
+                bpe_stats[len(bpe_stats) // 2][1] / wt, 6
+            )
+            out["bpe_affected_frac_last"] = round(bpe_stats[-1][1] / wt, 6)
+        _section_end(spark)
+
+        t0 = time.time()
+        bat16 = bpe_train(corp, "text", 16, checkpoint_every=16)
+        t16 = time.time() - t0
+        t0 = time.time()
+        bat64 = bpe_train(corp, "text", 64, checkpoint_every=16)
+        t64 = time.time() - t0
+        out["bpe_batch_16_sec"] = round(t16, 2)
+        out["bpe_batch_64_sec"] = round(t64, 2)
+        marginal = (t64 - t16) / 48
+        out["bpe_batch_per_merge_marginal_sec"] = round(marginal, 4)
+        # labeled extrapolation: batch recounts EVERY pair type each
+        # merge, so its marginal cost cannot decrease with rank
+        out["bpe_batch_extrapolated_sec"] = round(marginal * bpe_merges, 1)
+        out["bpe_crossover_ratio"] = round(
+            out["bpe_incremental_sec"]
+            / max(out["bpe_batch_extrapolated_sec"], 1e-9),
+            3,
+        )
+        # correctness cross-check rides free: same merges, same order
+        out["bpe_paths_agree"] = (
+            [m[:4] for m in bat64] == [m[:4] for m in inc[:64]]
+        )
+        _section_end(spark)
+
     release_caches()
     return out
 
