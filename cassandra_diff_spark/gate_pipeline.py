@@ -9983,3 +9983,154 @@ def ensure_stream_wrapped(queries: dict) -> dict:
 for _name in [n for n in QUERIES if "stream" in n]:
     QUERIES[_name] = _with_stream_conf(QUERIES[_name])
 del _name
+
+
+# ---------------------------------------------------------------------------
+# round 9: embedding-cluster-balanced sampling (diversity downsampling)
+
+
+def _q_curate_cluster_sample(spark, sf_dir):
+    """Cluster-balanced downsample of the embeddings table: hyperplane
+    cells (8 deterministic sign bits = 256 data-independent clusters),
+    keep probability min(1, target/cell_n) decided by an exact integer
+    cross-multiplication on the id hash — dense embedding neighborhoods
+    flatten toward ~target survivors, sparse ones survive whole. One
+    kilobyte cell-count agg + broadcast join + map filter; no
+    data-sized shuffle."""
+    from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    s = cluster_balanced_sample(
+        emb, "vec_id", "embedding", dim=64, target_per_cell=1, seed=0
+    )
+    return s.select("vec_id", "cell", "cell_n")
+
+
+_O_CURATE_CLUSTER_SAMPLE = f"""
+WITH q0 AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS qq
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+),
+c AS (SELECT vec_id, {similarity.hyperplane_band_key_sql('qq', 64, 0)} AS cell FROM q0),
+n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n FROM c GROUP BY cell)
+SELECT c.vec_id, c.cell, n.cell_n
+FROM c JOIN n USING (cell)
+WHERE ({md5_hash64_sql("CAST(c.vec_id AS VARCHAR) || ':0'")} % 1000000) * cell_n
+      < 1 * 1000000
+"""
+
+
+QUERIES["curate_cluster_sample"] = _q_curate_cluster_sample
+ORACLES["curate_cluster_sample"] = _O_CURATE_CLUSTER_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# round 9: C4-style phrase blocklist screen
+
+
+_BLOCK_PHRASES = ["table table", "fast merge", "group big vector"]
+
+
+def _q_curate_phrase_blocklist(spark, sf_dir):
+    """Phrase blocklist over documents: case-insensitive SUBSTRING
+    containment of multi-word phrases (the C4 badlist semantics — no
+    tokenization, no regex dialect), one map-only projection; `blocked`
+    is the C4 drop decision (any hit)."""
+    from cassandra_diff_spark.operators.curate import phrase_blocklist
+
+    docs = load(spark, sf_dir, "documents")
+    return phrase_blocklist(docs, "doc_id", "text", _BLOCK_PHRASES)
+
+
+_O_CURATE_PHRASE_BLOCKLIST = f"""
+SELECT doc_id AS id,
+  CAST(len(list_filter({_BLOCK_PHRASES!r},
+       p -> contains(lower(coalesce(text, '')), p))) AS BIGINT) AS n_phrases_hit,
+  (len(list_filter({_BLOCK_PHRASES!r},
+       p -> contains(lower(coalesce(text, '')), p))) > 0) AS blocked
+FROM documents
+"""
+
+
+QUERIES["curate_phrase_blocklist"] = _q_curate_phrase_blocklist
+ORACLES["curate_phrase_blocklist"] = _O_CURATE_PHRASE_BLOCKLIST
+
+
+# ---------------------------------------------------------------------------
+# round 9: Spearman rank correlation matrix (profiling surface)
+
+
+_SPEAR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_profile_spearman(spark, sf_dir):
+    """Spearman rho over lineitem's four measures — same column set as
+    validate_correlations, monotone-association view: integer doubled
+    average ranks (2*#less + cnt + 1) built at distinct-value
+    cardinality and joined back, then the exact decimal(38,0) moment
+    machinery of the Pearson gate at scale=1."""
+    from cassandra_diff_spark.operators.validate import spearman_correlations
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_correlations(li, _SPEAR_COLS)
+
+
+def _make_o_profile_spearman() -> str:
+    cols = _SPEAR_COLS
+    k = len(cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    rmaps = []
+    joins = []
+    for i, c in enumerate(cols):
+        rmaps.append(
+            f"v{i} AS (SELECT {c} AS val, CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            f"  FROM base GROUP BY 1),\n"
+            f"r{i} AS (SELECT val,\n"
+            f"  CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY val\n"
+            f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n"
+            f"    + cnt + 1 AS BIGINT) AS r FROM v{i})"
+        )
+        joins.append(f"JOIN r{i} ON base.{c} = r{i}.val")
+    qsel = ", ".join(f"r{i}.r AS q{i}" for i in range(k))
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    sums += [f"SUM(CAST(q{i} AS HUGEINT)) AS s{i}" for i in range(k)]
+    sums += [
+        f"SUM(CAST(q{i} AS HUGEINT) * q{j}) AS p{i}_{j}"
+        for i in range(k)
+        for j in range(i, k)
+    ]
+
+    # HUGEINT->DOUBLE via VARCHAR: the correctly-rounded strtod path
+    # (the validate_correlations discipline — DuckDB's direct cast is
+    # not correctly rounded).
+    def xd(e: str) -> str:
+        return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+
+    arms = []
+    for i in range(k):
+        for j in range(i, k):
+            m2 = f"(CAST(n AS HUGEINT) * p{i}_{j} - s{i} * s{j})"
+            vii = f"(CAST(n AS HUGEINT) * p{i}_{i} - s{i} * s{i})"
+            vjj = f"(CAST(n AS HUGEINT) * p{j}_{j} - s{j} * s{j})"
+            arms.append(
+                f"SELECT '{cols[i]}' AS col_i, '{cols[j]}' AS col_j, n,\n"
+                f"  CASE WHEN {vii} = 0 OR {vjj} = 0 THEN NULL\n"
+                f"       ELSE {xd(m2)} / sqrt({xd(vii)} * {xd(vjj)}) END AS rho\n"
+                f"FROM m"
+            )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH base AS (SELECT {', '.join(cols)} FROM lineitem WHERE {notnull}),\n"
+        + ",\n".join(rmaps)
+        + ",\nranked AS (SELECT "
+        + qsel
+        + " FROM base "
+        + " ".join(joins)
+        + "),\n"
+        f"m AS (SELECT {', '.join(sums)} FROM ranked)\n{body}"
+    )
+
+
+QUERIES["profile_spearman"] = _q_profile_spearman
+ORACLES["profile_spearman"] = _make_o_profile_spearman()

@@ -20,6 +20,8 @@ among quality-passing copies.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1517,4 +1519,125 @@ def classifier_score(
             (F.col("n_features") > 0)
             & (F.col("logit_u") >= F.lit(int(threshold_u)) * F.col("n_features")),
         )
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    target_per_cell: int,
+    n_planes: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Embedding-cluster-balanced downsampling — the diversity-sampling
+    primitive of a training-data build ("cap every semantic neighborhood
+    at ~N docs"): dense regions of embedding space (boilerplate genres,
+    template farms, near-identical news wire) are downweighted toward a
+    uniform per-cluster budget while sparse regions survive intact —
+    the corpus-shaping step SemDeDup-style pipelines run AFTER near-dup
+    removal, because near-dup kills copies but not redundant *topics*.
+
+    Cells are the engine's deterministic random-hyperplane key (the
+    similarity-family sketch, ``n_planes`` sign bits over the quantized
+    vector = ``2**n_planes`` cells — data-independent, so the SAME
+    document lands in the SAME cell on every run and in every engine;
+    no trained centroids to version). A row is kept iff
+
+        (md5_hash64(id:seed) % 1e6) * cell_n  <  target_per_cell * 1e6
+
+    an exact integer cross-multiplication (no division, no floats):
+    keep probability ``min(1, target/cell_n)`` per cell, expected
+    survivors ~``target_per_cell`` in every saturated cell. Both
+    factors bound the product under 2^63 up to 10^12-row cells.
+
+    Scale shape: one Arrow-batched projection for the band key (the
+    measured-faster matmul path of :func:`...similarity.hyperplane_band_keys`),
+    ONE ``2**n_planes``-row aggregation for cell counts, a broadcast
+    join of that kilobyte frame, and a map-only keep predicate — no
+    data-sized shuffle at all. Rows with NULL id, NULL vector, or wrong
+    dimension are dropped (they can neither hash nor project).
+
+    Output: the input columns plus ``cell`` (BIGINT band key) and
+    ``cell_n`` (exact pre-sampling population of the row's cell, kept
+    for observability: ``cell_n`` vs survivors per cell IS the
+    flattening report).
+
+    The reference engine has no sampling surface; within this engine,
+    :func:`stratified_sample` rebalances by a LABEL column — this is
+    its twin for when the "stratum" only exists in embedding space.
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+    from cassandra_diff_spark.functions.vectors import quantize
+    from cassandra_diff_spark.operators.similarity import hyperplane_band_keys
+
+    if target_per_cell <= 0:
+        raise ValueError(f"target_per_cell must be positive, got {target_per_cell}")
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == int(dim))
+    )
+    key = F.element_at(
+        hyperplane_band_keys(
+            quantize(F.col(vec_col)), int(dim), n_planes=int(n_planes), n_bands=1
+        ),
+        1,
+    )
+    cells = base.withColumn("cell", key)
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    h = (
+        md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}")))
+        % 1_000_000
+    )
+    return (
+        cells.join(F.broadcast(counts), "cell")
+        .filter(h * F.col("cell_n") < int(target_per_cell) * 1_000_000)
+        .select(*df.columns, "cell", "cell_n")
+    )
+
+
+def phrase_blocklist(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: Sequence[str],
+) -> DataFrame:
+    """C4-style phrase blocklist screen — the "bad words list" step
+    every public web-corpus recipe runs (C4 dropped any page containing
+    a phrase from the banned list; policy pages, boilerplate legal
+    walls, and spam templates are caught the same way): per document,
+    which of the listed PHRASES occur as case-insensitive substrings.
+
+    Deliberately substring containment, not tokenized word match —
+    blocklist entries are multi-word phrases ("lorem ipsum", "click
+    here to subscribe") and must match across whitespace exactly as
+    written; the single-word/token form is :func:`...text.stopword_hits`
+    with a custom list. Containment via ``contains`` keeps BOTH engines
+    on plain byte search — no regex dialect, no metacharacter escaping
+    divergence.
+
+    MAP-ONLY: the phrase list is a tiny literal array folded into one
+    Catalyst projection (``F.exists`` / per-phrase ``contains`` over
+    the lowercased text) — no join, no shuffle, no Python; at 100 TB
+    this is a scan-time predicate like every other quality flag.
+
+    Output: ``(id, n_phrases_hit, blocked)`` — distinct phrases
+    matched and the C4 drop decision (any hit). NULL text hits
+    nothing (``blocked`` false, not NULL: the gate is a keep/drop
+    decision and an unreadable document is C4-kept, matching the
+    reference recipe which only dropped on positive evidence).
+    """
+    pl = [p.lower() for p in phrases]
+    if not pl or any(not p for p in pl):
+        raise ValueError(f"phrases must be non-empty strings, got {phrases!r}")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.array(*[F.lit(p) for p in pl])
+    hits = F.size(F.filter(arr, lambda p: F.contains(low, p)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        hits.cast("long").alias("n_phrases_hit"),
+        (hits > 0).alias("blocked"),
     )

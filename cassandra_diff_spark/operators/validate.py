@@ -539,3 +539,66 @@ def profile_drift(cur: DataFrame, ref: DataFrame) -> DataFrame:
         (~F.col("cur_min").eqNullSafe(F.col("ref_min"))).alias("min_changed"),
         (~F.col("cur_max").eqNullSafe(F.col("ref_max"))).alias("max_changed"),
     )
+
+
+def spearman_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Spearman rank correlation matrix — the monotone-association
+    member of the profiling family (:func:`numeric_correlations` is
+    linear Pearson; MI/chi2/Cramer's V are categorical): robust to
+    outliers and to any monotone rescaling, so it answers "do these
+    columns still move together" even when a unit change or a heavy
+    tail wrecks the Pearson number.
+
+    Exact to the bit in any engine, because nothing here is
+    approximate: ties get textbook AVERAGE ranks, carried as the
+    INTEGER ``2*avg_rank = 2*(#rows < v) + count(v) + 1``, and the
+    correlation of the doubled ranks (invariant to the doubling) runs
+    through :func:`numeric_correlations`' exact ``decimal(38,0)``
+    moment machinery at ``scale=1`` — doubled ranks are already
+    integers, so quantization is the identity.
+
+    Scale shape: the naive formulation ranks with a GLOBAL window — a
+    single-task sort of the whole table. Instead each column builds a
+    value->rank MAP at distinct-VALUE cardinality (one map-side-combined
+    groupBy + a cumulative window over the tiny distinct frame — the
+    ``stats`` quantile discipline) and the data joins each kilobyte-ish
+    map back by value (broadcast when small, hash join at worst). The
+    k rank maps are built over the SAME listwise-complete row set, so
+    every pair is computed over one consistent population (documented
+    semantics — pairwise deletion would rank each pair differently).
+
+    Output: ``(col_i, col_j, n, rho)`` for i <= j; ``rho`` NULL when a
+    column is constant (zero rank variance), diagonal 1.0 otherwise.
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols}")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.select(*cols)
+    ranked = base
+    for i, c in enumerate(cols):
+        vals = base.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        rmap = vals.select(
+            "__v",
+            (
+                2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+                + F.col("__cnt")
+                + 1
+            ).cast("long").alias(f"__r{i}"),
+        )
+        ranked = ranked.join(rmap, ranked[c] == rmap["__v"], "inner").drop("__v")
+    ranked = ranked.select(
+        *[F.col(f"__r{i}").alias(cols[i]) for i in range(len(cols))]
+    )
+    out = numeric_correlations(ranked, cols, scale=1)
+    return out.select("col_i", "col_j", "n", F.col("corr").alias("rho"))

@@ -198,3 +198,202 @@ def test_classifier_score_map_only_plan(spark):
         if re.search(r"\bExchange (hash|range|rebalance)", ln)
     ]
     assert not data_exchanges, plan
+
+
+# ---------------------------------------------------------------------------
+# round 9 additions: cluster-balanced sampling, phrase blocklist, Spearman
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestClusterBalancedSample:
+    def _frame(self, spark, n=40, dim=3):
+        rows = [
+            (
+                i,
+                [((_md5_60(f"{i}:{d}") % 2001) - 1000) / 1000.0 for d in range(dim)],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_matches_pure_python_replica(self, spark):
+        from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+        from cassandra_diff_spark.operators.similarity import _plane_weight
+
+        dim, n_planes, target = 3, 4, 2
+        df = self._frame(spark, 40, dim)
+        got = {
+            r["vec_id"]: (r["cell"], r["cell_n"])
+            for r in cluster_balanced_sample(
+                df, "vec_id", "embedding", dim=dim,
+                target_per_cell=target, n_planes=n_planes, seed=7,
+            ).collect()
+        }
+
+        # replica: quantize -> sign bits over the shared plane weights
+        rows = df.collect()
+        cells = {}
+        for r in rows:
+            q = [round(float(x) * 1000) for x in r["embedding"]]
+            key = 0
+            for p in range(n_planes):
+                proj = sum(q[d] * _plane_weight(p, d) for d in range(dim))
+                if proj > 0:
+                    key |= 1 << p
+            cells[r["vec_id"]] = key
+        from collections import Counter
+
+        pop = Counter(cells.values())
+        want = {
+            i: (cells[i], pop[cells[i]])
+            for i in cells
+            if (_md5_60(f"{i}:7") % 1_000_000) * pop[cells[i]] < target * 1_000_000
+        }
+        assert got == want
+        assert 0 < len(got) < 40  # the fixture actually exercises both branches
+
+    def test_saturated_target_is_identity(self, spark):
+        from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+        df = self._frame(spark, 25)
+        out = cluster_balanced_sample(
+            df, "vec_id", "embedding", dim=3, target_per_cell=25
+        )
+        assert sorted(r["vec_id"] for r in out.collect()) == list(range(25))
+
+    def test_null_and_wrong_dim_dropped(self, spark):
+        from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+        df = spark.createDataFrame(
+            [(1, [0.5, 0.5, 0.5]), (2, None), (3, [0.1]), (None, [0.2, 0.2, 0.2])],
+            "vec_id long, embedding array<float>",
+        )
+        out = cluster_balanced_sample(
+            df, "vec_id", "embedding", dim=3, target_per_cell=10
+        ).collect()
+        assert [r["vec_id"] for r in out] == [1]
+
+    def test_validates_target(self, spark):
+        from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+        with pytest.raises(ValueError, match="target_per_cell"):
+            cluster_balanced_sample(
+                self._frame(spark, 4), "vec_id", "embedding", dim=3, target_per_cell=0
+            )
+
+
+class TestPhraseBlocklist:
+    def test_hand_case(self, spark):
+        from cassandra_diff_spark.operators.curate import phrase_blocklist
+
+        df = spark.createDataFrame(
+            [
+                (1, "Lorem IPSUM dolor sit"),        # case-insensitive hit
+                (2, "click here to subscribe now"),  # multi-word phrase hit
+                (3, "lorem ipsum and click here to subscribe"),  # both
+                (4, "loremipsum"),                   # no space -> no hit
+                (5, None),                           # null text -> kept
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: (r["n_phrases_hit"], r["blocked"])
+            for r in phrase_blocklist(
+                df, "doc_id", "text", ["lorem ipsum", "click here to subscribe"]
+            ).collect()
+        }
+        assert out == {
+            1: (1, True),
+            2: (1, True),
+            3: (2, True),
+            4: (0, False),
+            5: (0, False),
+        }
+
+    def test_validates_phrases(self, spark):
+        from cassandra_diff_spark.operators.curate import phrase_blocklist
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="phrases"):
+            phrase_blocklist(df, "doc_id", "text", [])
+        with pytest.raises(ValueError, match="phrases"):
+            phrase_blocklist(df, "doc_id", "text", ["ok", ""])
+
+
+def _ref_spearman(xs, ys):
+    """Textbook average-rank Spearman in plain floats."""
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = math.sqrt(sum((a - mx) ** 2 for a in rx))
+    dy = math.sqrt(sum((b - my) ** 2 for b in ry))
+    return None if dx == 0 or dy == 0 else num / (dx * dy)
+
+
+class TestSpearmanCorrelations:
+    def _rho(self, out, a, b):
+        for r in out:
+            if r["col_i"] == a and r["col_j"] == b:
+                return r["rho"]
+        raise KeyError((a, b))
+
+    def test_monotone_transform_is_exactly_one(self, spark):
+        from cassandra_diff_spark.operators.validate import spearman_correlations
+
+        rows = [(float(i - 7), float((i - 7) ** 3), float(7 - i)) for i in range(15)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = spearman_correlations(df, ["x", "y", "z"]).collect()
+        assert self._rho(out, "x", "y") == 1.0   # x^3 is monotone in x
+        assert self._rho(out, "x", "z") == -1.0  # exact reversal
+        assert self._rho(out, "x", "x") == 1.0
+
+    def test_ties_match_reference(self, spark):
+        from cassandra_diff_spark.operators.validate import spearman_correlations
+
+        xs = [1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0]
+        ys = [3.0, 1.0, 4.0, 4.0, 2.0, 9.0, 9.0, 9.0]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        out = spearman_correlations(df, ["x", "y"]).collect()
+        assert self._rho(out, "x", "y") == pytest.approx(
+            _ref_spearman(xs, ys), abs=1e-12
+        )
+
+    def test_constant_column_null_and_listwise_n(self, spark):
+        from cassandra_diff_spark.operators.validate import spearman_correlations
+
+        df = spark.createDataFrame(
+            [(1.0, 4.0, 2.0), (2.0, 4.0, None), (3.0, 4.0, 1.0), (4.0, 4.0, 0.0)],
+            "x double, c double, z double",
+        )
+        out = spearman_correlations(df, ["x", "c", "z"]).collect()
+        assert all(r["n"] == 3 for r in out)  # the None row is gone everywhere
+        assert self._rho(out, "x", "c") is None
+        assert self._rho(out, "x", "z") == -1.0
+
+    def test_validates_cols(self, spark):
+        from cassandra_diff_spark.operators.validate import spearman_correlations
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="at least 2"):
+            spearman_correlations(df, ["x"])
