@@ -741,6 +741,105 @@ def bpe_train(
     return merges
 
 
+def _bpe_train_local(
+    rows: list,
+    num_merges: int,
+    *,
+    min_count: int,
+    max_pair_types: int,
+    stats: list | None,
+    stats_every: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-resident merge loop over a collected ``(cnt, syms)`` word
+    table — the under-cap fast path of :func:`bpe_train_incremental`
+    (see there for the dispatch contract). Byte-identical output by
+    construction: same wrapped-string representation, the SAME
+    left-to-right non-overlapping replace (Python ``str.replace`` —
+    semantics pinned equal to Spark/DuckDB REPLACE by the engine's BPE
+    tests), same ``(count DESC, left, right)`` tie-break, and the same
+    net-delta accounting (a net-zero pair change is not a change).
+
+    The classic Sennrich fast structure: besides the pair-count dict,
+    an inverted index ``pair -> {word idx}`` makes each merge touch
+    only the words that CONTAIN the pair — per-merge work proportional
+    to affected words, with zero job-launch overhead, which is why this
+    path beats the distributed delta loop by ~1000x per merge whenever
+    the word table fits on the driver."""
+    sep = _BPE_R + _BPE_L
+
+    def pair_counts_of(s: str) -> dict:
+        sy = s[1:-1].split(sep)
+        out: dict = {}
+        for p in zip(sy, sy[1:]):
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    words_: list[list] = [[int(cnt), s] for cnt, s in rows]
+    pc: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set] = {}
+    for widx, (cnt, s) in enumerate(words_):
+        for p, k in pair_counts_of(s).items():
+            pc[p] = pc.get(p, 0) + k * cnt
+            index.setdefault(p, set()).add(widx)
+    if len(pc) > int(max_pair_types):
+        raise ValueError(
+            f"more than max_pair_types={max_pair_types} distinct symbol "
+            "pairs — the driver-side count table would not fit; raise the "
+            "cap or use bpe_train (distributed recount per merge)"
+        )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_count:
+            break
+        merges.append((rank, a, b, a + b, int(n)))
+        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+        rep = _BPE_L + a + b + _BPE_R
+        aff = list(index.get((a, b), ()))
+        net: dict = {}
+        for widx in aff:
+            cnt, s = words_[widx]
+            old = pair_counts_of(s)
+            new_s = s.replace(pat, rep)
+            new = pair_counts_of(new_s)
+            for p in old.keys() | new.keys():
+                d = (new.get(p, 0) - old.get(p, 0)) * cnt
+                if d:
+                    net[p] = net.get(p, 0) + d
+                if p not in new:
+                    ix = index.get(p)
+                    if ix is not None:
+                        ix.discard(widx)
+                        if not ix:
+                            del index[p]
+                elif p not in old:
+                    index.setdefault(p, set()).add(widx)
+            words_[widx][1] = new_s
+        n_delta = 0
+        for p, d in net.items():
+            if not d:
+                continue
+            n_delta += 1
+            c = pc.get(p, 0) + d
+            if c < 0:  # accounting must balance exactly; never heal silently
+                raise AssertionError(
+                    f"negative pair count for {p!r} after merge {rank}"
+                )
+            if c:
+                pc[p] = c
+            else:
+                pc.pop(p, None)
+        if stats is not None and (
+            rank == 1 or rank % max(int(stats_every), 1) == 0
+        ):
+            stats.append((rank, len(aff), n_delta))
+    return merges
+
+
 def bpe_train_incremental(
     df: DataFrame,
     text_col: str,
@@ -751,6 +850,7 @@ def bpe_train_incremental(
     max_pair_types: int = 5_000_000,
     stats: list | None = None,
     stats_every: int = 1,
+    driver_word_cap: int = 1_000_000,
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train` with INCREMENTAL pair counting — the path for
     real vocabularies (a 32k-merge train is 32k iterations; recounting
@@ -782,6 +882,19 @@ def bpe_train_incremental(
     discipline): past the cap, fall back to :func:`bpe_train`, which
     holds only one argmax row at a time.
 
+    HYBRID dispatch (the ``dedup_clusters`` union-find pattern): when
+    the word-TYPE table itself fits on the driver (``<=
+    driver_word_cap`` types; limit-bounded probe, ~1-2 GB of strings +
+    inverted index at the 1M default), the whole merge loop runs
+    driver-side in :func:`_bpe_train_local` — byte-identical output,
+    per-merge cost microseconds instead of a Spark job, which is the
+    difference between a 1024-merge train taking seconds and taking
+    ~0.9 s x merges of pure job-launch overhead. Word types are
+    Zipf-bounded, so even large corpora often fit; past the cap the
+    distributed delta loop below carries (its per-merge shuffle volume
+    is proportional to AFFECTED words — the 100 TB term), and
+    ``driver_word_cap=0`` forces it (tests, probes).
+
     ``stats``, if a list, receives one ``(rank, n_affected_word_types,
     n_delta_pair_types)`` tuple per sampled merge — the work-
     proportionality evidence. The affected count costs one extra job
@@ -803,6 +916,21 @@ def bpe_train_incremental(
     the 100 TB regime where it is the only viable path.
     """
     base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
+    if driver_word_cap:
+        head = base.limit(int(driver_word_cap) + 1).collect()
+        if len(head) <= int(driver_word_cap):
+            try:
+                return _bpe_train_local(
+                    [(r.cnt, r.syms) for r in head],
+                    num_merges,
+                    min_count=min_count,
+                    max_pair_types=max_pair_types,
+                    stats=stats,
+                    stats_every=stats_every,
+                )
+            finally:
+                base.unpersist()
+        del head  # over cap: fall through to the distributed delta loop
     cur = base
     seed = (
         bpe_pair_counts(cur).limit(int(max_pair_types) + 1).collect()

@@ -593,16 +593,23 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     # r8 #1): r8 adjudicated the 128-merge/50k-type comparison as
     # job-overhead-bound (59 vs 55 s — a wash). This section runs the
     # regime the trainer exists for: >=1024 merges over >=500k word
-    # types (env-tunable). The batch path's per-merge cost is a FULL
-    # pair-type recount — constant by construction — so it is measured
-    # over two prefixes (16 and 64 merges) and extrapolated from the
-    # marginal cost, clearly labeled as such; running batch to 1024
-    # outright would be ~15 min of bench for a number the marginal
-    # cost already determines. The incremental path runs all merges
-    # for real, with the affected-word-fraction trend sampled every 64
-    # merges (the work-proportionality evidence: per-merge delta work
-    # collapses once merges leave the Zipf head, while batch recount
-    # cost never drops).
+    # types (env-tunable), through the r9 HYBRID — at this word count
+    # the table fits the driver cap, so the full merge schedule runs as
+    # dict/index updates (the engine's real decision; ~0.06 s/merge
+    # measured, incl. the one corpus-sized seed pass), while the
+    # OVER-CAP distributed delta loop is measured separately on a
+    # 128-merge prefix with driver_word_cap=0 (its per-merge wall time
+    # in local mode is job-launch-bound; what scales is its shuffle
+    # volume, which the affected-word trend bounds). The batch path's
+    # per-merge cost is a FULL pair-type recount — constant by
+    # construction — so it is measured over two prefixes (16 and 64
+    # merges) and extrapolated from the marginal cost, clearly labeled
+    # as such; running batch to 1024 outright would be ~15 min of bench
+    # for a number the marginal cost already determines. The
+    # affected-word-fraction trend is sampled every 64 merges (the
+    # work-proportionality evidence: per-merge delta work collapses
+    # once merges leave the Zipf head, while batch recount cost never
+    # drops).
     bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "1024"))
     bpe_types = int(os.environ.get("SPARK_GRAFT_BPE_TYPES", "560000"))
     if bpe_merges > 0 and bpe_types > 0:
@@ -644,6 +651,10 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         out["bpe_seed_pair_types"] = bpe_pair_counts(wc).count()
         out["bpe_gen_sec"] = round(time.time() - t0, 2)
 
+        # the engine's REAL path at this word count: hybrid dispatch
+        # routes a 560k-type table driver-side, so all bpe_merges run
+        # as dict/index updates — measured 1024 merges in ~64 s where
+        # the distributed loop pays ~0.6-1.0 s of job launch per merge
         t0 = time.time()
         bpe_stats: list = []
         inc = bpe_train_incremental(
@@ -664,6 +675,26 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
             out["bpe_affected_frac_last"] = round(bpe_stats[-1][1] / wt, 6)
         _section_end(spark)
 
+        # the OVER-CAP path (a real 100 TB corpus can exceed any driver
+        # word cap): the distributed delta loop, driver_word_cap=0, at
+        # a prefix of the merge schedule — per-merge shuffle volume is
+        # proportional to affected words (the trend above), per-merge
+        # WALL time here is job-launch-bound (local mode's floor)
+        dist_merges = int(os.environ.get("SPARK_GRAFT_BPE_DIST_MERGES", "128"))
+        dist = []
+        if dist_merges > 0:
+            t0 = time.time()
+            dist = bpe_train_incremental(
+                corp, "text", dist_merges,
+                checkpoint_every=16, driver_word_cap=0,
+            )
+            out["bpe_distributed_sec"] = round(time.time() - t0, 2)
+            out["bpe_dist_merges"] = len(dist)
+            out["bpe_dist_per_merge_sec"] = round(
+                (time.time() - t0) / max(len(dist), 1), 4
+            )
+            _section_end(spark)
+
         t0 = time.time()
         bat16 = bpe_train(corp, "text", 16, checkpoint_every=16)
         t16 = time.time() - t0
@@ -682,9 +713,15 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
             / max(out["bpe_batch_extrapolated_sec"], 1e-9),
             3,
         )
-        # correctness cross-check rides free: same merges, same order
+        # correctness cross-check rides free: same merges, same order,
+        # across all THREE paths (batch recount, driver-local hybrid,
+        # distributed delta loop)
         out["bpe_paths_agree"] = (
             [m[:4] for m in bat64] == [m[:4] for m in inc[:64]]
+            and (
+                not dist
+                or [m[:4] for m in dist] == [m[:4] for m in inc[: len(dist)]]
+            )
         )
         _section_end(spark)
 

@@ -299,3 +299,64 @@ class TestIncrementalTrain:
         got = bpe_train_incremental(docs, "text", 256)
         assert len(got) == len(want) == 256 or got == want
         assert got == want
+
+
+class TestHybridDispatch:
+    """The r9 driver-resident fast path must be byte-identical to the
+    distributed delta loop — and the distributed loop must STAY pinned
+    now that the default cap routes small word tables driver-side."""
+
+    def test_local_equals_distributed_and_reference(self, corpus_df):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        texts = [t.replace("x\x01y", "") if t and "\x01" in t else t for _, t in CORPUS]
+        want = _ref_train(texts, 12)
+        local = bpe_train_incremental(corpus_df, "text", 12)  # under cap
+        dist = bpe_train_incremental(corpus_df, "text", 12, driver_word_cap=0)
+        assert local == want
+        assert dist == want
+
+    def test_stats_agree_between_paths(self, spark):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        df = spark.createDataFrame(
+            [(1, "low low low low lower lowest lowly aa bb aa")],
+            "doc_id long, text string",
+        )
+        s_local: list = []
+        s_dist: list = []
+        m1 = bpe_train_incremental(df, "text", 6, stats=s_local)
+        m2 = bpe_train_incremental(df, "text", 6, stats=s_dist, driver_word_cap=0)
+        assert m1 == m2
+        assert s_local == s_dist  # (rank, n_affected_word_types, n_delta_pair_types)
+
+    def test_overlapping_run_word(self, spark):
+        """'aaa': left-to-right non-overlapping replace must agree
+        between Python str.replace (local path) and Spark REPLACE
+        (distributed path) — the classic BPE edge case."""
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        df = spark.createDataFrame(
+            [(1, "aaa aaa aa a")], "doc_id long, text string"
+        )
+        local = bpe_train_incremental(df, "text", 8)
+        dist = bpe_train_incremental(df, "text", 8, driver_word_cap=0)
+        assert local == dist
+
+    def test_cap_boundary_routes_distributed(self, corpus_df):
+        """driver_word_cap=1 is below the fixture's word-type count, so
+        the probe collects cap+1 rows, falls through, and the
+        distributed loop must produce the same merges."""
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        assert bpe_train_incremental(
+            corpus_df, "text", 12, driver_word_cap=1
+        ) == bpe_train_incremental(corpus_df, "text", 12)
+
+    def test_local_pair_cap_fails_fast(self, corpus_df):
+        import pytest as _pytest
+
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        with _pytest.raises(ValueError, match="max_pair_types"):
+            bpe_train_incremental(corpus_df, "text", 4, max_pair_types=3)
