@@ -189,6 +189,13 @@ HEADLINE = [
     "events_transition_stream",
     "ann_ivf_kmeans_topk",
     "embedding_pca_project",
+    # round-9 additions
+    "events_decayed_counts_incremental",
+    "events_sequence_loglik",
+    "curate_classifier_score",
+    "curate_cluster_sample",
+    "curate_phrase_blocklist",
+    "profile_spearman",
 ]
 
 
