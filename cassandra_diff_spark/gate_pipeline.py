@@ -10134,3 +10134,58 @@ def _make_o_profile_spearman() -> str:
 
 QUERIES["profile_spearman"] = _q_profile_spearman
 ORACLES["profile_spearman"] = _make_o_profile_spearman()
+
+
+# ---------------------------------------------------------------------------
+# round 9: exact-k per embedding cell (pure composition, zero new code)
+
+
+def _q_curate_cell_exact_k(spark, sf_dir):
+    """EXACTLY min(3, |cell|) vectors per hyperplane cell — the
+    eval-holdout twin of curate_cluster_sample ("3 eval docs per
+    semantic neighborhood, the same 3 on every run"): the cell key
+    projection composes with sample_exact_k's scale path (per-stratum
+    counts -> ppm hash prefilter -> candidate certification -> window
+    over survivors) with zero new library code. The oracle is the
+    naive full-sort window over the replayed cell key."""
+    from cassandra_diff_spark.functions.vectors import quantize
+    from cassandra_diff_spark.operators.curate import sample_exact_k
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+    )
+    cells = emb.select(
+        "vec_id",
+        F.element_at(
+            similarity.hyperplane_band_keys(
+                quantize(F.col("embedding")), 64, n_planes=8, n_bands=1
+            ),
+            1,
+        ).alias("cell"),
+    )
+    return sample_exact_k(cells, "vec_id", "cell", 3).select("vec_id", "cell")
+
+
+_O_CURATE_CELL_EXACT_K = f"""
+WITH q0 AS (
+  SELECT vec_id, {quantize_sql('embedding')} AS qq
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+),
+c AS (SELECT vec_id, {similarity.hyperplane_band_key_sql('qq', 64, 0)} AS cell FROM q0)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY cell
+           ORDER BY ({md5_hash64_sql("vec_id::VARCHAR || ':0'")} % 1000000),
+                    vec_id
+         ) AS rn
+  FROM c
+) WHERE rn <= 3
+"""
+
+
+QUERIES["curate_cell_exact_k"] = _q_curate_cell_exact_k
+ORACLES["curate_cell_exact_k"] = _O_CURATE_CELL_EXACT_K
