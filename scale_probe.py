@@ -257,6 +257,34 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     )
     out["near_pairs_candidates_sec"] = round(time.time() - t0, 2)
 
+    # ---- cluster-balanced sampling at corpus scale (r9): the claim is
+    # "dense cells flatten to ~target survivors, no data-sized
+    # shuffle". Hash-synthetic vectors fill the 256 hyperplane cells
+    # near-uniformly (~n/256 each), so with target 2000 every cell is
+    # saturated: max kept per cell should hug the target while the
+    # pre-sampling max population sits ~2x above it.
+    t0 = time.time()
+    from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+    samp = cluster_balanced_sample(
+        corpus, "vec_id", "embedding", dim=DIM, target_per_cell=2000
+    )
+    per_cell = samp.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("kept"), F.first("cell_n").alias("cell_n")
+    )
+    srow = per_cell.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.max("cell_n").alias("max_cell_n"),
+        F.max("kept").alias("max_kept"),
+        F.sum("kept").alias("total_kept"),
+    ).first()
+    out["cluster_sample_sec"] = round(time.time() - t0, 2)
+    out["cluster_sample_cells"] = int(srow["cells"])
+    out["cluster_sample_max_cell_n"] = int(srow["max_cell_n"])
+    out["cluster_sample_max_kept"] = int(srow["max_kept"])
+    out["cluster_sample_total_kept"] = int(srow["total_kept"])
+    _section_end(spark)
+
     # ---- prefix-filter exact Jaccard join at corpus scale: the r8
     # operator's claim is "subquadratic by THEOREM" — candidates only
     # from each side's rarest (1-t) token fraction, losslessly. The

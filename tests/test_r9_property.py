@@ -397,3 +397,24 @@ class TestSpearmanCorrelations:
         df = spark.createDataFrame([(1.0,)], "x double")
         with pytest.raises(ValueError, match="at least 2"):
             spearman_correlations(df, ["x"])
+
+
+def test_phrase_blocklist_map_only_plan(spark):
+    """The C4 screen must stay a scan-time predicate: no Exchange, no
+    Python eval in the executed plan (the classifier_score discipline)."""
+    import re
+
+    from cassandra_diff_spark.operators.curate import phrase_blocklist
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(10)], "doc_id long, text string"
+    )
+    out = phrase_blocklist(df, "doc_id", "text", ["lorem ipsum", "bad phrase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    data_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|rebalance)", ln)
+    ]
+    assert not data_exchanges, plan
