@@ -196,6 +196,7 @@ HEADLINE = [
     "curate_cluster_sample",
     "curate_phrase_blocklist",
     "profile_spearman",
+    "profile_kendall",
 ]
 
 

@@ -10189,3 +10189,53 @@ SELECT vec_id, cell FROM (
 
 QUERIES["curate_cell_exact_k"] = _q_curate_cell_exact_k
 ORACLES["curate_cell_exact_k"] = _O_CURATE_CELL_EXACT_K
+
+
+# ---------------------------------------------------------------------------
+# round 9: Kendall tau-b from the joint distribution (profiling surface)
+
+
+def _q_profile_kendall(spark, sf_dir):
+    """tau-b of (l_quantity, l_discount) — deliberately the COARSEST
+    column pair (50 x 11 = 550 joint cells, massive ties), the regime
+    tau-b exists for: concordance counted on the kilobyte cell frame
+    (never row pairs), marginal tie identities, one data-sized groupBy."""
+    from cassandra_diff_spark.operators.validate import kendall_tau
+
+    li = load(spark, sf_dir, "lineitem")
+    return kendall_tau(li, "l_quantity", "l_discount")
+
+
+_O_PROFILE_KENDALL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+),
+sf AS (
+  SELECT CAST(COALESCE(SUM(
+           CASE WHEN a.x = b.x THEN 0
+                ELSE a.c * b.c * (CASE WHEN a.y < b.y THEN 1
+                                       WHEN a.y > b.y THEN -1
+                                       ELSE 0 END) END), 0) AS BIGINT) AS s
+  FROM cells a JOIN cells b
+    ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+tx AS (SELECT CAST(COALESCE(SUM(cx * (cx - 1) // 2), 0) AS BIGINT) AS n1
+       FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT CAST(COALESCE(SUM(cy * (cy - 1) // 2), 0) AS BIGINT) AS n2
+       FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y))
+SELECT n, s, CAST(n * (n - 1) // 2 AS BIGINT) AS n0, n1, n2,
+  CASE WHEN n * (n - 1) // 2 = n1 OR n * (n - 1) // 2 = n2 THEN NULL
+       ELSE CAST(s AS DOUBLE) / sqrt(CAST(CAST(
+              (CAST(n * (n - 1) // 2 AS HUGEINT) - n1)
+            * (CAST(n * (n - 1) // 2 AS HUGEINT) - n2) AS VARCHAR) AS DOUBLE))
+  END AS tau_b
+FROM tot, sf, tx, ty
+"""
+
+
+QUERIES["profile_kendall"] = _q_profile_kendall
+ORACLES["profile_kendall"] = _O_PROFILE_KENDALL

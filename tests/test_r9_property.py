@@ -418,3 +418,61 @@ def test_phrase_blocklist_map_only_plan(spark):
         if re.search(r"\bExchange (hash|range|rebalance)", ln)
     ]
     assert not data_exchanges, plan
+
+
+def _ref_kendall_tau_b(xs, ys):
+    """Textbook O(n^2) tau-b over row pairs."""
+    n = len(xs)
+    s = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            s += dx * dy
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+    n0 = n * (n - 1) // 2
+    if n0 == n1 or n0 == n2:
+        return None
+    return s / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+
+
+class TestKendallTau:
+    def test_matches_row_pair_reference(self, spark):
+        from cassandra_diff_spark.operators.validate import kendall_tau
+
+        xs = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 5.0, 8.0, 8.0, 1.0]
+        ys = [2.0, 1.0, 4.0, 4.0, 2.0, 9.0, 9.0, 9.0, 3.0, 2.0]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        row = kendall_tau(df, "x", "y").collect()[0]
+        assert row["n"] == 10 and row["n0"] == 45
+        assert row["tau_b"] == pytest.approx(_ref_kendall_tau_b(xs, ys), abs=1e-12)
+
+    def test_perfect_and_reversed(self, spark):
+        from cassandra_diff_spark.operators.validate import kendall_tau
+
+        rows = [(float(i), float(i * i), float(-i)) for i in range(12)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        assert kendall_tau(df, "x", "y").collect()[0]["tau_b"] == 1.0
+        assert kendall_tau(df, "x", "z").collect()[0]["tau_b"] == -1.0
+
+    def test_constant_column_null_and_null_rows_excluded(self, spark):
+        from cassandra_diff_spark.operators.validate import kendall_tau
+
+        df = spark.createDataFrame(
+            [(1.0, 4.0), (2.0, 4.0), (3.0, 4.0), (None, 1.0), (4.0, None)],
+            "x double, c double",
+        )
+        row = kendall_tau(df, "x", "c").collect()[0]
+        assert row["n"] == 3 and row["tau_b"] is None
+
+    def test_cell_cap_fails_fast(self, spark):
+        from cassandra_diff_spark.operators.validate import kendall_tau
+
+        df = spark.createDataFrame(
+            [(float(i), float(i % 7)) for i in range(40)], "x double, y double"
+        )
+        with pytest.raises(ValueError, match="max_cells"):
+            kendall_tau(df, "x", "y", max_cells=10)
