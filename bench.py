@@ -197,6 +197,7 @@ HEADLINE = [
     "curate_phrase_blocklist",
     "profile_spearman",
     "profile_kendall",
+    "profile_theils_u",
 ]
 
 

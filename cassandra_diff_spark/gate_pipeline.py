@@ -10239,3 +10239,67 @@ FROM tot, sf, tx, ty
 
 QUERIES["profile_kendall"] = _q_profile_kendall
 ORACLES["profile_kendall"] = _O_PROFILE_KENDALL
+
+
+# ---------------------------------------------------------------------------
+# round 9: Theil's U (asymmetric categorical association)
+
+
+def _q_profile_theils_u(spark, sf_dir):
+    """U both ways over the (status, priority) pair the MI/chi2/V gates
+    profile — the asymmetric view those symmetric measures blur: the
+    same integer micro-nat terms, two exact milli divisions."""
+    from cassandra_diff_spark.operators.stats import theils_u
+
+    o = load(spark, sf_dir, "orders")
+    return theils_u(o, "o_orderstatus", "o_orderpriority")
+
+
+_O_PROFILE_THEILS_U = """
+WITH j AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+         CAST(o_orderpriority AS VARCHAR) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cab
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS n FROM j),
+m AS (
+  SELECT cab,
+         CAST(SUM(cab) OVER (PARTITION BY a) AS BIGINT) AS ca,
+         CAST(SUM(cab) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         (SELECT n FROM tot) AS n
+  FROM j
+),
+mi AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+                   / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+              * 1e6) AS BIGINT)) AS BIGINT) AS mi_micronat
+  FROM m
+),
+ha AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+         AS BIGINT) AS ha_micronat
+  FROM (SELECT SUM(cab) AS c, (SELECT n FROM tot) AS n FROM j GROUP BY a)
+),
+hb AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+         AS BIGINT) AS hb_micronat
+  FROM (SELECT SUM(cab) AS c, (SELECT n FROM tot) AS n FROM j GROUP BY b)
+)
+SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+       n AS n_rows, mi_micronat, ha_micronat, hb_micronat,
+       CASE WHEN ha_micronat <= 0 THEN NULL
+            ELSE (greatest(mi_micronat, 0) * 1000) // ha_micronat END
+         AS u_a_given_b_milli,
+       CASE WHEN hb_micronat <= 0 THEN NULL
+            ELSE (greatest(mi_micronat, 0) * 1000) // hb_micronat END
+         AS u_b_given_a_milli
+FROM tot, mi, ha, hb
+"""
+
+
+QUERIES["profile_theils_u"] = _q_profile_theils_u
+ORACLES["profile_theils_u"] = _O_PROFILE_THEILS_U

@@ -1064,3 +1064,98 @@ def js_distance_numeric(
         F.col("__bin").cast("string").alias("token"), F.col("__c").alias("n")
     )
     return js_divergence(ha, hb)
+
+
+def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Theil's uncertainty coefficient both ways — the ASYMMETRIC
+    member of the categorical association family (MI says "how much do
+    these columns share", Cramer's V normalizes it symmetrically; U
+    answers the directional question "what fraction of A's entropy
+    does knowing B remove" — U(A|B) = MI / H(A), and U(B|A) differs
+    whenever the marginals do). The classic use: a 5-value status
+    column may be fully determined by a 1000-value code column
+    (U(status|code)=1) while the code stays almost unpredictable from
+    status (U(code|status)~0) — symmetric measures blur exactly this.
+
+    Exactness: the SAME per-term integer micro-nat discipline as
+    :func:`mutual_info` / :func:`column_entropy` (each cell / marginal
+    term rounded to ``1e-6`` nats BEFORE the order-free integer sum),
+    then each coefficient is ONE exact integer division
+    ``(mi * 1000) div h`` — milli-units, bit-identical in any engine.
+    NULL is a category on both axes; a constant column (H = 0) yields
+    NULL for its coefficient (0/0 has no information-theoretic answer).
+
+    Scale shape: identical to :func:`mutual_info` — ONE data-sized
+    shuffle for the joint (a, b) counts; marginal counts AND marginal
+    entropies come from windows/groupBys over the ≤ |A|x|B| joint
+    frame; everything after is kilobyte one-row frames composed by
+    broadcast crossJoins.
+
+    Output: one row ``(col_a, col_b, n_rows, mi_micronat, ha_micronat,
+    hb_micronat, u_a_given_b_milli, u_b_given_a_milli)``.
+    """
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .persist()
+    )
+    total = joint.agg(F.sum("cab").cast("long").alias("n"))
+    ca = F.sum("cab").over(Window.partitionBy("__a"))
+    cb = F.sum("cab").over(Window.partitionBy("__b"))
+    cab_d = F.col("cab").cast("double")
+    n_d = F.col("n").cast("double")
+    mi_term = F.round(
+        (cab_d / n_d)
+        * F.log(
+            (cab_d * n_d)
+            / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    mi = (
+        joint.select("cab", ca.alias("ca"), cb.alias("cb"))
+        .crossJoin(F.broadcast(total))
+        .agg(F.sum(mi_term).cast("long").alias("mi_micronat"))
+    )
+
+    def _h(group_col: str, alias: str):
+        marg = joint.groupBy(group_col).agg(F.sum("cab").alias("c"))
+        c_d = F.col("c").cast("double")
+        term = F.round((c_d / n_d) * F.log(n_d / c_d) * F.lit(1e6)).cast("long")
+        return (
+            marg.crossJoin(F.broadcast(total))
+            .agg(F.sum(term).cast("long").alias(alias))
+        )
+
+    out = (
+        total.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(_h("__a", "ha_micronat")))
+        .crossJoin(F.broadcast(_h("__b", "hb_micronat")))
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            F.col("n").alias("n_rows"),
+            "mi_micronat",
+            "ha_micronat",
+            "hb_micronat",
+            # greatest(mi, 0): per-term rounding can leave a hair-negative
+            # integer MI on independent columns, and negative `div`
+            # TRUNCATES in Spark but FLOORS in DuckDB — clamping keeps U
+            # in its defined [0,1] range AND keeps both engines identical
+            F.when(F.col("ha_micronat") <= 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(greatest(mi_micronat, 0) * 1000) div ha_micronat")
+            )
+            .alias("u_a_given_b_milli"),
+            F.when(F.col("hb_micronat") <= 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(greatest(mi_micronat, 0) * 1000) div hb_micronat")
+            )
+            .alias("u_b_given_a_milli"),
+        )
+    )
+    return out

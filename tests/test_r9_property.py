@@ -476,3 +476,64 @@ class TestKendallTau:
         )
         with pytest.raises(ValueError, match="max_cells"):
             kendall_tau(df, "x", "y", max_cells=10)
+
+
+def _ref_theils_u(pairs):
+    """(mi_micronat, ha, hb, ua_milli, ub_milli) with the engine's
+    per-term integer rounding."""
+    from collections import Counter
+
+    n = len(pairs)
+    jc = Counter(pairs)
+    ac = Counter(a for a, _ in pairs)
+    bc = Counter(b for _, b in pairs)
+    mi = sum(
+        round((c / n) * math.log(c * n / (ac[a] * bc[b])) * 1e6)
+        for (a, b), c in jc.items()
+    )
+    ha = sum(round((c / n) * math.log(n / c) * 1e6) for c in ac.values())
+    hb = sum(round((c / n) * math.log(n / c) * 1e6) for c in bc.values())
+    ua = None if ha <= 0 else (max(mi, 0) * 1000) // ha
+    ub = None if hb <= 0 else (max(mi, 0) * 1000) // hb
+    return mi, ha, hb, ua, ub
+
+
+class TestTheilsU:
+    def test_matches_reference_and_is_asymmetric(self, spark):
+        from cassandra_diff_spark.operators.stats import theils_u
+
+        # status fully determined by code; code barely predictable from
+        # status -> U(status|code) = 1000, U(code|status) << 1000
+        pairs = [(f"s{i % 3}", f"c{i}") for i in range(12)] * 2
+        df = spark.createDataFrame(pairs, "a string, b string")
+        row = theils_u(df, "a", "b").collect()[0]
+        mi, ha, hb, ua, ub = _ref_theils_u(pairs)
+        assert (
+            row["mi_micronat"],
+            row["ha_micronat"],
+            row["hb_micronat"],
+            row["u_a_given_b_milli"],
+            row["u_b_given_a_milli"],
+        ) == (mi, ha, hb, ua, ub)
+        assert row["u_a_given_b_milli"] == 1000  # fully determined
+        assert row["u_b_given_a_milli"] < 500    # far from it
+
+    def test_constant_column_null_and_null_category(self, spark):
+        from cassandra_diff_spark.operators.stats import theils_u
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q"), ("x", None)], "a string, b string"
+        )
+        row = theils_u(df, "a", "b").collect()[0]
+        assert row["u_a_given_b_milli"] is None  # H(a) = 0
+        assert row["u_b_given_a_milli"] == 0     # MI = 0, H(b) > 0
+        assert row["n_rows"] == 3                # NULL b is a category
+
+    def test_independent_columns_clamp_to_zero(self, spark):
+        from cassandra_diff_spark.operators.stats import theils_u
+
+        pairs = [(f"a{i % 2}", f"b{j % 3}") for i in range(2) for j in range(3)] * 5
+        df = spark.createDataFrame(pairs, "a string, b string")
+        row = theils_u(df, "a", "b").collect()[0]
+        assert row["u_a_given_b_milli"] == 0
+        assert row["u_b_given_a_milli"] == 0
