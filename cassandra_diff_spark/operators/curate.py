@@ -1531,6 +1531,7 @@ def cluster_balanced_sample(
     target_per_cell: int,
     n_planes: int = 8,
     seed: int = 0,
+    cells: "DataFrame | None" = None,
 ) -> DataFrame:
     """Embedding-cluster-balanced downsampling — the diversity-sampling
     primitive of a training-data build ("cap every semantic neighborhood
@@ -1568,6 +1569,15 @@ def cluster_balanced_sample(
     The reference engine has no sampling surface; within this engine,
     :func:`stratified_sample` rebalances by a LABEL column — this is
     its twin for when the "stratum" only exists in embedding space.
+
+    ``cells``: optionally a precomputed ``(id, cell)`` assignment frame
+    (an ``ivf_index`` inverted-list assignment for trained k-means
+    cells, a domain label, any clustering) — the hyperplane projection
+    is skipped and the keep/count machinery runs on the supplied cells
+    (one hash join at assignment cardinality replaces the map-only
+    projection; rows without an assignment are dropped). The hyperplane
+    default needs no training and no versioned artifact; trained cells
+    trade that for semantically tighter neighborhoods.
     """
     from cassandra_diff_spark.functions.text import md5_hash64
     from cassandra_diff_spark.functions.vectors import quantize
@@ -1580,13 +1590,20 @@ def cluster_balanced_sample(
         & F.col(vec_col).isNotNull()
         & (F.size(F.col(vec_col)) == int(dim))
     )
-    key = F.element_at(
-        hyperplane_band_keys(
-            quantize(F.col(vec_col)), int(dim), n_planes=int(n_planes), n_bands=1
-        ),
-        1,
-    )
-    cells = base.withColumn("cell", key)
+    if cells is not None:
+        asg = cells.select(
+            F.col(cells.columns[0]).alias("__cid"),
+            F.col(cells.columns[1]).alias("cell"),
+        )
+        cells = base.join(asg, base[id_col] == asg["__cid"], "inner").drop("__cid")
+    else:
+        key = F.element_at(
+            hyperplane_band_keys(
+                quantize(F.col(vec_col)), int(dim), n_planes=int(n_planes), n_bands=1
+            ),
+            1,
+        )
+        cells = base.withColumn("cell", key)
     counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
     h = (
         md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}")))

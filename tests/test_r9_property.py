@@ -537,3 +537,33 @@ class TestTheilsU:
         row = theils_u(df, "a", "b").collect()[0]
         assert row["u_a_given_b_milli"] == 0
         assert row["u_b_given_a_milli"] == 0
+
+
+def test_cluster_balanced_sample_precomputed_cells(spark):
+    """cells=(id, cell) frame: the keep decision must be identical to
+    the hyperplane path given the same assignment, and unassigned rows
+    drop."""
+    from cassandra_diff_spark.operators.curate import cluster_balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, [0.1 * i, -0.2, 0.3]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    asg = spark.createDataFrame(
+        [(i, i % 3) for i in range(18)], "vid long, grp long"
+    )
+    out = cluster_balanced_sample(
+        df, "vec_id", "embedding", dim=3, target_per_cell=4, seed=1, cells=asg
+    ).collect()
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"{i}:1".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    pop = {g: 6 for g in range(3)}  # 18 ids over 3 cells
+    want = {
+        i: (i % 3, 6) for i in range(18) if h(i) * pop[i % 3] < 4 * 1_000_000
+    }
+    got = {r["vec_id"]: (r["cell"], r["cell_n"]) for r in out}
+    assert got == want
+    assert 18 not in got and 19 not in got  # unassigned rows dropped
