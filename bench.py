@@ -198,6 +198,7 @@ HEADLINE = [
     "profile_spearman",
     "profile_kendall",
     "profile_theils_u",
+    "eval_calibration",
 ]
 
 

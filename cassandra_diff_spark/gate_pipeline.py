@@ -10303,3 +10303,94 @@ FROM tot, mi, ha, hb
 
 QUERIES["profile_theils_u"] = _q_profile_theils_u
 ORACLES["profile_theils_u"] = _O_PROFILE_THEILS_U
+
+
+# ---------------------------------------------------------------------------
+# round 9: classifier calibration bins (reliability diagram)
+
+
+def _q_eval_calibration(spark, sf_dir):
+    """Calibration of the hashed-ngram classifier's micro-logits
+    against a deterministic text property (doc language == 'en'):
+    8 fixed integer bins over [-40000, 40000), exact per-bin positive
+    rates — the 'does the score mean anything' report that belongs
+    next to the confusion/kappa gates. Everything integer; the scorer
+    and the labels replay in SQL."""
+    from cassandra_diff_spark.operators.curate import classifier_score
+    from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+    docs = _docs(spark, sf_dir)
+    model = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                md5_hash64(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("long").alias("weight_u"),
+    )
+    scored = classifier_score(
+        docs, "doc_id", "text", model, n_buckets=_CLS_BUCKETS
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        scored["id"] == F.col("doc_id"),
+    )
+    return calibration_bins(
+        labeled, "logit_u", "is_en", n_bins=8, lo=-40_000, hi=40_000
+    )
+
+
+_O_EVAL_CALIBRATION = f"""
+WITH wm AS (
+  SELECT i AS bucket,
+         ({md5_hash64_sql("'w' || CAST(i AS VARCHAR)")} % 2001) - 1000 AS w
+  FROM range({_CLS_BUCKETS}) t(i)
+),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') END AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           [ws[i] || chr(31) || ws[i+1] for i in range(1, len(ws))]
+         ) AS fs
+  FROM arr
+),
+f AS (SELECT doc_id, unnest(fs) AS feat FROM feats),
+lp AS (
+  SELECT f.doc_id, COALESCE(wm.w, 0) AS w
+  FROM f LEFT JOIN wm ON wm.bucket = {md5_hash64_sql('f.feat')} % {_CLS_BUCKETS}
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS lg FROM lp GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, CAST(COALESCE(g.lg, 0) AS BIGINT) AS logit_u,
+         (d.lang = 'en') AS is_en
+  FROM documents d LEFT JOIN agg g USING (doc_id)
+  WHERE d.lang IS NOT NULL
+),
+binned AS (
+  SELECT CAST(least(7, greatest(0,
+           (logit_u - (-40000)) * 8 // 80000)) AS BIGINT) AS bin,
+         logit_u, CAST(is_en AS INT) AS l
+  FROM scored
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l) AS BIGINT) AS n_pos,
+       CAST(SUM(logit_u) AS BIGINT) AS score_sum,
+       CAST((SUM(l) * 1000) // COUNT(*) AS BIGINT) AS pos_per_mille
+FROM binned GROUP BY bin
+"""
+
+
+QUERIES["eval_calibration"] = _q_eval_calibration
+ORACLES["eval_calibration"] = _O_EVAL_CALIBRATION

@@ -578,3 +578,67 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str) -> DataFrame:
             ),
         ).alias("kappa_micro"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Reliability-diagram bins for an integer score against a boolean
+    label — the calibration leg of classifier QA (confusion/kappa say
+    WHETHER the model is right; calibration says whether its SCORE
+    means what it claims: in a well-calibrated model the positive rate
+    climbs monotonically with the score bin, and a flat tail screams
+    "threshold on this at your peril"). Built for
+    ``curate.classifier_score``'s integer micro-logits but any integer
+    score works (quality_milli, lm scores).
+
+    Bin assignment is pure integer arithmetic on a FIXED [lo, hi)
+    grid — ``least(n_bins-1, greatest(0, (score-lo)*n_bins div
+    (hi-lo)))`` — so the same score lands in the same bin in any
+    engine; out-of-range scores clamp to the edge bins (the clamps also
+    neutralize the negative-integer-division truncate-vs-floor engine
+    divergence: any negative quotient clamps to 0 regardless of
+    rounding direction). Quantile-based bin edges would depend on the
+    data and the engine's quantile algorithm; fixed edges are the
+    reproducible choice and the caller knows the score scale.
+
+    One map-side-combined groupBy at ``n_bins`` cardinality — nothing
+    else touches the data. Rows with NULL score or NULL label are
+    excluded (an unlabeled row calibrates nothing).
+
+    Output per non-empty bin: ``(bin, n, n_pos, score_sum,
+    pos_per_mille)`` — all exact integers (``pos_per_mille = n_pos*1000
+    div n``); ``score_sum`` lets the caller derive exact mean scores.
+    """
+    n_bins = int(n_bins)
+    lo, hi = int(lo), int(hi)
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    s = F.col(score_col).cast("long")
+    raw = F.expr(
+        f"(CAST({score_col} AS BIGINT) - {lo}) * {n_bins} div {hi - lo}"
+    )
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    return (
+        df.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            bin_.alias("bin"),
+            s.alias("__s"),
+            F.col(label_col).cast("boolean").cast("int").alias("__l"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__l").cast("long").alias("n_pos"),
+            F.sum("__s").cast("long").alias("score_sum"),
+        )
+        .withColumn("pos_per_mille", F.expr("(n_pos * 1000) div n"))
+    )

@@ -567,3 +567,40 @@ def test_cluster_balanced_sample_precomputed_cells(spark):
     got = {r["vec_id"]: (r["cell"], r["cell_n"]) for r in out}
     assert got == want
     assert 18 not in got and 19 not in got  # unassigned rows dropped
+
+
+class TestCalibrationBins:
+    def test_hand_case_and_clamps(self, spark):
+        from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+        rows = [
+            (-50, True),   # below lo -> bin 0
+            (0, False),    # [0,25) -> bin 2 of [-50,50)/4
+            (10, True),    # bin 2
+            (24, True),    # bin 2
+            (25, False),   # bin 3
+            (99, True),    # above hi -> clamps to bin 3
+            (None, True),  # dropped
+            (30, None),    # dropped
+        ]
+        df = spark.createDataFrame(rows, "s long, l boolean")
+        out = {
+            r["bin"]: (r["n"], r["n_pos"], r["score_sum"], r["pos_per_mille"])
+            for r in calibration_bins(
+                df, "s", "l", n_bins=4, lo=-50, hi=50
+            ).collect()
+        }
+        assert out == {
+            0: (1, 1, -50, 1000),
+            2: (3, 2, 34, 666),
+            3: (2, 1, 124, 500),  # the (30, None) row is dropped
+        }
+
+    def test_validates_args(self, spark):
+        from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+        df = spark.createDataFrame([(1, True)], "s long, l boolean")
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_bins(df, "s", "l", n_bins=0, lo=0, hi=10)
+        with pytest.raises(ValueError, match="hi > lo"):
+            calibration_bins(df, "s", "l", n_bins=4, lo=10, hi=10)
