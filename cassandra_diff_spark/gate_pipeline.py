@@ -10337,6 +10337,11 @@ def _q_eval_calibration(spark, sf_dir):
         docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
         scored["id"] == F.col("doc_id"),
     )
+    # persist the NARROW (score, label) frame: Catalyst inlines the
+    # logit aggregate into every downstream reference (filter + __s +
+    # bin), tripling the scorer's cost — the prefix_jaccard cached-
+    # frame precedent; released by bench's per-query cache hygiene
+    labeled = labeled.select("logit_u", "is_en").persist()
     return calibration_bins(
         labeled, "logit_u", "is_en", n_bins=8, lo=-40_000, hi=40_000
     )
