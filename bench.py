@@ -199,6 +199,7 @@ HEADLINE = [
     "profile_kendall",
     "profile_theils_u",
     "eval_calibration",
+    "vocab_encode_join",
 ]
 
 

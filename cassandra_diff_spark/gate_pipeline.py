@@ -10399,3 +10399,37 @@ FROM binned GROUP BY bin
 
 QUERIES["eval_calibration"] = _q_eval_calibration
 ORACLES["eval_calibration"] = _O_EVAL_CALIBRATION
+
+
+# ---------------------------------------------------------------------------
+# round 9: hash-join document encode (real-vocabulary scale path)
+
+
+def _q_vocab_encode_join(spark, sf_dir):
+    """The real-vocabulary encode path (broadcast HASH join + one
+    integer-stream regroup — O(1) per token where the map path's
+    element_at linearly scans the vocab) over the SAME top-20 vocab and
+    document slice as vocab_encode_documents, gated by the SAME oracle:
+    the two plans must be indistinguishable at the value level."""
+    from cassandra_diff_spark.operators.vocab import (
+        build_vocab,
+        encode_documents_join,
+    )
+
+    d = _docs(spark, sf_dir)
+    v = build_vocab(d, "text", vocab_size=20, min_count=2)
+    enc = encode_documents_join(
+        d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", v
+    )
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>")).alias(
+            "ids_str"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+QUERIES["vocab_encode_join"] = _q_vocab_encode_join
+ORACLES["vocab_encode_join"] = _O_VOCAB_ENCODE_DOCUMENTS

@@ -387,9 +387,22 @@ def bloom_filter_keys(
     """
     if m_bits < BLOOM_WORD_BITS or k < 1:
         raise ValueError(f"need m_bits >= {BLOOM_WORD_BITS} and k >= 1")
+    # densify the sparse (word, bits) frame into an INDEXED array<long>
+    # (the classifier_score lesson: element_at on a map column LINEARLY
+    # scans UnsafeMapData — k lookups x 16k-word scans per row; array
+    # element_at is O(1) and the dense bitset is ~130 KB either way)
+    n_words = (int(m_bits) + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
     bm = bloom.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
         ).alias("__bm")
     )
     out = df.filter(F.col(col).isNotNull()).crossJoin(F.broadcast(bm))
@@ -398,7 +411,8 @@ def bloom_filter_keys(
         pos = _bloom_pos_sql(i, seed, col, m_bits)
         cond = cond & (
             F.expr(
-                f"coalesce(element_at(__bm, {pos} div {BLOOM_WORD_BITS}), 0)"
+                f"element_at(__bm,"
+                f" CAST({pos} div {BLOOM_WORD_BITS} AS INT) + 1)"
                 f" & shiftleft(CAST(1 AS BIGINT),"
                 f" CAST({pos} % {BLOOM_WORD_BITS} AS INT))"
             )

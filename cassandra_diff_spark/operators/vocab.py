@@ -13,8 +13,11 @@ Scale shape (100 TB corpus):
   collapses to a single map-typed row, broadcast to every task, and the
   lookup is a ``transform`` over the per-document words array — the
   token stream is never exploded, never shuffled, never re-grouped.
-  (The naive posexplode -> join -> collect_list formulation shuffles
-  the full token stream TWICE; at 100 TB that is the whole job.)
+  BUT Spark evaluates ``element_at`` on a map COLUMN as a linear scan,
+  so the zero-shuffle plan pays O(|vocab|) per token — fine for small
+  vocabularies, ruinous at 32k tokens. :func:`encode_documents_join`
+  is the real-vocabulary twin: broadcast HASH join (O(1) per token) +
+  ONE regroup shuffle carrying only (doc_id, pos, id) integers.
 
 Both use the cross-engine ``words`` tokenizer from
 :mod:`cassandra_diff_spark.functions.text`, so DuckDB oracles reproduce
@@ -1046,4 +1049,90 @@ def bpe_encode_documents(
         F.col(id_col).alias("id"),
         toks.alias("tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def encode_documents_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = 0,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """:func:`encode_documents` for REAL vocabularies — identical
+    output (pytest-pinned on adversarial fixtures), different plan.
+
+    The map path's lookup is ``element_at`` on a broadcast
+    ``map<string,int>`` column, and Spark evaluates that as a LINEAR
+    scan of UnsafeMapData (the ``classifier_score`` lesson, measured
+    ~0.5 ns/entry): fine at the gate's 20-token vocab, ~16 us PER TOKEN
+    at a 32k-token vocabulary — a real tokenization pass would spend
+    essentially all its time scanning the map. Here the token stream
+    posexplodes, BROADCAST HASH-joins the vocab (a real O(1) hash
+    probe per token), and reassembles per document by sorting the
+    (position, id) structs — one shuffle carrying only
+    ``(doc_id, pos, id)`` integers, never text.
+
+    Trade: the map path moves NOTHING (zero shuffle) but pays O(|V|)
+    per token; this path pays one integer-stream shuffle but O(1) per
+    token. Crossover is around |V| ~ 1k: below, either is fine; above,
+    use this one. ``doc_id`` must be unique per document (the regroup
+    merges rows that share one — the map path encodes per row).
+
+    Edge contract (matches the map path exactly): NULL text ->
+    ``token_ids`` NULL (and NULL counters); empty/whitespace text ->
+    empty array, zero counters; unknown tokens -> ``oov_id``.
+    """
+    keeps = [F.col(c) for c in keep_cols]
+    base = df.select(
+        F.col(id_col).alias("doc_id"), *keeps, F.col(text_col).alias("__txt")
+    )
+    tok = base.select(
+        "doc_id", F.posexplode(words(F.col("__txt"))).alias("__pos", "__t")
+    )
+    vb = vocab.select(
+        F.col("token").alias("__t"), F.col("token_id").cast("int").alias("__tid")
+    )
+    assembled = (
+        tok.join(F.broadcast(vb), "__t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos").alias("p"),
+                            F.coalesce(
+                                F.col("__tid"), F.lit(int(oov_id)).cast("int")
+                            ).alias("i"),
+                        )
+                    )
+                ),
+                lambda s: s["i"],
+            ).alias("__ids")
+        )
+    )
+    return (
+        base.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            *keep_cols,
+            F.when(
+                F.length(F.trim(F.col("__txt"))) == 0,
+                F.array().cast("array<int>"),
+            )
+            .otherwise(F.col("__ids"))
+            .alias("token_ids"),
+        )
+        .select(
+            "doc_id",
+            *keep_cols,
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            F.size(
+                F.filter("token_ids", lambda i: i == F.lit(int(oov_id)))
+            ).cast("long").alias("n_oov"),
+        )
     )

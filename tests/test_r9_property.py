@@ -604,3 +604,52 @@ class TestCalibrationBins:
             calibration_bins(df, "s", "l", n_bins=0, lo=0, hi=10)
         with pytest.raises(ValueError, match="hi > lo"):
             calibration_bins(df, "s", "l", n_bins=4, lo=10, hi=10)
+
+
+class TestEncodeDocumentsJoin:
+    def test_equals_map_path_on_adversarial_fixture(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            encode_documents,
+            encode_documents_join,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat", "en"),
+                (2, "", "en"),            # empty -> empty array
+                (3, "   ", "de"),         # whitespace -> empty array
+                (4, None, None),          # NULL -> NULL ids
+                (5, "unknown words only", "fr"),
+                (6, "the the the", "en"),  # duplicates keep positions
+                (7, "cat", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        vocab = spark.createDataFrame(
+            [(1, "the"), (2, "cat"), (3, "mat")], "token_id int, token string"
+        )
+        a = {
+            r["doc_id"]: (
+                r["token_ids"],
+                r["n_tokens"],
+                r["n_oov"],
+                r["lang"],
+            )
+            for r in encode_documents(
+                docs, "doc_id", "text", vocab, oov_id=0, keep_cols=("lang",)
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (
+                r["token_ids"],
+                r["n_tokens"],
+                r["n_oov"],
+                r["lang"],
+            )
+            for r in encode_documents_join(
+                docs, "doc_id", "text", vocab, oov_id=0, keep_cols=("lang",)
+            ).collect()
+        }
+        assert a == b
+        assert a[1][0] == [1, 2, 0, 0, 1, 3]  # order preserved, OOV = 0
+        assert a[4][0] is None and a[2][0] == []
