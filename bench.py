@@ -200,6 +200,7 @@ HEADLINE = [
     "profile_theils_u",
     "eval_calibration",
     "vocab_encode_join",
+    "vocab_tfidf_join",
 ]
 
 

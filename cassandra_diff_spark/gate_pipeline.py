@@ -10433,3 +10433,28 @@ def _q_vocab_encode_join(spark, sf_dir):
 
 QUERIES["vocab_encode_join"] = _q_vocab_encode_join
 ORACLES["vocab_encode_join"] = _O_VOCAB_ENCODE_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# round 9: hash-join TF-IDF embedding (real-idf-table scale path)
+
+
+def _q_vocab_tfidf_join(spark, sf_dir):
+    """The real-idf-table twin of vocab_tfidf_embed (broadcast HASH
+    join + component-sum regroup instead of the map-column scan — the
+    encode_documents_join trap), gated by the SAME oracle: both plans
+    must be value-indistinguishable, and the vector is an order-free
+    integer sum so the regroup cannot move a bit."""
+    from cassandra_diff_spark.operators.vocab import hash_embed_tfidf_join
+
+    return hash_embed_tfidf_join(
+        _docs(spark, sf_dir), "doc_id", "text", dim=64
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("emb").cast("array<string>")).alias("emb_str"),
+        "n_tokens",
+    )
+
+
+QUERIES["vocab_tfidf_join"] = _q_vocab_tfidf_join
+ORACLES["vocab_tfidf_join"] = _O_VOCAB_TFIDF_EMBED

@@ -1136,3 +1136,104 @@ def encode_documents_join(
             ).cast("long").alias("n_oov"),
         )
     )
+
+
+def hash_embed_tfidf_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+    dfreq: Optional[DataFrame] = None,
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """:func:`hash_embed_tfidf` for REAL idf tables — identical output
+    (the vector is an order-free integer SUM, so the regroup cannot
+    change a single bit), different plan: the idf lookup becomes a
+    broadcast HASH join instead of an ``element_at`` map-column scan
+    (O(|dfreq|) per token — the :func:`encode_documents_join` trap),
+    and components assemble by ``groupBy (doc, component)`` integer
+    sums followed by a per-doc array pivot over ``dim`` entries. The
+    shuffle carries ``(doc_id, component, weight)`` integers — bounded
+    by min(tokens, docs x dim) rows after the map-side combine, never
+    text. Empty documents rejoin as zero vectors; NULL-text documents
+    are excluded (the map-path contract).
+    """
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    base = df.filter(F.col(text_col).isNotNull())
+    if dfreq is None:
+        dfreq = doc_frequencies(df, id_col, text_col)
+    if n_docs is None:
+        nrow = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    else:
+        nrow = base.sparkSession.range(1).select(
+            F.lit(int(n_docs)).cast("long").alias("__N")
+        )
+    d = int(dim)
+    tok = (
+        base.filter(F.length(F.trim(F.col(text_col))) != 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(F.col(text_col))).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            md5_hash64(F.col("__t")).alias("__h"),
+            F.col("__t"),
+        )
+    )
+    fb = dfreq.select(
+        F.col("token").alias("__t"), F.col("df").cast("long").alias("__df")
+    )
+    idf_u = F.round(
+        F.log(
+            (F.col("__N") + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1)).cast("double")
+        )
+        * LM_SCALE
+    ).cast("long")
+    signed = F.when(
+        F.pmod(F.col("__h"), F.lit(2 * d)) < F.lit(d), idf_u
+    ).otherwise(-idf_u)
+    comps = (
+        tok.join(F.broadcast(fb), "__t", "left")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id",
+            F.pmod(F.col("__h"), F.lit(d)).cast("int").alias("__c"),
+            signed.alias("__w"),
+        )
+        .groupBy("doc_id", "__c")
+        .agg(F.sum("__w").alias("__s"), F.count(F.lit(1)).alias("__k"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__c"), F.col("__s")))
+            ).alias("__m"),
+            F.sum("__k").cast("long").alias("__nt"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("__emb"),
+            "__nt",
+        )
+    )
+    return (
+        base.select(F.col(id_col).alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("__emb"),
+                F.array_repeat(F.lit(0).cast("long"), d),
+            ).alias("emb"),
+            F.coalesce(F.col("__nt"), F.lit(0).cast("long")).alias("n_tokens"),
+        )
+    )

@@ -653,3 +653,54 @@ class TestEncodeDocumentsJoin:
         assert a == b
         assert a[1][0] == [1, 2, 0, 0, 1, 3]  # order preserved, OOV = 0
         assert a[4][0] is None and a[2][0] == []
+
+
+class TestHashEmbedTfidfJoin:
+    def test_equals_map_path(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            doc_frequencies,
+            hash_embed_tfidf,
+            hash_embed_tfidf_join,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, ""),                      # zero vector
+                (3, "   "),                   # zero vector
+                (4, None),                    # excluded
+                (5, "novel tokens here"),
+                (6, "the the cat"),           # tf weighting
+            ],
+            "doc_id long, text string",
+        )
+        a = {
+            r["doc_id"]: (r["emb"], r["n_tokens"])
+            for r in hash_embed_tfidf(docs, "doc_id", "text", dim=8).collect()
+        }
+        b = {
+            r["doc_id"]: (r["emb"], r["n_tokens"])
+            for r in hash_embed_tfidf_join(docs, "doc_id", "text", dim=8).collect()
+        }
+        assert a == b
+        assert 4 not in a and a[2] == ([0] * 8, 0)
+
+        # frozen-idf path: score against a df table from a DIFFERENT corpus
+        frozen = doc_frequencies(
+            spark.createDataFrame([(9, "the cat")], "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        a2 = {
+            r["doc_id"]: (r["emb"], r["n_tokens"])
+            for r in hash_embed_tfidf(
+                docs, "doc_id", "text", dim=8, dfreq=frozen, n_docs=1
+            ).collect()
+        }
+        b2 = {
+            r["doc_id"]: (r["emb"], r["n_tokens"])
+            for r in hash_embed_tfidf_join(
+                docs, "doc_id", "text", dim=8, dfreq=frozen, n_docs=1
+            ).collect()
+        }
+        assert a2 == b2 and a2 != a
