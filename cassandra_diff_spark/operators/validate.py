@@ -541,6 +541,102 @@ def profile_drift(cur: DataFrame, ref: DataFrame) -> DataFrame:
     )
 
 
+#: Distinct values per rank bucket before another bucket is added.
+_RANK_BUCKET_ROWS = 4_096
+#: Max rank buckets — bucket assignment is a linear scan of the literal
+#: boundary array per row (JVM codegen, <=256 compares), so the cap bounds
+#: the per-row cost; 256 buckets keeps a 1e9-distinct column at ~4M
+#: distinct values per sorted task. A two-level (coarse/fine) scan would
+#: lift this to 4096 if ever needed.
+_RANK_MAX_BUCKETS = 256
+#: Sampled values per boundary (collect <= 32 * 256 = 8192 values).
+_RANK_SAMPLE_PER_BUCKET = 32
+
+
+def _rank_buckets(acd: int) -> int:
+    return int(min(_RANK_MAX_BUCKETS, max(1, acd // _RANK_BUCKET_ROWS)))
+
+
+def _split_points_from_sample(values: list, n_buckets: int) -> list:
+    """Evenly spaced order statistics of a sorted hash-sample — buckets
+    hold roughly equal DISTINCT-value counts (balance robust to
+    duplicate skew: a rank map has one row per distinct value).
+    Returns ``[]`` when the sample is too thin to split reliably."""
+    if n_buckets <= 1 or len(values) < 2 * n_buckets:
+        return []
+    step = len(values) / n_buckets
+    return [values[int(k * step)] for k in range(1, n_buckets)]
+
+
+def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
+    """``(__v, rank_alias)`` map over a (cached) distinct-value frame
+    ``(__v, __cnt)``: doubled average rank ``2*(#rows < v) + count(v)
+    + 1`` as an exact BIGINT, computed with a bucket-PARTITIONED
+    cumulative window plus broadcast cross-bucket offsets (see
+    :func:`spearman_correlations` scale notes). ``splits`` must be
+    sorted ascending; ``[]`` degrades to one bucket."""
+    from pyspark.sql import Window
+
+    if not splits:
+        # single bucket: the column's approx distinct count proved the
+        # frame small (< 2 * _RANK_BUCKET_ROWS), so one sorted task is
+        # correct AND cheap, and no cross-bucket offsets exist. The
+        # zeroed hash (non-foldable) keeps the window PARTITIONED in
+        # the plan — Catalyst folds a literal partition key away and
+        # the library invariant "no unpartitioned WindowExec" stays
+        # assertable over every spearman plan, big or small.
+        w0 = (
+            Window.partitionBy(F.pmod(F.xxhash64(F.col("__v")), F.lit(1)))
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vals.select(
+            "__v",
+            (
+                2 * F.coalesce(F.sum("__cnt").over(w0), F.lit(0))
+                + F.col("__cnt")
+                + 1
+            ).cast("long").alias(rank_alias),
+        )
+    b_arr = F.array(*[F.lit(s) for s in splits])
+    bucket = F.aggregate(
+        b_arr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("__v") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    vals = vals.withColumn("__bk", bucket)
+    w = (
+        Window.partitionBy("__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = vals.select(
+        "__v",
+        "__cnt",
+        "__bk",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__lpre"),
+    )
+    # per-bucket row totals (<= len(splits)+1 rows) -> cumulative offsets
+    # via a triangular broadcast join, NOT a window: the rank-map plan
+    # then contains no unpartitioned WindowExec at all (plan-asserted).
+    # Both this branch and the window read ``vals`` — the caller caches
+    # it for split columns, so the data aggregates exactly once.
+    tot = vals.groupBy("__bk").agg(F.sum("__cnt").alias("__t"))
+    lower = tot.select(F.col("__bk").alias("__bk2"), F.col("__t").alias("__t2"))
+    offs = (
+        tot.join(F.broadcast(lower), F.col("__bk2") < F.col("__bk"), "left")
+        .groupBy("__bk")
+        .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__off"))
+    )
+    return loc.join(F.broadcast(offs), "__bk").select(
+        "__v",
+        (2 * (F.col("__off") + F.col("__lpre")) + F.col("__cnt") + 1)
+        .cast("long")
+        .alias(rank_alias),
+    )
+
+
 def spearman_correlations(
     df: DataFrame,
     cols: Sequence[str],
@@ -563,18 +659,38 @@ def spearman_correlations(
     Scale shape: the naive formulation ranks with a GLOBAL window — a
     single-task sort of the whole table. Instead each column builds a
     value->rank MAP at distinct-VALUE cardinality (one map-side-combined
-    groupBy + a cumulative window over the tiny distinct frame — the
-    ``stats`` quantile discipline) and the data joins each kilobyte-ish
-    map back by value (broadcast when small, hash join at worst). The
-    k rank maps are built over the SAME listwise-complete row set, so
-    every pair is computed over one consistent population (documented
-    semantics — pairwise deletion would rank each pair differently).
+    groupBy per column) and the data joins each map back by value
+    (broadcast when small, hash join at worst). The cumulative
+    #less-than count inside the map is a RANGE-PARTITIONED prefix sum,
+    never a global window: TWO bounded prep jobs total size and sample
+    every column at once (an ``approx_count_distinct`` pass — HLL++ is
+    hash-based and order-free, hence deterministic — then one
+    ``collect_set`` pass gathering a <=8k-value hash-sample per
+    high-cardinality column), the sorted sample's order statistics
+    become literal split boundaries, every value gets an
+    order-preserving bucket from them, a window PARTITIONED by bucket
+    computes in-bucket prefixes, and cross-bucket offsets come from a
+    triangular broadcast join of the <=257-row per-bucket totals
+    (bucketed columns cache their distinct frame so the prefix window
+    and the totals branch share one aggregation — the
+    ``quantiles_refined`` ``tracked_cache`` discipline). A continuous
+    column with distinct ~ n (l_extendedprice: 583k distinct of 600k
+    rows at sf0.1, billions at 100 TB) therefore ranks as ~bucket-count
+    parallel sorted tasks, not one. Boundaries are literals, so bucket
+    assignment is a pure function of the value — every plan branch
+    agrees by construction (``spark_partition_id`` after
+    ``repartitionByRange`` would NOT: range boundaries re-sample per
+    exchange materialization, and two branches could disagree); and
+    ranks are EXACT for any boundary placement, so the approximate
+    sizing never touches the output. The k rank maps are built over the
+    SAME listwise-complete row set, so every pair is computed over one
+    consistent population (documented semantics — pairwise deletion
+    would rank each pair differently). Long-lived sessions should call
+    ``operators.release_caches()`` after materializing the result.
 
     Output: ``(col_i, col_j, n, rho)`` for i <= j; ``rho`` NULL when a
     column is constant (zero rank variance), diagonal 1.0 otherwise.
     """
-    from pyspark.sql import Window
-
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError(f"need at least 2 columns, got {cols}")
@@ -582,20 +698,57 @@ def spearman_correlations(
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
     base = base.select(*cols)
+    dtypes = dict(base.dtypes)
+
+    # two bounded jobs TOTAL (not per column): approx distinct counts
+    # size the bucketing (HLL++ is hash-based and order-free, so the
+    # counts — and therefore the boundaries and the exact ranks — are
+    # deterministic), then ONE pass collects a <=8k-value hash-sample
+    # per high-cardinality column via collect_set (the when() leaves
+    # non-sampled rows null, which collect_set drops).
+    acd_row = base.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    acds = {c: int(acd_row[c]) for c in cols}
+    big = [c for c in cols if _rank_buckets(acds[c]) > 1]
+    samples: dict[str, list] = {}
+    if big:
+        aggs = []
+        for c in big:
+            rate = max(
+                1, acds[c] // (_RANK_SAMPLE_PER_BUCKET * _rank_buckets(acds[c]))
+            )
+            # xxhash64, not md5: the sample only places bucket
+            # boundaries (ranks are exact for ANY boundaries), so run-
+            # determinism suffices — no cross-engine hash needed — and
+            # xxhash64 is far cheaper per row than md5+conv
+            cond = F.pmod(F.xxhash64(F.col(c)), F.lit(rate)) == 0
+            if dtypes[c] in ("float", "double"):
+                # NaN sorts greater-than-everything in Spark; keep it out
+                # of the Python sort below (NaN rows still rank — they
+                # land in the last bucket, where NaN compares greater).
+                cond = cond & ~F.isnan(F.col(c))
+            aggs.append(F.collect_set(F.when(cond, F.col(c))).alias(c))
+        samp_row = base.agg(*aggs).first()
+        for c in big:
+            samples[c] = sorted(samp_row[c])
+
+    from cassandra_diff_spark.operators import tracked_cache
+
     ranked = base
     for i, c in enumerate(cols):
+        splits = _split_points_from_sample(
+            samples.get(c, []), _rank_buckets(acds[c])
+        )
         vals = base.groupBy(F.col(c).alias("__v")).agg(
             F.count(F.lit(1)).alias("__cnt")
         )
-        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-        rmap = vals.select(
-            "__v",
-            (
-                2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-                + F.col("__cnt")
-                + 1
-            ).cast("long").alias(f"__r{i}"),
-        )
+        if splits:
+            # the bucketed rank map reads vals twice (prefix window +
+            # bucket totals); the cache materializes lazily inside the
+            # consuming action and keeps the data aggregation single-pass
+            vals = tracked_cache(vals)
+        rmap = _rank_map(vals, f"__r{i}", splits)
         ranked = ranked.join(rmap, ranked[c] == rmap["__v"], "inner").drop("__v")
     ranked = ranked.select(
         *[F.col(f"__r{i}").alias(cols[i]) for i in range(len(cols))]

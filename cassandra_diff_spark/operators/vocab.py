@@ -46,6 +46,16 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: Fail-fast ceiling for the single-task id-assignment window: the
+#: ``row_number`` sort runs over exactly ``vocab_size`` rows in one task,
+#: which is fine for any real vocabulary (GPT-2 50k, sentencepiece <=1M)
+#: but must not silently become a global sort if a caller passes a
+#: corpus-sized "vocabulary". 4M rows of (token, n) is ~100 MB in one
+#: sort task — the documented bound, same discipline as kendall_tau's
+#: max_cells.
+MAX_VOCAB_SIZE = 4_000_000
+
+
 def vocab_from_counts(
     counts: DataFrame,
     *,
@@ -58,10 +68,23 @@ def vocab_from_counts(
     path (:func:`fold_token_counts`) share.
 
     The ``row_number`` window is intentionally un-partitioned: it runs
-    AFTER the top-V cut, over exactly ``vocab_size`` rows (a vocabulary
-    is small by definition — the corpus-sized work all happened in the
-    counting aggregation).
+    AFTER the top-V cut (``orderBy + limit`` = Catalyst
+    TakeOrderedAndProject — per-partition top-V, merged once), over
+    exactly ``vocab_size`` rows (a vocabulary is small by definition —
+    the corpus-sized work all happened in the counting aggregation).
+    ``vocab_size`` is fail-fast capped at :data:`MAX_VOCAB_SIZE` so the
+    single-task window can never silently become a data-sized global
+    sort.
     """
+    if int(vocab_size) > MAX_VOCAB_SIZE:
+        raise ValueError(
+            f"vocab_size={vocab_size} exceeds MAX_VOCAB_SIZE="
+            f"{MAX_VOCAB_SIZE}: the id-assignment window sorts vocab_size "
+            "rows in ONE task by design; a larger 'vocabulary' is a "
+            "corpus-sized frame — keep the (token, n) counts frame "
+            "unfrozen (it is already globally usable via joins) or "
+            "shard ids by token hash instead"
+        )
     top = (
         counts.filter(F.col("n") >= int(min_count))
         .orderBy(F.col("n").desc(), F.col("token").asc())
