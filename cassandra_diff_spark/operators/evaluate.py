@@ -599,14 +599,16 @@ def calibration_bins(
     score works (quality_milli, lm scores).
 
     Bin assignment is pure integer arithmetic on a FIXED [lo, hi)
-    grid — ``least(n_bins-1, greatest(0, (score-lo)*n_bins div
-    (hi-lo)))`` — so the same score lands in the same bin in any
-    engine; out-of-range scores clamp to the edge bins (the clamps also
-    neutralize the negative-integer-division truncate-vs-floor engine
-    divergence: any negative quotient clamps to 0 regardless of
-    rounding direction). Quantile-based bin edges would depend on the
-    data and the engine's quantile algorithm; fixed edges are the
-    reproducible choice and the caller knows the score scale.
+    grid — ``least(n_bins-1, (clamp(score, lo, hi) - lo) * n_bins div
+    (hi-lo))`` — so the same score lands in the same bin in any
+    engine; out-of-range scores clamp to the edge bins. Clamping BEFORE
+    the multiply (not after, as a naive formulation would) keeps the
+    product inside BIGINT for scores anywhere in the int64 range and
+    leaves every ``div`` operand non-negative, so the truncate-vs-floor
+    engine divergence of negative integer division can never arise.
+    Quantile-based bin edges would depend on the data and the engine's
+    quantile algorithm; fixed edges are the reproducible choice and the
+    caller knows the score scale.
 
     One map-side-combined groupBy at ``n_bins`` cardinality — nothing
     else touches the data. Rows with NULL score or NULL label are
@@ -623,17 +625,30 @@ def calibration_bins(
     if hi <= lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     s = F.col(score_col).cast("long")
-    raw = F.expr(
-        f"(CAST({score_col} AS BIGINT) - {lo}) * {n_bins} div {hi - lo}"
-    )
-    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    # clamp the score to [lo, hi] BEFORE the multiply: (score-lo)*n_bins
+    # would overflow BIGINT for scores near the int64 extremes (the
+    # post-multiply clamp caught the sign but not the wrap), and a
+    # clamped score lands in the same edge bin the old expression
+    # targeted. Built from BOUND columns (__s below), never by splicing
+    # score_col into SQL text — a column name needing backticks must not
+    # break the expression.
+    s_cl = F.greatest(F.lit(lo).cast("long"), F.least(F.lit(hi).cast("long"), F.col("__s")))
+    raw = (s_cl - F.lit(lo)) * F.lit(n_bins)
+    bin_ = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        # exact integer floor division; operands are non-negative after
+        # the clamp so Spark's truncating div == floor div
+        F.expr(f"__raw div {hi - lo}"),
+    ).cast("long")
     return (
         df.filter(s.isNotNull() & F.col(label_col).isNotNull())
         .select(
-            bin_.alias("bin"),
             s.alias("__s"),
             F.col(label_col).cast("boolean").cast("int").alias("__l"),
         )
+        .withColumn("__raw", raw)
+        .withColumn("bin", bin_)
+        .select("bin", "__s", "__l")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

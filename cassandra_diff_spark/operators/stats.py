@@ -1103,6 +1103,9 @@ def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cab"))
         .persist()
     )
+    # persisted joint frame is dropped in the finally below — the one-row
+    # result is materialized eagerly, so nothing leaks into the session
+    # (r9 leaked one cached frame per call)
     total = joint.agg(F.sum("cab").cast("long").alias("n"))
     ca = F.sum("cab").over(Window.partitionBy("__a"))
     cb = F.sum("cab").over(Window.partitionBy("__b"))
@@ -1158,4 +1161,7 @@ def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             .alias("u_b_given_a_milli"),
         )
     )
-    return out
+    try:
+        return df.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        joint.unpersist()

@@ -806,14 +806,32 @@ def kendall_tau(
         .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    n_cells = cells.limit(int(max_cells) + 1).count()
-    if n_cells > int(max_cells):
-        raise ValueError(
-            f"more than max_cells={max_cells} distinct ({x_col}, {y_col}) "
-            "cells — the cell-pair join would no longer be kilobyte-"
-            "scale; bin or quantize the columns first (tau over bins is "
-            "tau over a coarser ordinal scale), or raise the cap"
-        )
+    # persist: the cap probe is a separate job from the final plan, and
+    # the final plan references cells from four subtrees (s/tot/tx/ty) —
+    # without the cache the data-sized groupBy re-runs up to five times
+    # (the bpe_train_incremental persist/finally pattern; the one-row
+    # result is materialized below so the cache can be dropped before
+    # returning)
+    cells = cells.persist()
+    try:
+        n_cells = cells.limit(int(max_cells) + 1).count()
+        if n_cells > int(max_cells):
+            raise ValueError(
+                f"more than max_cells={max_cells} distinct ({x_col}, {y_col}) "
+                "cells — the cell-pair join would no longer be kilobyte-"
+                "scale; bin or quantize the columns first (tau over bins is "
+                "tau over a coarser ordinal scale — see kendall_tau_binned), "
+                "or raise the cap"
+            )
+        return _kendall_from_cells(cells)
+    finally:
+        cells.unpersist()
+
+
+def _kendall_from_cells(cells: DataFrame) -> DataFrame:
+    """tau-b assembly over a (persisted) ``(x, y, c)`` cell frame; the
+    one-row result is EAGERLY materialized so the caller can unpersist
+    before returning."""
     a = cells.select(
         F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
     )
@@ -869,7 +887,7 @@ def kendall_tau(
             "n2",
         )
     )
-    return out.select(
+    out = out.select(
         "n",
         "s",
         "n0",
@@ -893,3 +911,7 @@ def kendall_tau(
         )
         .alias("tau_b"),
     )
+    # eager one-row materialization: tau is a scalar analytic, and the
+    # collect is what lets kendall_tau unpersist its cell cache before
+    # handing the result back
+    return cells.sparkSession.createDataFrame(out.collect(), out.schema)

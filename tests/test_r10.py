@@ -141,3 +141,47 @@ def test_vocab_size_fail_fast_cap(spark):
         build_vocab(docs, "text", vocab_size=MAX_VOCAB_SIZE + 1)
     # at the cap boundary the freeze still works
     assert vocab_from_counts(counts, vocab_size=10).count() == 1
+
+
+class TestAdviceR9Fixes:
+    """r9 ADVICE items: kendall/theils cache hygiene, calibration_bins
+    overflow + backtickable score column."""
+
+    def test_calibration_bins_extreme_scores_and_backticks(self, spark):
+        from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+        # 2^62-scale scores: the old (score-lo)*n_bins overflowed BIGINT
+        # before its clamp; the name needs backticks when spliced raw
+        rows = [
+            (-(2**62), True), (2**62, False), (-5, True),
+            (0, False), (9, True), (10, False),
+        ]
+        df = spark.createDataFrame(rows, "`my score` long, lab boolean")
+        got = {
+            r["bin"]: (r["n"], r["n_pos"])
+            for r in calibration_bins(
+                df, "my score", "lab", n_bins=10, lo=0, hi=10
+            ).collect()
+        }
+        assert got[0] == (3, 2)  # -2^62, -5, 0 clamp into bin 0
+        assert got[9] == (3, 1)  # 9, 10, 2^62 clamp into bin 9
+
+    def test_kendall_and_theils_do_not_leak_caches(self, spark):
+        from cassandra_diff_spark.operators.stats import theils_u
+        from cassandra_diff_spark.operators.validate import kendall_tau
+
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        k = kendall_tau(
+            spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "x long, y long"),
+            "x", "y",
+        )
+        assert k.count() == 1
+        t = theils_u(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (1, "a")], "x long, y string"
+            ),
+            "x", "y",
+        )
+        assert t.collect()[0]["u_a_given_b_milli"] == 1000
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after == before, "kendall/theils leaked a cached frame"
