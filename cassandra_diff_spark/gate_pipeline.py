@@ -10242,6 +10242,68 @@ ORACLES["profile_kendall"] = _O_PROFILE_KENDALL
 
 
 # ---------------------------------------------------------------------------
+# round 10: binned Kendall — the composition raw kendall_tau's fail-fast
+# error points at for continuous pairs
+
+
+def _q_profile_kendall_binned(spark, sf_dir):
+    """tau-b of (l_extendedprice, l_quantity) — a pair the RAW cell cap
+    rejects (extendedprice alone has ~583k distinct values at sf0.1, so
+    joint cells >> 4096): the price axis quantizes onto the 64-bin
+    equal-width grid of the weighted-quantile gates (lo=0, hi=120000),
+    quantity onto its natural integer grid, and tau runs over the 64x51
+    bin cells — documented coarser-ordinal semantics, cell count
+    bounded a priori."""
+    from cassandra_diff_spark.operators.validate import kendall_tau_binned
+
+    li = load(spark, sf_dir, "lineitem")
+    return kendall_tau_binned(
+        li, "l_extendedprice", "l_quantity",
+        x_lo=0.0, x_width=120000.0 / 64, x_bins=64,
+        y_lo=0.0, y_width=1.0, y_bins=51,
+    )
+
+
+_O_PROFILE_KENDALL_BINNED = """
+WITH cells AS (
+  SELECT LEAST(GREATEST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                              / (120000.0 / 64)), 0), 63) AS x,
+         LEAST(GREATEST(FLOOR((CAST(l_quantity AS DOUBLE) - 0.0)
+                              / 1.0), 0), 50) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+sf AS (
+  SELECT CAST(COALESCE(SUM(
+           CASE WHEN a.x = b.x THEN 0
+                ELSE a.c * b.c * (CASE WHEN a.y < b.y THEN 1
+                                       WHEN a.y > b.y THEN -1
+                                       ELSE 0 END) END), 0) AS BIGINT) AS s
+  FROM cells a JOIN cells b
+    ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+tx AS (SELECT CAST(COALESCE(SUM(cx * (cx - 1) // 2), 0) AS BIGINT) AS n1
+       FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT CAST(COALESCE(SUM(cy * (cy - 1) // 2), 0) AS BIGINT) AS n2
+       FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y))
+SELECT n, s, CAST(n * (n - 1) // 2 AS BIGINT) AS n0, n1, n2,
+  CASE WHEN n * (n - 1) // 2 = n1 OR n * (n - 1) // 2 = n2 THEN NULL
+       ELSE CAST(s AS DOUBLE) / sqrt(CAST(CAST(
+              (CAST(n * (n - 1) // 2 AS HUGEINT) - n1)
+            * (CAST(n * (n - 1) // 2 AS HUGEINT) - n2) AS VARCHAR) AS DOUBLE))
+  END AS tau_b
+FROM tot, sf, tx, ty
+"""
+
+
+QUERIES["profile_kendall_binned"] = _q_profile_kendall_binned
+ORACLES["profile_kendall_binned"] = _O_PROFILE_KENDALL_BINNED
+
+
+# ---------------------------------------------------------------------------
 # round 9: Theil's U (asymmetric categorical association)
 
 

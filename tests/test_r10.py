@@ -185,3 +185,59 @@ class TestAdviceR9Fixes:
         assert t.collect()[0]["u_a_given_b_milli"] == 1000
         after = len(spark.sparkContext._jsc.getPersistentRDDs())
         assert after == before, "kendall/theils leaked a cached frame"
+
+
+class TestKendallBinned:
+    def test_raw_cap_rejects_binned_accepts(self, spark):
+        from cassandra_diff_spark.operators.validate import (
+            kendall_tau,
+            kendall_tau_binned,
+        )
+
+        rows = [(float(i) * 1.01, float(i % 9)) for i in range(200)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        with pytest.raises(ValueError, match="bin or quantize"):
+            kendall_tau(df, "x", "y", max_cells=64)
+        out = kendall_tau_binned(
+            df, "x", "y",
+            x_lo=0.0, x_width=50.0, x_bins=5,
+            y_lo=0.0, y_width=1.0, y_bins=9,
+        ).collect()[0]
+        assert out["n"] == 200
+        # grid 5x9 = 45 cells; tau defined (both axes vary)
+        assert out["tau_b"] is not None
+
+    def test_binned_equals_raw_on_prebinned_data(self, spark):
+        """When values already sit on the grid, binning is the identity
+        and binned tau must equal raw tau exactly."""
+        from cassandra_diff_spark.operators.validate import (
+            kendall_tau,
+            kendall_tau_binned,
+        )
+
+        rows = [(float(i % 5), float((i * 3) % 7)) for i in range(100)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        raw = kendall_tau(df, "x", "y").collect()[0]
+        binned = kendall_tau_binned(
+            df, "x", "y",
+            x_lo=0.0, x_width=1.0, x_bins=5,
+            y_lo=0.0, y_width=1.0, y_bins=7,
+        ).collect()[0]
+        assert raw.asDict() == binned.asDict()
+
+    def test_grid_validation(self, spark):
+        from cassandra_diff_spark.operators.validate import kendall_tau_binned
+
+        df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+        with pytest.raises(ValueError, match="max_cells"):
+            kendall_tau_binned(
+                df, "x", "y",
+                x_lo=0, x_width=1, x_bins=100,
+                y_lo=0, y_width=1, y_bins=100,
+            )
+        with pytest.raises(ValueError, match="positive"):
+            kendall_tau_binned(
+                df, "x", "y",
+                x_lo=0, x_width=1, x_bins=0,
+                y_lo=0, y_width=1, y_bins=5,
+            )
