@@ -9891,6 +9891,52 @@ QUERIES["events_decayed_counts_incremental"] = _q_events_decayed_counts_incremen
 ORACLES["events_decayed_counts_incremental"] = _O_EVENTS_DECAYED_COUNTS_INCREMENTAL
 
 
+def _q_events_decayed_counts_stream(spark, sf_dir):
+    """Streaming-runtime twin of the decayed-count family: events stream
+    in micro-batches into the complete-mode per-(group, halving-bucket)
+    count aggregation (state bounded by groups x (max_shift+1) rows), the
+    drained state resolves through the SAME decayed_counts_from_state
+    tail as the batch/fold paths, and the whole-corpus aligned oracle
+    replays the arithmetic bit-for-bit. The reference epoch is the batch
+    max(ts) bucket — a stream cannot know its own horizon, so the epoch
+    is the operator's explicit contract (computed here from the staged
+    events in one scalar job)."""
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import decayed_counts_from_state
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_decayed_count_state,
+    )
+
+    hl_us = _DECAY_HALF_LIFE_S * 1_000_000
+    ev = load_events(spark, sf_dir)
+    eb = ev.select(
+        F.expr(f"CAST(max(unix_micros(ts)) DIV {hl_us} AS BIGINT)").alias("eb")
+    ).first()["eb"]
+    stage = _stage_all_events_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/e")
+    )
+    st = stream_decayed_count_state(
+        stream, "event_type", "ts",
+        epoch_bucket=int(eb), half_life_s=_DECAY_HALF_LIFE_S,
+        name="cds_gate_decay_stream",
+    )
+    return decayed_counts_from_state(st).withColumnRenamed(
+        "group", "event_type"
+    )
+
+
+QUERIES["events_decayed_counts_stream"] = _q_events_decayed_counts_stream
+# drained state == batch aligned build over the same events, so the
+# incremental (epoch-aligned) oracle gates the streaming runtime too
+ORACLES["events_decayed_counts_stream"] = _O_EVENTS_DECAYED_COUNTS_INCREMENTAL
+
+
 def _q_dedup_prefix_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard >= 4/5 pairs via PREFIX FILTERING
     (Bayardo et al., WWW 2007): candidates must share a shingle among

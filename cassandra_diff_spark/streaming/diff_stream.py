@@ -1409,6 +1409,73 @@ def stream_cm_sketch(
     return _drain_complete(agg, name, checkpoint)
 
 
+def stream_decayed_count_state(
+    stream: DataFrame,
+    group_col: str,
+    time_col: str,
+    *,
+    epoch_bucket: int,
+    half_life_s: int = 86_400,
+    max_shift: int = 40,
+    name: str = "cds_stream_decay",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`~cassandra_diff_spark.operators.temporal.
+    decayed_count_state`: the epoch-ALIGNED halving-bucket counts are a
+    plain integer groupBy — order-free and map-side-combinable — so they
+    run as a COMPLETE-mode streaming aggregation with at most
+    ``groups x (max_shift + 1)`` rows of state no matter how much data
+    streams through. Feed the drained frame to
+    ``decayed_counts_from_state`` for live trending scores, or
+    ``fold_decayed_states`` to merge it with persisted history (the
+    epoch-aligned rebase makes that fold exact — the whole reason this
+    family quantizes decay to absolute half-life buckets).
+
+    Unlike the batch operator, the reference ``epoch_bucket`` must be
+    given explicitly (``epoch_us(t) DIV (half_life_s * 1e6)`` of the
+    chosen reference time): a stream cannot take ``max(ts)`` of data it
+    has not seen yet. Any event NEWER than the reference epoch is a
+    contract violation (its shift would be negative, silently producing
+    garbage weights downstream), so the shift expression fail-fasts with
+    ``raise_error`` instead — pick the epoch at or ahead of the stream's
+    horizon, or rebase later via ``fold_decayed_states``.
+
+    Drained output schema equals the batch state frame:
+    ``(group, epoch_bucket, shift, n)``."""
+    hl_us = int(half_life_s) * 1_000_000
+    eb = int(epoch_bucket)
+    raw = F.expr(
+        f"CAST({eb} AS BIGINT) - unix_micros({time_col}) DIV {hl_us}"
+    )
+    shift = F.when(
+        raw < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"stream_decayed_count_state: event newer than "
+                    f"epoch_bucket={eb} (bucket "
+                ),
+                (F.lit(eb) - raw).cast("string"),
+                F.lit(") — advance the reference epoch"),
+            )
+        ).cast("long"),
+    ).otherwise(F.least(raw, F.lit(int(max_shift)).cast("long")))
+    g = (
+        stream.select(
+            F.col(group_col).alias("group"), shift.alias("shift")
+        )
+        .groupBy("group", "shift")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    drained = _drain_complete(g, name, checkpoint)
+    return drained.select(
+        "group",
+        F.lit(eb).cast("long").alias("epoch_bucket"),
+        "shift",
+        "n",
+    )
+
+
 def stream_bloom_build(
     stream: DataFrame,
     col: str,

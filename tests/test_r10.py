@@ -241,3 +241,75 @@ class TestKendallBinned:
                 x_lo=0, x_width=1, x_bins=0,
                 y_lo=0, y_width=1, y_bins=5,
             )
+
+
+class TestStreamDecayedCounts:
+    def test_drained_state_folds_with_batch_history(self, spark, tmp_path):
+        """Stream state is a first-class citizen of the fold family: a
+        drained stream slice folded with a batch-history slice must equal
+        the batch aligned build over the union — the incremental
+        contract, now closed over the streaming runtime too."""
+        from pyspark.sql import Row
+        from datetime import datetime, timedelta
+
+        from cassandra_diff_spark.operators.temporal import (
+            decayed_count_state,
+            decayed_counts_aligned,
+            decayed_counts_from_state,
+            fold_decayed_states,
+        )
+        from cassandra_diff_spark.streaming.diff_stream import (
+            stream_decayed_count_state,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        old = [Row(g="a", ts=t0 + timedelta(hours=h)) for h in range(6)]
+        new = [
+            Row(g=g, ts=t0 + timedelta(days=d, hours=h))
+            for g in ("a", "b")
+            for d in (3, 4)
+            for h in range(3)
+        ]
+        hl = 86_400
+        batch_old = spark.createDataFrame(old)
+        batch_new = spark.createDataFrame(new)
+        p = str(tmp_path / "slice")
+        batch_new.coalesce(1).write.parquet(p)
+        eb = max(r.ts for r in new).timestamp() * 1_000_000 // (hl * 1_000_000)
+        stream = spark.readStream.schema("g string, ts timestamp").parquet(p)
+        st_stream = stream_decayed_count_state(
+            stream, "g", "ts", epoch_bucket=int(eb), half_life_s=hl,
+            name="cds_test_decay_stream",
+        )
+        hist = decayed_count_state(batch_old, "g", "ts", half_life_s=hl)
+        folded = decayed_counts_from_state(
+            fold_decayed_states([hist, st_stream])
+        )
+        expect = decayed_counts_aligned(
+            batch_old.unionByName(batch_new), "g", "ts", half_life_s=hl
+        )
+        got = {r["group"]: (r["n_events"], r["decayed_score"])
+               for r in folded.collect()}
+        want = {r["group"]: (r["n_events"], r["decayed_score"])
+                for r in expect.collect()}
+        assert got == want and got["a"][0] == 12
+
+    def test_event_newer_than_epoch_fail_fasts(self, spark, tmp_path):
+        from datetime import datetime
+
+        from pyspark.sql import Row
+        from pyspark.sql import functions as SF
+
+        from cassandra_diff_spark.streaming.diff_stream import (
+            stream_decayed_count_state,
+        )
+
+        rows = [Row(g="a", ts=datetime(2024, 6, 1))]
+        p = str(tmp_path / "late")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(p)
+        stream = spark.readStream.schema("g string, ts timestamp").parquet(p)
+        with pytest.raises(Exception, match="newer than"):
+            stream_decayed_count_state(
+                stream, "g", "ts", epoch_bucket=100, half_life_s=86_400,
+                name="cds_test_decay_late",
+            )
