@@ -9792,6 +9792,65 @@ QUERIES["curate_classifier_score"] = _q_curate_classifier_score
 ORACLES["curate_classifier_score"] = _O_CURATE_CLASSIFIER_SCORE
 
 
+def _q_curate_classifier_train(spark, sf_dir):
+    """In-engine quality-classifier TRAINING on planted separable data —
+    the self-checking oracle pattern of ann_ivf_kmeans_topk: every doc
+    gets a deterministic label (md5(doc_id) parity) and a label sentinel
+    token planted at ~25% of its token mass (separable by construction,
+    against real-text noise), classifier_train runs 12 fixed full-batch
+    GD iterations over the same hashed features classifier_score reads,
+    and the scored predictions must recover every planted label — the
+    oracle asserts n_correct == n_docs == the filtered document count.
+    A training failure (non-convergence, feature-space mismatch between
+    train and score, nondeterministic gradients) breaks the row hash."""
+    from cassandra_diff_spark.functions.text import md5_hash64, words
+    from cassandra_diff_spark.operators.curate import (
+        classifier_score,
+        classifier_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    y = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(2))
+    nw = F.size(F.filter(words(F.col("text")), lambda w: w != ""))
+    sent = F.when(y == 1, F.lit(" zzqualpos")).otherwise(F.lit(" zzqualneg"))
+    t2 = F.concat(
+        "text", F.repeat(sent, F.greatest(F.lit(1), (nw / 4).cast("int")))
+    )
+    lab = docs.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", y.alias("y"), t2.alias("t2"))
+    model = classifier_train(
+        lab, "doc_id", "t2", "y",
+        n_buckets=_CLS_BUCKETS, iters=12, lr_milli=4_000,
+    )
+    sc = classifier_score(
+        lab, "doc_id", "t2", model, n_buckets=_CLS_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+    j = sc.join(lab.select("doc_id", "y"), "doc_id")
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("pred").cast("int") == F.col("y")).cast("int")
+            ).cast("long").alias("n_correct"),
+        )
+        .withColumn("acc_milli", F.expr("(n_correct * 1000) div n_docs"))
+    )
+
+
+_O_CURATE_CLASSIFIER_TRAIN = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_correct,
+       CAST(1000 AS BIGINT) AS acc_milli
+FROM documents
+WHERE text IS NOT NULL AND length(trim(text)) > 0
+"""
+
+
+QUERIES["curate_classifier_train"] = _q_curate_classifier_train
+ORACLES["curate_classifier_train"] = _O_CURATE_CLASSIFIER_TRAIN
+
+
 _DECAY_HALF_LIFE_S = 172_800  # 2 days: shifts span 0..15 over the fixture
 
 

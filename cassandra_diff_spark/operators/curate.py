@@ -1539,6 +1539,150 @@ def classifier_score(
     )
 
 
+def classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    n_buckets: int,
+    bigrams: bool = True,
+    iters: int = 20,
+    lr_milli: int = 2_000,
+    n_groups: int = 32,
+) -> DataFrame:
+    """fastText-style linear quality classifier TRAINING — the piece
+    that closes the CCNet/RefinedWeb quality-triad loop
+    (:func:`classifier_score` scores a frozen model; pipelines like
+    CCNet train that model on labeled wiki-vs-crawl data first). Full-
+    batch gradient descent on logistic loss over the SAME hashed
+    unigram(+bigram) count features the scorer uses (``md5_hash64 %
+    n_buckets`` — train/score feature spaces are identical by
+    construction), for a FIXED number of iterations — no early stopping,
+    no sampling, no RNG: the whole procedure is a deterministic function
+    of the labeled data.
+
+    Distributed shape (the treeAggregate posture of any distributed GD):
+    feature arrays are extracted ONCE, JVM-side, and persisted; each
+    iteration is one job that ships the current ``n_buckets``-float
+    weight vector to every task, computes per-GROUP dense gradient sums
+    in Arrow-batched pandas (docs grouped by a hash of their id into
+    ``n_groups`` groups), and collects ``n_groups x n_buckets`` doubles
+    (kilobytes-to-megabytes — never data) to the driver for the step.
+    Training corpora for quality classifiers are label-bounded (human/
+    heuristic-labeled subsets, not the 100 TB corpus), so a group —
+    ``#docs / n_groups`` rows — fits comfortably in a pandas task; raise
+    ``n_groups`` for very large labeled sets.
+
+    Determinism contract (the property-test surface): group membership
+    is ``md5_hash64(id) % n_groups`` (pure function of the id), docs
+    accumulate within a group in sorted-id order, groups fold on the
+    driver in gid order, and every float op is a fixed-order numpy
+    sequence — so the trained weights are BIT-IDENTICAL across runs,
+    partitionings, and cluster sizes, and a pure-Python replica
+    reproduces them exactly. Logits clip to [-30, 30] before the
+    sigmoid (saturated anyway; keeps exp() finite).
+
+    Featureless docs (null/empty text) are excluded — they carry no
+    gradient and :func:`classifier_score` hard-codes ``pred = false``
+    for them. Labels cast via boolean (accepts bool / 0-1 ints).
+
+    Returns the ``(bucket, weight_u)`` integer micro-logit model frame
+    :func:`classifier_score` consumes (zero-weight buckets omitted —
+    the scorer's densification coalesces them back to 0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(n_buckets)
+    if d <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if int(iters) <= 0 or int(n_groups) <= 0:
+        raise ValueError(
+            f"iters and n_groups must be positive, got {iters}, {n_groups}"
+        )
+    lr = int(lr_milli) / 1000.0
+    from cassandra_diff_spark.functions.text import md5_hash64
+
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != "")
+    id_s = F.col(id_col).cast("string")
+    base = df.select(
+        F.pmod(md5_hash64(id_s), F.lit(int(n_groups))).alias("gid"),
+        id_s.alias("id"),
+        ws.alias("__ws"),
+        F.col(label_col).cast("boolean").cast("int").cast("double").alias("y"),
+    )
+    if bigrams:
+        big = F.zip_with(
+            F.slice("__ws", 1, F.greatest(F.size("__ws") - 1, F.lit(0))),
+            F.slice(
+                "__ws", 2, F.greatest(F.size("__ws") - 1, F.lit(0)).cast("int")
+            ),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b),
+        )
+        feats = F.concat(F.col("__ws"), big)
+    else:
+        feats = F.col("__ws")
+    hashes = F.transform(feats, lambda s: F.pmod(md5_hash64(s), F.lit(d)))
+    base = (
+        base.select("gid", "id", hashes.alias("hs"), "y")
+        .filter(F.col("y").isNotNull() & (F.size("hs") > 0))
+        .persist()
+    )
+    try:
+        n_total = base.count()
+        if n_total == 0:
+            raise ValueError("classifier_train: no labeled docs with features")
+        w = np.zeros(d, dtype=np.float64)
+        out_schema = "gid long, grad array<double>"
+        def _make_grad(wc):
+            # factory, not a default arg: applyInPandas dispatches on
+            # function ARITY (two params means the (key, pdf) form), so
+            # the weight snapshot must ride a closure, not a parameter
+            def _grad(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                pdf = pdf.sort_values("id", kind="mergesort")
+                lens = np.fromiter(
+                    (len(h) for h in pdf["hs"]), dtype=np.int64, count=len(pdf)
+                )
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
+                )
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                z = np.add.reduceat(wc[flat], starts)
+                z = np.clip(z, -30.0, 30.0)
+                prob = 1.0 / (1.0 + np.exp(-z))
+                coef = np.repeat(prob - pdf["y"].to_numpy(), lens)
+                g = np.zeros(d, dtype=np.float64)
+                np.add.at(g, flat, coef)
+                return pd.DataFrame(
+                    {"gid": [int(pdf["gid"].iloc[0])], "grad": [g.tolist()]}
+                )
+
+            return _grad
+
+        for _ in range(int(iters)):
+            rows = (
+                base.groupBy("gid")
+                .applyInPandas(_make_grad(w), out_schema)
+                .collect()
+            )
+            g = np.zeros(d, dtype=np.float64)
+            for r in sorted(rows, key=lambda r: r["gid"]):
+                g += np.asarray(r["grad"], dtype=np.float64)
+            w = w - lr * (g / n_total)
+    finally:
+        base.unpersist()
+    weights = [
+        (b, u)
+        for b in range(d)
+        if (u := int(round(float(w[b]) * 1e6))) != 0
+    ]
+    return df.sparkSession.createDataFrame(
+        weights or [(0, 0)], "bucket long, weight_u long"
+    )
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str,

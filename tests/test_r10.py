@@ -313,3 +313,134 @@ class TestStreamDecayedCounts:
                 stream, "g", "ts", epoch_bucket=100, half_life_s=86_400,
                 name="cds_test_decay_late",
             )
+
+
+def _replica_classifier_train(rows, *, d, n_groups, iters, lr_milli, bigrams=True):
+    """Pure-Python/numpy replica of classifier_train's determinism
+    contract: same hashing, same grouping, same accumulation order,
+    same float ops — must reproduce the Spark weights BIT-EXACTLY."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = []
+    for i, text, y in rows:
+        if text is None:
+            continue
+        wsl = [w for w in _re.split(r"\s+", text.strip()) if w != ""]
+        fs = list(wsl)
+        if bigrams:
+            fs += [a + "\x1f" + b for a, b in zip(wsl, wsl[1:])]
+        hs = [h64(f) % d for f in fs]
+        if not hs:
+            continue
+        docs.append((h64(str(i)) % n_groups, str(i), hs, float(y)))
+    n = len(docs)
+    lr = lr_milli / 1000.0
+    w = np.zeros(d, dtype=np.float64)
+    for _ in range(iters):
+        g_total = np.zeros(d, dtype=np.float64)
+        for gid in sorted({dc[0] for dc in docs}):
+            grp = sorted(
+                (dc for dc in docs if dc[0] == gid), key=lambda dc: dc[1]
+            )
+            lens = np.fromiter((len(dc[2]) for dc in grp), dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(dc[2], dtype=np.int64) for dc in grp]
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            z = np.add.reduceat(w[flat], starts)
+            z = np.clip(z, -30.0, 30.0)
+            prob = 1.0 / (1.0 + np.exp(-z))
+            ys = np.asarray([dc[3] for dc in grp], dtype=np.float64)
+            coef = np.repeat(prob - ys, lens)
+            g = np.zeros(d, dtype=np.float64)
+            np.add.at(g, flat, coef)
+            # Arrow array<double> round-trips float64 exactly, so the
+            # Spark fold sees the identical per-group vectors
+            g_total += g
+        w = w - lr * (g_total / n)
+    return {
+        b: u for b in range(d) if (u := int(round(float(w[b]) * 1e6))) != 0
+    }
+
+
+class TestClassifierTrain:
+    def test_bit_identical_to_replica(self, spark):
+        from cassandra_diff_spark.operators.curate import classifier_train
+
+        pool = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        rows = []
+        for i in range(40):
+            y = i % 2
+            toks = [pool[(i * 7 + k) % len(pool)] for k in range(5 + i % 4)]
+            toks += ["possent" if y else "negsent"] * 2
+            rows.append((i, " ".join(toks), y))
+        df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+        model = classifier_train(
+            df, "doc_id", "text", "y",
+            n_buckets=512, iters=5, lr_milli=3_000, n_groups=4,
+        )
+        got = {r["bucket"]: r["weight_u"] for r in model.collect()}
+        want = _replica_classifier_train(
+            rows, d=512, n_groups=4, iters=5, lr_milli=3_000
+        )
+        assert got == want
+
+    def test_trained_model_separates_planted_labels(self, spark):
+        from cassandra_diff_spark.operators.curate import (
+            classifier_score,
+            classifier_train,
+        )
+        from pyspark.sql import functions as SF
+
+        rows = [
+            (i, f"tok{i % 11} tok{(i * 3) % 11} "
+                + ("goodmark goodmark" if i % 2 else "badmark badmark"),
+             i % 2)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+        model = classifier_train(
+            df, "doc_id", "text", "y", n_buckets=256, iters=10, lr_milli=4_000
+        )
+        sc = classifier_score(
+            df, "doc_id", "text", model, n_buckets=256
+        ).withColumnRenamed("id", "doc_id")
+        acc = (
+            sc.join(df.select("doc_id", "y"), "doc_id")
+            .select(
+                SF.avg(
+                    (SF.col("pred").cast("int") == SF.col("y")).cast("int")
+                ).alias("a")
+            )
+            .first()["a"]
+        )
+        assert acc == 1.0
+
+    def test_featureless_and_validation(self, spark):
+        from cassandra_diff_spark.operators.curate import classifier_train
+
+        df = spark.createDataFrame(
+            [(1, "a b", 1), (2, None, 0), (3, "   ", 0), (4, "c d", 0)],
+            "doc_id long, text string, y int",
+        )
+        # null/empty docs are excluded; training still runs on the rest
+        model = classifier_train(
+            df, "doc_id", "text", "y", n_buckets=64, iters=2, lr_milli=1_000
+        )
+        assert model.count() >= 1
+        with pytest.raises(ValueError, match="positive"):
+            classifier_train(
+                df, "doc_id", "text", "y", n_buckets=0, iters=2
+            )
+        empty = spark.createDataFrame([], "doc_id long, text string, y int")
+        with pytest.raises(ValueError, match="no labeled docs"):
+            classifier_train(
+                empty, "doc_id", "text", "y", n_buckets=64, iters=1
+            )
