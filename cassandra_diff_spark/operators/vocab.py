@@ -26,6 +26,7 @@ results bit-for-bit.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -790,7 +791,20 @@ def _bpe_train_local(
     only the words that CONTAIN the pair — per-merge work proportional
     to affected words, with zero job-launch overhead, which is why this
     path beats the distributed delta loop by ~1000x per merge whenever
-    the word table fits on the driver."""
+    the word table fits on the driver.
+
+    The argmax is a LAZY-DELETION MAX-HEAP, not a dict scan: the r10
+    4096-merge probe showed the scan's per-merge cost growing with the
+    pair-type table (0.06 s/merge in the first quarter of the schedule,
+    0.15 in the last — a quadratic total that would put 32k merges at
+    hours, not minutes). Every count change pushes a fresh
+    ``(-count, left, right)`` entry; pops discard entries whose count
+    no longer matches the live dict. Tuple order reproduces the exact
+    ``(count DESC, left ASC, right ASC)`` tie-break of the scan, so the
+    merge sequence is byte-identical (property-tested against the
+    distributed path)."""
+    import heapq
+
     sep = _BPE_R + _BPE_L
 
     def pair_counts_of(s: str) -> dict:
@@ -813,13 +827,17 @@ def _bpe_train_local(
             "pairs — the driver-side count table would not fit; raise the "
             "cap or use bpe_train (distributed recount per merge)"
         )
+    heap = [(-n, p[0], p[1]) for p, n in pc.items()]
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(num_merges) + 1):
-        if not pc:
+        # pop past stale entries (count changed since push, or pair gone)
+        while heap and pc.get((heap[0][1], heap[0][2])) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
             break
-        (a, b), n = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        negn, a, b = heapq.heappop(heap)
+        n = -negn
         if n < min_count:
             break
         merges.append((rank, a, b, a + b, int(n)))
@@ -857,12 +875,18 @@ def _bpe_train_local(
                 )
             if c:
                 pc[p] = c
+                # lazy heap maintenance: push the fresh count; any older
+                # entry for p is now stale and filtered at pop time
+                heapq.heappush(heap, (-c, p[0], p[1]))
             else:
                 pc.pop(p, None)
         if stats is not None and (
             rank == 1 or rank % max(int(stats_every), 1) == 0
         ):
-            stats.append((rank, len(aff), n_delta))
+            # 4th element: wall-clock stamp, so probes can derive the
+            # per-merge TIME trend from one run (earlier consumers index
+            # [0..2] only — the append is backward compatible)
+            stats.append((rank, len(aff), n_delta, _time.time()))
     return merges
 
 
@@ -1012,7 +1036,7 @@ def bpe_train_incremental(
         if stats is not None and (
             rank == 1 or rank % max(int(stats_every), 1) == 0
         ):
-            stats.append((rank, aff.count(), len(deltas)))
+            stats.append((rank, aff.count(), len(deltas), _time.time()))
         for r in deltas:
             key = (r.left_sym, r.right_sym)
             c = pc.get(key, 0) + r.pair_count

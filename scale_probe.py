@@ -617,6 +617,41 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
 
     _section_end(spark)
 
+    # ---- Spearman rank maps at distinct ~ n (VERDICT r9 #1): 1M rows,
+    # every x distinct — exactly the regime where the pre-r10 ranking
+    # collapsed to ONE sorted task. The r10 bucketed path (literal
+    # split boundaries from a hash sample, bucket-partitioned prefix
+    # window, broadcast offsets) must (a) rank it in parallel and (b)
+    # stay EXACT: y is a strictly monotone transform of x, so rho must
+    # be exactly 1.0 — integer doubled ranks make that bit-testable.
+    sp_n = int(os.environ.get("SPARK_GRAFT_SPEARMAN_N", str(n)))
+    if sp_n > 0:
+        from cassandra_diff_spark.operators.validate import (
+            spearman_correlations,
+        )
+
+        t0 = time.time()
+        xs = (
+            # irrational-ish step: all 1M x values distinct; y = x^3
+            # monotone; z coarse (97 levels) to exercise the
+            # single-bucket branch in the same call
+            spark.range(sp_n)
+            .select(
+                (F.col("id") * F.lit(1.000000712)).alias("x"),
+                (F.col("id") * F.lit(1.000000712)).alias("y0"),
+                F.pmod(F.col("id"), F.lit(97)).cast("double").alias("z"),
+            )
+            .select("x", (F.col("y0") * F.col("y0") * F.col("y0")).alias("y"), "z")
+        )
+        sp = {
+            (r["col_i"], r["col_j"]): r
+            for r in spearman_correlations(xs, ["x", "y", "z"]).collect()
+        }
+        out["spearman_1m_sec"] = round(time.time() - t0, 2)
+        out["spearman_1m_n"] = sp[("x", "y")]["n"]
+        out["spearman_1m_rho_xy_exact_one"] = sp[("x", "y")]["rho"] == 1.0
+        _section_end(spark)
+
     # ---- incremental-BPE crossover at realistic merge counts (VERDICT
     # r8 #1): r8 adjudicated the 128-merge/50k-type comparison as
     # job-overhead-bound (59 vs 55 s — a wash). This section runs the
@@ -638,7 +673,10 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
     # work-proportionality evidence: per-merge delta work collapses
     # once merges leave the Zipf head, while batch recount cost never
     # drops).
-    bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "1024"))
+    # r10: 4096 merges (r9 proved 1024 at ~0.07 s/merge; the 4x probe
+    # turns the 32k-merge projection into evidence by showing the
+    # per-merge cost stays flat as the pair-type table grows)
+    bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "4096"))
     bpe_types = int(os.environ.get("SPARK_GRAFT_BPE_TYPES", "560000"))
     if bpe_merges > 0 and bpe_types > 0:
         from cassandra_diff_spark.operators.vocab import (
@@ -689,11 +727,28 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
             corp, "text", bpe_merges,
             checkpoint_every=16, stats=bpe_stats, stats_every=64,
         )
-        out["bpe_incremental_sec"] = round(time.time() - t0, 2)
+        t_end = time.time()
+        out["bpe_incremental_sec"] = round(t_end - t0, 2)
         out["bpe_incremental_merges"] = len(inc)
         out["bpe_incr_per_merge_sec"] = round(
-            (time.time() - t0) / max(len(inc), 1), 4
+            (t_end - t0) / max(len(inc), 1), 4
         )
+        # per-merge TIME trend from the in-run stamps (stats 4th elem):
+        # first vs last quarter of the schedule — flat == the 32k-merge
+        # projection extrapolates, growing == the driver dict scan or
+        # delta job is rank-sensitive after all
+        stamps = [st for st in bpe_stats if len(st) > 3]
+        if len(stamps) >= 4 and len(inc) > 0:
+            q = len(inc) // 4
+            first = min(stamps, key=lambda st: abs(st[0] - q))
+            last = min(stamps, key=lambda st: abs(st[0] - 3 * q))
+            if first[0] > 0 and len(inc) > last[0]:
+                out["bpe_incr_per_merge_first_q"] = round(
+                    (first[3] - t0) / first[0], 4
+                )
+                out["bpe_incr_per_merge_last_q"] = round(
+                    (t_end - last[3]) / (len(inc) - last[0]), 4
+                )
         if bpe_stats:
             wt = max(out["bpe_word_types"], 1)
             out["bpe_affected_frac_first"] = round(bpe_stats[0][1] / wt, 6)

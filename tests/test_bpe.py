@@ -286,7 +286,8 @@ class TestIncrementalTrain:
         merges = bpe_train_incremental(df, "text", 6, min_count=2, stats=stats)
         assert merges  # the low-family merges exist
         assert len(stats) == len(merges)
-        for _rank, n_affected, _n_delta in stats:
+        # stats rows are (rank, n_affected, n_delta, tstamp) since r10
+        for _rank, n_affected, _n_delta, *_ in stats:
             assert 1 <= n_affected <= 4, stats
 
     @pytest.mark.slow
@@ -328,7 +329,9 @@ class TestHybridDispatch:
         m1 = bpe_train_incremental(df, "text", 6, stats=s_local)
         m2 = bpe_train_incremental(df, "text", 6, stats=s_dist, driver_word_cap=0)
         assert m1 == m2
-        assert s_local == s_dist  # (rank, n_affected_word_types, n_delta_pair_types)
+        # compare the semantic fields; the r10 4th element is a
+        # wall-clock stamp and differs between runs by construction
+        assert [st[:3] for st in s_local] == [st[:3] for st in s_dist]
 
     def test_overlapping_run_word(self, spark):
         """'aaa': left-to-right non-overlapping replace must agree
