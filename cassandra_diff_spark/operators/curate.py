@@ -1550,6 +1550,7 @@ def classifier_train(
     iters: int = 20,
     lr_milli: int = 2_000,
     n_groups: int = 32,
+    init_model: "DataFrame | None" = None,
 ) -> DataFrame:
     """fastText-style linear quality classifier TRAINING — the piece
     that closes the CCNet/RefinedWeb quality-triad loop
@@ -1586,6 +1587,13 @@ def classifier_train(
     Featureless docs (null/empty text) are excluded — they carry no
     gradient and :func:`classifier_score` hard-codes ``pred = false``
     for them. Labels cast via boolean (accepts bool / 0-1 ints).
+
+    ``init_model`` warm-starts from an existing ``(bucket, weight_u)``
+    frame — continued/incremental training on new labels. The resume
+    point is the QUANTIZED micro-logit model (the persisted exchange
+    format), so warm(A then B) is not bit-equal to cold(A+B) — it is
+    bit-equal to any other warm start from the same persisted model,
+    which is the reproducibility that matters for a stored artifact.
 
     Returns the ``(bucket, weight_u)`` integer micro-logit model frame
     :func:`classifier_score` consumes (zero-weight buckets omitted —
@@ -1634,6 +1642,15 @@ def classifier_train(
         if n_total == 0:
             raise ValueError("classifier_train: no labeled docs with features")
         w = np.zeros(d, dtype=np.float64)
+        if init_model is not None:
+            # kilobyte collect by contract: a model frame has <= d rows
+            for r in init_model.select("bucket", "weight_u").collect():
+                b = int(r["bucket"])
+                if not (0 <= b < d):
+                    raise ValueError(
+                        f"init_model bucket {b} outside [0, {d})"
+                    )
+                w[b] = int(r["weight_u"]) / 1e6
         out_schema = "gid long, grad array<double>"
         def _make_grad(wc):
             # factory, not a default arg: applyInPandas dispatches on

@@ -995,13 +995,21 @@ def bpe_train_incremental(
     pc: dict[tuple[str, str], int] = {
         (r.left_sym, r.right_sym): r.pair_count for r in seed
     }
+    # same lazy-deletion heap argmax as the driver-local path: the dict
+    # scan grows with the pair-type table (quadratic across a long merge
+    # schedule); identical (count DESC, left, right) total order
+    import heapq
+
+    heap = [(-n_, p[0], p[1]) for p, n_ in pc.items()]
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(num_merges) + 1):
-        if not pc:
+        while heap and pc.get((heap[0][1], heap[0][2])) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
             break
-        (a, b), n = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        negn, a, b = heapq.heappop(heap)
+        n = -negn
         if n < min_count:
             break
         merges.append((rank, a, b, a + b, int(n)))
@@ -1046,6 +1054,7 @@ def bpe_train_incremental(
                 )
             if c:
                 pc[key] = c
+                heapq.heappush(heap, (-c, key[0], key[1]))
             else:
                 pc.pop(key, None)
         cur = cur.withColumn(

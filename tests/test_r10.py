@@ -444,3 +444,49 @@ class TestClassifierTrain:
             classifier_train(
                 empty, "doc_id", "text", "y", n_buckets=64, iters=1
             )
+
+
+def test_classifier_train_warm_start(spark):
+    """Warm start resumes from the QUANTIZED persisted model: two warm
+    runs from the same model are bit-equal, and continued training on
+    the same separable data keeps the labels separated."""
+    from cassandra_diff_spark.operators.curate import (
+        classifier_score,
+        classifier_train,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (i, f"w{i % 13} w{(i * 5) % 13} " + ("posm posm" if i % 2 else "negm negm"), i % 2)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    m1 = classifier_train(
+        df, "doc_id", "text", "y", n_buckets=256, iters=6, lr_milli=4_000
+    )
+    warm_a = classifier_train(
+        df, "doc_id", "text", "y",
+        n_buckets=256, iters=4, lr_milli=4_000, init_model=m1,
+    )
+    warm_b = classifier_train(
+        df, "doc_id", "text", "y",
+        n_buckets=256, iters=4, lr_milli=4_000, init_model=m1,
+    )
+    wa = {r["bucket"]: r["weight_u"] for r in warm_a.collect()}
+    wb = {r["bucket"]: r["weight_u"] for r in warm_b.collect()}
+    assert wa == wb
+    sc = classifier_score(
+        df, "doc_id", "text", warm_a, n_buckets=256
+    ).withColumnRenamed("id", "doc_id")
+    acc = (
+        sc.join(df.select("doc_id", "y"), "doc_id")
+        .select(SF.avg((SF.col("pred").cast("int") == SF.col("y")).cast("int")).alias("a"))
+        .first()["a"]
+    )
+    assert acc == 1.0
+    bad = spark.createDataFrame([(999, 5)], "bucket long, weight_u long")
+    with pytest.raises(ValueError, match="outside"):
+        classifier_train(
+            df, "doc_id", "text", "y",
+            n_buckets=256, iters=1, init_model=bad,
+        )
