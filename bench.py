@@ -295,7 +295,19 @@ def main() -> None:
         with Path(__file__).resolve().parent.joinpath(
             "BENCH_HISTORY.jsonl"
         ).open("a") as fh:
+            try:
+                import subprocess
+
+                rev = subprocess.run(
+                    ["git", "-C", str(Path(__file__).resolve().parent),
+                     "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip() or None
+            except Exception:
+                rev = None
             fh.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "rev": rev,
                 "value": total, "sf": sf, "queries": timings,
                 "errors": errors or None,
             }) + "\n")

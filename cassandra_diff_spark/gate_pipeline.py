@@ -2748,6 +2748,12 @@ def _stage_event_stream_slices(spark, sf_dir, heartbeat_days=None) -> str:
 
 #: schema of the staged event-stream slices
 _EVENT_STREAM_SCHEMA = "user_id bigint, ts timestamp, event_id bigint, value double"
+#: the v3 staged slices carry event_type too (stream gates that group by
+#: type read this; keep in sync with _stage_all_events_slices)
+_EVENT_STREAM_SCHEMA_TYPED = (
+    "user_id bigint, ts timestamp, event_id bigint, "
+    "event_type string, value double"
+)
 
 
 def _q_events_asof_stream(spark, sf_dir):
@@ -9639,10 +9645,7 @@ def _q_events_transition_stream(spark, sf_dir):
 
     stage = _stage_all_events_slices(spark, sf_dir)
     stream = (
-        spark.readStream.schema(
-            "user_id bigint, ts timestamp, event_id bigint, "
-            "event_type string, value double"
-        )
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA_TYPED)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/e")
     )
@@ -9973,10 +9976,7 @@ def _q_events_decayed_counts_stream(spark, sf_dir):
     ).first()["eb"]
     stage = _stage_all_events_slices(spark, sf_dir)
     stream = (
-        spark.readStream.schema(
-            "user_id bigint, ts timestamp, event_id bigint, "
-            "event_type string, value double"
-        )
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA_TYPED)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/e")
     )

@@ -602,10 +602,14 @@ def calibration_bins(
     grid — ``least(n_bins-1, (clamp(score, lo, hi) - lo) * n_bins div
     (hi-lo))`` — so the same score lands in the same bin in any
     engine; out-of-range scores clamp to the edge bins. Clamping BEFORE
-    the multiply (not after, as a naive formulation would) keeps the
-    product inside BIGINT for scores anywhere in the int64 range and
-    leaves every ``div`` operand non-negative, so the truncate-vs-floor
-    engine divergence of negative integer division can never arise.
+    the multiply (not after, as a naive formulation would) bounds the
+    product by ``(hi - lo) * n_bins`` — validated < 2^63 at entry — for
+    scores anywhere in the int64 range, and leaves every ``div`` operand
+    non-negative, so the truncate-vs-floor engine divergence of negative
+    integer division can never arise. (``score_sum`` is an exact BIGINT
+    sum of the RAW scores and can still overflow if many scores sit near
+    the int64 extremes — a property of the output contract, not the
+    binning.)
     Quantile-based bin edges would depend on the data and the engine's
     quantile algorithm; fixed edges are the reproducible choice and the
     caller knows the score scale.
@@ -624,6 +628,13 @@ def calibration_bins(
         raise ValueError(f"n_bins must be positive, got {n_bins}")
     if hi <= lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if (hi - lo) > (2**63 - 1) // n_bins:
+        # the clamp bounds s_cl - lo by (hi - lo), so this single check
+        # keeps BOTH the subtraction and the multiply inside BIGINT
+        raise ValueError(
+            f"(hi - lo) * n_bins = {(hi - lo)} * {n_bins} would overflow "
+            "BIGINT — shrink the grid range or bin count"
+        )
     s = F.col(score_col).cast("long")
     # clamp the score to [lo, hi] BEFORE the multiply: (score-lo)*n_bins
     # would overflow BIGINT for scores near the int64 extremes (the

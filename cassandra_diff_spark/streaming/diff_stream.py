@@ -1444,8 +1444,11 @@ def stream_decayed_count_state(
     ``(group, epoch_bucket, shift, n)``."""
     hl_us = int(half_life_s) * 1_000_000
     eb = int(epoch_bucket)
+    # bound column, not name splicing: a time column needing backticks
+    # must not break the expression (the calibration_bins rule); the
+    # integer DIV runs on the pre-aliased __t below
     raw = F.expr(
-        f"CAST({eb} AS BIGINT) - unix_micros({time_col}) DIV {hl_us}"
+        f"CAST({eb} AS BIGINT) - unix_micros(__t) DIV {hl_us}"
     )
     shift = F.when(
         raw < 0,
@@ -1462,8 +1465,9 @@ def stream_decayed_count_state(
     ).otherwise(F.least(raw, F.lit(int(max_shift)).cast("long")))
     g = (
         stream.select(
-            F.col(group_col).alias("group"), shift.alias("shift")
+            F.col(group_col).alias("group"), F.col(time_col).alias("__t")
         )
+        .select("group", shift.alias("shift"))
         .groupBy("group", "shift")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -740,15 +740,22 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         stamps = [st for st in bpe_stats if len(st) > 3]
         if len(stamps) >= 4 and len(inc) > 0:
             q = len(inc) // 4
+            # baseline = the rank-1 stamp, NOT t0: bpe_train_incremental
+            # runs data-sized seeding (word-count job, driver collect,
+            # pair/index build) before merge 1, and folding that into the
+            # first-quarter numerator would mask exactly the growing
+            # per-merge trend this metric exists to detect
+            base_st = stamps[0]
             first = min(stamps, key=lambda st: abs(st[0] - q))
             last = min(stamps, key=lambda st: abs(st[0] - 3 * q))
-            if first[0] > 0 and len(inc) > last[0]:
+            if first[0] > base_st[0] and len(inc) > last[0]:
                 out["bpe_incr_per_merge_first_q"] = round(
-                    (first[3] - t0) / first[0], 4
+                    (first[3] - base_st[3]) / (first[0] - base_st[0]), 4
                 )
                 out["bpe_incr_per_merge_last_q"] = round(
                     (t_end - last[3]) / (len(inc) - last[0]), 4
                 )
+                out["bpe_setup_sec"] = round(base_st[3] - t0, 2)
         if bpe_stats:
             wt = max(out["bpe_word_types"], 1)
             out["bpe_affected_frac_first"] = round(bpe_stats[0][1] / wt, 6)

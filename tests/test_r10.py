@@ -490,3 +490,38 @@ def test_classifier_train_warm_start(spark):
             df, "doc_id", "text", "y",
             n_buckets=256, iters=1, init_model=bad,
         )
+
+
+def test_calibration_bins_grid_overflow_fail_fast(spark):
+    from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+    df = spark.createDataFrame([(1, True)], "s long, l boolean")
+    with pytest.raises(ValueError, match="overflow"):
+        calibration_bins(df, "s", "l", n_bins=4, lo=-(2**62), hi=2**62)
+    # a wide-but-safe grid still works
+    assert calibration_bins(
+        df, "s", "l", n_bins=4, lo=-(2**31), hi=2**31
+    ).count() == 1
+
+
+def test_stream_decayed_counts_backtick_time_col(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_decayed_count_state,
+    )
+
+    rows = [Row(g="a", ts=datetime(2024, 1, 1))]
+    p = str(tmp_path / "bt")
+    spark.createDataFrame(rows).withColumnRenamed("ts", "event ts") \
+        .coalesce(1).write.parquet(p)
+    stream = spark.readStream.schema("g string, `event ts` timestamp").parquet(p)
+    eb = int(datetime(2024, 1, 1).timestamp() * 1_000_000) // (86_400 * 1_000_000)
+    st = stream_decayed_count_state(
+        stream, "g", "event ts", epoch_bucket=eb + 1,
+        half_life_s=86_400, name="cds_test_decay_bt",
+    )
+    got = st.collect()
+    assert len(got) == 1 and got[0]["shift"] == 1 and got[0]["n"] == 1
