@@ -206,6 +206,8 @@ HEADLINE = [
     "profile_kendall_binned",
     "events_decayed_counts_stream",
     "curate_classifier_train",
+    "eval_auc",
+    "eval_calibration_stream",
 ]
 
 

@@ -10483,32 +10483,9 @@ def _q_eval_calibration(spark, sf_dir):
     rates — the 'does the score mean anything' report that belongs
     next to the confusion/kappa gates. Everything integer; the scorer
     and the labels replay in SQL."""
-    from cassandra_diff_spark.operators.curate import classifier_score
     from cassandra_diff_spark.operators.evaluate import calibration_bins
 
-    docs = _docs(spark, sf_dir)
-    model = spark.range(_CLS_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (
-            F.pmod(
-                md5_hash64(F.concat(F.lit("w"), F.col("id").cast("string"))),
-                F.lit(2001),
-            )
-            - 1000
-        ).cast("long").alias("weight_u"),
-    )
-    scored = classifier_score(
-        docs, "doc_id", "text", model, n_buckets=_CLS_BUCKETS
-    )
-    labeled = scored.join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
-        scored["id"] == F.col("doc_id"),
-    )
-    # persist the NARROW (score, label) frame: Catalyst inlines the
-    # logit aggregate into every downstream reference (filter + __s +
-    # bin), tripling the scorer's cost — the prefix_jaccard cached-
-    # frame precedent; released by bench's per-query cache hygiene
-    labeled = labeled.select("logit_u", "is_en").persist()
+    labeled = _scored_labeled_docs(spark, sf_dir)
     return calibration_bins(
         labeled, "logit_u", "is_en", n_bins=8, lo=-40_000, hi=40_000
     )
@@ -10566,6 +10543,153 @@ FROM binned GROUP BY bin
 
 QUERIES["eval_calibration"] = _q_eval_calibration
 ORACLES["eval_calibration"] = _O_EVAL_CALIBRATION
+
+
+def _scored_labeled_docs(spark, sf_dir):
+    """Shared fixture of the classifier-QA gates: every document scored
+    by the deterministic hashed-weight model, labeled lang == 'en';
+    narrow (logit_u, is_en) frame, persisted (the eval_calibration
+    inlining precedent; released by per-query cache hygiene)."""
+    from cassandra_diff_spark.operators.curate import classifier_score
+
+    docs = _docs(spark, sf_dir)
+    model = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                md5_hash64(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("long").alias("weight_u"),
+    )
+    scored = classifier_score(
+        docs, "doc_id", "text", model, n_buckets=_CLS_BUCKETS
+    )
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        scored["id"] == F.col("doc_id"),
+    )
+    return labeled.select("logit_u", "is_en").persist()
+
+
+def _q_eval_auc(spark, sf_dir):
+    """Exact ROC-AUC of the hashed-ngram classifier logits against the
+    lang == 'en' label — the threshold-free ordering metric next to the
+    calibration gate (same scored frame): Mann-Whitney U in doubled
+    integer units over the distinct-logit frame, the spearman rewrite's
+    range-partitioned prefix core underneath, one exact integer ppm
+    division at the end. Scorer and labels replay in SQL; U replays as
+    a window cumulative over the same cells."""
+    from cassandra_diff_spark.operators.evaluate import auc_exact
+
+    labeled = _scored_labeled_docs(spark, sf_dir)
+    return auc_exact(labeled, "logit_u", "is_en")
+
+
+_O_EVAL_AUC = f"""
+WITH wm AS (
+  SELECT i AS bucket,
+         ({md5_hash64_sql("'w' || CAST(i AS VARCHAR)")} % 2001) - 1000 AS w
+  FROM range({_CLS_BUCKETS}) t(i)
+),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') END AS ws
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           [ws[i] || chr(31) || ws[i+1] for i in range(1, len(ws))]
+         ) AS fs
+  FROM arr
+),
+f AS (SELECT doc_id, unnest(fs) AS feat FROM feats),
+lp AS (
+  SELECT f.doc_id, COALESCE(wm.w, 0) AS w
+  FROM f LEFT JOIN wm ON wm.bucket = {md5_hash64_sql('f.feat')} % {_CLS_BUCKETS}
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS lg FROM lp GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, CAST(COALESCE(g.lg, 0) AS BIGINT) AS logit_u,
+         (d.lang = 'en') AS is_en
+  FROM documents d LEFT JOIN agg g USING (doc_id)
+  WHERE d.lang IS NOT NULL
+),
+cells AS (
+  SELECT logit_u AS v,
+         CAST(SUM(CAST(is_en AS INT)) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(CAST(is_en AS INT)) AS BIGINT) AS neg
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT v, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bneg
+  FROM cells
+),
+u AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         SUM(CAST(pos AS HUGEINT) * (2 * bneg + neg)) AS u2
+  FROM cum
+)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n, n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST((u2 * 1000000)
+                      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       END AS auc_ppm
+FROM u
+"""
+
+
+QUERIES["eval_auc"] = _q_eval_auc
+ORACLES["eval_auc"] = _O_EVAL_AUC
+
+
+def _q_eval_calibration_stream(spark, sf_dir):
+    """Streaming-runtime twin of eval_calibration: the scored labeled
+    frame is staged to parquet (scoring a stream would need a
+    stream-static cross join — the staged-fixture posture of
+    bloom_stream_prefilter), streamed in micro-batches into the
+    complete-mode fixed-grid bin aggregation (state = 8 rows), and the
+    SAME batch oracle replays the result — a live reliability diagram
+    whose drained state must equal the batch report bit-for-bit."""
+    import pathlib
+    import shutil
+
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_calibration_bins,
+    )
+
+    stage = f"/tmp/cds_gate_calib_stream_{pathlib.Path(sf_dir).name}"
+    marker = pathlib.Path(stage) / "_staged"
+    if not (marker.exists() and marker.read_text() == "v1"):
+        shutil.rmtree(stage, ignore_errors=True)
+        labeled = _scored_labeled_docs(spark, sf_dir)
+        labeled.repartition(3).write.parquet(f"{stage}/s")
+        labeled.unpersist()
+        marker.write_text("v1")
+    stream = (
+        spark.readStream.schema("logit_u bigint, is_en boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/s")
+    )
+    return stream_calibration_bins(
+        stream, "logit_u", "is_en", n_bins=8, lo=-40_000, hi=40_000,
+        name="cds_gate_calib_stream",
+    )
+
+
+QUERIES["eval_calibration_stream"] = _q_eval_calibration_stream
+ORACLES["eval_calibration_stream"] = _O_EVAL_CALIBRATION
 
 
 # ---------------------------------------------------------------------------

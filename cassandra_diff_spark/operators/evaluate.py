@@ -580,6 +580,81 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str) -> DataFrame:
     )
 
 
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC-AUC of a score column against a boolean label — the
+    threshold-free companion of :func:`calibration_bins` (calibration
+    asks "does the score mean what it claims per bin"; AUC asks "does
+    the score ORDER positives above negatives at all" — the number a
+    quality-classifier bake-off reports). Computed as the Mann-Whitney
+    U statistic, which needs no probabilities and no bins:
+
+        AUC = [#(pos > neg pairs) + 0.5 * #(pos == neg pairs)]
+              / (n_pos * n_neg)
+
+    carried in DOUBLED integer units (the spearman rank discipline) so
+    ties never produce a float: ``U2 = sum over distinct scores v of
+    pos_v * (2 * neg_below_v + neg_v)`` — every term an exact integer,
+    summed in ``decimal(38,0)`` (HUGEINT twin), and the single output
+    ``auc_ppm = U2 * 1e6 div (2 * n_pos * n_neg)`` is one exact integer
+    division — bit-identical in any engine. NULL when either class is
+    absent (AUC undefined).
+
+    Scale shape: ONE map-side-combined groupBy at distinct-SCORE
+    cardinality, then the ``_running_below`` range-partitioned prefix
+    core from the spearman rewrite (literal hash-sampled split
+    boundaries, bucket-partitioned window, broadcast offsets — no
+    unpartitioned WindowExec, no data-sized single task even when the
+    score is continuous with distinct ~ n). Rows with NULL score or
+    label are excluded. Output: one row
+    ``(n, n_pos, n_neg, auc_ppm)``.
+    """
+    from cassandra_diff_spark.operators import tracked_cache
+    from cassandra_diff_spark.operators.validate import (
+        _running_below,
+        _split_points,
+    )
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__v"),
+        F.col(label_col).cast("boolean").cast("int").alias("__l"),
+    )
+    splits = _split_points(base, ["__v"])["__v"]["splits"]
+    cells = base.groupBy("__v").agg(
+        F.sum("__l").cast("long").alias("__pos"),
+        (F.count(F.lit(1)) - F.sum("__l")).cast("long").alias("__neg"),
+    )
+    if splits:
+        # the prefix core reads cells twice (window + bucket totals)
+        cells = tracked_cache(cells)
+    below = _running_below(cells, "__neg", "__bneg", splits)
+    term = F.col("__pos").cast("decimal(38,0)") * (
+        2 * F.col("__bneg") + F.col("__neg")
+    ).cast("decimal(38,0)")
+    agg = below.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(term).cast("decimal(38,0)").alias("__u2"),
+    )
+    return agg.select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST((__u2 * 1000000) div "
+                "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            )
+        )
+        .alias("auc_ppm"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

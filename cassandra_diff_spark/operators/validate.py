@@ -568,13 +568,68 @@ def _split_points_from_sample(values: list, n_buckets: int) -> list:
     return [values[int(k * step)] for k in range(1, n_buckets)]
 
 
-def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
-    """``(__v, rank_alias)`` map over a (cached) distinct-value frame
-    ``(__v, __cnt)``: doubled average rank ``2*(#rows < v) + count(v)
-    + 1`` as an exact BIGINT, computed with a bucket-PARTITIONED
-    cumulative window plus broadcast cross-bucket offsets (see
-    :func:`spearman_correlations` scale notes). ``splits`` must be
-    sorted ascending; ``[]`` degrades to one bucket."""
+def _split_points(base: DataFrame, cols: Sequence[str]) -> dict[str, dict]:
+    """Per-column literal split boundaries for range-partitioned prefix
+    sums — TWO bounded jobs total for ALL columns: an
+    ``approx_count_distinct`` pass sizes the bucketing (HLL++ is
+    hash-based and order-free, hence deterministic), then ONE
+    ``collect_set`` pass gathers a <=8k-value hash-sample per
+    high-cardinality column (the ``when()`` leaves non-sampled rows
+    null, which collect_set drops). Returns
+    ``{col: {"splits": [...], "acd": int}}``; ``splits`` is ``[]`` for
+    small columns. Exactness never depends on the output — boundaries
+    only place buckets."""
+    cols = list(cols)
+    dtypes = dict(base.dtypes)
+    acd_row = base.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    acds = {c: int(acd_row[c]) for c in cols}
+    big = [c for c in cols if _rank_buckets(acds[c]) > 1]
+    samples: dict[str, list] = {}
+    if big:
+        aggs = []
+        for c in big:
+            rate = max(
+                1, acds[c] // (_RANK_SAMPLE_PER_BUCKET * _rank_buckets(acds[c]))
+            )
+            # xxhash64, not md5: the sample only places bucket
+            # boundaries (prefix sums are exact for ANY boundaries), so
+            # run-determinism suffices — no cross-engine hash needed —
+            # and xxhash64 is far cheaper per row than md5+conv
+            cond = F.pmod(F.xxhash64(F.col(c)), F.lit(rate)) == 0
+            if dtypes[c] in ("float", "double"):
+                # NaN sorts greater-than-everything in Spark; keep it out
+                # of the Python sort below (NaN rows still bucket — they
+                # land in the last bucket, where NaN compares greater).
+                cond = cond & ~F.isnan(F.col(c))
+            aggs.append(F.collect_set(F.when(cond, F.col(c))).alias(c))
+        samp_row = base.agg(*aggs).first()
+        for c in big:
+            samples[c] = sorted(samp_row[c])
+    return {
+        c: {
+            "splits": _split_points_from_sample(
+                samples.get(c, []), _rank_buckets(acds[c])
+            ),
+            "acd": acds[c],
+        }
+        for c in cols
+    }
+
+
+def _running_below(
+    vals: DataFrame, weight_col: str, below_alias: str, splits: list
+) -> DataFrame:
+    """``vals`` (a distinct-``__v`` frame) + ``below_alias`` = the exact
+    BIGINT total of ``weight_col`` over rows with STRICTLY smaller
+    ``__v`` — the shared range-partitioned prefix-sum core of the rank
+    map (weight = row count) and exact AUC (weight = negative count):
+    an order-preserving bucket from literal ``splits`` boundaries, a
+    window PARTITIONED by bucket for in-bucket prefixes, and
+    cross-bucket offsets from a triangular broadcast join of the
+    <=257-row per-bucket totals. ``splits`` must be sorted ascending;
+    ``[]`` degrades to one bucket."""
     from pyspark.sql import Window
 
     if not splits:
@@ -584,19 +639,17 @@ def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
         # zeroed hash (non-foldable) keeps the window PARTITIONED in
         # the plan — Catalyst folds a literal partition key away and
         # the library invariant "no unpartitioned WindowExec" stays
-        # assertable over every spearman plan, big or small.
+        # assertable over every consuming plan, big or small.
         w0 = (
             Window.partitionBy(F.pmod(F.xxhash64(F.col("__v")), F.lit(1)))
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         return vals.select(
-            "__v",
-            (
-                2 * F.coalesce(F.sum("__cnt").over(w0), F.lit(0))
-                + F.col("__cnt")
-                + 1
-            ).cast("long").alias(rank_alias),
+            "*",
+            F.coalesce(F.sum(weight_col).over(w0), F.lit(0))
+            .cast("long")
+            .alias(below_alias),
         )
     b_arr = F.array(*[F.lit(s) for s in splits])
     bucket = F.aggregate(
@@ -612,26 +665,39 @@ def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     loc = vals.select(
-        "__v",
-        "__cnt",
-        "__bk",
-        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__lpre"),
+        "*", F.coalesce(F.sum(weight_col).over(w), F.lit(0)).alias("__lpre")
     )
-    # per-bucket row totals (<= len(splits)+1 rows) -> cumulative offsets
-    # via a triangular broadcast join, NOT a window: the rank-map plan
+    # per-bucket totals (<= len(splits)+1 rows) -> cumulative offsets
+    # via a triangular broadcast join, NOT a window: the consuming plan
     # then contains no unpartitioned WindowExec at all (plan-asserted).
-    # Both this branch and the window read ``vals`` — the caller caches
-    # it for split columns, so the data aggregates exactly once.
-    tot = vals.groupBy("__bk").agg(F.sum("__cnt").alias("__t"))
+    # Both this branch and the window read ``vals`` — callers cache it
+    # for split columns, so the data aggregates exactly once.
+    tot = vals.groupBy("__bk").agg(F.sum(weight_col).alias("__t"))
     lower = tot.select(F.col("__bk").alias("__bk2"), F.col("__t").alias("__t2"))
     offs = (
         tot.join(F.broadcast(lower), F.col("__bk2") < F.col("__bk"), "left")
         .groupBy("__bk")
         .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__off"))
     )
-    return loc.join(F.broadcast(offs), "__bk").select(
+    return (
+        loc.join(F.broadcast(offs), "__bk")
+        .withColumn(
+            below_alias,
+            (F.col("__off") + F.col("__lpre")).cast("long"),
+        )
+        .drop("__bk", "__lpre", "__off")
+    )
+
+
+def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
+    """``(__v, rank_alias)`` map over a (cached) distinct-value frame
+    ``(__v, __cnt)``: doubled average rank ``2*(#rows < v) + count(v)
+    + 1`` as an exact BIGINT over the :func:`_running_below` core (see
+    :func:`spearman_correlations` scale notes)."""
+    below = _running_below(vals, "__cnt", "__below", splits)
+    return below.select(
         "__v",
-        (2 * (F.col("__off") + F.col("__lpre")) + F.col("__cnt") + 1)
+        (2 * F.col("__below") + F.col("__cnt") + 1)
         .cast("long")
         .alias(rank_alias),
     )
@@ -698,48 +764,13 @@ def spearman_correlations(
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
     base = base.select(*cols)
-    dtypes = dict(base.dtypes)
-
-    # two bounded jobs TOTAL (not per column): approx distinct counts
-    # size the bucketing (HLL++ is hash-based and order-free, so the
-    # counts — and therefore the boundaries and the exact ranks — are
-    # deterministic), then ONE pass collects a <=8k-value hash-sample
-    # per high-cardinality column via collect_set (the when() leaves
-    # non-sampled rows null, which collect_set drops).
-    acd_row = base.agg(
-        *[F.approx_count_distinct(c).alias(c) for c in cols]
-    ).first()
-    acds = {c: int(acd_row[c]) for c in cols}
-    big = [c for c in cols if _rank_buckets(acds[c]) > 1]
-    samples: dict[str, list] = {}
-    if big:
-        aggs = []
-        for c in big:
-            rate = max(
-                1, acds[c] // (_RANK_SAMPLE_PER_BUCKET * _rank_buckets(acds[c]))
-            )
-            # xxhash64, not md5: the sample only places bucket
-            # boundaries (ranks are exact for ANY boundaries), so run-
-            # determinism suffices — no cross-engine hash needed — and
-            # xxhash64 is far cheaper per row than md5+conv
-            cond = F.pmod(F.xxhash64(F.col(c)), F.lit(rate)) == 0
-            if dtypes[c] in ("float", "double"):
-                # NaN sorts greater-than-everything in Spark; keep it out
-                # of the Python sort below (NaN rows still rank — they
-                # land in the last bucket, where NaN compares greater).
-                cond = cond & ~F.isnan(F.col(c))
-            aggs.append(F.collect_set(F.when(cond, F.col(c))).alias(c))
-        samp_row = base.agg(*aggs).first()
-        for c in big:
-            samples[c] = sorted(samp_row[c])
+    points = _split_points(base, cols)
 
     from cassandra_diff_spark.operators import tracked_cache
 
     ranked = base
     for i, c in enumerate(cols):
-        splits = _split_points_from_sample(
-            samples.get(c, []), _rank_buckets(acds[c])
-        )
+        splits = points[c]["splits"]
         vals = base.groupBy(F.col(c).alias("__v")).agg(
             F.count(F.lit(1)).alias("__cnt")
         )

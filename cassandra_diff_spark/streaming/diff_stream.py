@@ -1409,6 +1409,35 @@ def stream_cm_sketch(
     return _drain_complete(agg, name, checkpoint)
 
 
+def stream_calibration_bins(
+    stream: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    lo: int,
+    hi: int,
+    name: str = "cds_stream_calib",
+    checkpoint: "str | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`~cassandra_diff_spark.operators.evaluate.
+    calibration_bins`: the fixed-grid integer bin assignment plus the
+    per-bin count/positive/score sums are one order-free,
+    map-side-combinable groupBy, so the batch expression runs unchanged
+    as a COMPLETE-mode streaming aggregation with at most ``n_bins``
+    rows of state — a live reliability diagram that firms up as scored
+    events arrive (drift in a bin's positive rate is the
+    production signal that a deployed quality model's score stopped
+    meaning what it claimed). Drained bins equal the batch operator
+    over the same data by construction (oracle-gated)."""
+    from cassandra_diff_spark.operators.evaluate import calibration_bins
+
+    agg = calibration_bins(
+        stream, score_col, label_col, n_bins=n_bins, lo=lo, hi=hi
+    )
+    return _drain_complete(agg, name, checkpoint)
+
+
 def stream_decayed_count_state(
     stream: DataFrame,
     group_col: str,

@@ -525,3 +525,69 @@ def test_stream_decayed_counts_backtick_time_col(spark, tmp_path):
     )
     got = st.collect()
     assert len(got) == 1 and got[0]["shift"] == 1 and got[0]["n"] == 1
+
+
+class TestAucExact:
+    def test_hand_case_with_ties(self, spark):
+        from cassandra_diff_spark.operators.evaluate import auc_exact
+
+        # pos scores [3,2], neg [1,2]: 3 winning pairs + 1 tie of 4
+        # -> AUC = 3.5/4 = 0.875 exactly
+        df = spark.createDataFrame(
+            [(3, True), (2, True), (1, False), (2, False)], "s long, l boolean"
+        )
+        r = auc_exact(df, "s", "l").collect()[0]
+        assert (r["n"], r["n_pos"], r["n_neg"], r["auc_ppm"]) == (4, 2, 2, 875000)
+
+    def test_perfect_inverted_oneclass(self, spark):
+        from cassandra_diff_spark.operators.evaluate import auc_exact
+
+        perfect = spark.createDataFrame(
+            [(i, i >= 50) for i in range(100)], "s long, l boolean"
+        )
+        assert auc_exact(perfect, "s", "l").collect()[0]["auc_ppm"] == 1_000_000
+        inverted = spark.createDataFrame(
+            [(i, i < 50) for i in range(100)], "s long, l boolean"
+        )
+        assert auc_exact(inverted, "s", "l").collect()[0]["auc_ppm"] == 0
+        one = spark.createDataFrame([(1, True)], "s long, l boolean")
+        assert auc_exact(one, "s", "l").collect()[0]["auc_ppm"] is None
+
+    def test_matches_naive_pair_count(self, spark):
+        from cassandra_diff_spark.operators.evaluate import auc_exact
+
+        rows = [((i * 7) % 23, (i * 13) % 3 == 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "s long, l boolean")
+        pos = [s for s, l in rows if l]
+        neg = [s for s, l in rows if not l]
+        u2 = sum(
+            2 * sum(1 for nv in neg if pv > nv) + sum(1 for nv in neg if pv == nv)
+            for pv in pos
+        )
+        want = (u2 * 1_000_000) // (2 * len(pos) * len(neg))
+        got = auc_exact(df, "s", "l").collect()[0]
+        assert got["auc_ppm"] == want
+
+
+def test_stream_calibration_matches_batch(spark, tmp_path):
+    from cassandra_diff_spark.operators.evaluate import calibration_bins
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_calibration_bins,
+    )
+
+    rows = [((i * 17) % 100 - 50, i % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "s long, l boolean")
+    p = str(tmp_path / "scores")
+    df.repartition(3).write.parquet(p)
+    stream = spark.readStream.schema("s long, l boolean") \
+        .option("maxFilesPerTrigger", 1).parquet(p)
+    drained = stream_calibration_bins(
+        stream, "s", "l", n_bins=5, lo=-50, hi=50,
+        name="cds_test_calib_stream",
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    want = sorted(
+        tuple(r)
+        for r in calibration_bins(df, "s", "l", n_bins=5, lo=-50, hi=50).collect()
+    )
+    assert got == want and len(got) == 5
