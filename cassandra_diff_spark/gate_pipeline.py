@@ -10671,12 +10671,14 @@ def _q_eval_calibration_stream(spark, sf_dir):
 
     stage = f"/tmp/cds_gate_calib_stream_{pathlib.Path(sf_dir).name}"
     marker = pathlib.Path(stage) / "_staged"
-    if not (marker.exists() and marker.read_text() == "v1"):
+    # stamp includes the model size: a _CLS_BUCKETS change must restage
+    stamp = f"v1:{_CLS_BUCKETS}"
+    if not (marker.exists() and marker.read_text() == stamp):
         shutil.rmtree(stage, ignore_errors=True)
         labeled = _scored_labeled_docs(spark, sf_dir)
         labeled.repartition(3).write.parquet(f"{stage}/s")
         labeled.unpersist()
-        marker.write_text("v1")
+        marker.write_text(stamp)
     stream = (
         spark.readStream.schema("logit_u bigint, is_en boolean")
         .option("maxFilesPerTrigger", 1)
