@@ -9726,6 +9726,31 @@ ORACLES["events_sequence_loglik"] = _O_EVENTS_SEQUENCE_LOGLIK
 
 _CLS_BUCKETS = 4096
 
+#: scorer-formula version for staged classifier fixtures: bump whenever
+#: _scored_labeled_docs (weights, features, label) changes, so stale
+#: staged parquet under /tmp cannot silently satisfy a new formula
+_CLS_SCORER_V = 1
+
+
+def _fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of a testdata parquet fixture (size +
+    mtime_ns over the file, or summed over a directory's files): staged
+    /tmp derivations key their stamp on this so a REGENERATED fixture at
+    the same path restages instead of silently reusing stale data."""
+    import pathlib
+
+    p = pathlib.Path(sf_dir) / table
+    try:
+        if p.is_dir():
+            files = [q for q in sorted(p.rglob("*")) if q.is_file()]
+            tot = sum(q.stat().st_size for q in files)
+            mt = max((q.stat().st_mtime_ns for q in files), default=0)
+            return f"{len(files)}:{tot}:{mt}"
+        st = p.stat()
+        return f"1:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "missing"
+
 
 def _q_curate_classifier_score(spark, sf_dir):
     """fastText-style linear quality classifier, scoring side: hashed
@@ -10662,6 +10687,7 @@ def _q_eval_calibration_stream(spark, sf_dir):
     complete-mode fixed-grid bin aggregation (state = 8 rows), and the
     SAME batch oracle replays the result — a live reliability diagram
     whose drained state must equal the batch report bit-for-bit."""
+    import os
     import pathlib
     import shutil
 
@@ -10671,14 +10697,31 @@ def _q_eval_calibration_stream(spark, sf_dir):
 
     stage = f"/tmp/cds_gate_calib_stream_{pathlib.Path(sf_dir).name}"
     marker = pathlib.Path(stage) / "_staged"
-    # stamp includes the model size: a _CLS_BUCKETS change must restage
-    stamp = f"v1:{_CLS_BUCKETS}"
+    # stamp ties the staged data to everything it derives from: the
+    # model size, the scorer-formula version (bump _CLS_SCORER_V when
+    # _scored_labeled_docs changes shape), and a fixture fingerprint —
+    # a regenerated documents.parquet at the same path must restage
+    stamp = (
+        f"v2:{_CLS_BUCKETS}:{_CLS_SCORER_V}:"
+        f"{_fixture_fingerprint(sf_dir, 'documents.parquet')}"
+    )
     if not (marker.exists() and marker.read_text() == stamp):
-        shutil.rmtree(stage, ignore_errors=True)
+        # stage via write-to-temp + atomic rename: a concurrent bench
+        # run either wins the rename or adopts the winner's identical-
+        # stamp result — readers never see a half-written directory
+        tmp = pathlib.Path(f"{stage}.tmp.{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
         labeled = _scored_labeled_docs(spark, sf_dir)
-        labeled.repartition(3).write.parquet(f"{stage}/s")
+        labeled.repartition(3).write.parquet(str(tmp / "s"))
         labeled.unpersist()
-        marker.write_text(stamp)
+        (tmp / "_staged").write_text(stamp)
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (marker.exists() and marker.read_text() == stamp):
+                raise
     stream = (
         spark.readStream.schema("logit_u bigint, is_en boolean")
         .option("maxFilesPerTrigger", 1)

@@ -607,8 +607,14 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     score is continuous with distinct ~ n). Rows with NULL score or
     label are excluded. Output: one row
     ``(n, n_pos, n_neg, auc_ppm)``.
+
+    EAGER by contract (the :func:`~cassandra_diff_spark.operators.validate.kendall_tau`
+    pattern): the call runs the Spark job and returns the one-row
+    result already materialized, so the internal distinct-score cell
+    cache never outlives the call — long-lived sessions accumulate
+    nothing. Composing this lazily is not supported; failures surface
+    at invocation.
     """
-    from cassandra_diff_spark.operators import tracked_cache
     from cassandra_diff_spark.operators.validate import (
         _running_below,
         _split_points,
@@ -626,33 +632,40 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("__l")).cast("long").alias("__neg"),
     )
     if splits:
-        # the prefix core reads cells twice (window + bucket totals)
-        cells = tracked_cache(cells)
-    below = _running_below(cells, "__neg", "__bneg", splits)
-    term = F.col("__pos").cast("decimal(38,0)") * (
-        2 * F.col("__bneg") + F.col("__neg")
-    ).cast("decimal(38,0)")
-    agg = below.agg(
-        F.sum("__pos").cast("long").alias("n_pos"),
-        F.sum("__neg").cast("long").alias("n_neg"),
-        F.sum(term).cast("decimal(38,0)").alias("__u2"),
-    )
-    return agg.select(
-        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
-        "n_pos",
-        "n_neg",
-        F.when(
-            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
-            F.lit(None).cast("long"),
+        # the prefix core reads cells twice (window + bucket totals);
+        # LOCAL persist + eager collect below, so the cache is released
+        # before returning instead of waiting on release_caches()
+        cells = cells.persist()
+    try:
+        below = _running_below(cells, "__neg", "__bneg", splits)
+        term = F.col("__pos").cast("decimal(38,0)") * (
+            2 * F.col("__bneg") + F.col("__neg")
+        ).cast("decimal(38,0)")
+        agg = below.agg(
+            F.sum("__pos").cast("long").alias("n_pos"),
+            F.sum("__neg").cast("long").alias("n_neg"),
+            F.sum(term).cast("decimal(38,0)").alias("__u2"),
         )
-        .otherwise(
-            F.expr(
-                "CAST((__u2 * 1000000) div "
-                "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+        out = agg.select(
+            (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n"),
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+                F.lit(None).cast("long"),
             )
+            .otherwise(
+                F.expr(
+                    "CAST((__u2 * 1000000) div "
+                    "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+                )
+            )
+            .alias("auc_ppm"),
         )
-        .alias("auc_ppm"),
-    )
+        return df.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        if splits:
+            cells.unpersist()
 
 
 def calibration_bins(

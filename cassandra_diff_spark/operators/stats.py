@@ -1093,6 +1093,12 @@ def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     Output: one row ``(col_a, col_b, n_rows, mi_micronat, ha_micronat,
     hb_micronat, u_a_given_b_milli, u_b_given_a_milli)``.
+
+    EAGER by contract: the call runs the Spark job and returns the
+    one-row result already materialized (``createDataFrame`` over the
+    collected row) so the internal joint-frame cache never outlives the
+    call — composing this lazily is not supported; failures surface at
+    invocation, like :func:`~cassandra_diff_spark.operators.validate.kendall_tau`.
     """
     joint = (
         df.select(

@@ -831,6 +831,11 @@ def kendall_tau(
     Output: one row ``(n, s, n0, n1, n2, tau_b)``; ``tau_b`` NULL when
     either column is constant (zero denominator). NULLs in either
     column are excluded pairwise (a NULL has no order position).
+
+    EAGER by contract: the call runs the Spark job (cap probe + tau
+    assembly) and returns the one-row result already materialized, so
+    the internal cell cache never outlives the call. Composing this
+    lazily is not supported; failures surface at invocation.
     """
     cells = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -893,7 +898,9 @@ def kendall_tau_binned(
     everything after runs on the <= ``max_cells``-row cell frame.
 
     Output schema matches :func:`kendall_tau`:
-    ``(n, s, n0, n1, n2, tau_b)``.
+    ``(n, s, n0, n1, n2, tau_b)``. EAGER by contract, like
+    :func:`kendall_tau`: the one-row result comes back materialized and
+    the internal cell cache is dropped before returning.
     """
     from cassandra_diff_spark.operators.stats import _bin_expr
 

@@ -946,8 +946,13 @@ def bpe_train_incremental(
     ``driver_word_cap=0`` forces it (tests, probes).
 
     ``stats``, if a list, receives one ``(rank, n_affected_word_types,
-    n_delta_pair_types)`` tuple per sampled merge — the work-
-    proportionality evidence. The affected count costs one extra job
+    n_delta_pair_types, wall_clock_ts)`` tuple per sampled merge — the
+    work-proportionality evidence, plus a ``time.time()`` stamp so one
+    run yields the per-merge TIME trend. The stamp is the r10-added 4th
+    element: index access to ``[0..2]`` is stable, but consumers that
+    tuple-unpack must bind all four, and the stamp makes raw ``stats``
+    rows non-reproducible across runs by design (strip element 3 when
+    comparing). The affected count costs one extra job
     (which re-runs the bounded replace lineage), so ``stats_every``
     samples it: 1 records every merge (tests/diagnostics), N records
     every Nth (the 1024-merge scale probe samples at 64 so the trend
