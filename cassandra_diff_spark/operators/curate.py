@@ -1566,10 +1566,16 @@ def classifier_train(
     Distributed shape (the treeAggregate posture of any distributed GD):
     feature arrays are extracted ONCE, JVM-side, and persisted; each
     iteration is one job that ships the current ``n_buckets``-float
-    weight vector to every task, computes per-GROUP dense gradient sums
-    in Arrow-batched pandas (docs grouped by a hash of their id into
-    ``n_groups`` groups), and collects ``n_groups x n_buckets`` doubles
-    (kilobytes-to-megabytes — never data) to the driver for the step.
+    weight vector to every task, computes per-GROUP gradient sums in
+    Arrow-batched pandas (docs grouped by a hash of their id into
+    ``n_groups`` groups), and emits the gradient SPARSELY — one
+    ``(gid, bucket, g)`` row per NON-ZERO bucket. The cross-group
+    reduction happens IN THE CLUSTER (a ``groupBy(bucket)`` at
+    feature cardinality, each bucket folding its per-group terms in
+    gid order JVM-side), so the driver collects one row per non-zero
+    GRADIENT bucket — bounded by the corpus' distinct hashed features,
+    never by ``n_buckets`` (the r10 dense form collected ``n_groups x
+    n_buckets`` doubles, ~270 MB/iteration at ``n_buckets=2**20``).
     Training corpora for quality classifiers are label-bounded (human/
     heuristic-labeled subsets, not the 100 TB corpus), so a group —
     ``#docs / n_groups`` rows — fits comfortably in a pandas task; raise
@@ -1577,8 +1583,11 @@ def classifier_train(
 
     Determinism contract (the property-test surface): group membership
     is ``md5_hash64(id) % n_groups`` (pure function of the id), docs
-    accumulate within a group in sorted-id order, groups fold on the
-    driver in gid order, and every float op is a fixed-order numpy
+    accumulate within a group in sorted-id order, per-bucket terms fold
+    across groups in gid order (``sort_array`` over collected
+    ``(gid, g)`` structs, a fixed-order double fold — bit-equal to the
+    r10 driver-side gid-ordered dense fold, since adding an exact 0.0
+    never changes an IEEE sum), and every float op is a fixed-order numpy
     sequence — so the trained weights are BIT-IDENTICAL across runs,
     partitionings, and cluster sizes, and a pure-Python replica
     reproduces them exactly. Logits clip to [-30, 30] before the
@@ -1651,12 +1660,20 @@ def classifier_train(
                         f"init_model bucket {b} outside [0, {d})"
                     )
                 w[b] = int(r["weight_u"]) / 1e6
-        out_schema = "gid long, grad array<double>"
-        def _make_grad(wc):
+        out_schema = "gid long, bucket long, g double"
+        def _make_grad(w_dense):
             # factory, not a default arg: applyInPandas dispatches on
             # function ARITY (two params means the (key, pdf) form), so
-            # the weight snapshot must ride a closure, not a parameter
+            # the weight snapshot must ride a closure, not a parameter.
+            # The snapshot ships SPARSELY (nonzero buckets + values) and
+            # re-densifies per task — the closure is model-nnz-sized,
+            # not d-sized (16 MB/iteration at d=2**21 otherwise)
+            w_nz = np.nonzero(w_dense)[0]
+            w_vals = w_dense[w_nz]
+
             def _grad(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                wc = np.zeros(d, dtype=np.float64)
+                wc[w_nz] = w_vals
                 pdf = pdf.sort_values("id", kind="mergesort")
                 lens = np.fromiter(
                     (len(h) for h in pdf["hs"]), dtype=np.int64, count=len(pdf)
@@ -1672,29 +1689,51 @@ def classifier_train(
                 coef = np.repeat(prob - pdf["y"].to_numpy(), lens)
                 g = np.zeros(d, dtype=np.float64)
                 np.add.at(g, flat, coef)
+                # sparse emission: one row per non-zero bucket, so the
+                # shuffle and the driver collect are bounded by the
+                # corpus' distinct hashed features, not by d
+                nz = np.nonzero(g)[0]
                 return pd.DataFrame(
-                    {"gid": [int(pdf["gid"].iloc[0])], "grad": [g.tolist()]}
+                    {
+                        "gid": np.full(len(nz), int(pdf["gid"].iloc[0])),
+                        "bucket": nz,
+                        "g": g[nz],
+                    }
                 )
 
             return _grad
 
         for _ in range(int(iters)):
+            grad_rows = base.groupBy("gid").applyInPandas(
+                _make_grad(w), out_schema
+            )
+            # cluster-side cross-group reduce, bit-deterministic: each
+            # bucket folds its <= n_groups (gid, g) terms in gid order
+            # (sort_array over structs orders by gid first; gids are
+            # unique per bucket) — the same IEEE addition sequence as
+            # the old driver-side gid-ordered dense fold
             rows = (
-                base.groupBy("gid")
-                .applyInPandas(_make_grad(w), out_schema)
+                grad_rows.groupBy("bucket")
+                .agg(
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.struct("gid", "g"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["g"],
+                    ).alias("g")
+                )
                 .collect()
             )
             g = np.zeros(d, dtype=np.float64)
-            for r in sorted(rows, key=lambda r: r["gid"]):
-                g += np.asarray(r["grad"], dtype=np.float64)
+            for r in rows:
+                g[int(r["bucket"])] = float(r["g"])
             w = w - lr * (g / n_total)
     finally:
         base.unpersist()
-    weights = [
-        (b, u)
-        for b in range(d)
-        if (u := int(round(float(w[b]) * 1e6))) != 0
-    ]
+    # vectorized quantization (a Python loop over d is real time at
+    # d=2**21); np.rint is round-half-to-even, the same tie rule as the
+    # previous int(round(.)) — bit-identical models
+    u_all = np.rint(w * 1e6)
+    weights = [(int(b), int(u_all[b])) for b in np.nonzero(u_all)[0]]
     return df.sparkSession.createDataFrame(
         weights or [(0, 0)], "bucket long, weight_u long"
     )

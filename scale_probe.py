@@ -652,6 +652,69 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         out["spearman_1m_rho_xy_exact_one"] = sp[("x", "y")]["rho"] == 1.0
         _section_end(spark)
 
+    # ---- classifier_train gradient sparsity at d=2^21 (VERDICT r10
+    # #2): the r10 dense form collected n_groups x d doubles per
+    # iteration (~270 MB at d=2^20) regardless of how few features the
+    # corpus actually has. The r11 sparse form collects one row per
+    # NON-ZERO gradient bucket — bounded by the corpus' distinct hashed
+    # features. Evidence: train at d=2^21 on a corpus whose distinct
+    # feature count is known, and record model rows vs distinct
+    # features vs d (rows <= feats << d is the sparsity claim; per-
+    # iteration collected rows are bounded by the same feature count).
+    cls_d = int(os.environ.get("SPARK_GRAFT_CLS_PROBE_D", str(2 ** 21)))
+    if cls_d:
+        from cassandra_diff_spark.functions.text import md5_hash64
+        from cassandra_diff_spark.operators.curate import classifier_train
+
+        t0 = time.time()
+        n_cls_docs = 4000
+        wordize = lambda c: F.concat(F.lit("w"), c.cast("string"))  # noqa: E731
+        body = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: wordize(
+                    F.pmod(F.xxhash64(F.col("id"), j), F.lit(50_000))
+                ),
+            ),
+        )
+        y = F.pmod(F.col("id"), F.lit(2))
+        sent = F.when(y == 1, F.lit(" qpos qpos")).otherwise(F.lit(" qneg qneg"))
+        cdocs = spark.range(n_cls_docs).select(
+            F.col("id").alias("doc_id"),
+            y.alias("y"),
+            F.concat(body, sent).alias("text"),
+        )
+        cdocs = cdocs.persist()
+        try:
+            from cassandra_diff_spark.functions.text import words
+
+            ws = F.filter(words(F.col("text")), lambda w: w != "")
+            big = F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)).cast("int")),
+                lambda a, b: F.concat(a, F.lit("\x1f"), b),
+            )
+            feats = cdocs.select(
+                F.explode(F.concat(ws, big)).alias("f")
+            ).select(F.pmod(md5_hash64(F.col("f")), F.lit(cls_d)).alias("b"))
+            n_feats = feats.distinct().count()
+            model = classifier_train(
+                cdocs, "doc_id", "text", "y",
+                n_buckets=cls_d, iters=2, lr_milli=2_000,
+            )
+            n_model = model.count()
+        finally:
+            cdocs.unpersist()
+        out["classifier_d21_sec"] = round(time.time() - t0, 2)
+        out["classifier_d21_d"] = cls_d
+        out["classifier_d21_distinct_feats"] = n_feats
+        out["classifier_d21_model_rows"] = n_model
+        out["classifier_d21_collect_bounded_by_feats"] = (
+            n_model <= n_feats and n_feats < cls_d // 4
+        )
+        _section_end(spark)
+
     # ---- incremental-BPE crossover at realistic merge counts (VERDICT
     # r8 #1): r8 adjudicated the 128-merge/50k-type comparison as
     # job-overhead-bound (59 vs 55 s — a wash). This section runs the
