@@ -47,13 +47,12 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-#: Fail-fast ceiling for the single-task id-assignment window: the
-#: ``row_number`` sort runs over exactly ``vocab_size`` rows in one task,
-#: which is fine for any real vocabulary (GPT-2 50k, sentencepiece <=1M)
-#: but must not silently become a global sort if a caller passes a
-#: corpus-sized "vocabulary". 4M rows of (token, n) is ~100 MB in one
-#: sort task — the documented bound, same discipline as kendall_tau's
-#: max_cells.
+#: Fail-fast ceiling for the vocabulary-bounded stages of id assignment
+#: (the top-V cut's single merge task; the per-n-group row_number
+#: partitions): fine for any real vocabulary (GPT-2 50k, sentencepiece
+#: <=1M) but must not silently absorb a corpus-sized "vocabulary".
+#: 4M rows of (token, n) is ~100 MB in the merge task — the documented
+#: bound, same discipline as kendall_tau's max_cells.
 MAX_VOCAB_SIZE = 4_000_000
 
 
@@ -68,34 +67,82 @@ def vocab_from_counts(
     counts frame — the tail :func:`build_vocab` and the incremental
     path (:func:`fold_token_counts`) share.
 
-    The ``row_number`` window is intentionally un-partitioned: it runs
-    AFTER the top-V cut (``orderBy + limit`` = Catalyst
-    TakeOrderedAndProject — per-partition top-V, merged once), over
-    exactly ``vocab_size`` rows (a vocabulary is small by definition —
-    the corpus-sized work all happened in the counting aggregation).
-    ``vocab_size`` is fail-fast capped at :data:`MAX_VOCAB_SIZE` so the
-    single-task window can never silently become a data-sized global
-    sort.
+    Id assignment is the two-level decomposition of the global
+    ``(n DESC, token ASC)`` row number, with NO un-partitioned window
+    anywhere in the plan (the library invariant, shared with the
+    spearman/AUC prefix-sum core):
+
+      ``token_id = #{top rows with larger n}        (prefix sum)
+                 + row_number within the n-group    (PARTITIONED window)
+                 + first_id - 1``
+
+    The top-V cut is still ``orderBy + limit`` (Catalyst
+    TakeOrderedAndProject — per-partition top-V, merged once); the
+    cross-count term then runs through
+    :func:`~cassandra_diff_spark.operators.validate._running_below`
+    (literal split boundaries, bucket-partitioned prefix window,
+    broadcast cross-bucket offsets) over the distinct-count frame, and
+    the in-group term is a window PARTITIONED by ``n``. ``vocab_size``
+    stays fail-fast capped at :data:`MAX_VOCAB_SIZE` (the cut's merge
+    task and the n-group window partitions are vocab-bounded).
+
+    PARTIALLY EAGER by contract: sizing the prefix-sum buckets runs two
+    bounded jobs at call time (the spearman ``_split_points``
+    discipline) over the top-V frame, which is ``tracked_cache``'d so
+    the corpus-sized counting aggregation still runs exactly once —
+    long-lived sessions should call ``operators.release_caches()``
+    after materializing the result.
     """
     if int(vocab_size) > MAX_VOCAB_SIZE:
         raise ValueError(
             f"vocab_size={vocab_size} exceeds MAX_VOCAB_SIZE="
-            f"{MAX_VOCAB_SIZE}: the id-assignment window sorts vocab_size "
-            "rows in ONE task by design; a larger 'vocabulary' is a "
-            "corpus-sized frame — keep the (token, n) counts frame "
-            "unfrozen (it is already globally usable via joins) or "
-            "shard ids by token hash instead"
+            f"{MAX_VOCAB_SIZE}: the top-V merge and id assignment are "
+            "sized for vocabulary-bounded frames by design; a larger "
+            "'vocabulary' is a corpus-sized frame — keep the (token, n) "
+            "counts frame unfrozen (it is already globally usable via "
+            "joins) or shard ids by token hash instead"
         )
+    from cassandra_diff_spark.operators import tracked_cache
+    from cassandra_diff_spark.operators.validate import (
+        _running_below,
+        _split_points,
+    )
+
     top = (
         counts.filter(F.col("n") >= int(min_count))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(int(vocab_size))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return top.select(
-        (F.row_number().over(w) + F.lit(int(first_id) - 1)).alias("token_id"),
-        "token",
-        "n",
+    top = tracked_cache(top)
+    splits = _split_points(
+        top.select((-F.col("n")).alias("__v")), ["__v"]
+    )["__v"]["splits"]
+    vals = top.groupBy((-F.col("n")).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    if splits:
+        # the prefix core reads vals twice (window + bucket totals)
+        vals = tracked_cache(vals)
+    below = _running_below(vals, "__cnt", "__below", splits).select(
+        (-F.col("__v")).alias("__n"), "__below"
+    )
+    w = Window.partitionBy("n").orderBy(F.col("token").asc())
+    return (
+        top.join(F.broadcast(below), top["n"] == F.col("__n"))
+        .select(
+            (
+                F.col("__below")
+                + F.row_number().over(w)
+                + F.lit(int(first_id) - 1)
+            )
+            .cast("int")
+            .alias("token_id"),
+            "token",
+            "n",
+        )
+        # id-ordered presentation, as before the prefix-sum rewrite — a
+        # V-bounded range sort, not a window
+        .orderBy("token_id")
     )
 
 
@@ -1110,6 +1157,44 @@ def bpe_encode_documents(
         F.col(id_col).alias("id"),
         toks.alias("tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_decode(tokens_col) -> "F.Column":
+    """Inverse of :func:`bpe_apply` for ONE tokens array column: BPE
+    merges only ever CONCATENATE characters of a word (plus the
+    word-final ``</w>`` marker), so decoding needs no merge table at
+    all — join the symbols back together and turn each ``</w>`` into a
+    word boundary. Map-only, pure Catalyst string expressions.
+
+    Returns the whitespace-NORMALIZED text: original words joined by
+    single spaces (the tokenizer is ``words()`` = split on ``\\s+``, so
+    run-of-whitespace and leading/trailing whitespace are not
+    recoverable by construction — ``decode(encode(x)) ==
+    ' '.join(words(x))``, the round-trip a tokenizer ships with).
+
+    Domain note (shared with encode): words containing the three marker
+    bytes are dropped by encoding and therefore absent from the decode;
+    a word containing the LITERAL substring ``</w>`` would decode with
+    an extra boundary — the rendered end-of-word marker is the one
+    reserved token of the output alphabet, exactly as in the reference
+    BPE formulation (Sennrich et al. 2016)."""
+    joined = F.array_join(tokens_col, "")
+    return F.rtrim(F.replace(joined, F.lit(_BPE_EOW_SHOW), F.lit(" ")))
+
+
+def bpe_decode_documents(
+    df: DataFrame, id_col: str = "id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, text): every encoded document decoded back to its
+    whitespace-normalized text — the verification half of the tokenizer
+    round-trip (training pipelines assert ``decode(encode(x)) ==
+    normalize(x)`` before shipping a tokenizer). MAP-ONLY over the
+    encoded frame; composes with :func:`bpe_encode_documents`'s output
+    schema by default."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        bpe_decode(F.col(tokens_col)).alias("text"),
     )
 
 
