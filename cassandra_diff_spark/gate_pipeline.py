@@ -10794,3 +10794,48 @@ def _q_vocab_tfidf_join(spark, sf_dir):
 
 QUERIES["vocab_tfidf_join"] = _q_vocab_tfidf_join
 ORACLES["vocab_tfidf_join"] = _O_VOCAB_TFIDF_EMBED
+
+
+# ---------------------------------------------------------------------------
+# round 11: tokenizer round-trip + end-to-end classifier bake-off
+
+
+def _q_vocab_bpe_roundtrip(spark, sf_dir):
+    """decode(encode(x)) == whitespace-normalized x, per document — the
+    verification a training pipeline runs before shipping a tokenizer.
+    Spark encodes every document through the real map-only BPE path
+    (cached merge list — the retrain is the TRAIN gate's subject) and
+    decodes it back with bpe_decode (merge-free by construction: merges
+    only concatenate, so joining symbols and turning each rendered
+    end-of-word marker into a boundary restores the words). The ORACLE
+    never sees the tokenizer: it computes the expected normalization
+    directly from the raw documents table — if any merge, marker, or
+    word boundary is mishandled anywhere in encode OR decode, the row
+    hashes diverge."""
+    from cassandra_diff_spark.operators.vocab import (
+        bpe_decode_documents,
+        bpe_encode_documents,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges_cached(spark, sf_dir)
+    enc = bpe_encode_documents(docs, "doc_id", "text", merges)
+    return bpe_decode_documents(enc, "id", "tokens").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_O_VOCAB_BPE_ROUNDTRIP = """
+SELECT doc_id,
+       array_to_string(
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '' AND NOT regexp_matches(
+                       x, '[' || chr(1) || chr(2) || chr(3) || ']')),
+         ' ') AS text
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+QUERIES["vocab_bpe_roundtrip"] = _q_vocab_bpe_roundtrip
+ORACLES["vocab_bpe_roundtrip"] = _O_VOCAB_BPE_ROUNDTRIP

@@ -101,3 +101,65 @@ class TestVocabPrefixSumRanking:
             counts.select((-F.col("n")).alias("__v")), ["__v"]
         )
         assert pts["__v"]["splits"], "expected split points at 10k distinct"
+
+
+class TestBpeRoundTrip:
+    """decode(encode(x)) == whitespace-normalized x — the tokenizer
+    round-trip a training pipeline verifies before shipping."""
+
+    DOCS = [
+        (0, "the cat sat on the mat"),
+        (1, "  leading  and   trailing  whitespace   "),
+        (2, ""),            # empty -> decodes to ''
+        (3, "   \t \n "),   # whitespace-only -> ''
+        (4, None),          # dropped by encode (text IS NULL)
+        (5, "one"),
+        (6, "répé tition répé tition unicode-ok ✓"),
+        (7, "a\x01b keep\x02 also\x03bad fine"),  # marker words dropped
+        (8, "the the the cat cat dog"),
+    ]
+
+    def _norm(self, t):
+        import re as _re
+
+        ws = [w for w in _re.split(r"\s+", t.strip()) if w]
+        return " ".join(
+            w for w in ws if not any(c in w for c in "\x01\x02\x03")
+        )
+
+    def test_roundtrip_equals_normalized(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_decode_documents,
+            bpe_encode_documents,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        merges = bpe_train(df, "text", 6)
+        assert merges, "expected at least one merge on this corpus"
+        enc = bpe_encode_documents(df, "doc_id", "text", merges)
+        got = {
+            r["id"]: r["text"]
+            for r in bpe_decode_documents(enc, "id", "tokens").collect()
+        }
+        want = {
+            i: self._norm(t) for i, t in self.DOCS if t is not None
+        }
+        assert got == want
+
+    def test_roundtrip_with_zero_merges(self, spark):
+        """Character-level encoding (no merges) must still decode."""
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_decode_documents,
+            bpe_encode_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "ab ba"), (1, "xyz")], "doc_id long, text string"
+        )
+        enc = bpe_encode_documents(df, "doc_id", "text", [])
+        got = {
+            r["id"]: r["text"]
+            for r in bpe_decode_documents(enc, "id", "tokens").collect()
+        }
+        assert got == {0: "ab ba", 1: "xyz"}
