@@ -10839,3 +10839,107 @@ WHERE text IS NOT NULL
 
 QUERIES["vocab_bpe_roundtrip"] = _q_vocab_bpe_roundtrip
 ORACLES["vocab_bpe_roundtrip"] = _O_VOCAB_BPE_ROUNDTRIP
+
+
+def _q_pipeline_classifier_bakeoff(spark, sf_dir):
+    """The CCNet-style quality-classifier bake-off, end-to-end in ONE
+    gate: plant a separable label (md5 parity + a sentinel token at
+    ~25% of each doc's token mass), split train/test on an INDEPENDENT
+    id hash (leakage-free by construction), classifier_train on the
+    train split, classifier_score the HELD-OUT split, then judge the
+    scores with auc_exact and calibration_bins — the loop a pipeline
+    user actually runs before trusting a quality model. Self-checking
+    oracle (the ann_ivf_kmeans pattern): the deterministic counts
+    replay in SQL, and the metric legs fold to booleans that planted
+    separability makes invariant — held-out AUC >= 0.99 and a
+    reliability-diagram spread >= 800 per-mille between the lowest and
+    highest occupied bins. A regression anywhere in the train / score /
+    AUC / calibration composition flips a boolean and breaks the hash."""
+    from cassandra_diff_spark.operators import tracked_cache
+    from cassandra_diff_spark.operators.curate import (
+        classifier_score,
+        classifier_train,
+    )
+    from cassandra_diff_spark.operators.evaluate import (
+        auc_exact,
+        calibration_bins,
+    )
+
+    docs = _docs(spark, sf_dir)
+    y = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(2))
+    nw = F.size(F.filter(words(F.col("text")), lambda w: w != ""))
+    sent = F.when(y == 1, F.lit(" zzqualpos")).otherwise(F.lit(" zzqualneg"))
+    t2 = F.concat(
+        "text", F.repeat(sent, F.greatest(F.lit(1), (nw / 4).cast("int")))
+    )
+    is_test = (
+        F.pmod(
+            md5_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+            ),
+            F.lit(4),
+        )
+        == 0
+    )
+    lab = tracked_cache(
+        docs.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        ).select(
+            "doc_id", y.alias("y"), t2.alias("t2"), is_test.alias("is_test")
+        )
+    )
+    model = classifier_train(
+        lab.filter(~F.col("is_test")), "doc_id", "t2", "y",
+        n_buckets=_CLS_BUCKETS, iters=12, lr_milli=4_000,
+    )
+    test = lab.filter(F.col("is_test"))
+    sc = classifier_score(
+        test, "doc_id", "t2", model, n_buckets=_CLS_BUCKETS
+    ).withColumnRenamed("id", "doc_id")
+    j = sc.join(test.select("doc_id", "y"), "doc_id")
+    auc = auc_exact(j, "logit_u", "y")  # eager one-row
+    cal = calibration_bins(
+        j.select("logit_u", (F.col("y") == 1).alias("l")),
+        "logit_u", "l", n_bins=8, lo=-40_000, hi=40_000,
+    )
+    cal_row = cal.agg(
+        F.min_by("pos_per_mille", "bin").alias("__lo_pm"),
+        F.max_by("pos_per_mille", "bin").alias("__hi_pm"),
+    )
+    counts = lab.agg(
+        F.sum((~F.col("is_test")).cast("int")).cast("long").alias("n_train"),
+        F.sum(F.col("is_test").cast("int")).cast("long").alias("n_test"),
+    )
+    return (
+        counts.crossJoin(auc.select(F.col("auc_ppm").alias("__auc")))
+        .crossJoin(cal_row)
+        .select(
+            "n_train",
+            "n_test",
+            (F.col("__auc") >= 990_000).alias("auc_pass"),
+            ((F.col("__hi_pm") - F.col("__lo_pm")) >= 800).alias(
+                "cal_ordered"
+            ),
+        )
+    )
+
+
+_O_PIPELINE_CLASSIFIER_BAKEOFF = f"""
+WITH l AS (
+  SELECT doc_id,
+         ({md5_hash64_sql("CAST(doc_id AS VARCHAR) || ':split'")} % 4 = 0)
+           AS is_test
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       TRUE AS auc_pass,
+       TRUE AS cal_ordered
+FROM l
+"""
+
+
+QUERIES["pipeline_classifier_bakeoff"] = _q_pipeline_classifier_bakeoff
+ORACLES["pipeline_classifier_bakeoff"] = _O_PIPELINE_CLASSIFIER_BAKEOFF

@@ -163,3 +163,53 @@ class TestBpeRoundTrip:
             for r in bpe_decode_documents(enc, "id", "tokens").collect()
         }
         assert got == {0: "ab ba", 1: "xyz"}
+
+
+class TestClassifierBakeoff:
+    def test_classifier_bakeoff_composition(self, spark):
+        """Pytest replica of the pipeline_classifier_bakeoff gate: on a
+        tiny planted-separable corpus, train -> score held-out -> exact
+        AUC == 1.0 and the reliability diagram separates its edge bins."""
+        from cassandra_diff_spark.operators.curate import (
+            classifier_score,
+            classifier_train,
+        )
+        from cassandra_diff_spark.operators.evaluate import (
+            auc_exact,
+            calibration_bins,
+        )
+
+        rows = [
+            (
+                i,
+                i % 2,
+                ("good solid prose qpos" if i % 2 else "junk spam qneg")
+                + f" filler{i % 7} filler{i % 5}",
+                i % 5 == 0,  # not %4/%2: the split must hit BOTH labels
+            )
+            for i in range(200)
+        ]
+        lab = spark.createDataFrame(
+            rows, "doc_id long, y long, t2 string, is_test boolean"
+        )
+        try:
+            model = classifier_train(
+                lab.filter(~F.col("is_test")), "doc_id", "t2", "y",
+                n_buckets=1024, iters=12, lr_milli=4_000,
+            )
+            test = lab.filter(F.col("is_test"))
+            sc = classifier_score(
+                test, "doc_id", "t2", model, n_buckets=1024
+            ).withColumnRenamed("id", "doc_id")
+            j = sc.join(test.select("doc_id", "y"), "doc_id")
+            auc = auc_exact(j, "logit_u", "y").collect()[0]
+            assert auc["auc_ppm"] == 1_000_000
+            cal = calibration_bins(
+                j.select("logit_u", (F.col("y") == 1).alias("l")),
+                "logit_u", "l", n_bins=8, lo=-40_000, hi=40_000,
+            ).collect()
+            by_bin = {r["bin"]: r["pos_per_mille"] for r in cal}
+            assert by_bin[min(by_bin)] == 0
+            assert by_bin[max(by_bin)] == 1000
+        finally:
+            operators.release_caches()
