@@ -948,6 +948,8 @@ def bpe_train_incremental(
     stats: list | None = None,
     stats_every: int = 1,
     driver_word_cap: int = 1_000_000,
+    batch_pairs: int = 64,
+    batch_word_cap: int = 1_000_000,
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train` with INCREMENTAL pair counting — the path for
     real vocabularies (a 32k-merge train is 32k iterations; recounting
@@ -1011,11 +1013,35 @@ def bpe_train_incremental(
     batch — a wash). The incremental win is the shuffle-volume term:
     it matters when one full pair-type recount costs much more than a
     job launch — i.e. real corpora, where the pair table is GBs and the
-    Zipf-tail merges touch a sliver of words. The single-explode delta
-    formulation (one evaluation of the stacked word plan per merge)
-    keeps the constant factor within ~10% of batch even at toy scale,
-    so there is no regime where choosing incremental hurts much, and
-    the 100 TB regime where it is the only viable path.
+    Zipf-tail merges touch a sliver of words.
+
+    The over-cap distributed loop BATCHES merges per Spark job (the r10
+    verdict item: its per-merge wall time was ~0.7 s of pure job-launch
+    floor). One job collects every word containing any of the top-
+    ``batch_pairs`` candidate pairs; the merge loop then runs DRIVER-
+    side over that bounded subset — exactly :func:`_bpe_train_local`'s
+    bookkeeping — for as long as the global argmax stays "fully local"
+    (all its occurrences inside the collected subset: true by
+    construction for the candidates, and for pairs CREATED by a batch
+    merge, which can only exist in rewritten — hence collected —
+    words). The first argmax that might have occurrences outside the
+    subset flushes the batch: the accumulated replaces apply to the
+    distributed word table lazily (non-collected words contain no
+    merged pattern, so the chained REPLACE is the identity on them) and
+    a fresh candidate set is collected. Merge sequence BYTE-IDENTICAL
+    to the sequential loop (property-tested): every merge is still
+    chosen by the exact global argmax with the same tie-break, and its
+    deltas are globally exact because all of its occurrences were
+    local. ``batch_word_cap`` bounds the driver collect: ONE sizing
+    aggregate counts each candidate's affected word types up front and
+    the batch takes the longest candidate prefix whose summed counts
+    fit the cap (sum >= union, an a-priori bound — no wasted over-cap
+    collect in the Zipf head, where one hot pair can touch ~20% of word
+    types); when even the TOP pair exceeds the cap, that one merge
+    degrades to a single-merge distributed delta step (the r9 loop),
+    then batching resumes — per-merge shuffle volume stays proportional
+    to affected words in every regime. ``batch_pairs=0`` forces the
+    single-merge loop (probes).
     """
     base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
     if driver_word_cap:
@@ -1055,65 +1081,223 @@ def bpe_train_incremental(
     heap = [(-n_, p[0], p[1]) for p, n_ in pc.items()]
     heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, int(num_merges) + 1):
-        while heap and pc.get((heap[0][1], heap[0][2])) != -heap[0][0]:
-            heapq.heappop(heap)
-        if not heap:
-            break
-        negn, a, b = heapq.heappop(heap)
-        n = -negn
-        if n < min_count:
-            break
-        merges.append((rank, a, b, a + b, int(n)))
-        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
-        rep = _BPE_L + a + b + _BPE_R
-        aff = cur.filter(F.col("syms").contains(pat))
-        # one EXPLODE emits the signed pre/post rows, so the stacked
-        # word-table plan evaluates ONCE per merge (a union of two
-        # selects over `aff` re-ran the whole nested-replace lineage
-        # twice — measured 23 s vs 15 s at 256 merges on the gate docs)
-        delta_src = aff.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        (-F.col("cnt")).alias("cnt"),
-                        F.col("syms").alias("syms"),
-                    ),
-                    F.struct(
-                        F.col("cnt").alias("cnt"),
-                        F.replace(
-                            F.col("syms"), F.lit(pat), F.lit(rep)
-                        ).alias("syms"),
-                    ),
-                )
-            ).alias("x")
-        ).select("x.cnt", "x.syms")
-        deltas = (
-            bpe_pair_counts(delta_src)
-            .filter(F.col("pair_count") != 0)
-            .collect()
-        )
-        if stats is not None and (
-            rank == 1 or rank % max(int(stats_every), 1) == 0
-        ):
-            stats.append((rank, aff.count(), len(deltas), _time.time()))
-        for r in deltas:
-            key = (r.left_sym, r.right_sym)
-            c = pc.get(key, 0) + r.pair_count
-            if c < 0:  # accounting must balance exactly; never heal silently
-                raise AssertionError(
-                    f"negative pair count for {key!r} after merge {rank}"
-                )
+    sep = _BPE_R + _BPE_L
+
+    def _pair_counts_of(s: str) -> dict:
+        sy = s[1:-1].split(sep)
+        out: dict = {}
+        for p in zip(sy, sy[1:]):
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    def _pop_live():
+        """Pop until a LIVE entry surfaces (lazy-deletion cleanup of
+        stale counts); None when the heap drains."""
+        while heap:
+            e = heapq.heappop(heap)
+            if pc.get((e[1], e[2])) == -e[0]:
+                return e
+        return None
+
+    def _apply_net(net: dict, local_ok: "set | None") -> int:
+        """Fold signed pair-count deltas into pc/heap; returns the
+        changed-pair count. When batching, a pair whose count goes
+        0 -> positive was CREATED by a batch merge — its occurrences
+        exist only in rewritten (collected) words, so it joins
+        local_ok."""
+        n_delta = 0
+        for p, dlt in net.items():
+            if not dlt:
+                continue
+            n_delta += 1
+            old = pc.get(p, 0)
+            c = old + dlt
+            if c < 0:  # accounting must balance exactly; never heal
+                raise AssertionError(f"negative pair count for {p!r}")
+            if local_ok is not None and old == 0 and dlt > 0:
+                local_ok.add(p)
             if c:
-                pc[key] = c
-                heapq.heappush(heap, (-c, key[0], key[1]))
+                pc[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
             else:
-                pc.pop(key, None)
-        cur = cur.withColumn(
-            "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+                pc.pop(p, None)
+        return n_delta
+
+    def _sampled(rank_: int) -> bool:
+        return stats is not None and (
+            rank_ == 1 or rank_ % max(int(stats_every), 1) == 0
         )
-        if checkpoint_every and rank % int(checkpoint_every) == 0:
+
+    pending_since_cp = 0
+    while len(merges) < int(num_merges):
+        top = _pop_live()
+        if top is None:
+            break
+        if -top[0] < min_count:
+            break
+        heapq.heappush(heap, top)  # selection re-runs inside the batch
+        # ---- candidate set: the top batch_pairs live pairs. Every
+        # candidate's occurrences are ALL inside the collected subset
+        # (the filter matches every word containing its pattern), which
+        # is what makes its deltas globally exact when merged locally.
+        k = max(int(batch_pairs), 0)
+        cand: list[tuple[str, str]] = []
+        popped: list = []
+        seen: set = set()
+        while heap and len(cand) < max(k, 1):
+            e = heapq.heappop(heap)
+            if pc.get((e[1], e[2])) != -e[0]:
+                continue  # stale: drop for good
+            popped.append(e)
+            if (e[1], e[2]) not in seen:
+                seen.add((e[1], e[2]))
+                cand.append((e[1], e[2]))
+        for e in popped:
+            heapq.heappush(heap, e)
+        rows = None
+        take_n = 0
+        top_aff_cnt = None
+        if k and cand:
+            # size before collecting: ONE aggregate counts each
+            # candidate's affected WORD TYPES, and the batch takes the
+            # longest candidate PREFIX whose summed counts fit the cap
+            # (sum >= union, so the collect is bounded a priori — no
+            # wasted over-cap collect in the Zipf head, where a single
+            # hot pair can touch ~20% of word types)
+            pats = [
+                _BPE_L + ca + _BPE_R + _BPE_L + cb + _BPE_R
+                for ca, cb in cand
+            ]
+            cnt_row = cur.select(
+                *[
+                    F.sum(F.col("syms").contains(p).cast("int")).alias(
+                        f"c{i}"
+                    )
+                    for i, p in enumerate(pats)
+                ]
+            ).first()
+            tot = 0
+            for i in range(len(pats)):
+                ci = int(cnt_row[i] or 0)
+                if i == 0:
+                    top_aff_cnt = ci
+                if tot + ci > int(batch_word_cap):
+                    break
+                tot += ci
+                take_n = i + 1
+            if take_n:
+                cond = None
+                for p in pats[:take_n]:
+                    c_ = F.col("syms").contains(p)
+                    cond = c_ if cond is None else (cond | c_)
+                rows = cur.filter(cond).select("cnt", "syms").collect()
+            cand = cand[:take_n]
+        if rows is None:
+            # ---- single-merge distributed delta step: one EXPLODE
+            # emits the signed pre/post rows, so the stacked word-table
+            # plan evaluates ONCE per merge (a union of two selects
+            # re-ran the whole nested-replace lineage twice — measured
+            # 23 s vs 15 s at 256 merges on the gate docs)
+            e = _pop_live()
+            negn, a, b = e
+            rank = len(merges) + 1
+            merges.append((rank, a, b, a + b, int(-negn)))
+            pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+            rep = _BPE_L + a + b + _BPE_R
+            aff = cur.filter(F.col("syms").contains(pat))
+            delta_src = aff.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            (-F.col("cnt")).alias("cnt"),
+                            F.col("syms").alias("syms"),
+                        ),
+                        F.struct(
+                            F.col("cnt").alias("cnt"),
+                            F.replace(
+                                F.col("syms"), F.lit(pat), F.lit(rep)
+                            ).alias("syms"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.cnt", "x.syms")
+            deltas = (
+                bpe_pair_counts(delta_src)
+                .filter(F.col("pair_count") != 0)
+                .collect()
+            )
+            net = {(r.left_sym, r.right_sym): r.pair_count for r in deltas}
+            n_delta = _apply_net(net, None)
+            if _sampled(rank):
+                # the sizing aggregate already counted the top pair's
+                # affected words; only the forced single-merge path
+                # (batch_pairs=0) pays a count job here
+                n_aff = top_aff_cnt if top_aff_cnt is not None else aff.count()
+                stats.append((rank, n_aff, n_delta, _time.time()))
+            cur = cur.withColumn(
+                "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+            )
+            pending_since_cp += 1
+        else:
+            # ---- driver-side merge batch over the collected subset:
+            # _bpe_train_local's bookkeeping, global pc/heap, and the
+            # exact same argmax + tie-break — merges stay byte-identical
+            # to the sequential loop; the batch flushes at the first
+            # argmax that might have occurrences outside the subset
+            words_: list[list] = [[int(r.cnt), r.syms] for r in rows]
+            index: dict = {}
+            for widx, (cnt_, s_) in enumerate(words_):
+                for p in _pair_counts_of(s_):
+                    index.setdefault(p, set()).add(widx)
+            local_ok = set(cand)
+            batch_reps: list[tuple[str, str]] = []
+            while len(merges) < int(num_merges):
+                e = _pop_live()
+                if e is None:
+                    break
+                if (e[1], e[2]) not in local_ok or -e[0] < min_count:
+                    heapq.heappush(heap, e)  # next batch's (or no) merge
+                    break
+                negn, a, b = e
+                rank = len(merges) + 1
+                merges.append((rank, a, b, a + b, int(-negn)))
+                pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+                rep = _BPE_L + a + b + _BPE_R
+                batch_reps.append((pat, rep))
+                aff_ix = list(index.get((a, b), ()))
+                net: dict = {}
+                for widx in aff_ix:
+                    cnt_, s_ = words_[widx]
+                    old = _pair_counts_of(s_)
+                    new_s = s_.replace(pat, rep)
+                    new = _pair_counts_of(new_s)
+                    for p in old.keys() | new.keys():
+                        dd = (new.get(p, 0) - old.get(p, 0)) * cnt_
+                        if dd:
+                            net[p] = net.get(p, 0) + dd
+                        if p not in new:
+                            ix = index.get(p)
+                            if ix is not None:
+                                ix.discard(widx)
+                                if not ix:
+                                    del index[p]
+                        elif p not in old:
+                            index.setdefault(p, set()).add(widx)
+                    words_[widx][1] = new_s
+                n_delta = _apply_net(net, local_ok)
+                if _sampled(rank):
+                    stats.append((rank, len(aff_ix), n_delta, _time.time()))
+            # flush: the same replaces, in the same order, applied to
+            # the distributed table (identity on non-collected words —
+            # no merged pattern can occur there, see docstring)
+            for pat, rep in batch_reps:
+                cur = cur.withColumn(
+                    "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+                )
+            pending_since_cp += len(batch_reps)
+        if checkpoint_every and pending_since_cp >= int(checkpoint_every):
             cur = cur.localCheckpoint()
+            pending_since_cp = 0
     base.unpersist()
     return merges
 

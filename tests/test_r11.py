@@ -165,6 +165,74 @@ class TestBpeRoundTrip:
         assert got == {0: "ab ba", 1: "xyz"}
 
 
+class TestBatchedDistributedBpe:
+    """The r11 batched distributed loop must be byte-identical to the
+    sequential single-merge loop across every dispatch boundary:
+    batch_pairs=0 (forced single-merge), tiny batch_word_cap (every
+    batch falls back), tiny batch_pairs (frequent flushes where created
+    pairs become argmax), and the driver-local reference."""
+
+    TEXTS = [
+        "aaab aaab aaab banana banana bandana",
+        "low lower lowest newer newest wide wider widest",
+        "aa aa aa ab ab ba baa aab aaa",
+        "the cat the hat the bat that mat",
+        "xy xyz xyxy zyx zyxzyx",
+    ] * 3
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(t,) for t in self.TEXTS], "text string"
+        )
+
+    def _strip(self, merges):
+        return [m[:5] for m in merges]
+
+    def test_all_dispatches_agree(self, spark, corpus):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        local = bpe_train_incremental(corpus, "text", 24)
+        batched = bpe_train_incremental(
+            corpus, "text", 24, driver_word_cap=0
+        )
+        single = bpe_train_incremental(
+            corpus, "text", 24, driver_word_cap=0, batch_pairs=0
+        )
+        fallback = bpe_train_incremental(
+            corpus, "text", 24, driver_word_cap=0, batch_word_cap=1
+        )
+        tiny_batches = bpe_train_incremental(
+            corpus, "text", 24, driver_word_cap=0, batch_pairs=2,
+            checkpoint_every=3,
+        )
+        assert self._strip(batched) == self._strip(local)
+        assert self._strip(single) == self._strip(local)
+        assert self._strip(fallback) == self._strip(local)
+        assert self._strip(tiny_batches) == self._strip(local)
+
+    def test_min_count_stop_in_batch(self, spark, corpus):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        local = bpe_train_incremental(corpus, "text", 64, min_count=5)
+        batched = bpe_train_incremental(
+            corpus, "text", 64, min_count=5, driver_word_cap=0
+        )
+        assert self._strip(batched) == self._strip(local)
+
+    def test_stats_sampling_shape(self, spark, corpus):
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        s: list = []
+        out = bpe_train_incremental(
+            corpus, "text", 12, driver_word_cap=0, stats=s, stats_every=4
+        )
+        ranks = [t[0] for t in s]
+        assert ranks == [r for r in range(1, len(out) + 1)
+                         if r == 1 or r % 4 == 0]
+        assert all(len(t) == 4 and t[1] >= 1 for t in s)
+
+
 class TestClassifierBakeoff:
     def test_classifier_bakeoff_composition(self, spark):
         """Pytest replica of the pipeline_classifier_bakeoff gate: on a
