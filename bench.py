@@ -208,7 +208,77 @@ HEADLINE = [
     "curate_classifier_train",
     "eval_auc",
     "eval_calibration_stream",
+    # round-11 additions
+    "vocab_bpe_roundtrip",
+    "pipeline_classifier_bakeoff",
 ]
+
+#: fresh-session control set (VERDICT r10 #1): the flagship diffs are
+#: re-timed at the END in a NEW JVM/session, after the main loop's
+#: session has been stopped — the r10 driver artifact showed +51%/3x
+#: "regressions" that isolated re-runs proved were pure in-session
+#: contention (175+ queries and the BPE probes sharing one JVM). The
+#: control block is the contention-free trend line: a real regression
+#: moves BOTH numbers; contention moves only the in-session ones.
+CONTROL = [
+    "diff_stats_orders",
+    "diff_stats_lineitem",
+    "diff_mismatch_orders",
+    "diff_stats_orders_digest",
+    "diff_stats_lineitem_bucketed",
+]
+
+#: timed repetitions per query; the recorded number is the MEDIAN (the
+#: r10 lesson: a single timing inherits whatever the session was doing)
+N_REPS = 3
+
+
+def _time_query(spark, fn, sf_dir, reps=N_REPS):
+    """Median-of-reps timing of one gate callable; each rep re-executes
+    the full query (build + count) and releases operator caches after,
+    so no rep inherits its predecessor's cache but each still benefits
+    from its own."""
+    import statistics
+
+    from cassandra_diff_spark import operators
+
+    ts, n = [], 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        ts.append(time.perf_counter() - t0)
+        operators.release_caches()
+        spark.catalog.clearCache()
+    return round(statistics.median(ts), 3), ts, n
+
+
+def run_control() -> None:
+    """--control mode: executed as a SUBPROCESS in a fresh JVM after the
+    main bench session has been stopped. Prints one JSON line with the
+    median-of-3 warm timings (one untimed warm-up run each) of the
+    CONTROL queries."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("cds-bench-control")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    gate._stage_bucketed_lineitem_pair(
+        spark, sf_dir, f"/tmp/cds_gate_bucketed_{Path(sf_dir).name}"
+    )
+    from cassandra_diff_spark import operators
+
+    out: dict[str, float] = {}
+    for name in CONTROL:
+        fn = ALL_QUERIES[name]
+        try:
+            fn(spark, sf_dir).count()  # warm-up run, untimed
+            operators.release_caches()
+            spark.catalog.clearCache()
+            out[name], _, _ = _time_query(spark, fn, sf_dir)
+        except Exception as e:
+            out[name] = -1.0
+            print(f"# control {name}: FAILED {e}", file=sys.stderr)
+    print(json.dumps({"control": out}))
 
 
 def main() -> None:
@@ -234,26 +304,28 @@ def main() -> None:
     from cassandra_diff_spark import operators
 
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            # median of N_REPS consecutive runs (VERDICT r10 #1): one
+            # timing inherits whatever the shared session happens to be
+            # doing; the median is stable against one contended rep.
+            # Cache hygiene BETWEEN reps and queries (r4 lesson) lives
+            # in _time_query.
+            med, ts, n = _time_query(spark, fn, sf_dir)
         except Exception as e:  # one broken query must not zero the bench
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # cache hygiene BETWEEN queries (r4 lesson): operator caches
-        # accumulated across all queries, so late queries ran under
-        # maximal memory pressure and the trend was unusable. Release
-        # AFTER the count so each query still benefits from its own
-        # caches, but none inherits its predecessors'.
-        operators.release_caches()
-        spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = med
+        reps_detail[name] = [round(t, 3) for t in ts]
+        print(
+            f"# {name}: {med:.3f}s median of "
+            f"{[f'{t:.2f}' for t in ts]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -278,6 +350,32 @@ def main() -> None:
             out["scale_probe"] = run_probe(spark, scale_n)
         except Exception as e:  # the headline line must survive a probe failure
             out["scale_probe"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # fresh-session control re-timing (VERDICT r10 #1): stop this
+    # session first — the control subprocess gets its own JVM on a
+    # quiet machine, so its numbers are contention-free by construction
+    # and a real flagship regression moves BOTH the in-session medians
+    # and the control block.
+    control = None
+    try:
+        spark.stop()
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--control"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                control = json.loads(line).get("control")
+                break
+        if control is None:
+            control = {"error": f"no control JSON (rc={r.returncode})"}
+    except Exception as e:  # the bench line must survive a control failure
+        control = {"error": f"{type(e).__name__}: {e}"[:200]}
+    out["control"] = control
+    out["reps"] = reps_detail
 
     # The driver keeps only a ~2 KB stdout tail and parses the LAST JSON
     # line (r6 lesson: one giant line with 150 per-query timings + the full
@@ -311,6 +409,7 @@ def main() -> None:
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "rev": rev,
                 "value": total, "sf": sf, "queries": timings,
+                "control": control,
                 "errors": errors or None,
             }) + "\n")
     except OSError:
@@ -326,6 +425,8 @@ def main() -> None:
         # top-20 fits the driver's tail window; the FULL map is in
         # BENCH_HISTORY.jsonl (tracked) and BENCH_LOCAL.json
         "top20": top,
+        "control": control,
+        "reps_per_query": N_REPS,
         "detail": "BENCH_HISTORY.jsonl",
     }
     probe = out.get("scale_probe")
@@ -337,4 +438,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--control" in sys.argv:
+        run_control()
+    else:
+        main()
