@@ -10715,9 +10715,17 @@ def _q_eval_calibration_stream(spark, sf_dir):
         labeled.repartition(3).write.parquet(str(tmp / "s"))
         labeled.unpersist()
         (tmp / "_staged").write_text(stamp)
-        shutil.rmtree(stage, ignore_errors=True)
+        # adopt-before-delete: if a concurrent run already staged the
+        # identical stamp, use ITS directory (a stream may already be
+        # reading {stage}/s — clobbering it would yank part files out
+        # from under an in-flight query); only a missing/stale stage is
+        # replaced
         try:
-            os.rename(tmp, stage)
+            if marker.exists() and marker.read_text() == stamp:
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(stage, ignore_errors=True)
+                os.rename(tmp, stage)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
             if not (marker.exists() and marker.read_text() == stamp):

@@ -102,6 +102,13 @@ def vocab_from_counts(
             "counts frame unfrozen (it is already globally usable via "
             "joins) or shard ids by token hash instead"
         )
+    if int(first_id) - 1 + int(vocab_size) > 2 ** 31 - 1:
+        # token_id is a stable 32-bit INT column; fail fast instead of
+        # overflowing the cast (ANSI mode throws, legacy mode wraps)
+        raise ValueError(
+            f"first_id={first_id} + vocab_size={vocab_size} exceeds the "
+            "32-bit token_id range; stack id spaces below 2^31"
+        )
     from cassandra_diff_spark.operators import tracked_cache
     from cassandra_diff_spark.operators.validate import (
         _running_below,
@@ -815,6 +822,50 @@ def bpe_train(
     return merges
 
 
+def _bpe_pair_counts_local(s: str) -> dict:
+    """Adjacent-pair occurrence counts of one wrapped symbol string —
+    the driver-side twin of :func:`bpe_pair_counts` for a single word."""
+    sy = s[1:-1].split(_BPE_R + _BPE_L)
+    out: dict = {}
+    for p in zip(sy, sy[1:]):
+        out[p] = out.get(p, 0) + 1
+    return out
+
+
+def _bpe_merge_step_local(words_: list, index: dict, a: str, b: str):
+    """The Sennrich per-merge bookkeeping SHARED by every driver-
+    resident merge loop (:func:`_bpe_train_local` and the batched
+    stage of :func:`bpe_train_incremental` — one body, so the two
+    paths' byte-identity contract cannot drift): rewrite the words
+    containing (a, b) in place, maintain the inverted ``pair -> {word
+    idx}`` index, and return ``(affected_word_indices, net_delta)``
+    where net_delta maps pair -> signed count change (a net-zero pair
+    change is not a change)."""
+    pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+    rep = _BPE_L + a + b + _BPE_R
+    aff = list(index.get((a, b), ()))
+    net: dict = {}
+    for widx in aff:
+        cnt, s = words_[widx]
+        old = _bpe_pair_counts_local(s)
+        new_s = s.replace(pat, rep)
+        new = _bpe_pair_counts_local(new_s)
+        for p in old.keys() | new.keys():
+            d = (new.get(p, 0) - old.get(p, 0)) * cnt
+            if d:
+                net[p] = net.get(p, 0) + d
+            if p not in new:
+                ix = index.get(p)
+                if ix is not None:
+                    ix.discard(widx)
+                    if not ix:
+                        del index[p]
+            elif p not in old:
+                index.setdefault(p, set()).add(widx)
+        words_[widx][1] = new_s
+    return aff, net
+
+
 def _bpe_train_local(
     rows: list,
     num_merges: int,
@@ -852,20 +903,11 @@ def _bpe_train_local(
     distributed path)."""
     import heapq
 
-    sep = _BPE_R + _BPE_L
-
-    def pair_counts_of(s: str) -> dict:
-        sy = s[1:-1].split(sep)
-        out: dict = {}
-        for p in zip(sy, sy[1:]):
-            out[p] = out.get(p, 0) + 1
-        return out
-
     words_: list[list] = [[int(cnt), s] for cnt, s in rows]
     pc: dict[tuple[str, str], int] = {}
     index: dict[tuple[str, str], set] = {}
     for widx, (cnt, s) in enumerate(words_):
-        for p, k in pair_counts_of(s).items():
+        for p, k in _bpe_pair_counts_local(s).items():
             pc[p] = pc.get(p, 0) + k * cnt
             index.setdefault(p, set()).add(widx)
     if len(pc) > int(max_pair_types):
@@ -888,28 +930,7 @@ def _bpe_train_local(
         if n < min_count:
             break
         merges.append((rank, a, b, a + b, int(n)))
-        pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
-        rep = _BPE_L + a + b + _BPE_R
-        aff = list(index.get((a, b), ()))
-        net: dict = {}
-        for widx in aff:
-            cnt, s = words_[widx]
-            old = pair_counts_of(s)
-            new_s = s.replace(pat, rep)
-            new = pair_counts_of(new_s)
-            for p in old.keys() | new.keys():
-                d = (new.get(p, 0) - old.get(p, 0)) * cnt
-                if d:
-                    net[p] = net.get(p, 0) + d
-                if p not in new:
-                    ix = index.get(p)
-                    if ix is not None:
-                        ix.discard(widx)
-                        if not ix:
-                            del index[p]
-                elif p not in old:
-                    index.setdefault(p, set()).add(widx)
-            words_[widx][1] = new_s
+        aff, net = _bpe_merge_step_local(words_, index, a, b)
         n_delta = 0
         for p, d in net.items():
             if not d:
@@ -1081,14 +1102,6 @@ def bpe_train_incremental(
     heap = [(-n_, p[0], p[1]) for p, n_ in pc.items()]
     heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
-    sep = _BPE_R + _BPE_L
-
-    def _pair_counts_of(s: str) -> dict:
-        sy = s[1:-1].split(sep)
-        out: dict = {}
-        for p in zip(sy, sy[1:]):
-            out[p] = out.get(p, 0) + 1
-        return out
 
     def _pop_live():
         """Pop until a LIVE entry surfaces (lazy-deletion cleanup of
@@ -1247,7 +1260,7 @@ def bpe_train_incremental(
             words_: list[list] = [[int(r.cnt), r.syms] for r in rows]
             index: dict = {}
             for widx, (cnt_, s_) in enumerate(words_):
-                for p in _pair_counts_of(s_):
+                for p in _bpe_pair_counts_local(s_):
                     index.setdefault(p, set()).add(widx)
             local_ok = set(cand)
             batch_reps: list[tuple[str, str]] = []
@@ -1261,40 +1274,34 @@ def bpe_train_incremental(
                 negn, a, b = e
                 rank = len(merges) + 1
                 merges.append((rank, a, b, a + b, int(-negn)))
-                pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
-                rep = _BPE_L + a + b + _BPE_R
-                batch_reps.append((pat, rep))
-                aff_ix = list(index.get((a, b), ()))
-                net: dict = {}
-                for widx in aff_ix:
-                    cnt_, s_ = words_[widx]
-                    old = _pair_counts_of(s_)
-                    new_s = s_.replace(pat, rep)
-                    new = _pair_counts_of(new_s)
-                    for p in old.keys() | new.keys():
-                        dd = (new.get(p, 0) - old.get(p, 0)) * cnt_
-                        if dd:
-                            net[p] = net.get(p, 0) + dd
-                        if p not in new:
-                            ix = index.get(p)
-                            if ix is not None:
-                                ix.discard(widx)
-                                if not ix:
-                                    del index[p]
-                        elif p not in old:
-                            index.setdefault(p, set()).add(widx)
-                    words_[widx][1] = new_s
+                batch_reps.append(
+                    (
+                        _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R,
+                        _BPE_L + a + b + _BPE_R,
+                    )
+                )
+                aff_ix, net = _bpe_merge_step_local(words_, index, a, b)
                 n_delta = _apply_net(net, local_ok)
                 if _sampled(rank):
                     stats.append((rank, len(aff_ix), n_delta, _time.time()))
             # flush: the same replaces, in the same order, applied to
             # the distributed table (identity on non-collected words —
-            # no merged pattern can occur there, see docstring)
+            # no merged pattern can occur there, see docstring). The
+            # checkpoint check runs INSIDE the flush: a batch can run
+            # hundreds of merges (every created pair joins local_ok),
+            # and chaining them all before one checkpoint would nest
+            # F.replace past what Catalyst analysis tolerates — the
+            # exact lineage blow-up checkpoint_every exists to bound
             for pat, rep in batch_reps:
                 cur = cur.withColumn(
                     "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
                 )
-            pending_since_cp += len(batch_reps)
+                pending_since_cp += 1
+                if checkpoint_every and pending_since_cp >= int(
+                    checkpoint_every
+                ):
+                    cur = cur.localCheckpoint()
+                    pending_since_cp = 0
         if checkpoint_every and pending_since_cp >= int(checkpoint_every):
             cur = cur.localCheckpoint()
             pending_since_cp = 0
