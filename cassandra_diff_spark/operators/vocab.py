@@ -1309,6 +1309,41 @@ def bpe_train_incremental(
     return merges
 
 
+#: schema of the persisted merge-table exchange format — what
+#: bpe_train/bpe_train_incremental return row-wise, what the
+#: vocab_bpe_train gate emits, and what any engine can store/ship as
+#: the tokenizer artifact
+BPE_MERGES_SCHEMA = (
+    "merge_rank long, left_sym string, right_sym string, "
+    "merged string, pair_count long"
+)
+
+
+def bpe_merges_to_frame(spark, merges) -> DataFrame:
+    """Persistable DataFrame of a trained merge list — the tokenizer
+    ARTIFACT (write it to parquet next to the model; kilobytes). The
+    row order carries no meaning; ``merge_rank`` is the total order."""
+    return spark.createDataFrame(
+        [tuple(m) for m in merges], BPE_MERGES_SCHEMA
+    )
+
+
+def bpe_merges_from_frame(frame: DataFrame) -> list:
+    """Load a merge list back from its persisted frame, in merge-rank
+    order — a kilobyte collect by contract (vocab-sized, never data-
+    sized), ready for :func:`bpe_apply` / :func:`bpe_encode_documents`."""
+    return [
+        (
+            int(r["merge_rank"]),
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            int(r["pair_count"]),
+        )
+        for r in frame.orderBy("merge_rank").collect()
+    ]
+
+
 def bpe_apply(word_col, merges) -> "F.Column":
     """Tokenize ONE word column with a learned merge list: the merges
     fold into nested literal replace expressions (JVM-side, no UDF, no

@@ -220,6 +220,58 @@ class TestBatchedDistributedBpe:
         )
         assert self._strip(batched) == self._strip(local)
 
+    def test_checkpoint_fires_inside_batch_flush(self, spark, corpus):
+        """Self-review finding (r11): a batch can run hundreds of
+        merges, and chaining every replace before one checkpoint nests
+        F.replace past what checkpoint_every exists to bound — the
+        check must fire INSIDE the flush loop. NOTE: pyspark 4 session
+        frames are pyspark.sql.classic.dataframe.DataFrame; patching
+        pyspark.sql.DataFrame intercepts nothing."""
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        calls = {"cp": 0}
+        orig = CDF.localCheckpoint
+
+        def spy(self_, *a, **k):
+            calls["cp"] += 1
+            return orig(self_, *a, **k)
+
+        CDF.localCheckpoint = spy
+        try:
+            out = bpe_train_incremental(
+                corpus, "text", 12, checkpoint_every=2, driver_word_cap=0
+            )
+        finally:
+            CDF.localCheckpoint = orig
+        assert len(out) == 12
+        assert calls["cp"] >= len(out) // 2 - 1, (
+            f"only {calls['cp']} checkpoints for {len(out)} merges at "
+            "cadence 2 — the flush is chaining replaces unbounded"
+        )
+
+    def test_merge_frame_roundtrip(self, spark, corpus):
+        """Tokenizer-artifact persistence: the merge list survives the
+        (merge_rank, left_sym, right_sym, merged, pair_count) frame —
+        the exchange format the vocab_bpe_train gate already emits."""
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents,
+            bpe_merges_from_frame,
+            bpe_merges_to_frame,
+            bpe_train_incremental,
+        )
+
+        merges = bpe_train_incremental(corpus, "text", 10)
+        frame = bpe_merges_to_frame(spark, merges)
+        back = bpe_merges_from_frame(frame)
+        assert back == [tuple(m) for m in merges]
+        a = bpe_encode_documents(corpus, "text", "text", merges)
+        b = bpe_encode_documents(corpus, "text", "text", back)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
     def test_stats_sampling_shape(self, spark, corpus):
         from cassandra_diff_spark.operators.vocab import bpe_train_incremental
 
