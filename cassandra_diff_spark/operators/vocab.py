@@ -1300,7 +1300,13 @@ def bpe_train_incremental(
                 if checkpoint_every and pending_since_cp >= int(
                     checkpoint_every
                 ):
-                    cur = cur.localCheckpoint()
+                    # LAZY checkpoint: truncates the analyzed plan (the
+                    # nesting bound is what checkpoint_every contracts)
+                    # without launching a materialization job per
+                    # cadence — a 100-merge batch would otherwise pay
+                    # ~6 full-table jobs between two Spark actions; the
+                    # next sizing scan materializes the chain once
+                    cur = cur.localCheckpoint(eager=False)
                     pending_since_cp = 0
         if checkpoint_every and pending_since_cp >= int(checkpoint_every):
             cur = cur.localCheckpoint()
