@@ -211,6 +211,7 @@ HEADLINE = [
     # round-11 additions
     "vocab_bpe_roundtrip",
     "pipeline_classifier_bakeoff",
+    "vocab_bpe_encode_udf",
 ]
 
 #: fresh-session control set (VERDICT r10 #1): the flagship diffs are

@@ -10951,3 +10951,30 @@ FROM l
 
 QUERIES["pipeline_classifier_bakeoff"] = _q_pipeline_classifier_bakeoff
 ORACLES["pipeline_classifier_bakeoff"] = _O_PIPELINE_CLASSIFIER_BAKEOFF
+
+
+def _q_vocab_bpe_encode_udf(spark, sf_dir):
+    """The REAL-vocabulary encode path: bpe_encode_documents folds
+    len(merges) nested REPLACE expressions — fine at this gate's 8
+    merges, unanalyzable at a 32k-merge production vocabulary. The UDF
+    twin ships the merge list in the task closure once and encodes each
+    word in Arrow-batched Python through the SAME rank-order replace
+    semantics with a per-batch distinct-word cache — still map-only,
+    no shuffle. Gated by the SAME oracle as vocab_bpe_encode: the two
+    plans must be value-indistinguishable (the encode_documents_join
+    pattern one abstraction up)."""
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.vocab import bpe_encode_documents_udf
+
+    docs = load(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(spark, sf_dir)
+    enc = bpe_encode_documents_udf(docs, "doc_id", "text", merges)
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+QUERIES["vocab_bpe_encode_udf"] = _q_vocab_bpe_encode_udf
+ORACLES["vocab_bpe_encode_udf"] = _O_VOCAB_BPE_ENCODE

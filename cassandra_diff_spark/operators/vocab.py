@@ -1368,6 +1368,96 @@ def bpe_apply(word_col, merges) -> "F.Column":
     )
 
 
+def _bpe_encode_word_py(word: str, merges) -> list:
+    """Encode ONE word driver/executor-side: the exact semantics of
+    :func:`bpe_apply` — wrap, apply every merge in RANK ORDER as a
+    left-to-right non-overlapping ``str.replace`` (pinned equal to
+    Spark/DuckDB REPLACE by the engine's BPE tests), split back to
+    symbols, render the end-of-word byte ``</w>``."""
+    s = (
+        "".join(_BPE_L + c + _BPE_R for c in word)
+        + _BPE_L + _BPE_EOW + _BPE_R
+    )
+    for _, a, b, _m, _n in merges:
+        # CPython returns the original object on a no-match replace, so
+        # misses cost one scan and zero allocations
+        s = s.replace(
+            _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R,
+            _BPE_L + a + b + _BPE_R,
+        )
+    return [
+        sym.replace(_BPE_EOW, _BPE_EOW_SHOW)
+        for sym in s[1:-1].split(_BPE_R + _BPE_L)
+    ]
+
+
+def bpe_encode_documents_udf(
+    df: DataFrame, id_col: str, text_col: str, merges
+) -> DataFrame:
+    """:func:`bpe_encode_documents` for REAL merge lists — identical
+    output (property-pinned), different plan. The expression path folds
+    ``len(merges)`` NESTED ``F.replace`` calls into one column
+    expression: fine at the gate's 8 merges, hundreds at most — a 32k-
+    merge production vocabulary would build an expression tree Catalyst
+    cannot analyze (the ``encode_documents_join`` lesson one level up:
+    the zero-shuffle plan shape stops being the scale plan shape).
+
+    Here the merge list rides the task closure ONCE (kilobytes-to-
+    megabytes — the pq_train codebook budget class) and each word
+    encodes in Python inside ``mapInPandas`` (Arrow-batched), through
+    the same rank-order replace semantics — with a per-batch DISTINCT-
+    WORD cache, so the per-word cost is paid once per word TYPE per
+    batch (Zipf: most tokens repeat). Still MAP-ONLY over the corpus:
+    no shuffle, no explode; the parallelism story is identical to the
+    expression path, only the expression becomes a Python kernel."""
+    import re as _re
+
+    import pandas as pd
+
+    merges_t = [tuple(m) for m in merges]
+    out_schema = (
+        f"id {dict(df.dtypes)[id_col]}, tokens array<string>, n_tokens long"
+    )
+    # re.ASCII pins \s to Java's ASCII class ([ \t\n\x0B\f\r]) — the
+    # words() tokenizer the expression path uses; Python's default
+    # unicode \s (and str.split()) would also split on U+00A0 etc.
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def _encode(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids, toks_col, n_col = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                toks: list = []
+                for w in ws_re.split(t):
+                    if not w or (
+                        "\x01" in w or "\x02" in w or "\x03" in w
+                    ):
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = _bpe_encode_word_py(w, merges_t)
+                        cache[w] = got
+                    toks.extend(got)
+                ids.append(i)
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            if not ids:
+                continue  # all-null batch: empty float64 columns would
+                # hit Arrow's NumPyConverter instead of the list type
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "tokens": pd.Series(toks_col, dtype="object"),
+                    "n_tokens": pd.Series(n_col, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_encode, out_schema)
+
+
 def bpe_encode_documents(
     df: DataFrame, id_col: str, text_col: str, merges
 ) -> DataFrame:

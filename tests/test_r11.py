@@ -285,6 +285,61 @@ class TestBatchedDistributedBpe:
         assert all(len(t) == 4 and t[1] >= 1 for t in s)
 
 
+class TestBpeEncodeUdf:
+    """bpe_encode_documents_udf must be value-indistinguishable from
+    the expression path on adversarial fixtures AND at merge counts the
+    expression path handles — its whole reason to exist is the merge
+    counts the expression path cannot."""
+
+    def test_matches_expression_path_adversarial(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents,
+            bpe_encode_documents_udf,
+            bpe_train,
+        )
+
+        docs = TestBpeRoundTrip.DOCS + [
+            (9, "nbsp joined stays one-word"),  # unicode ws: NOT \s
+            (10, "tab\tsplit v\x0bsplit"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        merges = bpe_train(df, "text", 6)
+        a = sorted(
+            (r["id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_documents(df, "doc_id", "text", merges).collect()
+        )
+        b = sorted(
+            (r["id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_documents_udf(
+                df, "doc_id", "text", merges
+            ).collect()
+        )
+        assert a == b
+
+    def test_matches_at_larger_merge_count(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents,
+            bpe_encode_documents_udf,
+            bpe_train_incremental,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TestBatchedDistributedBpe.TEXTS)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train_incremental(df, "text", 40)
+        a = sorted(
+            map(tuple, bpe_encode_documents(df, "doc_id", "text", merges)
+                .select("id", "n_tokens").collect())
+        )
+        b = sorted(
+            map(tuple, bpe_encode_documents_udf(df, "doc_id", "text", merges)
+                .select("id", "n_tokens").collect())
+        )
+        assert a == b
+        assert len(a) == len(TestBatchedDistributedBpe.TEXTS)
+
+
 class TestClassifierBakeoff:
     def test_classifier_bakeoff_composition(self, spark):
         """Pytest replica of the pipeline_classifier_bakeoff gate: on a
