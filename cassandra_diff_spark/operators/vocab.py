@@ -1350,11 +1350,29 @@ def bpe_merges_from_frame(frame: DataFrame) -> list:
     ]
 
 
+#: Fail-fast ceiling for expression-path encoding: each merge nests one
+#: more literal REPLACE into the column expression — Catalyst handles
+#: hundreds, not a 32k-merge production vocabulary (analysis/codegen
+#: depth). Past this, use bpe_encode_documents_udf (same semantics,
+#: merge list in the task closure). Same discipline as MAX_VOCAB_SIZE.
+MAX_EXPR_MERGES = 1000
+
+
 def bpe_apply(word_col, merges) -> "F.Column":
     """Tokenize ONE word column with a learned merge list: the merges
     fold into nested literal replace expressions (JVM-side, no UDF, no
     broadcast), then the wrapped string splits back into symbols with
-    the end-of-word byte rendered ``</w>``. Returns ``array<string>``."""
+    the end-of-word byte rendered ``</w>``. Returns ``array<string>``.
+    Fail-fast capped at :data:`MAX_EXPR_MERGES` — real vocabularies
+    encode through :func:`bpe_encode_documents_udf`."""
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceeds MAX_EXPR_MERGES="
+            f"{MAX_EXPR_MERGES}: the expression path nests one REPLACE "
+            "per merge and Catalyst cannot analyze a vocabulary-sized "
+            "expression tree — encode with bpe_encode_documents_udf "
+            "(identical semantics, merge list in the task closure)"
+        )
     w = _bpe_wrap(word_col)
     for _, a, b, _m, _n in merges:
         w = F.replace(
