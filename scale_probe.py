@@ -828,6 +828,35 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
             out["bpe_affected_frac_last"] = round(bpe_stats[-1][1] / wt, 6)
         _section_end(spark)
 
+        # real-vocabulary ENCODE at the trained merge count (r11): the
+        # expression path cannot build a 4096-deep nested-replace tree
+        # (MAX_EXPR_MERGES fail-fast); the greedy-kernel UDF twin
+        # (merge-count-independent per word, per-task word cache)
+        # tokenizes the whole corpus — the apply half of the tokenizer
+        # story next to the train half above
+        if inc:
+            from cassandra_diff_spark.operators.vocab import (
+                bpe_encode_documents_udf,
+            )
+
+            t0 = time.time()
+            corp_id = corp.select(
+                F.monotonically_increasing_id().alias("doc_id"), "text"
+            )
+            row = (
+                bpe_encode_documents_udf(corp_id, "doc_id", "text", inc)
+                .agg(
+                    F.count(F.lit(1)).alias("d"),
+                    F.sum("n_tokens").alias("t"),
+                )
+                .first()
+            )
+            out["bpe_encode_udf_sec"] = round(time.time() - t0, 2)
+            out["bpe_encode_udf_docs"] = int(row["d"])
+            out["bpe_encode_udf_tokens"] = int(row["t"])
+            out["bpe_encode_udf_merges"] = len(inc)
+            _section_end(spark)
+
         # the OVER-CAP path (a real 100 TB corpus can exceed any driver
         # word cap): the r11 BATCHED distributed loop, driver_word_cap=0.
         # One run, two regimes derived from the in-run stamps: this

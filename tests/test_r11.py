@@ -316,6 +316,37 @@ class TestBpeEncodeUdf:
         )
         assert a == b
 
+    def test_greedy_kernel_equals_rank_order_replay(self, spark):
+        """The fast greedy kernel (lowest-rank pair first, merge-count-
+        independent) must equal the rank-order full-replay semantics on
+        every word — including overlap chains like 'aaa' and merges
+        whose outputs feed later merges."""
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_encode_word_fast,
+            _bpe_encode_word_py,
+            bpe_train_incremental,
+        )
+
+        df = spark.createDataFrame(
+            [(t,) for t in TestBatchedDistributedBpe.TEXTS]
+            + [("aaaa aaa aaaaa banana bandana",)] * 4,
+            "text string",
+        )
+        merges = bpe_train_incremental(df, "text", 48)
+        rank_of = {(m[1], m[2]): m[0] for m in merges}
+        words = set()
+        for (t,) in df.collect():
+            words.update(t.split())
+        words.update(
+            ["a", "aa", "aaaa", "aaaaaaa", "xyzzy", "", "banana",
+             "nanana", "bandanana", "zzz"]
+        )
+        for w in sorted(words):
+            if not w:
+                continue
+            assert _bpe_encode_word_fast(w, rank_of) == \
+                _bpe_encode_word_py(w, merges), f"diverged on {w!r}"
+
     def test_matches_at_larger_merge_count(self, spark):
         from cassandra_diff_spark.operators.vocab import (
             bpe_encode_documents,
