@@ -347,6 +347,48 @@ class TestBpeEncodeUdf:
             assert _bpe_encode_word_fast(w, rank_of) == \
                 _bpe_encode_word_py(w, merges), f"diverged on {w!r}"
 
+    def test_greedy_kernel_property(self, spark):
+        """Hypothesis sweep of greedy == rank-order replay: random
+        corpora over a tiny alphabet (maximal pair collisions and
+        overlap runs), random merge counts, then encode WORDS THE
+        TRAINER NEVER SAW — including characters absent from training
+        (no applicable merge on either path)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_encode_word_fast,
+            _bpe_encode_word_py,
+            bpe_train_incremental,
+        )
+
+        word = st.text(alphabet="abc", min_size=1, max_size=8)
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            corpus=st.lists(
+                st.lists(word, min_size=1, max_size=6).map(" ".join),
+                min_size=1,
+                max_size=8,
+            ),
+            n_merges=st.integers(min_value=1, max_value=12),
+            probes=st.lists(
+                st.text(alphabet="abcxyz", min_size=0, max_size=10),
+                max_size=8,
+            ),
+        )
+        def check(corpus, n_merges, probes):
+            df = spark.createDataFrame([(t,) for t in corpus], "text string")
+            merges = bpe_train_incremental(df, "text", n_merges)
+            rank_of = {(m[1], m[2]): m[0] for m in merges}
+            for w in {w for t in corpus for w in t.split()} | set(probes):
+                if not w:
+                    continue
+                assert _bpe_encode_word_fast(w, rank_of) == \
+                    _bpe_encode_word_py(w, merges), (w, merges)
+
+        check()
+
     def test_matches_at_larger_merge_count(self, spark):
         from cassandra_diff_spark.operators.vocab import (
             bpe_encode_documents,
