@@ -246,11 +246,16 @@ def _time_query(spark, fn, sf_dir, reps=N_REPS):
     ts, n = [], 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        ts.append(time.perf_counter() - t0)
-        operators.release_caches()
-        spark.catalog.clearCache()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            ts.append(time.perf_counter() - t0)
+        finally:
+            # cache hygiene even when the rep RAISES (r4 lesson): a
+            # failed query's tracked caches must not leak into every
+            # subsequent query's timings
+            operators.release_caches()
+            spark.catalog.clearCache()
     return round(statistics.median(ts), 3), ts, n
 
 

@@ -86,12 +86,15 @@ def vocab_from_counts(
     stays fail-fast capped at :data:`MAX_VOCAB_SIZE` (the cut's merge
     task and the n-group window partitions are vocab-bounded).
 
-    PARTIALLY EAGER by contract: sizing the prefix-sum buckets runs two
-    bounded jobs at call time (the spearman ``_split_points``
-    discipline) over the top-V frame, which is ``tracked_cache``'d so
-    the corpus-sized counting aggregation still runs exactly once —
-    long-lived sessions should call ``operators.release_caches()``
-    after materializing the result.
+    PARTIALLY EAGER by contract: sizing the prefix-sum buckets and
+    materializing the distinct-count offset frame run bounded jobs at
+    call time (the spearman ``_split_points`` discipline) over the
+    top-V frame; the intermediate ``vals`` cache is LOCAL and released
+    before returning (the auc_exact pattern). Only ``top`` — which the
+    returned plan still reads — is ``tracked_cache``'d so the
+    corpus-sized counting aggregation runs exactly once; long-lived
+    sessions should call ``operators.release_caches()`` after
+    materializing the result.
     """
     if int(vocab_size) > MAX_VOCAB_SIZE:
         raise ValueError(
@@ -128,11 +131,24 @@ def vocab_from_counts(
         F.count(F.lit(1)).alias("__cnt")
     )
     if splits:
-        # the prefix core reads vals twice (window + bucket totals)
-        vals = tracked_cache(vals)
-    below = _running_below(vals, "__cnt", "__below", splits).select(
-        (-F.col("__v")).alias("__n"), "__below"
-    )
+        # the prefix core reads vals twice (window + bucket totals);
+        # LOCAL persist + eager collect below (the auc_exact pattern),
+        # so this cache never outlives the call — only `top`, which the
+        # RETURNED plan still reads, stays tracked for release_caches()
+        vals = vals.persist()
+    try:
+        below = _running_below(vals, "__cnt", "__below", splits).select(
+            (-F.col("__v")).alias("__n"), "__below"
+        )
+        # distinct-count cardinality rows (<= V, usually << V): the
+        # broadcast below would collect these to the driver anyway —
+        # materialize them NOW so vals can be released before returning
+        below = counts.sparkSession.createDataFrame(
+            below.collect(), below.schema
+        )
+    finally:
+        if splits:
+            vals.unpersist()
     w = Window.partitionBy("n").orderBy(F.col("token").asc())
     return (
         top.join(F.broadcast(below), top["n"] == F.col("__n"))
