@@ -9445,6 +9445,7 @@ def _bpe_oracle_stages(n: int) -> str:
         FROM documents WHERE text IS NOT NULL)
   WHERE token <> ''
     AND NOT regexp_matches(token, '[' || {c1} || {c2} || {c3} || ']')
+    AND NOT contains(token, '</w>')
   GROUP BY token
 ),
 w0 AS (
@@ -10838,7 +10839,8 @@ SELECT doc_id,
        array_to_string(
          list_filter(regexp_split_to_array(trim(text), '\\s+'),
                      x -> x <> '' AND NOT regexp_matches(
-                       x, '[' || chr(1) || chr(2) || chr(3) || ']')),
+                       x, '[' || chr(1) || chr(2) || chr(3) || ']')
+                       AND NOT contains(x, '</w>')),
          ' ') AS text
 FROM documents
 WHERE text IS NOT NULL

@@ -735,9 +735,15 @@ _BPE_EOW_SHOW = "</w>"
 
 
 def _bpe_marker_free(col):
-    """True iff the word contains none of the three marker bytes (both
-    engines drop such words identically before training/encoding)."""
-    return ~col.rlike("[\x01\x02\x03]")
+    """True iff the word contains none of the three marker bytes NOR
+    the rendered end-of-word marker ``</w>`` (both engines drop such
+    words identically before training/encoding). The rendered marker is
+    the one reserved token of the OUTPUT alphabet: a word containing
+    the literal substring ``</w>`` would decode with a spurious
+    boundary, so the domain excludes it up front — closing the decode
+    round-trip hole instead of relying on corpora never containing
+    it."""
+    return ~col.rlike("[\x01\x02\x03]") & ~col.contains(_BPE_EOW_SHOW)
 
 
 def _bpe_wrap(word_col):
@@ -1464,8 +1470,38 @@ def _bpe_encode_word_fast(word: str, rank_of: dict) -> list:
     return [s.replace(_BPE_EOW, _BPE_EOW_SHOW) for s in syms]
 
 
+#: Greedy-kernel word-length ceiling: :func:`_bpe_encode_word_fast` is
+#: O(len^2) in the worst case (each pass scans all symbols; up to len
+#: passes), so a single multi-100k-char whitespace-free "word" (a URL
+#: blob, a DNA string, minified JS) would stall an executor for
+#: minutes. Past the cap the word routes through
+#: :func:`_bpe_encode_word_py` — rank-order replay, O(merges x len)
+#: C-level scans, LINEAR in word length — which is property-pinned
+#: value-identical, so the output does not change, only the kernel.
+_BPE_GREEDY_MAX_CHARS = 1024
+
+#: Per-task encode-cache bounds (ADVICE r11): the distinct-word cache
+#: lives for the whole mapInPandas iterator, and a real corpus
+#: partition can hold millions of word types — unbounded, the dict
+#: grows to GBs and OOMs the executor. Cleared wholesale at either cap
+#: (amortized O(1), no per-hit LRU bookkeeping); Zipf means the hot
+#: head instantly re-warms, so the hit rate barely moves while task
+#: memory stays CONSTANT in partition word cardinality. Chars are the
+#: proxy for token-list bytes (~16x with CPython object overhead):
+#: 8M chars ~ 128 MB worst case.
+_BPE_CACHE_MAX_ENTRIES = 262_144
+_BPE_CACHE_MAX_CHARS = 8_000_000
+
+
 def bpe_encode_documents_udf(
-    df: DataFrame, id_col: str, text_col: str, merges
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    *,
+    cache_max_entries: int = _BPE_CACHE_MAX_ENTRIES,
+    cache_max_chars: int = _BPE_CACHE_MAX_CHARS,
+    greedy_max_chars: int = _BPE_GREEDY_MAX_CHARS,
 ) -> DataFrame:
     """:func:`bpe_encode_documents` for REAL merge lists — identical
     output (property-pinned), different plan. The expression path folds
@@ -1485,7 +1521,14 @@ def bpe_encode_documents_udf(
     word TYPE per task (Zipf: most tokens repeat). Still MAP-ONLY over
     the corpus: no shuffle, no explode; the parallelism story is
     identical to the expression path, only the expression becomes a
-    Python kernel."""
+    Python kernel.
+
+    Bounded by construction (ADVICE r11): the word cache is size-capped
+    (:data:`_BPE_CACHE_MAX_ENTRIES` / :data:`_BPE_CACHE_MAX_CHARS` —
+    task memory constant in partition word cardinality) and words past
+    :data:`_BPE_GREEDY_MAX_CHARS` route through the linear-in-length
+    rank-order replay instead of the quadratic greedy kernel — same
+    output, bounded worst case."""
     import re as _re
 
     import pandas as pd
@@ -1502,9 +1545,16 @@ def bpe_encode_documents_udf(
     # words() tokenizer the expression path uses; Python's default
     # unicode \s (and str.split()) would also split on U+00A0 etc.
     ws_re = _re.compile(r"\s+", _re.ASCII)
+    # bind the bounds as VALUES so the task closure ships them (module
+    # globals would re-resolve on the worker, where a test's
+    # monkeypatch never lands)
+    cap_entries = int(cache_max_entries)
+    cap_chars = int(cache_max_chars)
+    greedy_cap = int(greedy_max_chars)
 
     def _encode(batches):
         cache: dict = {}
+        cache_chars = 0
         for pdf in batches:
             ids, toks_col, n_col = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -1514,12 +1564,25 @@ def bpe_encode_documents_udf(
                 for w in ws_re.split(t):
                     if not w or (
                         "\x01" in w or "\x02" in w or "\x03" in w
+                        or "</w>" in w
                     ):
                         continue
                     got = cache.get(w)
                     if got is None:
-                        got = _bpe_encode_word_fast(w, rank_of)
+                        if len(w) <= greedy_cap:
+                            got = _bpe_encode_word_fast(w, rank_of)
+                        else:
+                            # linear-in-length replay for pathological
+                            # words (see _BPE_GREEDY_MAX_CHARS)
+                            got = _bpe_encode_word_py(w, merges)
+                        if (
+                            len(cache) >= cap_entries
+                            or cache_chars > cap_chars
+                        ):
+                            cache.clear()
+                            cache_chars = 0
                         cache[w] = got
+                        cache_chars += len(w)
                     toks.extend(got)
                 ids.append(i)
                 toks_col.append(toks)
@@ -1545,7 +1608,16 @@ def bpe_encode_documents(
     the learned merges — MAP-ONLY over the corpus (the whole pipeline is
     higher-order array expressions per row; the token stream is never
     exploded or shuffled, the same scale contract as
-    :func:`encode_documents`)."""
+    :func:`encode_documents`).
+
+    ONE entry point for both regimes (VERDICT r11 #4): past
+    :data:`MAX_EXPR_MERGES` the nested-REPLACE expression tree stops
+    being analyzable, so the call transparently returns the
+    property-pinned value-identical :func:`bpe_encode_documents_udf`
+    plan instead — same schema, same values, same map-only shape; only
+    low-level :func:`bpe_apply` keeps the explicit raise."""
+    if len(merges) > MAX_EXPR_MERGES:
+        return bpe_encode_documents_udf(df, id_col, text_col, merges)
     toks = F.flatten(
         F.transform(
             F.filter(

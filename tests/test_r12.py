@@ -1,0 +1,236 @@
+"""Round-12 guards: the rendered ``</w>`` domain exclusion, the
+bounded encode-UDF word cache, the long-word linear fallback, and the
+one-entry-point auto-dispatch past MAX_EXPR_MERGES."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_diff_spark import operators
+
+
+def _enc_rows(df):
+    return sorted(
+        (r["id"], tuple(r["tokens"]), r["n_tokens"]) for r in df.collect()
+    )
+
+
+class TestEowDomainExclusion:
+    """A word containing the LITERAL substring ``</w>`` would decode
+    with a spurious boundary (the rendered end-of-word marker is the
+    one reserved token of the output alphabet) — r11 ADVICE closed the
+    hole by excluding such words from the domain up front, in BOTH
+    engines, exactly like the three marker bytes."""
+
+    DOCS = [
+        (1, "plain words survive"),
+        (2, "bad</w>word is dropped entirely"),
+        (3, "</w> alone also dropped"),
+        (4, "mixed \x01marker and x</w>y both dropped keepme"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_word_counts_exclude_eow_literal(self, spark):
+        from cassandra_diff_spark.operators.vocab import bpe_word_counts
+
+        words = {
+            r["word"] for r in bpe_word_counts(self._df(spark), "text").collect()
+        }
+        assert "keepme" in words and "plain" in words
+        assert not any("</w>" in w or "\x01" in w for w in words)
+
+    def test_both_encode_paths_drop_and_agree(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents,
+            bpe_encode_documents_udf,
+            bpe_train,
+        )
+
+        df = self._df(spark)
+        merges = bpe_train(df, "text", 4)
+        a = _enc_rows(bpe_encode_documents(df, "doc_id", "text", merges))
+        b = _enc_rows(bpe_encode_documents_udf(df, "doc_id", "text", merges))
+        assert a == b
+        toks = {t for _, ts, _ in a for t in ts}
+        # the rendered marker appears ONLY as the end-of-word suffix
+        for t in toks:
+            assert not t.removesuffix("</w>").count("</w>")
+
+    def test_roundtrip_with_eow_literal_words(self, spark):
+        """decode(encode(x)) == ' '.join(kept words) even when the raw
+        text contains literal '</w>' words — the exact failure mode the
+        domain exclusion closes."""
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_decode_documents,
+            bpe_encode_documents,
+            bpe_train,
+        )
+
+        df = self._df(spark)
+        merges = bpe_train(df, "text", 4)
+        enc = bpe_encode_documents(df, "doc_id", "text", merges)
+        got = {
+            r["id"]: r["text"]
+            for r in bpe_decode_documents(enc, "id", "tokens").collect()
+        }
+        want = {
+            i: " ".join(
+                w
+                for w in t.split()
+                if "</w>" not in w
+                and not any(c in w for c in "\x01\x02\x03")
+            )
+            for i, t in self.DOCS
+        }
+        assert got == want
+
+
+class TestEncodeUdfBounds:
+    """r11 ADVICE (medium) + VERDICT #2: the per-task distinct-word
+    cache is size-capped and pathological word lengths route through
+    the linear-in-length replay — output NEVER changes, only memory
+    and worst-case time are bounded."""
+
+    def _train(self, spark):
+        from cassandra_diff_spark.operators.vocab import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "aa ab aab aaab banana bandana ana"),
+             (2, "aaaa aaa aa a abab abab")] * 3,
+            "doc_id long, text string",
+        )
+        return df, bpe_train(df, "text", 12)
+
+    def test_tiny_cache_caps_do_not_change_output(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents_udf,
+        )
+
+        df, merges = self._train(spark)
+        base = _enc_rows(bpe_encode_documents_udf(df, "doc_id", "text", merges))
+        capped = _enc_rows(
+            bpe_encode_documents_udf(
+                df,
+                "doc_id",
+                "text",
+                merges,
+                cache_max_entries=2,
+                cache_max_chars=8,
+            )
+        )
+        assert base == capped
+
+    def test_long_word_linear_fallback_same_output(self, spark):
+        """A multi-100k-char whitespace-free word (VERDICT #2's probe
+        case): the quadratic greedy kernel would stall for minutes; the
+        replay fallback is linear and value-identical."""
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_encode_word_py,
+            bpe_encode_documents_udf,
+        )
+
+        _, merges = self._train(spark)
+        monster = ("ab" * 60_000) + "banana" + ("a" * 30_000)
+        assert len(monster) > 100_000
+        df = spark.createDataFrame(
+            [(1, monster), (2, "banana ab")], "doc_id long, text string"
+        )
+        rows = {
+            r["id"]: list(r["tokens"])
+            for r in bpe_encode_documents_udf(
+                df, "doc_id", "text", merges
+            ).collect()
+        }
+        assert rows[1] == _bpe_encode_word_py(monster, merges)
+        # short words still take the greedy kernel — same values either way
+        assert rows[2][-1].endswith("</w>")
+
+    def test_greedy_cap_boundary_is_value_transparent(self, spark):
+        """Words on either side of greedy_max_chars encode identically
+        whichever kernel serves them."""
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents_udf,
+        )
+
+        df, merges = self._train(spark)
+        text = "abab " * 4 + "banana"
+        probe = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        via_greedy = _enc_rows(
+            bpe_encode_documents_udf(
+                probe, "doc_id", "text", merges, greedy_max_chars=10_000
+            )
+        )
+        via_replay = _enc_rows(
+            bpe_encode_documents_udf(
+                probe, "doc_id", "text", merges, greedy_max_chars=0
+            )
+        )
+        assert via_greedy == via_replay
+
+
+class TestEncodeAutoDispatch:
+    """VERDICT r11 #4: bpe_encode_documents is ONE entry point — past
+    MAX_EXPR_MERGES it transparently returns the UDF twin's plan; only
+    low-level bpe_apply keeps the fail-fast raise."""
+
+    def _padded_merges(self, spark, n_pad):
+        from cassandra_diff_spark.operators.vocab import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "aa ab banana bandana ana ab aa")],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(df, "text", 6)
+        rank0 = len(merges)
+        # pad with merges over symbols absent from the corpus: no-ops on
+        # every word, but they push len(merges) past the expression cap
+        pad = [
+            (rank0 + k + 1, f"Z{k}", f"Q{k}", f"Z{k}Q{k}", 1)
+            for k in range(n_pad)
+        ]
+        return df, merges + pad
+
+    def test_past_cap_returns_udf_plan_with_same_values(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            MAX_EXPR_MERGES,
+            bpe_encode_documents,
+            bpe_encode_documents_udf,
+        )
+
+        df, merges = self._padded_merges(spark, MAX_EXPR_MERGES + 5)
+        assert len(merges) > MAX_EXPR_MERGES
+        out = bpe_encode_documents(df, "doc_id", "text", merges)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan[:2000]
+        assert _enc_rows(out) == _enc_rows(
+            bpe_encode_documents_udf(df, "doc_id", "text", merges)
+        )
+
+    def test_under_cap_stays_expression_path(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            bpe_encode_documents,
+        )
+
+        df, merges = self._padded_merges(spark, 0)
+        plan = (
+            bpe_encode_documents(df, "doc_id", "text", merges)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInPandas" not in plan
+
+    def test_bpe_apply_still_raises_past_cap(self, spark):
+        from cassandra_diff_spark.operators.vocab import (
+            MAX_EXPR_MERGES,
+            bpe_apply,
+        )
+
+        _, merges = self._padded_merges(spark, MAX_EXPR_MERGES + 5)
+        with pytest.raises(ValueError, match="MAX_EXPR_MERGES"):
+            bpe_apply(F.lit("banana"), merges)
