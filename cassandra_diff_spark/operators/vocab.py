@@ -854,6 +854,38 @@ def _bpe_pair_counts_local(s: str) -> dict:
     return out
 
 
+def _bpe_delta_frame(frame: DataFrame, pat: str, rep: str) -> DataFrame:
+    """(left_sym, right_sym, pair_count) of the SIGNED pair-count
+    change one merge makes to a ``(cnt, syms)`` word frame: affected
+    words contribute their pre-merge pairs at ``-cnt`` and post-merge
+    pairs at ``+cnt`` through one EXPLODE, so the input frame is
+    evaluated ONCE (a union of two selects re-ran the lineage twice —
+    measured 23 s vs 15 s at 256 merges on the gate docs). The reduce
+    rides :func:`bpe_pair_counts`'s groupBy — Catalyst's partial hash
+    aggregate does the map-side combine JVM-side, which is why this is
+    NOT a Pandas UDF: the per-word delta diff is exactly "count pairs
+    of two strings", already expressible as vectorized expressions, and
+    the shuffle is at changed-pair-type cardinality either way."""
+    aff = frame.filter(F.col("syms").contains(pat))
+    src = aff.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (-F.col("cnt")).alias("cnt"),
+                    F.col("syms").alias("syms"),
+                ),
+                F.struct(
+                    F.col("cnt").alias("cnt"),
+                    F.replace(F.col("syms"), F.lit(pat), F.lit(rep)).alias(
+                        "syms"
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.cnt", "x.syms")
+    return bpe_pair_counts(src).filter(F.col("pair_count") != 0)
+
+
 def _bpe_merge_step_local(words_: list, index: dict, a: str, b: str):
     """The Sennrich per-merge bookkeeping SHARED by every driver-
     resident merge loop (:func:`_bpe_train_local` and the batched
@@ -993,6 +1025,7 @@ def bpe_train_incremental(
     driver_word_cap: int = 1_000_000,
     batch_pairs: int = 64,
     batch_word_cap: int = 1_000_000,
+    cluster_delta_min_words: int = 32_768,
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train` with INCREMENTAL pair counting — the path for
     real vocabularies (a 32k-merge train is 32k iterations; recounting
@@ -1085,6 +1118,32 @@ def bpe_train_incremental(
     then batching resumes — per-merge shuffle volume stays proportional
     to affected words in every regime. ``batch_pairs=0`` forces the
     single-merge loop (probes).
+
+    The Zipf HEAD of the over-cap schedule runs CLUSTER-side (VERDICT
+    r11 #5): when the sizing aggregate shows the candidate batch
+    touches >= ``cluster_delta_min_words`` word types (or even the TOP
+    pair alone exceeds ``batch_word_cap``), nothing is collected —
+    the staged subset stays a persisted DataFrame and each merge's
+    signed deltas come from one :func:`_bpe_delta_frame` job over it
+    (JVM-side explode + partial hash aggregate; the collect is at
+    changed-pair-type cardinality, never word-sized). The staged frame
+    is persisted once per ``checkpoint_every``-merge window; merges
+    since its materialization ride each job as chained on-the-fly
+    ``F.replace`` expressions, so the per-merge plan depth is CONSTANT
+    (a per-merge persisted chain grew the analyzed plan every merge
+    and sent Catalyst analysis super-linear), and each window boundary
+    re-materializes the frame from the previous cache (recompute
+    depth 1) before releasing it. Merge selection is the SAME global
+    pc/heap argmax with the same ``local_ok`` exactness argument
+    (candidates: their filter staged every containing word; created
+    pairs: exist only in rewritten, hence staged, words), so the merge
+    sequence stays byte-identical across all regimes (property-tested).
+    Head merges thus cost one small Spark job each instead of
+    per-word Python diffs over 30-110k staged words on the driver,
+    while tail batches (affected sets below the threshold) keep the
+    collect-and-loop path whose per-merge cost is microseconds.
+    ``cluster_delta_min_words=0`` disables the cluster stage (tests,
+    probes of the driver-batch regime).
     """
     base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
     if driver_word_cap:
@@ -1192,13 +1251,15 @@ def bpe_train_incremental(
         rows = None
         take_n = 0
         top_aff_cnt = None
+        staged = None
         if k and cand:
-            # size before collecting: ONE aggregate counts each
-            # candidate's affected WORD TYPES, and the batch takes the
-            # longest candidate PREFIX whose summed counts fit the cap
-            # (sum >= union, so the collect is bounded a priori — no
-            # wasted over-cap collect in the Zipf head, where a single
-            # hot pair can touch ~20% of word types)
+            # size before staging: ONE aggregate counts each
+            # candidate's affected WORD TYPES. The counts pick the
+            # regime — cluster-staged batch when the head is hot,
+            # else the longest candidate PREFIX whose summed counts
+            # fit the driver collect cap (sum >= union, an a-priori
+            # bound — no wasted over-cap collect in the Zipf head,
+            # where a single hot pair can touch ~20% of word types)
             pats = [
                 _BPE_L + ca + _BPE_R + _BPE_L + cb + _BPE_R
                 for ca, cb in cand
@@ -1211,23 +1272,99 @@ def bpe_train_incremental(
                     for i, p in enumerate(pats)
                 ]
             ).first()
-            tot = 0
-            for i in range(len(pats)):
-                ci = int(cnt_row[i] or 0)
-                if i == 0:
-                    top_aff_cnt = ci
-                if tot + ci > int(batch_word_cap):
-                    break
-                tot += ci
-                take_n = i + 1
-            if take_n:
+            counts = [int(cnt_row[i] or 0) for i in range(len(pats))]
+            top_aff_cnt = counts[0]
+            if cluster_delta_min_words and (
+                sum(counts) >= int(cluster_delta_min_words)
+                or top_aff_cnt > int(batch_word_cap)
+            ):
+                # Zipf-head regime: stage the candidate-affected subset
+                # CLUSTER-side — every candidate rides (no prefix cap;
+                # nothing is collected), deltas come from per-merge
+                # jobs below
                 cond = None
-                for p in pats[:take_n]:
+                for p in pats:
                     c_ = F.col("syms").contains(p)
                     cond = c_ if cond is None else (cond | c_)
-                rows = cur.filter(cond).select("cnt", "syms").collect()
-            cand = cand[:take_n]
-        if rows is None:
+                staged = cur.filter(cond).select("cnt", "syms").persist()
+            else:
+                tot = 0
+                for i, ci in enumerate(counts):
+                    if tot + ci > int(batch_word_cap):
+                        break
+                    tot += ci
+                    take_n = i + 1
+                if take_n:
+                    cond = None
+                    for p in pats[:take_n]:
+                        c_ = F.col("syms").contains(p)
+                        cond = c_ if cond is None else (cond | c_)
+                    rows = cur.filter(cond).select("cnt", "syms").collect()
+                cand = cand[:take_n]
+        batch_reps: list[tuple[str, str]] = []
+        if staged is not None:
+            # ---- cluster-staged merge batch (VERDICT r11 #5): the
+            # same global argmax + local_ok walk as the driver batch,
+            # but each merge's signed deltas are ONE JVM-side job over
+            # the persisted staged frame (collect at changed-pair-type
+            # cardinality). The staged frame is persisted ONCE per
+            # rewrite window, and the merges since its materialization
+            # ride each delta job as <= rewrite_every chained F.replace
+            # expressions applied ON THE FLY — NOT as a per-merge
+            # persisted withColumn chain, whose analyzed plan grows
+            # with every merge and sends Catalyst analysis +
+            # cache-manager plan lookups super-linear (measured: ~1 s/
+            # merge at rank 5, ~70 s/merge by rank 18 on a 40-doc
+            # corpus). With the bounded window the per-merge plan
+            # depth is CONSTANT; every rewrite_every merges one job
+            # materializes a fresh staged frame from the old frame's
+            # cache (recompute depth 1) and the old frame is released.
+            local_ok = set(cand)
+            rewrite_every = int(checkpoint_every) or 16
+            pending: list[tuple[str, str]] = []
+
+            def _live_syms():
+                c = F.col("syms")
+                for p_, r_ in pending:
+                    c = F.replace(c, F.lit(p_), F.lit(r_))
+                return c
+
+            while len(merges) < int(num_merges):
+                e = _pop_live()
+                if e is None:
+                    break
+                if (e[1], e[2]) not in local_ok or -e[0] < min_count:
+                    heapq.heappush(heap, e)  # next batch's (or no) merge
+                    break
+                negn, a, b = e
+                rank = len(merges) + 1
+                merges.append((rank, a, b, a + b, int(-negn)))
+                pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+                rep = _BPE_L + a + b + _BPE_R
+                live = staged.select("cnt", _live_syms().alias("syms"))
+                deltas = _bpe_delta_frame(live, pat, rep).collect()
+                net = {
+                    (r.left_sym, r.right_sym): r.pair_count for r in deltas
+                }
+                n_delta = _apply_net(net, local_ok)
+                if _sampled(rank):
+                    # pre-merge affected word types, off the cache
+                    n_aff = live.filter(
+                        F.col("syms").contains(pat)
+                    ).count()
+                    stats.append((rank, n_aff, n_delta, _time.time()))
+                pending.append((pat, rep))
+                batch_reps.append((pat, rep))
+                if len(pending) >= rewrite_every:
+                    nxt = staged.select(
+                        "cnt", _live_syms().alias("syms")
+                    ).persist()
+                    nxt.count()  # materialize off the old frame's cache
+                    staged.unpersist()
+                    staged = nxt
+                    pending = []
+            staged.unpersist()
+        elif rows is None:
             # ---- single-merge distributed delta step: one EXPLODE
             # emits the signed pre/post rows, so the stacked word-table
             # plan evaluates ONCE per merge (a union of two selects
@@ -1239,35 +1376,18 @@ def bpe_train_incremental(
             merges.append((rank, a, b, a + b, int(-negn)))
             pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
             rep = _BPE_L + a + b + _BPE_R
-            aff = cur.filter(F.col("syms").contains(pat))
-            delta_src = aff.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            (-F.col("cnt")).alias("cnt"),
-                            F.col("syms").alias("syms"),
-                        ),
-                        F.struct(
-                            F.col("cnt").alias("cnt"),
-                            F.replace(
-                                F.col("syms"), F.lit(pat), F.lit(rep)
-                            ).alias("syms"),
-                        ),
-                    )
-                ).alias("x")
-            ).select("x.cnt", "x.syms")
-            deltas = (
-                bpe_pair_counts(delta_src)
-                .filter(F.col("pair_count") != 0)
-                .collect()
-            )
+            deltas = _bpe_delta_frame(cur, pat, rep).collect()
             net = {(r.left_sym, r.right_sym): r.pair_count for r in deltas}
             n_delta = _apply_net(net, None)
             if _sampled(rank):
                 # the sizing aggregate already counted the top pair's
                 # affected words; only the forced single-merge path
                 # (batch_pairs=0) pays a count job here
-                n_aff = top_aff_cnt if top_aff_cnt is not None else aff.count()
+                n_aff = (
+                    top_aff_cnt
+                    if top_aff_cnt is not None
+                    else cur.filter(F.col("syms").contains(pat)).count()
+                )
                 stats.append((rank, n_aff, n_delta, _time.time()))
             cur = cur.withColumn(
                 "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
@@ -1285,7 +1405,6 @@ def bpe_train_incremental(
                 for p in _bpe_pair_counts_local(s_):
                     index.setdefault(p, set()).add(widx)
             local_ok = set(cand)
-            batch_reps: list[tuple[str, str]] = []
             while len(merges) < int(num_merges):
                 e = _pop_live()
                 if e is None:
@@ -1306,30 +1425,30 @@ def bpe_train_incremental(
                 n_delta = _apply_net(net, local_ok)
                 if _sampled(rank):
                     stats.append((rank, len(aff_ix), n_delta, _time.time()))
-            # flush: the same replaces, in the same order, applied to
-            # the distributed table (identity on non-collected words —
-            # no merged pattern can occur there, see docstring). The
-            # checkpoint check runs INSIDE the flush: a batch can run
-            # hundreds of merges (every created pair joins local_ok),
-            # and chaining them all before one checkpoint would nest
-            # F.replace past what Catalyst analysis tolerates — the
-            # exact lineage blow-up checkpoint_every exists to bound
-            for pat, rep in batch_reps:
-                cur = cur.withColumn(
-                    "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
-                )
-                pending_since_cp += 1
-                if checkpoint_every and pending_since_cp >= int(
-                    checkpoint_every
-                ):
-                    # LAZY checkpoint: truncates the analyzed plan (the
-                    # nesting bound is what checkpoint_every contracts)
-                    # without launching a materialization job per
-                    # cadence — a 100-merge batch would otherwise pay
-                    # ~6 full-table jobs between two Spark actions; the
-                    # next sizing scan materializes the chain once
-                    cur = cur.localCheckpoint(eager=False)
-                    pending_since_cp = 0
+        # flush (both batch regimes): the same replaces, in the same
+        # order, applied to the distributed table (identity on
+        # non-staged words — no merged pattern can occur there, see
+        # docstring). The checkpoint check runs INSIDE the flush: a
+        # batch can run hundreds of merges (every created pair joins
+        # local_ok), and chaining them all before one checkpoint would
+        # nest F.replace past what Catalyst analysis tolerates — the
+        # exact lineage blow-up checkpoint_every exists to bound
+        for pat, rep in batch_reps:
+            cur = cur.withColumn(
+                "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+            )
+            pending_since_cp += 1
+            if checkpoint_every and pending_since_cp >= int(
+                checkpoint_every
+            ):
+                # LAZY checkpoint: truncates the analyzed plan (the
+                # nesting bound is what checkpoint_every contracts)
+                # without launching a materialization job per
+                # cadence — a 100-merge batch would otherwise pay
+                # ~6 full-table jobs between two Spark actions; the
+                # next sizing scan materializes the chain once
+                cur = cur.localCheckpoint(eager=False)
+                pending_since_cp = 0
         if checkpoint_every and pending_since_cp >= int(checkpoint_every):
             cur = cur.localCheckpoint()
             pending_since_cp = 0

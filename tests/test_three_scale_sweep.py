@@ -8,11 +8,18 @@ NULLed a cross-batch integer payload. A gate that is green at one scale
 has not been shown scale-independent; this test makes the sweep a
 repeatable artifact instead of a per-round judge heroic.
 
-It is ``sweep``-marked and EXCLUDED from the default run (pytest.ini
-``addopts = -m "not sweep"``) because 3 x ~260 gates is an hour-plus of
-wall clock — the default suite must stay CI-sized. Run it explicitly:
+Split marking (VERDICT r11 #1): the driver's per-round CORRECTNESS
+check rotates a 50-gate slice of the ~280-name registry, so a
+regression in a rotated-out gate could ride undetected for ~5 rounds
+if full-registry certification only lives behind an explicit marker.
+The CHEAP leg — all gates at sf0.001 — is therefore UNMARKED and runs
+in every plain ``pytest tests/`` invocation (~6 min: one shared
+SparkSession, one DuckDB connection, ~280 toPandas round-trips on
+60k-row-class inputs). The expensive sf0.01/sf0.1 legs stay
+``sweep``-marked and EXCLUDED from the default run (pytest.ini
+``addopts = -m "not sweep"``). Run the full three-scale sweep:
 
-    python -m pytest tests/test_three_scale_sweep.py -m sweep -q
+    python -m pytest tests/test_three_scale_sweep.py -m "sweep or not sweep" -q
 
 or per scale:
 
@@ -27,10 +34,14 @@ import pytest
 
 from oracle_check import compare, duck_connection
 
-SCALES = ["sf0.001", "sf0.01", "sf0.1"]
+# sf0.001 unmarked -> default suite; the two big scales stay opt-in
+SCALES = [
+    pytest.param("sf0.001", id="sf0.001"),
+    pytest.param("sf0.01", id="sf0.01", marks=pytest.mark.sweep),
+    pytest.param("sf0.1", id="sf0.1", marks=pytest.mark.sweep),
+]
 
 
-@pytest.mark.sweep
 @pytest.mark.parametrize("sf_name", SCALES)
 def test_three_scale_sweep(spark, sf_name):
     import __spark_entry__ as entrymod
