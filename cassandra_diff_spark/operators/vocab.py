@@ -886,6 +886,35 @@ def _bpe_delta_frame(frame: DataFrame, pat: str, rep: str) -> DataFrame:
     return bpe_pair_counts(src).filter(F.col("pair_count") != 0)
 
 
+def _bpe_merge_step_local_ref(words_: list, index: dict, a: str, b: str):
+    """Reference (whole-word recount) twin of
+    :func:`_bpe_merge_step_local`, kept for the property tests that
+    pin the neighbor-diff kernel's net deltas and rewrites to it.
+    Reads the index the same lazily-verified way; maintenance only
+    ADDS (the shared lazy-index contract)."""
+    pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
+    rep = _BPE_L + a + b + _BPE_R
+    net: dict = {}
+    aff: list = []
+    for widx in index.get((a, b), ()):
+        cnt, s = words_[widx]
+        if pat not in s:
+            continue  # stale entry — adjacency merged away earlier
+        aff.append(widx)
+        old = _bpe_pair_counts_local(s)
+        new_s = s.replace(pat, rep)
+        new = _bpe_pair_counts_local(new_s)
+        for p in old.keys() | new.keys():
+            d = (new.get(p, 0) - old.get(p, 0)) * cnt
+            if d:
+                net[p] = net.get(p, 0) + d
+            if p not in old and p in new:
+                index.setdefault(p, set()).add(widx)
+        words_[widx][1] = new_s
+    index.pop((a, b), None)
+    return aff, {p: d for p, d in net.items() if d}
+
+
 def _bpe_merge_step_local(words_: list, index: dict, a: str, b: str):
     """The Sennrich per-merge bookkeeping SHARED by every driver-
     resident merge loop (:func:`_bpe_train_local` and the batched
@@ -894,30 +923,81 @@ def _bpe_merge_step_local(words_: list, index: dict, a: str, b: str):
     containing (a, b) in place, maintain the inverted ``pair -> {word
     idx}`` index, and return ``(affected_word_indices, net_delta)``
     where net_delta maps pair -> signed count change (a net-zero pair
-    change is not a change)."""
+    change is not a change).
+
+    NEIGHBOR-DIFF kernel (r12: the head-window cost was whole-word
+    recounts — two splits + two dict builds per affected word): only
+    the adjacencies AROUND each merged occurrence change, so the
+    deltas are computed straight off the marker-aligned occurrence
+    positions (``str.find``-scanned with the same non-overlapping
+    left-to-right advance as ``str.replace``, whose output stays the
+    canonical rewrite). Adjacent occurrences dedupe by ownership:
+    every occurrence owns its left pair and its (a, b); it owns its
+    right pair only when the NEXT occurrence is not flush against it
+    (else that pair IS the next occurrence's left pair). Marker
+    wrapping makes every match symbol-aligned, so neighbor symbols
+    parse by scanning to the enclosing markers.
+
+    The index is LAZILY VERIFIED: maintenance only ADDS entries (the
+    two new-adjacency pairs per occurrence, both involving the merged
+    symbol); entries go stale when a later merge removes a pair from
+    a word, and every reader — this function — re-checks ``pat in s``
+    before diffing, so stale entries cost one C-level substring scan
+    and nothing else. ``aff`` counts only verified words, matching the
+    eager bookkeeping it replaced (property-pinned against
+    :func:`_bpe_merge_step_local_ref`)."""
     pat = _BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R
     rep = _BPE_L + a + b + _BPE_R
-    aff = list(index.get((a, b), ()))
+    ab = a + b
+    plen = len(pat)
     net: dict = {}
-    for widx in aff:
+    aff: list = []
+    for widx in index.get((a, b), ()):
         cnt, s = words_[widx]
-        old = _bpe_pair_counts_local(s)
-        new_s = s.replace(pat, rep)
-        new = _bpe_pair_counts_local(new_s)
-        for p in old.keys() | new.keys():
-            d = (new.get(p, 0) - old.get(p, 0)) * cnt
-            if d:
-                net[p] = net.get(p, 0) + d
-            if p not in new:
-                ix = index.get(p)
-                if ix is not None:
-                    ix.discard(widx)
-                    if not ix:
-                        del index[p]
-            elif p not in old:
-                index.setdefault(p, set()).add(widx)
-        words_[widx][1] = new_s
-    return aff, net
+        i = s.find(pat)
+        if i < 0:
+            continue  # stale entry — adjacency merged away earlier
+        aff.append(widx)
+        occs = [i]
+        i = s.find(pat, i + plen)
+        while i >= 0:
+            occs.append(i)
+            i = s.find(pat, i + plen)
+        n_occ = len(occs)
+        for k, i in enumerate(occs):
+            net[(a, b)] = net.get((a, b), 0) - cnt
+            if i > 0:
+                # old left pair (prev, a); new left pair (prev', ab)
+                # where prev' is the merged symbol when the previous
+                # occurrence ends flush at i
+                j = s.rfind(_BPE_L, 0, i)
+                prev_sym = s[j + 1 : i - 1]
+                p_old = (prev_sym, a)
+                net[p_old] = net.get(p_old, 0) - cnt
+                p_new = (
+                    ab if (k and occs[k - 1] + plen == i) else prev_sym,
+                    ab,
+                )
+                net[p_new] = net.get(p_new, 0) + cnt
+                index.setdefault(p_new, set()).add(widx)
+            end = i + plen
+            if end < len(s) and not (
+                k + 1 < n_occ and occs[k + 1] == end
+            ):
+                # right pair owned only when the next occurrence is
+                # not flush (else it is that occurrence's left pair)
+                m = s.find(_BPE_R, end)
+                nxt_sym = s[end + 1 : m]
+                p_old = (b, nxt_sym)
+                net[p_old] = net.get(p_old, 0) - cnt
+                p_new = (ab, nxt_sym)
+                net[p_new] = net.get(p_new, 0) + cnt
+                index.setdefault(p_new, set()).add(widx)
+        words_[widx][1] = s.replace(pat, rep)
+    # the merged pair is extinct in every word (ab != a and ab != b,
+    # so no new (a, b) adjacency can survive the rewrite)
+    index.pop((a, b), None)
+    return aff, {p: d for p, d in net.items() if d}
 
 
 def _bpe_train_local(
@@ -1024,8 +1104,8 @@ def bpe_train_incremental(
     stats_every: int = 1,
     driver_word_cap: int = 1_000_000,
     batch_pairs: int = 64,
-    batch_word_cap: int = 1_000_000,
-    cluster_delta_min_words: int = 32_768,
+    batch_word_cap: int = 2_000_000,
+    cluster_delta_min_words: int = 0,
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train` with INCREMENTAL pair counting — the path for
     real vocabularies (a 32k-merge train is 32k iterations; recounting
@@ -1059,8 +1139,10 @@ def bpe_train_incremental(
 
     HYBRID dispatch (the ``dedup_clusters`` union-find pattern): when
     the word-TYPE table itself fits on the driver (``<=
-    driver_word_cap`` types; limit-bounded probe, ~1-2 GB of strings +
-    inverted index at the 1M default), the whole merge loop runs
+    driver_word_cap`` types; limit-bounded Arrow probe, MEASURED
+    ~850 MB of strings + pair counts + inverted index per 1M word
+    types — r12 RSS probe, see ``bpe_driver_resident_rss_mb`` — at
+    the 1M default), the whole merge loop runs
     driver-side in :func:`_bpe_train_local` — byte-identical output,
     per-merge cost microseconds instead of a Spark job, which is the
     difference between a 1024-merge train taking seconds and taking
@@ -1108,7 +1190,10 @@ def bpe_train_incremental(
     to the sequential loop (property-tested): every merge is still
     chosen by the exact global argmax with the same tie-break, and its
     deltas are globally exact because all of its occurrences were
-    local. ``batch_word_cap`` bounds the driver collect: ONE sizing
+    local. ``batch_word_cap`` bounds the driver collect (2M default:
+    the staged copy has no global pair table or full index, so it is
+    lighter than the driver-resident path — measured ~350-450 B/word,
+    ~0.8 GB at the cap): ONE sizing
     aggregate counts each candidate's affected word types up front and
     the batch takes the longest candidate prefix whose summed counts
     fit the cap (sum >= union, an a-priori bound — no wasted over-cap
@@ -1119,10 +1204,15 @@ def bpe_train_incremental(
     to affected words in every regime. ``batch_pairs=0`` forces the
     single-merge loop (probes).
 
-    The Zipf HEAD of the over-cap schedule runs CLUSTER-side (VERDICT
-    r11 #5): when the sizing aggregate shows the candidate batch
-    touches >= ``cluster_delta_min_words`` word types (or even the TOP
-    pair alone exceeds ``batch_word_cap``), nothing is collected —
+    The CLUSTER-staged overflow regime (VERDICT r11 #5): when even
+    the TOP pair alone exceeds ``batch_word_cap`` (so no driver batch
+    can be staged at all — the regime that used to degrade to one
+    distributed delta step per merge), or when the sizing aggregate
+    shows the candidate batch touches >= ``cluster_delta_min_words``
+    word types (opt-in; 0 — the default — leaves the sum-trigger off,
+    because the measured local[32] job floor of ~1 s/merge loses to
+    the Arrow-staged driver batch wherever the driver CAN hold the
+    words), nothing is collected —
     the staged subset stays a persisted DataFrame and each merge's
     signed deltas come from one :func:`_bpe_delta_frame` job over it
     (JVM-side explode + partial hash aggregate; the collect is at
@@ -1138,20 +1228,29 @@ def bpe_train_incremental(
     (candidates: their filter staged every containing word; created
     pairs: exist only in rewritten, hence staged, words), so the merge
     sequence stays byte-identical across all regimes (property-tested).
-    Head merges thus cost one small Spark job each instead of
-    per-word Python diffs over 30-110k staged words on the driver,
-    while tail batches (affected sets below the threshold) keep the
-    collect-and-loop path whose per-merge cost is microseconds.
-    ``cluster_delta_min_words=0`` disables the cluster stage (tests,
-    probes of the driver-batch regime).
+    Overflow merges thus cost one Spark job each — proportional to
+    affected words, never driver-resident — while every batch the
+    driver CAN hold keeps the Arrow-staged collect-and-loop path
+    whose per-merge cost is microseconds.
     """
     base = bpe_word_counts(df, text_col).select("cnt", "syms").persist()
+    # every driver-bound word/pair table crosses via Arrow (toArrow +
+    # column-wise to_pylist), not Row-object collect(): the Row path
+    # measured ~60k rows/s and fat (one Row object per word, ~1-2 GB
+    # at the 1M cap); Arrow is a few x faster and the driver copy is
+    # plain str/int lists — the r11 "measure the driver-resident
+    # bound" item rides on this being the real representation
     if driver_word_cap:
-        head = base.limit(int(driver_word_cap) + 1).collect()
-        if len(head) <= int(driver_word_cap):
+        head = base.limit(int(driver_word_cap) + 1).toArrow()
+        if head.num_rows <= int(driver_word_cap):
             try:
                 return _bpe_train_local(
-                    [(r.cnt, r.syms) for r in head],
+                    list(
+                        zip(
+                            head.column("cnt").to_pylist(),
+                            head.column("syms").to_pylist(),
+                        )
+                    ),
                     num_merges,
                     min_count=min_count,
                     max_pair_types=max_pair_types,
@@ -1162,19 +1261,24 @@ def bpe_train_incremental(
                 base.unpersist()
         del head  # over cap: fall through to the distributed delta loop
     cur = base
-    seed = (
-        bpe_pair_counts(cur).limit(int(max_pair_types) + 1).collect()
-    )
-    if len(seed) > int(max_pair_types):
+    seed = bpe_pair_counts(cur).limit(int(max_pair_types) + 1).toArrow()
+    if seed.num_rows > int(max_pair_types):
         base.unpersist()
         raise ValueError(
             f"more than max_pair_types={max_pair_types} distinct symbol "
             "pairs — the driver-side count table would not fit; raise the "
             "cap or use bpe_train (distributed recount per merge)"
         )
-    pc: dict[tuple[str, str], int] = {
-        (r.left_sym, r.right_sym): r.pair_count for r in seed
-    }
+    pc: dict[tuple[str, str], int] = dict(
+        zip(
+            zip(
+                seed.column("left_sym").to_pylist(),
+                seed.column("right_sym").to_pylist(),
+            ),
+            seed.column("pair_count").to_pylist(),
+        )
+    )
+    del seed
     # same lazy-deletion heap argmax as the driver-local path: the dict
     # scan grows with the pair-type table (quadratic across a long merge
     # schedule); identical (count DESC, left, right) total order
@@ -1252,14 +1356,92 @@ def bpe_train_incremental(
         take_n = 0
         top_aff_cnt = None
         staged = None
-        if k and cand:
-            # size before staging: ONE aggregate counts each
-            # candidate's affected WORD TYPES. The counts pick the
-            # regime — cluster-staged batch when the head is hot,
-            # else the longest candidate PREFIX whose summed counts
-            # fit the driver collect cap (sum >= union, an a-priori
-            # bound — no wasted over-cap collect in the Zipf head,
-            # where a single hot pair can touch ~20% of word types)
+        if k and cand and len(cand) <= 64:
+            # ONE candidate-containment pass per batch: each word's
+            # candidate MASK (two long columns, bit j = word contains
+            # candidate j's pattern) is computed once into a persisted
+            # frame; the sizing aggregate then reads per-candidate
+            # affected-word counts as bitwise popcount sums off that
+            # cache, and the staging collect is a bitwise filter off
+            # the same cache — the 64-contains scan (the dominant head
+            # cost once the kernel went neighbor-diff) runs once, not
+            # two-to-three times. The sizing still bounds the collect
+            # A-PRIORI: the batch takes the longest candidate PREFIX
+            # whose summed counts fit the cap (sum >= union — no
+            # wasted over-cap collect in the Zipf head, where a single
+            # hot pair can touch ~20% of word types).
+            pats = [
+                _BPE_L + ca + _BPE_R + _BPE_L + cb + _BPE_R
+                for ca, cb in cand
+            ]
+            m0 = F.lit(0).cast("long")
+            m1 = F.lit(0).cast("long")
+            for j, p in enumerate(pats):
+                bit = F.col("syms").contains(p).cast("long")
+                if j < 32:
+                    m0 = m0 + bit * F.lit(1 << j)
+                else:
+                    m1 = m1 + bit * F.lit(1 << (j - 32))
+            masked = cur.select(
+                "cnt", "syms", m0.alias("m0"), m1.alias("m1")
+            ).persist()
+            try:
+                cnt_row = masked.select(
+                    *[
+                        F.sum(
+                            F.shiftright(
+                                F.col("m0" if j < 32 else "m1"),
+                                j % 32,
+                            ).bitwiseAND(F.lit(1))
+                        ).alias(f"c{j}")
+                        for j in range(len(pats))
+                    ]
+                ).first()
+                counts = [int(cnt_row[j] or 0) for j in range(len(pats))]
+                top_aff_cnt = counts[0]
+                if top_aff_cnt > int(batch_word_cap) or (
+                    cluster_delta_min_words
+                    and sum(counts) >= int(cluster_delta_min_words)
+                ):
+                    # capacity-overflow regime: the batch cannot be
+                    # staged on the driver, so stage the candidate-
+                    # affected subset CLUSTER-side — every candidate
+                    # rides (no prefix cap; nothing is collected),
+                    # deltas come from per-merge jobs below
+                    staged = (
+                        masked.filter(
+                            (F.col("m0") != 0) | (F.col("m1") != 0)
+                        )
+                        .select("cnt", "syms")
+                        .persist()
+                    )
+                    staged.count()  # materialize off masked's cache
+                else:
+                    tot = 0
+                    for i, ci in enumerate(counts):
+                        if tot + ci > int(batch_word_cap):
+                            break
+                        tot += ci
+                        take_n = i + 1
+                    if take_n:
+                        bits0 = (1 << min(take_n, 32)) - 1
+                        bits1 = (1 << max(take_n - 32, 0)) - 1
+                        fcond = F.col("m0").bitwiseAND(F.lit(bits0)) != 0
+                        if bits1:
+                            fcond = fcond | (
+                                F.col("m1").bitwiseAND(F.lit(bits1)) != 0
+                            )
+                        # Arrow staging off the mask cache: rows cross
+                        # as Arrow columns (Row-object collect measured
+                        # ~60k rows/s and ~1 KB/word on the driver)
+                        rows = masked.filter(fcond).toArrow()
+                    cand = cand[:take_n]
+            finally:
+                masked.unpersist()
+        elif k and cand:
+            # batch_pairs > 64: no mask encoding — the original
+            # two-pass sizing + containment staging, candidate-only
+            # index built by per-word recount below
             pats = [
                 _BPE_L + ca + _BPE_R + _BPE_L + cb + _BPE_R
                 for ca, cb in cand
@@ -1274,14 +1456,10 @@ def bpe_train_incremental(
             ).first()
             counts = [int(cnt_row[i] or 0) for i in range(len(pats))]
             top_aff_cnt = counts[0]
-            if cluster_delta_min_words and (
-                sum(counts) >= int(cluster_delta_min_words)
-                or top_aff_cnt > int(batch_word_cap)
+            if top_aff_cnt > int(batch_word_cap) or (
+                cluster_delta_min_words
+                and sum(counts) >= int(cluster_delta_min_words)
             ):
-                # Zipf-head regime: stage the candidate-affected subset
-                # CLUSTER-side — every candidate rides (no prefix cap;
-                # nothing is collected), deltas come from per-merge
-                # jobs below
                 cond = None
                 for p in pats:
                     c_ = F.col("syms").contains(p)
@@ -1299,7 +1477,9 @@ def bpe_train_incremental(
                     for p in pats[:take_n]:
                         c_ = F.col("syms").contains(p)
                         cond = c_ if cond is None else (cond | c_)
-                    rows = cur.filter(cond).select("cnt", "syms").collect()
+                    rows = (
+                        cur.filter(cond).select("cnt", "syms").toArrow()
+                    )
                 cand = cand[:take_n]
         batch_reps: list[tuple[str, str]] = []
         if staged is not None:
@@ -1399,11 +1579,37 @@ def bpe_train_incremental(
             # exact same argmax + tie-break — merges stay byte-identical
             # to the sequential loop; the batch flushes at the first
             # argmax that might have occurrences outside the subset
-            words_: list[list] = [[int(r.cnt), r.syms] for r in rows]
+            words_: list[list] = [
+                [c_, s_]
+                for c_, s_ in zip(
+                    rows.column("cnt").to_pylist(),
+                    rows.column("syms").to_pylist(),
+                )
+            ]
             index: dict = {}
-            for widx, (cnt_, s_) in enumerate(words_):
-                for p in _bpe_pair_counts_local(s_):
-                    index.setdefault(p, set()).add(widx)
+            if "m0" in rows.column_names:
+                # candidate-only index off the JVM masks: the batch
+                # loop reads the index solely for local_ok pairs, and
+                # created pairs are added by the merge step itself.
+                # The masks carry bits for ALL sized candidates — keep
+                # only the take_n actually staged in this batch
+                ms0 = rows.column("m0").to_pylist()
+                ms1 = rows.column("m1").to_pylist()
+                keep = (1 << take_n) - 1
+                for widx in range(len(words_)):
+                    m = (ms0[widx] | (ms1[widx] << 32)) & keep
+                    while m:
+                        index.setdefault(
+                            cand[(m & -m).bit_length() - 1], set()
+                        ).add(widx)
+                        m &= m - 1
+            else:  # batch_pairs > 64: candidate-only index by recount
+                cset = set(cand)
+                for widx, (cnt_, s_) in enumerate(words_):
+                    for p in _bpe_pair_counts_local(s_):
+                        if p in cset:
+                            index.setdefault(p, set()).add(widx)
+            del rows
             local_ok = set(cand)
             while len(merges) < int(num_merges):
                 e = _pop_live()

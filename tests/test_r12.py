@@ -314,3 +314,121 @@ class TestClusterStagedBatch:
             batch_word_cap=1, cluster_delta_min_words=1,
         )
         assert got == want
+
+
+class TestNeighborDiffKernel:
+    """r12 head-window optimization: _bpe_merge_step_local computes
+    per-merge deltas from the adjacencies AROUND each merged occurrence
+    (occurrence-walk with flush-adjacency ownership dedupe) instead of
+    whole-word recounts. Its (aff, net, rewritten-words) must be
+    IDENTICAL to the recount reference on any input — including the
+    pathological shapes: a==b runs (xxx...), flush-adjacent occurrences
+    (abab), occurrences at word start/end, multi-char symbols whose
+    concatenations collide."""
+
+    @staticmethod
+    def _wrap(syms):
+        from cassandra_diff_spark.operators.vocab import _BPE_L, _BPE_R
+
+        return "".join(_BPE_L + s + _BPE_R for s in syms)
+
+    def _run_both(self, word_syms, merge_pairs):
+        """Apply a merge sequence through both kernels on the same word
+        set; compare aff/net/words at every step."""
+        import copy
+
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_merge_step_local,
+            _bpe_merge_step_local_ref,
+            _bpe_pair_counts_local,
+        )
+
+        words_a = [[cnt, self._wrap(sy)] for cnt, sy in word_syms]
+        words_b = copy.deepcopy(words_a)
+        # full initial index for both (the _bpe_train_local shape)
+        def build_index(words_):
+            ix: dict = {}
+            for widx, (_, s_) in enumerate(words_):
+                for p in _bpe_pair_counts_local(s_):
+                    ix.setdefault(p, set()).add(widx)
+            return ix
+
+        ix_a = build_index(words_a)
+        ix_b = build_index(words_b)
+        for a, b in merge_pairs:
+            aff_a, net_a = _bpe_merge_step_local(words_a, ix_a, a, b)
+            aff_b, net_b = _bpe_merge_step_local_ref(words_b, ix_b, a, b)
+            assert sorted(aff_a) == sorted(aff_b), (a, b)
+            assert net_a == net_b, (a, b, net_a, net_b)
+            assert words_a == words_b, (a, b)
+
+    def test_pathological_shapes(self):
+        cases = [
+            # (words, merges) — syms given unmerged, merges applied in order
+            ([(3, list("xxx"))], [("x", "x")]),
+            ([(2, list("xxxx"))], [("x", "x"), ("xx", "xx")]),
+            ([(1, list("xxxxx"))], [("x", "x"), ("xx", "x")]),
+            ([(5, list("abab"))], [("a", "b"), ("ab", "ab")]),
+            ([(1, list("ababa"))], [("a", "b"), ("ab", "ab")]),
+            ([(1, list("xyx")), (2, list("yxy"))], [("x", "y"), ("y", "x")]),
+            # concatenation collision: (x, yz) and (xy, z) both make xyz
+            ([(1, ["x", "y", "z", "x", "y", "z"])],
+             [("y", "z"), ("x", "yz")]),
+            ([(1, list("zab")), (4, list("abz")), (2, list("ab"))],
+             [("a", "b"), ("z", "ab"), ("ab", "z")]),
+        ]
+        for words, merges in cases:
+            self._run_both(words, merges)
+
+    def test_property_random_merge_sequences(self):
+        import random
+
+        rnd = random.Random(20260816)
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_pair_counts_local,
+        )
+
+        for trial in range(60):
+            n_words = rnd.randint(1, 12)
+            words = []
+            for _ in range(n_words):
+                L = rnd.randint(1, 14)
+                words.append(
+                    (rnd.randint(1, 9),
+                     [rnd.choice("xyz") for _ in range(L)])
+                )
+            # walk real merges: always pick a pair that currently exists
+            import copy
+
+            from cassandra_diff_spark.operators.vocab import (
+                _bpe_merge_step_local,
+                _bpe_merge_step_local_ref,
+            )
+
+            words_a = [[c, self._wrap(sy)] for c, sy in words]
+            words_b = copy.deepcopy(words_a)
+
+            def build_index(ws):
+                ix: dict = {}
+                for widx, (_, s_) in enumerate(ws):
+                    for p in _bpe_pair_counts_local(s_):
+                        ix.setdefault(p, set()).add(widx)
+                return ix
+
+            ix_a, ix_b = build_index(words_a), build_index(words_b)
+            for _ in range(rnd.randint(1, 8)):
+                live = {}
+                for _, s_ in words_a:
+                    live.update(_bpe_pair_counts_local(s_))
+                if not live:
+                    break
+                pair = rnd.choice(sorted(live))
+                aff_a, net_a = _bpe_merge_step_local(
+                    words_a, ix_a, pair[0], pair[1]
+                )
+                aff_b, net_b = _bpe_merge_step_local_ref(
+                    words_b, ix_b, pair[0], pair[1]
+                )
+                assert sorted(aff_a) == sorted(aff_b), (trial, pair)
+                assert net_a == net_b, (trial, pair, net_a, net_b)
+                assert words_a == words_b, (trial, pair)
