@@ -227,6 +227,16 @@ CONTROL = [
     "diff_mismatch_orders",
     "diff_stats_orders_digest",
     "diff_stats_lineitem_bucketed",
+    # r12 (VERDICT r11 #6): the expensive NON-streaming tail — its
+    # in-session medians swing 2-3x on identical code (dedup_semantic
+    # 0.69->1.94 s across r11 runs), so without control entries these
+    # had no contention-free trend line at all. Streaming twins stay
+    # out: their cost is the trigger floor, which contention barely
+    # moves.
+    "dedup_containment",
+    "profile_spearman",
+    "curate_classifier_train",
+    "diff_stats_orders_digest_sparse",
 ]
 
 #: timed repetitions per query; the recorded number is the MEDIAN (the

@@ -97,6 +97,29 @@ class TestGuardLogic:
             check_guard(hist, 3 * 1.2 + 2.0)
 
 
+class TestControlSet:
+    def test_expensive_tail_in_control_set(self):
+        """VERDICT r11 #6: the fresh-session control block must cover
+        the expensive non-streaming tail, not just the flagship diffs —
+        in-session medians for these swung 2-3x on identical code, so
+        the control entries are their only contention-free trend line.
+        The live guard below iterates the whole control block, so every
+        name here is automatically gated once history accrues."""
+        sys.path.insert(0, str(REPO))
+        import bench
+
+        for name in (
+            "dedup_containment",
+            "profile_spearman",
+            "curate_classifier_train",
+            "diff_stats_orders_digest_sparse",
+        ):
+            assert name in bench.CONTROL
+        # every control name must be a registered gate
+        for name in bench.CONTROL:
+            assert name in bench.ALL_QUERIES, name
+
+
 class TestLiveFlagshipGuard:
     @pytest.fixture(scope="class")
     def control_block(self):
