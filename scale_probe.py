@@ -107,6 +107,19 @@ def _lsh_candidate_count(
 
 
 
+def _vm_rss_mb() -> float:
+    """Current VmRSS of THIS process in MB (/proc; Linux-only, which is
+    the only platform the probe runs on). -1 when unreadable."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return -1.0
+
+
 def _section_end(spark: SparkSession) -> None:
     """Cache hygiene BETWEEN probe sections (the bench.py r4 lesson,
     applied to the probe): each section may persist index/corpus-sized
@@ -780,6 +793,87 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
         out["bpe_seed_pair_types"] = bpe_pair_counts(wc).count()
         out["bpe_gen_sec"] = round(time.time() - t0, 2)
 
+        # MEASURED driver-resident footprint (VERDICT r11 #3): build
+        # the exact structures _bpe_train_local holds live — the Arrow-
+        # staged (cnt, syms) word list, the full inverted pair -> word-
+        # set index, and the global pair-count dict. Measured BEFORE
+        # the incremental train below (which builds and frees the same
+        # structures — after it, a rebuild fills the already-resident
+        # arenas and the RSS delta reads ~0) and TWO ways: a deep
+        # getsizeof walk (the structures' true Python-object bytes,
+        # allocator-reuse-independent; cross-checked against a one-off
+        # tracemalloc trace — 724 vs 742 B/word — at ~50 s less per
+        # round) corroborated by the gc'd VmRSS delta (what the OS
+        # actually charges the driver, arena slack included). The
+        # extrapolation to the driver_word_cap=1M default replaces the
+        # docstring's ~1-2 GB estimate with a number.
+        import gc
+        import sys as _sys
+
+        from cassandra_diff_spark.operators.vocab import (
+            _bpe_pair_counts_local,
+        )
+
+        gc.collect()
+        rss0 = _vm_rss_mb()
+        head_tbl = (
+            bpe_word_counts(corp, "text").select("cnt", "syms").toArrow()
+        )
+        words_ = list(
+            zip(
+                head_tbl.column("cnt").to_pylist(),
+                head_tbl.column("syms").to_pylist(),
+            )
+        )
+        del head_tbl
+        res_index: dict = {}
+        res_pc: dict = {}
+        for widx, (cnt_, s_) in enumerate(words_):
+            for p, c in _bpe_pair_counts_local(s_).items():
+                res_pc[p] = res_pc.get(p, 0) + c * cnt_
+                res_index.setdefault(p, set()).add(widx)
+        gc.collect()
+        rss1 = _vm_rss_mb()
+        n_words = len(words_)
+        # deep size: containers + per-word tuple/int/str + index key
+        # tuples/strs + set tables + one int object per distinct word
+        # index (the same widx object lands in several sets; its slots
+        # are inside getsizeof(set), the object is counted once)
+        mem = (
+            _sys.getsizeof(words_)
+            + _sys.getsizeof(res_index)
+            + _sys.getsizeof(res_pc)
+            + 28 * n_words
+        )
+        for t in words_:
+            mem += (
+                _sys.getsizeof(t)
+                + _sys.getsizeof(t[0])
+                + _sys.getsizeof(t[1])
+            )
+        for p, s in res_index.items():
+            mem += (
+                _sys.getsizeof(p)
+                + _sys.getsizeof(p[0])
+                + _sys.getsizeof(p[1])
+                + _sys.getsizeof(s)
+            )
+        for v in res_pc.values():
+            mem += _sys.getsizeof(v)
+        del words_, res_index, res_pc
+        gc.collect()
+        if n_words:
+            out["bpe_driver_resident_mb"] = round(mem / 1048576, 1)
+            if rss0 > 0 and rss1 > rss0:
+                out["bpe_driver_resident_rss_mb"] = round(rss1 - rss0, 1)
+            out["bpe_driver_resident_bytes_per_word"] = round(
+                mem / n_words
+            )
+            out["bpe_driver_cap_rss_mb"] = round(
+                mem / n_words * 1_000_000 / 1048576, 1
+            )
+        _section_end(spark)
+
         # the engine's REAL path at this word count: hybrid dispatch
         # routes a 560k-type table driver-side, so all bpe_merges run
         # as dict/index updates — measured 1024 merges in ~64 s where
@@ -891,11 +985,153 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
                 out["bpe_dist_per_merge_sec"] = round(
                     (t_end - t0) / max(len(dist), 1), 4
                 )
+            if len(w128) >= 2 and w128[-1][0] > w128[0][0]:
+                # head MARGINAL off the rank-1 stamp (VERDICT r11 #5
+                # done metric): the window average above folds the
+                # corpus-sized seeding into merge 1's share; the
+                # marginal is the per-merge cost of the head REGIME
+                out["bpe_dist_head_per_merge_sec"] = round(
+                    (w128[-1][3] - w128[0][3])
+                    / (w128[-1][0] - w128[0][0]),
+                    4,
+                )
             half = [s for s in stamps if s[0] >= len(dist) // 2]
             if len(half) >= 2 and len(dist) > half[0][0]:
                 out["bpe_dist_tail_per_merge_sec"] = round(
                     (t_end - half[0][3]) / (len(dist) - half[0][0]), 4
                 )
+            _section_end(spark)
+
+        # PRODUCTION-vocabulary scale (VERDICT r11 #7): 32k merges end
+        # to end — train through the hybrid path, encode the full
+        # corpus through the ONE bpe_encode_documents entry point
+        # (auto-dispatches to the greedy-kernel UDF past
+        # MAX_EXPR_MERGES), round-trip parity asserted on a sample.
+        # This is the vocabulary size the tokenizer docstrings cite as
+        # the motivating case; until r12 it existed only as an
+        # extrapolation.
+        big_merges = int(os.environ.get("SPARK_GRAFT_BPE_32K", "32768"))
+        if big_merges > 0:
+            from cassandra_diff_spark.operators.vocab import (
+                bpe_decode_documents,
+                bpe_encode_documents,
+            )
+
+            t0 = time.time()
+            big = bpe_train_incremental(
+                corp, "text", big_merges, checkpoint_every=16
+            )
+            out["bpe_32k_train_sec"] = round(time.time() - t0, 2)
+            out["bpe_32k_train_merges"] = len(big)
+            _section_end(spark)
+
+            t0 = time.time()
+            corp_id = corp.select(
+                F.monotonically_increasing_id().alias("doc_id"), "text"
+            )
+            row = (
+                bpe_encode_documents(corp_id, "doc_id", "text", big)
+                .agg(
+                    F.count(F.lit(1)).alias("d"),
+                    F.sum("n_tokens").alias("t"),
+                )
+                .first()
+            )
+            out["bpe_32k_encode_sec"] = round(time.time() - t0, 2)
+            out["bpe_32k_encode_docs"] = int(row["d"])
+            out["bpe_32k_encode_tokens"] = int(row["t"])
+
+            # decode(encode(x)) == whitespace-normalized x on a sample
+            sample = corp_id.limit(1000)
+            enc = bpe_encode_documents(sample, "doc_id", "text", big)
+            dec = bpe_decode_documents(enc, "id", "tokens").select(
+                "id", F.col("text").alias("rt")
+            )
+            j = dec.join(
+                sample.select(F.col("doc_id").alias("id"), "text"), "id"
+            )
+            norm = F.array_join(F.split(F.trim("text"), r"\s+"), " ")
+            out["bpe_32k_roundtrip_ok"] = bool(
+                j.filter(F.col("rt") != norm).count() == 0
+                and j.count() == 1000
+            )
+            del big
+            _section_end(spark)
+
+        # CACHE-HOSTILE encode (VERDICT r11 #2 evidence): a corpus of
+        # UNIQUE high-entropy "words" (hex blobs — the base64/minified-
+        # JS shape) gives the per-task word cache a ~0% hit rate, so an
+        # unbounded cache would grow with partition word cardinality;
+        # the size/char caps clear it wholesale instead. The python
+        # workers are long-lived (spark.python.worker.reuse), so
+        # sampling VmHWM over the SAME worker pool before and after the
+        # hostile encode bounds the encode's peak-RSS contribution:
+        # 8 partitions x ~800k distinct words/task crosses the 262k-
+        # entry cap several times per task, and the pool's peak must
+        # not move by more than one cache generation.
+        hostile_docs = int(
+            os.environ.get("SPARK_GRAFT_BPE_HOSTILE", "100000")
+        )
+        if hostile_docs > 0 and inc:
+            from cassandra_diff_spark.operators.vocab import (
+                bpe_encode_documents_udf,
+            )
+
+            hostile = (
+                spark.range(hostile_docs)
+                .repartition(8)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.lower(F.hex(F.xxhash64("id", F.lit(j))))
+                            for j in range(64)
+                        ],
+                    ).alias("text"),
+                )
+            )
+
+            def _hwm(_batches):
+                import pandas as pd  # noqa: PLC0415
+
+                kb = 0
+                try:
+                    with open("/proc/self/status") as f:
+                        for line in f:
+                            if line.startswith("VmHWM:"):
+                                kb = int(line.split()[1])
+                except OSError:
+                    pass
+                for _ in _batches:
+                    pass
+                yield pd.DataFrame({"hwm_kb": [kb]})
+
+            def _pool_hwm_mb() -> float:
+                return round(
+                    spark.range(0, 64, 1, 64)
+                    .mapInPandas(_hwm, "hwm_kb long")
+                    .agg(F.max("hwm_kb"))
+                    .first()[0]
+                    / 1024.0,
+                    1,
+                )
+
+            hwm0 = _pool_hwm_mb()
+            t0 = time.time()
+            row = (
+                bpe_encode_documents_udf(hostile, "doc_id", "text", inc)
+                .agg(F.sum("n_tokens").alias("t"))
+                .first()
+            )
+            out["bpe_hostile_encode_sec"] = round(time.time() - t0, 2)
+            out["bpe_hostile_words"] = hostile_docs * 64
+            hwm1 = _pool_hwm_mb()
+            out["bpe_hostile_worker_hwm_before_mb"] = hwm0
+            out["bpe_hostile_worker_hwm_after_mb"] = hwm1
+            out["bpe_hostile_worker_hwm_delta_mb"] = round(
+                hwm1 - hwm0, 1
+            )
             _section_end(spark)
 
         t0 = time.time()
