@@ -1811,11 +1811,25 @@ _BPE_GREEDY_MAX_CHARS = 1024
 #: grows to GBs and OOMs the executor. Cleared wholesale at either cap
 #: (amortized O(1), no per-hit LRU bookkeeping); Zipf means the hot
 #: head instantly re-warms, so the hit rate barely moves while task
-#: memory stays CONSTANT in partition word cardinality. Chars are the
-#: proxy for token-list bytes (~16x with CPython object overhead):
-#: 8M chars ~ 128 MB worst case.
+#: memory stays CONSTANT in partition word cardinality. An entry is
+#: charged ``len(word) + 8 * len(tokens)`` units, one unit ~ 16 real
+#: bytes (str header ~49 B + list slot 8 B per token, dict/key
+#: overhead amortized) — 8M units ~ 128 MB worst-case generation for
+#: ANY word shape. The r12 cache-hostile probe caught the previous
+#: chars-only charge under-pricing hex-blob words ~3x (their cost is
+#: the 17-element token LIST, not the 16-char word): 360 MB observed
+#: worker-peak delta where the doc said 128.
 _BPE_CACHE_MAX_ENTRIES = 262_144
 _BPE_CACHE_MAX_CHARS = 8_000_000
+
+#: Output-frame token budget per yielded pandas frame: without it the
+#: UDF emits ONE frame per INPUT Arrow batch (default 10k rows), and a
+#: batch of token-heavy documents (10k docs x 10k tokens x ~60 B) would
+#: build a multi-GB frame before Arrow ever sees it — a peak that the
+#: word cache caps cannot bound because it is output, not cache. 1M
+#: tokens ~ 60-120 MB per frame; mapInPandas concatenates the yielded
+#: frames, so values are unchanged, only the peak is.
+_BPE_OUT_BATCH_TOKENS = 1_000_000
 
 
 def bpe_encode_documents_udf(
@@ -1827,6 +1841,7 @@ def bpe_encode_documents_udf(
     cache_max_entries: int = _BPE_CACHE_MAX_ENTRIES,
     cache_max_chars: int = _BPE_CACHE_MAX_CHARS,
     greedy_max_chars: int = _BPE_GREEDY_MAX_CHARS,
+    out_batch_tokens: int = _BPE_OUT_BATCH_TOKENS,
 ) -> DataFrame:
     """:func:`bpe_encode_documents` for REAL merge lists — identical
     output (property-pinned), different plan. The expression path folds
@@ -1876,12 +1891,24 @@ def bpe_encode_documents_udf(
     cap_entries = int(cache_max_entries)
     cap_chars = int(cache_max_chars)
     greedy_cap = int(greedy_max_chars)
+    cap_out = int(out_batch_tokens)
 
     def _encode(batches):
         cache: dict = {}
         cache_chars = 0
+
+        def _frame(ids, toks_col, n_col):
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "tokens": pd.Series(toks_col, dtype="object"),
+                    "n_tokens": pd.Series(n_col, dtype="int64"),
+                }
+            )
+
         for pdf in batches:
             ids, toks_col, n_col = [], [], []
+            out_toks = 0
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
                     continue
@@ -1907,21 +1934,25 @@ def bpe_encode_documents_udf(
                             cache.clear()
                             cache_chars = 0
                         cache[w] = got
-                        cache_chars += len(w)
+                        # token-list slots priced in, not just word
+                        # chars (see _BPE_CACHE_MAX_CHARS)
+                        cache_chars += len(w) + 8 * len(got)
                     toks.extend(got)
                 ids.append(i)
                 toks_col.append(toks)
                 n_col.append(len(toks))
+                out_toks += len(toks)
+                if out_toks >= cap_out:
+                    # flush mid-input-batch: bounds the output frame
+                    # at ~out_batch_tokens regardless of how token-
+                    # heavy the batch's documents are
+                    yield _frame(ids, toks_col, n_col)
+                    ids, toks_col, n_col = [], [], []
+                    out_toks = 0
             if not ids:
                 continue  # all-null batch: empty float64 columns would
                 # hit Arrow's NumPyConverter instead of the list type
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    "tokens": pd.Series(toks_col, dtype="object"),
-                    "n_tokens": pd.Series(n_col, dtype="int64"),
-                }
-            )
+            yield _frame(ids, toks_col, n_col)
 
     return df.select(id_col, text_col).mapInPandas(_encode, out_schema)
 
