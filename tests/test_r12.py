@@ -290,6 +290,21 @@ class TestClusterStagedBatch:
         assert clus == local
         assert drv == local
 
+    def test_wide_batch_pairs_skips_mask_path_same_merges(self, spark):
+        """batch_pairs > 64 exceeds the two-long-column bitmask
+        encoding, so sizing/staging fall back to the per-candidate
+        contains scans with the recount-built candidate-only index —
+        the r12 Arrow-staging rewrite touched that branch too, so pin
+        its merge sequence to the driver-resident reference."""
+        from cassandra_diff_spark.operators.vocab import bpe_train_incremental
+
+        df = self._corpus(spark)
+        local = bpe_train_incremental(df, "text", 24)
+        wide = bpe_train_incremental(
+            df, "text", 24, driver_word_cap=0, batch_pairs=80
+        )
+        assert wide == local
+
     def test_cluster_stats_agree_with_driver_batch(self, spark):
         from cassandra_diff_spark.operators.vocab import bpe_train_incremental
 
