@@ -10980,3 +10980,122 @@ def _q_vocab_bpe_encode_udf(spark, sf_dir):
 
 QUERIES["vocab_bpe_encode_udf"] = _q_vocab_bpe_encode_udf
 ORACLES["vocab_bpe_encode_udf"] = _O_VOCAB_BPE_ENCODE
+
+
+# ------------------------------------------------ unigram tokenizer (r12)
+
+#: per-sf_dir trained unigram model — the retrain is covered by the
+#: determinism tests; these gates exercise the encode/decode contract
+_UNIGRAM_PIECE_CACHE: dict = {}
+
+
+def _unigram_pieces_cached(spark, sf_dir):
+    from cassandra_diff_spark.operators.unigram import unigram_train
+
+    if sf_dir not in _UNIGRAM_PIECE_CACHE:
+        _UNIGRAM_PIECE_CACHE[sf_dir] = unigram_train(
+            _docs(spark, sf_dir),
+            "text",
+            512,
+            max_piece_len=6,
+            seed_multiplier=2,
+            em_iters=1,
+            prune_frac=0.5,
+        )
+    return _UNIGRAM_PIECE_CACHE[sf_dir]
+
+
+def _q_vocab_unigram_roundtrip(spark, sf_dir):
+    """decode(encode(x)) == whitespace-normalized x for the UNIGRAM
+    tokenizer — the same shipped-tokenizer verification as
+    vocab_bpe_roundtrip, through the other production tokenizer family:
+    Viterbi segmentation under the trained piece log-probs (map-only
+    Arrow-batched UDF), decoded by the piece-free join + marker ->
+    space (pieces only PARTITION the marker-prefixed word, so no piece
+    table is needed to invert them). The oracle never sees the
+    tokenizer: it computes the expected normalization directly from the
+    raw documents (words containing the literal U+2581 boundary marker
+    excluded — the domain rule both sides share); any segmentation,
+    coverage, or marker-handling defect anywhere in train, encode, or
+    decode diverges the row hashes."""
+    from cassandra_diff_spark.operators.unigram import (
+        unigram_decode_documents,
+        unigram_encode_documents_udf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pieces = _unigram_pieces_cached(spark, sf_dir)
+    enc = unigram_encode_documents_udf(docs, "doc_id", "text", pieces)
+    return unigram_decode_documents(enc, "id", "tokens").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_O_VOCAB_UNIGRAM_ROUNDTRIP = """
+SELECT doc_id,
+       array_to_string(
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '' AND NOT contains(x, chr(9601))),
+         ' ') AS text
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+def _q_vocab_unigram_encode_stats(spark, sf_dir):
+    """Character-conservation invariants of the unigram encode, checked
+    against totals the oracle recomputes straight from the raw
+    documents: pieces PARTITION each marker-prefixed word, so across
+    the corpus (a) every in-domain word emits exactly one boundary
+    marker — the marker-initial token count equals the word count —
+    and (b) the summed piece characters equal the summed word
+    characters plus one marker per word. A dropped word, a lost or
+    duplicated character, or a marker inside a piece moves one of the
+    three totals."""
+    from cassandra_diff_spark.operators.unigram import (
+        WB_MARKER,
+        unigram_encode_documents_udf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pieces = _unigram_pieces_cached(spark, sf_dir)
+    enc = unigram_encode_documents_udf(docs, "doc_id", "text", pieces)
+    zero = F.lit(0).cast("long")
+    per_doc = enc.select(
+        F.aggregate(
+            "tokens", zero, lambda a, x: a + F.length(x)
+        ).alias("piece_chars"),
+        F.aggregate(
+            "tokens",
+            zero,
+            lambda a, x: a
+            + F.when(x.startswith(WB_MARKER), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("words"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("piece_chars").cast("long").alias("n_piece_chars"),
+    )
+
+
+_O_VOCAB_UNIGRAM_ENCODE_STATS = """
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '' AND NOT contains(x, chr(9601))) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+u AS (SELECT unnest(ws) AS w FROM d)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(length(w) + 1), 0) AS BIGINT) AS n_piece_chars
+FROM u
+"""
+
+
+QUERIES["vocab_unigram_roundtrip"] = _q_vocab_unigram_roundtrip
+ORACLES["vocab_unigram_roundtrip"] = _O_VOCAB_UNIGRAM_ROUNDTRIP
+QUERIES["vocab_unigram_encode_stats"] = _q_vocab_unigram_encode_stats
+ORACLES["vocab_unigram_encode_stats"] = _O_VOCAB_UNIGRAM_ENCODE_STATS

@@ -465,3 +465,165 @@ class TestNeighborDiffKernel:
                 assert sorted(aff_a) == sorted(aff_b), (trial, pair)
                 assert net_a == net_b, (trial, pair, net_a, net_b)
                 assert words_a == words_b, (trial, pair)
+
+
+class TestUnigramTokenizer:
+    """r12 beyond-reference surface: the unigram-LM (SentencePiece-
+    style) tokenizer family — hard-EM training over the word-TYPE
+    table, Viterbi encode, piece-free decode. The kernel is pinned to
+    brute force, training to byte-reproducibility, and the encode/
+    decode pair to the exact round-trip contract the gates hash."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new newer"),
+            (3, "wide wider widest wide"),
+            (4, "low new wide lower newer wider"),
+        ] * 5
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_viterbi_matches_brute_force(self):
+        import itertools
+        import random
+
+        from cassandra_diff_spark.operators.unigram import _viterbi
+
+        rnd = random.Random(20260817)
+
+        def brute(word, logp, unk):
+            n = len(word)
+            best_score, best_segs = None, None
+            # all 2^(n-1) cut sets
+            for mask in range(1 << (n - 1)):
+                cuts = [0] + [
+                    i + 1 for i in range(n - 1) if mask >> i & 1
+                ] + [n]
+                segs = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+                s = 0.0
+                ok = True
+                for p in segs:
+                    lp = logp.get(p)
+                    if lp is None:
+                        if len(p) == 1:
+                            lp = unk
+                        else:
+                            ok = False
+                            break
+                    s += lp
+                if not ok:
+                    continue
+                if best_score is None or s > best_score:
+                    best_score, best_segs = s, [segs]
+                elif s == best_score:
+                    best_segs.append(segs)
+            return best_score, best_segs
+
+        for _ in range(200):
+            n = rnd.randint(1, 9)
+            word = "".join(rnd.choice("abc") for _ in range(n))
+            pieces = set()
+            for _ in range(rnd.randint(2, 10)):
+                i = rnd.randrange(n)
+                j = rnd.randint(i + 1, n)
+                pieces.add(word[i:j])
+            logp = {p: round(rnd.uniform(-5, -0.5), 2) for p in pieces}
+            got = _viterbi(word, logp, max(map(len, pieces)), -20.0)
+            score, segs = brute(word, logp, -20.0)
+            got_score = sum(
+                logp.get(p, -20.0) for p in got
+            )
+            assert "".join(got) == word
+            assert got_score == pytest.approx(score, abs=1e-12)
+            assert got in segs  # a true argmax, tie or not
+
+    def test_train_deterministic_and_sized(self, spark):
+        from cassandra_diff_spark.operators.unigram import unigram_train
+
+        df = self._corpus(spark)
+        a = unigram_train(df, "text", 24, max_piece_len=5,
+                          seed_multiplier=2, em_iters=1, prune_frac=0.5)
+        b = unigram_train(df, "text", 24, max_piece_len=5,
+                          seed_multiplier=2, em_iters=1, prune_frac=0.5)
+        assert a == b
+        assert len(a) <= 24 + 26  # target + char floor
+        chars = {p for p, _ in a if len(p) == 1}
+        corpus_chars = set("▁lownewriedst")
+        assert corpus_chars <= chars  # coverage never pruned
+
+    def test_hot_piece_survives(self, spark):
+        from cassandra_diff_spark.operators.unigram import unigram_train
+
+        df = self._corpus(spark)
+        pieces = dict(
+            unigram_train(df, "text", 20, max_piece_len=5,
+                          seed_multiplier=2, em_iters=2, prune_frac=0.5)
+        )
+        # 'low'/'new' dominate the corpus; their marker-prefixed pieces
+        # must out-survive junk substrings
+        assert any(p in pieces for p in ("▁low", "▁new", "low", "new"))
+
+    def test_roundtrip_adversarial(self, spark):
+        from cassandra_diff_spark.operators.unigram import (
+            unigram_decode_documents,
+            unigram_encode_documents_udf,
+            unigram_train,
+        )
+
+        df = self._corpus(spark)
+        pieces = unigram_train(df, "text", 24, max_piece_len=5,
+                               seed_multiplier=2, em_iters=1,
+                               prune_frac=0.5)
+        adv = spark.createDataFrame(
+            [
+                (1, "low lower zebra"),          # unseen chars (z,b,r,a)
+                (2, "  spaced   out  "),
+                (3, ""),
+                (4, None),
+                (5, "naïve café über"),           # unicode
+                (6, "keep drop▁me keep2"),        # marker word dropped
+            ],
+            "doc_id long, text string",
+        )
+        enc = unigram_encode_documents_udf(adv, "doc_id", "text", pieces)
+        got = {
+            r["id"]: r["text"]
+            for r in unigram_decode_documents(enc, "id", "tokens").collect()
+        }
+        assert got == {
+            1: "low lower zebra",
+            2: "spaced out",
+            3: "",
+            5: "naïve café über",
+            6: "keep keep2",
+        }
+
+    def test_unknown_char_becomes_own_token(self):
+        from cassandra_diff_spark.operators.unigram import _viterbi
+
+        logp = {"▁": -1.0, "a": -1.0, "▁a": -0.5}
+        toks = _viterbi("▁aqa", logp, 2, -20.0)
+        assert "".join(toks) == "▁aqa"
+        assert "q" in toks  # unknown char admitted as its own piece
+
+    def test_caps_and_output_budget_value_transparent(self, spark):
+        from cassandra_diff_spark.operators.unigram import (
+            unigram_encode_documents_udf,
+            unigram_train,
+        )
+
+        df = self._corpus(spark)
+        pieces = unigram_train(df, "text", 24, max_piece_len=5,
+                               seed_multiplier=2, em_iters=1,
+                               prune_frac=0.5)
+        base = _enc_rows(
+            unigram_encode_documents_udf(df, "doc_id", "text", pieces)
+        )
+        bounded = _enc_rows(
+            unigram_encode_documents_udf(
+                df, "doc_id", "text", pieces,
+                cache_max_entries=2, cache_max_chars=8,
+                out_batch_tokens=1,
+            )
+        )
+        assert base == bounded
