@@ -1134,6 +1134,62 @@ def run_probe(spark: SparkSession, n: int = 1_000_000) -> dict:
             )
             _section_end(spark)
 
+        # UNIGRAM twin at scale (r12 beyond-reference surface): hard-EM
+        # train at a 16k target over the same 559k-word-type corpus,
+        # then the map-only Viterbi encode of the full corpus — the
+        # per-family evidence that the OTHER production tokenizer keeps
+        # the same cost class (word-type-bounded train, corpus-map-only
+        # encode) as BPE.
+        uni_vocab = int(os.environ.get("SPARK_GRAFT_UNIGRAM", "16384"))
+        if uni_vocab > 0:
+            from cassandra_diff_spark.operators.unigram import (
+                unigram_decode_documents,
+                unigram_encode_documents_udf,
+                unigram_train,
+            )
+
+            t0 = time.time()
+            upieces = unigram_train(corp, "text", uni_vocab)
+            out["unigram_train_sec"] = round(time.time() - t0, 2)
+            out["unigram_pieces"] = len(upieces)
+            _section_end(spark)
+
+            t0 = time.time()
+            corp_id = corp.select(
+                F.monotonically_increasing_id().alias("doc_id"), "text"
+            )
+            row = (
+                unigram_encode_documents_udf(
+                    corp_id, "doc_id", "text", upieces
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("d"),
+                    F.sum("n_tokens").alias("t"),
+                )
+                .first()
+            )
+            out["unigram_encode_sec"] = round(time.time() - t0, 2)
+            out["unigram_encode_docs"] = int(row["d"])
+            out["unigram_encode_tokens"] = int(row["t"])
+
+            sample = corp_id.limit(1000)
+            enc = unigram_encode_documents_udf(
+                sample, "doc_id", "text", upieces
+            )
+            dec = unigram_decode_documents(enc, "id", "tokens").select(
+                "id", F.col("text").alias("rt")
+            )
+            j = dec.join(
+                sample.select(F.col("doc_id").alias("id"), "text"), "id"
+            )
+            norm = F.array_join(F.split(F.trim("text"), r"\s+"), " ")
+            out["unigram_roundtrip_ok"] = bool(
+                j.filter(F.col("rt") != norm).count() == 0
+                and j.count() == 1000
+            )
+            del upieces
+            _section_end(spark)
+
         t0 = time.time()
         bat16 = bpe_train(corp, "text", 16, checkpoint_every=16)
         t16 = time.time() - t0
