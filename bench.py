@@ -212,6 +212,9 @@ HEADLINE = [
     "vocab_bpe_roundtrip",
     "pipeline_classifier_bakeoff",
     "vocab_bpe_encode_udf",
+    # round-12 additions: the unigram tokenizer family
+    "vocab_unigram_roundtrip",
+    "vocab_unigram_encode_stats",
 ]
 
 #: fresh-session control set (VERDICT r10 #1): the flagship diffs are
