@@ -10906,7 +10906,14 @@ def _q_pipeline_classifier_bakeoff(spark, sf_dir):
     sc = classifier_score(
         test, "doc_id", "t2", model, n_buckets=_CLS_BUCKETS
     ).withColumnRenamed("id", "doc_id")
-    j = sc.join(test.select("doc_id", "y"), "doc_id")
+    # cache the NARROW scored frame (logit_u, y): the metric legs run
+    # 4 separate ACTIONS over it (auc's sizing + sampling + cells jobs,
+    # then the calibration pass) and cross-job plans share no exchanges,
+    # so without this each action re-ran the md5-per-feature scoring of
+    # the held-out split (guide §2.4/§5 — materialize once, reuse)
+    j = tracked_cache(
+        sc.join(test.select("doc_id", "y"), "doc_id").select("logit_u", "y")
+    )
     auc = auc_exact(j, "logit_u", "y")  # eager one-row
     cal = calibration_bins(
         j.select("logit_u", (F.col("y") == 1).alias("l")),

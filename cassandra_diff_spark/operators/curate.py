@@ -1644,6 +1644,16 @@ def classifier_train(
     base = (
         base.select("gid", "id", hashes.alias("hs"), "y")
         .filter(F.col("y").isNotNull() & (F.size("hs") > 0))
+        # pay the gid exchange (and the per-group sort) ONCE, at persist
+        # time: FlatMapGroupsInPandas only requires
+        # ClusteredDistribution(gid) + gid-sorted children, and the
+        # cached plan's HashPartitioning(gid, n_groups) / gid ordering
+        # satisfy both — without this every GD iteration re-shuffled and
+        # re-sorted the persisted feature arrays (iters extra exchanges
+        # of the widest frame in the loop; guide §2.4). Group contents
+        # are partitioning-invariant, so gradients are bit-identical.
+        .repartition(int(n_groups), "gid")
+        .sortWithinPartitions("gid")
         .persist()
     )
     try:

@@ -174,9 +174,18 @@ def ngram_jaccard_pairs(
     string — can't quadratic-blow the index; pass ``None`` to opt out
     for exact set semantics on trusted corpora.
     """
-    sh = shingle_set(df, id_col, text_col, n)
+    from cassandra_diff_spark.operators import tracked_cache
+
+    # cache BOTH shingle frames (the minhash_lsh_verified_pairs cache
+    # discipline): without materialization the shingling pipeline
+    # (words -> explode -> md5 -> distinct) is re-planned into every
+    # consumer subtree — the df-cap anti-join (twice), both self-join
+    # sides, and the size aggregation, 6 rebuilds / 30+ parquet scans in
+    # the gate plan (guide §2.4: remove recomputed exchanges). With the
+    # caches the corpus text is shingled exactly once.
+    sh = tracked_cache(shingle_set(df, id_col, text_col, n))
     if df_limit is not None:
-        sh = cap_hot_shingles(sh, df_limit)
+        sh = tracked_cache(cap_hot_shingles(sh, df_limit))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
 
     a = sh.select(F.col("id").alias("id_1"), "h")
@@ -222,9 +231,13 @@ def ngram_containment_pairs(
     normalization means order within the pair stays (id_1 < id_2),
     direction-free.
     """
-    sh = shingle_set(df, id_col, text_col, n)
+    from cassandra_diff_spark.operators import tracked_cache
+
+    # same cache discipline as ngram_jaccard_pairs (guide §2.4): the
+    # shingle pipeline is built once, not once per consumer subtree
+    sh = tracked_cache(shingle_set(df, id_col, text_col, n))
     if df_limit is not None:
-        sh = cap_hot_shingles(sh, df_limit)
+        sh = tracked_cache(cap_hot_shingles(sh, df_limit))
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
 
     a = sh.select(F.col("id").alias("id_1"), "h")
@@ -275,6 +288,10 @@ def ngram_containment_incremental(
     from the one-shot run as the batch piles onto hot shingles).
     Ids must be globally unique across corpus + batch.
     """
+    # NOTE (r12): deliberately NOT cached — AQE's runtime exchange reuse
+    # already shares the identical shingle/union exchanges across the
+    # consumer subtrees here, and a measured tracked_cache variant was
+    # ~20% SLOWER (materialization cost with no recompute saved)
     new_sh = shingle_set(new_df, id_col, text_col, n)
     all_sh = corpus_shingles.select("id", "h").withColumn(
         "__src", F.lit("corpus")
@@ -350,7 +367,12 @@ def minhash_lsh_pairs(
     band_key = struct of the band's signature values (exact struct
     equality, no hash-collision false candidates) — the signature frame
     is computed and shuffled once instead of once per band."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    from cassandra_diff_spark.operators import tracked_cache
+
+    # the signature frame feeds both self-join sides; cache it so the
+    # shingle+min-permutation aggregation runs once (the verified-pairs
+    # variant below has always done this — guide §2.4)
+    sig = tracked_cache(minhash_signatures(df, id_col, text_col, n))
     keys = sig.select(
         "id",
         F.posexplode(
@@ -1264,6 +1286,10 @@ def prefix_jaccard_candidates(
         )
     from cassandra_diff_spark.operators import tracked_cache
 
+    # toks feeds the corpus-df aggregation AND the probe side of the
+    # df join below; caching it tokenizes/shingles the corpus once
+    # instead of twice inside the docs materialization (guide §2.4)
+    toks = tracked_cache(toks)
     tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     # cached: the sorted-token doc frame feeds THREE plan branches
     # (prefix explode + both sides of the verification join) — without
