@@ -77,9 +77,36 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+#: tables whose gates do expensive per-row EXPRESSION work (md5 feature
+#: hashing, shingling, BPE encode, unicode scans) before any exchange.
+#: The diff-family tables (orders/lineitem) are deliberately absent:
+#: their gates are single-shuffle by design and an extra round-robin
+#: exchange measurably slows them (~+0.5 s at sf0.1) for no map-side
+#: gain (their pre-shuffle work is a bare projection).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Guide §2.5 (unsplittable input): the fixture tables ship as
+    single-row-group parquet, so a scan yields ONE non-empty task and
+    every expression evaluated before the first exchange runs on one
+    core. Round-robin repartition to the session default parallelism —
+    measured −35-40% on the md5-scoring and shingling stages at sf0.1.
+    SCALE-ADAPTIVE, not a constant: the check is on the planned scan
+    partition count, so a production table with many files/row groups
+    (any real 100 TB layout) already meets the parallelism and is
+    returned untouched."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _spread_small_scan(df) if table in _SPREAD_TABLES else df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

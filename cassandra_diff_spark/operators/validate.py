@@ -780,6 +780,16 @@ def spearman_correlations(
             # consuming action and keeps the data aggregation single-pass
             vals = tracked_cache(vals)
         rmap = _rank_map(vals, f"__r{i}", splits)
+        # SIZE-ADAPTIVE join strategy (r12, guide §3.1): Catalyst's
+        # post-aggregation size estimate for the rank map is garbage, so
+        # a continuous column's join-back planned as SortMergeJoin —
+        # shuffling the whole data side — even when the map was a few
+        # MB. The measured approx_count_distinct bounds the map's true
+        # size (one ~24-byte row per distinct value); broadcast below
+        # ~2M distinct (~48 MB built), shuffle-join above — a billion-
+        # distinct column at 100 TB still takes the shuffle path.
+        if points[c]["acd"] * 24 <= 48 * 1024 * 1024:
+            rmap = F.broadcast(rmap)
         ranked = ranked.join(rmap, ranked[c] == rmap["__v"], "inner").drop("__v")
     ranked = ranked.select(
         *[F.col(f"__r{i}").alias(cols[i]) for i in range(len(cols))]
