@@ -530,7 +530,12 @@ def cooccurrence_counts(
     over the per-document words array — the token stream explodes once
     into (a, b) pairs and meets ONE map-side-combined groupBy whose
     reduce cardinality is the DISTINCT pair-type count (Zipf-bounded),
-    not the corpus pair count. No join, no window, no Python.
+    not the corpus pair count. No join, no window, no Python. The
+    symmetric mirror is emitted INSIDE the same per-row pairs array
+    (not a union of the exploded stream with its swap, which would run
+    the scan + tokenize + explode subtree twice pre-exchange): the
+    doubled array holds exactly the union's multiset, so the grouped
+    counts are bit-identical.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -540,30 +545,29 @@ def cooccurrence_counts(
     outer = F.when(sz >= 2, F.sequence(F.lit(1), sz - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = F.flatten(
-        F.transform(
-            outer,
-            lambda i: F.transform(
-                F.sequence(F.lit(1), F.least(F.lit(window), sz - i)),
-                lambda d: F.struct(
-                    F.element_at(F.col("__w"), i).alias("a"),
-                    F.element_at(F.col("__w"), i + d).alias("b"),
+
+    def _dir(swap: bool):
+        return F.flatten(
+            F.transform(
+                outer,
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(window), sz - i)),
+                    lambda d: F.struct(
+                        F.element_at(F.col("__w"), i + d if swap else i).alias("a"),
+                        F.element_at(F.col("__w"), i if swap else i + d).alias("b"),
+                    ),
                 ),
-            ),
+            )
         )
+
+    pairs = (
+        F.concat(_dir(False), _dir(True)) if symmetric else _dir(False)
     )
     p = (
         toks.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
         .filter((F.col("token_a") != "") & (F.col("token_b") != ""))
     )
-    if symmetric:
-        p = p.unionByName(
-            p.select(
-                F.col("token_b").alias("token_a"),
-                F.col("token_a").alias("token_b"),
-            )
-        )
     return p.groupBy("token_a", "token_b").agg(F.count(F.lit(1)).alias("n"))
 
 
