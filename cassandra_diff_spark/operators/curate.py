@@ -227,11 +227,20 @@ def sample_exact_k(
 
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
+    from cassandra_diff_spark.operators import tracked_cache
+
     u = (
         md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
         % 1_000_000
     ).alias("__u")
-    base = df.filter(F.col(id_col).isNotNull()).withColumn("__u", u)
+    # cache the hashed base: the certification below is an EAGER collect
+    # (its own action), so without materialization the input pipeline —
+    # which callers routinely top with expensive per-row work (the cell-
+    # sampling gate feeds a hyperplane-key Arrow UDF in here) — runs
+    # once for the certification and again for the returned plan. AQE's
+    # exchange reuse never spans actions (guide §2.4); the cached frame
+    # is narrow (id, stratum, __u + caller cols).
+    base = tracked_cache(df.filter(F.col(id_col).isNotNull()).withColumn("__u", u))
     target = int(k) * int(candidate_factor)
     rates = (
         base.groupBy(strata_col)
@@ -332,7 +341,12 @@ def sample_weighted(
     h = md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(two60)
     key = -F.log(u) / F.col(weight_col).cast("double")
-    base = (
+    from cassandra_diff_spark.operators import tracked_cache
+
+    # same cross-action cache as sample_exact_k: the certification
+    # collect below is its own action, so the input pipeline would run
+    # twice uncached (guide §2.4)
+    base = tracked_cache(
         df.filter(F.col(id_col).isNotNull())
         .filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__key", key)
