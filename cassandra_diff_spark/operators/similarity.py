@@ -138,7 +138,15 @@ def hyperplane_band_keys(
         keys = bits.reshape(len(q), n_bands, band_bits) @ powers
         return pd.Series(list(keys))
 
-    return keys_udf(vec_q)
+    # asNondeterministic (guide §4.4): the function is a pure per-row
+    # matmul, but downstream equi-joins/groupBys on a key derived from
+    # it make the optimizer infer isnotnull(element_at(keys, i)) and
+    # push that predicate BELOW the projection — duplicating the
+    # ArrowEvalPython node, so every corpus row paid the 64-projection
+    # matmul twice (seen in the cell-sampling gate plan). The marking
+    # forbids the duplication; callers apply their input filters before
+    # this column, so no wanted pushdown is lost.
+    return keys_udf.asNondeterministic()(vec_q)
 
 
 def hyperplane_band_key_sql(vec_expr: str, dim: int, band: int) -> str:
@@ -519,7 +527,12 @@ def _nearest_centroid_udf(cent_mat: np.ndarray, cent_n: np.ndarray, top: int):
         idx = assign(x, scratch(len(x)))
         return pd.Series(list(idx))
 
-    return nearest
+    # same §4.4 marking as hyperplane_band_keys: the IVF list join on
+    # cent_id = element_at(nearest(...), 1) pushes an inferred
+    # isnotnull below the projection and evaluates the assignment
+    # matmul twice per corpus row (two ArrowEvalPython nodes in the
+    # kmeans gate plan)
+    return nearest.asNondeterministic()
 
 
 def ivf_index(
