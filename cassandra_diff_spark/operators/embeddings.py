@@ -278,6 +278,15 @@ def covariance_from_moments(
     frame — the kilobyte-scale final step of :func:`embedding_covariance`,
     split out so persisted/folded moments skip the corpus scan."""
     dims = None if dims is None else sorted(set(int(d) for d in dims))
+    from cassandra_diff_spark.operators import tracked_cache
+
+    # the moment frame is consumed FOUR times below (triangle, both
+    # broadcast marginal joins, count row); uncached, each consumer
+    # replans the full gram pipeline — scan + MapInArrow + aggregation
+    # over the corpus, per shard (8 printed scans in the fold gate's
+    # plan). The frame is kilobytes (dim^2 rows), so materializing it
+    # once is the textbook §2.4 cache: one corpus pass, four cache reads.
+    moments = tracked_cache(moments)
     s_ij = moments.filter((F.col("i") >= 0) & (F.col("j") >= 0))
     s_i = moments.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("__d"), F.col("s").alias("__sd")
