@@ -82,8 +82,16 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 #: The diff-family tables (orders/lineitem) are deliberately absent:
 #: their gates are single-shuffle by design and an extra round-robin
 #: exchange measurably slows them (~+0.5 s at sf0.1) for no map-side
-#: gain (their pre-shuffle work is a bare projection).
-_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+#: gain (their pre-shuffle work is a bare projection). embeddings was
+#: measured BOTH ways across all 19 consumer gates (noop medians,
+#: plans/r12/*_spreadON.txt vs *_spreadOFF.txt): unspread won 17/19
+#: (kmeans −1.6 s, cell_exact_k −1.2 s, family total −9 s) — the
+#: Arrow-batched matmul kernels parallelize fine off a single-row-group
+#: scan's follow-up exchange, so the up-front shuffle of wide vector
+#: arrays is pure overhead; even the brute-force eval truth gates lost
+#: (their earlier win came from the nondeterministic-UDF dedup, not
+#: spreading).
+_SPREAD_TABLES = frozenset({"documents"})
 
 
 def _spread_small_scan(df: DataFrame) -> DataFrame:
