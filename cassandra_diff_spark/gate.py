@@ -111,10 +111,19 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, *, spread: "bool | None" = None
+) -> DataFrame:
+    """``spread``: override the table default (``_SPREAD_TABLES``).
+    Spreading only pays when the consumer does expensive per-row work
+    BEFORE its first exchange; gates whose pipeline shuffles or
+    aggregates immediately pass ``spread=False`` (each opt-out is
+    A/B-measured, see plans/r12/*_docsON.txt vs *_docsOFF.txt)."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    return _spread_small_scan(df) if table in _SPREAD_TABLES else df
+    if spread is None:
+        spread = table in _SPREAD_TABLES
+    return _spread_small_scan(df) if spread else df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

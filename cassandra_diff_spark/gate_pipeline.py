@@ -48,8 +48,14 @@ from cassandra_diff_spark.operators.dedup import (
 from cassandra_diff_spark.gate import load
 
 
-def _docs(spark, sf_dir):
-    return load(spark, sf_dir, "documents")
+def _docs(spark, sf_dir, *, spread=None):
+    """``spread=False`` opts a gate out of the single-row-group scan
+    spreading (guide §2.5): measured per gate (median-of-3 noop,
+    plans/r12/*_docsON.txt vs *_docsOFF.txt), spreading only wins where
+    heavy per-row expression work precedes the first exchange — gates
+    that shuffle/aggregate immediately pay the round-robin exchange for
+    nothing."""
+    return load(spark, sf_dir, "documents", spread=spread)
 
 
 def _embs(spark, sf_dir):
@@ -80,7 +86,7 @@ def _staged_once(stage: str, stamp: str, build) -> str:
 # ------------------------------------------------------------- exact dedup
 
 def _q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.exact_dedup(_docs(spark, sf_dir, spread=False), "doc_id", "text")
 
 
 _O_DEDUP_EXACT = f"""
@@ -1393,7 +1399,7 @@ def _url_augmented(spark, sf_dir):
     """Documents with a synthetic but VARIED url column (userinfo on %5,
     port on %3, query on %2) so every parser branch is proven on nonzero
     matches — same augmentation idea as the PII gate."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     k = F.col("doc_id")
     return d.withColumn(
         "url",
@@ -2540,7 +2546,7 @@ def _q_curate_chunks(spark, sf_dir):
     from cassandra_diff_spark.operators.curate import chunk_documents
 
     return chunk_documents(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _docs(spark, sf_dir, spread=False), "doc_id", "text",
         chunk_words=64, overlap_words=16,
     )
 
@@ -2908,7 +2914,7 @@ def _q_dedup_containment_incremental(spark, sf_dir):
     batch-touching pairs (the oracle IS that formulation)."""
     from cassandra_diff_spark.functions.text import words
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     corpus = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
     w = words(F.col("text"))
     k = F.greatest(F.lit(1), F.floor(F.size(w) * 2 / 5)).cast("int")
@@ -3700,7 +3706,7 @@ def _q_vocab_encode_documents(spark, sf_dir):
     cross-engine compare is array-layout-agnostic."""
     from cassandra_diff_spark.operators.vocab import build_vocab, encode_documents
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     v = build_vocab(d, "text", vocab_size=20, min_count=2)
     enc = encode_documents(
         d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", v
@@ -3971,7 +3977,7 @@ def _q_curate_sample_exact_k(spark, sf_dir):
     formulation it must equal."""
     from cassandra_diff_spark.operators.curate import sample_exact_k
 
-    return sample_exact_k(_docs(spark, sf_dir), "doc_id", "lang", 25).select(
+    return sample_exact_k(_docs(spark, sf_dir, spread=False), "doc_id", "lang", 25).select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -4512,7 +4518,7 @@ def _q_curate_strip_boilerplate(spark, sf_dir):
     set broadcasts."""
     from cassandra_diff_spark.operators.curate import strip_boilerplate_lines
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     footer = "(c) example corp - all rights reserved"
     aug = d.select(
         "doc_id",
@@ -4639,7 +4645,7 @@ def _q_multimodal_decode_mp3(spark, sf_dir):
     from cassandra_diff_spark.operators import multimodal
 
     k = F.col("doc_id")
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id")
     # ID3v2.4 tag: 'ID3' v4 flags 0, syncsafe size = 10, 10 pad bytes
     id3 = F.lit("494433040000" + "0000000A" + "00" * 10)
     frame = F.concat(
@@ -4927,7 +4933,7 @@ def _q_multimodal_pixels_bmp(spark, sf_dir):
     arithmetic (counting any padding byte would break it)."""
     from cassandra_diff_spark.operators import multimodal
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
         (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
@@ -5251,7 +5257,7 @@ def _q_pipeline_image_triage(spark, sf_dir):
     and their exact pixel sums from doc_id alone."""
     from cassandra_diff_spark.operators import multimodal
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
         (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
@@ -5406,7 +5412,7 @@ def _q_search_bm25(spark, sf_dir):
     from cassandra_diff_spark.operators import search
 
     return search.bm25_topk(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _docs(spark, sf_dir, spread=False), "doc_id", "text",
         ["dup", "merge", "window"], top_k=25,
     )
 
@@ -5430,7 +5436,7 @@ def _q_text_lm_score(spark, sf_dir):
     total (the count agg)."""
     from cassandra_diff_spark.operators import vocab
 
-    return vocab.lm_unigram_score(_docs(spark, sf_dir), "doc_id", "text")
+    return vocab.lm_unigram_score(_docs(spark, sf_dir, spread=False), "doc_id", "text")
 
 
 _O_TEXT_LM_SCORE = """
@@ -5669,7 +5675,7 @@ def _q_curate_sample_weighted(spark, sf_dir):
     from cassandra_diff_spark.operators.curate import sample_weighted
 
     return sample_weighted(
-        _docs(spark, sf_dir), "doc_id", "lang", "n_chars", 25
+        _docs(spark, sf_dir, spread=False), "doc_id", "lang", "n_chars", 25
     ).select("doc_id", "lang", "n_chars")
 
 
@@ -7412,7 +7418,7 @@ def _q_multimodal_image_ahash(spark, sf_dir):
     compare) — an independent formulation of the same bits."""
     from cassandra_diff_spark.operators import multimodal
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
         (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
@@ -7513,7 +7519,7 @@ def _q_multimodal_image_dhash(spark, sf_dir):
     identical rows duplicating the row bit-block."""
     from cassandra_diff_spark.operators import multimodal
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         (F.col("doc_id") % 3 + 2).cast("int").alias("w"),
         (F.col("doc_id") % 2 + 1).cast("int").alias("h"),
@@ -7589,7 +7595,7 @@ def _q_search_hybrid_rrf(spark, sf_dir):
     floor(1e6/(60+rank)) so the fused scores hash-match the SQL twin."""
     from cassandra_diff_spark.operators import search
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     r1 = search.with_rank(
         search.bm25_topk(
             docs, "doc_id", "text", ["dup", "merge", "window"], top_k=50
@@ -7948,7 +7954,7 @@ def _q_eval_pair_metrics(spark, sf_dir):
     doc_id % 6, fp at % 2 only, fn at % 3 only."""
     from cassandra_diff_spark.operators.evaluate import pair_metrics
 
-    ids = _docs(spark, sf_dir).select("doc_id")
+    ids = _docs(spark, sf_dir, spread=False).select("doc_id")
     pred = ids.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 1).alias("id_1"), F.col("doc_id").alias("id_2")
     )
@@ -8542,7 +8548,7 @@ def _q_vocab_js_drift(spark, sf_dir):
     either way)."""
     from cassandra_diff_spark.operators.vocab import js_divergence, token_counts
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     a = token_counts(d.filter(F.col("doc_id") % 2 == 0), "text")
     b = token_counts(d.filter(F.col("doc_id") % 2 == 1), "text")
     return js_divergence(a, b)
@@ -8608,7 +8614,7 @@ def _q_vocab_pmi_incremental(spark, sf_dir):
         pmi_pairs,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     persisted = cooccurrence_counts(
         d.filter(F.col("doc_id") % 2 == 0), "text", window=2
     )
@@ -8734,7 +8740,7 @@ def _q_curate_dup_lines(spark, sf_dir):
     full text line is duplicated, the prefix line (usually) is not."""
     from cassandra_diff_spark.operators.curate import duplicate_unit_stats
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n"),
@@ -8818,7 +8824,7 @@ def _q_dedup_exact_incremental(spark, sf_dir):
         exact_dedup_incremental,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     idx = exact_dedup(d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
     return exact_dedup_incremental(
         d.filter(F.col("doc_id") % 2 == 1), idx, "doc_id", "text"
@@ -8969,7 +8975,7 @@ def _q_pipeline_corpus_delta(spark, sf_dir):
     (updates), and gains the top ids (inserts)."""
     from cassandra_diff_spark.operators.cdc import snapshot_delta
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
     cut = 400  # sf-scaled corpora keep ids dense from 0
@@ -9452,7 +9458,7 @@ def _q_vocab_bpe_train(spark, sf_dir):
     from cassandra_diff_spark.gate import load
     from cassandra_diff_spark.operators.vocab import bpe_train
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     merges = bpe_train(docs, "text", _BPE_N_MERGES)
     return spark.createDataFrame(
         merges,
@@ -9584,7 +9590,7 @@ def _q_vocab_bpe_train_incremental(spark, sf_dir):
     from cassandra_diff_spark.gate import load
     from cassandra_diff_spark.operators.vocab import bpe_train_incremental
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     merges = bpe_train_incremental(docs, "text", _BPE_N_MERGES)
     return spark.createDataFrame(
         merges,
@@ -10833,7 +10839,7 @@ def _q_vocab_encode_join(spark, sf_dir):
         encode_documents_join,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     v = build_vocab(d, "text", vocab_size=20, min_count=2)
     enc = encode_documents_join(
         d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", v
@@ -11102,7 +11108,7 @@ def _q_vocab_unigram_roundtrip(spark, sf_dir):
         unigram_encode_documents_udf,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     pieces = _unigram_pieces_cached(spark, sf_dir)
     enc = unigram_encode_documents_udf(docs, "doc_id", "text", pieces)
     return unigram_decode_documents(enc, "id", "tokens").withColumnRenamed(
