@@ -706,6 +706,8 @@ def _rank_map(vals: DataFrame, rank_alias: str, splits: list) -> DataFrame:
 def spearman_correlations(
     df: DataFrame,
     cols: Sequence[str],
+    *,
+    broadcast_rank_map_bytes: int = 48 * 1024 * 1024,
 ) -> DataFrame:
     """Spearman rank correlation matrix — the monotone-association
     member of the profiling family (:func:`numeric_correlations` is
@@ -786,9 +788,11 @@ def spearman_correlations(
         # shuffling the whole data side — even when the map was a few
         # MB. The measured approx_count_distinct bounds the map's true
         # size (one ~24-byte row per distinct value); broadcast below
-        # ~2M distinct (~48 MB built), shuffle-join above — a billion-
-        # distinct column at 100 TB still takes the shuffle path.
-        if points[c]["acd"] * 24 <= 48 * 1024 * 1024:
+        # ~2M distinct (~48 MB built by default), shuffle-join above —
+        # a billion-distinct column at 100 TB still takes the shuffle
+        # path. ``broadcast_rank_map_bytes`` is the deployment knob
+        # (0 forces the shuffle path; ranks are exact either way).
+        if points[c]["acd"] * 24 <= broadcast_rank_map_bytes:
             rmap = F.broadcast(rmap)
         ranked = ranked.join(rmap, ranked[c] == rmap["__v"], "inner").drop("__v")
     ranked = ranked.select(
