@@ -26,6 +26,16 @@ iteration, nothing touches the driver. ``iters`` is a fixed small
 constant (authority scores converge geometrically; curation uses the
 coarse ordering, not the fixed point).
 
+Deliberately NOT cached (r12 continuation): the unrolled plan prints
+the edge subtree ~14x at iters=3, but a tracked_cache of e/nodes/outd
+measured 6.1 s vs 3.7 s uncached on the graph_pagerank gate
+(interleaved single-session medians of 6, noop sink, sf0.1) — AQE
+exchange reuse already shares the caller's scan+window exchange across
+every consumer at runtime, and forcing materialization (plus the eager
+fill pass the cache needs to avoid a concurrent fill race) serializes
+work the optimizer was overlapping. Same verdict as the
+ngram_containment_incremental / fleiss cache experiments.
+
 Dangling nodes (no out-edges) keep receiving the teleport term but
 their own mass is dropped, the common simplification when scores feed a
 RANKING rather than a probability distribution; normalize downstream if

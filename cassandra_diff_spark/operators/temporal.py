@@ -753,7 +753,14 @@ def funnel_steps(
     union-window single-shuffle formulation, never an inequality join —
     and links only process keys still alive in the funnel (drop-offs
     exit the chain immediately and re-enter the output by union, so a
-    90%-drop-off funnel does almost no work after step 1).
+    90%-drop-off funnel does almost no work after step 1). Each link's
+    join result is ``tracked_cache``'d: it forks into the drop-off
+    branch AND the next link's input, so without materialization link
+    i's as-of join re-executes once per downstream consumer (the r12
+    plan audit counted 16 event scans for a 3-step funnel — link 1 ran
+    3x). The cached frame is one row per key still alive at that link,
+    never the raw event stream; caches release via
+    ``operators.release_caches()``.
 
     ``tiebreak`` orders same-timestamp step events (greatest wins),
     exactly as in :func:`asof_join`.
@@ -777,19 +784,23 @@ def funnel_steps(
             F.col(ts_col),
             *( [F.col(tiebreak)] if tiebreak else [] ),
         )
-        matched = asof_join(
-            cur,
-            nxt,
-            on,
-            left_ts=t(i - 1),
-            right_ts=ts_col,
-            right_cols=[],
-            right_tiebreak=tiebreak,
-            direction="forward",
-            strict=True,
-            tolerance_us=int(within_us),
-            prefix="__m_",
-        ).withColumnRenamed(f"__m_{ts_col}", t(i))
+        from cassandra_diff_spark.operators import tracked_cache
+
+        matched = tracked_cache(
+            asof_join(
+                cur,
+                nxt,
+                on,
+                left_ts=t(i - 1),
+                right_ts=ts_col,
+                right_cols=[],
+                right_tiebreak=tiebreak,
+                direction="forward",
+                strict=True,
+                tolerance_us=int(within_us),
+                prefix="__m_",
+            ).withColumnRenamed(f"__m_{ts_col}", t(i))
+        )
         # keys that never reached step i leave the chain NOW and carry
         # nulls for every later step
         dropped = matched.filter(F.col(t(i)).isNull())

@@ -629,6 +629,74 @@ class TestUnigramTokenizer:
         assert base == bounded
 
 
+class TestFunnelCachedLinks:
+    """r12 continuation: `funnel_steps` caches each link's as-of join
+    result (it forks into the drop-off branch and the next link) — the
+    plan must hit InMemoryTableScan, values must not move, and
+    release_caches() must drop every pinned link frame."""
+
+    ROWS = [
+        (1, "signup", 100, 1),
+        (1, "click", 200, 2),
+        (1, "purchase", 300, 3),
+        (2, "signup", 100, 4),
+        (2, "click", 150, 5),
+        (3, "signup", 500, 6),
+    ]
+
+    def _df(self, spark):
+        from pyspark.sql import functions as SF
+
+        return spark.createDataFrame(
+            self.ROWS, "user_id long, event_type string, us long, event_id long"
+        ).select(
+            "user_id", "event_type", "event_id",
+            SF.timestamp_micros(SF.col("us")).alias("ts"),
+        )
+
+    def _funnel(self, spark):
+        from cassandra_diff_spark.operators.temporal import funnel_steps
+
+        return funnel_steps(
+            self._df(spark),
+            ["user_id"],
+            ts_col="ts",
+            step_col="event_type",
+            steps=["signup", "click", "purchase"],
+            within_us=10_000,
+            tiebreak="event_id",
+        )
+
+    def test_links_cached_and_values_pinned(self, spark):
+        try:
+            out = self._funnel(spark)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            got = {
+                r["user_id"]: (
+                    r["t1"] and r["t1"].microsecond,
+                    r["t2"] and r["t2"].microsecond,
+                    r["t3"] and r["t3"].microsecond,
+                )
+                for r in out.collect()
+            }
+        finally:
+            operators.release_caches()
+        assert got == {
+            1: (100, 200, 300),
+            2: (100, 150, None),
+            3: (500, None, None),
+        }
+
+    def test_release_caches_drops_link_frames(self, spark):
+        sc = spark.sparkContext
+        before = len(sc._jsc.sc().getRDDStorageInfo())
+        self._funnel(spark).count()
+        assert len(sc._jsc.sc().getRDDStorageInfo()) >= before + 1
+        operators.release_caches()
+        assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+
+
 class TestSpearmanSizeAdaptiveJoin:
     """`spearman_correlations` broadcasts each value->rank map when the
     measured distinct count bounds it under `broadcast_rank_map_bytes`
