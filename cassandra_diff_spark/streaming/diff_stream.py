@@ -32,6 +32,44 @@ from cassandra_diff_spark.model import TableSpec
 _INT_STATE_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long")
 
 
+
+def _drain(w, checkpoint: "str | None") -> None:
+    """Start an availableNow writer and block until it drains.
+
+    A caller-supplied ``checkpoint`` (the durable production path) is
+    honored verbatim and kept. Without one, the drain's checkpoint is
+    EPHEMERAL by definition — the result is read back from the sink and
+    nothing ever resumes the query — so it goes to a unique directory
+    on the fastest local scratch and is removed after the drain.
+    Per-trigger state-store commits are the dominant drain cost, and an
+    interleaved A/B (r12, sf0.1, medians of 3, A-B-A bracketed) measured
+    the stateful drains 20-30% faster with tmpfs scratch than with the
+    java.io.tmpdir default on disk (events_asof_stream_forward
+    18.2/20.1 s -> 14.0 s, events_asof_stream 10.0/11.1 -> 7.4,
+    events_interval_stream 6.9/7.3 -> 5.6; the foreachBatch drains
+    moved within noise). Scratch root: $SPARK_GRAFT_STREAM_SCRATCH,
+    defaulting to /dev/shm when present; without either, Spark's own
+    temp-checkpoint behavior (java.io.tmpdir, delete-on-stop) applies
+    unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = None
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    else:
+        root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or "/dev/shm"
+        if os.path.isdir(root):
+            tmp = os.path.join(root, f"cds_drain_ckpt_{uuid.uuid4().hex}")
+            w = w.option("checkpointLocation", tmp)
+    try:
+        q = w.start()
+        q.awaitTermination()
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
 def _py_state_values(series, spark_type):
     """Union pdf columns arrive as float64 (NaN on the other side's
     rows); applyInPandasWithState state arrays silently NULL a float
@@ -241,10 +279,7 @@ def digest_stream(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     return stream.sparkSession.table(name)
 
 
@@ -559,10 +594,7 @@ def stream_asof_join(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     drained = left.sparkSession.table(name)
     return drained.select(
         *on,
@@ -831,10 +863,7 @@ def stream_asof_join_forward(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     drained = left.sparkSession.table(name)
     return drained.select(
         *on,
@@ -896,10 +925,7 @@ def stream_check_rules(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     one = stream.sparkSession.table(name)
     return one.select(
         F.explode(
@@ -963,10 +989,7 @@ def stream_quantiles_histogram(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     drained = stream.sparkSession.table(name)
     return quantiles_from_histogram(drained, probs, by=by, lo=lo, width=width)
 
@@ -1154,10 +1177,7 @@ def stream_interval_join(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     drained = points.sparkSession.table(name)
     return drained.select(
         *on,
@@ -1213,10 +1233,7 @@ def stream_latest_state(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     drained = stream.sparkSession.table(name)
     out = drained.select(
         *keys, *[F.col(f"__v.{c}").alias(c) for c in payload_cols]
@@ -1362,10 +1379,7 @@ def stream_rolling_anomaly(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     return events.sparkSession.table(name)
 
 
@@ -1378,10 +1392,7 @@ def _drain_complete(agg: DataFrame, name: str, checkpoint: "str | None" = None) 
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     return agg.sparkSession.table(name)
 
 
@@ -1747,8 +1758,5 @@ def stream_transitions(
         .queryName(name)
         .trigger(availableNow=True)
     )
-    if checkpoint:
-        w = w.option("checkpointLocation", checkpoint)
-    q = w.start()
-    q.awaitTermination()
+    _drain(w, checkpoint)
     return events.sparkSession.table(name)
