@@ -70,17 +70,82 @@ def _staged_once(stage: str, stamp: str, build) -> str:
     rewrite their (deterministic) micro-batch fixture on EVERY call,
     so each timed bench rep paid a fixture WRITE that is setup, not the
     operator under test. ``stamp`` must encode everything the staged
-    bytes derive from (at minimum the sf_dir)."""
+    bytes derive from (at minimum the sf_dir).
+
+    r13 (VERDICT r12 #2): staging no longer lives in the measured gate
+    bodies — every staged fixture is a PROVIDER function registered in
+    :data:`FIXTURES`, and harness entry points (``bench.py`` warm-up +
+    control, the oracle sweep) call :func:`stage_fixtures` up front, so
+    a timed rep's provider call is a pure marker-read resolve. The
+    check-and-build fallback stays because gates must still resolve
+    standalone (the driver's correctness harness calls them directly on
+    a cold /tmp). The build itself now runs under an exclusive flock so
+    two concurrent sessions cannot race the rmtree/build (the r12
+    audit's unlocked-marker concern)."""
+    import fcntl
     import pathlib
     import shutil
 
     marker = pathlib.Path(stage) / "_staged"
     if marker.exists() and marker.read_text() == stamp:
         return stage
-    shutil.rmtree(stage, ignore_errors=True)
-    build()
-    marker.write_text(stamp)
+    lock_path = pathlib.Path(f"{stage}.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        # re-check under the lock: a concurrent builder may have won
+        if marker.exists() and marker.read_text() == stamp:
+            return stage
+        shutil.rmtree(stage, ignore_errors=True)
+        build()
+        marker.write_text(stamp)
     return stage
+
+
+#: staged-fixture providers, name -> (spark, sf_dir) -> staged path.
+#: Populated by ``@_fixture`` below; :func:`stage_fixtures` runs them
+#: all so nothing downstream of a harness warm-up ever builds inside a
+#: timed rep.
+FIXTURES: Dict[str, Callable] = {}
+
+
+def _fixture(name: str):
+    def reg(fn):
+        FIXTURES[name] = fn
+        return fn
+
+    return reg
+
+
+def stage_fixtures(spark, sf_dir: str) -> int:
+    """Explicit harness-side staging of every /tmp fixture the gates
+    resolve (VERDICT r12 #2): call from bench warm-up / test setup so
+    timed gate invocations never write a marker. Returns the number of
+    providers run. Idempotent and cheap on a warm /tmp (each provider
+    is a marker read)."""
+    for fn in FIXTURES.values():
+        fn(spark, sf_dir)
+    return len(FIXTURES)
+
+
+def _fx_bucketed_pairs(spark, sf_dir) -> str:
+    """The two bucketed lineitem-pair layouts of the bucketed diff
+    gates (gate.py staging, registered here so stage_fixtures covers
+    them; the stager also re-registers the session-scoped catalog
+    entries on reuse, which each gate still needs per session)."""
+    import pathlib
+
+    from cassandra_diff_spark import gate as _g
+
+    sf = pathlib.Path(sf_dir).name
+    _g._stage_bucketed_lineitem_pair(spark, sf_dir, f"/tmp/cds_gate_bucketed_{sf}")
+    _g._stage_bucketed_lineitem_pair(
+        spark, sf_dir, f"/tmp/cds_gate_bucketed_digest_{sf}",
+        src_table="cds_gate_bd_src_li", tgt_table="cds_gate_bd_tgt_li",
+    )
+    return f"/tmp/cds_gate_bucketed_{sf}"
+
+
+FIXTURES["bucketed_pairs"] = _fx_bucketed_pairs
 
 
 # ------------------------------------------------------------- exact dedup
@@ -2335,6 +2400,33 @@ QUERIES["profile_orders"] = _q_profile_orders
 ORACLES["profile_orders"] = _make_o_profile_orders()
 
 
+@_fixture("toksorted_orders")
+def _fx_toksorted_orders(spark, sf_dir) -> str:
+    """Token-range-sorted orders layout shared by
+    key_scan_sorted_layout and manifest_token_layout."""
+    import pathlib
+
+    from cassandra_diff_spark.functions.keys import _KNUTH
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.model import TableSpec
+    from cassandra_diff_spark.operators.bucketed import write_token_sorted
+
+    base = f"/tmp/cds_gate_toksorted_{pathlib.Path(sf_dir).name}"
+
+    def build():
+        ring = 1_000_000_007
+        spread = lambda pk_cols: (  # noqa: E731 — SQL-reproducible ring
+            F.col(pk_cols[0]).cast("bigint") * F.lit(_KNUTH)
+        ) % F.lit(ring)
+        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
+        write_token_sorted(
+            load(spark, sf_dir, "orders"), spec, f"{base}/orders",
+            n_files=8, token=spread,
+        )
+
+    return _staged_once(base, f"v1:{sf_dir}:8", build)
+
+
 def _q_key_scan_sorted_layout(spark, sf_dir):
     """Token-range key scan served from a token-range-SORTED parquet
     layout (operators/bucketed.write_token_sorted): the predicate lands
@@ -2343,30 +2435,9 @@ def _q_key_scan_sorted_layout(spark, sf_dir):
     without scanning the table". Same rows as filtering the raw table
     (the oracle); staged once per sf under /tmp like the bucketed
     layouts."""
-    import pathlib
+    from cassandra_diff_spark.operators.bucketed import read_token_sorted
 
-    from cassandra_diff_spark.functions.keys import _KNUTH
-    from cassandra_diff_spark.gate import load
-    from cassandra_diff_spark.model import TableSpec
-    from cassandra_diff_spark.operators.bucketed import (
-        read_token_sorted,
-        write_token_sorted,
-    )
-
-    ring = 1_000_000_007
-    spread = lambda pk_cols: (  # noqa: E731 — SQL-reproducible ring
-        F.col(pk_cols[0]).cast("bigint") * F.lit(_KNUTH)
-    ) % F.lit(ring)
-    base = f"/tmp/cds_gate_toksorted_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(base) / "_staged"
-    stamp = f"v1:{sf_dir}:8"
-    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
-        spec = TableSpec(name="orders", partition_key=("o_orderkey",))
-        write_token_sorted(
-            load(spark, sf_dir, "orders"), spec, f"{base}/orders",
-            n_files=8, token=spread,
-        )
-        marker.write_text(stamp)
+    base = _fx_toksorted_orders(spark, sf_dir)
     lo, hi = 200_000_000, 700_000_000
     return read_token_sorted(spark, f"{base}/orders", lo=lo, hi=hi).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -2773,6 +2844,16 @@ def _stage_event_stream_slices(spark, sf_dir, heartbeat_days=None) -> str:
     return stage
 
 
+FIXTURES["event_stream_slices"] = (
+    lambda spark, sf_dir: _stage_event_stream_slices(spark, sf_dir)
+)
+FIXTURES["event_stream_slices_hb10"] = (
+    lambda spark, sf_dir: _stage_event_stream_slices(
+        spark, sf_dir, heartbeat_days=10
+    )
+)
+
+
 #: schema of the staged event-stream slices
 _EVENT_STREAM_SCHEMA = "user_id bigint, ts timestamp, event_id bigint, value double"
 #: the v3 staged slices carry event_type too (stream gates that group by
@@ -3077,6 +3158,27 @@ ORACLES["events_quantiles_refined"] = _O_EVENTS_QUANTILES_REFINED
 # round 6: z-order layout scan + skew-safe salted join
 
 
+@_fixture("zorder_lineitem")
+def _fx_zorder_lineitem(spark, sf_dir) -> str:
+    """Z-order-clustered lineitem layout of key_scan_zorder_layout."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load
+    from cassandra_diff_spark.operators.bucketed import write_zorder
+
+    base = f"/tmp/cds_gate_zorder_{pathlib.Path(sf_dir).name}"
+
+    def build():
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        write_zorder(
+            li, ["l_orderkey", "l_partkey"], f"{base}/lineitem", n_files=16
+        )
+
+    return _staged_once(base, f"v1:{sf_dir}:16", build)
+
+
 def _q_key_scan_zorder_layout(spark, sf_dir):
     """Two-dimensional pruned scan from a Z-ORDER-clustered lineitem
     layout (operators/bucketed.write_zorder over (l_orderkey,
@@ -3086,22 +3188,7 @@ def _q_key_scan_zorder_layout(spark, sf_dir):
     serve — prunes files through native min/max stats (pytest asserts
     the file counts). Rows equal filtering the raw table (the oracle);
     staged once per sf under /tmp like the other layouts."""
-    import pathlib
-
-    from cassandra_diff_spark.gate import load
-    from cassandra_diff_spark.operators.bucketed import write_zorder
-
-    base = f"/tmp/cds_gate_zorder_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(base) / "_staged"
-    stamp = f"v1:{sf_dir}:16"
-    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
-        li = load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
-        )
-        write_zorder(
-            li, ["l_orderkey", "l_partkey"], f"{base}/lineitem", n_files=16
-        )
-        marker.write_text(stamp)
+    base = _fx_zorder_lineitem(spark, sf_dir)
     z = spark.read.parquet(f"{base}/lineitem")
     lo_p, hi_p = 100, 400
     return z.filter(
@@ -3157,26 +3244,32 @@ ORACLES["lineitem_salted_join"] = _O_LINEITEM_SALTED_JOIN
 # round 6: small-files compaction
 
 
-def _q_compact_orders_roundtrip(spark, sf_dir):
-    """Small-files compaction round trip: orders fragmented into 64
-    micro-files, compacted by byte-sized repartition width
-    (operators/bucketed.compact_parquet), read back and checksummed —
-    the oracle is the same checksum over the raw table, proving the
-    rewrite is row-exact. File-count behavior is pytest-asserted."""
+@_fixture("compact_orders")
+def _fx_compact_orders(spark, sf_dir) -> str:
+    """Fragment-then-compact orders layout of compact_orders_roundtrip."""
     import pathlib
 
     from cassandra_diff_spark.gate import load
     from cassandra_diff_spark.operators.bucketed import compact_parquet
 
     base = f"/tmp/cds_gate_compact_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(base) / "_staged"
-    stamp = f"v1:{sf_dir}"
-    if not (marker.parent.exists() and marker.exists() and marker.read_text() == stamp):
+
+    def build():
         load(spark, sf_dir, "orders").repartition(64).write.mode(
             "overwrite"
         ).parquet(f"{base}/frag")
         compact_parquet(spark, f"{base}/frag", f"{base}/compact", target_mb=256)
-        marker.write_text(stamp)
+
+    return _staged_once(base, f"v1:{sf_dir}", build)
+
+
+def _q_compact_orders_roundtrip(spark, sf_dir):
+    """Small-files compaction round trip: orders fragmented into 64
+    micro-files, compacted by byte-sized repartition width
+    (operators/bucketed.compact_parquet), read back and checksummed —
+    the oracle is the same checksum over the raw table, proving the
+    rewrite is row-exact. File-count behavior is pytest-asserted."""
+    base = _fx_compact_orders(spark, sf_dir)
     # Checksum in exact cents: SUM over DOUBLE is order-dependent in the
     # last bits, and the compacted copy is physically reordered, so a raw
     # float sum diverges from the oracle's scan of the unfragmented table
@@ -3481,10 +3574,7 @@ def _q_manifest_token_layout(spark, sf_dir):
 
     # reuse (and if needed create) the token-sorted staging of the
     # key-scan gate — same marker, same layout
-    QUERIES["key_scan_sorted_layout"](spark, sf_dir)
-    import pathlib
-
-    base = f"/tmp/cds_gate_toksorted_{pathlib.Path(sf_dir).name}"
+    base = _fx_toksorted_orders(spark, sf_dir)
     m = parquet_stats_manifest(spark, f"{base}/orders", columns=["__token"])
     return m.agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
@@ -3584,6 +3674,27 @@ ORACLES["pipeline_corpus_neardup"] = _make_o_pipeline_corpus_neardup()
 # round 6: streaming sessions == batch gaps-and-islands
 
 
+@_fixture("sessions_stream")
+def _fx_sessions_stream(spark, sf_dir) -> str:
+    """Staged 4-file event fixture of events_sessions_stream (COMPLETE-
+    mode session merging is arrival-order-free, so a plain split
+    suffices)."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load_events
+
+    stage = f"/tmp/cds_gate_sessions_stream_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v1:{sf_dir}",
+        lambda: load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id")
+        .repartition(4)
+        .write.parquet(f"{stage}/in"),
+    )
+
+
 def _q_events_sessions_stream(spark, sf_dir):
     """Streaming-runtime twin of events_sessions: the events stream in
     4 micro-batches through a session_window aggregation (COMPLETE mode
@@ -3593,21 +3704,7 @@ def _q_events_sessions_stream(spark, sf_dir):
     >= g breaks) while the batch breaks at gap > g, so the stream gap is
     g + 1 microsecond — identical semantics on integer-microsecond
     timestamps."""
-    import pathlib
-    import shutil
-
-    from cassandra_diff_spark.gate import load_events
-
-    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    stage = f"/tmp/cds_gate_sessions_stream_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(stage) / "_staged"
-    stamp = f"v1:{sf_dir}"
-    if not (marker.exists() and marker.read_text() == stamp):
-        shutil.rmtree(stage, ignore_errors=True)
-        ev.select("user_id", "ts", "event_id").repartition(4).write.parquet(
-            f"{stage}/in"
-        )
-        marker.write_text(stamp)
+    stage = _fx_sessions_stream(spark, sf_dir)
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
         .option("maxFilesPerTrigger", 1)
@@ -3621,14 +3718,19 @@ def _q_events_sessions_stream(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
-    q = (
+    from cassandra_diff_spark.streaming.diff_stream import _drain
+
+    # r13: route through the shared drain helper — this stateful gate
+    # previously started its own query with a java.io.tmpdir (disk)
+    # checkpoint, missing the r12 tmpfs-scratch routing every other
+    # stateful drain got (measured -20-30% on state-commit-bound drains)
+    _drain(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("cds_gate_sessions_stream")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        None,
     )
-    q.awaitTermination()
     return spark.table("cds_gate_sessions_stream").select(
         "user_id", "n_events", "session_start", "session_end"
     )
@@ -3920,6 +4022,25 @@ ORACLES["linkage_fuzzy_clusters"] = _O_LINKAGE_FUZZY_CLUSTERS
 # round 6: streaming binned quantiles
 
 
+@_fixture("stream_quantiles")
+def _fx_stream_quantiles(spark, sf_dir) -> str:
+    """Staged micro-batch fixture of events_quantiles_binned_stream:
+    bin counts are order-free, drained result split-invariant."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load_events
+
+    stage = f"/tmp/cds_gate_stream_quantiles_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: load_events(spark, sf_dir)
+        .select("event_type", "value")
+        .repartition(4)
+        .write.parquet(stage),
+    )
+
+
 def _q_events_quantiles_binned_stream(spark, sf_dir):
     """Streaming-runtime twin of events_quantiles_binned: the events
     stream in file-sized micro-batches through the COMPLETE-mode bin
@@ -3935,14 +4056,7 @@ def _q_events_quantiles_binned_stream(spark, sf_dir):
     )
 
     ev = load_events(spark, sf_dir).select("event_type", "value")
-    # marker-gated fixture (r12): bin counts are order-free, drained result split-invariant; see _staged_once
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_quantiles_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: ev.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_quantiles_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_quantiles(spark, sf_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -4320,6 +4434,23 @@ ORACLES["linkage_weighted_customers"] = _O_LINKAGE_WEIGHTED_CUSTOMERS
 # round 6: streaming data-quality monitor
 
 
+@_fixture("stream_validate")
+def _fx_stream_validate(spark, sf_dir) -> str:
+    """Staged micro-batch fixture of validate_orders_stream:
+    rule-violation counters are order-free, drained result
+    split-invariant."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_stream_validate_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: _corrupted_orders(spark, sf_dir)
+        .repartition(4)
+        .write.parquet(stage),
+    )
+
+
 def _q_validate_orders_stream(spark, sf_dir):
     """Streaming-runtime twin of validate_orders, row-local kinds: the
     corrupted-orders fixture streams in file-sized micro-batches through
@@ -4334,14 +4465,7 @@ def _q_validate_orders_stream(spark, sf_dir):
     from cassandra_diff_spark.streaming.diff_stream import stream_check_rules
 
     bad = _corrupted_orders(spark, sf_dir)
-    # marker-gated fixture (r12): rule-violation counters are order-free, drained result split-invariant; see _staged_once
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_validate_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: bad.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_validate_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_validate(spark, sf_dir)
     stream = (
         spark.readStream.schema(bad.schema)
         .option("maxFilesPerTrigger", 1)
@@ -4900,14 +5024,16 @@ def _q_events_hop_counts_stream(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
+    from cassandra_diff_spark.streaming.diff_stream import _drain
+
+    # r13: same tmpfs-scratch drain routing as events_sessions_stream
+    _drain(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("cds_stream_hop")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        None,
     )
-    q.awaitTermination()
     return spark.table("cds_stream_hop").select(
         F.unix_micros(F.col("w.start")).alias("ws_us"),
         "event_type",
@@ -5120,6 +5246,23 @@ ORACLES["linkage_block_profile"] = _O_LINKAGE_BLOCK_PROFILE
 # round 6: cross-format diff (ORC-staged side through the provider layer)
 
 
+@_fixture("orc_orders")
+def _fx_orc_orders(spark, sf_dir) -> str:
+    """Staged ORC copy of the mutated orders target — a deterministic
+    function of sf_dir; rewriting it per timed rep measured an ORC
+    write, not the provider diff."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import orders_pair
+
+    stage = f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: orders_pair(spark, sf_dir)[1].write.orc(f"{stage}/orders.orc"),
+    )
+
+
 def _q_diff_stats_orders_orc(spark, sf_dir):
     """The flagship orders diff with the TARGET side staged as ORC and
     read back through the pluggable provider layer ("legacy export vs
@@ -5132,17 +5275,8 @@ def _q_diff_stats_orders_orc(spark, sf_dir):
     from cassandra_diff_spark.operators.diff import build_diff
     from cassandra_diff_spark.sources.provider import get_provider
 
-    src, tgt = orders_pair(spark, sf_dir)
-    # marker-gated ORC staging (r12): the mutated-target fixture is a
-    # deterministic function of sf_dir; rewriting it per timed rep
-    # measured an ORC write, not the provider diff (see _staged_once)
-    stage = _staged_once(
-        f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: tgt.write.orc(
-            f"/tmp/cds_gate_orc_{pathlib.Path(sf_dir).name}/orders.orc"
-        ),
-    )
+    src, _tgt = orders_pair(spark, sf_dir)
+    stage = _fx_orc_orders(spark, sf_dir)
     provider = get_provider("orc", {"path": stage})
     return build_diff(
         src, provider.read_table(spark, "orders"), ORDERS_SPEC, align="set"
@@ -5702,6 +5836,29 @@ ORACLES["curate_sample_weighted"] = _O_CURATE_SAMPLE_WEIGHTED
 # round 6: incremental quantiles via additive histogram folds
 
 
+@_fixture("hist_state")
+def _fx_hist_state(spark, sf_dir) -> str:
+    """Persisted histogram history of events_quantiles_incremental: a
+    deterministic integer frame; in production it is written ONCE and
+    every later batch folds against it, so rebuilding it per timed rep
+    measured the history rebuild the operator exists to avoid. The
+    bin grid (lo=0, hi=100, n_bins=500) is the gate's contract."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.stats import histogram_counts
+
+    stage = f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: histogram_counts(
+            load_events(spark, sf_dir).filter(F.col("event_id") % 10 < 8),
+            "value", ["event_type"], 0.0, 100.0 / 500, 500,
+        ).write.parquet(f"{stage}/h"),
+    ) + "/h"
+
+
 def _q_events_quantiles_incremental(spark, sf_dir):
     """Incremental quantiles: history (event_id % 10 < 8) persists only
     its <= n_bins-row histogram; the new batch's histogram folds in by
@@ -5720,18 +5877,7 @@ def _q_events_quantiles_incremental(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     lo, hi, n_bins = 0.0, 100.0, 500
     width = (hi - lo) / n_bins
-    # marker-gated history state (r12): the persisted histogram is a
-    # deterministic integer frame; in production it is written ONCE and
-    # every later batch folds against it, so rebuilding it per timed
-    # rep measured the history rebuild the operator exists to avoid
-    stage = _staged_once(
-        f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: histogram_counts(
-            ev.filter(F.col("event_id") % 10 < 8), "value", ["event_type"],
-            lo, width, n_bins,
-        ).write.parquet(f"/tmp/cds_gate_hist_{pathlib.Path(sf_dir).name}/h"),
-    ) + "/h"
+    stage = _fx_hist_state(spark, sf_dir)
     hist = spark.read.parquet(stage)
     batch = histogram_counts(
         ev.filter(F.col("event_id") % 10 >= 8), "value", ["event_type"],
@@ -6597,6 +6743,7 @@ ORACLES["bloom_prefilter_orders"] = _O_BLOOM_PREFILTER_ORDERS
 # round 6: streaming rolling anomaly (live monitoring twin)
 
 
+@_fixture("all_events_slices")
 def _stage_all_events_slices(spark, sf_dir) -> str:
     """Stage ALL events as four time-sliced, mtime-ordered parquet files
     — the single-stream event-time-ordered fixture (marker-gated)."""
@@ -6691,25 +6838,34 @@ QUERIES["sketch_cm_stream"] = _q_sketch_cm_stream
 ORACLES["sketch_cm_stream"] = _O_SKETCH_CM_USER_COUNTS
 
 
+@_fixture("bloom_stream_keys")
+def _fx_bloom_stream_keys(spark, sf_dir) -> str:
+    """Staged 3-file customer-key fixture of bloom_stream_prefilter
+    (bit_or packing is order-free, drained bitset split-invariant)."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_bloom_stream_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        "v1",
+        lambda: load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey")
+        .repartition(3)
+        .write.parquet(f"{stage}/k"),
+    )
+
+
 def _q_bloom_stream_prefilter(spark, sf_dir):
     """Streaming bloom build (complete-mode bit_or packing, <= m/63 rows
     of state) over one third of the customer keys, then the SAME
     map-only orders prefilter — drained bitset == batch build, so the
     batch gate's oracle (false positives included) gates the streaming
     runtime."""
-    import pathlib
-    import shutil
-
     from cassandra_diff_spark.operators.sketch import bloom_filter_keys
     from cassandra_diff_spark.streaming.diff_stream import stream_bloom_build
 
-    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
-    stage = f"/tmp/cds_gate_bloom_stream_{pathlib.Path(sf_dir).name}"
-    marker = pathlib.Path(stage) / "_staged"
-    if not (marker.exists() and marker.read_text() == "v1"):
-        shutil.rmtree(stage, ignore_errors=True)
-        c.select("c_custkey").repartition(3).write.parquet(f"{stage}/k")
-        marker.write_text("v1")
+    stage = _fx_bloom_stream_keys(spark, sf_dir)
     stream = (
         spark.readStream.schema("c_custkey bigint")
         .option("maxFilesPerTrigger", 1)
@@ -8248,6 +8404,25 @@ QUERIES["privacy_k_anonymity"] = _q_privacy_k_anonymity
 ORACLES["privacy_k_anonymity"] = _O_PRIVACY_K_ANONYMITY
 
 
+@_fixture("stream_majority")
+def _fx_stream_majority(spark, sf_dir) -> str:
+    """Staged 4-file vote fixture of eval_majority_label_stream: vote
+    counts are order-free, so the drained result is invariant to the
+    (deterministic) file split; re-writing 600k rows per timed rep
+    measured the fixture write, not the streaming aggregation."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_stream_majority_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .repartition(4)
+        .write.parquet(stage),
+    )
+
+
 def _q_eval_majority_label_stream(spark, sf_dir):
     """Streaming-runtime twin of eval_majority_label: lineitem votes
     stream in file-sized micro-batches through the COMPLETE-mode
@@ -8259,17 +8434,7 @@ def _q_eval_majority_label_stream(spark, sf_dir):
     from cassandra_diff_spark.streaming.diff_stream import stream_majority_label
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
-    # marker-gated 4-file fixture (r12): the vote counts are order-free,
-    # so the drained result is invariant to the (deterministic) file
-    # split; re-writing 600k rows per timed rep measured the fixture
-    # write, not the streaming aggregation
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_majority_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: li.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_majority_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_majority(spark, sf_dir)
     stream = (
         spark.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8282,6 +8447,25 @@ def _q_eval_majority_label_stream(spark, sf_dir):
 
 QUERIES["eval_majority_label_stream"] = _q_eval_majority_label_stream
 ORACLES["eval_majority_label_stream"] = _O_EVAL_MAJORITY_LABEL
+
+
+@_fixture("stream_contam")
+def _fx_stream_contam(spark, sf_dir) -> str:
+    """Staged corpus micro-batches of curate_contamination_stream:
+    per-doc overlap counters are order-free, so the drained result is
+    split-invariant."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_stream_contam_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+        .repartition(4)
+        .write.parquet(stage),
+    )
 
 
 def _q_curate_contamination_stream(spark, sf_dir):
@@ -8299,15 +8483,7 @@ def _q_curate_contamination_stream(spark, sf_dir):
         d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0), "doc_id", "text", 3
     )
     corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
-    # marker-gated fixture (r12): per-doc overlap counters are order-
-    # free, so the drained result is split-invariant; see _staged_once
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_contam_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: corpus.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_contam_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_contam(spark, sf_dir)
     stream = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8628,6 +8804,25 @@ QUERIES["vocab_pmi_incremental"] = _q_vocab_pmi_incremental
 ORACLES["vocab_pmi_incremental"] = _O_VOCAB_PMI
 
 
+@_fixture("stream_tokcounts")
+def _fx_stream_tokcounts(spark, sf_dir) -> str:
+    """Staged odd-half corpus micro-batches of vocab_js_drift_stream:
+    token counts are order-free, so the drained result is
+    split-invariant."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_stream_tokcounts_{pathlib.Path(sf_dir).name}"
+    return _staged_once(
+        stage,
+        f"v2:{sf_dir}",
+        lambda: _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 1)
+        .repartition(4)
+        .write.parquet(stage),
+    )
+
+
 def _q_vocab_js_drift_stream(spark, sf_dir):
     """Streaming-runtime twin of vocab_js_drift: the odd-id half
     streams in file-sized micro-batches through the complete-mode
@@ -8641,15 +8836,7 @@ def _q_vocab_js_drift_stream(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     baseline = token_counts(d.filter(F.col("doc_id") % 2 == 0), "text")
     odd = d.filter(F.col("doc_id") % 2 == 1)
-    # marker-gated fixture (r12): token counts are order-free, so the
-    # drained result is split-invariant; see _staged_once
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_tokcounts_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: odd.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_tokcounts_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_tokcounts(spark, sf_dir)
     stream = (
         spark.readStream.schema(odd.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8925,6 +9112,28 @@ QUERIES["text_mojibake"] = _q_text_mojibake
 ORACLES["text_mojibake"] = _make_o_text_mojibake()
 
 
+@_fixture("stream_classmetrics")
+def _fx_stream_classmetrics(spark, sf_dir) -> str:
+    """Staged rater-pair micro-batches of eval_class_metrics_stream:
+    confusion-cell counts are order-free, so the drained result is
+    split-invariant. The (a, b) derivation mirrors the gate body."""
+    import pathlib
+
+    stage = f"/tmp/cds_gate_stream_classmetrics_{pathlib.Path(sf_dir).name}"
+
+    def build():
+        o = load(spark, sf_dir, "orders")
+        o.select(
+            F.col("o_orderpriority").alias("a"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+            .when(F.col("o_orderkey") % 7 == 0, F.lit("DISPUTED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("b"),
+        ).repartition(4).write.parquet(stage)
+
+    return _staged_once(stage, f"v2:{sf_dir}", build)
+
+
 def _q_eval_class_metrics_stream(spark, sf_dir):
     """Streaming-runtime twin of eval_class_metrics: the rater pair
     streams in file-sized micro-batches through the complete-mode
@@ -8943,15 +9152,7 @@ def _q_eval_class_metrics_stream(spark, sf_dir):
         .otherwise(F.col("o_orderpriority"))
         .alias("b"),
     )
-    # marker-gated fixture (r12): confusion-cell counts are order-free,
-    # so the drained result is split-invariant; see _staged_once
-    stage = _staged_once(
-        f"/tmp/cds_gate_stream_classmetrics_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: r.repartition(4).write.parquet(
-            f"/tmp/cds_gate_stream_classmetrics_{pathlib.Path(sf_dir).name}"
-        ),
-    )
+    stage = _fx_stream_classmetrics(spark, sf_dir)
     stream = (
         spark.readStream.schema(r.schema)
         .option("maxFilesPerTrigger", 1)
@@ -9989,6 +10190,34 @@ QUERIES["events_decayed_counts"] = _q_events_decayed_counts
 ORACLES["events_decayed_counts"] = _O_EVENTS_DECAYED_COUNTS
 
 
+@_fixture("decay_state")
+def _fx_decay_state(spark, sf_dir) -> str:
+    """Persisted decayed-count history of
+    events_decayed_counts_incremental: a deterministic integer state
+    frame, written once per sf and folded against afterwards (the
+    production shape — see events_quantiles_incremental). The history
+    cut (lo + 0.5 * span) mirrors the gate body."""
+    import pathlib
+
+    from cassandra_diff_spark.gate import load_events
+    from cassandra_diff_spark.operators.temporal import decayed_count_state
+
+    stage = f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}"
+
+    def build():
+        ev = load_events(spark, sf_dir)
+        lo, hi = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        c1 = lo + 0.5 * (hi - lo)
+        decayed_count_state(
+            ev.filter(F.col("ts") < F.lit(c1)), "event_type", "ts",
+            half_life_s=_DECAY_HALF_LIFE_S,
+        ).write.parquet(f"{stage}/h")
+
+    return _staged_once(stage, f"v2:{sf_dir}", build) + "/h"
+
+
 def _q_events_decayed_counts_incremental(spark, sf_dir):
     """Incremental trending scores: history persists only its
     per-(group, halving-bucket) integer counts (<= max_shift+1 rows per
@@ -10013,17 +10242,7 @@ def _q_events_decayed_counts_incremental(spark, sf_dir):
     ).first()
     span = hi - lo
     c1, c2 = lo + 0.5 * span, lo + 0.8 * span
-    # marker-gated history state (r12): deterministic integer state
-    # frame, written once per sf and folded against afterwards (the
-    # production shape — see events_quantiles_incremental)
-    stage = _staged_once(
-        f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}",
-        f"v2:{sf_dir}",
-        lambda: decayed_count_state(
-            ev.filter(F.col("ts") < F.lit(c1)), "event_type", "ts",
-            half_life_s=_DECAY_HALF_LIFE_S,
-        ).write.parquet(f"/tmp/cds_gate_decay_{pathlib.Path(sf_dir).name}/h"),
-    ) + "/h"
+    stage = _fx_decay_state(spark, sf_dir)
     hist = spark.read.parquet(stage)
     b2 = decayed_count_state(
         ev.filter((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
@@ -10758,28 +10977,21 @@ QUERIES["eval_auc"] = _q_eval_auc
 ORACLES["eval_auc"] = _O_EVAL_AUC
 
 
-def _q_eval_calibration_stream(spark, sf_dir):
-    """Streaming-runtime twin of eval_calibration: the scored labeled
-    frame is staged to parquet (scoring a stream would need a
-    stream-static cross join — the staged-fixture posture of
-    bloom_stream_prefilter), streamed in micro-batches into the
-    complete-mode fixed-grid bin aggregation (state = 8 rows), and the
-    SAME batch oracle replays the result — a live reliability diagram
-    whose drained state must equal the batch report bit-for-bit."""
+@_fixture("calib_stream")
+def _fx_calib_stream(spark, sf_dir) -> str:
+    """Staged scored-labeled frame of eval_calibration_stream. Keeps
+    its pre-r13 write-to-temp + atomic-rename protocol (already
+    concurrency-safe): the stamp ties the staged data to everything it
+    derives from — the model size, the scorer-formula version (bump
+    _CLS_SCORER_V when _scored_labeled_docs changes shape), and a
+    fixture fingerprint, so a regenerated documents.parquet at the same
+    path must restage."""
     import os
     import pathlib
     import shutil
 
-    from cassandra_diff_spark.streaming.diff_stream import (
-        stream_calibration_bins,
-    )
-
     stage = f"/tmp/cds_gate_calib_stream_{pathlib.Path(sf_dir).name}"
     marker = pathlib.Path(stage) / "_staged"
-    # stamp ties the staged data to everything it derives from: the
-    # model size, the scorer-formula version (bump _CLS_SCORER_V when
-    # _scored_labeled_docs changes shape), and a fixture fingerprint —
-    # a regenerated documents.parquet at the same path must restage
     stamp = (
         f"v2:{_CLS_BUCKETS}:{_CLS_SCORER_V}:"
         f"{_fixture_fingerprint(sf_dir, 'documents.parquet')}"
@@ -10809,6 +11021,22 @@ def _q_eval_calibration_stream(spark, sf_dir):
             shutil.rmtree(tmp, ignore_errors=True)
             if not (marker.exists() and marker.read_text() == stamp):
                 raise
+    return stage
+
+
+def _q_eval_calibration_stream(spark, sf_dir):
+    """Streaming-runtime twin of eval_calibration: the scored labeled
+    frame is staged to parquet (scoring a stream would need a
+    stream-static cross join — the staged-fixture posture of
+    bloom_stream_prefilter), streamed in micro-batches into the
+    complete-mode fixed-grid bin aggregation (state = 8 rows), and the
+    SAME batch oracle replays the result — a live reliability diagram
+    whose drained state must equal the batch report bit-for-bit."""
+    from cassandra_diff_spark.streaming.diff_stream import (
+        stream_calibration_bins,
+    )
+
+    stage = _fx_calib_stream(spark, sf_dir)
     stream = (
         spark.readStream.schema("logit_u bigint, is_en boolean")
         .option("maxFilesPerTrigger", 1)
