@@ -876,18 +876,25 @@ def dedup_clusters(
             .withColumnRenamed("b", "id")
         )
         # the old label rides along, so the convergence check needs no
-        # second join back to the previous round's frame
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
-        )
+        # second join back to the previous round's frame.
+        # localCheckpoint, not cache (r13): a cache leaves the LOGICAL
+        # plan growing ~3x per round (labels + nbr both reference the
+        # previous round), so every round's analysis/optimization walks
+        # an exponentially larger tree — a 7-round convergence measured
+        # 92 s on a SIX-EDGE chain, all of it driver-side planning
+        # (guide §7.3 QueryExecution frames). The eager local checkpoint
+        # materializes the round AND truncates lineage to a LogicalRDD,
+        # making round cost flat in round number. Trade-off at scale:
+        # checkpointed blocks are not recomputable on executor loss (the
+        # round restarts from the operator), the standard posture for
+        # iterative fixpoints (GraphX Pregel checkpoints likewise).
+        new_labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("label").alias("__old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         cached.unpersist()
         cached = new_labels  # the frame actually holding the cache
