@@ -318,11 +318,19 @@ def run_control() -> None:
     spark = get_spark("cds-bench-control")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").count()
-    # explicit harness-side staging of every /tmp gate fixture
-    # (VERDICT r12 #2): timed reps below only resolve, never build
-    gate_pipeline.stage_fixtures(spark, sf_dir)
+    # explicit harness-side staging (VERDICT r12 #2), scoped to the
+    # fixtures the CONTROL queries actually resolve — the control run
+    # is the budget-bound leg (the pytest live guard's subprocess), so
+    # it must not pay cold-staging for ~20 fixtures it never reads
+    gate_pipeline.FIXTURES["bucketed_pairs"](spark, sf_dir)
     from cassandra_diff_spark import operators
 
+    # reps override for CALLERS of --control only (the pytest live
+    # guard passes 2 to fit the driver's suite budget; its 2x-of-history
+    # gate is insensitive to median-of-2 vs median-of-3). The bench's
+    # own history-recorded control stays at N_REPS — main() never sets
+    # this, and --control runs don't append to BENCH_HISTORY.
+    reps = int(os.environ.get("SPARK_GRAFT_CONTROL_REPS", str(N_REPS)))
     out: dict[str, float] = {}
     for name in CONTROL:
         fn = ALL_QUERIES[name]
@@ -330,7 +338,7 @@ def run_control() -> None:
             fn(spark, sf_dir).count()  # warm-up run, untimed
             operators.release_caches()
             spark.catalog.clearCache()
-            out[name], _, _ = _time_query(spark, fn, sf_dir)
+            out[name], _, _ = _time_query(spark, fn, sf_dir, reps=reps)
         except Exception as e:
             out[name] = -1.0
             print(f"# control {name}: FAILED {e}", file=sys.stderr)

@@ -156,6 +156,11 @@ class TestLiveFlagshipGuard:
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
         env.setdefault("SPARK_GRAFT_CPUS", "32")
+        # 2 timed reps (after the untimed warm-up) instead of the
+        # bench's 3: the 2x-of-history gate is insensitive to the
+        # median estimator, and the saved rep keeps the default suite
+        # inside the driver's pytest budget (VERDICT r12 #1)
+        env["SPARK_GRAFT_CONTROL_REPS"] = "2"
         r = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--control"],
             capture_output=True, text=True, timeout=1200, env=env,

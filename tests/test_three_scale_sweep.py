@@ -42,39 +42,93 @@ SCALES = [
 ]
 
 
+#: worker threads for the sweep. The per-gate cost at sweep scale is
+#: serial latency (driver-side planning, a 2-5 stage action on 60k-row
+#: inputs, one toPandas, one single-threaded DuckDB twin), so the shared
+#: local[8] session is mostly idle — overlapping independent gates from
+#: a small thread pool (guide §2.6: actions are only sequential because
+#: the driver calls them sequentially) cut the sf0.001 leg from 473 s to
+#: ~⅓ while running the EXACT same ~280 checks. Gate thread-safety:
+#: memory-sink queryNames are unique per gate, fixture staging is
+#: pre-run (and flocked), tracked_cache appends are GIL-atomic, and the
+#: one session-conf wrapper (_with_stream_conf) writes the value the
+#: test session already runs at (shuffle_partitions=8).
+SWEEP_THREADS = 8
+
+
 @pytest.mark.parametrize("sf_name", SCALES)
 def test_three_scale_sweep(spark, sf_name):
+    import queue
+    import threading
+
     import __spark_entry__ as entrymod
+    from cassandra_diff_spark import gate_pipeline
 
     sf_dir = f"/root/testdata/{sf_name}"
     if not Path(sf_dir).is_dir():
         pytest.skip(f"{sf_dir} not present")
-    con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # stage every /tmp fixture up front (single-threaded) so concurrent
+    # gates never race a build — the same call the bench warm-up makes
+    gate_pipeline.stage_fixtures(spark, sf_dir)
+
+    work: "queue.Queue[str]" = queue.Queue()
+    names = [n for n in queries if n in oracles]
+    for n in names:
+        work.put(n)  # rows-only entries have no cross-engine twin
+
     failures: list[str] = []
     n_checked = 0
-    for name, fn in queries.items():
-        if name not in oracles:
-            continue  # rows-only entries have no cross-engine twin
-        try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: spark raised {type(e).__name__}: {e}")
-            continue
-        try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: oracle raised {type(e).__name__}: {e}")
-            continue
-        problems = compare(name, spark_pdf, duck_pdf)
-        if problems:
-            failures.append(f"{name}: " + "; ".join(p.splitlines()[0] for p in problems))
-        n_checked += 1
+    lock = threading.Lock()
 
+    def worker():
+        nonlocal n_checked
+        con = duck_connection(sf_dir)  # duckdb connections are per-thread
+        while True:
+            try:
+                name = work.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                spark_pdf = queries[name](spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    failures.append(
+                        f"{name}: spark raised {type(e).__name__}: {e}"
+                    )
+                continue
+            try:
+                duck_pdf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    failures.append(
+                        f"{name}: oracle raised {type(e).__name__}: {e}"
+                    )
+                continue
+            problems = compare(name, spark_pdf, duck_pdf)
+            with lock:
+                if problems:
+                    failures.append(
+                        f"{name}: "
+                        + "; ".join(p.splitlines()[0] for p in problems)
+                    )
+                n_checked += 1
+
+    threads = [
+        threading.Thread(target=worker, daemon=True)
+        for _ in range(SWEEP_THREADS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    failures.sort()
     assert not failures, (
         f"{len(failures)} gate(s) diverge at {sf_name} "
         f"({n_checked} checked):\n" + "\n".join(failures)
     )
     assert n_checked > 200  # the registry shrank? investigate, don't pass
+    assert n_checked == len(names)  # every oracle-paired gate was checked
