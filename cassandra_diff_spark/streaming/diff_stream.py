@@ -476,105 +476,148 @@ def stream_asof_join(
     )
 
     def update(key, pdfs, state: GroupState):
-        hist = None
+        # r13 (guide §4.2): the per-key body is plain numpy arrays +
+        # Python lists — the previous pandas formulation (a DataFrame
+        # rebuilt from state, pd.concat, sort_values, drop_duplicates,
+        # .iloc per emitted value) measured ~10 ms PER KEY per trigger
+        # (updateMs 15-20 s across 8 state partitions for ~1500 keys,
+        # plans/r13/*_prof_before.txt), which WAS the addBatch floor.
+        # Every value still flows verbatim (same sort order, same pick
+        # indices), so the drained result is bit-identical.
         if state.exists:
             st = state.get
-            hist = pd.DataFrame(
-                {
-                    "ts": list(st[0]),
-                    "tb": list(st[1]),
-                    **{
-                        f"v_{c}": list(st[2 + i])
-                        for i, c in enumerate(right_cols)
-                    },
-                }
-            )
-        lefts = []
-        rights = []
-        empty = None
+            h_ts = np.asarray(st[0], dtype=np.int64)
+            h_tb = list(st[1])
+            h_v = [list(st[2 + i]) for i in range(n_vals)]
+        else:
+            h_ts = np.empty(0, dtype=np.int64)
+            h_tb = []
+            h_v = [[] for _ in range(n_vals)]
+
+        l_ts_parts, l_pay_parts = [], {c: [] for c in lpayload}
+        add_ts_parts, add_tb_parts = [], []
+        add_v_parts: list = [[] for _ in range(n_vals)]
         for pdf in pdfs:
-            empty = pdf.iloc[:0] if empty is None else empty
-            r, l = pdf[pdf["__side"] == 1], pdf[pdf["__side"] == 0]
-            if len(r):
-                rights.append(r)
-            if len(l):
-                lefts.append(l)
-        rb = pd.concat(rights, ignore_index=True) if rights else empty
-        if len(rb):
-            add = pd.DataFrame(
-                {
-                    "ts": rb["__ts"].astype("int64"),
-                    "tb": rb["__tb"],
-                    **{f"v_{c}": rb[f"__r_{c}"] for c in right_cols},
-                }
-            )
-            hist = add if hist is None or not len(hist) else pd.concat(
-                [hist, add], ignore_index=True
-            )
-            # sort by (ts, tb) — null tiebreak first, i.e. it LOSES —
-            # and collapse to the greatest-tb row per ts (only that row
-            # can ever be picked by a backward non-strict as-of)
-            hist = (
-                hist.sort_values(
-                    ["ts", "tb"], kind="stable", na_position="first"
+            side = pdf["__side"].to_numpy()
+            rmask = side == 1
+            if rmask.any():
+                add_ts_parts.append(
+                    pdf["__ts"].to_numpy()[rmask].astype(np.int64)
                 )
-                .drop_duplicates(subset="ts", keep="last")
-                .reset_index(drop=True)
+                add_tb_parts.append(pdf["__tb"].to_numpy()[rmask])
+                for i, c in enumerate(right_cols):
+                    add_v_parts[i].append(
+                        pdf[f"__r_{c}"].to_numpy()[rmask]
+                    )
+            lmask = side == 0
+            if lmask.any():
+                l_ts_parts.append(
+                    pdf["__ts"].to_numpy()[lmask].astype(np.int64)
+                )
+                for c in lpayload:
+                    l_pay_parts[c].append(pdf[f"__l_{c}"].to_numpy()[lmask])
+        if add_ts_parts:
+            all_ts = np.concatenate([h_ts] + add_ts_parts)
+            all_tb = h_tb + [
+                v for part in add_tb_parts for v in part.tolist()
+            ]
+            all_v = [
+                h_v[i]
+                + [v for part in add_v_parts[i] for v in part.tolist()]
+                for i in range(n_vals)
+            ]
+            # stable sort by (ts, tb) — null tiebreak first, i.e. it
+            # LOSES — then collapse to the greatest-tb row per ts (only
+            # that row can ever be picked by a backward non-strict
+            # as-of). np.lexsort is stable; non-numeric tiebreaks take
+            # the (equally stable) Python tuple sort.
+            notnull = np.fromiter(
+                (
+                    not (
+                        v is None
+                        or (isinstance(v, float) and np.isnan(v))
+                    )
+                    for v in all_tb
+                ),
+                dtype=np.int8,
+                count=len(all_tb),
             )
-            if prune_keep_us is not None and len(hist):
-                floor = int(hist["ts"].iloc[-1]) - int(prune_keep_us)
+            try:
+                tb_key = np.asarray(
+                    [
+                        0 if not nn else v
+                        for v, nn in zip(all_tb, notnull)
+                    ],
+                    dtype=np.float64
+                    if tb_type in ("float", "double")
+                    else np.int64,
+                )
+                order = np.lexsort((tb_key, notnull, all_ts))
+            except (TypeError, ValueError, OverflowError):
+                order = np.asarray(
+                    sorted(
+                        range(len(all_ts)),
+                        key=lambda i: (
+                            all_ts[i],
+                            int(notnull[i]),
+                            all_tb[i] if notnull[i] else 0,
+                        ),
+                    ),
+                    dtype=np.int64,
+                )
+            sorted_ts = all_ts[order]
+            last = np.empty(len(order), dtype=bool)
+            if len(order):
+                last[:-1] = sorted_ts[1:] != sorted_ts[:-1]
+                last[-1] = True
+            sel = order[last]
+            h_ts = all_ts[sel]
+            h_tb = [all_tb[i] for i in sel]
+            h_v = [[col[i] for i in sel] for col in all_v]
+            if prune_keep_us is not None and len(h_ts):
+                floor = int(h_ts[-1]) - int(prune_keep_us)
                 # keep everything newer than the floor, plus the single
                 # newest at-or-below it (the carry)
-                cut = int(np.searchsorted(hist["ts"].values, floor, "right"))
-                hist = hist.iloc[max(0, cut - 1) :].reset_index(drop=True)
-            state.update(
-                (
-                    hist["ts"].tolist(),
-                    hist["tb"].tolist(),
-                    *[hist[f"v_{c}"].tolist() for c in right_cols],
-                )
-            )
-        if not lefts:
+                cut = max(0, int(np.searchsorted(h_ts, floor, "right")) - 1)
+                if cut:
+                    h_ts = h_ts[cut:]
+                    h_tb = h_tb[cut:]
+                    h_v = [col[cut:] for col in h_v]
+            state.update((h_ts.tolist(), h_tb, *h_v))
+        if not l_ts_parts:
             return
-        lb = pd.concat(lefts, ignore_index=True)
-        if hist is not None and len(hist):
+        l_ts = np.concatenate(l_ts_parts)
+        if len(h_ts):
             # rightmost history row with ts <= left ts (strict: < — the
             # 'left' side excludes equal timestamps entirely, and the
             # per-ts collapse can't hide anything strict would pick):
             # searchsorted on the (ts,tb)-sorted, per-ts-collapsed history
             pos = (
-                np.searchsorted(
-                    hist["ts"].values,
-                    lb["__ts"].astype("int64").values,
-                    "left" if strict else "right",
-                )
+                np.searchsorted(h_ts, l_ts, "left" if strict else "right")
                 - 1
             )
             ok = pos >= 0
             if tolerance_us is not None:
-                gap = lb["__ts"].astype("int64").values - np.where(
-                    ok, hist["ts"].values[np.maximum(pos, 0)], 0
-                )
+                gap = l_ts - np.where(ok, h_ts[np.maximum(pos, 0)], 0)
                 ok = ok & (gap <= int(tolerance_us))
-            mts = [
-                int(hist["ts"].iloc[p]) if o else None
-                for p, o in zip(pos, ok)
-            ]
+            mts = [int(h_ts[p]) if o else None for p, o in zip(pos, ok)]
             mvals = {
                 f"__m_{c}": [
-                    hist[f"v_{c}"].iloc[p] if o else None
-                    for p, o in zip(pos, ok)
+                    h_v[i][p] if o else None for p, o in zip(pos, ok)
                 ]
-                for c in right_cols
+                for i, c in enumerate(right_cols)
             }
         else:
-            mts = [None] * len(lb)
-            mvals = {f"__m_{c}": [None] * len(lb) for c in right_cols}
+            mts = [None] * len(l_ts)
+            mvals = {f"__m_{c}": [None] * len(l_ts) for c in right_cols}
         out = pd.DataFrame(
             {
-                **{c: [key[i]] * len(lb) for i, c in enumerate(on)},
-                "__ts": lb["__ts"].values,
-                **{f"__l_{c}": lb[f"__l_{c}"].values for c in lpayload},
+                **{c: [key[i]] * len(l_ts) for i, c in enumerate(on)},
+                "__ts": l_ts,
+                **{
+                    f"__l_{c}": np.concatenate(l_pay_parts[c])
+                    for c in lpayload
+                },
                 "__mts": mts,
                 **mvals,
             }
@@ -711,66 +754,95 @@ def stream_asof_join_forward(
     _py = _py_state_values
 
     def update(key, pdfs, state: GroupState):
-        # unpack state
+        # r13 (guide §4.2): per-key body on numpy arrays + lists — the
+        # pandas formulation (state rebuilt into a DataFrame, pd.concat
+        # + sort_values + drop_duplicates per batch, and the same again
+        # on every TIMEOUT sweep) measured ~10 ms per key per trigger
+        # (updateMs 15-20 s + removeMs up to 12 s across 8 partitions,
+        # plans/r13/events_asof_stream_forward_prof_before.txt). Values
+        # flow verbatim; the drained result is bit-identical.
         lts, lvals = [], {c: [] for c in lpayload}
-        rhist = None
+        r_ts_l: list = []
+        r_tb: list = []
+        r_v: list = [[] for _ in range(len(right_cols))]
         if state.exists:
             st = state.get
             lts = list(st[0])
             for i, c in enumerate(lpayload):
                 lvals[c] = list(st[1 + i])
-            rhist = pd.DataFrame(
-                {
-                    "ts": list(st[1 + n_l]),
-                    "tb": list(st[2 + n_l]),
-                    **{
-                        f"v_{c}": list(st[3 + n_l + i])
-                        for i, c in enumerate(right_cols)
-                    },
-                }
-            )
+            r_ts_l = list(st[1 + n_l])
+            r_tb = list(st[2 + n_l])
+            r_v = [list(st[3 + n_l + i]) for i in range(len(right_cols))]
+        r_ts = np.asarray(r_ts_l, dtype=np.int64)
         if not state.hasTimedOut:
+            added = False
             for pdf in pdfs:
-                rb = pdf[pdf["__side"] == 1]
-                if len(rb):
-                    add = pd.DataFrame(
-                        {
-                            "ts": (
-                                rb["__et"].astype("datetime64[us]").astype("int64")
-                            ),
-                            "tb": pd.Series(
-                                _py(rb["__tb"], tb_type), dtype=object
-                            ),
-                            **{
-                                f"v_{c}": pd.Series(
-                                    _py(rb[f"__r_{c}"], rtypes[c]), dtype=object
-                                )
-                                for c in right_cols
-                            },
-                        }
+                side = pdf["__side"].to_numpy()
+                rmask = side == 1
+                if rmask.any():
+                    added = True
+                    r_ts_l.extend(
+                        pdf["__et"]
+                        .to_numpy()[rmask]
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                        .tolist()
                     )
-                    rhist = add if rhist is None or not len(rhist) else pd.concat(
-                        [rhist, add], ignore_index=True
-                    )
-                lb = pdf[pdf["__side"] == 0]
-                if len(lb):
+                    r_tb.extend(_py(pdf["__tb"].iloc[rmask], tb_type))
+                    for i, c in enumerate(right_cols):
+                        r_v[i].extend(
+                            _py(pdf[f"__r_{c}"].iloc[rmask], rtypes[c])
+                        )
+                lmask = side == 0
+                if lmask.any():
                     lts.extend(
-                        int(x)
-                        for x in lb["__et"].astype("datetime64[us]").astype("int64")
+                        pdf["__et"]
+                        .to_numpy()[lmask]
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                        .tolist()
                     )
                     for c in lpayload:
-                        lvals[c].extend(_py(lb[f"__l_{c}"], ltypes[c]))
-            if rhist is not None and len(rhist):
+                        lvals[c].extend(_py(pdf[f"__l_{c}"].iloc[lmask], ltypes[c]))
+            if added and r_ts_l:
                 # forward pick = FIRST ts at-or-after, greatest tb among
-                # its ties: sort (ts asc, tb asc), collapse per ts keeping
-                # the LAST (greatest tb)
-                rhist = (
-                    rhist.sort_values(
-                        ["ts", "tb"], kind="stable", na_position="first"
-                    )
-                    .drop_duplicates(subset="ts", keep="last")
-                    .reset_index(drop=True)
+                # its ties: stable sort (ts asc, nulls-first tb asc),
+                # collapse per ts keeping the LAST (greatest tb)
+                all_ts = np.asarray(r_ts_l, dtype=np.int64)
+                notnull = np.fromiter(
+                    (v is not None for v in r_tb),
+                    dtype=np.int8,
+                    count=len(r_tb),
                 )
+                try:
+                    tb_key = np.asarray(
+                        [0 if v is None else v for v in r_tb],
+                        dtype=np.float64
+                        if tb_type in ("float", "double")
+                        else np.int64,
+                    )
+                    order = np.lexsort((tb_key, notnull, all_ts))
+                except (TypeError, ValueError, OverflowError):
+                    order = np.asarray(
+                        sorted(
+                            range(len(all_ts)),
+                            key=lambda i: (
+                                all_ts[i],
+                                int(notnull[i]),
+                                r_tb[i] if notnull[i] else 0,
+                            ),
+                        ),
+                        dtype=np.int64,
+                    )
+                sorted_ts = all_ts[order]
+                last = np.empty(len(order), dtype=bool)
+                last[:-1] = sorted_ts[1:] != sorted_ts[:-1]
+                last[-1] = True
+                sel = order[last]
+                r_ts = all_ts[sel]
+                r_ts_l = r_ts.tolist()
+                r_tb = [r_tb[i] for i in sel]
+                r_v = [[col[i] for i in sel] for col in r_v]
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         # resolve: emit every pending left whose answer the watermark
@@ -778,11 +850,6 @@ def stream_asof_join_forward(
         # O(pending * log rights) in C per batch, so a key that buffers
         # many lefts across many batches never degenerates into a
         # Python row loop.
-        r_ts = (
-            rhist["ts"].to_numpy(dtype=np.int64)
-            if rhist is not None and len(rhist)
-            else np.array([], dtype=np.int64)
-        )
         lts_a = np.asarray(lts, dtype=np.int64)
         pos = np.searchsorted(r_ts, lts_a, "left")
         safe = np.minimum(pos, max(len(r_ts) - 1, 0))
@@ -808,8 +875,8 @@ def stream_asof_join_forward(
             data["__mts"] = [
                 int(t) if m else None for t, m in zip(mcand, matched)
             ]
-            for c in right_cols:
-                col = rhist[f"v_{c}"].to_numpy() if len(r_ts) else np.array([])
+            for i, c in enumerate(right_cols):
+                col = r_v[i]
                 data[f"__m_{c}"] = [
                     col[p] if m else None for p, m in zip(mpos, matched)
                 ]
@@ -820,12 +887,17 @@ def stream_asof_join_forward(
             vals = lvals[c]
             lvals[c] = [vals[i] for i in keep_idx]
         # prune rights: only rows a pending left (ts >= min pending lt)
-        # or a future left (ts >= watermark) could still pick
-        if rhist is not None and len(rhist):
+        # or a future left (ts >= watermark) could still pick —
+        # r_ts is sorted, so the floor filter is one searchsorted cut
+        if len(r_ts):
             floor = min([wm_us] + lts) if lts else wm_us
-            rhist = rhist[rhist["ts"] >= floor].reset_index(drop=True)
+            cut = int(np.searchsorted(r_ts, floor, "left"))
+            if cut:
+                r_ts_l = r_ts_l[cut:]
+                r_tb = r_tb[cut:]
+                r_v = [col[cut:] for col in r_v]
 
-        if not lts and (rhist is None or not len(rhist)):
+        if not lts and not r_ts_l:
             if state.exists:
                 state.remove()
         else:
@@ -833,12 +905,9 @@ def stream_asof_join_forward(
                 (
                     lts,
                     *[lvals[c] for c in lpayload],
-                    rhist["ts"].tolist() if rhist is not None else [],
-                    rhist["tb"].tolist() if rhist is not None else [],
-                    *[
-                        (rhist[f"v_{c}"].tolist() if rhist is not None else [])
-                        for c in right_cols
-                    ],
+                    r_ts_l,
+                    r_tb,
+                    *r_v,
                 )
             )
             if lts:
@@ -1094,26 +1163,37 @@ def stream_interval_join(
             s_l, e_l, hwm = list(st[0]), list(st[1]), st[2]
             for i, c in enumerate(ipayload):
                 ivals[c] = list(st[3 + i])
-        pts = []
+        pt_parts, p_pay_parts = [], {c: [] for c in ppayload}
         added = False
         for pdf in pdfs:
-            ib = pdf[pdf["__side"] == 1]
-            if len(ib):
+            # r13 (guide §4.2): mask with numpy instead of slicing
+            # per-side pandas sub-frames; point chunks accumulate as
+            # arrays, not DataFrames — the per-key pandas construction
+            # was the measured addBatch floor (see the asof twins)
+            side = pdf["__side"].to_numpy()
+            imask = side == 1
+            if imask.any():
                 added = True
-                s_l.extend(int(x) for x in ib["__s"])
-                e_l.extend(int(x) for x in ib["__e"])
+                s_l.extend(pdf["__s"].to_numpy()[imask].astype(np.int64).tolist())
+                e_l.extend(pdf["__e"].to_numpy()[imask].astype(np.int64).tolist())
                 for c in ipayload:
                     # exact Python values, not the union frame's float64:
                     # a float stored into an integer state slot NULLs
                     # silently (see _py_state_values)
-                    ivals[c].extend(_py_state_values(ib[f"__i_{c}"], itypes[c]))
-            pb = pdf[pdf["__side"] == 0]
-            if len(pb):
-                pts.append(pb)
+                    ivals[c].extend(
+                        _py_state_values(pdf[f"__i_{c}"].iloc[imask], itypes[c])
+                    )
+            pmask = side == 0
+            if pmask.any():
+                pt_parts.append(
+                    pdf["__pt"].to_numpy()[pmask].astype(np.int64)
+                )
+                for c in ppayload:
+                    p_pay_parts[c].append(pdf[f"__p_{c}"].to_numpy()[pmask])
         out = None
-        if pts:
-            pb = pd.concat(pts, ignore_index=True)
-            hwm = max(int(pb["__pt"].max()), hwm if hwm is not None else -(2**62))
+        if pt_parts:
+            pt_all = np.concatenate(pt_parts)
+            hwm = max(int(pt_all.max()), hwm if hwm is not None else -(2**62))
             if s_l:
                 # Vectorized containment resolve (same treatment the forward
                 # as-of resolve got): broadcast-compare the point vector
@@ -1124,7 +1204,7 @@ def stream_interval_join(
                 # growing O(points x intervals) with the micro-batch.
                 s_a = np.asarray(s_l, dtype=np.int64)
                 e_a = np.asarray(e_l, dtype=np.int64)
-                pt_a = pb["__pt"].to_numpy(dtype=np.int64)
+                pt_a = pt_all
                 pt_chunk = max(1, (1 << 27) // max(1, len(s_a)))
                 pis, iis = [], []
                 for c0 in range(0, len(pt_a), pt_chunk):
@@ -1138,19 +1218,16 @@ def stream_interval_join(
                 pi = np.concatenate(pis) if pis else np.empty(0, np.int64)
                 ii = np.concatenate(iis) if iis else np.empty(0, np.int64)
                 if len(pi):
-                    data = {c: pd.Series([key[k]] * len(pi)) for k, c in enumerate(on)}
+                    data = {c: [key[k]] * len(pi) for k, c in enumerate(on)}
                     data["__s"] = s_a[ii]
                     data["__e"] = e_a[ii]
                     for c in ipayload:
-                        data[f"__i_{c}"] = pd.Series(ivals[c]).iloc[ii].reset_index(
-                            drop=True
-                        )
+                        col = ivals[c]
+                        data[f"__i_{c}"] = [col[i] for i in ii]
                     data["__pt"] = pt_a[pi]
                     for c in ppayload:
-                        data[f"__p_{c}"] = (
-                            pb[f"__p_{c}"].iloc[pi].reset_index(drop=True)
-                        )
-                    out = pd.DataFrame(data)[out_cols]
+                        data[f"__p_{c}"] = np.concatenate(p_pay_parts[c])[pi]
+                    out = pd.DataFrame(data, columns=out_cols)
         if prune_keep_us is not None and hwm is not None and s_l:
             floor = hwm - int(prune_keep_us)
             keep = [i for i, e in enumerate(e_l) if e >= floor]
@@ -1159,7 +1236,7 @@ def stream_interval_join(
                 e_l = [e_l[i] for i in keep]
                 for c in ipayload:
                     ivals[c] = [ivals[c][i] for i in keep]
-        if added or pts:
+        if added or pt_parts:
             state.update((s_l, e_l, hwm, *[ivals[c] for c in ipayload]))
         if out is not None:
             yield out
@@ -1304,48 +1381,58 @@ def stream_rolling_anomaly(
         + ["value_c bigint", "n_prev bigint", "mean_c1000 bigint"]
     )
 
-    def quant(x) -> "int | None":
-        if x is None or (isinstance(x, float) and math.isnan(x)):
-            return None
-        v = float(x) * sc
-        f = math.floor(v)
-        if abs(v - f) == 0.5:  # HALF_UP: ties away from zero (Spark round)
-            return int(math.trunc(v) + math.copysign(1.0, v))
-        return int(round(v))
-
     def update(key, pdfs, state: GroupState):
         import numpy as np
 
         buf = list(state.get[0]) if state.exists else []
-        out: dict = {c: [] for c in
-                     [key_col, ts_col, *order_cols, "value_c", "n_prev", "mean_c1000"]}
+        out = None
         # concat BEFORE sorting: a group's batch rows can span multiple
         # Arrow chunks with no cross-chunk order guarantee — the
         # carry-buffer kernel is order-sensitive, so per-chunk sorting
         # would mis-window keys exceeding maxRecordsPerBatch rows in one
         # batch (same fix as stream_transitions)
         frames = [p for p in pdfs if len(p)]
-        for pdf in (
-            [pd.concat(frames, ignore_index=True)] if frames else []
-        ):
-            pdf = pdf.sort_values([ts_col, *order_cols], kind="mergesort")
-            cols = {
-                c: pdf[c].tolist()
-                for c in (key_col, ts_col, value_col, *order_cols)
-            }
-            vq = [quant(x) for x in cols[value_col]]
-            # vectorized rolling window over [carry-in buffer | batch]:
-            # EXACT int64 prefix sums (a float cumsum would shed low bits
-            # at ~2^53 and corrupt the integer inequality); nulls occupy
-            # slots (ROWS-frame fidelity) but carry zero weight
-            comb = buf + vq
+        if frames:
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
+            # stable ts-major sort via one lexsort (r13, guide §4.2 —
+            # the per-key pandas sort + row-at-a-time quantization loop
+            # was this operator's Python floor)
+            # lexsort: LAST key is primary, so feed (least..most
+            # significant) = reversed order_cols, then ts
+            keys = [pdf[c].to_numpy() for c in (*reversed(order_cols), ts_col)]
+            order = np.lexsort(tuple(keys))
+            # vectorized HALF_UP-on-ties quantization, bit-equal to the
+            # scalar form: v*sc floored; an EXACT .5 tie goes away from
+            # zero (Spark round); everything else is round-half-even
+            # (Python round == np.rint on float64)
+            v = pdf[value_col].to_numpy(dtype=np.float64)[order] * sc
+            nullmask = np.isnan(v)
+            v0 = np.where(nullmask, 0.0, v)
+            tie = np.abs(v0 - np.floor(v0)) == 0.5
+            q = np.where(
+                tie, np.trunc(v0) + np.copysign(1.0, v0), np.rint(v0)
+            ).astype(np.int64)
+            # rolling window over [carry-in buffer | batch]: EXACT int64
+            # prefix sums (a float cumsum would shed low bits at ~2^53
+            # and corrupt the integer inequality); nulls occupy slots
+            # (ROWS-frame fidelity) but carry zero weight
             m = len(buf)
-            vals = np.array([0 if b is None else b for b in comb], dtype=np.int64)
-            valid = np.array([b is not None for b in comb], dtype=np.int64)
+            bvals = np.fromiter(
+                (0 if b is None else b for b in buf), dtype=np.int64, count=m
+            )
+            bvalid = np.fromiter(
+                (b is not None for b in buf), dtype=np.int64, count=m
+            )
+            vals = np.concatenate([bvals, np.where(nullmask, 0, q)])
+            valid = np.concatenate([bvalid, (~nullmask).astype(np.int64)])
             cs = np.concatenate([[0], np.cumsum(vals)])
             cq = np.concatenate([[0], np.cumsum(vals * vals)])
             cn = np.concatenate([[0], np.cumsum(valid)])
-            idx = np.arange(m, m + len(vq))
+            idx = np.arange(m, m + len(q))
             lo = np.maximum(0, idx - w_n)
             s = cs[idx] - cs[lo]
             q2 = cq[idx] - cq[lo]
@@ -1355,16 +1442,34 @@ def stream_rolling_anomaly(
                 lhs = (x * n - s) ** 2 * (n - 1)
                 rhs = z2 * (q2 * n - s * s) * n
             flag = (valid[m:] == 1) & (n >= lo_n) & (lhs > rhs)
-            for i in np.nonzero(flag)[0]:
-                for c in (key_col, ts_col, *order_cols):
-                    out[c].append(cols[c][i])
-                out["value_c"].append(int(x[i]))
-                out["n_prev"].append(int(n[i]))
-                out["mean_c1000"].append(math.floor(1000.0 * int(s[i]) / int(n[i])))
-            buf = comb[-w_n:] if len(comb) > w_n else comb
+            hit = np.nonzero(flag)[0]
+            if len(hit):
+                src = order[hit]
+                data = {
+                    c: pdf[c].to_numpy()[src]
+                    for c in (key_col, ts_col, *order_cols)
+                }
+                data["value_c"] = x[hit]
+                data["n_prev"] = n[hit]
+                # same float sequence as the scalar math.floor(1000.0*s/n)
+                data["mean_c1000"] = np.floor(
+                    (1000.0 * s[hit]) / n[hit]
+                ).astype(np.int64)
+                out = pd.DataFrame(
+                    data,
+                    columns=[
+                        key_col, ts_col, *order_cols,
+                        "value_c", "n_prev", "mean_c1000",
+                    ],
+                )
+            comb_v = vals[-w_n:] if len(vals) > w_n else vals
+            comb_ok = valid[-w_n:] if len(valid) > w_n else valid
+            buf = [
+                int(cv) if ok else None for cv, ok in zip(comb_v, comb_ok)
+            ]
         state.update((buf,))
-        if out["value_c"]:
-            yield pd.DataFrame(out)
+        if out is not None:
+            yield out
 
     flagged = events.groupBy(key_col).applyInPandasWithState(
         update,
@@ -1717,22 +1822,31 @@ def stream_transitions(
     state_schema = f"seen boolean, last {lab_t}"
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         seen, last = (state.get if state.exists else (False, None))
         # concat BEFORE sorting: a group's micro-batch rows can span
         # multiple Arrow chunks with no cross-chunk order guarantee —
         # sorting per chunk would mis-order transitions for keys with
-        # >maxRecordsPerBatch rows in one batch
-        frames = [pdf for pdf in pdfs if len(pdf)]
+        # >maxRecordsPerBatch rows in one batch.
+        # r13 (guide §4.2): sort with one stable np.lexsort over the
+        # (ts, tiebreak) arrays instead of pd.concat + sort_values per
+        # key — the per-key pandas construction was the measured
+        # addBatch floor of this operator family.
+        ts_parts, tb_parts, lab_parts = [], [], []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_parts.append(pdf[ts_col].to_numpy())
+                tb_parts.append(pdf[tiebreak_col].to_numpy())
+                lab_parts.append(pdf[label_col])
         frm, to = [], []
-        if frames:
-            batch = pd.concat(frames, ignore_index=True).sort_values(
-                [ts_col, tiebreak_col], kind="mergesort"
-            )
-            # an integer label column with any nulls arrives float64
-            # from pandas; a float banked into an integer state slot
-            # NULLs silently (the stream_interval_join class) —
-            # convert to exact Python values before chaining/state
-            for lab in _py_state_values(batch[label_col], lab_t):
+        if ts_parts:
+            ts_a = np.concatenate(ts_parts)
+            tb_a = np.concatenate(tb_parts)
+            order = np.lexsort((tb_a, ts_a))  # stable, ts-major
+            labs = _py_state_values(pd.concat(lab_parts), lab_t)
+            for i in order:
+                lab = labs[i]
                 if seen:
                     frm.append(last)
                     to.append(lab)
