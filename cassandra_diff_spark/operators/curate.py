@@ -1501,19 +1501,30 @@ def classifier_score(
     # per evaluation over 5000 sf0.1 docs, and Catalyst inlines the
     # logit expression into every downstream reference); array
     # element_at is O(1) and the same plan shape scores in well under a
-    # second
-    wmap = model.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket"), F.col("weight_u")))
-        ).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__m"), i), F.lit(0).cast("long")
-            ),
-        ).alias("__wm")
-    )
+    # second.
+    # r13: densify DRIVER-side in O(model) — the previous in-plan form
+    # (transform(sequence(0, d-1), i -> element_at(map, i))) probed the
+    # linear-scan map ONCE PER SLOT, an O(d * model) single task that
+    # measured 1.3 s at d=4096 in every scoring gate (plans/r13 job
+    # timeline) and is quadratic at real vocabulary sizes. The model
+    # frame is kilobyte-bounded by contract (<= d (bucket, weight)
+    # rows, zero weights omitted — the same bound classifier_train's
+    # per-iteration collect already relies on), so one bounded collect
+    # + a LocalRelation array row is the scale-correct build. Duplicate
+    # buckets still fail fast (map_from_entries raised on them);
+    # out-of-range buckets are ignored exactly as the dense probe
+    # ignored them.
+    rows = model.select("bucket", "weight_u").collect()
+    dense = [0] * d
+    seen = set()
+    for r in rows:
+        b = int(r["bucket"])
+        if b in seen:
+            raise ValueError(f"classifier_score: duplicate model bucket {b}")
+        seen.add(b)
+        if 0 <= b < d:
+            dense[b] = int(r["weight_u"])
+    wmap = df.sparkSession.createDataFrame([(dense,)], "__wm array<bigint>")
     ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != "")
     base = df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
     if bigrams:
@@ -1635,14 +1646,26 @@ def classifier_train(
     lr = int(lr_milli) / 1000.0
     from cassandra_diff_spark.functions.text import md5_hash64
 
-    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != "")
     id_s = F.col(id_col).cast("string")
     base = df.select(
         F.pmod(md5_hash64(id_s), F.lit(int(n_groups))).alias("gid"),
         id_s.alias("id"),
-        ws.alias("__ws"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
         F.col(label_col).cast("boolean").cast("int").cast("double").alias("y"),
-    )
+    ).filter(F.col("y").isNotNull())
+    # feature-hash AFTER the gid exchange (r13, guide §2.5): with the
+    # hashing projection below the repartition, Catalyst collapses any
+    # upstream spreading exchange into the gid one (CollapseRepartition)
+    # and the whole words+bigrams+md5 pass runs inside the SCAN task —
+    # measured as a 1.5 s single-task job on the single-row-group
+    # fixture (plans/r13 job timeline). Shuffling the raw text (~300 B/
+    # doc) costs LESS than shuffling the int feature arrays it expands
+    # into, and the hashing then parallelizes across the n_groups
+    # partitions on any input layout. Row membership per group is
+    # unchanged, so gradients are bit-identical.
+    base = base.repartition(int(n_groups), "gid")
+    ws = F.filter(words(F.col("__t")), lambda w: w != "")
+    base = base.select("gid", "id", ws.alias("__ws"), "y")
     if bigrams:
         big = F.zip_with(
             F.slice("__ws", 1, F.greatest(F.size("__ws") - 1, F.lit(0))),
@@ -1654,23 +1677,44 @@ def classifier_train(
         feats = F.concat(F.col("__ws"), big)
     else:
         feats = F.col("__ws")
+    # int32 feature hashes when they fit (guide §2.3 narrower types):
+    # halves the persisted frame and the per-iteration Arrow transfer;
+    # values are identical, so gradients are bit-identical
     hashes = F.transform(feats, lambda s: F.pmod(md5_hash64(s), F.lit(d)))
+    if d <= 2**31:
+        hashes = hashes.cast("array<int>")
     base = (
         base.select("gid", "id", hashes.alias("hs"), "y")
-        .filter(F.col("y").isNotNull() & (F.size("hs") > 0))
+        .filter(F.size("hs") > 0)
         # pay the gid exchange (and the per-group sort) ONCE, at persist
         # time: FlatMapGroupsInPandas only requires
         # ClusteredDistribution(gid) + gid-sorted children, and the
-        # cached plan's HashPartitioning(gid, n_groups) / gid ordering
-        # satisfy both — without this every GD iteration re-shuffled and
-        # re-sorted the persisted feature arrays (iters extra exchanges
-        # of the widest frame in the loop; guide §2.4). Group contents
+        # cached plan's HashPartitioning(gid, n_groups) / (gid, id)
+        # ordering satisfy both — without this every GD iteration
+        # re-shuffled and re-sorted the persisted feature arrays (iters
+        # extra exchanges of the widest frame in the loop; guide §2.4).
+        # Sorting by (gid, id) — not just gid — lets _grad skip its
+        # per-iteration pandas sort (the accumulate-in-sorted-id-order
+        # contract is then already satisfied on arrival). Group contents
         # are partitioning-invariant, so gradients are bit-identical.
-        .repartition(int(n_groups), "gid")
-        .sortWithinPartitions("gid")
+        .sortWithinPartitions("gid", "id")
         .persist()
     )
+    # AQE off for the GD loop (r13): each of the ``iters`` sequential
+    # jobs is a FIXED two-stage shape (grouped gradient -> one bounded
+    # exchange at <= nnz x n_groups rows -> driver collect) where AQE
+    # has nothing to decide — no joins, no skew, explicit partition
+    # counts — but charges a stage-materialization job + replan per
+    # iteration (interleaved A/B: 8.0 s vs 8.4-8.7 s per train, model
+    # bit-identical). Session value restored in the finally below.
+    spark_ = df.sparkSession
     try:
+        _aqe_old = spark_.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # noqa: BLE001
+        _aqe_old = None
+    try:
+        if _aqe_old is not None:
+            spark_.conf.set("spark.sql.adaptive.enabled", "false")
         n_total = base.count()
         if n_total == 0:
             raise ValueError("classifier_train: no labeled docs with features")
@@ -1698,7 +1742,14 @@ def classifier_train(
             def _grad(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 wc = np.zeros(d, dtype=np.float64)
                 wc[w_nz] = w_vals
-                pdf = pdf.sort_values("id", kind="mergesort")
+                # rows arrive (gid, id)-sorted from the persisted frame
+                # (r13) — skip the per-iteration sort when that holds;
+                # the stable sort stays as the fallback (and for
+                # duplicate ids, whose relative order the contract
+                # leaves to the stable sort)
+                ids = pdf["id"]
+                if not (ids.is_monotonic_increasing and ids.is_unique):
+                    pdf = pdf.sort_values("id", kind="mergesort")
                 lens = np.fromiter(
                     (len(h) for h in pdf["hs"]), dtype=np.int64, count=len(pdf)
                 )
@@ -1752,6 +1803,8 @@ def classifier_train(
                 g[int(r["bucket"])] = float(r["g"])
             w = w - lr * (g / n_total)
     finally:
+        if _aqe_old is not None:
+            spark_.conf.set("spark.sql.adaptive.enabled", _aqe_old)
         base.unpersist()
     # vectorized quantization (a Python loop over d is real time at
     # d=2**21); np.rint is round-half-to-even, the same tie rule as the
