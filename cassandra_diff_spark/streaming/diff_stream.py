@@ -1702,11 +1702,18 @@ def stream_contamination(
     The stream side is map-only before the aggregation: shingle
     explode + broadcast hash join — no stream-stream join, no
     watermark needed."""
+    from cassandra_diff_spark.operators import tracked_cache
     from cassandra_diff_spark.operators.dedup import shingle_set
 
     doc_sh = shingle_set(stream, id_col, text_col, n)
-    bench = benchmark_shingles.select("h").distinct().withColumn(
-        "bh", F.col("h")
+    # cache the STATIC side (r13, guide §2.4): every micro-batch's
+    # incremental plan re-instantiates the stream-static join, and the
+    # uncached benchmark subtree (shingle explode + md5 + distinct) was
+    # re-executed per trigger — 4 triggers paid 4 shingling passes at
+    # the gate. The cache fills once and every later trigger's
+    # broadcast build reads it.
+    bench = tracked_cache(
+        benchmark_shingles.select("h").distinct().withColumn("bh", F.col("h"))
     )
     hit = F.when(F.col("bh").isNotNull(), 1).otherwise(0)
     agg = (
